@@ -1,0 +1,125 @@
+"""Keyed aggregations — the reference's materialized state stores.
+
+Parity targets (SURVEY.md §2.4):
+  count_by_key    include/kspp/processors/count.h:9-123
+  count_by_value  include/kspp/processors/count_by_value.h:10-126
+                  (despite its name: per-key SUM — state_stores/mem_counter_store.h:76-81)
+  ktable          include/kspp/processors/ktable.h:8-116
+                  (latest-per-key, LWW by event_time; state_stores/mem_store.h:64-83)
+  windowed store  state_stores/mem_windowed_store.h:8-285
+
+All of these are single-shuffle hash aggregations with map-side partial
+aggregation (Spark's partial+final agg replaces the reference's
+incremental counter-store merges). At 100 TB the shuffle is on the
+grouping key only, carrying pre-aggregated partials — the cheapest
+possible plan for these semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def count_by_key(df: DataFrame, key: str | list[str], out: str = "cnt") -> DataFrame:
+    """Per-key event count (count.h:92-101). The reference's periodic
+    punctuate snapshot == the full batch result; in streaming this runs
+    in update mode with a processing-time trigger (see streaming/)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+
+
+def count_by_value(
+    df: DataFrame, key: str | list[str], value: Column | str, out: str = "total"
+) -> DataFrame:
+    """Per-key additive sum (count_by_value.h + mem_counter_store.h:76-81).
+    Out-of-order additions are accepted regardless of timestamp, which
+    matches sum's order-insensitivity exactly."""
+    keys = [key] if isinstance(key, str) else list(key)
+    v = F.col(value) if isinstance(value, str) else value
+    return df.groupBy(*keys).agg(F.sum(v).alias(out))
+
+
+def ktable(
+    df: DataFrame,
+    key: str | list[str],
+    value_cols: list[str],
+    event_time: str = "event_time",
+    seq: str | None = None,
+    drop_tombstones: bool = True,
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Materialize a changelog into latest-value-per-key (ktable.h:8-116).
+
+    LWW semantics per mem_store.h:64-83: a record (update OR delete)
+    with an event_time older than the stored one is ignored; equal
+    event_time -> later arrival wins (tiebreak on `seq`).
+
+    Implemented as one hash aggregation: max over a struct ordered by
+    (event_time[, seq]) carries the winning row's values out — a
+    partial-aggregable plan (no window sort, no second shuffle).
+
+    tombstone_col: column whose NULL marks a delete (defaults to the
+    first value col). With drop_tombstones, keys whose latest record is
+    a delete vanish from the table.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [event_time] + ([seq] if seq else [])
+    payload = F.struct(*[F.col(c) for c in order], *[F.col(c) for c in value_cols])
+    agg = df.groupBy(*keys).agg(F.max(payload).alias("_w"))
+    out = agg.select(
+        *keys,
+        *[F.col(f"_w.{c}").alias(c) for c in value_cols],
+        F.col(f"_w.{event_time}").alias(event_time),
+    )
+    if drop_tombstones:
+        tcol = tombstone_col or value_cols[0]
+        out = out.filter(F.col(tcol).isNotNull())
+    return out
+
+
+def windowed_count(
+    df: DataFrame,
+    event_time: str,
+    slot_width: str,
+    key: str | list[str] | None = None,
+    out: str = "cnt",
+) -> DataFrame:
+    """Tumbling-window count (mem_windowed_store slot bucketing:
+    timestamp / slot_width at mem_windowed_store.h:260-262).
+    slot_width e.g. '1 hour'. Returns window_start/window_end columns."""
+    keys = [] if key is None else ([key] if isinstance(key, str) else list(key))
+    w = F.window(F.col(event_time), slot_width)
+    return (
+        df.groupBy(w.alias("_w"), *keys)
+        .agg(F.count(F.lit(1)).alias(out))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            *keys,
+            out,
+        )
+    )
+
+
+def windowed_sum(
+    df: DataFrame,
+    event_time: str,
+    slot_width: str,
+    value: Column | str,
+    key: str | list[str] | None = None,
+    out: str = "total",
+) -> DataFrame:
+    """Tumbling-window per-key sum (windowed counter store)."""
+    keys = [] if key is None else ([key] if isinstance(key, str) else list(key))
+    v = F.col(value) if isinstance(value, str) else value
+    w = F.window(F.col(event_time), slot_width)
+    return (
+        df.groupBy(w.alias("_w"), *keys)
+        .agg(F.sum(v).alias(out))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            *keys,
+            out,
+        )
+    )

@@ -1,0 +1,177 @@
+"""Joins — kspp's five key-equi-join flavors (SURVEY.md §2.5).
+
+Parity targets: include/kspp/processors/join.h
+  kstream_left_join   join.h:28-118   stream event -> lookup in table
+  kstream_inner_join  join.h:120-209
+  ktable_left_join    join.h:212-311  change on either side -> re-emit
+  ktable_inner_join   join.h:314-406
+  ktable_outer_join   join.h:408-508
+
+Two surfaces:
+
+1. Relational form (``kstream_*_join`` / ``ktable_*_join``): join of a
+   stream/table DataFrame against a materialized table — a plain Spark
+   join. Catalyst picks broadcast-hash for small dims (the common kspp
+   deployment: dimension table in a mem/RocksDB store) or sort-merge
+   for large-large; at 100 TB co-partitioned bucketing removes the
+   shuffle entirely.
+
+2. Changelog-replay form (``changelog_*``): reproduces the reference's
+   *emitted output sequence* — one output row per input change,
+   including tombstones on miss (join.h:290-294) — verified against the
+   golden vectors in tests/test8_join.cpp:133-354. Implemented as a
+   single window aggregation per key (no per-row Python, no driver
+   loop): per-side running state = max(struct(event_time, seq, value))
+   over an event-ordered window, which is exactly the LWW store replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+# ---------------------------------------------------------------- relational
+
+
+def kstream_left_join(
+    stream: DataFrame, table: DataFrame, on: str | list[str], broadcast: bool = True
+) -> DataFrame:
+    """Stream-table lookup join (join.h:28-118): every stream row out,
+    table columns null on miss."""
+    t = F.broadcast(table) if broadcast else table
+    return stream.join(t, on=on, how="left")
+
+
+def kstream_inner_join(
+    stream: DataFrame, table: DataFrame, on: str | list[str], broadcast: bool = True
+) -> DataFrame:
+    """Stream-table lookup join, misses dropped (join.h:181-189)."""
+    t = F.broadcast(table) if broadcast else table
+    return stream.join(t, on=on, how="inner")
+
+
+def ktable_left_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    return left.join(right, on=on, how="left")
+
+
+def ktable_inner_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    return left.join(right, on=on, how="inner")
+
+
+def ktable_outer_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    return left.join(right, on=on, how="full_outer")
+
+
+# ---------------------------------------------------------- changelog replay
+#
+# Input changelogs: columns (key, value, event_time) + optional seq.
+# Output: (key, event_time, left, right, tombstone) — one row per
+# emitted record; tombstone=true rows model kspp's null-pair deletes.
+
+
+def _tagged_union(left: DataFrame, right: DataFrame, table_first: bool) -> DataFrame:
+    """Union the two changelogs with a side tag and a deterministic
+    within-timestamp order. table_first puts side R (the table) ahead of
+    side L at equal event_time — the reference processes + commits the
+    table before the stream each tick (join.h:75-79)."""
+    l_pri = F.lit(1 if table_first else 0)
+    r_pri = F.lit(0 if table_first else 1)
+    lt = left.select(
+        "key",
+        F.col("value").alias("_lv"),
+        F.lit(None).cast(right.schema["value"].dataType).alias("_rv"),
+        "event_time",
+        l_pri.alias("_pri"),
+        (F.col("seq") if "seq" in left.columns else F.lit(0)).alias("seq"),
+        F.lit("L").alias("_side"),
+    )
+    rt = right.select(
+        "key",
+        F.lit(None).cast(left.schema["value"].dataType).alias("_lv"),
+        F.col("value").alias("_rv"),
+        "event_time",
+        r_pri.alias("_pri"),
+        (F.col("seq") if "seq" in right.columns else F.lit(0)).alias("seq"),
+        F.lit("R").alias("_side"),
+    )
+    return lt.unionByName(rt)
+
+
+def _with_states(events: DataFrame) -> DataFrame:
+    """Running LWW state of each side at every event.
+
+    max(struct(event_time, _pri, seq, value)) over an event-ordered
+    growing window == the value a mem_store would hold after applying
+    every event up to and including this row (mem_store.h:64-83).
+    Null-value events still produce a struct (tombstone applied) —
+    only rows of the *other* side are excluded (their struct is null,
+    which max() skips).
+    """
+    w = (
+        W.partitionBy("key")
+        .orderBy("event_time", "_pri", "seq")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    l_upd = F.when(
+        F.col("_side") == "L", F.struct("event_time", "_pri", "seq", F.col("_lv").alias("v"))
+    )
+    r_upd = F.when(
+        F.col("_side") == "R", F.struct("event_time", "_pri", "seq", F.col("_rv").alias("v"))
+    )
+    return events.withColumn("_lstate", F.max(l_upd).over(w)["v"]).withColumn(
+        "_rstate", F.max(r_upd).over(w)["v"]
+    )
+
+
+def changelog_stream_table_join(
+    stream: DataFrame, table: DataFrame, how: str = "left"
+) -> DataFrame:
+    """kstream-ktable join replay (join.h:28-209).
+
+    Emits one row per non-tombstone stream event, paired with the
+    table's LWW state as of that event (table changes at the same
+    event_time are applied first). how='left' keeps misses with null
+    right (test8_join.cpp:133-155); how='inner' drops them (:171-190).
+    """
+    ev = _with_states(_tagged_union(stream, table, table_first=True))
+    out = ev.filter((F.col("_side") == "L") & F.col("_lv").isNotNull()).select(
+        "key",
+        "event_time",
+        F.col("_lv").alias("left"),
+        F.col("_rstate").alias("right"),
+        F.lit(False).alias("tombstone"),
+    )
+    if how == "inner":
+        out = out.filter(F.col("right").isNotNull())
+    elif how != "left":
+        raise ValueError(f"unsupported stream-table join flavor: {how}")
+    return out
+
+
+def changelog_table_table_join(
+    left: DataFrame, right: DataFrame, how: str = "left"
+) -> DataFrame:
+    """ktable-ktable join replay (join.h:212-508, "old semantics").
+
+    Any change on either side emits, per the golden vectors
+    (test8_join.cpp:207-354):
+      left:  L state null -> tombstone, else (L, R?)        (join.h:290-294)
+      inner: either state null -> tombstone, else (L, R)    (join.h:385-389)
+      outer: both states null -> tombstone, else (L?, R?)   (join.h:474-491)
+    """
+    ev = _with_states(_tagged_union(left, right, table_first=False))
+    ls, rs = F.col("_lstate"), F.col("_rstate")
+    if how == "left":
+        tomb = ls.isNull()
+    elif how == "inner":
+        tomb = ls.isNull() | rs.isNull()
+    elif how == "outer":
+        tomb = ls.isNull() & rs.isNull()
+    else:
+        raise ValueError(f"unsupported table-table join flavor: {how}")
+    return ev.select(
+        "key",
+        "event_time",
+        F.when(~tomb, ls).alias("left"),
+        F.when(~tomb, rs).alias("right"),
+        tomb.alias("tombstone"),
+    )
