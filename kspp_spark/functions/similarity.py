@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference capability (BASELINE.json north star).
+
+Two tiers:
+  * cosine_topk — exact brute force. O(|Q|×|C|) but fully
+    distributed: the corpus side streams through executors, the
+    (small) query side broadcasts, and the dot product is a JVM-side
+    higher-order function (zip_with + aggregate) — no Python per row.
+    This is the correctness baseline and is fine whenever |Q| is small.
+  * lsh_ann_topk — approximate: random-hyperplane bucketing via
+    spark.ml's BucketedRandomProjectionLSH; candidates come from
+    bucket joins so the cross product never forms. The 100 TB path.
+
+`exact_decimal` mode computes the dot products in DECIMAL arithmetic
+(exact, engine-independent) so results can be hash-compared against a
+SQL oracle down to the last bit; the default double path is faster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, Window as W
+
+
+def _dot(a: Column, b: Column, decimal: bool) -> Column:
+    if decimal:
+        prod = F.zip_with(
+            a, b, lambda x, y: x.cast("decimal(18,9)") * y.cast("decimal(18,9)")
+        )
+        return F.aggregate(
+            prod, F.lit(0).cast("decimal(38,18)"), lambda acc, x: acc + x
+        )
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_scores(
+    queries: DataFrame,
+    corpus: DataFrame,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    exact_decimal: bool = False,
+) -> DataFrame:
+    """All-pairs cosine similarity (query side broadcast)."""
+    q = queries.select(
+        F.col(q_id).alias("_qid"), F.col(q_vec).alias("_qv")
+    ).withColumn("_qn", _dot(F.col("_qv"), F.col("_qv"), exact_decimal))
+    c = corpus.select(
+        F.col(c_id).alias("_cid"), F.col(c_vec).alias("_cv")
+    ).withColumn("_cn", _dot(F.col("_cv"), F.col("_cv"), exact_decimal))
+    pairs = c.crossJoin(F.broadcast(q))
+    dot = _dot(F.col("_qv"), F.col("_cv"), exact_decimal)
+    # norms are exact (decimal) or deterministic doubles; the final
+    # double math is identical given identical inputs in any engine.
+    score = dot.cast("double") / F.sqrt(F.col("_qn").cast("double") * F.col("_cn").cast("double"))
+    return pairs.select(
+        F.col("_qid").alias(q_id),
+        F.col("_cid").alias(c_id),
+        score.alias("score"),
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    exclude_self: bool = True,
+    exact_decimal: bool = False,
+) -> DataFrame:
+    """Top-k neighbors per query by cosine; deterministic tiebreak on
+    (score desc, corpus id asc). Rank via window — the per-query
+    partition is |corpus| rows, pruned to k immediately."""
+    scores = cosine_scores(queries, corpus, q_id, c_id, q_vec, c_vec, exact_decimal)
+    if exclude_self:
+        scores = scores.filter(F.col(q_id) != F.col(c_id))
+    w = W.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "rank", "score")
+    )
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN via random-projection LSH (spark.ml). Buckets
+    co-locate likely neighbors; only bucket-collision pairs are scored.
+    Scales to arbitrarily large corpora — shuffle is on bucket keys.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import VectorUDT  # noqa: F401  (schema dep)
+
+    c = corpus.select(
+        F.col(c_id).alias("_cid"),
+        array_to_vector(F.col(vec).cast("array<double>")).alias("features"),
+    )
+    q = queries.select(
+        F.col(q_id).alias("_qid"),
+        array_to_vector(F.col(vec).cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    joined = model.approxSimilarityJoin(q, c, float("inf"), distCol="dist")
+    pairs = joined.select(
+        F.col(f"datasetA._qid").alias(q_id),
+        F.col(f"datasetB._cid").alias(c_id),
+        F.col("dist"),
+    ).filter(F.col(q_id) != F.col(c_id))
+    w = W.partitionBy(q_id).orderBy(F.col("dist"), F.col(c_id))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "rank", "dist")
+    )

@@ -1,0 +1,84 @@
+"""Text analysis for large-scale document pipelines.
+
+The reference has no function library — users write C++ lambdas inside
+filter/flat_map/transform (SURVEY.md §2.6; e.g. the regex word-split at
+examples/example3-count/example3-count.cpp:45-53). Here the same
+surface is built-in Column expressions (JVM-side, codegen'd) so a
+100 TB documents scan never leaves whole-stage codegen.
+
+All functions return Columns (composable into any pipeline) and are
+deliberately expressible in ANSI SQL for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WS = r"\s+"
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language heuristic. Chosen to be unambiguous across the five corpus
+# languages (documents.lang in {en,de,fr,es,zh}).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "und", "die", "nicht", "ist"],
+    "fr": ["le", "la", "les", "est", "dans"],
+    "es": ["el", "los", "es", "una", "que"],
+}
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenization -> array<string>, empties removed."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(t, WS), lambda w: w != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+def _marker_count(text: Column, words: list[str]) -> Column:
+    # \b word boundaries keep this a pure regex count, identical in
+    # Spark and DuckDB (both RE2-ish semantics for these patterns).
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def language_id(text: Column | str) -> Column:
+    """Heuristic language ID: stopword-marker voting + CJK detection.
+
+    Returns one of en/de/fr/es/zh/unknown. Ties resolve by fixed
+    language order (deterministic).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    counts = {lang: _marker_count(t, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    out = F.when(cjk > 0, F.lit("zh")).when(best == 0, F.lit("unknown"))
+    for lang in LANG_MARKERS:  # fixed order = deterministic tiebreak
+        out = out.when(counts[lang] == best, F.lit(lang))
+    return out
+
+
+def quality_metrics(text: Column | str) -> dict[str, Column]:
+    """Integer quality counters (ratios left to the caller so results
+    stay exact for oracle comparison): chars, alpha, digits, punct,
+    tokens, max token length."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(t)
+    return {
+        "n_chars": F.length(t),
+        "n_alpha": F.length(F.regexp_replace(t, r"[^A-Za-z]", "")),
+        "n_digit": F.length(F.regexp_replace(t, r"[^0-9]", "")),
+        "n_punct": F.length(F.regexp_replace(t, r"[^.,;:!?'\"()]", "")),
+        "n_tokens": F.size(toks),
+        "max_token_len": F.array_max(F.transform(toks, F.length)),
+    }
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """Deterministic content fingerprint: md5 of lowercased,
+    whitespace-normalized text. Used for exact dedup at any scale —
+    the 128-bit digest groups identically regardless of row size."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(F.regexp_replace(F.lower(t), WS, " ")))

@@ -30,8 +30,33 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — Spark reads
+    them as long (see session.py nanosAsLong) and we convert to µs
+    TimestampType (integer division: ns epoch exceeds double's 2^53)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
 def load(spark: SparkSession, table: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
+        # runtime-settable; required even when the caller owns the session
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

@@ -29,6 +29,9 @@ def get_spark(app_name: str = "kspp_spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as long
+        # and convert in io.load (Spark has no native nanos type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
