@@ -1,0 +1,70 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = sum of per-query median wall-clock seconds (median of RUNS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from kspp_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Headline set from BASELINE.md plus the beyond-reference operators.
+BENCH_QUERIES = [
+    "count_by_key",
+    "count_by_value",
+    "ktable_latest",
+    "kstream_left_join",
+    "transform_revenue",
+    "windowed_count",
+    "pricing_summary",
+    "revenue_per_nation",
+    "word_count",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "knn_cosine",
+]
+
+
+def main() -> None:
+    spark = get_spark("kspp_spark_bench")
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            # foreach-noop forces full materialization without
+            # driver-side collect of the result set
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "sum_median_query_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
