@@ -1,0 +1,108 @@
+"""Structured-Streaming behavior of the operator overlays: file-source
+micro-batches -> memory sink, checking the streaming results against
+the batch operator on the same data (same-plan-both-modes design)."""
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from kspp_spark.streaming.core import (
+    count_by_key_stream,
+    ktable_stream,
+    windowed_count_stream,
+)
+from kspp_spark.streaming.stateful import rate_limit_batch, rate_limit_stream
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("value", T.LongType()),
+        T.StructField("event_time", T.TimestampType()),
+    ]
+)
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    return str(tmp_path / "in")
+
+
+def _write_batch(spark, path, rows, part):
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_available_now(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def ts(s):
+    import datetime
+
+    return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_count_by_key_stream(spark, stream_dir):
+    _write_batch(spark, stream_dir, [("a", 1, ts(1)), ("b", 2, ts(2)), ("a", 3, ts(3))], 0)
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    q = _run_available_now(count_by_key_stream(src, "key"), "cbk")
+    got = {r.key: r.cnt for r in spark.sql("select * from cbk").collect()}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_ktable_stream_lww(spark, stream_dir):
+    rows = [("a", 1, ts(5)), ("a", 9, ts(3)), ("b", 7, ts(1))]  # stale a@3 loses
+    _write_batch(spark, stream_dir, rows, 0)
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    q = _run_available_now(ktable_stream(src, "key", ["value"]), "kt")
+    got = {r.key: r.value for r in spark.sql("select * from kt").collect()}
+    assert got == {"a": 1, "b": 7}
+
+
+def test_windowed_count_stream(spark, stream_dir):
+    rows = [("a", 1, ts(1)), ("a", 1, ts(2)), ("a", 1, ts(31)), ("b", 1, ts(32))]
+    _write_batch(spark, stream_dir, rows, 0)
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = windowed_count_stream(src, "event_time", "30 seconds", "10 seconds")
+    q = _run_available_now(out, "wc")
+    got = {(r.window_start.second, r.cnt) for r in spark.sql("select * from wc").collect()}
+    assert got == {(0, 2), (30, 2)}
+
+
+def test_rate_limit_stream_matches_batch(spark, stream_dir):
+    # one key, events 1s apart; bucket: capacity 2, refill 1 token/10s
+    rows = [("a", i, ts(i)) for i in range(10)]
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    expected = sorted(
+        r.value
+        for r in rate_limit_batch(
+            batch_df, key="key", event_time="event_time", filltime_ms=20_000, capacity=2
+        ).collect()
+    )
+    _write_batch(spark, stream_dir, rows, 0)
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    limited = rate_limit_stream(
+        src, key="key", event_time="event_time", filltime_ms=20_000, capacity=2
+    )
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("rl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.value for r in spark.sql("select * from rl").collect())
+    assert got == expected
+    assert len(got) < len(rows)  # some rejections happened
