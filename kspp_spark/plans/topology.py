@@ -1,0 +1,134 @@
+"""Fluent topology surface — the kspp user API re-expressed.
+
+Parity target: topology_builder / topology
+(include/kspp/topology_builder.h:10-27, topology.h:10-168, §3 of
+SURVEY.md). In kspp the user composes processors per partition:
+
+    auto t = builder.create_topology();
+    auto src = t->create_processor<kafka_source<...>>(part, topic);
+    auto fm  = t->create_processor<flat_map<...>>(src, extractor);
+    auto cnt = t->create_processor<count_by_key<...>>(fm, 1000);
+    t->start(OFFSET_BEGINNING); t->flush();
+
+Here the same pipeline is a `Stream` chain; the "topology" IS the
+Catalyst logical plan, `start/flush` is an action, partitions are
+Spark tasks. One declaration serves batch and streaming (pass a
+readStream DataFrame to `Topology.source`).
+
+    t = Topology(spark)
+    (t.source(events)
+      .flat_map(F.split("value", " "), alias="word")
+      .count_by_key("word")
+      .to_memory("counts"))
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from kspp_spark.operators import aggregates as agg_ops
+from kspp_spark.operators import joins as join_ops
+from kspp_spark.operators import stateless as sl_ops
+from kspp_spark.streaming.stateful import rate_limit_batch, rate_limit_stream
+
+
+@dataclass
+class Stream:
+    """A named edge in the topology: wraps a DataFrame, every method
+    returns a new Stream so chains read like kspp topologies."""
+
+    df: DataFrame
+
+    # ---- stateless (§2.3)
+    def filter(self, predicate: Column | str) -> "Stream":
+        return Stream(sl_ops.filter_(self.df, predicate))
+
+    def transform(self, *exprs: Column | str) -> "Stream":
+        return Stream(sl_ops.transform(self.df, *exprs))
+
+    def transform_value(self, **named: Column) -> "Stream":
+        return Stream(sl_ops.transform_value(self.df, **named))
+
+    def flat_map(self, explode_col: Column, alias: str, keep=(), where=None) -> "Stream":
+        return Stream(sl_ops.flat_map(self.df, explode_col, alias, keep, where))
+
+    def merge(self, *others: "Stream") -> "Stream":
+        return Stream(sl_ops.merge(self.df, *[o.df for o in others]))
+
+    def repartition_by_foreign_key(self, routing: "Stream", key: str, fk: str) -> "Stream":
+        return Stream(
+            sl_ops.repartition_by_foreign_key(self.df, routing.df, key, fk)
+        )
+
+    def rate_limit(
+        self, key: str, event_time: str, filltime_ms: int, capacity: int
+    ) -> "Stream":
+        fn = rate_limit_stream if self.df.isStreaming else rate_limit_batch
+        return Stream(fn(self.df, key, event_time, filltime_ms, capacity))
+
+    # ---- aggregations (§2.4)
+    def count_by_key(self, key, out: str = "cnt") -> "Stream":
+        return Stream(agg_ops.count_by_key(self.df, key, out))
+
+    def count_by_value(self, key, value, out: str = "total") -> "Stream":
+        return Stream(agg_ops.count_by_value(self.df, key, value, out))
+
+    def ktable(self, key, value_cols, event_time="event_time", **kw) -> "Stream":
+        return Stream(agg_ops.ktable(self.df, key, value_cols, event_time, **kw))
+
+    def windowed_count(self, event_time, slot_width, key=None, out="cnt") -> "Stream":
+        return Stream(agg_ops.windowed_count(self.df, event_time, slot_width, key, out))
+
+    # ---- joins (§2.5)
+    def left_join(self, table: "Stream", on, broadcast=True) -> "Stream":
+        return Stream(join_ops.kstream_left_join(self.df, table.df, on, broadcast))
+
+    def inner_join(self, table: "Stream", on, broadcast=True) -> "Stream":
+        return Stream(join_ops.kstream_inner_join(self.df, table.df, on, broadcast))
+
+    def outer_join(self, table: "Stream", on) -> "Stream":
+        return Stream(join_ops.ktable_outer_join(self.df, table.df, on))
+
+    # ---- terminals (§2.2)
+    def visit(self, fn: Callable) -> None:
+        sl_ops.visitor(self.df, fn)
+
+    def to_memory(self, name: str):
+        if self.df.isStreaming:
+            return (
+                self.df.writeStream.format("memory").queryName(name)
+                .outputMode("update").start()
+            )
+        self.df.createOrReplaceTempView(name)
+        return self.df
+
+    def to_console(self, n: int = 20) -> None:
+        self.df.show(n, truncate=False)
+
+    def to_null(self) -> None:
+        self.df.write.format("noop").mode("overwrite").save()
+
+    def collect(self):
+        return self.df.collect()
+
+
+class Topology:
+    """topology_builder equivalent. Sources return Streams; everything
+    else chains off them. `flush()` semantics are Spark actions on the
+    terminal Streams."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def source(self, df: DataFrame) -> Stream:
+        return Stream(df)
+
+    def mem_stream_source(self, rows, schema) -> Stream:
+        """mem_stream_source equivalent (testing/injection)."""
+        return Stream(self.spark.createDataFrame(rows, schema))
+
+    def table(self, path: str) -> Stream:
+        return Stream(self.spark.read.parquet(path))

@@ -1,0 +1,128 @@
+"""Unit tests: stateless operators, dedup/similarity functions, sink
+batching semantics."""
+
+from pyspark.sql import functions as F, types as T
+
+from kspp_spark.functions.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from kspp_spark.functions.similarity import cosine_topk, lsh_ann_topk
+from kspp_spark.operators.stateless import (
+    filter_,
+    flat_map,
+    merge,
+    repartition_by_foreign_key,
+    transform_value,
+)
+from kspp_spark.sinks.writers import dedupe_batch_for_upsert
+
+
+def test_filter_transform_flat_map(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "c"), (3, "")], ["id", "txt"])
+    out = filter_(df, F.col("id") < 3)
+    out = transform_value(out, n_words=F.size(F.split("txt", " ")))
+    words = flat_map(
+        df, F.filter(F.split("txt", " "), lambda w: w != ""), alias="w", keep=["id"]
+    )
+    assert out.count() == 2
+    assert sorted((r.id, r.w) for r in words.collect()) == [(1, "a"), (1, "b"), (2, "c")]
+
+
+def test_merge_preserves_all_rows(spark):
+    a = spark.createDataFrame([(1,)], ["x"])
+    b = spark.createDataFrame([(2,)], ["x"])
+    c = spark.createDataFrame([(3,)], ["x"])
+    assert sorted(r.x for r in merge(a, b, c).collect()) == [1, 2, 3]
+
+
+def test_repartition_by_fk_drops_unrouted(spark):
+    # repartition.h:64-73: no routing entry -> record dropped
+    df = spark.createDataFrame([("k1", 1), ("k2", 2), ("k3", 3)], ["key", "v"])
+    routing = spark.createDataFrame([("k1", "fkA"), ("k2", "fkB")], ["key", "fk"])
+    out = repartition_by_foreign_key(df, routing, key="key", fk="fk")
+    assert sorted((r.key, r.fk) for r in out.collect()) == [("k1", "fkA"), ("k2", "fkB")]
+
+
+DOCS = [
+    # two exact dups (1,2), one near-dup pair (3,4), one unique (5)
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3, "machine learning systems require careful data deduplication at scale to work"),
+    (4, "machine learning systems require careful data deduplication at large scale to work"),
+    (5, "completely different content about database query optimization techniques"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(docs_df(spark))
+    rows = {r.doc_id: r.n_dups for r in out.collect()}
+    assert rows[1] == 2  # docs 1+2 collapse, keep min id
+    assert 2 not in rows
+    assert rows[3] == 1 and rows[4] == 1 and rows[5] == 1
+
+
+def test_minhash_finds_near_dups(spark):
+    docs = docs_df(spark)
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3)
+    assert sigs.count() == 5
+    cand = minhash_candidates(sigs, bands=16, rows_per_band=4)
+    pairs = {(r.a, r.b) for r in cand.collect()}
+    assert (1, 2) in pairs  # exact dups always collide
+    assert (3, 4) in pairs  # near-dups collide in some band
+    verified = ngram_jaccard_pairs(docs, cand, threshold=0.99)
+    assert {(r.a, r.b) for r in verified.collect()} == {(1, 2)}
+
+
+def test_simhash_near_dup_distance(spark):
+    out = {r.doc_id: r.simhash for r in simhash(docs_df(spark)).collect()}
+    assert out[1] == out[2]  # identical docs -> identical signature
+    ham_near = bin(out[3] ^ out[4]).count("1")
+    ham_far = bin(out[3] ^ out[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_self_best(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.select(F.col("vec_id").alias("q_id"), "embedding")
+    out = cosine_topk(q, emb, k=1, q_id="q_id", c_id="vec_id")
+    best = {r.q_id: r.vec_id for r in out.collect()}
+    assert best[1] == 2 and best[2] == 1
+
+
+def test_lsh_ann_runs(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.limit(3).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = lsh_ann_topk(q, emb, k=5, q_id="q_id", c_id="vec_id")
+    got = out.groupBy("q_id").count().collect()
+    assert all(r["count"] <= 5 for r in got) and len(got) == 3
+
+
+def test_dedupe_batch_for_upsert(spark):
+    rows = [
+        ("k1", "old", 1),
+        ("k1", "new", 5),
+        ("k2", None, 9),  # tombstone survives as latest
+        ("k2", "x", 3),
+    ]
+    df = spark.createDataFrame(rows, ["key", "val", "event_time"])
+    out = {r.key: (r.val, r.event_time) for r in
+           dedupe_batch_for_upsert(df, ["key"], "event_time").collect()}
+    assert out == {"k1": ("new", 5), "k2": (None, 9)}

@@ -1,0 +1,48 @@
+"""Topology fluent-API parity: the reference's example3 word-count and
+example2 stream-table join expressed as chains (SURVEY.md §3)."""
+
+from pyspark.sql import functions as F
+
+from kspp_spark.functions.text import tokenize
+from kspp_spark.plans import Topology
+
+
+def test_word_count_chain(spark):
+    # examples/example3-count: text -> flat_map(split) -> count_by_key
+    t = Topology(spark)
+    lines = t.mem_stream_source(
+        [("the quick fox",), ("the lazy dog",)], "value string"
+    )
+    counts = (
+        lines.flat_map(tokenize("value"), alias="word")
+        .count_by_key("word")
+        .to_memory("wordcounts")
+    )
+    got = {r.word: r.cnt for r in spark.sql("select * from wordcounts").collect()}
+    assert got == {"the": 2, "quick": 1, "fox": 1, "lazy": 1, "dog": 1}
+
+
+def test_stream_table_join_chain(spark):
+    # examples/example2-join: event stream left-joined to a ktable
+    t = Topology(spark)
+    events = t.mem_stream_source(
+        [("u1", 10), ("u2", 20), ("u3", 30)], "key string, v long"
+    )
+    changelog = t.mem_stream_source(
+        [("u1", "x", 1), ("u1", "y", 2), ("u2", "z", 1)],
+        "key string, name string, event_time long",
+    )
+    table = changelog.ktable("key", ["name"], "event_time")
+    joined = events.left_join(table, on="key")
+    got = {r.key: r.name for r in joined.collect()}
+    assert got == {"u1": "y", "u2": "z", "u3": None}
+
+
+def test_rate_limit_chain(spark):
+    t = Topology(spark)
+    ev = t.mem_stream_source(
+        [("k", i, 1_000 * i) for i in range(5)], "key string, v long, event_time long"
+    )
+    ev.df = ev.df.withColumn("event_time", F.timestamp_millis("event_time"))
+    out = ev.rate_limit("key", "event_time", filltime_ms=60_000, capacity=2)
+    assert out.df.count() == 2  # bucket of 2, no refill within 5s
