@@ -292,6 +292,78 @@ def q_distinct_segments(spark, sf_dir):
     return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
 
+def q_intersect_keys(spark, sf_dir):
+    """INTERSECT set op: customers that placed both an 'F' and an 'O'
+    status order."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(o)
+
+
+def q_except_keys(spark, sf_dir):
+    """EXCEPT set op: customers with 'F' orders but no 'O' orders."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.exceptAll(o).distinct()
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot: order counts per priority x status."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        )
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+def q_count_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def q_having(spark, sf_dir):
+    """GROUP BY + HAVING (absent in kspp, free here): customers with
+    more than 12 orders."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+def q_lag_lead(spark, sf_dir):
+    """Analytic lag/lead over per-customer order history."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # beyond-reference: dedup / text analysis / similarity
 # --------------------------------------------------------------------------
@@ -400,6 +472,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "rollup_pricing": q_rollup_pricing,
         "distinct_segments": q_distinct_segments,
+        "intersect_keys": q_intersect_keys,
+        "except_keys": q_except_keys,
+        "pivot_status": q_pivot_status,
+        "cube_agg": q_cube_agg,
+        "count_distinct": q_count_distinct,
+        "having": q_having,
+        "lag_lead": q_lag_lead,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality_metrics": q_quality_metrics,
@@ -579,6 +658,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer
+        """,
+        "intersect_keys": """
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "except_keys": """
+            SELECT DISTINCT custkey FROM (
+                SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+                EXCEPT ALL
+                SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            )
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS f_cnt,
+                   COUNT(*) FILTER (o_orderstatus = 'O') AS o_cnt,
+                   COUNT(*) FILTER (o_orderstatus = 'P') AS p_cnt
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "count_distinct": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_orderkey) AS n_orders,
+                   COUNT(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "having": """
+            SELECT o_custkey, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+        """,
+        "lag_lead": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+                   lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+            FROM orders
         """,
         "dedup_exact": f"""
             SELECT md5({_NORM_TEXT}) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
