@@ -114,46 +114,66 @@ def rate_limit_stream(
 def delay_stream(
     df: DataFrame,
     key: str,
+    value: str,
     event_time: str,
     delay_ms: int,
+    now_ms_fn=None,
 ):
     """Streaming delay (delay.h:40-50): hold each record until
-    event_time + delay <= watermark-ish processing tick. Implemented
-    with a processing-time timeout: buffered rows re-emit once their
-    release time has passed. In batch mode delay is an identity
-    (all event times are <= the batch's tick by definition)."""
+    event_time + delay <= the processing tick, then release with the
+    ORIGINAL event_time (the reference forwards the untouched record).
+
+    Operates on the canonical changelog shape (key, value: string,
+    event_time) — like the reference, which delays opaque serded
+    records; map a struct value through to_json first if needed.
+    Buffered rows live in group state as parallel arrays; a
+    processing-time timeout re-fires the group to drain matured rows
+    even when no new input arrives. Batch-mode delay is an identity
+    (every event_time <= the batch tick), matching topology flush.
+
+    now_ms_fn: injectable clock (tests); defaults to wall clock.
+    """
+    import time as _time
+
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = df.schema
+    now_fn = now_ms_fn or (lambda: int(_time.time() * 1000))
+    out_schema = (
+        f"{key} string, {value} string, {event_time} timestamp"
+    )
 
     def hold(key_, pdf_iter, state: GroupState):
-        import time
-
-        now_ms = int(time.time() * 1000)
-        buf = pd.concat(list(pdf_iter)) if pdf_iter else pd.DataFrame()
+        now_ms = now_fn()
+        vals: list = []
+        times: list = []
         if state.exists:
-            prior = pd.DataFrame(state.get[0])
-        else:
-            prior = None
-        if prior is not None and not prior.empty:
-            buf = pd.concat([prior, buf])
-        if buf.empty:
+            (vals, times) = state.get
+            vals, times = list(vals), list(times)
+        for pdf in pdf_iter:
+            vals.extend(pdf[value].tolist())
+            times.extend((pdf[event_time].astype("int64") // 1_000_000).tolist())
+        ready_idx = [i for i, t in enumerate(times) if t + delay_ms <= now_ms]
+        pend_idx = [i for i, t in enumerate(times) if t + delay_ms > now_ms]
+        if pend_idx:
+            state.update(([vals[i] for i in pend_idx], [times[i] for i in pend_idx]))
+            state.setTimeoutDuration(500)
+        elif state.exists:
             state.remove()
-            return
-        release = (buf[event_time].astype("int64") // 1_000_000) + delay_ms <= now_ms
-        ready, pending = buf[release], buf[~release]
-        if pending.empty:
-            state.remove()
-        else:
-            state.update((pending.to_dict("list"),))
-            state.setTimeoutDuration(1000)
-        if not ready.empty:
-            yield ready
+        if ready_idx:
+            yield pd.DataFrame(
+                {
+                    key: [key_[0]] * len(ready_idx),
+                    value: [vals[i] for i in ready_idx],
+                    event_time: pd.to_datetime(
+                        [times[i] for i in ready_idx], unit="ms"
+                    ),
+                }
+            )
 
     return df.groupBy(key).applyInPandasWithState(
         hold,
         outputStructType=out_schema,
-        stateStructType="buf map<string, array<string>>",
+        stateStructType="vals array<string>, times array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

@@ -106,3 +106,42 @@ def test_rate_limit_stream_matches_batch(spark, stream_dir):
     got = sorted(r.value for r in spark.sql("select * from rl").collect())
     assert got == expected
     assert len(got) < len(rows)  # some rejections happened
+
+
+def test_delay_stream_holds_then_releases(spark, stream_dir):
+    """delay.h semantics: old records pass immediately; a fresh record
+    is buffered in state and released once its delay matures (the
+    processing-time timeout keeps draining until then), with its
+    ORIGINAL event_time preserved."""
+    from kspp_spark.streaming.stateful import delay_stream
+    import datetime
+
+    now = datetime.datetime.now()
+    old = now - datetime.timedelta(seconds=120)
+    rows = [("a", 1, old), ("a", 2, now), ("b", 3, old)]
+    _write_batch(spark, stream_dir, rows, 0)
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    src = src.select("key", F.col("value").cast("string").alias("value"), "event_time")
+    out = delay_stream(src, "key", "value", "event_time", delay_ms=5_000)
+    t0 = time.time()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dly")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    # poll until the held record matures and releases
+    while time.time() - t0 < 60:
+        if spark.sql("select count(*) c from dly").collect()[0].c == 3:
+            break
+        time.sleep(1)
+    q.stop()
+    elapsed = time.time() - t0
+    rows_out = spark.sql("select * from dly").collect()
+    assert sorted(r.value for r in rows_out) == ["1", "2", "3"]
+    # the fresh record was held for its remaining delay, not dropped
+    assert elapsed >= 4.0
+    # original event_time forwarded untouched (second precision)
+    fresh = [r for r in rows_out if r.value == "2"][0]
+    assert abs((fresh.event_time - now).total_seconds()) < 1.0
