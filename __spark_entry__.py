@@ -436,6 +436,62 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_json_extract(spark, sf_dir):
+    """JSON path extraction over the events.props column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+def q_windowed_ktable(spark, sf_dir):
+    """Windowed table (mem_windowed_store): latest value per key per
+    tumbling day slot."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    payload = F.struct("ts", "event_id", "event_type", "value")
+    return (
+        ev.groupBy(day.alias("window_start"), "user_id")
+        .agg(F.max(payload).alias("_w"))
+        .select(
+            "window_start",
+            "user_id",
+            F.col("_w.event_type").alias("event_type"),
+            F.col("_w.value").alias("value"),
+        )
+    )
+
+
+def q_media_decode(spark, sf_dir):
+    # no SQL oracle: mapInPandas decode plumbing (deterministic fake
+    # decoder; real codec pluggable). Media synthesized from doc text.
+    from kspp_spark.functions.multimodal import decode_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    out = decode_media(media)
+    return out.select(
+        "doc_id", "meta.format", "meta.width", "meta.height", "meta.n_bytes"
+    )
+
+
+def q_media_features_knn(spark, sf_dir):
+    # no SQL oracle: fake featurizer -> cosine top-3 over extracted
+    # features (the full multimodal retrieval pipeline shape)
+    from kspp_spark.functions.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    feats = extract_features(media, dim=16)
+    queries = feats.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("features").alias("embedding")
+    )
+    corpus = feats.select("doc_id", F.col("features").alias("embedding"))
+    out = cosine_topk(queries, corpus, k=3, q_id="query_id", c_id="doc_id")
+    return out.select("query_id", F.col("doc_id").alias("neighbor_id"), "rank")
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -489,6 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "json_extract": q_json_extract,
+        "windowed_ktable": q_windowed_ktable,
+        "media_decode": q_media_decode,
+        "media_features_knn": q_media_features_knn,
     }
 
 
@@ -692,6 +752,19 @@ def oracle_sql() -> dict[str, str]:
         "having": """
             SELECT o_custkey, COUNT(*) AS n_orders
             FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "windowed_ktable": """
+            SELECT window_start, user_id, event_type, value FROM (
+                SELECT date_trunc('day', ts) AS window_start, user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY date_trunc('day', ts), user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
         """,
         "lag_lead": """
             SELECT o_custkey, o_orderkey,
