@@ -58,6 +58,9 @@ class JdbcKeysetSource:
     rescrape_window: int | None = None
     last_ts: object = None
     last_id: object = None
+    # injectable page fetcher (query_string) -> DataFrame; defaults to
+    # spark.read.jdbc — swappable for tests / non-JDBC backends
+    fetch_fn: Callable[[str], DataFrame] | None = None
 
     def _query(self) -> str:
         where = ""
@@ -70,12 +73,17 @@ class JdbcKeysetSource:
             f"ORDER BY {self.ts_col}, {self.id_col} LIMIT {self.batch_size}) AS _kspp_page"
         )
 
+    def _fetch(self, query: str) -> DataFrame:
+        if self.fetch_fn is not None:
+            return self.fetch_fn(query)
+        return self.spark.read.jdbc(self.url, query, properties=self.properties)
+
     def poll_once(self) -> DataFrame | None:
         """Fetch the next page; None when caught up. Advances the cursor
         to the page's max (ts, id) — the caller is responsible for
         checkpointing (last_ts, last_id) if resume across restarts is
         needed (reference: offset_storage_provider.h)."""
-        df = self.spark.read.jdbc(self.url, self._query(), properties=self.properties)
+        df = self._fetch(self._query())
         rows = df.orderBy(self.ts_col, self.id_col).tail(1)
         if not rows:
             return None

@@ -126,3 +126,27 @@ def test_dedupe_batch_for_upsert(spark):
     out = {r.key: (r.val, r.event_time) for r in
            dedupe_batch_for_upsert(df, ["key"], "event_time").collect()}
     assert out == {"k1": ("new", 5), "k2": (None, 9)}
+
+
+def test_es_actions_upsert_and_delete(spark):
+    from kspp_spark.sinks.external import es_actions
+
+    rows = [("k1", "hello", 5), ("k1", "old", 1), ("k2", None, 9)]
+    df = spark.createDataFrame(rows, "key string, val string, event_time long")
+    actions = sorted(r.action for r in es_actions(df, "idx", "key", ["val"]).collect())
+    assert any('"index":{"_index":"idx","_id":"k1"' in a and '"val":"hello"' in a for a in actions)
+    assert any('"delete":{"_index":"idx","_id":"k2"' in a for a in actions)
+    assert not any('"old"' in a for a in actions)  # batch deduped LWW
+
+
+def test_influx_lines_format(spark):
+    import datetime
+
+    from kspp_spark.sinks.external import influx_lines
+
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    df = spark.createDataFrame(
+        [("web", 1.5, 42, ts)], "host string, load double, reqs long, event_time timestamp"
+    )
+    line = influx_lines(df, "sys", ["host"], ["load", "reqs"]).collect()[0].line
+    assert line == "sys,host=web load=1.5,reqs=42 1704067200000000000"
