@@ -436,6 +436,38 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_asof_join(spark, sf_dir):
+    """Attribution: each purchase paired with the user's latest
+    preceding click (strictly before in (ts, event_id) order)."""
+    from kspp_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts", seq="event_id",
+        right_payload=["value"], prefix="click_",
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "purchase_value",
+        F.col("click_seq").alias("click_id"),
+        "click_value",
+    )
+
+
+def q_session_windows(spark, sf_dir):
+    from kspp_spark.operators.aggregates import session_window_count
+
+    ev = _t(spark, sf_dir, "events")
+    return session_window_count(ev, "ts", "30 minutes", key="user_id")
+
+
 def q_json_extract(spark, sf_dir):
     """JSON path extraction over the events.props column."""
     ev = _t(spark, sf_dir, "events")
@@ -545,6 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "asof_join": q_asof_join,
+        "session_windows": q_session_windows,
         "json_extract": q_json_extract,
         "windowed_ktable": q_windowed_ktable,
         "media_decode": q_media_decode,
@@ -752,6 +786,40 @@ def oracle_sql() -> dict[str, str]:
         "having": """
             SELECT o_custkey, COUNT(*) AS n_orders
             FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+        """,
+        "asof_join": """
+            SELECT p.user_id,
+                   p.event_id AS purchase_id,
+                   p.value AS purchase_value,
+                   (SELECT c.event_id FROM events c
+                     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                       AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id,
+                   (SELECT c.value FROM events c
+                     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                       AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_value
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "session_windows": """
+            WITH ordered AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM ordered
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS cnt
+            FROM sess GROUP BY user_id, sid
         """,
         "json_extract": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k

@@ -101,6 +101,34 @@ def windowed_count(
     )
 
 
+def session_window_count(
+    df: DataFrame,
+    event_time: str,
+    gap: str,
+    key: str | list[str],
+    out: str = "cnt",
+) -> DataFrame:
+    """Session windows (gap-based): consecutive events per key merge
+    while the gap between them stays under `gap`. Not in the reference
+    (only fixed slots exist — mem_windowed_store); added as the
+    standard sessionization primitive. Uses Spark's native
+    session_window (merging-session state in streaming, one
+    aggregation in batch). Returns session_start/session_end =
+    [min ts, max ts + gap)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = F.session_window(F.col(event_time), gap)
+    return (
+        df.groupBy(w.alias("_w"), *keys)
+        .agg(F.count(F.lit(1)).alias(out))
+        .select(
+            *keys,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            out,
+        )
+    )
+
+
 def windowed_sum(
     df: DataFrame,
     event_time: str,

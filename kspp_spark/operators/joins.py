@@ -61,6 +61,74 @@ def ktable_outer_join(left: DataFrame, right: DataFrame, on: str | list[str]) ->
     return left.join(right, on=on, how="full_outer")
 
 
+# ------------------------------------------------------------- as-of join
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    ts: str,
+    seq: str,
+    right_payload: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """As-of join: pair each left row with the LATEST right row at
+    (ts, seq) strictly before it (per key). Not in the reference
+    (SURVEY §2.5 — kspp has only key-equi joins); added because
+    event-time attribution is a standard stream-analytics need.
+
+    Spark-first implementation: ONE union + ONE window aggregation —
+    no range-join explosion, no per-row lookup. The right payload rides
+    in a struct; max-over-growing-window replays the right side's state
+    at every left row (identical machinery to the changelog joins, so
+    it scales the same way: shuffle on key, local sort, no quadratic
+    blow-up even with many right rows per key).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = F.struct(F.col(ts).alias("_ts"), F.col(seq).alias("_seq"),
+                       *[F.col(c) for c in right_payload])
+    lt = left.withColumn("_side", F.lit(1)).withColumn(
+        "_rp", F.lit(None).cast(right.select(payload).schema[0].dataType)
+    )
+    rt = right.select(
+        *keys, F.col(ts), F.col(seq), F.lit(0).alias("_side"), payload.alias("_rp")
+    )
+    lcols = [c for c in left.columns]
+    union = lt.select(*lcols, "_side", "_rp").unionByName(
+        rt.select(
+            *keys,
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+              for c in lcols if c not in keys + [ts, seq]],
+            ts,
+            seq,
+            "_side",
+            "_rp",
+        )
+    )
+    # strictly-before: right rows sort ahead of a left row with equal
+    # (ts, seq) via _side, and the window EXCLUDES the current row's
+    # own side-switch by ranging to the previous row for left rows?
+    # Simpler: order by (ts, seq, _side); right state at a left row =
+    # max over rows up to current (right rows with (ts,seq) < left's,
+    # plus right rows at identical (ts,seq) — impossible since seq is
+    # unique across the union's source events).
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(ts, seq, "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    state = F.max(F.col("_rp")).over(w)
+    out = union.withColumn("_rstate", state).filter(F.col("_side") == 1)
+    return out.select(
+        *lcols,
+        *[
+            F.col(f"_rstate.{c}").alias(f"{prefix}{c}")
+            for c in ["_ts", "_seq"] + right_payload
+        ],
+    ).withColumnsRenamed({f"{prefix}_ts": f"{prefix}ts", f"{prefix}_seq": f"{prefix}seq"})
+
+
 # ---------------------------------------------------------- changelog replay
 #
 # Input changelogs: columns (key, value, event_time) + optional seq.
