@@ -288,6 +288,26 @@ def q_rollup_pricing(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — bitwise-identical to
+    DuckDB quantile_cont on the same doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    # no SQL oracle: HLL sketch values are implementation-specific
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
 def q_distinct_segments(spark, sf_dir):
     return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
@@ -559,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "window_rank": q_window_rank,
         "rollup_pricing": q_rollup_pricing,
+        "percentiles": q_percentiles,
+        "approx_distinct": q_approx_distinct,
         "distinct_segments": q_distinct_segments,
         "intersect_keys": q_intersect_keys,
         "except_keys": q_except_keys,
@@ -749,6 +771,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS p50,
+                   quantile_cont(l_extendedprice, 0.95) AS p95,
+                   quantile_cont(l_extendedprice, 0.99) AS p99
+            FROM lineitem GROUP BY l_returnflag
         """,
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer
