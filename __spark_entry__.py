@@ -308,6 +308,103 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (superset of rollup/cube shapes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def q_running_sum(spark, sf_dir):
+    """Running (cumulative) per-customer spend — window frame
+    ROWS UNBOUNDED PRECEDING, decimal-exact then cast."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Banded range join: quantity bands are a tiny broadcast dimension
+    joined on lo <= l_quantity < hi (BroadcastNestedLoopJoin — never a
+    shuffle; the band table is O(10) rows at any data scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.range(6).select(
+        F.col("id").cast("int").alias("band"),
+        (F.col("id") * 10).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 10).cast("double").alias("hi"),
+    )
+    j = li.join(
+        F.broadcast(bands),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+    )
+    return j.groupBy("band", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, filtered both sides of the date,
+    top-10 unshipped orders by revenue."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(1,0)") - _dec("l_discount", 18, 4))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from
+    lineitems below 20% of their part's average quantity. The
+    correlation is decorrelated into a per-part aggregate joined back —
+    and the threshold compare is integer-exact (5*qty*cnt < sum*1)
+    so no float boundary ambiguity vs the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    j = li.join(per_part, li.l_partkey == per_part.p_key)
+    below = (
+        _dec("l_quantity") * F.lit(5).cast("decimal(2,0)") * F.col("cnt")
+        < F.col("sum_qty")
+    )
+    return j.filter(below).agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def q_distinct_segments(spark, sf_dir):
     return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
@@ -456,6 +553,29 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact over the id-pruned self
+    join; LSH-candidate path covered by ivf_ann/lsh tests)."""
+    from kspp_spark.functions.dedup import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.4)
+
+
+def q_ivf_ann(spark, sf_dir):
+    # no SQL oracle: KMeans cell assignment is implementation-specific;
+    # exactness property (nprobe=nlist == brute force) is unit-tested.
+    from kspp_spark.functions.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(
+        queries_df, emb, k=5, nlist=8, nprobe=2, q_id="query_id", c_id="vec_id"
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Attribution: each purchase paired with the user's latest
     preceding click (strictly before in (ts, event_id) order)."""
@@ -581,6 +701,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": q_rollup_pricing,
         "percentiles": q_percentiles,
         "approx_distinct": q_approx_distinct,
+        "grouping_sets": q_grouping_sets,
+        "running_sum": q_running_sum,
+        "range_join": q_range_join,
+        "shipping_priority": q_shipping_priority,
+        "small_qty_revenue": q_small_qty_revenue,
         "distinct_segments": q_distinct_segments,
         "intersect_keys": q_intersect_keys,
         "except_keys": q_except_keys,
@@ -599,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ivf_ann": q_ivf_ann,
         "asof_join": q_asof_join,
         "session_windows": q_session_windows,
         "json_extract": q_json_extract,
@@ -778,6 +905,69 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(l_extendedprice, 0.95) AS p95,
                    quantile_cont(l_extendedprice, 0.99) AS p99
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend
+            FROM orders
+        """,
+        "range_join": """
+            WITH bands AS (
+                SELECT CAST(i AS INT) AS band,
+                       CAST(i * 10 AS DOUBLE) AS lo,
+                       CAST((i + 1) * 10 AS DOUBLE) AS hi
+                FROM range(0, 6) t(i)
+            )
+            SELECT band, lo, hi, COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+            GROUP BY band, lo, hi
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > TIMESTAMP '1997-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "small_qty_revenue": """
+            WITH per_part AS (
+                SELECT l_partkey AS p_key,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN per_part ON l_partkey = p_key
+            WHERE CAST(l_quantity AS DECIMAL(18,2)) * CAST(5 AS DECIMAL(2,0)) * cnt < sum_qty
+        """,
+        "dedup_embedding": """
+            WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                        * list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS score
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  / sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                       * list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.4
         """,
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer

@@ -184,6 +184,45 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.9,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, score) with a < b
+    and cosine(a, b) >= threshold.
+
+    The dot product and norms are JVM-side higher-order functions
+    (zip_with + aggregate) in sequential double arithmetic — exact,
+    engine-reproducible, no Python per row.
+
+    Scale path: pass `candidates` (id pairs from an LSH bucket join,
+    e.g. minhash-banded simhash of the quantized vectors or
+    similarity.lsh_ann buckets) so the exact measure only scores
+    candidate pairs. Without `candidates` this is the O(n²/2) id-pruned
+    self-join — the correctness baseline, fine per-partition or for
+    small corpora.
+    """
+    from kspp_spark.functions.similarity import _dot
+
+    a = df.select(F.col(id_col).alias("a"), F.col(vec).alias("_va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec).alias("_vb"))
+    if candidates is not None:
+        pairs = candidates.join(a, "a").join(b, "b")
+    else:
+        pairs = a.join(b, F.col("a") < F.col("b"))
+    dot = _dot(F.col("_va"), F.col("_vb"), False)
+    na = _dot(F.col("_va"), F.col("_va"), False)
+    nb = _dot(F.col("_vb"), F.col("_vb"), False)
+    score = dot / F.sqrt(na * nb)
+    return (
+        pairs.select("a", "b", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

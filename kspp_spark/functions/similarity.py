@@ -87,6 +87,87 @@ def cosine_topk(
     )
 
 
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate NN: a KMeans coarse quantizer
+    partitions the corpus into `nlist` cells; each query probes its
+    `nprobe` nearest cells (by L2 to the centroid, KMeans's metric) and
+    exact-scores only vectors in those cells.
+
+    Scale shape: the trained centroid table is tiny and broadcast; the
+    corpus is shuffled ONCE on cell id (and at 100 TB would be *written
+    bucketed* by cell id so repeated queries never reshuffle); each
+    query fans out to nprobe cells, so the scored fraction is
+    ~nprobe/nlist of the corpus. nprobe = nlist degrades to exact
+    brute force — the property the unit test asserts.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_feat = corpus.select(
+        F.col(c_id).alias("_cid"),
+        F.col(vec).alias("_cv"),
+        array_to_vector(F.col(vec).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=20, featuresCol="features", predictionCol="_cell"
+    ).fit(c_feat)
+    assigned = model.transform(c_feat).select("_cid", "_cv", "_cell")
+
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    q = queries.select(F.col(q_id).alias("_qid"), F.col(vec).alias("_qv"))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("_qv").cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = W.partitionBy("_qid").orderBy(F.col("_l2"), F.col("cell"))
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_l2", l2)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("_qid", "_qv", F.col("cell").alias("_cell"))
+    )
+    pairs = probed.join(assigned, "_cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col("_qid") != F.col("_cid"))
+    dot = _dot(F.col("_qv"), F.col("_cv"), False)
+    qn = _dot(F.col("_qv"), F.col("_qv"), False)
+    cn = _dot(F.col("_cv"), F.col("_cv"), False)
+    scored = pairs.select(
+        "_qid",
+        "_cid",
+        (dot / F.sqrt(qn * cn)).alias("score"),
+    )
+    w = W.partitionBy("_qid").orderBy(F.col("score").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(q_id), F.col("_cid").alias(c_id), "rank", "score"
+        )
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

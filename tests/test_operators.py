@@ -150,3 +150,57 @@ def test_influx_lines_format(spark):
     )
     line = influx_lines(df, "sys", ["host"], ["load", "reqs"]).collect()[0].line
     assert line == "sys,host=web load=1.5,reqs=42 1704067200000000000"
+
+
+def test_embedding_dup_pairs_threshold_and_order(spark):
+    from kspp_spark.functions.dedup import embedding_dup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),     # orthogonal
+        (4, [-1.0, 0.0, 0.0]),    # opposite
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {(r.a, r.b): r.score for r in embedding_dup_pairs(emb, threshold=0.9).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] > 0.999
+
+
+def test_embedding_dup_pairs_candidate_path(spark):
+    from kspp_spark.functions.dedup import embedding_dup_pairs
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cand = spark.createDataFrame([(1, 2)], ["a", "b"])  # (1,3),(2,3) not candidates
+    out = embedding_dup_pairs(emb, threshold=0.5, candidates=cand).collect()
+    assert {(r.a, r.b) for r in out} == {(1, 2)}
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    import random
+
+    from kspp_spark.functions.similarity import ivf_ann_topk
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = cosine_topk(q, emb, k=5, q_id="q_id", c_id="vec_id")
+    ivf = ivf_ann_topk(q, emb, k=5, nlist=4, nprobe=4, q_id="q_id", c_id="vec_id")
+    key = lambda r: (r.q_id, r.rank, r.vec_id)
+    assert sorted(map(key, exact.collect())) == sorted(map(key, ivf.collect()))
+
+
+def test_ivf_partial_probe_returns_k(spark):
+    import random
+
+    from kspp_spark.functions.similarity import ivf_ann_topk
+
+    random.seed(12)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ivf_ann_topk(q, emb, k=3, nlist=8, nprobe=2, q_id="q_id", c_id="vec_id")
+    per_q = {r.q_id: r["count"] for r in out.groupBy("q_id").count().collect()}
+    assert set(per_q) == {0, 1, 2} and all(v <= 3 for v in per_q.values())
