@@ -495,6 +495,14 @@ def q_token_count(spark, sf_dir):
     return docs.select("doc_id", token_count("text").alias("n_tokens"))
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Subword (BPE-ish) token count estimate per document."""
+    from kspp_spark.functions.text import bpe_token_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_estimate("text").alias("n_bpe"))
+
+
 def q_quality_metrics(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     m = quality_metrics("text")
@@ -716,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality_metrics": q_quality_metrics,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1065,6 +1074,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
             SELECT doc_id, len({_TOKENS}) AS n_tokens FROM documents
+        """,
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(COALESCE(list_sum(list_transform(
+                       regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'),
+                       x -> (length(x) + 3) // 4)), 0) AS INT) AS n_bpe
+            FROM documents
         """,
         "quality_metrics": f"""
             SELECT doc_id,

@@ -82,3 +82,26 @@ def doc_fingerprint(text: Column | str) -> Column:
     the 128-bit digest groups identically regardless of row size."""
     t = F.col(text) if isinstance(text, str) else text
     return F.md5(F.trim(F.regexp_replace(F.lower(t), WS, " ")))
+
+
+# BPE-ish pre-tokenization: letter runs / digit runs / punctuation runs
+# (the GPT-2 pre-tokenizer's RE2-safe core — no lookahead, so Spark's
+# Java regex and DuckDB's RE2 agree exactly).
+BPE_PRETOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_estimate(text: Column | str, max_piece: int = 4) -> Column:
+    """Subword token count estimate: pre-tokenize into letter/digit/
+    punctuation runs, then charge ceil(len/max_piece) pieces per run —
+    approximating BPE merges capping subwords at ~max_piece chars.
+    Pure Column expression (regexp_extract_all + aggregate), integer
+    arithmetic only, so it is exact and engine-reproducible.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    runs = F.regexp_extract_all(t, F.lit(BPE_PRETOKEN), F.lit(0))
+    return F.aggregate(
+        runs,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.floor((F.length(x) + max_piece - 1) / max_piece).cast("int"),
+    )

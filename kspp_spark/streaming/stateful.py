@@ -4,6 +4,8 @@ Parity targets (SURVEY.md §2.3, §4):
   rate_limiter  include/kspp/processors/rate_limiter.h:12-87
   token bucket  include/kspp/state_stores/mem_token_bucket_store.h:13-57
   delay         include/kspp/processors/delay.h:5-74
+  windowed table w/ expiry tombstones
+                include/kspp/state_stores/mem_windowed_store.h:89-135
 
 Token-bucket semantics (mem_token_bucket_store.h):
   per-key bucket starts full (capacity C, fill time T ms =>
@@ -176,4 +178,109 @@ def delay_stream(
         stateStructType="vals array<string>, times array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def windowed_table_stream(
+    df: DataFrame,
+    key: str,
+    value: str,
+    event_time: str,
+    slot_ms: int,
+    n_slots: int,
+    watermark_delay: str = "0 seconds",
+):
+    """Windowed table with expiry tombstones — the reference's
+    `mem_windowed_store` (mem_windowed_store.h):
+
+      * records bucket into slots of `slot_ms` by ts // slot_ms
+        (mem_windowed_store.h:260-262);
+      * per (key, slot) the latest value wins (LWW by event time, stale
+        updates ignored — mem_store.h:75-77 semantics);
+      * a record older than the oldest kept slot is dropped on insert
+        (late-data drop, mem_windowed_store.h:132-135);
+      * when event time advances so a slot falls out of the most recent
+        `n_slots`, GC evicts it and EMITS A TOMBSTONE (null value) per
+        evicted key downstream (mem_windowed_store.h:89-101).
+
+    Spark shape: applyInPandasWithState grouped by key. Event-time
+    progress = the stream's watermark (the reference's topology tick,
+    topology.cpp:236-253); eviction fires via EventTimeTimeout when the
+    watermark passes a slot's expiry, so tombstones flow even for keys
+    with no new input. Output rows: (key, slot_start, value,
+    event_time); tombstone = null value with event_time = expiry tick.
+
+    State per key is O(n_slots) — bounded regardless of input volume,
+    the property that makes this safe at 100 TB.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} string, slot_start timestamp, {value} string, {event_time} timestamp"
+    )
+    state_schema = "slots array<long>, vals array<string>, times array<long>"
+
+    def expiry_of(slot: int) -> int:
+        # slot is expired once the newest live slot index > slot + n_slots - 1,
+        # i.e. when event time reaches (slot + n_slots) * slot_ms
+        return (slot + n_slots) * slot_ms
+
+    def proc(key_, pdf_iter, state: GroupState):
+        slots: dict[int, tuple[str, int]] = {}
+        if state.exists:
+            s, v, t = state.get
+            slots = {int(si): (vi, int(ti)) for si, vi, ti in zip(s, v, t)}
+        wm = state.getCurrentWatermarkMs()
+        out_rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(event_time, kind="mergesort")
+            ts_ms = (pdf[event_time].astype("int64") // 1_000_000).tolist()
+            vals = pdf[value].tolist()
+            for ts, val in zip(ts_ms, vals):
+                slot = ts // slot_ms
+                if expiry_of(slot) <= wm:
+                    continue  # late: slot already outside retention
+                cur = slots.get(slot)
+                if cur is not None and cur[1] > ts:
+                    continue  # stale update ignored (LWW)
+                slots[slot] = (val, ts)
+                out_rows.append((key_[0], slot * slot_ms, val, ts))
+        # GC: evict expired slots, emitting tombstones
+        for slot in sorted(s for s in slots if expiry_of(s) <= wm):
+            out_rows.append((key_[0], slot * slot_ms, None, expiry_of(slot)))
+            del slots[slot]
+        if slots:
+            keep = sorted(slots)
+            state.update(
+                (
+                    keep,
+                    [slots[s][0] for s in keep],
+                    [slots[s][1] for s in keep],
+                )
+            )
+            # re-fire when the watermark passes the earliest live expiry
+            next_fire = min(expiry_of(s) for s in keep)
+            state.setTimeoutTimestamp(max(next_fire, wm + 1))
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    key: [r[0] for r in out_rows],
+                    "slot_start": pd.to_datetime([r[1] for r in out_rows], unit="ms"),
+                    value: [r[2] for r in out_rows],
+                    event_time: pd.to_datetime([r[3] for r in out_rows], unit="ms"),
+                }
+            )
+
+    return (
+        df.withWatermark(event_time, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            proc,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
