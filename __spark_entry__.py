@@ -552,7 +552,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # no SQL oracle: LSH banding is probabilistic-by-construction
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=64)
-    cand = minhash_candidates(sigs, bands=16, rows_per_band=4)
+    # persist: the candidate set feeds BOTH the verify join and its
+    # semi-join doc pruning; without it the LSH lineage runs twice
+    cand = minhash_candidates(sigs, bands=16, rows_per_band=4).persist()
+    cand.count()
     return ngram_jaccard_pairs(docs, cand, threshold=0.5)
 
 

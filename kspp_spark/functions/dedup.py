@@ -168,8 +168,20 @@ def ngram_jaccard_pairs(
     """Verify candidate pairs with exact shingle-set Jaccard.
     Joins shingle sets onto the (small) candidate set only — the
     expensive exact measure never runs on the full cross product.
+
+    The document set is semi-join-pruned to ids that appear in some
+    candidate pair BEFORE shingling: candidate counts are tiny relative
+    to the corpus (LSH's whole point), so the expensive tokenize+shingle
+    projection runs on ~|candidates| docs, not |corpus| — Catalyst can't
+    infer this itself because the pruning predicate is dynamic.
     """
-    sets_ = df.select(F.col(id_col), _shingles(F.col(text), shingle_n).alias("sh"))
+    cand_ids = (
+        candidates.select(F.col("a").alias(id_col))
+        .union(candidates.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    pruned = df.join(F.broadcast(cand_ids), id_col, "left_semi")
+    sets_ = pruned.select(F.col(id_col), _shingles(F.col(text), shingle_n).alias("sh"))
     a = sets_.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sets_.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     j = (
