@@ -44,7 +44,10 @@ def _run_bucket(
         delta = int((ts - tstamp) * fillrate_per_ms)
         if delta > 0:
             tstamp = ts
-            tokens = min(capacity, tokens + delta)
+            # float() matters: min() may return the int capacity, and an
+            # int written into the DOUBLE state column deserializes as
+            # null after checkpoint recovery
+            tokens = min(float(capacity), tokens + delta)
         if tokens > 0:
             tokens -= 1
             out.append(True)
@@ -102,7 +105,7 @@ def rate_limit_stream(
             ts = (pdf[event_time].astype("int64") // 1_000_000).tolist()
             flags, tokens, tstamp = _run_bucket(ts, capacity, fillrate, tokens, tstamp)
             yield pdf[pd.Series(flags, index=pdf.index)]
-        state.update((tokens, tstamp))
+        state.update((float(tokens), int(tstamp)))
 
     return df.groupBy(key).applyInPandasWithState(
         limit,

@@ -1,0 +1,83 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is
+the one that survives a 100x scale-up: filters reach the parquet scan,
+projections prune the read schema, small dimensions broadcast instead
+of shuffling, aggregations shuffle once, and no row-at-a-time Python
+UDF ever appears in a hot path (Python only via Arrow-batched
+grouped/map Pandas ops).
+"""
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as m
+
+    return m.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, queries):
+    plan = formatted_plan(spark, queries["filter_lineitem"](spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # predicate pushed
+    assert "GreaterThanOrEqual(l_discount" in plan
+
+
+def test_column_pruning_in_read_schema(spark, queries):
+    plan = formatted_plan(spark, queries["pricing_summary"](spark, SF))
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas, plan
+    # lineitem has 11 columns; the query needs 6 — the scan must not
+    # read the rest (l_tax / l_orderkey / l_partkey...)
+    assert all("l_tax" not in s and "l_partkey" not in s for s in schemas)
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_small_dim_joins_broadcast_not_shuffle(spark, queries):
+    for name in ["kstream_left_join", "revenue_per_nation", "shipping_priority"]:
+        plan = formatted_plan(spark, queries[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_aggregation_shuffles_once(spark, queries):
+    # partial+final agg: exactly one real shuffle (broadcasts excluded)
+    for name in ["count_by_key", "count_by_value", "pricing_summary"]:
+        plan = formatted_plan(spark, queries[name](spark, SF))
+        shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert shuffles == 1, f"{name}: {shuffles} shuffles"
+
+
+def test_no_row_python_udf_anywhere(spark, queries):
+    # Python is allowed only as Arrow-batched grouped/map pandas ops
+    # (FlatMapGroupsInPandas / MapInPandas); BatchEvalPython is the
+    # row-at-a-time serialization path and must never appear.
+    for name, fn in queries.items():
+        plan = formatted_plan(spark, fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_range_join_is_broadcast_nested_loop(spark, queries):
+    # the band dimension is O(10) rows: a broadcast nested-loop join is
+    # the right plan; a cartesian shuffle would not scale
+    plan = formatted_plan(spark, queries["range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_uses_limit_not_global_sort(spark, queries):
+    # TakeOrderedAndProject streams a bounded heap per partition; a
+    # global Sort + CollectLimit would materialize the full sort
+    plan = formatted_plan(spark, queries["topk_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
