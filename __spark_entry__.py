@@ -141,6 +141,14 @@ def q_count_by_key(spark, sf_dir):
     return count_by_key(_t(spark, sf_dir, "events"), "user_id", out="cnt")
 
 
+def q_salted_count(spark, sf_dir):
+    """Hot-key-resilient count (two-phase salting) — same answer as
+    count_by_key, spread over salt buckets for skewed keys."""
+    from kspp_spark.operators.skew import salted_count
+
+    return salted_count(_t(spark, sf_dir, "events"), "user_id", buckets=8, out="cnt")
+
+
 def q_count_by_value(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = count_by_value(ev, "user_id", _dec("value", 18, 6), out="total")
@@ -697,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repartition_by_fk": q_repartition_by_fk,
         "rate_limiter": q_rate_limiter,
         "count_by_key": q_count_by_key,
+        "salted_count": q_salted_count,
         "count_by_value": q_count_by_value,
         "ktable_latest": q_ktable_latest,
         "windowed_count": q_windowed_count,
@@ -827,6 +836,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_nationkey
         """,
         "count_by_key": """
+            SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+        """,
+        "salted_count": """
             SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
         """,
         "count_by_value": """

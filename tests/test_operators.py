@@ -204,3 +204,30 @@ def test_ivf_partial_probe_returns_k(spark):
     out = ivf_ann_topk(q, emb, k=3, nlist=8, nprobe=2, q_id="q_id", c_id="vec_id")
     per_q = {r.q_id: r["count"] for r in out.groupBy("q_id").count().collect()}
     assert set(per_q) == {0, 1, 2} and all(v <= 3 for v in per_q.values())
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from kspp_spark.operators.skew import salted_count, salted_sum
+
+    rows = [("hot", i) for i in range(500)] + [("cold", i) for i in range(7)]
+    df = spark.createDataFrame(rows, ["key", "v"])
+    got = {r.key: r.cnt for r in salted_count(df, "key", buckets=8).collect()}
+    assert got == {"hot": 500, "cold": 7}
+    sums = {r.key: r.total for r in salted_sum(df, "key", "v", buckets=8).collect()}
+    assert sums == {"hot": sum(range(500)), "cold": sum(range(7))}
+
+
+def test_salted_join_matches_plain(spark):
+    from kspp_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("k1", i) for i in range(300)] + [("k2", 0), ("k3", 1)], ["key", "v"]
+    )
+    small = spark.createDataFrame([("k1", "a"), ("k2", "b"), ("kX", "c")], ["key", "d"])
+    plain = big.join(small, "key").select("key", "v", "d")
+    salted = salted_join(big, small, "key", buckets=4).select("key", "v", "d")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched big rows exactly once
+    lp = big.join(small, "key", "left").select("key", "v", "d")
+    ls = salted_join(big, small, "key", buckets=4, how="left").select("key", "v", "d")
+    assert sorted(map(tuple, lp.collect())) == sorted(map(tuple, ls.collect()))
