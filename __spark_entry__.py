@@ -572,6 +572,14 @@ def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_curate_docs(spark, sf_dir):
+    """Composite curation pipeline: quality gate -> language gate ->
+    exact dedup -> per-doc stats (the end-to-end training-data shape)."""
+    from kspp_spark.functions.pipeline import curate_documents
+
+    return curate_documents(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact over the id-pruned self
     join; LSH-candidate path covered by ivf_ann/lsh tests)."""
@@ -746,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "curate_docs": q_curate_docs,
         "ivf_ann": q_ivf_ann,
         "asof_join": q_asof_join,
         "session_windows": q_session_windows,
@@ -980,6 +989,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_lines
             FROM lineitem JOIN per_part ON l_partkey = p_key
             WHERE CAST(l_quantity AS DECIMAL(18,2)) * CAST(5 AS DECIMAL(2,0)) * cnt < sum_qty
+        """,
+        "curate_docs": f"""
+            WITH gated AS (
+                SELECT doc_id, {lang_case} AS lang_pred,
+                       len({_TOKENS}) AS n_tokens,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       md5({_NORM_TEXT}) AS fp
+                FROM documents
+            ), f AS (
+                SELECT * FROM gated
+                WHERE n_tokens >= 20 AND n_alpha * 2 > n_chars
+                  AND lang_pred IN ('en', 'de', 'fr', 'es')
+            )
+            SELECT doc_id, lang_pred, n_tokens, n_chars, CAST(n_dups AS BIGINT) AS n_dups
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY fp) AS n_dups
+                FROM f
+            ) WHERE rn = 1
         """,
         "dedup_embedding": """
             WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)

@@ -67,3 +67,31 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every table as a temp view for the SQL surface."""
     for t in TABLES:
         load(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) by its
+    join/group key. Two tables bucketed by the same key with the same
+    bucket count join WITHOUT a shuffle — the 100 TB answer to the
+    reference's co-partitioned topics (its joins require equal
+    partition counts, examples/example2-join.cpp:35): pre-shuffle ONCE
+    at write time, then every downstream join/agg on that key is
+    exchange-free. sort_by additionally enables merge-join without a
+    per-task sort."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.format(fmt).mode(mode).bucketBy(buckets, *keys)
+    if sort_by:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sorts)
+    if path:
+        w = w.option("path", path)  # external table at an explicit location
+    w.saveAsTable(table)

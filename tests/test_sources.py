@@ -64,3 +64,34 @@ def test_confluent_framing(spark):
     ).collect()[0]
     assert row.sid == 1234
     assert bytes(row.body) == b"avro-bytes-here"
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both sides bucketed on the join key with equal bucket counts:
+    the join plan must contain NO Exchange — the write-time bucketing
+    replaces the runtime shuffle (co-partitioned-topic parity)."""
+    import re
+
+    from pyspark.sql import functions as F
+    from kspp_spark.io import write_bucketed
+
+    left = spark.range(1000).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("lv")
+    )
+    right = spark.range(500).select(
+        F.col("id").alias("key"), (F.col("id") * 3).alias("rv")
+    )
+    write_bucketed(left, "bkt_left", "key", buckets=4, sort_by="key",
+                   path=str(tmp_path / "bl"))
+    write_bucketed(right, "bkt_right", "key", buckets=4, sort_by="key",
+                   path=str(tmp_path / "br"))
+    try:
+        j = spark.table("bkt_left").hint("merge").join(spark.table("bkt_right"), "key")
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert not re.search(r"\(\d+\) Exchange", plan), plan
+        assert j.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
