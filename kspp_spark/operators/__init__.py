@@ -8,17 +8,25 @@ from kspp_spark.operators.stateless import (
 )
 from kspp_spark.operators.aggregates import (
     count_by_key,
+    session_window_count,
     count_by_value,
     ktable,
     windowed_count,
     windowed_sum,
 )
 from kspp_spark.operators.joins import (
+    asof_join,
     kstream_inner_join,
     kstream_left_join,
     ktable_inner_join,
     ktable_left_join,
     ktable_outer_join,
+)
+from kspp_spark.operators.skew import (
+    salted_count,
+    salted_join,
+    salted_sum,
+    with_salt,
 )
 
 __all__ = [
@@ -29,13 +37,19 @@ __all__ = [
     "transform",
     "transform_value",
     "count_by_key",
+    "session_window_count",
     "count_by_value",
     "ktable",
     "windowed_count",
     "windowed_sum",
+    "asof_join",
     "kstream_inner_join",
     "kstream_left_join",
     "ktable_inner_join",
     "ktable_left_join",
     "ktable_outer_join",
+    "salted_count",
+    "salted_join",
+    "salted_sum",
+    "with_salt",
 ]
