@@ -413,6 +413,60 @@ def q_small_qty_revenue(spark, sf_dir):
     )
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregation ratio (CASE inside
+    SUM), decimal-exact sums, double division at the boundary."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(1,0)") - _dec("l_discount", 18, 4))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(disc_price).cast("double")
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-decorrelated semi-join with a correlated
+    inequality (a lineitem shipped after the order date), counts per
+    priority."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sj.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q_max_acctbal_supplier(spark, sf_dir):
+    """Correlated scalar-subquery shape (TPC-H Q2 core): suppliers whose
+    balance equals their nation's maximum — decorrelated into a
+    per-nation max joined back."""
+    sup = _t(spark, sf_dir, "supplier")
+    mx = sup.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
+    return (
+        sup.join(mx, (sup.s_nationkey == mx.nk) & (sup.s_acctbal == mx.max_bal))
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+
+
 def q_distinct_segments(spark, sf_dir):
     return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
@@ -734,6 +788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "shipping_priority": q_shipping_priority,
         "small_qty_revenue": q_small_qty_revenue,
+        "promo_revenue": q_promo_revenue,
+        "order_priority_check": q_order_priority_check,
+        "max_acctbal_supplier": q_max_acctbal_supplier,
         "distinct_segments": q_distinct_segments,
         "intersect_keys": q_intersect_keys,
         "except_keys": q_except_keys,
@@ -1009,6 +1066,32 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*) OVER (PARTITION BY fp) AS n_dups
                 FROM f
             ) WHERE rn = 1
+        """,
+        "promo_revenue": """
+            SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))
+                       ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                   AS promo_pct,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+        """,
+        "order_priority_check": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "max_acctbal_supplier": """
+            SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+            FROM supplier s
+            WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                               WHERE s2.s_nationkey = s.s_nationkey)
         """,
         "dedup_embedding": """
             WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
