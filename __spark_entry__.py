@@ -172,6 +172,14 @@ def q_windowed_count(spark, sf_dir):
     return windowed_count(_t(spark, sf_dir, "events"), "ts", "1 hour", out="cnt")
 
 
+def q_hopping_count(spark, sf_dir):
+    """Hopping window: 1-hour windows sliding every 30 minutes — each
+    event counted in 2 overlapping windows."""
+    from kspp_spark.operators.aggregates import hopping_count
+
+    return hopping_count(_t(spark, sf_dir, "events"), "ts", "1 hour", "30 minutes")
+
+
 def q_windowed_sum_by_type(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = windowed_sum(ev, "ts", "1 day", _dec("value", 18, 6), key="event_type", out="total")
@@ -771,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_by_value": q_count_by_value,
         "ktable_latest": q_ktable_latest,
         "windowed_count": q_windowed_count,
+        "hopping_count": q_hopping_count,
         "windowed_sum_by_type": q_windowed_sum_by_type,
         "kstream_left_join": q_kstream_left_join,
         "kstream_inner_join": q_kstream_inner_join,
@@ -923,6 +932,19 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
                    COUNT(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_count": """
+            WITH starts AS (
+                SELECT date_trunc('hour', ts) AS w FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts) + INTERVAL 30 MINUTE FROM events
+                UNION ALL
+                SELECT date_trunc('hour', ts) - INTERVAL 30 MINUTE FROM events
+            ), wins AS (SELECT DISTINCT w FROM starts)
+            SELECT w AS window_start, w + INTERVAL 1 HOUR AS window_end,
+                   COUNT(*) AS cnt
+            FROM wins JOIN events ON ts >= w AND ts < w + INTERVAL 1 HOUR
+            GROUP BY w
         """,
         "windowed_sum_by_type": """
             SELECT date_trunc('day', ts) AS window_start,

@@ -101,6 +101,33 @@ def windowed_count(
     )
 
 
+def hopping_count(
+    df: DataFrame,
+    event_time: str,
+    width: str,
+    hop: str,
+    key: str | list[str] | None = None,
+    out: str = "cnt",
+) -> DataFrame:
+    """Hopping (sliding) window count: windows of `width` starting
+    every `hop` — each event lands in width/hop overlapping windows
+    (F.window's slideDuration). A tumbling window is the hop == width
+    special case. Same code runs under Structured Streaming with a
+    watermark for state eviction."""
+    keys = [] if key is None else ([key] if isinstance(key, str) else list(key))
+    w = F.window(F.col(event_time), width, hop)
+    return (
+        df.groupBy(w.alias("_w"), *keys)
+        .agg(F.count(F.lit(1)).alias(out))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            *keys,
+            out,
+        )
+    )
+
+
 def session_window_count(
     df: DataFrame,
     event_time: str,
