@@ -947,8 +947,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w
         """,
         "windowed_sum_by_type": """
-            SELECT date_trunc('day', ts) AS window_start,
-                   date_trunc('day', ts) + INTERVAL 1 DAY AS window_end,
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
                    event_type,
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
             FROM events GROUP BY 1, 2, 3
@@ -1204,7 +1204,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "windowed_ktable": """
             SELECT window_start, user_id, event_type, value FROM (
-                SELECT date_trunc('day', ts) AS window_start, user_id, event_type, value,
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, user_id, event_type, value,
                        row_number() OVER (
                            PARTITION BY date_trunc('day', ts), user_id
                            ORDER BY ts DESC, event_id DESC) AS rn
