@@ -265,3 +265,35 @@ def test_rate_limit_stream_recovers_from_checkpoint(spark, stream_dir, tmp_path)
     run_once()  # restart: must see exhausted bucket from checkpoint
     vals = sorted(r.value for r in spark.read.parquet(out_dir).collect())
     assert vals == [1, 2]  # 3 and 4 rejected by the recovered bucket
+
+
+def test_count_punctuate_full_snapshot(spark, stream_dir):
+    """Punctuate parity (count.h:92-101): the reference periodically
+    emits the FULL counter snapshot, not deltas. Spark's complete
+    output mode does exactly this per trigger — after two micro-batches
+    the sink holds the complete table including keys untouched by the
+    last batch."""
+    from kspp_spark.streaming.core import count_by_key_stream
+
+    _write_batch(spark, stream_dir, [("a", 1, ts(1)), ("a", 2, ts(2)), ("b", 3, ts(3))], 0)
+    import time as _t
+    _t.sleep(1.1)
+    _write_batch(spark, stream_dir, [("b", 4, ts(4))], 1)  # only b updates
+    src = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        count_by_key_stream(src, "key")
+        .writeStream.format("memory")
+        .queryName("punct")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.key: r.cnt for r in spark.sql("select * from punct").collect()}
+    # full snapshot: 'a' present with its count even though batch 2
+    # contained only 'b' events
+    assert got == {"a": 2, "b": 2}
