@@ -82,6 +82,17 @@ class Stream:
     def windowed_count(self, event_time, slot_width, key=None, out="cnt") -> "Stream":
         return Stream(agg_ops.windowed_count(self.df, event_time, slot_width, key, out))
 
+    def hopping_count(self, event_time, width, hop, key=None, out="cnt") -> "Stream":
+        return Stream(agg_ops.hopping_count(self.df, event_time, width, hop, key, out))
+
+    def session_windows(self, event_time, gap, key, out="cnt") -> "Stream":
+        return Stream(agg_ops.session_window_count(self.df, event_time, gap, key, out))
+
+    def salted_count(self, key, buckets: int = 16, out: str = "cnt") -> "Stream":
+        from kspp_spark.operators.skew import salted_count
+
+        return Stream(salted_count(self.df, key, buckets, out))
+
     # ---- joins (§2.5)
     def left_join(self, table: "Stream", on, broadcast=True) -> "Stream":
         return Stream(join_ops.kstream_left_join(self.df, table.df, on, broadcast))
@@ -91,6 +102,14 @@ class Stream:
 
     def outer_join(self, table: "Stream", on) -> "Stream":
         return Stream(join_ops.ktable_outer_join(self.df, table.df, on))
+
+    def asof_join(self, right: "Stream", key, ts, seq, right_payload=(), prefix="r_") -> "Stream":
+        return Stream(
+            join_ops.asof_join(
+                self.df, right.df, key=key, ts=ts, seq=seq,
+                right_payload=list(right_payload), prefix=prefix,
+            )
+        )
 
     # ---- terminals (§2.2)
     def visit(self, fn: Callable) -> None:

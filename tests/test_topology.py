@@ -46,3 +46,38 @@ def test_rate_limit_chain(spark):
     ev.df = ev.df.withColumn("event_time", F.timestamp_millis("event_time"))
     out = ev.rate_limit("key", "event_time", filltime_ms=60_000, capacity=2)
     assert out.df.count() == 2  # bucket of 2, no refill within 5s
+
+
+def test_windowing_and_asof_chain(spark):
+    import datetime
+
+    from pyspark.sql import types as T
+    from kspp_spark.plans.topology import Topology
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    t = Topology(spark)
+    src = t.mem_stream_source(
+        [("a", 1, ts(0)), ("a", 2, ts(10)), ("a", 3, ts(90)), ("b", 4, ts(5))], schema
+    )
+    sessions = src.session_windows("ts", "30 minutes", "key").collect()
+    assert {(r.key, r.cnt) for r in sessions} == {("a", 2), ("a", 1), ("b", 1)}
+
+    hop = src.hopping_count("ts", "1 hour", "30 minutes").collect()
+    assert sum(r.cnt for r in hop) >= 8  # each event in 2 windows
+
+    salted = src.salted_count("key", buckets=4).collect()
+    assert {(r.key, r.cnt) for r in salted} == {("a", 3), ("b", 1)}
+
+    left = t.mem_stream_source([("a", 100, ts(20))], schema)
+    j = left.asof_join(src, key="key", ts="ts", seq="v", right_payload=["v"], prefix="prior_")
+    row = j.collect()[0]
+    assert row.prior_v == 2  # latest src event strictly before ts(20)
