@@ -573,6 +573,54 @@ def q_bpe_token_count(spark, sf_dir):
     return docs.select("doc_id", bpe_token_estimate("text").alias("n_bpe"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF-style scoring, engine-exact: score = tf * (N / df) with
+    rational idf (no transcendental log whose last bit could differ
+    between engines). Top-3 terms per doc for docs < 50, deterministic
+    tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.filter(F.col("doc_id") < 50)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
+def q_bigram_counts(spark, sf_dir):
+    """Corpus-wide bigram frequencies (top 20, deterministic order)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    k = F.size(toks) - 1
+    bigrams = F.when(
+        k > 0,
+        F.transform(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(k, F.lit(0))),
+                F.slice(toks, 2, F.greatest(k, F.lit(0))),
+            ),
+            lambda s: F.concat_ws(" ", s["0"], s["1"]),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
+
 def q_quality_metrics(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     m = quality_metrics("text")
@@ -811,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bigram_counts": q_bigram_counts,
         "quality_metrics": q_quality_metrics,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1230,6 +1280,38 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'),
                        x -> (length(x) + 3) // 4)), 0) AS INT) AS n_bpe
             FROM documents
+        """,
+        "tfidf_top_terms": f"""
+            WITH terms AS (
+                SELECT doc_id, t AS term
+                FROM documents, UNNEST({_TOKENS}) AS u(t)
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+            ), df AS (
+                SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+                GROUP BY term
+            ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT doc_id, term, score, rnk FROM (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+                       row_number() OVER (PARTITION BY tf.doc_id
+                                          ORDER BY tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                                   tf.term) AS rnk
+                FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+                WHERE tf.doc_id < 50
+            ) WHERE rnk <= 3
+        """,
+        "bigram_counts": f"""
+            WITH toks AS (SELECT {_TOKENS} AS t FROM documents),
+            bg AS (
+                SELECT b AS bigram
+                FROM toks, UNNEST(
+                    CASE WHEN len(t) > 1 THEN
+                        list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                    ELSE [] END) AS u(b)
+            )
+            SELECT bigram, COUNT(*) AS cnt FROM bg
+            GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
         """,
         "quality_metrics": f"""
             SELECT doc_id,
