@@ -475,6 +475,29 @@ def q_max_acctbal_supplier(spark, sf_dir):
     )
 
 
+def q_scalar_functions(spark, sf_dir):
+    """Scalar function library breadth (kspp has none — §2.6): string,
+    date, math, and conditional functions in one projection. Only
+    engine-exact functions (no round-mode or locale ambiguity)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.abs(F.col("o_totalprice") - F.lit(100000.0)).alias("dist_from_100k"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
 def q_distinct_segments(spark, sf_dir):
     return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
 
@@ -848,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "order_priority_check": q_order_priority_check,
         "max_acctbal_supplier": q_max_acctbal_supplier,
+        "scalar_functions": q_scalar_functions,
         "distinct_segments": q_distinct_segments,
         "intersect_keys": q_intersect_keys,
         "except_keys": q_except_keys,
@@ -1176,6 +1200,22 @@ def oracle_sql() -> dict[str, str]:
               AND list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                   / sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
                        * list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.4
+        """,
+        "scalar_functions": """
+            SELECT o_orderkey,
+                   upper(substr(o_orderpriority, 1, 3)) AS prio3,
+                   CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(month(o_orderdate) AS INT) AS mo,
+                   CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                   o_orderdate + INTERVAL 30 DAY AS due_date,
+                   CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+                   abs(o_totalprice - 100000.0) AS dist_from_100k,
+                   o_orderstatus || '-' || o_orderpriority AS status_prio,
+                   CAST(length(o_orderpriority) AS INT) AS prio_len,
+                   CASE WHEN o_totalprice > 200000 THEN 'big'
+                        WHEN o_totalprice > 50000 THEN 'mid'
+                        ELSE 'small' END AS bucket
+            FROM orders
         """,
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer

@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "knn_cosine",
+    "asof_join",
+    "session_windows",
+    "curate_docs",
+    "tfidf_top_terms",
 ]
 
 
