@@ -910,14 +910,22 @@ _NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
+    marker_sets = {
+        "en": ["the", "and", "of", "is", "with"],
+        "de": ["der", "und", "die", "nicht", "ist"],
+        "fr": ["le", "la", "les", "est", "dans"],
+        "es": ["el", "los", "es", "una", "que"],
+    }
+    # single-pass union extraction + per-language list filters — the
+    # exact mirror of functions/text.py language_id
+    union_pat = "|".join(w for ws in marker_sets.values() for w in ws)
+    matches = rf"regexp_extract_all(lower(text), '\b({union_pat})\b', 1)"
     lang_counts = {
-        lang: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(ws)})\b'))"
-        for lang, ws in {
-            "en": ["the", "and", "of", "is", "with"],
-            "de": ["der", "und", "die", "nicht", "ist"],
-            "fr": ["le", "la", "les", "est", "dans"],
-            "es": ["el", "los", "es", "una", "que"],
-        }.items()
+        lang: (
+            f"len(list_filter({matches}, "
+            f"x -> x IN ({', '.join(repr(w) for w in ws)})))"
+        )
+        for lang, ws in marker_sets.items()
     }
     best = f"greatest({', '.join(lang_counts.values())})"
     cjk = r"length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
