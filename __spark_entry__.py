@@ -928,9 +928,9 @@ def oracle_sql() -> dict[str, str]:
         for lang, ws in marker_sets.items()
     }
     best = f"greatest({', '.join(lang_counts.values())})"
-    cjk = r"length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
+    cjk = r"regexp_matches(text, '[一-鿿]')"
     lang_case = (
-        f"CASE WHEN {cjk} > 0 THEN 'zh' WHEN {best} = 0 THEN 'unknown' "
+        f"CASE WHEN {cjk} THEN 'zh' WHEN {best} = 0 THEN 'unknown' "
         + " ".join(
             f"WHEN {cnt} = {best} THEN '{lang}'" for lang, cnt in lang_counts.items()
         )
