@@ -297,3 +297,51 @@ def test_count_punctuate_full_snapshot(spark, stream_dir):
     # full snapshot: 'a' present with its count even though batch 2
     # contained only 'b' events
     assert got == {"a": 2, "b": 2}
+
+
+def test_foreach_batch_upsert_stream_roundtrip(spark, stream_dir, tmp_path):
+    """End-to-end sink protocol: a changelog stream (incl. a tombstone
+    and a stale update) through foreach_batch_upsert — the store must
+    receive the per-key LWW upserts and the delete, nothing else.
+    Callbacks run in executor Python workers, so they record through
+    the filesystem."""
+    import glob
+    import json
+    import uuid
+
+    from kspp_spark.sinks.writers import foreach_batch_upsert
+
+    outdir = tmp_path / "store"
+    outdir.mkdir()
+
+    def _record(kind):
+        def fn(rows):
+            if rows:
+                p = outdir / f"{kind}-{uuid.uuid4().hex}.json"
+                p.write_text(json.dumps([[str(x) for x in r] for r in rows]))
+        return fn
+
+    rows = [
+        ("a", 1, ts(1)),
+        ("a", 9, ts(5)),      # winner for a
+        ("a", 7, ts(3)),      # stale, must not reach the store
+        ("b", None, ts(4)),   # tombstone -> delete
+        ("b", 2, ts(2)),      # stale vs tombstone
+    ]
+    _write_batch(spark, stream_dir, rows, 0)
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    sink = foreach_batch_upsert(
+        key_cols=["key"], value_cols=["value"],
+        upsert_fn=_record("upsert"), delete_fn=_record("delete"),
+        event_time="event_time",
+    )
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    upserts = [r for f in glob.glob(str(outdir / "upsert-*")) for r in json.loads(open(f).read())]
+    deletes = [r for f in glob.glob(str(outdir / "delete-*")) for r in json.loads(open(f).read())]
+    assert [(r[0], r[1]) for r in upserts] == [("a", "9")]
+    assert [tuple(r) for r in deletes] == [("b",)]
