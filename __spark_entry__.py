@@ -206,24 +206,45 @@ def q_kstream_inner_join(spark, sf_dir):
 
 
 def q_ktable_outer_join(spark, sf_dir):
+    c = _latest_by_type(spark, sf_dir, "click", "click")
+    p = _latest_by_type(spark, sf_dir, "purchase", "purchase")
+    return ktable_outer_join(c, p, on="user_id")
+
+
+def _latest_by_type(spark, sf_dir, etype: str, prefix: str):
     ev = _t(spark, sf_dir, "events")
+    t = ktable(
+        ev.filter(F.col("event_type") == etype),
+        key="user_id",
+        value_cols=["value"],
+        event_time="ts",
+        seq="event_id",
+        drop_tombstones=False,
+    )
+    return t.select(
+        "user_id",
+        F.col("value").alias(f"{prefix}_value"),
+        F.col("ts").alias(f"{prefix}_ts"),
+    )
 
-    def latest(etype: str, prefix: str):
-        t = ktable(
-            ev.filter(F.col("event_type") == etype),
-            key="user_id",
-            value_cols=["value"],
-            event_time="ts",
-            seq="event_id",
-            drop_tombstones=False,
-        )
-        return t.select(
-            "user_id",
-            F.col("value").alias(f"{prefix}_value"),
-            F.col("ts").alias(f"{prefix}_ts"),
-        )
 
-    return ktable_outer_join(latest("click", "click"), latest("purchase", "purchase"), on="user_id")
+def q_ktable_left_join(spark, sf_dir):
+    """Table-table left join over two latest-per-key tables
+    (join.h:212-311 relational form)."""
+    from kspp_spark.operators.joins import ktable_left_join
+
+    c = _latest_by_type(spark, sf_dir, "click", "click")
+    p = _latest_by_type(spark, sf_dir, "purchase", "purchase")
+    return ktable_left_join(c, p, on="user_id")
+
+
+def q_ktable_inner_join(spark, sf_dir):
+    """Table-table inner join (join.h:314-406 relational form)."""
+    from kspp_spark.operators.joins import ktable_inner_join
+
+    c = _latest_by_type(spark, sf_dir, "click", "click")
+    p = _latest_by_type(spark, sf_dir, "purchase", "purchase")
+    return ktable_inner_join(c, p, on="user_id")
 
 
 def q_revenue_per_nation(spark, sf_dir):
@@ -854,6 +875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_sum_by_type": q_windowed_sum_by_type,
         "kstream_left_join": q_kstream_left_join,
         "kstream_inner_join": q_kstream_inner_join,
+        "ktable_left_join": q_ktable_left_join,
+        "ktable_inner_join": q_ktable_inner_join,
         "ktable_outer_join": q_ktable_outer_join,
         "revenue_per_nation": q_revenue_per_nation,
         "semi_join": q_semi_join,
@@ -1042,6 +1065,36 @@ def oracle_sql() -> dict[str, str]:
         "kstream_inner_join": """
             SELECT l_orderkey, l_linenumber, p_brand, p_size
             FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "ktable_left_join": """
+            WITH c AS (
+                SELECT user_id, value AS click_value, ts AS click_ts FROM (
+                    SELECT user_id, value, ts,
+                           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                    FROM events WHERE event_type = 'click') WHERE rn = 1
+            ), p AS (
+                SELECT user_id, value AS purchase_value, ts AS purchase_ts FROM (
+                    SELECT user_id, value, ts,
+                           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+            )
+            SELECT c.user_id, c.click_value, c.click_ts, p.purchase_value, p.purchase_ts
+            FROM c LEFT JOIN p ON c.user_id = p.user_id
+        """,
+        "ktable_inner_join": """
+            WITH c AS (
+                SELECT user_id, value AS click_value, ts AS click_ts FROM (
+                    SELECT user_id, value, ts,
+                           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                    FROM events WHERE event_type = 'click') WHERE rn = 1
+            ), p AS (
+                SELECT user_id, value AS purchase_value, ts AS purchase_ts FROM (
+                    SELECT user_id, value, ts,
+                           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+            )
+            SELECT c.user_id, c.click_value, c.click_ts, p.purchase_value, p.purchase_ts
+            FROM c JOIN p ON c.user_id = p.user_id
         """,
         "ktable_outer_join": """
             WITH c AS (
