@@ -108,3 +108,34 @@ def test_salted_count_matches_plain_groupby(spark, raw):
     for k, *_ in rows:
         expect[k] = expect.get(k, 0) + 1
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows_strategy, rows_strategy)
+def test_asof_join_matches_replay(spark, raw_l, raw_r):
+    """asof_join == per-left-row scan for the right row with the
+    greatest (ts, seq) strictly below the left's (ts, seq). seq is
+    globally unique across both sides (like event ids)."""
+    from kspp_spark.operators.joins import asof_join
+
+    left_rows = _mk_rows(raw_l)
+    right_rows = [
+        (k, v, t, i + len(left_rows)) for (k, v, t, i) in _mk_rows(raw_r)
+    ]
+    ldf = spark.createDataFrame(left_rows, SCHEMA)
+    rdf = spark.createDataFrame(right_rows, SCHEMA)
+    out = asof_join(
+        ldf, rdf, key="key", ts="event_time", seq="seq",
+        right_payload=["value"], prefix="r_",
+    )
+    got = {r.seq: r.r_value for r in out.collect()}
+
+    expect = {}
+    for k, lv, lt, li in left_rows:
+        best = None
+        for rk, rv, rt, ri in right_rows:
+            if rk == k and (rt, ri) < (lt, li):
+                if best is None or (rt, ri) > (best[0], best[1]):
+                    best = (rt, ri, rv)
+        expect[li] = best[2] if best else None
+    assert got == expect
