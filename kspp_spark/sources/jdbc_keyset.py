@@ -92,17 +92,38 @@ class JdbcKeysetSource:
         self.last_id = last[self.id_col]
         return df
 
+    def rescrape(self) -> None:
+        """Rewind the cursor by `rescrape_window` (reference: the
+        postgres consumer re-reads a trailing window at EOF to catch
+        rows committed out of timestamp order). Re-read rows are
+        expected to be deduped downstream (ktable upsert / LWW sink) —
+        the at-least-once contract of the reference. last_id resets to
+        a floor so the whole trailing window qualifies."""
+        if self.rescrape_window is None or self.last_ts is None:
+            return
+        import datetime
+
+        if isinstance(self.last_ts, datetime.datetime):
+            self.last_ts = self.last_ts - datetime.timedelta(
+                milliseconds=self.rescrape_window
+            )
+        else:
+            self.last_ts = self.last_ts - self.rescrape_window
+        self.last_id = None if self.last_id is None else type(self.last_id)()
+
     def poll_forever(
         self, on_eof: Callable[[], None] | None = None
     ) -> Iterator[DataFrame]:
         """Generator of delta batches; yields until caught up, calls
-        on_eof (e.g. sleep) between polls. Combine with foreachBatch-
-        style downstream processing for the streaming pipeline."""
+        on_eof (e.g. sleep) between polls, then applies the rescrape
+        policy if configured. Combine with foreachBatch-style downstream
+        processing for the streaming pipeline."""
         while True:
             batch = self.poll_once()
             if batch is None:
                 if on_eof is None:
                     return
                 on_eof()
+                self.rescrape()
                 continue
             yield batch

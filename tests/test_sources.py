@@ -95,3 +95,24 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_keyset_rescrape_rewinds_trailing_window(spark):
+    """Rescrape policy (postgres consumer EOF behavior): after catching
+    up, the cursor rewinds by the window so rows committed with older
+    timestamps than the high-water mark are picked up on a later poll."""
+    rows_t0 = [(1, 10, "a"), (2, 20, "b")]
+    src = JdbcKeysetSource(
+        spark, url="", table="cdc_table", ts_col="ts", id_col="id",
+        batch_size=10, fetch_fn=_fake_db(spark, rows_t0),
+        rescrape_window=15,
+    )
+    assert src.poll_once().count() == 2
+    assert src.poll_once() is None  # EOF at (20, 2)
+    src.rescrape()
+    assert src.last_ts == 5  # rewound by the window
+    # a row committed late with ts=12 (behind the old high-water mark)
+    # is now visible to the next poll
+    src.fetch_fn = _fake_db(spark, rows_t0 + [(3, 12, "late")])
+    got = sorted((r.id, r.payload) for r in src.poll_once().collect())
+    assert (3, "late") in got
