@@ -11,7 +11,6 @@ bitwise-identical between Spark and DuckDB (verified over 25k pairs).
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W

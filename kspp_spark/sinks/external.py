@@ -17,7 +17,6 @@ scale with partition count and never touch the driver.
 
 from __future__ import annotations
 
-import json
 from typing import Callable
 
 from pyspark.sql import DataFrame, functions as F

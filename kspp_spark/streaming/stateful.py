@@ -26,12 +26,11 @@ cardinality, not data volume.
 
 from __future__ import annotations
 
-import math
 from typing import Iterable
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 
 def _run_bucket(

@@ -131,8 +131,9 @@ def test_delay_stream_holds_then_releases(spark, stream_dir):
         .trigger(processingTime="1 second")
         .start()
     )
-    # poll until the held record matures and releases
-    while time.time() - t0 < 60:
+    # poll until the held record matures and releases (generous bound:
+    # the 5s delay plus scheduler jitter under parallel test load)
+    while time.time() - t0 < 120:
         if spark.sql("select count(*) c from dly").collect()[0].c == 3:
             break
         time.sleep(1)
