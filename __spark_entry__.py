@@ -495,6 +495,29 @@ def q_max_acctbal_supplier(spark, sf_dir):
     )
 
 
+def q_ntile_quartiles(spark, sf_dir):
+    """NTILE window function: spend quartile per customer within their
+    market segment (deterministic: unique orderBy tiebreak)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+def q_price_histogram(spark, sf_dir):
+    """Equi-width histogram (width_bucket semantics spelled as explicit
+    floor arithmetic — identical double ops in both engines, so bucket
+    boundaries are bit-exact)."""
+    orders = _t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("int") + F.lit(1)
+    return orders.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
 def q_scalar_functions(spark, sf_dir):
     """Scalar function library breadth (kspp has none — §2.6): string,
     date, math, and conditional functions in one projection. Only
@@ -894,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_check": q_order_priority_check,
         "max_acctbal_supplier": q_max_acctbal_supplier,
         "scalar_functions": q_scalar_functions,
+        "ntile_quartiles": q_ntile_quartiles,
+        "price_histogram": q_price_histogram,
         "distinct_segments": q_distinct_segments,
         "intersect_keys": q_intersect_keys,
         "except_keys": q_except_keys,
@@ -1276,6 +1301,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o_totalprice > 50000 THEN 'mid'
                         ELSE 'small' END AS bucket
             FROM orders
+        """,
+        "ntile_quartiles": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+            FROM customer
+        """,
+        "price_histogram": """
+            SELECT CAST(floor(o_totalprice / 25000.0) AS INT) + 1 AS bucket,
+                   COUNT(*) AS n_orders,
+                   MIN(o_totalprice) AS lo,
+                   MAX(o_totalprice) AS hi
+            FROM orders GROUP BY 1
         """,
         "distinct_segments": """
             SELECT DISTINCT c_mktsegment FROM customer
