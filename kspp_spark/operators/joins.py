@@ -243,3 +243,25 @@ def changelog_table_table_join(
         F.when(~tomb, rs).alias("right"),
         tomb.alias("tombstone"),
     )
+
+
+# ----------------------------------------------------------- cogroup
+
+
+def cogroup_apply(left, right, key, fn, schema):
+    """Per-key pairwise merge of two DataFrames with arbitrary Python
+    logic — the general form of the reference's table-table join
+    machinery, where both sides' per-key state is presented together
+    (join.h:228-229 feeds both sides through one event queue per key).
+
+    Runs as Arrow-batched cogrouped pandas (`fn(left_pdf, right_pdf) ->
+    pdf`): one shuffle on the key for each side, then keys process in
+    parallel across executors. Use ONLY when no relational join/agg
+    expresses the merge — this leaves whole-stage codegen.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(fn, schema=schema)
+    )

@@ -231,3 +231,29 @@ def test_salted_join_matches_plain(spark):
     lp = big.join(small, "key", "left").select("key", "v", "d")
     ls = salted_join(big, small, "key", buckets=4, how="left").select("key", "v", "d")
     assert sorted(map(tuple, lp.collect())) == sorted(map(tuple, ls.collect()))
+
+
+def test_cogroup_apply_custom_merge(spark):
+    """cogroup: reconcile two per-key ledgers with imperative logic
+    (here: per-key balance = sum(left) - sum(right), emitting a row
+    even when one side is absent)."""
+    import pandas as pd
+
+    from kspp_spark.operators.joins import cogroup_apply
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 1)], ["key", "amount"]
+    )
+    right = spark.createDataFrame(
+        [("a", 3), ("c", 7)], ["key", "amount"]
+    )
+
+    def reconcile(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        k = (l["key"].iloc[0] if len(l) else r["key"].iloc[0])
+        return pd.DataFrame(
+            {"key": [k], "balance": [int(l["amount"].sum() - r["amount"].sum())]}
+        )
+
+    out = cogroup_apply(left, right, "key", reconcile, "key string, balance long")
+    got = {r.key: r.balance for r in out.collect()}
+    assert got == {"a": 12, "b": 1, "c": -7}
