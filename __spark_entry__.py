@@ -811,6 +811,39 @@ def q_session_windows(spark, sf_dir):
     return session_window_count(ev, "ts", "30 minutes", key="user_id")
 
 
+def q_funnel(spark, sf_dir):
+    """Conversion funnel: per event type, users reaching it, and the
+    click->purchase conversion where the first click precedes the
+    first purchase (event-sequence analytics)."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+        )
+    )
+    return firsts.agg(
+        F.count("first_click").alias("clickers"),
+        F.count("first_purchase").alias("purchasers"),
+        F.count(
+            F.when(F.col("first_click") < F.col("first_purchase"), F.lit(1))
+        ).alias("converted"),
+    )
+
+
+def q_order_keys_agg(spark, sf_dir):
+    """Array aggregation (nested result type): sorted order-key list
+    per customer with >12 orders."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+        .filter(F.size("order_keys") > 12)
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """JSON path extraction over the events.props column."""
     ev = _t(spark, sf_dir, "events")
@@ -946,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "session_windows": q_session_windows,
         "json_extract": q_json_extract,
+        "funnel": q_funnel,
+        "order_keys_agg": q_order_keys_agg,
         "windowed_ktable": q_windowed_ktable,
         "media_decode": q_media_decode,
         "media_features_knn": q_media_features_knn,
@@ -1389,6 +1424,24 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "funnel": """
+            WITH firsts AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+                FROM events WHERE event_type IN ('click', 'purchase')
+                GROUP BY user_id
+            )
+            SELECT COUNT(first_click) AS clickers,
+                   COUNT(first_purchase) AS purchasers,
+                   COUNT(CASE WHEN first_click < first_purchase THEN 1 END) AS converted
+            FROM firsts
+        """,
+        "order_keys_agg": """
+            SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+            FROM orders GROUP BY o_custkey
+            HAVING len(list(o_orderkey)) > 12
         """,
         "windowed_ktable": """
             SELECT window_start, user_id, event_type, value FROM (
