@@ -765,6 +765,17 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs(emb, threshold=0.4)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster consolidation: connected components over the
+    embedding near-dup pairs (pairwise dedup under-removes transitive
+    duplicates; the component id is the canonical doc)."""
+    from kspp_spark.functions.dedup import connected_components, embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, threshold=0.4)
+    return connected_components(pairs)
+
+
 def q_ivf_ann(spark, sf_dir):
     # no SQL oracle: KMeans cell assignment is implementation-specific;
     # exactness property (nprobe=nlist == brute force) is unit-tested.
@@ -974,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dup_clusters": q_dup_clusters,
         "curate_docs": q_curate_docs,
         "ivf_ann": q_ivf_ann,
         "asof_join": q_asof_join,
@@ -1262,6 +1274,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_lines
             FROM lineitem JOIN per_part ON l_partkey = p_key
             WHERE CAST(l_quantity AS DECIMAL(18,2)) * CAST(5 AS DECIMAL(2,0)) * cnt < sum_qty
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),
+            pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM v a, v b
+                WHERE a.vec_id < b.vec_id
+                  AND list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                      / sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                           * list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.4
+            ),
+            edges AS (
+                SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+            ),
+            reach(n, m) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+            )
+            SELECT n AS node, LEAST(n, MIN(m)) AS component
+            FROM reach GROUP BY n
         """,
         "curate_docs": f"""
             WITH gated AS (

@@ -266,3 +266,59 @@ def simhash(
         ).alias("simhash"),
     )
     return sig
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (node, component),
+    component = smallest node id reachable. This is the step that turns
+    PAIRS into duplicate CLUSTERS so one canonical doc survives per
+    group (pairwise dedup alone under-removes transitive duplicates).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its label and its neighbors' labels — O(diameter) rounds of
+    shuffle-on-node joins, each a plain hash join (no driver-side graph
+    state; at 100 TB each round is one co-partitioned join). Converges
+    when a round changes nothing; dedup clusters have tiny diameters,
+    so the loop exits after 2-3 rounds in practice.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint()  # truncate the iterative lineage
+        if changed == 0:
+            break
+    return labels

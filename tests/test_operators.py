@@ -257,3 +257,14 @@ def test_cogroup_apply_custom_merge(spark):
     out = cogroup_apply(left, right, "key", reconcile, "key string, balance long")
     got = {r.key: r.balance for r in out.collect()}
     assert got == {"a": 12, "b": 1, "c": -7}
+
+
+def test_connected_components_clusters(spark):
+    from kspp_spark.functions.dedup import connected_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["a", "b"]
+    )
+    out = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
