@@ -495,6 +495,263 @@ def q_max_acctbal_supplier(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: single-table filter-aggregate. At 100 TB this is
+    the pushdown showcase — all three predicates and the two-column
+    projection reach the parquet scan, so only ~2 columns are read."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 18, 4))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two independent nation lookups (supplier's and
+    customer's), a cross-pair filter, and a per-year rollup. The two
+    nation dims broadcast; only the orders⋈lineitem join shuffles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(1,0)") - _dec("l_discount", 18, 4)
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), sup.s_nationkey == n1.sn_key)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.cn_key)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(disc_price).cast("double").alias("volume"))
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: testdata has no partsupp/supplycost, so
+    profit = discounted revenue): for parts matching a name pattern,
+    revenue per supplier-nation per order-year. Exercises a 5-way join
+    where three sides are broadcast dims."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(1,0)") - _dec("l_discount", 18, 4)
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer in a
+    quarter, top 20. Decimal-exact revenue; ties broken on the unique
+    customer key so the LIMIT is deterministic."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(1,0)") - _dec("l_discount", 18, 4)
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_cust_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join with a predicate in the ON
+    clause (customers keep their row even with zero qualifying orders),
+    then a second aggregation over the per-customer counts."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                                "o_orderpriority")
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "5-LOW"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    supplier(s) at the global max — the max is a 1-row aggregate
+    broadcast back (scalar-subquery decorrelation), and revenue is
+    decimal so the equality compare is exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(1,0)") - _dec("l_discount", 18, 4)
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.max_rev)
+        .join(F.broadcast(sup), rev.supplier_no == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (group-filter on a pre-aggregate), joined back to order + customer
+    detail. The pre-aggregate is partial (map-side combine) before its
+    shuffle; the qualifying-order set is tiny, so the detail joins
+    broadcast it."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(qty), orders.o_orderkey == qty.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions.
+    The OR-of-ANDs stays a single scan-side predicate (no union of
+    scans); the part dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(1,0)") - _dec("l_discount", 18, 4)
+    )
+    return j.filter(cond).agg(
+        F.sum(disc_price).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: the anti-join is against RECENT orders
+    — in this dense testdata every customer has some order): customers
+    with above-average balance and no order in the last window, rolled
+    up per nation. The average is decorrelated exactly: bal > avg(bal)
+    is evaluated as bal*cnt > sum (all decimal), so there is no float
+    boundary to disagree with the oracle about."""
+    cust = _t(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("sum_bal"),
+        F.count(F.lit(1)).alias("cnt_bal"),
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-06-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = cust.join(F.broadcast(pos)).filter(
+        _dec("c_acctbal") * F.col("cnt_bal") > F.col("sum_bal")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
+
+
 def q_ntile_quartiles(spark, sf_dir):
     """NTILE window function: spend quartile per customer within their
     market segment (deterministic: unique orderBy tiebreak)."""
@@ -960,6 +1217,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "order_priority_check": q_order_priority_check,
         "max_acctbal_supplier": q_max_acctbal_supplier,
+        "forecast_revenue": q_forecast_revenue,
+        "volume_shipping": q_volume_shipping,
+        "product_profit": q_product_profit,
+        "returned_items": q_returned_items,
+        "cust_order_distribution": q_cust_order_distribution,
+        "top_supplier": q_top_supplier,
+        "large_orders": q_large_orders,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "idle_customers": q_idle_customers,
         "scalar_functions": q_scalar_functions,
         "ntile_quartiles": q_ntile_quartiles,
         "price_histogram": q_price_histogram,
@@ -1341,6 +1607,121 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier s
             WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
                                WHERE s2.s_nationkey = s.s_nationkey)
+        """,
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(YEAR FROM l_shipdate) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS volume
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "product_profit": """
+            SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "cust_order_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                                AND o_orderpriority <> '5-LOW'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS supplier_no,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+        """,
+        "large_orders": """
+            WITH qty AS (
+                SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(total_qty AS DOUBLE) AS total_qty
+            FROM orders
+            JOIN qty      ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "disjunctive_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+        """,
+        "idle_customers": """
+            WITH pos AS (
+                SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal,
+                       COUNT(*) AS cnt_bal
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey, COUNT(*) AS n_cust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+            FROM customer, pos
+            WHERE CAST(c_acctbal AS DECIMAL(18,2)) * cnt_bal > sum_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2001-06-01')
+            GROUP BY c_nationkey
         """,
         "dedup_embedding": """
             WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
