@@ -81,3 +81,39 @@ def test_topk_uses_limit_not_global_sort(spark, queries):
     # global Sort + CollectLimit would materialize the full sort
     plan = formatted_plan(spark, queries["topk_orders"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_scan_is_minimal(spark, queries):
+    # Q6 shape: all three predicates pushed, and the scan reads only the
+    # filter/aggregate columns — at 100 TB this is the difference
+    # between reading ~2 columns and reading the whole table
+    plan = formatted_plan(spark, queries["forecast_revenue"](spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert all(
+        "l_orderkey" not in s and "l_partkey" not in s and "l_tax" not in s
+        for s in schemas
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_q7_only_fact_join_shuffles(spark, queries):
+    # supplier/customer/nation[x2] broadcast; the single shuffling join
+    # (if AQE does not broadcast it too) is lineitem ⋈ orders
+    plan = formatted_plan(spark, queries["volume_shipping"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q18_group_filter_broadcasts_back(spark, queries):
+    # the qualifying-order set after HAVING is tiny: joining it back to
+    # orders must be a broadcast, not a full shuffle of the fact table
+    plan = formatted_plan(spark, queries["large_orders"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q10_topk_is_bounded_heap(spark, queries):
+    plan = formatted_plan(spark, queries["returned_items"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
