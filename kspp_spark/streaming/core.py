@@ -83,6 +83,27 @@ def windowed_count_stream(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: str | list[str],
+    event_time: str = "event_time",
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication — the `readStream` face of
+    functions/dedup.py:exact_dedup (first record per key wins).
+
+    With a watermark delay, state per key is EVICTED once the watermark
+    passes (dropDuplicatesWithinWatermark): duplicates are only
+    suppressed within the out-of-orderness window, which is the form
+    that survives unbounded streams — state is O(keys-per-window), not
+    O(all keys ever). Without a delay, dropDuplicates keeps state
+    forever (only safe for bounded key spaces)."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    if watermark_delay is None:
+        return df.dropDuplicates(ks)
+    return df.withWatermark(event_time, watermark_delay).dropDuplicatesWithinWatermark(ks)
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

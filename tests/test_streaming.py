@@ -346,3 +346,28 @@ def test_foreach_batch_upsert_stream_roundtrip(spark, stream_dir, tmp_path):
     deletes = [r for f in glob.glob(str(outdir / "delete-*")) for r in json.loads(open(f).read())]
     assert [(r[0], r[1]) for r in upserts] == [("a", "9")]
     assert [tuple(r) for r in deletes] == [("b",)]
+
+
+def test_dedup_stream_within_watermark(spark, stream_dir):
+    from kspp_spark.streaming.core import dedup_stream
+
+    _write_batch(
+        spark,
+        stream_dir,
+        [("a", 1, ts(1)), ("b", 2, ts(2)), ("a", 9, ts(3)), ("b", 9, ts(4))],
+        0,
+    )
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = dedup_stream(src, "key", "event_time", "10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_s").collect()
+    q.stop()
+    # one survivor per key; which duplicate wins is batch-order defined
+    assert sorted(r.key for r in rows) == ["a", "b"]
