@@ -752,6 +752,46 @@ def q_idle_customers(spark, sf_dir):
     )
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 (faithful, incl. region): revenue from orders where the
+    supplier and the customer share a nation, for one region and year.
+    region→nation prunes to a handful of keys, so every dimension
+    broadcasts; the supplier join carries the extra same-nation
+    equality (a two-column join key, still a plain hash join)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(1,0)") - _dec("l_discount", 18, 4)
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (sup.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(asia_nations), cust.c_nationkey == asia_nations.n_nationkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(disc_price).cast("double").alias("revenue")
+    )
+
+
 def q_ntile_quartiles(spark, sf_dir):
     """NTILE window function: spend quartile per customer within their
     market segment (deterministic: unique orderBy tiebreak)."""
@@ -1022,6 +1062,16 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs(emb, threshold=0.4)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column (4x storage
+    for ANN candidate stages); exact double arithmetic end-to-end so
+    the oracle agrees bitwise on scale and every quantized element."""
+    from kspp_spark.functions.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Duplicate-cluster consolidation: connected components over the
     embedding near-dup pairs (pairwise dedup under-removes transitive
@@ -1226,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_customers": q_idle_customers,
+        "local_supplier_volume": q_local_supplier_volume,
         "scalar_functions": q_scalar_functions,
         "ntile_quartiles": q_ntile_quartiles,
         "price_histogram": q_price_histogram,
@@ -1251,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "quantize_embeddings": q_quantize_embeddings,
         "dup_clusters": q_dup_clusters,
         "curate_docs": q_curate_docs,
         "ivf_ann": q_ivf_ann,
@@ -1722,6 +1774,36 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2001-06-01')
             GROUP BY c_nationkey
+        """,
+        "quantize_embeddings": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   max_abs / 127.0 AS scale,
+                   CASE WHEN max_abs = 0.0
+                        THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(floor(x / (max_abs / 127.0) + 0.5) AS BIGINT))
+                   END AS q_embedding
+            FROM v
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "dedup_embedding": """
             WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)

@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "session_windows",
     "curate_docs",
     "tfidf_top_terms",
+    "volume_shipping",
+    "returned_items",
+    "large_orders",
+    "local_supplier_volume",
 ]
 
 

@@ -215,3 +215,32 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "rank", "dist")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    embedding: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale =
+    max(|x|)/127, q_i = floor(x_i/scale + 0.5) (half-away-from-zero,
+    computed in exact double arithmetic so any engine agrees bitwise).
+    4x storage reduction for ANN candidate stages; the scale column
+    lets a rescoring stage dequantize (q_i * scale).
+
+    Pure per-row column math — no shuffle, no UDF; at 100 TB this is a
+    map-only pass that stays inside whole-stage codegen.
+    """
+    e = F.col(embedding)
+    as_double = F.transform(e, lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(as_double, F.abs))
+    # all-zero vectors: scale 0, quantized all-zero (guard the division)
+    scale = max_abs / F.lit(127.0)
+    q = F.when(max_abs == 0.0, F.transform(as_double, lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(as_double, lambda x: F.floor(x / scale + F.lit(0.5)))
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q_embedding"),
+    )
