@@ -1072,6 +1072,16 @@ def q_quantize_embeddings(spark, sf_dir):
     return quantize_embeddings(emb)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy first-fit sequence packing of documents into 2000-char
+    training batches, parallel per bucket (doc_id % 16). The oracle
+    replays the same greedy recurrence as a recursive CTE."""
+    from kspp_spark.functions.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "n_chars", budget=2000, n_buckets=16)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Duplicate-cluster consolidation: connected components over the
     embedding near-dup pairs (pairwise dedup under-removes transitive
@@ -1303,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
         "quantize_embeddings": q_quantize_embeddings,
+        "pack_sequences": q_pack_sequences,
         "dup_clusters": q_dup_clusters,
         "curate_docs": q_curate_docs,
         "ivf_ann": q_ivf_ann,
@@ -1774,6 +1785,26 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_orderdate >= TIMESTAMP '2001-06-01')
             GROUP BY c_nationkey
+        """,
+        "pack_sequences": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+                       doc_id % 16 AS bucket,
+                       row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            step AS (
+                SELECT bucket, rn, doc_id, size, size AS acc, 0 AS pack
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT d.bucket, d.rn, d.doc_id, d.size,
+                       CASE WHEN s.acc + d.size > 2000 THEN d.size ELSE s.acc + d.size END,
+                       CASE WHEN s.acc + d.size > 2000 THEN s.pack + 1 ELSE s.pack END
+                FROM step s JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1
+            )
+            SELECT doc_id, size, bucket,
+                   bucket * 1000000 + pack AS pack_id
+            FROM step
         """,
         "quantize_embeddings": """
             WITH v AS (

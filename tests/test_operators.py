@@ -268,3 +268,33 @@ def test_connected_components_clusters(spark):
     )
     out = {r.node: r.component for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_pack_sequences_greedy_first_fit(spark):
+    from kspp_spark.functions.packing import pack_sequences, pack_stats
+
+    rows = [(1, 5), (2, 5), (3, 5), (4, 9), (5, 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    out = pack_sequences(df, "n", budget=10, n_buckets=1)
+    got = {r.doc_id: r.pack_id for r in out.collect()}
+    # greedy in id order: [5,5]=10 -> p0; [5]=5 -> p1 until 9 overflows
+    # -> p2; 9+2 overflows -> p3
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2, 5: 3}
+    stats = {r.pack_id: (r.n_docs, r.used) for r in pack_stats(out, 10).collect()}
+    assert stats == {0: (2, 10), 1: (1, 5), 2: (1, 9), 3: (1, 2)}
+
+
+def test_pack_sequences_never_overflows_budget(spark):
+    from kspp_spark.functions.packing import pack_sequences
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 40)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    out = pack_sequences(df, "n", budget=100, n_buckets=4)
+    per_pack = (
+        out.groupBy("pack_id").sum("size").collect()
+    )
+    assert all(r["sum(size)"] <= 100 for r in per_pack)
+    assert out.count() == 200  # every doc packed exactly once
