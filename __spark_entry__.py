@@ -792,6 +792,173 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_2's share of PROMO-part revenue sold into
+    ASIA, per order-year. Both sums stay decimal (order-insensitive,
+    exact); only the final ratio divides in double — identical IEEE
+    expression in the oracle, so bitwise parity holds. All five dims
+    broadcast; the single shuffle is lineitem⋈orders."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    n_cust = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    volume = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(1,0)") - _dec("l_discount", 18, 4)
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == n_cust.n_nationkey)
+        .join(F.broadcast(region), n_cust.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n_supp), sup.s_nationkey == n_supp.sn_key)
+    )
+    per_year = j.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_2", volume).otherwise(
+                F.lit(0).cast("decimal(38,6)")
+            )
+        ).alias("_num"),
+        F.sum(volume).alias("_den"),
+    )
+    return per_year.select(
+        "o_year",
+        (F.col("_num").cast("double") / F.col("_den").cast("double")).alias(
+            "mkt_share"
+        ),
+    )
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (testdata has no partsupp, so "stock value" =
+    lineitem volume): per-part value of NATION_3-supplied lineitems,
+    HAVING value above a fraction of the grand total. The 1-row total
+    broadcasts back (decorrelated scalar subquery); the threshold
+    compare runs in double on both engines for exact parity."""
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    value = _dec("l_extendedprice") * _dec("l_quantity")
+    per_part = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("_value"))
+    )
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("_value").cast("double")
+            > F.col("_total").cast("double") * F.lit(0.001)
+        )
+        .select("l_partkey", F.col("_value").cast("double").alias("value"))
+    )
+
+
+def q_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier count per (brand, type, size)
+    for a part subset, excluding blacklisted suppliers via a broadcast
+    anti-join (the NOT IN subquery). COUNT(DISTINCT) is exact-integer,
+    so the oracle needs no float care."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(4, 9, 16, 24, 29)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_promo_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp: availqty threshold becomes a
+    shipped-quantity threshold): suppliers in NATION_1 who shipped more
+    than 100 units of widget-parts during 1996. Nested semi-join chain:
+    part-filter → per-supplier agg → HAVING → semi into supplier."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > F.lit(100).cast("decimal(18,2)"))
+    )
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 1)
+    return sup.join(
+        F.broadcast(shipped), sup.s_suppkey == shipped.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (no commitdate: "late" = shipped >60 days after
+    the order date): for finished orders with ≥2 distinct suppliers
+    where EXACTLY ONE supplier shipped late, count such orders per late
+    supplier, top 10. The exists / not-exists pair collapses to one
+    per-order aggregation — n_supp ≥ 2 ∧ n_late_supp = 1 — turning two
+    correlated subqueries into a single shuffle."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late"
+        ),
+        F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_late_supp"),
+    )
+    waiting = per_order.filter(
+        (F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(sup), waiting._late_supp == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
 def q_ntile_quartiles(spark, sf_dir):
     """NTILE window function: spend quartile per customer within their
     market segment (deterministic: unique orderBy tiebreak)."""
@@ -1280,6 +1447,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "volume_shipping": q_volume_shipping,
         "product_profit": q_product_profit,
+        "market_share": q_market_share,
+        "important_parts": q_important_parts,
+        "supplier_counts": q_supplier_counts,
+        "promo_suppliers": q_promo_suppliers,
+        "waiting_suppliers": q_waiting_suppliers,
         "returned_items": q_returned_items,
         "cust_order_distribution": q_cust_order_distribution,
         "top_supplier": q_top_supplier,
@@ -1709,6 +1881,92 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders   ON l_orderkey = o_orderkey
             WHERE p_name LIKE '%widget%'
             GROUP BY 1, 2
+        """,
+        "market_share": """
+            WITH j AS (
+                SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+                       n2.n_name AS supp_nation,
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4))) AS volume
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN part     ON l_partkey = p_partkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01'
+            )
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                                 THEN volume ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+                   / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY o_year
+        """,
+        "important_parts": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2))) AS value_d
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey = 3
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, CAST(value_d AS DOUBLE) AS value
+            FROM per_part
+            WHERE CAST(value_d AS DOUBLE)
+                  > CAST((SELECT SUM(value_d) FROM per_part) AS DOUBLE) * 0.001
+        """,
+        "supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND p_size IN (4, 9, 16, 24, 29)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "promo_suppliers": """
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_nationkey = 1
+              AND s_suppkey IN (
+                  SELECT l_suppkey
+                  FROM lineitem
+                  JOIN part ON l_partkey = p_partkey
+                  WHERE p_name LIKE '%widget%'
+                    AND l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l_shipdate <  TIMESTAMP '1997-01-01'
+                  GROUP BY l_suppkey
+                  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                         > CAST(100 AS DECIMAL(18,2)))
+        """,
+        "waiting_suppliers": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS n_supp,
+                       COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                           THEN l_suppkey END) AS n_late,
+                       MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                THEN l_suppkey END) AS late_supp
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY l_orderkey
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM per_order
+            JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp >= 2 AND n_late = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
         """,
         "returned_items": """
             SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -51,6 +51,11 @@ BENCH_QUERIES = [
 def main() -> None:
     spark = get_spark("kspp_spark_bench")
     queries = entry_mod.queries()
+    # Warmup: run the first query once untimed so JVM/codegen startup
+    # doesn't land in the first timed sample (matters when RUNS=1).
+    queries[BENCH_QUERIES[0]](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]

@@ -117,3 +117,39 @@ def test_q18_group_filter_broadcasts_back(spark, queries):
 def test_q10_topk_is_bounded_heap(spark, queries):
     plan = formatted_plan(spark, queries["returned_items"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q8_six_dims_broadcast_one_shuffle_join(spark, queries):
+    # part/customer/supplier/nation[x2]/region all broadcast; the only
+    # join allowed to shuffle at scale is lineitem ⋈ orders
+    plan = formatted_plan(spark, queries["market_share"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q11_total_broadcasts_back(spark, queries):
+    # the 1-row grand total must come back as a broadcast nested loop,
+    # never a shuffle of the per-part aggregate
+    plan = formatted_plan(spark, queries["important_parts"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_anti_join_is_broadcast(spark, queries):
+    plan = formatted_plan(spark, queries["supplier_counts"](spark, SF))
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan) or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+
+
+def test_q20_semi_join_is_broadcast(spark, queries):
+    plan = formatted_plan(spark, queries["promo_suppliers"](spark, SF))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q21_single_fact_shuffle(spark, queries):
+    # one lineitem ⋈ orders shuffle + one per-order aggregation; the
+    # supplier name lookup broadcasts
+    plan = formatted_plan(spark, queries["waiting_suppliers"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
