@@ -1249,6 +1249,41 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "n_chars", budget=2000, n_buckets=16)
 
 
+def q_train_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5 hash
+    bucket of doc_id — stable across reruns, partitioning, and engines
+    (the oracle replays the identical bucket arithmetic in SQL)."""
+    from kspp_spark.functions.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id").select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic downsampling: keep all errors, 20% of
+    views, 10% of clicks, 5% of everything else — map-only (CASE
+    threshold on the stratum column, no join, no shuffle)."""
+    from kspp_spark.functions.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return stratified_sample(
+        ev,
+        "event_type",
+        {"error": 1.0, "view": 0.2, "click": 0.1},
+        "event_id",
+        default_fraction=0.05,
+    ).select("event_id", "event_type")
+
+
+def q_sample_per_lang(spark, sf_dir):
+    """Exactly 5 documents per language, chosen by smallest id-hash —
+    the reproducible replacement for per-group reservoir sampling."""
+    from kspp_spark.functions.sampling import topk_per_stratum
+
+    docs = _t(spark, sf_dir, "documents")
+    return topk_per_stratum(docs, "lang", "doc_id", 5).select("doc_id", "lang")
+
+
 def q_dup_clusters(spark, sf_dir):
     """Duplicate-cluster consolidation: connected components over the
     embedding near-dup pairs (pairwise dedup under-removes transitive
@@ -1486,6 +1521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "quantize_embeddings": q_quantize_embeddings,
         "pack_sequences": q_pack_sequences,
+        "train_split": q_train_split,
+        "stratified_sample": q_stratified_sample,
+        "sample_per_lang": q_sample_per_lang,
         "dup_clusters": q_dup_clusters,
         "curate_docs": q_curate_docs,
         "ivf_ann": q_ivf_ann,
@@ -2063,6 +2101,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, size, bucket,
                    bucket * 1000000 + pack AS pack_id
             FROM step
+        """,
+        "train_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000
+                        THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT event_id, event_type
+            FROM events
+            WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+                  < CASE event_type WHEN 'error' THEN 10000
+                                    WHEN 'view' THEN 2000
+                                    WHEN 'click' THEN 1000
+                                    ELSE 500 END
+        """,
+        "sample_per_lang": """
+            WITH ranked AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000,
+                                    doc_id
+                       ) AS rk
+                FROM documents
+            )
+            SELECT doc_id, lang FROM ranked WHERE rk <= 5
         """,
         "quantize_embeddings": """
             WITH v AS (

@@ -1,0 +1,107 @@
+"""Deterministic sampling & dataset splitting — training-pipeline
+primitives.
+
+Every sample here is a pure function of the row's id (md5-derived
+bucket), never of RNG state, partitioning, or row order. That is the
+property a 100 TB curation pipeline actually needs: the train/val/test
+assignment of a document is stable across reruns, repartitions,
+cluster sizes, and even engines — so downstream caches stay valid and
+an oracle can replay the exact same selection in SQL.
+
+The hash is the first 15 hex chars (60 bits) of md5(id-as-string),
+read as an integer — expressible identically in Spark
+(`conv(substr(md5(x),1,15),16,10)`) and ANSI/DuckDB SQL
+(`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`), and safe under
+Spark's ANSI overflow rules (60 bits < int64).
+
+Scale notes: bucket assignment, splits, and stratified filters are
+map-only (no shuffle, survive any repartition); exact-k per stratum is
+one shuffle on the stratum key with a bounded per-group heap.
+
+Beyond-reference operators (north-star training-data pipeline); kspp
+has no sampling surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+N_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str, salt: str = "") -> Column:
+    """Deterministic, engine-portable bucket in [0, N_BUCKETS)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 15), 16, 10
+    ).cast("long")
+    return h % N_BUCKETS
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Adds a `split` column ('train'/'val'/'test' by default) chosen
+    by the id's hash bucket; weights must sum to 1.0."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = hash_bucket(id_col, salt)
+    expr = None
+    edge = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += weights[name]
+        cond = bucket < int(round(edge * N_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def sample_fraction(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~fraction of rows (by id hash)."""
+    return df.filter(hash_bucket(id_col, salt) < int(round(fraction * N_BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample 'click'
+    events to 10% but keep all 'error's). Map-only: the threshold is a
+    CASE over the stratum column, no join needed."""
+    thr = None
+    for value, frac in fractions.items():
+        n = int(round(frac * N_BUCKETS))
+        cond = F.col(strata_col) == value
+        thr = F.when(cond, n) if thr is None else thr.when(cond, n)
+    thr = (
+        F.lit(int(round(default_fraction * N_BUCKETS)))
+        if thr is None
+        else thr.otherwise(int(round(default_fraction * N_BUCKETS)))
+    )
+    return df.filter(hash_bucket(id_col, salt) < thr)
+
+
+def topk_per_stratum(
+    df: DataFrame, strata_col: str, id_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Exactly k rows per stratum, chosen deterministically (smallest
+    id-hash first, id tiebreak). The reservoir-sampling replacement:
+    same marginal uniformity, but reproducible and engine-portable.
+    One shuffle on the stratum key; rank is a bounded heap per group."""
+    h = hash_bucket(id_col, salt).alias("_h")
+    w = W.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_h", "_rk")
+    )

@@ -298,3 +298,52 @@ def test_pack_sequences_never_overflows_budget(spark):
     )
     assert all(r["sum(size)"] <= 100 for r in per_pack)
     assert out.count() == 200  # every doc packed exactly once
+
+
+def test_split_assign_is_deterministic_and_partition_invariant(spark):
+    from kspp_spark.functions.sampling import split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in split_assign(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in split_assign(df.repartition(13), "doc_id").collect()
+    }
+    assert a == b  # assignment is a pure function of the id
+    from collections import Counter
+
+    c = Counter(a.values())
+    # ~80/10/10 within loose tolerance on 2000 ids
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.07 < c["val"] / 2000 < 0.13
+    assert 0.07 < c["test"] / 2000 < 0.13
+
+
+def test_stratified_sample_keeps_full_stratum(spark):
+    from kspp_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "error" if i % 3 == 0 else "click") for i in range(300)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type"])
+    out = stratified_sample(
+        df, "event_type", {"error": 1.0, "click": 0.1}, "event_id"
+    )
+    got = out.groupBy("event_type").count().collect()
+    counts = {r.event_type: r["count"] for r in got}
+    assert counts["error"] == 100  # fraction 1.0 keeps every row
+    assert 0 < counts.get("click", 0) < 60
+
+
+def test_topk_per_stratum_exact_k_and_stable(spark):
+    from kspp_spark.functions.sampling import topk_per_stratum
+
+    rows = [(i, "g%d" % (i % 4)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    out1 = sorted((r.doc_id, r.g) for r in topk_per_stratum(df, "g", "doc_id", 7).collect())
+    out2 = sorted(
+        (r.doc_id, r.g)
+        for r in topk_per_stratum(df.repartition(11), "g", "doc_id", 7).collect()
+    )
+    assert out1 == out2
+    from collections import Counter
+
+    assert Counter(g for _, g in out1) == {"g0": 7, "g1": 7, "g2": 7, "g3": 7}
