@@ -1249,6 +1249,16 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "n_chars", budget=2000, n_buckets=16)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document (token /
+    distinct / top-token / bigram counts + top-bigram fraction) — the
+    boilerplate detector of a curation pipeline."""
+    from kspp_spark.functions.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
 def q_train_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment by md5 hash
     bucket of doc_id — stable across reruns, partitioning, and engines
@@ -1521,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "quantize_embeddings": q_quantize_embeddings,
         "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition_stats,
         "train_split": q_train_split,
         "stratified_sample": q_stratified_sample,
         "sample_per_lang": q_sample_per_lang,
@@ -2101,6 +2112,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, size, bucket,
                    bucket * 1000000 + pack AS pack_id
             FROM step
+        """,
+        "repetition_stats": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+                FROM documents
+            ),
+            tok_counts AS (
+                SELECT doc_id, tok, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY doc_id, tok
+            ),
+            tok_stats AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       COUNT(*) AS n_distinct_tokens, MAX(c) AS top_token_cnt
+                FROM tok_counts GROUP BY doc_id
+            ),
+            bg_counts AS (
+                SELECT doc_id, bg, COUNT(*) AS c
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(toks)),
+                                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                      FROM t)
+                GROUP BY doc_id, bg
+            ),
+            bg_stats AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                       MAX(c) AS top_bigram_cnt
+                FROM bg_counts GROUP BY doc_id
+            )
+            SELECT ts.doc_id, n_tokens, n_distinct_tokens, top_token_cnt,
+                   COALESCE(n_bigrams, 0) AS n_bigrams,
+                   COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+                   CASE WHEN COALESCE(n_bigrams, 0) > 0
+                        THEN CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM tok_stats ts LEFT JOIN bg_stats bs ON ts.doc_id = bs.doc_id
         """,
         "train_split": """
             SELECT doc_id,

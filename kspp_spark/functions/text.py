@@ -118,3 +118,69 @@ def bpe_token_estimate(text: Column | str, max_piece: int = 4) -> Column:
         lambda acc, x: acc
         + F.floor((F.length(x) + max_piece - 1) / max_piece).cast("int"),
     )
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition signals per document: token count,
+    distinct-token count, the most-frequent token's count, bigram
+    count, the most-frequent bigram's count, and the top-bigram
+    fraction (double). High fractions flag boilerplate / degenerate
+    documents for curation filters.
+
+    Two partition-parallel aggregations (tokens, bigrams) shuffled on
+    the doc id and joined back co-partitioned — no driver state, no
+    Python in the hot path. Bigrams are built JVM-side with a
+    higher-order `transform` over the token array.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("_tok")
+    )
+    tok_stats = (
+        toks.groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("_c").alias("top_token_cnt"),
+        )
+    )
+    bigrams = (
+        df.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.slice(
+                        "_toks", 1, F.greatest(F.size("_toks") - 1, F.lit(0))
+                    ),
+                    lambda x, i: F.concat(x, F.lit(" "), F.col("_toks")[i + 1]),
+                )
+            ).alias("_bg"),
+        )
+    )
+    bg_stats = (
+        bigrams.groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_bigrams"),
+            F.max("_c").alias("top_bigram_cnt"),
+        )
+    )
+    joined = tok_stats.join(bg_stats, id_col, "left")
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_token_cnt",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("top_bigram_cnt", F.lit(0)).alias("top_bigram_cnt"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.col("top_bigram_cnt").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )

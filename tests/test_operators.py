@@ -347,3 +347,19 @@ def test_topk_per_stratum_exact_k_and_stable(spark):
     from collections import Counter
 
     assert Counter(g for _, g in out1) == {"g0": 7, "g1": 7, "g2": 7, "g3": 7}
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    from kspp_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "all words here are unique tokens"),
+        (3, "one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.asDict() for r in repetition_stats(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct_tokens"] == 1
+    assert out[1]["top_bigram_cnt"] == 3 and out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["top_token_cnt"] == 1 and out[2]["top_bigram_cnt"] == 1
+    assert out[3]["n_bigrams"] == 0 and out[3]["top_bigram_frac"] == 0.0
