@@ -51,10 +51,20 @@ def curate_documents(
         .filter(F.col("n_alpha") * 2 > F.col("n_chars"))  # >50% alphabetic
         .filter(F.col("lang_pred").isin(*langs))
     )
-    w = W.partitionBy("_fp")
-    ranked = gated.withColumn("_rn", F.row_number().over(w.orderBy(id_col))).withColumn(
-        "n_dups", F.count(F.lit(1)).over(w)
+    # One aggregation, not a window: min_by keeps the lowest-id
+    # survivor per fingerprint and count gives n_dups, with map-side
+    # partial aggregation (a row_number window would force a full
+    # post-shuffle sort and aggregate nothing early).
+    agg = gated.groupBy("_fp").agg(
+        F.min_by(
+            F.struct(id_col, "lang_pred", "n_tokens", "n_chars"), F.col(id_col)
+        ).alias("_keep"),
+        F.count(F.lit(1)).alias("n_dups"),
     )
-    return ranked.filter(F.col("_rn") == 1).select(
-        id_col, "lang_pred", "n_tokens", "n_chars", "n_dups"
+    return agg.select(
+        F.col(f"_keep.{id_col}").alias(id_col),
+        F.col("_keep.lang_pred").alias("lang_pred"),
+        F.col("_keep.n_tokens").alias("n_tokens"),
+        F.col("_keep.n_chars").alias("n_chars"),
+        "n_dups",
     )
