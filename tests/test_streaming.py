@@ -371,3 +371,47 @@ def test_dedup_stream_within_watermark(spark, stream_dir):
     q.stop()
     # one survivor per key; which duplicate wins is batch-order defined
     assert sorted(r.key for r in rows) == ["a", "b"]
+
+
+def test_session_window_stream_merges_and_finalizes(spark, stream_dir):
+    """Streaming sessionization: records ≤10s apart merge into one
+    session; a watermark far past the data finalizes sessions so
+    append mode emits them. Batch operator on the same rows must
+    agree (same-plan-both-modes)."""
+    from kspp_spark.operators.aggregates import session_window_count
+
+    rows = [
+        ("a", 1, ts(1)),
+        ("a", 1, ts(5)),   # merges: gap 4s < 10s
+        ("a", 1, ts(30)),  # new session: gap 25s
+        ("b", 1, ts(2)),
+        # watermark driver: pushes event-time watermark past all of
+        # the above so every session closes in availableNow mode
+        ("zz", 0, ts(59)),
+    ]
+    _write_batch(spark, stream_dir, rows, 0)
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    sessions = session_window_count(
+        src.withWatermark("event_time", "5 seconds"), "event_time", "10 seconds", "key"
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.session_start.second, r.cnt)
+        for r in spark.sql("select * from sess").collect()
+        if r.key != "zz"
+    }
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    batch = {
+        (r.key, r.session_start.second, r.cnt)
+        for r in session_window_count(batch_df, "event_time", "10 seconds", "key").collect()
+        if r.key != "zz"
+    }
+    assert got == {("a", 1, 2), ("a", 30, 1), ("b", 2, 1)}
+    assert got <= batch  # the finalized streaming sessions match batch
