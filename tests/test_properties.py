@@ -139,3 +139,51 @@ def test_asof_join_matches_replay(spark, raw_l, raw_r):
                     best = (rt, ri, rv)
         expect[li] = best[2] if best else None
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40,
+             unique=True),
+    st.sampled_from(["", "v2", "exp-7"]),
+)
+def test_split_assign_partitions_exactly(spark, ids, salt):
+    """Every id lands in exactly one split; assignment is a pure
+    function of (id, salt) — identical across calls and partitionings;
+    changing the salt re-rolls the assignment independently."""
+    from kspp_spark.functions.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = split_assign(df, "doc_id", salt=salt).collect()
+    assert len(out) == len(ids)  # no row lost or duplicated
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    again = {r.doc_id: r.split for r in split_assign(df.repartition(5), "doc_id", salt=salt).collect()}
+    assert again == {r.doc_id: r.split for r in out}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), st.sampled_from(["x", "y", "z"])),
+        min_size=1, max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_topk_per_stratum_matches_replay(spark, raw, k):
+    """topk_per_stratum == pure-Python replay: the k ids with smallest
+    (md5-bucket, id) per stratum, over deduplicated (id, stratum) rows."""
+    import hashlib
+    from kspp_spark.functions.sampling import topk_per_stratum
+
+    rows = list({(i, g) for i, g in raw})
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    got = sorted((r.g, r.doc_id) for r in topk_per_stratum(df, "g", "doc_id", k).collect())
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10_000
+
+    expect = []
+    for g in {g for _, g in rows}:
+        members = sorted((i for i, gg in rows if gg == g), key=lambda i: (bucket(i), i))
+        expect += [(g, i) for i in members[:k]]
+    assert got == sorted(expect)
