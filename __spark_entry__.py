@@ -270,8 +270,14 @@ def q_semi_join(spark, sf_dir):
 
 
 def q_anti_join(spark, sf_dir):
+    """Customers with no recent finished order — the anti-join is
+    against a FILTERED order set so the result is non-trivial at every
+    SF (an unfiltered version is empty: all customers have orders)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    )
     return cust.join(
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -1748,7 +1754,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F'
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
