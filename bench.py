@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "returned_items",
     "large_orders",
     "local_supplier_volume",
+    "market_share",
+    "waiting_suppliers",
+    "repetition_stats",
+    "train_split",
+    "pack_sequences",
 ]
 
 
