@@ -1238,11 +1238,21 @@ def q_dedup_embedding(spark, sf_dir):
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 scalar quantization of the embedding column (4x storage
     for ANN candidate stages); exact double arithmetic end-to-end so
-    the oracle agrees bitwise on scale and every quantized element."""
+    the oracle agrees bitwise on scale and every quantized element.
+    The int8 vector is emitted as a comma-joined string so the value
+    hash is canonical regardless of how a comparator stringifies
+    nested arrays (numpy array vs list repr)."""
     from kspp_spark.functions.similarity import quantize_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(
+            ",", F.transform(F.col("q_embedding"), lambda x: x.cast("string"))
+        ).alias("q_embedding"),
+    )
 
 
 def q_pack_sequences(spark, sf_dir):
@@ -1381,12 +1391,20 @@ def q_funnel(spark, sf_dir):
 
 def q_order_keys_agg(spark, sf_dir):
     """Array aggregation (nested result type): sorted order-key list
-    per customer with >12 orders."""
+    per customer with >12 orders. The list is emitted comma-joined so
+    the value hash is canonical under any array stringification."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
-        .filter(F.size("order_keys") > 12)
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("_keys"))
+        .filter(F.size("_keys") > 12)
+        .select(
+            "o_custkey",
+            F.size("_keys").alias("n_orders"),
+            F.concat_ws(
+                ",", F.transform(F.col("_keys"), lambda x: x.cast("string"))
+            ).alias("order_keys"),
+        )
     )
 
 
@@ -2199,10 +2217,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id,
                    max_abs / 127.0 AS scale,
-                   CASE WHEN max_abs = 0.0
-                        THEN list_transform(e, x -> CAST(0 AS BIGINT))
-                        ELSE list_transform(e, x -> CAST(floor(x / (max_abs / 127.0) + 0.5) AS BIGINT))
-                   END AS q_embedding
+                   array_to_string(
+                       CASE WHEN max_abs = 0.0
+                            THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(e, x -> CAST(floor(x / (max_abs / 127.0) + 0.5) AS BIGINT))
+                       END, ',') AS q_embedding
             FROM v
         """,
         "local_supplier_volume": """
@@ -2350,7 +2369,9 @@ def oracle_sql() -> dict[str, str]:
             FROM firsts
         """,
         "order_keys_agg": """
-            SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+            SELECT o_custkey,
+                   CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders,
+                   array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
             FROM orders GROUP BY o_custkey
             HAVING len(list(o_orderkey)) > 12
         """,
