@@ -1360,6 +1360,42 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def _asof_clicks(spark, sf_dir, direction):
+    from kspp_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts", seq="event_id",
+        right_payload=["value"], prefix="click_", direction=direction,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "purchase_value",
+        F.col("click_seq").alias("click_id"),
+        "click_value",
+    )
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of: each purchase paired with the user's EARLIEST
+    following click — post-purchase behavior attribution. Same
+    single-shuffle union+window machinery as backward."""
+    return _asof_clicks(spark, sf_dir, "forward")
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of: whichever neighboring click (before or after) is
+    closer in event time, ties preferring the preceding one."""
+    return _asof_clicks(spark, sf_dir, "nearest")
+
+
 def q_session_windows(spark, sf_dir):
     from kspp_spark.operators.aggregates import session_window_count
 
@@ -1563,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_docs": q_curate_docs,
         "ivf_ann": q_ivf_ann,
         "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "session_windows": q_session_windows,
         "json_extract": q_json_extract,
         "funnel": q_funnel,
@@ -2330,6 +2368,64 @@ def oracle_sql() -> dict[str, str]:
                        AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
                      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_value
             FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "asof_forward": """
+            SELECT p.user_id,
+                   p.event_id AS purchase_id,
+                   p.value AS purchase_value,
+                   (SELECT c.event_id FROM events c
+                     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                       AND (c.ts > p.ts OR (c.ts = p.ts AND c.event_id > p.event_id))
+                     ORDER BY c.ts, c.event_id LIMIT 1) AS click_id,
+                   (SELECT c.value FROM events c
+                     WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                       AND (c.ts > p.ts OR (c.ts = p.ts AND c.event_id > p.event_id))
+                     ORDER BY c.ts, c.event_id LIMIT 1) AS click_value
+            FROM events p WHERE p.event_type = 'purchase'
+        """,
+        "asof_nearest": """
+            WITH p AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'click'
+            ),
+            b AS (
+                SELECT pid, cid, cts, cval FROM (
+                    SELECT p.event_id AS pid, c.event_id AS cid, c.ts AS cts,
+                           c.value AS cval,
+                           row_number() OVER (PARTITION BY p.event_id
+                                              ORDER BY c.ts DESC, c.event_id DESC) AS rk
+                    FROM p JOIN c ON c.user_id = p.user_id
+                     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+                ) WHERE rk = 1
+            ),
+            f AS (
+                SELECT pid, cid, cts, cval FROM (
+                    SELECT p.event_id AS pid, c.event_id AS cid, c.ts AS cts,
+                           c.value AS cval,
+                           row_number() OVER (PARTITION BY p.event_id
+                                              ORDER BY c.ts, c.event_id) AS rk
+                    FROM p JOIN c ON c.user_id = p.user_id
+                     AND (c.ts > p.ts OR (c.ts = p.ts AND c.event_id > p.event_id))
+                ) WHERE rk = 1
+            )
+            SELECT p.user_id, p.event_id AS purchase_id, p.value AS purchase_value,
+                   CASE WHEN b.cid IS NULL THEN f.cid
+                        WHEN f.cid IS NULL THEN b.cid
+                        WHEN epoch_us(p.ts) - epoch_us(b.cts)
+                             <= epoch_us(f.cts) - epoch_us(p.ts) THEN b.cid
+                        ELSE f.cid END AS click_id,
+                   CASE WHEN b.cid IS NULL THEN f.cval
+                        WHEN f.cid IS NULL THEN b.cval
+                        WHEN epoch_us(p.ts) - epoch_us(b.cts)
+                             <= epoch_us(f.cts) - epoch_us(p.ts) THEN b.cval
+                        ELSE f.cval END AS click_value
+            FROM p
+            LEFT JOIN b ON b.pid = p.event_id
+            LEFT JOIN f ON f.pid = p.event_id
         """,
         "session_windows": """
             WITH ordered AS (

@@ -72,11 +72,15 @@ def asof_join(
     seq: str,
     right_payload: list[str],
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: pair each left row with the LATEST right row at
-    (ts, seq) strictly before it (per key). Not in the reference
-    (SURVEY §2.5 — kspp has only key-equi joins); added because
-    event-time attribution is a standard stream-analytics need.
+    (ts, seq) strictly before it (per key) — `direction="backward"`,
+    the default. `"forward"` pairs with the EARLIEST right row strictly
+    after; `"nearest"` takes whichever of the two is closer in event
+    time (ties prefer backward). Not in the reference (SURVEY §2.5 —
+    kspp has only key-equi joins); added because event-time attribution
+    is a standard stream-analytics need.
 
     Spark-first implementation: ONE union + ONE window aggregation —
     no range-join explosion, no per-row lookup. The right payload rides
@@ -113,12 +117,31 @@ def asof_join(
     # max over rows up to current (right rows with (ts,seq) < left's,
     # plus right rows at identical (ts,seq) — impossible since seq is
     # unique across the union's source events).
-    w = (
-        W.partitionBy(*keys)
-        .orderBy(ts, seq, "_side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    state = F.max(F.col("_rp")).over(w)
+    order = W.partitionBy(*keys).orderBy(ts, seq, "_side")
+    wb = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = order.rowsBetween(W.currentRow, W.unboundedFollowing)
+    # max/min over the payload struct order by (_ts, _seq, …): max of
+    # the preceding frame = latest-before; min of the following frame =
+    # earliest-after. The left row's own NULL payload is skipped by
+    # both. One WindowExec computes every frame (same partition/order).
+    back_state = F.max(F.col("_rp")).over(wb)
+    fwd_state = F.min(F.col("_rp")).over(wf)
+    if direction == "backward":
+        state = back_state
+    elif direction == "forward":
+        state = fwd_state
+    elif direction == "nearest":
+        lt_us = F.unix_micros(F.col(ts))
+        b_us = F.unix_micros(back_state["_ts"])
+        f_us = F.unix_micros(fwd_state["_ts"])
+        state = (
+            F.when(back_state.isNull(), fwd_state)
+            .when(fwd_state.isNull(), back_state)
+            .when(lt_us - b_us <= f_us - lt_us, back_state)
+            .otherwise(fwd_state)
+        )
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
     out = union.withColumn("_rstate", state).filter(F.col("_side") == 1)
     return out.select(
         *lcols,

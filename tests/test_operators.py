@@ -363,3 +363,37 @@ def test_repetition_stats_flags_degenerate_doc(spark):
     assert out[1]["top_bigram_cnt"] == 3 and out[1]["top_bigram_frac"] == 1.0
     assert out[2]["top_token_cnt"] == 1 and out[2]["top_bigram_cnt"] == 1
     assert out[3]["n_bigrams"] == 0 and out[3]["top_bigram_frac"] == 0.0
+
+
+def test_asof_join_directions(spark):
+    import datetime
+
+    from kspp_spark.operators.joins import asof_join
+
+    T0 = datetime.datetime(2024, 1, 1)
+
+    def at(s):
+        return T0 + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [("u", at(10), 100), ("u", at(50), 101), ("v", at(5), 102)],
+        ["k", "ts", "seq"],
+    )
+    right = spark.createDataFrame(
+        [("u", at(8), 1, 1.0), ("u", at(12), 2, 2.0), ("u", at(49), 3, 3.0)],
+        ["k", "ts", "seq", "value"],
+    )
+
+    def run(direction):
+        out = asof_join(
+            left, right, key="k", ts="ts", seq="seq",
+            right_payload=["value"], direction=direction,
+        )
+        return {r.seq: r.r_seq for r in out.collect()}
+
+    # backward: latest strictly before; forward: earliest strictly
+    # after; nearest: closer of the two (10s: |10-8|=2 vs |12-10|=2 ->
+    # tie prefers backward)
+    assert run("backward") == {100: 1, 101: 3, 102: None}
+    assert run("forward") == {100: 2, 101: None, 102: None}
+    assert run("nearest") == {100: 1, 101: 3, 102: None}
