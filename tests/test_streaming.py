@@ -415,3 +415,72 @@ def test_session_window_stream_merges_and_finalizes(spark, stream_dir):
     }
     assert got == {("a", 1, 2), ("a", 30, 1), ("b", 2, 1)}
     assert got <= batch  # the finalized streaming sessions match batch
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, stream_dir, tmp_path
+):
+    """Left-outer stream-stream join: unmatched left rows are emitted
+    null-padded only once the watermark proves no future match can
+    arrive — the streaming form of kstream_left_join's miss path.
+    The eviction happens in a batch AFTER the watermark commits, so the
+    query runs twice against one checkpoint (restart pattern)."""
+    from kspp_spark.streaming.core import stream_stream_join
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    _write_batch(
+        spark,
+        stream_dir,
+        [("a", 1, ts(1)), ("a", 2, ts(5)), ("b", 3, ts(2))],
+        0,
+    )
+
+    def run_once():
+        src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+        clicks = src.filter(F.col("value") % 2 == 1).select(
+            F.col("key").alias("ck"), F.col("value").alias("cv"),
+            F.col("event_time").alias("c_time"),
+        )
+        purchases = src.filter(F.col("value") % 2 == 0).select(
+            F.col("key").alias("pk"), F.col("value").alias("pv"),
+            F.col("event_time").alias("p_time"),
+        )
+        j = stream_stream_join(
+            clicks, purchases,
+            on=[F.col("ck") == F.col("pk"),
+                F.col("p_time") >= F.col("c_time"),
+                F.col("p_time") <= F.col("c_time") + F.expr("interval 10 seconds")],
+            event_time_left="c_time", event_time_right="p_time",
+            delay="5 seconds", how="left_outer",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {(r.ck, r.cv, r.pv) for r in spark.read.parquet(out_dir).collect()}
+    assert ("a", 1, 2) in got1            # matched pair emits immediately
+    assert ("b", 3, None) not in got1     # miss still pending the watermark
+    import time as _t
+
+    _t.sleep(1.1)
+    # watermark drivers on BOTH sides (odd -> left/clicks, even ->
+    # right/purchases): the join's watermark is the MIN of its inputs,
+    # so a side left behind pins it at zero. The watermark learned
+    # from this batch commits at its end; state eviction runs in the
+    # NEXT batch — so a third run performs the null-padded emission.
+    _write_batch(spark, stream_dir, [("zz", 99, ts(50)), ("zz", 100, ts(50))], 1)
+    run_once()
+    _t.sleep(1.1)
+    _write_batch(spark, stream_dir, [("zz", 101, ts(51)), ("zz", 102, ts(51))], 2)
+    run_once()
+    got2 = {(r.ck, r.cv, r.pv) for r in spark.read.parquet(out_dir).collect()
+            if r.ck != "zz"}
+    assert ("b", 3, None) in got2         # miss emitted once provably final
