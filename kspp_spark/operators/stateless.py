@@ -92,3 +92,32 @@ def repartition_by_foreign_key(
     if broadcast_routing:
         r = F.broadcast(r)
     return df.join(r, on=key, how="inner").repartition(F.col(fk))
+
+
+def flat_map_pandas(df: DataFrame, extract, schema) -> DataFrame:
+    """Arbitrary-Python 1->N extractor — the escape hatch matching
+    kspp's full flat_map surface (flat_map.h:12: any C++ callback
+    emitting 0..N records, possibly changing key and value types) for
+    logic genuinely inexpressible as Column operations.
+
+    `extract(row) -> iterable of tuples` runs per input row but rows
+    move through Arrow batches (mapInPandas), so transfer is columnar
+    and the op is partition-parallel with no shuffle. Prefer
+    `flat_map` (JVM explode) whenever the extraction IS expressible —
+    this exists for the remaining cases (recursive parsers, external
+    pure-Python libraries, ...).
+    """
+    import pandas as pd
+
+    names = [f.strip().split(" ")[0] for f in schema.split(",")] if isinstance(
+        schema, str
+    ) else [f.name for f in schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                out.extend(extract(row))
+            yield pd.DataFrame(out, columns=names)
+
+    return df.mapInPandas(gen, schema)

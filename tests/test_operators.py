@@ -397,3 +397,30 @@ def test_asof_join_directions(spark):
     assert run("backward") == {100: 1, 101: 3, 102: None}
     assert run("forward") == {100: 2, 101: None, 102: None}
     assert run("nearest") == {100: 1, 101: 3, 102: None}
+
+
+def test_flat_map_pandas_matches_jvm_explode(spark):
+    from kspp_spark.operators.stateless import flat_map, flat_map_pandas
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d"), (3, "")], ["id", "text"]
+    )
+
+    def extract(row):
+        return [(row.id, w) for w in row.text.split() if w]
+
+    got = sorted(
+        (r.id, r.word)
+        for r in flat_map_pandas(df, extract, "id long, word string").collect()
+    )
+    ref = sorted(
+        (r.id, r.word)
+        for r in flat_map(
+            df,
+            F.filter(F.split("text", r"\s+"), lambda w: w != ""),
+            "word",
+            keep=["id"],
+        ).collect()
+    )
+    assert got == ref == [(1, "a"), (1, "b"), (1, "c"), (2, "d")]
