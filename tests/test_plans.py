@@ -153,3 +153,23 @@ def test_q21_single_fact_shuffle(spark, queries):
     plan = formatted_plan(spark, queries["waiting_suppliers"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_train_split_is_map_only(spark, queries):
+    # split assignment is a pure function of the id: zero Exchange
+    # nodes — at 100 TB it runs as a narrow pass over the scan
+    plan = formatted_plan(spark, queries["train_split"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_is_map_only(spark, queries):
+    plan = formatted_plan(spark, queries["stratified_sample"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_bucket_shuffle(spark, queries):
+    # one hash exchange on the bucket key feeding the grouped-pandas
+    # packer; no second shuffle afterwards
+    plan = formatted_plan(spark, queries["pack_sequences"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
