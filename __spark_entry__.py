@@ -1275,6 +1275,21 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(docs, "doc_id", "text")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping training-window chunking (200-char windows every
+    150 chars) — map-only sequence+explode+substr, no shuffle."""
+    from kspp_spark.functions.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_chars=200, step=150)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        "chunk_text",
+    )
+
+
 def q_train_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment by md5 hash
     bucket of doc_id — stable across reruns, partitioning, and engines
@@ -1592,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
+        "chunk_documents": q_chunk_documents,
         "train_split": q_train_split,
         "stratified_sample": q_stratified_sample,
         "sample_per_lang": q_sample_per_lang,
@@ -2215,6 +2231,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(top_bigram_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
                         ELSE 0.0 END AS top_bigram_frac
             FROM tok_stats ts LEFT JOIN bg_stats bs ON ts.doc_id = bs.doc_id
+        """,
+        "chunk_documents": """
+            SELECT doc_id,
+                   CAST(floor((s - 1) / 150.0) AS BIGINT) AS chunk_id,
+                   s AS chunk_start,
+                   substr(text, CAST(s AS INTEGER), 200) AS chunk_text
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, len(text), 150)) AS s
+                  FROM documents WHERE len(text) > 0)
         """,
         "train_split": """
             SELECT doc_id,

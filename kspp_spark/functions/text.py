@@ -184,3 +184,38 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     )
+
+
+def chunk_documents(
+    df,
+    chunk_chars: int,
+    step: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split documents into fixed-size character windows (training
+    chunking): a chunk starts every `step` chars (default = chunk_chars,
+    i.e. non-overlapping; step < chunk_chars gives overlap) and spans
+    up to `chunk_chars`. Returns (id, chunk_id, chunk_start [1-based],
+    chunk_text).
+
+    Map-only: sequence + explode + substr, all JVM-side — a narrow
+    pass over the scan at any scale. Empty documents produce no chunks.
+    """
+    step = chunk_chars if step is None else step
+    t = F.col(text_col)
+    starts = F.sequence(F.lit(1), F.length(t), F.lit(step))
+    return (
+        df.filter(F.length(t) > 0)
+        .select(F.col(id_col), t.alias("_t"), F.explode(starts).alias("chunk_start"))
+        .select(
+            id_col,
+            F.floor((F.col("chunk_start") - 1) / F.lit(float(step)))
+            .cast("long")
+            .alias("chunk_id"),
+            "chunk_start",
+            F.substr(F.col("_t"), F.col("chunk_start"), F.lit(chunk_chars)).alias(
+                "chunk_text"
+            ),
+        )
+    )

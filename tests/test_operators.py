@@ -424,3 +424,27 @@ def test_flat_map_pandas_matches_jvm_explode(spark):
         ).collect()
     )
     assert got == ref == [(1, "a"), (1, "b"), (1, "c"), (2, "d")]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from kspp_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_chars=4, step=3)
+    got = sorted((r.doc_id, r.chunk_id, r.chunk_start, r.chunk_text) for r in out.collect())
+    assert got == [
+        (1, 0, 1, "abcd"),
+        (1, 1, 4, "defg"),
+        (1, 2, 7, "ghij"),
+        (1, 3, 10, "j"),
+        (2, 0, 1, "xy"),
+    ]
+    # reassembly invariant (non-overlapping mode): concatenating the
+    # chunks in order reproduces the document
+    plain = chunk_documents(df, chunk_chars=4)
+    joined = {}
+    for r in sorted(plain.collect(), key=lambda r: (r.doc_id, r.chunk_start)):
+        joined[r.doc_id] = joined.get(r.doc_id, "") + r.chunk_text
+    assert joined == {1: "abcdefghij", 2: "xy"}
