@@ -1,0 +1,148 @@
+"""Incremental near-duplicate detection for document streams.
+
+The ingestion-pipeline form of MinHash/LSH dedup: each micro-batch of
+new documents is checked against the ACCUMULATED corpus — not just
+within itself — by joining its banded signatures against a persisted
+band-bucket state table, then appending them to it. This is the
+pattern a production corpus builder runs: "is this incoming document a
+near-copy of anything we already have?"
+
+Batch dedup over the full corpus is functions/dedup.py
+(minhash_signatures + minhash_candidates); this module reuses the same
+signature/banding code so streaming and batch agree exactly.
+
+Scale notes: state holds (id, band, band_hash) — fixed width, ~bands
+rows per document, far smaller than text. The per-batch probe is an
+equi-join on (band, band_hash): broadcast when the batch is small,
+shuffle otherwise (Spark's planner picks). At very large corpus sizes,
+persist the state bucketed by band_hash (io.write_bucketed) so the
+probe join is shuffle-free on the state side. No driver-side state
+anywhere; recovery is Spark checkpointing — the state appends are
+idempotent per epoch via overwrite-by-epoch directory naming.
+
+Reference: no kspp equivalent (beyond-reference north-star operator).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from kspp_spark.functions.dedup import minhash_signatures
+
+
+def banded_signatures(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, bhash) banded-signature relation — the dedup state
+    row format. rows_per_band = num_hashes // bands."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, text=text, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    )
+    return banded.select("id", "bb.band", "bb.bhash")
+
+
+def probe_and_update(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    pairs_dir: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+) -> None:
+    """foreachBatch body: emit (new_id, dup_of) candidate pairs for the
+    micro-batch — against the accumulated state AND within the batch —
+    then append the batch's banded signatures to the state.
+
+    Epoch-named state files make replays after a checkpoint recovery
+    overwrite rather than double-append (idempotent at-least-once)."""
+    spark = batch_df.sparkSession
+    new = banded_signatures(
+        batch_df, text=text, id_col=id_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, bands=bands,
+    ).cache()
+
+    # within-batch pairs: same bucket, smaller id first
+    left = new.select("band", "bhash", F.col("id").alias("a"))
+    right = new.select("band", "bhash", F.col("id").alias("b"))
+    within = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("b").alias("new_id"), F.col("a").alias("dup_of"))
+    )
+    pairs = within
+    if os.path.isdir(state_dir) and any(os.scandir(state_dir)):
+        state = spark.read.parquet(state_dir).select("id", "band", "bhash")
+        cross = (
+            new.join(state.withColumnRenamed("id", "dup_of"), ["band", "bhash"])
+            .select(F.col("id").alias("new_id"), "dup_of")
+            # a checkpoint-recovery replay sees its own epoch already in
+            # state; never pair a document with itself
+            .filter(F.col("new_id") != F.col("dup_of"))
+        )
+        pairs = within.unionByName(cross)
+    (
+        pairs.distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(pairs_dir, f"epoch={epoch_id}"))
+    )
+    new.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"epoch={epoch_id}")
+    )
+    new.unpersist()
+
+
+def incremental_near_dedup(
+    stream_df: DataFrame,
+    state_dir: str,
+    pairs_dir: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Wire a document stream into the probe-and-update loop. Returns
+    the started StreamingQuery; near-dup pairs accumulate under
+    pairs_dir/epoch=*/ as (new_id, dup_of)."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        probe_and_update(
+            batch_df, epoch_id, state_dir=state_dir, pairs_dir=pairs_dir, **kwargs
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -484,3 +484,52 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     got2 = {(r.ck, r.cv, r.pv) for r in spark.read.parquet(out_dir).collect()
             if r.ck != "zz"}
     assert ("b", 3, None) in got2         # miss emitted once provably final
+
+
+def test_incremental_near_dedup_across_batches(spark, tmp_path):
+    """Streaming near-dup detection: a batch-2 document that is a near
+    copy of a batch-1 document is flagged against the ACCUMULATED
+    corpus state, not just within its own batch."""
+    from pyspark.sql import types as T2
+
+    from kspp_spark.streaming.dedup_incremental import incremental_near_dedup
+
+    doc_schema = T2.StructType(
+        [
+            T2.StructField("doc_id", T2.LongType()),
+            T2.StructField("text", T2.StringType()),
+        ]
+    )
+    in_dir = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about spark execution plans " * 5
+
+    def run():
+        src = spark.readStream.schema(doc_schema).parquet(in_dir)
+        q = incremental_near_dedup(src, state, pairs, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, base), (2, other)], doc_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()
+    import time as _t
+
+    _t.sleep(1.1)
+    near_copy = base.replace("lazy", "sleepy", 1)  # one-word edit
+    spark.createDataFrame([(3, near_copy)], doc_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()
+
+    got = {
+        (r.new_id, r.dup_of)
+        for r in spark.read.parquet(pairs).select("new_id", "dup_of").collect()
+    }
+    assert (3, 1) in got           # cross-batch near-dup found
+    assert not any(a == b for a, b in got)
+    assert (2, 1) not in got and (1, 2) not in got  # unrelated docs clean
