@@ -1316,6 +1316,19 @@ def q_stratified_sample(spark, sf_dir):
     ).select("event_id", "event_type")
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic corpus mixture: src0:src1:src2 at 3:2:1, sized by
+    the scarcest source (k_s = w_s * min floor(n_s/w_s)), rows chosen
+    smallest-id-hash-first. All other sources drop out."""
+    from kspp_spark.functions.sampling import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_corpus(
+        docs, "source", {"src0": 3, "src1": 2, "src2": 1}, "doc_id"
+    )
+    return out.select("doc_id", "source")
+
+
 def q_sample_per_lang(spark, sf_dir):
     """Exactly 5 documents per language, chosen by smallest id-hash —
     the reproducible replacement for per-group reservoir sampling."""
@@ -1611,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "stratified_sample": q_stratified_sample,
         "sample_per_lang": q_sample_per_lang,
+        "corpus_mix": q_corpus_mix,
         "dup_clusters": q_dup_clusters,
         "curate_docs": q_curate_docs,
         "ivf_ann": q_ivf_ann,
@@ -2258,6 +2272,33 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 'view' THEN 2000
                                     WHEN 'click' THEN 1000
                                     ELSE 500 END
+        """,
+        "corpus_mix": """
+            WITH w AS (
+                SELECT * FROM (VALUES ('src0', 3), ('src1', 2), ('src2', 1))
+                AS t(src, wt)
+            ),
+            counts AS (
+                SELECT source, wt, COUNT(*) AS n
+                FROM documents JOIN w ON source = src
+                GROUP BY source, wt
+            ),
+            t AS (SELECT MIN(n // wt) AS t_units FROM counts),
+            quota AS (
+                SELECT source, wt * t_units AS k FROM counts, t
+            ),
+            ranked AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000,
+                                    doc_id
+                       ) AS rk
+                FROM documents
+            )
+            SELECT doc_id, ranked.source
+            FROM ranked JOIN quota ON ranked.source = quota.source
+            WHERE rk <= k
         """,
         "sample_per_lang": """
             WITH ranked AS (

@@ -105,3 +105,48 @@ def topk_per_stratum(
         .filter(F.col("_rk") <= k)
         .drop("_h", "_rk")
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, int],
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Corpus mixture control: downsample sources so the output follows
+    the target integer weight ratios exactly (e.g. {web:3, books:1} →
+    3:1), keeping as many rows as the scarcest source allows. Sources
+    absent from `weights` are dropped.
+
+    Quotas are derived distributively — per-source counts, one 1-row
+    min aggregate broadcast back (k_s = w_s · min_s⌊n_s/w_s⌋) — and
+    rows are chosen deterministically (smallest id-hash first), so the
+    mix is reproducible and engine-replayable. Shuffles: one count agg
+    + one rank window on the source key; no driver-side state.
+    """
+    wexpr = None
+    for s, w in weights.items():
+        cond = F.col(source_col) == s
+        wexpr = F.when(cond, w) if wexpr is None else wexpr.when(cond, w)
+    wexpr = wexpr.otherwise(F.lit(None))
+
+    counts = (
+        df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", wexpr)
+        .filter(F.col("_w").isNotNull())
+        .withColumn("_unit", F.floor(F.col("_n") / F.col("_w")).cast("long"))
+    )
+    t = counts.agg(F.min("_unit").alias("_t"))
+    quota = counts.join(F.broadcast(t)).select(
+        source_col, (F.col("_w") * F.col("_t")).cast("long").alias("_k")
+    )
+    h = hash_bucket(id_col, salt).alias("_h")
+    w_rank = W.partitionBy(source_col).orderBy("_h", id_col)
+    ranked = df.withColumn("_h", h).withColumn("_rk", F.row_number().over(w_rank))
+    return (
+        ranked.join(F.broadcast(quota), source_col)
+        .filter(F.col("_rk") <= F.col("_k"))
+        .drop("_h", "_rk", "_k")
+    )

@@ -448,3 +448,26 @@ def test_chunk_documents_windows_and_overlap(spark):
     for r in sorted(plain.collect(), key=lambda r: (r.doc_id, r.chunk_start)):
         joined[r.doc_id] = joined.get(r.doc_id, "") + r.chunk_text
     assert joined == {1: "abcdefghij", 2: "xy"}
+
+
+def test_mix_corpus_hits_exact_ratios(spark):
+    from collections import Counter
+
+    from kspp_spark.functions.sampling import mix_corpus
+
+    rows = (
+        [(i, "web") for i in range(100)]
+        + [(i + 1000, "books") for i in range(40)]
+        + [(i + 2000, "junk") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mix_corpus(df, "source", {"web": 3, "books": 1}, "doc_id")
+    got = Counter(r.source for r in out.collect())
+    # scarcest source: books 40//1=40 units; web 100//3=33 -> T=33
+    assert got == {"web": 99, "books": 33}  # exact 3:1, junk dropped
+    # determinism across partitionings
+    again = Counter(
+        r.source for r in mix_corpus(df.repartition(7), "source",
+                                     {"web": 3, "books": 1}, "doc_id").collect()
+    )
+    assert again == got
