@@ -223,8 +223,10 @@ def quantize_embeddings(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Symmetric int8 scalar quantization: per-vector scale =
-    max(|x|)/127, q_i = floor(x_i/scale + 0.5) (half-away-from-zero,
-    computed in exact double arithmetic so any engine agrees bitwise).
+    max(|x|)/127, q_i = floor(x_i/scale + 0.5) — round-half-UP (ties go
+    toward +inf, so -2.5 -> -2), computed in exact double arithmetic so
+    any engine replaying this formula agrees bitwise (the oracle SQL
+    uses the identical floor(x/scale + 0.5) expression).
     4x storage reduction for ANN candidate stages; the scale column
     lets a rescoring stage dequantize (q_i * scale).
 

@@ -81,11 +81,13 @@ def rotated_file_sink(
 ) -> None:
     """Event-time-rotated files (avro_file_sink.h:67-85 rotates the
     container by event-time window; files named by window start).
-    Spark-native: partitionBy on the truncated event-time — each
+    Spark-native: partitionBy on the event-time window start — each
     window directory is the reference's rotated file, and downstream
-    scans get partition pruning on the window column for free."""
+    scans get partition pruning on the window column for free. The
+    `window` parameter takes any Spark interval ('15 minutes',
+    '1 hour', '1 day', ...) and drives the actual rotation width."""
     (
-        df.withColumn("window_start", F.date_trunc("hour", F.col(event_time)))
+        df.withColumn("window_start", F.window(F.col(event_time), window).start)
         .write.format(fmt)
         .partitionBy("window_start")
         .mode(mode)

@@ -29,10 +29,33 @@ from typing import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 
+def sql_literal(v) -> str:
+    """Render a Python cursor value as an ANSI-SQL literal so the keyset
+    predicate is valid against a real database (not Python repr): datetimes
+    become TIMESTAMP '...' literals, strings are single-quote-escaped,
+    numbers pass through. This is what the remote WHERE clause actually
+    executes, so injection-safe quoting matters even for trusted cursors."""
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, datetime.datetime):
+        return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+    if isinstance(v, datetime.date):
+        return "DATE '" + v.isoformat() + "'"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def keyset_predicate(ts_col: str, id_col: str, last_ts, last_id) -> str:
-    """The exact resume predicate of postgres_read_cursor.cpp:77-95."""
+    """The exact resume predicate of postgres_read_cursor.cpp:77-95,
+    with cursor values rendered as proper SQL literals."""
+    ts_lit, id_lit = sql_literal(last_ts), sql_literal(last_id)
     return (
-        f"(({ts_col} = {last_ts!r} AND {id_col} > {last_id!r}) OR ({ts_col} > {last_ts!r}))"
+        f"(({ts_col} = {ts_lit} AND {id_col} > {id_lit}) OR ({ts_col} > {ts_lit}))"
     )
 
 
@@ -84,6 +107,12 @@ class JdbcKeysetSource:
         checkpointing (last_ts, last_id) if resume across restarts is
         needed (reference: offset_storage_provider.h)."""
         df = self._fetch(self._query())
+        # Materialize the page ONCE (localCheckpoint executes the remote
+        # query eagerly and pins the result): deriving the cursor and the
+        # yielded batch from separate executions of a LIMIT-ed query is a
+        # correctness bug — rows committed between the two executions can
+        # shift the page, advancing the cursor past rows never delivered.
+        df = df.localCheckpoint(eager=True)
         rows = df.orderBy(self.ts_col, self.id_col).tail(1)
         if not rows:
             return None

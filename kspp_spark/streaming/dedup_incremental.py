@@ -103,13 +103,25 @@ def probe_and_update(
         .select(F.col("b").alias("new_id"), F.col("a").alias("dup_of"))
     )
     pairs = within
-    if os.path.isdir(state_dir) and any(os.scandir(state_dir)):
-        state = spark.read.parquet(state_dir).select("id", "band", "bhash")
+    # Detect existing state by attempting the read (works for any
+    # filesystem scheme — local, hdfs://, s3a:// — unlike os.path checks,
+    # which silently disable the probe on remote state dirs).
+    try:
+        state = spark.read.parquet(state_dir)
+    except Exception:
+        state = None  # first epoch: no accumulated state yet
+    if state is not None:
+        # epoch=N directory naming surfaces as a discovered partition
+        # column: exclude the CURRENT epoch so a checkpoint-recovery
+        # replay (which already wrote this epoch's state) doesn't emit
+        # the within-batch pairs a second time in (a,b)+(b,a) form.
+        if "epoch" in state.columns:
+            state = state.filter(F.col("epoch") != F.lit(int(epoch_id)))
+        state = state.select("id", "band", "bhash")
         cross = (
             new.join(state.withColumnRenamed("id", "dup_of"), ["band", "bhash"])
             .select(F.col("id").alias("new_id"), "dup_of")
-            # a checkpoint-recovery replay sees its own epoch already in
-            # state; never pair a document with itself
+            # belt-and-braces: never pair a document with itself
             .filter(F.col("new_id") != F.col("dup_of"))
         )
         pairs = within.unionByName(cross)

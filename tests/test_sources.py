@@ -54,6 +54,54 @@ def test_keyset_incremental_reads_exact_delta(spark):
     ]
 
 
+def test_keyset_datetime_cursor_round_trips_as_sql(spark):
+    """A real CDC table keys on a timestamp column: after page 1 the
+    cursor is a datetime, and the next query must embed it as a valid
+    SQL TIMESTAMP literal (not Python repr). The fake db parses the
+    query with Spark SQL — a repr()-style literal fails to parse."""
+    import datetime
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, t(10), "a"), (2, t(20), "b"), (3, t(30), "c")]
+    table = spark.createDataFrame(rows, "id long, ts timestamp, payload string")
+    table.createOrReplaceTempView("cdc_ts_table")
+
+    def fetch(query):
+        return spark.sql(query[1 : query.rfind(")")])
+
+    src = JdbcKeysetSource(
+        spark, url="", table="cdc_ts_table", ts_col="ts", id_col="id",
+        batch_size=2, fetch_fn=fetch,
+    )
+    p1 = src.poll_once()
+    assert sorted(r.id for r in p1.collect()) == [1, 2]
+    assert src.last_ts == t(20)  # cursor is a datetime now
+    # the second poll interpolates the datetime cursor into SQL
+    p2 = src.poll_once()
+    assert [r.id for r in p2.collect()] == [3]
+    # rescrape on a datetime cursor rewinds by milliseconds
+    src.rescrape_window = 15_000
+    src.rescrape()
+    assert src.last_ts == t(15)
+    got = sorted(r.id for r in src.poll_once().collect())
+    assert got == [2, 3]
+
+
+def test_sql_literal_quoting():
+    from kspp_spark.sources.jdbc_keyset import sql_literal
+    import datetime
+
+    assert sql_literal(100) == "100"
+    assert sql_literal(None) == "NULL"
+    assert (
+        sql_literal(datetime.datetime(2024, 1, 2, 3, 4, 5, 678000))
+        == "TIMESTAMP '2024-01-02 03:04:05.678000'"
+    )
+    assert sql_literal(datetime.date(2024, 1, 2)) == "DATE '2024-01-02'"
+    # strings escape embedded quotes (injection-safe for trusted cursors)
+    assert sql_literal("o'brien") == "'o''brien'"
+
+
 def test_confluent_framing(spark):
     # wire format (avro_serdes.h:48-102): 0x00 magic + int32 BE schema id + payload
     payload = b"\x00" + (1234).to_bytes(4, "big") + b"avro-bytes-here"
