@@ -121,33 +121,38 @@ def delay_stream(
     value: str,
     event_time: str,
     delay_ms: int,
-    now_ms_fn=None,
+    watermark_delay: str = "0 seconds",
 ):
-    """Streaming delay (delay.h:40-50): hold each record until
-    event_time + delay <= the processing tick, then release with the
-    ORIGINAL event_time (the reference forwards the untouched record).
+    """Streaming delay (delay.h:40-50): the reference releases a record
+    once the topology tick passes event_time + delay. Spark mapping:
+    the topology tick (topology.cpp process loop) is the stream's
+    event-time WATERMARK — deterministic and replay-stable, unlike a
+    wall clock: re-running the same data releases the same records in
+    the same batches, and the operator terminates under availableNow
+    (a ProcessingTimeTimeout design spins empty micro-batches forever
+    because shouldRunAnotherBatch is unconditionally true for it).
 
     Operates on the canonical changelog shape (key, value: string,
     event_time) — like the reference, which delays opaque serded
     records; map a struct value through to_json first if needed.
-    Buffered rows live in group state as parallel arrays; a
-    processing-time timeout re-fires the group to drain matured rows
-    even when no new input arrives. Batch-mode delay is an identity
-    (every event_time <= the batch tick), matching topology flush.
-
-    now_ms_fn: injectable clock (tests); defaults to wall clock.
+    Records whose event_time + delay is <= the watermark flow through;
+    younger records buffer in group state with an EventTimeTimeout at
+    their maturity instant, so they release as soon as the watermark
+    passes it even with no new input for their key. Released records
+    carry the ORIGINAL event_time (the reference forwards the record
+    untouched). Note the watermark is computed from the PREVIOUS
+    batch's max event time, so release lags one micro-batch behind
+    data arrival — the price of determinism. Batch-mode delay is an
+    identity (every event_time <= the batch tick), matching topology
+    flush.
     """
-    import time as _time
-
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    now_fn = now_ms_fn or (lambda: int(_time.time() * 1000))
     out_schema = (
         f"{key} string, {value} string, {event_time} timestamp"
     )
 
     def hold(key_, pdf_iter, state: GroupState):
-        now_ms = now_fn()
         vals: list = []
         times: list = []
         if state.exists:
@@ -156,11 +161,15 @@ def delay_stream(
         for pdf in pdf_iter:
             vals.extend(pdf[value].tolist())
             times.extend((pdf[event_time].astype("int64") // 1_000_000).tolist())
-        ready_idx = [i for i, t in enumerate(times) if t + delay_ms <= now_ms]
-        pend_idx = [i for i, t in enumerate(times) if t + delay_ms > now_ms]
+        wm = state.getCurrentWatermarkMs()
+        ready_idx = [i for i, t in enumerate(times) if t + delay_ms <= wm]
+        pend_idx = [i for i, t in enumerate(times) if t + delay_ms > wm]
         if pend_idx:
             state.update(([vals[i] for i in pend_idx], [times[i] for i in pend_idx]))
-            state.setTimeoutDuration(500)
+            # fire when the watermark passes the earliest maturity; must
+            # be strictly ahead of the current watermark
+            next_fire = min(times[i] + delay_ms for i in pend_idx)
+            state.setTimeoutTimestamp(max(next_fire, wm + 1))
         elif state.exists:
             state.remove()
         if ready_idx:
@@ -174,12 +183,16 @@ def delay_stream(
                 }
             )
 
-    return df.groupBy(key).applyInPandasWithState(
-        hold,
-        outputStructType=out_schema,
-        stateStructType="vals array<string>, times array<long>",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    return (
+        df.withWatermark(event_time, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            hold,
+            outputStructType=out_schema,
+            stateStructType="vals array<string>, times array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -108,44 +108,59 @@ def test_rate_limit_stream_matches_batch(spark, stream_dir):
     assert len(got) < len(rows)  # some rejections happened
 
 
-def test_delay_stream_holds_then_releases(spark, stream_dir):
-    """delay.h semantics: old records pass immediately; a fresh record
-    is buffered in state and released once its delay matures (the
-    processing-time timeout keeps draining until then), with its
-    ORIGINAL event_time preserved."""
+def test_delay_stream_holds_then_releases(spark, stream_dir, tmp_path):
+    """delay.h semantics on the watermark clock, fully deterministic
+    (no wall-clock anywhere): the watermark plays the topology tick.
+
+    Run 1: the max event time is `base`, so after the first batch the
+    watermark is `base` — the 60s-old records have matured (old + 5s
+    <= base) and release; the fresh record (base + 5s > base) buffers
+    in state with an event-time timeout at its maturity.
+    Run 2: a new record at base+10s pushes the watermark past the
+    maturity; the timeout fires and the held record releases with its
+    ORIGINAL event_time — no new input for its key arrived."""
     from kspp_spark.streaming.stateful import delay_stream
     import datetime
 
-    now = datetime.datetime.now()
-    old = now - datetime.timedelta(seconds=120)
-    rows = [("a", 1, old), ("a", 2, now), ("b", 3, old)]
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    base = datetime.datetime(2024, 1, 1, 0, 1, 0)
+    old = datetime.datetime(2024, 1, 1, 0, 0, 0)  # 60s before base
+    rows = [("a", 1, old), ("a", 2, base), ("b", 3, old)]
     _write_batch(spark, stream_dir, rows, 0)
-    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
-    src = src.select("key", F.col("value").cast("string").alias("value"), "event_time")
-    out = delay_stream(src, "key", "value", "event_time", delay_ms=5_000)
-    t0 = time.time()
-    q = (
-        out.writeStream.format("memory")
-        .queryName("dly")
-        .outputMode("append")
-        .trigger(processingTime="1 second")
-        .start()
+
+    def run_once():
+        src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+        src = src.select(
+            "key", F.col("value").cast("string").alias("value"), "event_time"
+        )
+        out = delay_stream(src, "key", "value", "event_time", delay_ms=5_000)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = sorted(r.value for r in spark.read.parquet(out_dir).collect())
+    assert got1 == ["1", "3"]  # fresh record held, old ones released
+    # a record at base+10s (any key) drives the watermark past the
+    # held record's maturity; key 'a' drains via its event-time timeout
+    time.sleep(1.1)
+    _write_batch(
+        spark, stream_dir,
+        [("zz", 9, base + datetime.timedelta(seconds=10))], 1,
     )
-    # poll until the held record matures and releases (generous bound:
-    # the 5s delay plus scheduler jitter under parallel test load)
-    while time.time() - t0 < 120:
-        if spark.sql("select count(*) c from dly").collect()[0].c == 3:
-            break
-        time.sleep(1)
-    q.stop()
-    elapsed = time.time() - t0
-    rows_out = spark.sql("select * from dly").collect()
+    run_once()
+    rows_out = spark.read.parquet(out_dir).collect()
     assert sorted(r.value for r in rows_out) == ["1", "2", "3"]
-    # the fresh record was held for its remaining delay, not dropped
-    assert elapsed >= 4.0
-    # original event_time forwarded untouched (second precision)
+    # original event_time forwarded untouched
     fresh = [r for r in rows_out if r.value == "2"][0]
-    assert abs((fresh.event_time - now).total_seconds()) < 1.0
+    assert fresh.event_time == base
 
 
 def test_windowed_table_stream_emits_expiry_tombstones(spark, stream_dir):
