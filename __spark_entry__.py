@@ -1242,12 +1242,19 @@ def q_curate_docs(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact over the id-pruned self
-    join; LSH-candidate path covered by ivf_ann/lsh tests)."""
-    from kspp_spark.functions.dedup import embedding_dup_pairs
+    """Embedding-cosine near-dup pairs, scale path: block-matrix exact
+    candidate generation (packed blocks, B²/2 block-pair tasks, one
+    vectorized matmul each — no row-level a<b join on the full table)
+    followed by exact sequential-double rescoring so the result is
+    bitwise identical to the O(n²) oracle. The margin makes the
+    candidate stage a provable superset of the true pairs."""
+    from kspp_spark.functions.dedup import block_cosine_candidates, embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, threshold=0.4)
+    cands = block_cosine_candidates(
+        emb, threshold=0.4, margin=1e-6, n_blocks=8
+    )
+    return embedding_dup_pairs(emb, threshold=0.4, candidates=cands)
 
 
 def q_quantize_embeddings(spark, sf_dir):

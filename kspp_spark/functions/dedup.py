@@ -96,16 +96,26 @@ def minhash_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_ids: int | None = 256,
 ) -> DataFrame:
     """LSH banding: equal band-slices bucket together; same-bucket pairs
     are near-dup candidates.
 
     Implemented as ONE hash aggregation on (band, band_hash) +
     in-bucket pair expansion — not a self-join, which would recompute
-    the whole signature lineage twice and shuffle it twice. Bucket
-    membership lists are small by construction (docs agreeing on a full
-    band); pathological buckets (mass-duplicated content) are exactly
-    the pairs we want anyway.
+    the whole signature lineage twice and shuffle it twice.
+
+    Oversized buckets (mass-duplicated boilerplate is common in web
+    corpora) are bounded: the quadratic i<j expansion runs over the
+    `max_bucket_ids` smallest ids only, and every overflow id instead
+    pairs with the bucket's hub (the minimum id) — a STAR expansion.
+    Output becomes linear in bucket size past the cap while the
+    connected components (what dedup clustering consumes) stay
+    identical: every member remains reachable from the hub. Without
+    the cap one 10M-doc bucket expands to ~5·10^13 pairs in a single
+    task. The residual cost is the packed id list itself (8 B/doc —
+    80 MB for a 10M bucket), which is storage, not pair explosion.
+    Set max_bucket_ids=None for unbounded all-pairs.
 
     Output: distinct candidate pairs (a, b) with a < b.
     """
@@ -140,19 +150,42 @@ def minhash_candidates(
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    # expand i<j pairs within each bucket JVM-side
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
+    if max_bucket_ids is not None:
+        # head: the K smallest ids get the full i<j expansion;
+        # overflow ids each pair with the hub (minimum id) only
+        buckets = buckets.select(
+            F.slice("ids", 1, max_bucket_ids).alias("head"),
+            F.when(
+                F.size("ids") > max_bucket_ids,
+                F.slice(
+                    "ids",
+                    max_bucket_ids + 1,
+                    F.size("ids") - F.lit(max_bucket_ids),
+                ),
             )
-        ).alias("p")
+            .otherwise(F.slice("ids", 1, 0))  # empty, same element type
+            .alias("overflow"),
+        )
+    else:
+        buckets = buckets.select(
+            F.col("ids").alias("head"), F.slice("ids", 1, 0).alias("overflow")
+        )
+    # expand i<j pairs within each head JVM-side, + hub->overflow stars
+    quad = F.flatten(
+        F.transform(
+            F.col("head"),
+            lambda x, i: F.transform(
+                F.slice(F.col("head"), i + 2, F.size(F.col("head"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    star = F.transform(
+        F.col("overflow"),
+        lambda y: F.struct(F.element_at(F.col("head"), 1).alias("a"), y.alias("b")),
+    )
+    pairs = buckets.select(
+        F.explode(F.concat(quad, star)).alias("p")
     ).select("p.a", "p.b")
     return pairs.distinct()
 
@@ -228,11 +261,104 @@ def embedding_dup_pairs(
     dot = _dot(F.col("_va"), F.col("_vb"), False)
     na = _dot(F.col("_va"), F.col("_va"), False)
     nb = _dot(F.col("_vb"), F.col("_vb"), False)
-    score = dot / F.sqrt(na * nb)
+    # zero-norm guard: ANSI mode (on in the driver session) turns the
+    # division into an error; a zero vector matches nothing (NULL score
+    # fails the >= threshold filter)
+    score = F.when((na > 0) & (nb > 0), dot / F.sqrt(na * nb))
     return (
         pairs.select("a", "b", score.alias("score"))
         .filter(F.col("score") >= threshold)
     )
+
+
+def block_cosine_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.9,
+    margin: float = 1e-9,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """EXACT candidate pairs for embedding-cosine dedup via block-matrix
+    scoring — the scale-shaped replacement for the O(n²) `a < b`
+    self-join on the full table.
+
+    Vectors hash into `n_blocks` blocks; each block packs into ONE row
+    (collect_list). The only join is the block-pair relation — B²/2
+    rows of packed blocks, never a row-level cross product — and each
+    block pair is scored inside an Arrow-batched task as a single
+    vectorized matmul. Pairs with cos >= threshold - margin survive;
+    `margin` covers the gap between BLAS pairwise summation and the
+    sequential-double arithmetic of the exact rescoring stage (bound
+    ~dim x machine-eps ≈ 1e-13 for dim 64, so 1e-9 is generous), which
+    makes the candidate set a provable superset of the true pairs —
+    unlike probabilistic LSH, which cannot promise recall for
+    thresholds near the random-pair cosine range.
+
+    Scale math: per-task memory = 2 blocks ≈ 2·(n/B)·dim·8 bytes;
+    work = B²/2 independent tasks. Choose B ≈ n·dim·8 / (64 MB) so a
+    block fits comfortably; exact all-pairs is inherently O(n²) —
+    this tier is for moderate n (millions); billion-scale goes through
+    the approximate tiers (lsh_ann / ivf) with relaxed recall.
+
+    Output: (a, b) with a < b, cos(a, b) >= threshold - margin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk")
+    packed = (
+        df.select(
+            blk,
+            F.struct(
+                F.col(id_col).alias("i"),
+                F.transform(F.col(vec), lambda x: x.cast("double")).alias("v"),
+            ).alias("s"),
+        )
+        .groupBy("blk")
+        .agg(F.collect_list("s").alias("items"))
+    )
+    left = packed.select(F.col("blk").alias("bl"), F.col("items").alias("l_items"))
+    right = packed.select(F.col("blk").alias("br"), F.col("items").alias("r_items"))
+    joined = left.join(right, F.col("bl") <= F.col("br"))
+
+    cut = threshold - margin
+
+    def score(batches):
+        for pdf in batches:
+            out_a: list = []
+            out_b: list = []
+            for bl, br, li, ri in zip(
+                pdf["bl"], pdf["br"], pdf["l_items"], pdf["r_items"]
+            ):
+                ids_l = np.array([x["i"] for x in li])
+                V_l = np.array([x["v"] for x in li], dtype=np.float64)
+                if bl == br:
+                    ids_r, V_r = ids_l, V_l
+                else:
+                    ids_r = np.array([x["i"] for x in ri])
+                    V_r = np.array([x["v"] for x in ri], dtype=np.float64)
+                nl = np.linalg.norm(V_l, axis=1)
+                nr = np.linalg.norm(V_r, axis=1)
+                nl[nl == 0] = np.inf  # zero vectors match nothing
+                nr[nr == 0] = np.inf
+                S = (V_l / nl[:, None]) @ (V_r / nr[:, None]).T
+                hit = S >= cut
+                # orient every pair (smaller id, larger id); within a
+                # block each unordered pair appears once via the < mask
+                hit &= ids_l[:, None] < ids_r[None, :]
+                ii, jj = np.nonzero(hit)
+                out_a.extend(ids_l[ii].tolist())
+                out_b.extend(ids_r[jj].tolist())
+                if bl != br:
+                    hit2 = (S >= cut) & (ids_l[:, None] > ids_r[None, :])
+                    ii2, jj2 = np.nonzero(hit2)
+                    out_a.extend(ids_r[jj2].tolist())
+                    out_b.extend(ids_l[ii2].tolist())
+            yield pd.DataFrame({"a": out_a, "b": out_b})
+
+    return joined.mapInPandas(score, schema=f"a {id_type}, b {id_type}")
 
 
 def simhash(

@@ -177,6 +177,58 @@ def test_embedding_dup_pairs_candidate_path(spark):
     assert {(r.a, r.b) for r in out} == {(1, 2)}
 
 
+def test_minhash_bucket_cap_bounds_expansion(spark):
+    """A mass-duplicated page (10k identical docs -> one LSH bucket per
+    band) must NOT expand to ~5·10^7 pairs in one task: with the cap,
+    output is K²/2 head pairs + (n-K) hub stars, and the duplicate
+    CLUSTER is still fully connected (what dedup consumes)."""
+    from kspp_spark.functions.dedup import (
+        connected_components,
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    n, cap = 10_000, 64
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "identical boilerplate page body repeated across the corpus"
+        ).alias("text"),
+    )
+    pairs = minhash_candidates(minhash_signatures(docs), max_bucket_ids=cap)
+    cnt = pairs.count()
+    assert cnt <= cap * (cap - 1) // 2 + (n - cap)  # linear past the cap
+    comps = connected_components(pairs)
+    assert comps.count() == n
+    assert comps.select("component").distinct().count() == 1  # one cluster
+
+
+def test_block_cosine_candidates_equal_brute_force(spark):
+    """The block-matrix candidate generator must recover EXACTLY the
+    pairs of the O(n²) self-join (its contract is a provable superset;
+    at the same threshold + margin-then-rescore it's equality) — across
+    block boundaries, within blocks, and with zero vectors present."""
+    import random
+
+    from kspp_spark.functions.dedup import block_cosine_candidates, embedding_dup_pairs
+
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(80)]
+    rows.append((80, [0.0] * 8))  # zero vector: must match nothing
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    brute = {
+        (r.a, r.b, round(r.score, 9))
+        for r in embedding_dup_pairs(emb, threshold=0.6).collect()
+    }
+    cands = block_cosine_candidates(emb, threshold=0.6, margin=1e-6, n_blocks=4)
+    blocked = {
+        (r.a, r.b, round(r.score, 9))
+        for r in embedding_dup_pairs(emb, threshold=0.6, candidates=cands).collect()
+    }
+    assert brute == blocked and len(brute) > 0
+    assert all(a < b for a, b, _ in blocked)
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     import random
 
