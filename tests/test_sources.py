@@ -114,6 +114,111 @@ def test_confluent_framing(spark):
     assert bytes(row.body) == b"avro-bytes-here"
 
 
+def _frame(schema_id: int, payload: bytes) -> bytes:
+    """Confluent wire format: 0x00 magic + int32 BE schema id + body."""
+    return b"\x00" + schema_id.to_bytes(4, "big") + payload
+
+
+def test_registry_client_caches_and_registers():
+    """id->schema lookups hit the transport once per id (the reference's
+    avro_cache_, schema_registry_client.h:35); put_schema registers via
+    POST and pre-seeds the cache with the returned id."""
+    import json
+
+    from kspp_spark.sources.schema_registry import SchemaRegistryClient
+
+    store = {7: '{"type":"string"}', 9: '{"type":"long"}'}
+    fetches = []
+
+    def fetch(url):
+        sid = int(url.rsplit("/", 1)[1])
+        fetches.append(sid)
+        return json.dumps({"schema": store[sid]})
+
+    posts = []
+
+    def post(url, payload):
+        posts.append((url, payload))
+        return json.dumps({"id": 42})
+
+    c = SchemaRegistryClient("http://registry:8081/", fetch_fn=fetch, post_fn=post)
+    assert c.get_schema(7) == '{"type":"string"}'
+    assert c.get_schema(7) == '{"type":"string"}'  # cached
+    assert fetches == [7]
+    assert c.schema_map([7, 9]) == {7: store[7], 9: store[9]}
+    assert fetches == [7, 9]  # only the new id fetched
+
+    sid = c.put_schema("orders-value", {"type": "int"})
+    assert sid == 42
+    assert posts[0][0].endswith("/subjects/orders-value/versions")
+    assert c.get_schema(42) == '{"type": "int"}'  # seeded, no fetch
+    assert fetches == [7, 9]
+
+
+def test_split_mixed_schema_topic_routes_by_id(spark):
+    """A topic batch carrying two writer-schema versions splits into one
+    sub-frame per schema id, each paired with its resolved schema —
+    without a live registry (injected transport)."""
+    import json
+
+    from kspp_spark.sources.schema_registry import (
+        SchemaRegistryClient,
+        split_by_schema_id,
+    )
+
+    store = {1: '{"type":"string"}', 2: '{"type":"bytes"}'}
+    c = SchemaRegistryClient(
+        "http://r", fetch_fn=lambda u: json.dumps({"schema": store[int(u.rsplit('/', 1)[1])]})
+    )
+    rows = [
+        (_frame(1, b"v1-a"),),
+        (_frame(2, b"v2-a"),),
+        (_frame(1, b"v1-b"),),
+    ]
+    df = spark.createDataFrame(rows, "value binary")
+    parts = split_by_schema_id(df, c)
+    assert [(sid, schema) for sid, schema, _ in parts] == [
+        (1, store[1]),
+        (2, store[2]),
+    ]
+    by_id = {sid: sorted(bytes(r.value)[5:] for r in part.collect())
+             for sid, _, part in parts}
+    assert by_id == {1: [b"v1-a", b"v1-b"], 2: [b"v2-a"]}
+
+
+def test_decode_confluent_topic_with_spark_avro(spark):
+    """Full decode through from_avro — runs only when the spark-avro
+    package is on the classpath (it ships with Spark distributions but
+    not in every test container)."""
+    import json
+
+    import pytest
+
+    from kspp_spark.sources.schema_registry import (
+        SchemaRegistryClient,
+        decode_confluent_topic,
+    )
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "x", "type": "long"}],
+        }
+    )
+    c = SchemaRegistryClient(
+        "http://r", fetch_fn=lambda u: json.dumps({"schema": schema})
+    )
+    # Avro binary for {"x": 3}: zigzag(3) = 6
+    df = spark.createDataFrame([(_frame(5, bytes([6])),)], "value binary")
+    try:
+        decoded = decode_confluent_topic(df, c)
+        rows = decoded[0][1].select("decoded.x").collect()
+    except Exception:
+        pytest.skip("spark-avro package not on the classpath")
+    assert [r.x for r in rows] == [3]
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Both sides bucketed on the join key with equal bucket counts:
     the join plan must contain NO Exchange — the write-time bucketing
