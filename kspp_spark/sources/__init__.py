@@ -1,3 +1,8 @@
+from kspp_spark.sources.bridge import (
+    BridgeSource,
+    kinesis_source,
+    mqtt_source,
+)
 from kspp_spark.sources.files import read_avro, read_parquet, stream_files
 from kspp_spark.sources.jdbc_keyset import (
     JdbcKeysetSource,
@@ -17,6 +22,9 @@ from kspp_spark.sources.schema_registry import (
 )
 
 __all__ = [
+    "BridgeSource",
+    "kinesis_source",
+    "mqtt_source",
     "read_avro",
     "read_parquet",
     "stream_files",

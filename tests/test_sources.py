@@ -219,6 +219,69 @@ def test_decode_confluent_topic_with_spark_avro(spark):
     assert [r.x for r in rows] == [3]
 
 
+def test_mqtt_bridge_drains_batches(spark):
+    """MQTT bridge (mqtt_source.h parity): injected client yields
+    (topic, payload, ts); batches drain until empty; payload bytes
+    decode; key = topic."""
+    from kspp_spark.sources.bridge import mqtt_source
+
+    buffered = [
+        ("sensors/a", b"21.5", 1_700_000_000_000),
+        ("sensors/b", "22.0", 1_700_000_001_000),
+        ("sensors/a", b"21.7", 1_700_000_002_000),
+    ]
+
+    def receive(n):
+        out, buffered[:] = buffered[:n], buffered[n:]
+        return out
+
+    src = mqtt_source(spark, receive, batch_size=2)
+    b1 = src.poll_once()
+    assert [(r.key, r.value) for r in b1.orderBy("event_time").collect()] == [
+        ("sensors/a", "21.5"),
+        ("sensors/b", "22.0"),
+    ]
+    b2 = src.poll_once()
+    assert b2.count() == 1
+    assert src.poll_once() is None  # drained
+
+
+def test_kinesis_bridge_spools_for_streaming(spark, tmp_path):
+    """Kinesis bridge scale path: records spool to parquet files that a
+    Structured Streaming file source tails — the endpoint is single-node,
+    the processing fans out."""
+    from kspp_spark.sources.bridge import BRIDGE_SCHEMA, kinesis_source
+    from kspp_spark.streaming.core import count_by_key_stream
+
+    shard = [
+        ("user-1", b'{"clicks":1}', 1_700_000_000_000),
+        ("user-2", b'{"clicks":2}', 1_700_000_001_000),
+        ("user-1", b'{"clicks":3}', 1_700_000_002_000),
+    ]
+
+    def get_records(limit):
+        out, shard[:] = shard[:limit], shard[limit:]
+        return out
+
+    spool_dir = str(tmp_path / "spool")
+    src = kinesis_source(spark, get_records, batch_size=2)
+    n = src.spool(spool_dir)
+    assert n == 3
+
+    stream = spark.readStream.schema(BRIDGE_SCHEMA).parquet(spool_dir)
+    q = (
+        count_by_key_stream(stream, "key")
+        .writeStream.format("memory")
+        .queryName("bridge_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.key: r.cnt for r in spark.sql("select * from bridge_counts").collect()}
+    assert got == {"user-1": 2, "user-2": 1}
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Both sides bucketed on the join key with equal bucket counts:
     the join plan must contain NO Exchange — the write-time bucketing
