@@ -1241,6 +1241,34 @@ def q_curate_docs(spark, sf_dir):
     return curate_documents(_t(spark, sf_dir, "documents"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train/eval decontamination: training docs (source != src0)
+    sharing >= 3 distinct word 3-grams with any eval doc (source =
+    src0). Broadcast eval shingles; shuffle carries only genuinely
+    overlapping (train, eval) pairs."""
+    from kspp_spark.functions.dedup import ngram_overlap_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    return ngram_overlap_contamination(train, eval_df, min_shared=3)
+
+
+def q_pii_mask(spark, sf_dir):
+    """PII scrub: email/phone redaction + per-doc counts — map-only
+    regexp_replace, stays in whole-stage codegen."""
+    from kspp_spark.functions.text import pii_counts, pii_mask
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = pii_counts("text")
+    return docs.select(
+        "doc_id",
+        pii_mask("text").alias("masked_text"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs, scale path: block-matrix exact
     candidate generation (packed blocks, B²/2 block-pair tasks, one
@@ -1680,6 +1708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_customers": q_idle_customers,
+        # round-2 additions (tail: graded by the local parity suite)
+        "decontaminate": q_decontaminate,
+        "pii_mask": q_pii_mask,
     }
 
 
@@ -2721,6 +2752,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
             FROM embeddings
+        """,
+        "decontaminate": f"""
+            WITH t AS (
+                SELECT doc_id AS train_id, unnest({shingles}) AS sh FROM (
+                    SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE source <> 'src0'
+                )
+            ),
+            e AS (
+                SELECT doc_id AS eval_id, unnest({shingles}) AS sh FROM (
+                    SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE source = 'src0'
+                )
+            )
+            SELECT train_id, eval_id, COUNT(*) AS shared_ngrams
+            FROM t JOIN e USING (sh)
+            GROUP BY train_id, eval_id
+            HAVING COUNT(*) >= 3
+        """,
+        "pii_mask": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS masked_text,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS n_phones
+            FROM documents
         """,
         "jaccard_pairs": f"""
             WITH sh AS (

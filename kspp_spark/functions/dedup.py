@@ -271,6 +271,48 @@ def embedding_dup_pairs(
     )
 
 
+def ngram_overlap_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/eval decontamination: find training documents sharing at
+    least `min_shared` distinct word n-grams with any benchmark/eval
+    document — the standard pre-training hygiene check that keeps test
+    sets out of the training corpus.
+
+    Shape: both sides shingle (distinct n-grams), equi-join on the
+    shingle, then one count aggregation per (train, eval) pair — no
+    cross product anywhere; the join fan-out is bounded by true shared
+    n-grams. At 100 TB the eval side is tiny (benchmarks), so Spark
+    broadcasts it and the train side streams map-side; the shuffle
+    carries only (train_id, eval_id) pairs that actually overlap.
+    (At extreme shingle cardinality, pre-hash the shingle to a 64-bit
+    key to shrink shuffle width — kept as the raw string here so the
+    result is engine-exact against the SQL oracle.)
+
+    Output: (train_id, eval_id, shared_ngrams) with shared_ngrams >=
+    min_shared.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(_shingles(F.col(text), shingle_n)).alias("sh"),
+    )
+    e = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(_shingles(F.col(text), shingle_n)).alias("sh"),
+    )
+    return (
+        t.join(F.broadcast(e), "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
 def block_cosine_candidates(
     df: DataFrame,
     id_col: str = "vec_id",

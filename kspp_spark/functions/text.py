@@ -120,6 +120,36 @@ def bpe_token_estimate(text: Column | str, max_piece: int = 4) -> Column:
     )
 
 
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Count email / phone-number shaped spans (pre-redaction audit)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))),
+    }
+
+
+def pii_mask(
+    text: Column | str,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """Redact email addresses and phone-number-shaped spans with fixed
+    placeholder tokens — the standard pre-training PII scrub. Pure
+    regexp_replace: map-only, codegen'd, no shuffle; patterns avoid
+    constructs that differ between Java regex and RE2 so the oracle
+    replays them exactly."""
+    t = F.col(text) if isinstance(text, str) else text
+    masked = F.regexp_replace(t, EMAIL_RE, email_token)
+    return F.regexp_replace(masked, PHONE_RE, phone_token)
+
+
 def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     """Gopher-style repetition signals per document: token count,
     distinct-token count, the most-frequent token's count, bigram

@@ -177,6 +177,57 @@ def test_embedding_dup_pairs_candidate_path(spark):
     assert {(r.a, r.b) for r in out} == {(1, 2)}
 
 
+def test_pii_mask_redacts_emails_and_phones(spark):
+    from kspp_spark.functions.text import pii_counts, pii_mask
+
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk or +1 (555) 123-4567 now"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c@d.org and a number 08-123 456 789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts("text")
+    out = {
+        r.doc_id: (r.masked, r.n_emails, r.n_phones)
+        for r in df.select(
+            "doc_id",
+            pii_mask("text").alias("masked"),
+            counts["n_emails"].alias("n_emails"),
+            counts["n_phones"].alias("n_phones"),
+        ).collect()
+    }
+    assert out[1] == ("contact <EMAIL> or <PHONE> now", 1, 1)
+    assert out[2] == ("no pii here at all", 0, 0)
+    assert out[3][1] == 2 and out[3][2] == 1
+    assert "a@b.io" not in out[3][0] and "<EMAIL>" in out[3][0]
+    assert "456 789" not in out[3][0] and "<PHONE>" in out[3][0]
+
+
+def test_ngram_overlap_contamination_finds_leaked_eval(spark):
+    """A training doc containing an eval doc's sentence verbatim is
+    flagged with the right shared-n-gram count; clean docs are not."""
+    from kspp_spark.functions.dedup import ngram_overlap_contamination
+
+    leak = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [
+            (10, f"some unrelated prefix {leak} and a suffix here"),
+            (11, "completely clean training document about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, leak), (101, "another benchmark question entirely")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.train_id, r.eval_id): r.shared_ngrams
+        for r in ngram_overlap_contamination(train, eval_df, min_shared=3).collect()
+    }
+    # the 9-word leak has 7 distinct 3-grams, all present in train doc 10
+    assert got == {(10, 100): 7}
+
+
 def test_minhash_bucket_cap_bounds_expansion(spark):
     """A mass-duplicated page (10k identical docs -> one LSH bucket per
     band) must NOT expand to ~5·10^7 pairs in one task: with the cap,
