@@ -85,12 +85,16 @@ def rate_limit_stream(
     event_time: str,
     filltime_ms: int,
     capacity: int,
+    seq: str | None = None,
 ):
     """Streaming token-bucket rate limiter via applyInPandasWithState.
-    State = (tokens, tstamp) per key, exactly the reference's bucket."""
+    State = (tokens, tstamp) per key, exactly the reference's bucket.
+    `seq` breaks event-time ties deterministically, matching
+    rate_limit_batch's replay order."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     fillrate = capacity / filltime_ms
+    order = [event_time] + ([seq] if seq else [])
     out_schema = df.schema
     state_schema = "tokens double, tstamp long"
 
@@ -100,7 +104,7 @@ def rate_limit_stream(
         else:
             tokens, tstamp = float(capacity), 0
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(event_time, kind="mergesort")
+            pdf = pdf.sort_values(order, kind="mergesort")
             ts = (pdf[event_time].astype("int64") // 1_000_000).tolist()
             flags, tokens, tstamp = _run_bucket(ts, capacity, fillrate, tokens, tstamp)
             yield pdf[pd.Series(flags, index=pdf.index)]

@@ -177,6 +177,32 @@ def test_embedding_dup_pairs_candidate_path(spark):
     assert {(r.a, r.b) for r in out} == {(1, 2)}
 
 
+def test_visitor_side_effect_runs_on_executors(spark, tmp_path):
+    """visitor (visitor.h:8-71): terminal per-record side effect. The
+    callback runs in executor Python workers, so it records through the
+    filesystem (the same protocol the sink tests use)."""
+    import glob
+    import os
+    import uuid
+
+    from kspp_spark.operators.stateless import visitor
+
+    outdir = tmp_path / "visited"
+    outdir.mkdir()
+    path = str(outdir)
+
+    def record(row):
+        with open(os.path.join(path, f"{uuid.uuid4().hex}.txt"), "w") as f:
+            f.write(f"{row.id}")
+
+    df = spark.range(5).select(F.col("id"))
+    visitor(df, record)
+    seen = sorted(
+        int(open(f).read()) for f in glob.glob(os.path.join(path, "*.txt"))
+    )
+    assert seen == [0, 1, 2, 3, 4]
+
+
 def test_pii_mask_redacts_emails_and_phones(spark):
     from kspp_spark.functions.text import pii_counts, pii_mask
 
