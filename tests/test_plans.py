@@ -173,3 +173,27 @@ def test_pack_sequences_single_bucket_shuffle(spark, queries):
     plan = formatted_plan(spark, queries["pack_sequences"](spark, SF))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
+
+
+def test_dedup_embedding_has_no_full_table_pair_join(spark, queries):
+    # the scale contract of the block-candidate design: candidate pairs
+    # come from packed block-pair tasks (MapInPandas), never from a
+    # row-level a<b cross/range join over the whole embeddings table
+    plan = formatted_plan(spark, queries["dedup_embedding"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"a#\d+L? < b#\d+", plan), "full-table a<b join present"
+
+
+def test_decontaminate_broadcasts_eval_side(spark, queries):
+    # the eval/benchmark side is tiny by nature: its shingles broadcast,
+    # the training corpus streams map-side — no sort-merge on shingles
+    plan = formatted_plan(spark, queries["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_mask_is_map_only(spark, queries):
+    # pure regexp_replace projection: zero Exchange nodes
+    plan = formatted_plan(spark, queries["pii_mask"](spark, SF))
+    assert "Exchange" not in plan
