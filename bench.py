@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "repetition_stats",
     "train_split",
     "pack_sequences",
+    # round-2 additions (compare per-query medians across rounds, not
+    # totals — the set widened from 25 to 28; see BASELINE.md)
+    "dedup_embedding",
+    "decontaminate",
+    "pii_mask",
 ]
 
 
