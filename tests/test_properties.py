@@ -187,3 +187,83 @@ def test_topk_per_stratum_matches_replay(spark, raw, k):
         members = sorted((i for i, gg in rows if gg == g), key=lambda i: (bucket(i), i))
         expect += [(g, i) for i in members[:k]]
     assert got == sorted(expect)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                list("abZ09._%+-@() ")
+                + ["@example.com", "+1 555 123 4567", "bob", "x@y.io", "555-1234"]
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pii_mask_matches_python_regex_and_is_idempotent(spark, texts):
+    """pii_mask == pure-Python re.sub with the same patterns (engine
+    parity on adversarial near-PII soup), and masking is idempotent:
+    the placeholder tokens never re-match either pattern."""
+    import re
+
+    from kspp_spark.functions.text import EMAIL_RE, PHONE_RE, pii_mask
+    from pyspark.sql import functions as F
+
+    joined = ["".join(t) for t in texts]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(joined)], ["i", "text"])
+    once = {
+        r.i: r.m
+        for r in df.select("i", pii_mask("text").alias("m")).collect()
+    }
+    expect = {
+        i: re.sub(PHONE_RE, "<PHONE>", re.sub(EMAIL_RE, "<EMAIL>", s))
+        for i, s in enumerate(joined)
+    }
+    assert once == expect
+    twice = {
+        r.i: r.m
+        for r in df.select(
+            "i", pii_mask(pii_mask("text")).alias("m")
+        ).collect()
+    }
+    assert twice == once
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-100, max_value=100), min_size=4, max_size=4
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_block_cosine_candidates_superset_property(spark, vecs, n_blocks):
+    """For ANY vector set and block count, the block-candidate stage +
+    exact rescore equals the brute-force O(n²) pairs — the provable-
+    superset contract under randomized inputs (incl. duplicate and
+    zero vectors)."""
+    from kspp_spark.functions.dedup import (
+        block_cosine_candidates,
+        embedding_dup_pairs,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    brute = {
+        (r.a, r.b) for r in embedding_dup_pairs(df, threshold=0.8).collect()
+    }
+    cands = block_cosine_candidates(
+        df, threshold=0.8, margin=1e-6, n_blocks=n_blocks
+    )
+    blocked = {
+        (r.a, r.b)
+        for r in embedding_dup_pairs(df, threshold=0.8, candidates=cands).collect()
+    }
+    assert blocked == brute
