@@ -69,6 +69,24 @@ class Stream:
         fn = rate_limit_stream if self.df.isStreaming else rate_limit_batch
         return Stream(fn(self.df, key, event_time, filltime_ms, capacity))
 
+    def delay(
+        self, key: str, value: str, event_time: str, delay_ms: int
+    ) -> "Stream":
+        """delay (delay.h): streaming = watermark-gated hold/release;
+        batch = identity — a batch flush's tick is past every
+        event_time + delay by definition (topology flush semantics)."""
+        if self.df.isStreaming:
+            from kspp_spark.streaming.stateful import delay_stream
+
+            return Stream(delay_stream(self.df, key, value, event_time, delay_ms))
+        return Stream(self.df)
+
+    def dedup(self, text: str = "text", id_col: str = "doc_id") -> "Stream":
+        """Exact content dedup (beyond-reference surface)."""
+        from kspp_spark.functions.dedup import exact_dedup
+
+        return Stream(exact_dedup(self.df, text, id_col))
+
     # ---- aggregations (§2.4)
     def count_by_key(self, key, out: str = "cnt") -> "Stream":
         return Stream(agg_ops.count_by_key(self.df, key, out))
@@ -126,6 +144,18 @@ class Stream:
 
     def to_console(self, n: int = 20) -> None:
         self.df.show(n, truncate=False)
+
+    def to_rotated_files(
+        self,
+        path: str,
+        event_time: str = "event_time",
+        window: str = "1 hour",
+        fmt: str = "parquet",
+    ) -> None:
+        """avro_file_sink equivalent: event-time-rotated file output."""
+        from kspp_spark.sinks.writers import rotated_file_sink
+
+        rotated_file_sink(self.df, path, event_time, window, fmt)
 
     def to_null(self) -> None:
         self.df.write.format("noop").mode("overwrite").save()

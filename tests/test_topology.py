@@ -81,3 +81,32 @@ def test_windowing_and_asof_chain(spark):
     j = left.asof_join(src, key="key", ts="ts", seq="v", right_payload=["v"], prefix="prior_")
     row = j.collect()[0]
     assert row.prior_v == 2  # latest src event strictly before ts(20)
+
+
+def test_delay_dedup_and_rotated_sink_chain(spark, tmp_path):
+    """Round-2 surface: batch delay is an identity (flush semantics),
+    dedup chains like any processor, and the rotated-file terminal
+    writes window directories."""
+    import datetime
+    import os
+
+    from kspp_spark.plans.topology import Topology
+
+    t = Topology(spark)
+    rows = [
+        (1, "same text body", datetime.datetime(2024, 1, 1, 0, 10)),
+        (2, "same text body", datetime.datetime(2024, 1, 1, 0, 40)),
+        (3, "different body", datetime.datetime(2024, 1, 1, 1, 10)),
+    ]
+    src = t.mem_stream_source(rows, "doc_id long, text string, event_time timestamp")
+    delayed = src.delay("doc_id", "text", "event_time", delay_ms=5_000)
+    assert delayed.df.count() == 3  # batch delay = identity
+
+    deduped = delayed.dedup(text="text", id_col="doc_id")
+    got = {(r.doc_id, r.n_dups) for r in deduped.collect()}
+    assert got == {(1, 2), (3, 1)}  # lowest id survives, dup counted
+
+    out = str(tmp_path / "rotated")
+    src.to_rotated_files(out, window="30 minutes")
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("window_start="))
+    assert len(dirs) == 3  # 00:00, 00:30, 01:00 windows
