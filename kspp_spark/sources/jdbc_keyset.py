@@ -59,12 +59,61 @@ def keyset_predicate(ts_col: str, id_col: str, last_ts, last_id) -> str:
     )
 
 
+class FileOffsetStorage:
+    """Cursor persistence for the CDC poller across restarts — the
+    reference's fs_offset_storage (utils/offset_storage_provider.h:48-60),
+    generalized from a single int64 offset to the (last_ts, last_id)
+    keyset cursor. JSON on any local path; datetimes ISO-encoded.
+    (Kafka-path offsets don't need this — Spark checkpointing covers
+    them, offset_storage_provider.h's own note.)"""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def load(self):
+        import datetime
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            return None  # OFFSET_END semantics: start fresh
+        with open(self.path) as f:
+            d = json.load(f)
+        ts = d["last_ts"]
+        if d.get("ts_kind") == "datetime":
+            ts = datetime.datetime.fromisoformat(ts)
+        return ts, d["last_id"]
+
+    def save(self, last_ts, last_id) -> None:
+        import datetime
+        import json
+        import os
+
+        kind = "datetime" if isinstance(last_ts, datetime.datetime) else "plain"
+        ts = last_ts.isoformat() if kind == "datetime" else last_ts
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_ts": ts, "last_id": last_id, "ts_kind": kind}, f)
+        os.replace(tmp, self.path)  # atomic (persist_offset durability)
+
+
+class NullOffsetStorage:
+    """null_offset_storage parity: never resumes, never persists."""
+
+    def load(self):
+        return None
+
+    def save(self, last_ts, last_id) -> None:
+        pass
+
+
 @dataclass
 class JdbcKeysetSource:
     """Incremental keyset reader.
 
     >>> src = JdbcKeysetSource(spark, url, "public.orders", ts_col="updated_at",
-    ...                        id_col="order_id", batch_size=50_000)
+    ...                        id_col="order_id", batch_size=50_000,
+    ...                        offset_store=FileOffsetStorage("/var/run/orders.cursor"))
     >>> for batch_df in src.poll_forever():  # or src.poll_once()
     ...     process(batch_df)
     """
@@ -84,6 +133,15 @@ class JdbcKeysetSource:
     # injectable page fetcher (query_string) -> DataFrame; defaults to
     # spark.read.jdbc — swappable for tests / non-JDBC backends
     fetch_fn: Callable[[str], DataFrame] | None = None
+    # cursor persistence across restarts (FileOffsetStorage /
+    # NullOffsetStorage / anything with load()->(ts,id)|None, save(ts,id))
+    offset_store: object = None
+
+    def __post_init__(self) -> None:
+        if self.offset_store is not None and self.last_ts is None:
+            stored = self.offset_store.load()
+            if stored is not None:
+                self.last_ts, self.last_id = stored
 
     def _query(self) -> str:
         where = ""
@@ -119,6 +177,8 @@ class JdbcKeysetSource:
         last = rows[0]
         self.last_ts = last[self.ts_col]
         self.last_id = last[self.id_col]
+        if self.offset_store is not None:
+            self.offset_store.save(self.last_ts, self.last_id)
         return df
 
     def rescrape(self) -> None:

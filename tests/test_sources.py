@@ -114,6 +114,45 @@ def test_confluent_framing(spark):
     assert bytes(row.body) == b"avro-bytes-here"
 
 
+def test_keyset_offset_store_resumes_across_restart(spark, tmp_path):
+    """fs_offset_storage parity: a NEW source instance pointed at the
+    same offset file resumes from the persisted (ts, id) cursor —
+    re-reading nothing, catching later rows — including a datetime
+    cursor round-tripped through JSON."""
+    import datetime
+
+    from kspp_spark.sources.jdbc_keyset import FileOffsetStorage
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, t(10), "a"), (2, t(20), "b")]
+    table = spark.createDataFrame(rows, "id long, ts timestamp, payload string")
+    table.createOrReplaceTempView("cdc_resume_table")
+
+    def fetch(query):
+        return spark.sql(query[1 : query.rfind(")")])
+
+    store_path = str(tmp_path / "cursor.json")
+
+    src1 = JdbcKeysetSource(
+        spark, url="", table="cdc_resume_table", ts_col="ts", id_col="id",
+        batch_size=10, fetch_fn=fetch, offset_store=FileOffsetStorage(store_path),
+    )
+    assert src1.poll_once().count() == 2
+    assert src1.poll_once() is None  # caught up; cursor (t(20), 2) persisted
+
+    # restart: fresh instance, same store; a new row appeared meanwhile
+    spark.createDataFrame(
+        rows + [(3, t(30), "c")], "id long, ts timestamp, payload string"
+    ).createOrReplaceTempView("cdc_resume_table")
+    src2 = JdbcKeysetSource(
+        spark, url="", table="cdc_resume_table", ts_col="ts", id_col="id",
+        batch_size=10, fetch_fn=fetch, offset_store=FileOffsetStorage(store_path),
+    )
+    assert (src2.last_ts, src2.last_id) == (t(20), 2)  # resumed
+    delta = src2.poll_once()
+    assert [(r.id, r.payload) for r in delta.collect()] == [(3, "c")]
+
+
 def _frame(schema_id: int, payload: bytes) -> bytes:
     """Confluent wire format: 0x00 magic + int32 BE schema id + body."""
     return b"\x00" + schema_id.to_bytes(4, "big") + payload
