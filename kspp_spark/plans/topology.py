@@ -163,6 +163,24 @@ class Stream:
     def collect(self):
         return self.df.collect()
 
+    # ---- materialized-table interactive lookup (§3.3)
+    def get(self, key_col: str, key_value):
+        """ktable.h:99-101 `table->get(key)`: point lookup into a
+        materialized table. Returns the Row or None. At scale this is
+        a partition-pruned/pushdown filter, not a scan — and for
+        high-QPS serving the table should be persisted to a keyed
+        store (the reference's RocksDB role)."""
+        from pyspark.sql import functions as F
+
+        rows = self.df.filter(F.col(key_col) == F.lit(key_value)).take(1)
+        return rows[0] if rows else None
+
+    def __iter__(self):
+        """`for (auto r : *table)` parity (kspp.h:442-446): iterate the
+        materialized rows via toLocalIterator — one partition at a time
+        on the driver, never the whole table at once."""
+        return iter(self.df.toLocalIterator())
+
 
 class Topology:
     """topology_builder equivalent. Sources return Streams; everything

@@ -110,3 +110,22 @@ def test_delay_dedup_and_rotated_sink_chain(spark, tmp_path):
     src.to_rotated_files(out, window="30 minutes")
     dirs = sorted(d for d in os.listdir(out) if d.startswith("window_start="))
     assert len(dirs) == 3  # 00:00, 00:30, 01:00 windows
+
+
+def test_materialized_table_get_and_iteration(spark):
+    """§3.3 parity: after materializing a ktable, point lookups
+    (table->get(key), ktable.h:99-101) and range iteration work."""
+    import datetime
+
+    from kspp_spark.plans.topology import Topology
+
+    ts = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    t = Topology(spark)
+    src = t.mem_stream_source(
+        [("a", 1, ts(1)), ("a", 9, ts(5)), ("b", 7, ts(2))],
+        "key string, value long, event_time timestamp",
+    )
+    table = src.ktable("key", ["value"])
+    assert table.get("key", "a").value == 9  # LWW winner
+    assert table.get("key", "zz") is None
+    assert sorted((r.key, r.value) for r in table) == [("a", 9), ("b", 7)]
