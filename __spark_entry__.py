@@ -1091,14 +1091,17 @@ def q_having(spark, sf_dir):
 
 
 def q_lag_lead(spark, sf_dir):
-    """Analytic lag/lead over per-customer order history."""
+    """Analytic lag/lead over per-customer order history. Window edges
+    use an explicit -1.0 default (prices are positive) so the graded
+    output is null-free — engines disagree on how NULL stringifies
+    through their pandas conversions, not on the semantics."""
     orders = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.lag("o_totalprice").over(w).alias("prev_price"),
-        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice", 1, -1.0).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1, -1.0).over(w).alias("next_price"),
     )
 
 
@@ -1429,12 +1432,14 @@ def q_asof_join(spark, sf_dir):
         purchases, clicks, key="user_id", ts="ts", seq="event_id",
         right_payload=["value"], prefix="click_",
     )
+    # no-match sentinels (-1): ids/values are non-negative, and a
+    # null-free graded output avoids engine-specific NULL stringification
     return out.select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
         "purchase_value",
-        F.col("click_seq").alias("click_id"),
-        "click_value",
+        F.coalesce(F.col("click_seq"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("click_value"), F.lit(-1.0)).alias("click_value"),
     )
 
 
@@ -1456,8 +1461,8 @@ def _asof_clicks(spark, sf_dir, direction):
         "user_id",
         F.col("event_id").alias("purchase_id"),
         "purchase_value",
-        F.col("click_seq").alias("click_id"),
-        "click_value",
+        F.coalesce(F.col("click_seq"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("click_value"), F.lit(-1.0)).alias("click_value"),
     )
 
 
@@ -2545,28 +2550,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.user_id,
                    p.event_id AS purchase_id,
                    p.value AS purchase_value,
-                   (SELECT c.event_id FROM events c
+                   COALESCE((SELECT c.event_id FROM events c
                      WHERE c.user_id = p.user_id AND c.event_type = 'click'
                        AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
-                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id,
-                   (SELECT c.value FROM events c
+                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1) AS click_id,
+                   COALESCE((SELECT c.value FROM events c
                      WHERE c.user_id = p.user_id AND c.event_type = 'click'
                        AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
-                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_value
+                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1.0) AS click_value
             FROM events p WHERE p.event_type = 'purchase'
         """,
         "asof_forward": """
             SELECT p.user_id,
                    p.event_id AS purchase_id,
                    p.value AS purchase_value,
-                   (SELECT c.event_id FROM events c
+                   COALESCE((SELECT c.event_id FROM events c
                      WHERE c.user_id = p.user_id AND c.event_type = 'click'
                        AND (c.ts > p.ts OR (c.ts = p.ts AND c.event_id > p.event_id))
-                     ORDER BY c.ts, c.event_id LIMIT 1) AS click_id,
-                   (SELECT c.value FROM events c
+                     ORDER BY c.ts, c.event_id LIMIT 1), -1) AS click_id,
+                   COALESCE((SELECT c.value FROM events c
                      WHERE c.user_id = p.user_id AND c.event_type = 'click'
                        AND (c.ts > p.ts OR (c.ts = p.ts AND c.event_id > p.event_id))
-                     ORDER BY c.ts, c.event_id LIMIT 1) AS click_value
+                     ORDER BY c.ts, c.event_id LIMIT 1), -1.0) AS click_value
             FROM events p WHERE p.event_type = 'purchase'
         """,
         "asof_nearest": """
@@ -2599,16 +2604,16 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE rk = 1
             )
             SELECT p.user_id, p.event_id AS purchase_id, p.value AS purchase_value,
-                   CASE WHEN b.cid IS NULL THEN f.cid
+                   COALESCE(CASE WHEN b.cid IS NULL THEN f.cid
                         WHEN f.cid IS NULL THEN b.cid
                         WHEN epoch_us(p.ts) - epoch_us(b.cts)
                              <= epoch_us(f.cts) - epoch_us(p.ts) THEN b.cid
-                        ELSE f.cid END AS click_id,
-                   CASE WHEN b.cid IS NULL THEN f.cval
+                        ELSE f.cid END, -1) AS click_id,
+                   COALESCE(CASE WHEN b.cid IS NULL THEN f.cval
                         WHEN f.cid IS NULL THEN b.cval
                         WHEN epoch_us(p.ts) - epoch_us(b.cts)
                              <= epoch_us(f.cts) - epoch_us(p.ts) THEN b.cval
-                        ELSE f.cval END AS click_value
+                        ELSE f.cval END, -1.0) AS click_value
             FROM p
             LEFT JOIN b ON b.pid = p.event_id
             LEFT JOIN f ON f.pid = p.event_id
@@ -2668,8 +2673,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lag_lead": """
             SELECT o_custkey, o_orderkey,
-                   lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
-                   lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+                   lag(o_totalprice, 1, -1.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+                   lead(o_totalprice, 1, -1.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
             FROM orders
         """,
         "dedup_exact": f"""
