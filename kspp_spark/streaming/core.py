@@ -19,6 +19,28 @@ def with_watermark(df: DataFrame, event_time: str, delay: str) -> DataFrame:
     return df.withWatermark(event_time, delay)
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state(spark, changelog_checkpointing: bool = True) -> None:
+    """Switch streaming state to the RocksDB provider — the Spark
+    analog of the reference's rocksdb_store/rocksdb_windowed_store
+    tier (state_stores/rocksdb_store.h:19-281): keyed state spills to
+    local disk instead of living on the executor heap, which is what
+    makes billions of keys per executor viable at 100 TB. Changelog
+    checkpointing ships deltas (not full SST snapshots) to the
+    checkpoint location — the analog of the reference's incremental
+    offset+store persistence. Call BEFORE starting queries; applies to
+    queries started from this session."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true" if changelog_checkpointing else "false",
+    )
+
+
 def count_by_key_stream(df: DataFrame, key: str | list[str], out: str = "cnt") -> DataFrame:
     """Streaming count_by_key. Run in 'update' output mode with a
     processing-time trigger: each trigger emits changed keys — the

