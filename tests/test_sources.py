@@ -285,6 +285,24 @@ def test_mqtt_bridge_drains_batches(spark):
     assert src.poll_once() is None  # drained
 
 
+def test_mqtt_bridge_propagates_tombstones(spark):
+    """A None payload is a tombstone (krecord.h:23-25 null-value
+    semantics) and must survive the bridge as a null value row."""
+    from kspp_spark.sources.bridge import mqtt_source
+
+    buffered = [
+        ("dev/1", b"online", 1_700_000_000_000),
+        ("dev/1", None, 1_700_000_001_000),  # tombstone: device removed
+    ]
+
+    def receive(n):
+        out, buffered[:] = buffered[:n], buffered[n:]
+        return out
+
+    rows = mqtt_source(spark, receive).poll_once().orderBy("event_time").collect()
+    assert [(r.key, r.value) for r in rows] == [("dev/1", "online"), ("dev/1", None)]
+
+
 def test_kinesis_bridge_spools_for_streaming(spark, tmp_path):
     """Kinesis bridge scale path: records spool to parquet files that a
     Structured Streaming file source tails — the endpoint is single-node,
