@@ -1244,6 +1244,25 @@ def q_curate_docs(spark, sf_dir):
     return curate_documents(_t(spark, sf_dir, "documents"))
 
 
+def q_token_diversity(spark, sf_dir):
+    """Simpson token diversity (1 - Σc²/n²) per document — exact
+    integer sums + one double division, bitwise engine-portable."""
+    from kspp_spark.functions.text import token_diversity
+
+    return token_diversity(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Corpus reporting rollup: per (source, lang) document counts and
+    exact token/char totals — the dashboard every corpus build runs."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Train/eval decontamination: training docs (source != src0)
     sharing >= 3 distinct word 3-grams with any eval doc (source =
@@ -1716,6 +1735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2 additions (tail: graded by the local parity suite)
         "decontaminate": q_decontaminate,
         "pii_mask": q_pii_mask,
+        "token_diversity": q_token_diversity,
+        "corpus_stats": q_corpus_stats,
     }
 
 
@@ -2757,6 +2778,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
             FROM embeddings
+        """,
+        "token_diversity": f"""
+            WITH tc AS (
+                SELECT doc_id, w, COUNT(*) AS c
+                FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+                     UNNEST(toks) AS t(w)
+                GROUP BY doc_id, w
+            )
+            SELECT doc_id,
+                   1.0 - CAST(SUM(c*c) AS DOUBLE)
+                         / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS diversity
+            FROM tc GROUP BY doc_id
+        """,
+        "corpus_stats": f"""
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len({_TOKENS})) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source, lang
         """,
         "decontaminate": f"""
             WITH t AS (

@@ -120,6 +120,36 @@ def bpe_token_estimate(text: Column | str, max_piece: int = 4) -> Column:
     )
 
 
+def token_diversity(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Simpson diversity of the token distribution per document:
+    1 - Σc²/n² (c = per-token count, n = total tokens). Low values flag
+    repetitive/degenerate documents — a quality signal complementary to
+    repetition_stats' top-token fractions.
+
+    Numerics: both sums are exact BIGINT aggregations; the ONLY float
+    op is one final double division, so any engine replaying the
+    formula agrees bitwise (entropy would need ln(), whose last-ulp
+    behavior differs between libm and the JVM — deliberately avoided).
+    Two hash aggregations on (doc, token) then doc — partial-aggregable,
+    shuffles integer counts only.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok"))
+    tc = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = tc.groupBy(id_col).agg(
+        F.sum(F.col("c") * F.col("c")).alias("s2"), F.sum("c").alias("n")
+    )
+    return agg.select(
+        F.col(id_col),
+        (
+            F.lit(1.0)
+            - F.col("s2").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("diversity"),
+    )
+
+
 # PII patterns chosen to parse identically under Java regex (Spark)
 # and RE2 (DuckDB): no backrefs, no lookaround.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -177,6 +177,22 @@ def test_embedding_dup_pairs_candidate_path(spark):
     assert {(r.a, r.b) for r in out} == {(1, 2)}
 
 
+def test_token_diversity_flags_degenerate_docs(spark):
+    """Simpson diversity: a one-token-repeated doc scores 0; an
+    all-distinct doc scores 1 - 1/n; exact values (integer sums + one
+    division)."""
+    from kspp_spark.functions.text import token_diversity
+
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "four fully distinct words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.diversity for r in token_diversity(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0 - 4 / 16  # 4 tokens, each c=1: 1 - 4/16
+
+
 def test_visitor_side_effect_runs_on_executors(spark, tmp_path):
     """visitor (visitor.h:8-71): terminal per-record side effect. The
     callback runs in executor Python workers, so it records through the
