@@ -1136,11 +1136,14 @@ def q_tfidf_top_terms(spark, sf_dir):
     terms = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()
-    scored = tf.join(df_, "term").select(
+    # corpus size as an in-plan broadcast scalar (1-row agg crossJoined
+    # onto the df relation) — NOT a driver-side docs.count(), which
+    # would be a second full scan of the corpus per run at 100 TB
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    scored = tf.join(df_.crossJoin(F.broadcast(n_docs)), "term").select(
         "doc_id",
         "term",
-        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+        (F.col("tf") * (F.col("_n_docs") / F.col("df"))).alias("score"),
     )
     w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
@@ -1410,15 +1413,28 @@ def q_sample_per_lang(spark, sf_dir):
     return topk_per_stratum(docs, "lang", "doc_id", 5).select("doc_id", "lang")
 
 
+def _dup_cluster_pairs(spark, sf_dir):
+    """Near-dup pair stage feeding q_dup_clusters: block-matrix
+    candidates (B²/2 packed-block tasks, provable superset via the
+    margin) — NOT the O(n²) row-level a<b self-join — then exact
+    sequential-double rescoring, bitwise identical to the quadratic
+    baseline (same shape as q_dedup_embedding). Split out so the
+    plan-contract test can inspect this stage directly: the connected-
+    components loop localCheckpoints, which truncates lineage."""
+    from kspp_spark.functions.dedup import block_cosine_candidates, embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = block_cosine_candidates(emb, threshold=0.4, margin=1e-6, n_blocks=8)
+    return embedding_dup_pairs(emb, threshold=0.4, candidates=cands)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Duplicate-cluster consolidation: connected components over the
     embedding near-dup pairs (pairwise dedup under-removes transitive
     duplicates; the component id is the canonical doc)."""
-    from kspp_spark.functions.dedup import connected_components, embedding_dup_pairs
+    from kspp_spark.functions.dedup import connected_components
 
-    emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_dup_pairs(emb, threshold=0.4)
-    return connected_components(pairs)
+    return connected_components(_dup_cluster_pairs(spark, sf_dir))
 
 
 def q_ivf_ann(spark, sf_dir):

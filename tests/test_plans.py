@@ -185,6 +185,27 @@ def test_dedup_embedding_has_no_full_table_pair_join(spark, queries):
     assert not re.search(r"a#\d+L? < b#\d+", plan), "full-table a<b join present"
 
 
+def test_dup_clusters_has_no_full_table_pair_join(spark, queries):
+    # same scale contract for the connected-components feeder: the
+    # candidate stage must be the packed block-matrix path, never the
+    # row-level a<b self-join over all embeddings (VERDICT r2 item #2).
+    # The CC loop localCheckpoints (lineage truncation), so inspect the
+    # pair stage q_dup_clusters actually consumes.
+    import __spark_entry__ as entry
+
+    plan = formatted_plan(spark, entry._dup_cluster_pairs(spark, SF))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"a#\d+L? < b#\d+", plan), "full-table a<b join present"
+
+
+def test_tfidf_corpus_count_is_in_plan(spark, queries):
+    # n_docs is a broadcast scalar agg inside the one plan — no
+    # driver-side docs.count() second scan of the corpus
+    plan = formatted_plan(spark, queries["tfidf_top_terms"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_decontaminate_broadcasts_eval_side(spark, queries):
     # the eval/benchmark side is tiny by nature: its shingles broadcast,
     # the training corpus streams map-side — no sort-merge on shingles
