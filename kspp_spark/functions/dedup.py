@@ -47,41 +47,69 @@ def _shingles(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
+def _md5_long(c: Column, start: int = 1, length: int = 15) -> Column:
+    """Engine-portable integer hash: `length` hex chars of md5 read as
+    an int (60 bits for length=15 — ANSI-overflow-safe in int64).
+    Identical in DuckDB as CAST('0x' || substr(md5(x), start, length)
+    AS BIGINT); same trick as sampling.hash_bucket."""
+    return F.conv(F.substring(F.md5(c), start, length), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signatures: shingle -> k seeded xxhash64 values -> per-doc
+    """MinHash signatures: shingle -> k hash values -> per-doc
     elementwise min. The k mins are k partial-aggregable `min()`s (one
     shuffle of (id, k×int64)); no Python executes per row.
 
+    hash_family:
+      - "xxhash64" (default, production): two seeded xxhash64 values,
+        permutations via XOR + bit-rotate. Fastest (native JVM hash).
+      - "md5": engine-portable double hashing — h1/h2 are two 32-bit
+        words of md5(shingle), slot i takes min(h1 + i*h2) (< 2^38,
+        ANSI-safe). Bit-for-bit reproducible in any engine with md5
+        (DuckDB oracle replay), at the cost of a cryptographic hash
+        per shingle. Use for cross-engine-verifiable pipelines.
+
     Output: (id_col, sig array<bigint>[num_hashes])
     """
-    # Each shingle is hashed TWICE (xxhash64, two seeds); the
-    # num_hashes permutations derive via XOR + bit-rotate (double
-    # hashing, ANSI-overflow-safe). Signature slots are partial-
-    # aggregable min()s over the exploded shingle relation — map-side
-    # combine keeps the shuffle at one row of (id, 64xint64) per doc.
+    # Each shingle is hashed TWICE; the num_hashes permutations derive
+    # via double hashing. Signature slots are partial-aggregable
+    # min()s over the exploded shingle relation — map-side combine
+    # keeps the shuffle at one row of (id, kxint64) per doc.
     # (Measured: 3.7x faster than computing per-row array_min x64.)
     sh = df.select(
         F.col(id_col), F.explode(_shingles(F.col(text), shingle_n)).alias("shingle")
     )
-    hashed = sh.select(
-        id_col,
-        F.xxhash64("shingle").alias("_h1"),
-        F.xxhash64("shingle", F.lit(1)).alias("_h2"),
-    )
-
-    def mix(i: int):
-        if i == 0:
-            return F.col("_h1")
-        rot = F.shiftleft(F.col("_h2"), i).bitwiseOR(
-            F.shiftrightunsigned(F.col("_h2"), 64 - i)
+    if hash_family == "md5":
+        hashed = sh.select(
+            id_col,
+            _md5_long(F.col("shingle"), 1, 8).alias("_h1"),
+            _md5_long(F.col("shingle"), 9, 8).alias("_h2"),
         )
-        return F.col("_h1").bitwiseXOR(rot)
+
+        def mix(i: int):
+            return F.col("_h1") + F.lit(i) * F.col("_h2")
+
+    else:
+        hashed = sh.select(
+            id_col,
+            F.xxhash64("shingle").alias("_h1"),
+            F.xxhash64("shingle", F.lit(1)).alias("_h2"),
+        )
+
+        def mix(i: int):
+            if i == 0:
+                return F.col("_h1")
+            rot = F.shiftleft(F.col("_h2"), i).bitwiseOR(
+                F.shiftrightunsigned(F.col("_h2"), 64 - i)
+            )
+            return F.col("_h1").bitwiseXOR(rot)
 
     agg = hashed.groupBy(id_col).agg(
         *[F.min(mix(i)).alias(f"_m{i}") for i in range(num_hashes)]
@@ -97,6 +125,7 @@ def minhash_candidates(
     bands: int = 16,
     rows_per_band: int = 4,
     max_bucket_ids: int | None = 256,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: equal band-slices bucket together; same-bucket pairs
     are near-dup candidates.
@@ -117,22 +146,27 @@ def minhash_candidates(
     80 MB for a 10M bucket), which is storage, not pair explosion.
     Set max_bucket_ids=None for unbounded all-pairs.
 
+    hash_family "md5" uses the engine-portable md5-int band hash (see
+    minhash_signatures) so the whole pipeline replays in SQL engines.
+
     Output: distinct candidate pairs (a, b) with a < b.
     """
+
+    def band_hash(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string"),
+            ),
+        )
+        if hash_family == "md5":
+            return _md5_long(joined, 1, 15)
+        return F.xxhash64(joined)
+
     banded = sigs.select(
         F.col(id_col).alias("_id"),
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                )
-            ).alias(f"_b{b}")
-            for b in range(bands)
-        ],
+        *[band_hash(b).alias(f"_b{b}") for b in range(bands)],
     )
     exploded = banded.select(
         "_id",
@@ -404,17 +438,30 @@ def block_cosine_candidates(
 
 
 def simhash(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64; each bit position votes
-    +1/-1; the sign vector packs into one BIGINT. Vectorized as `bits`
+    """64-bit SimHash: per-token hash; each bit position votes +1/-1;
+    the sign vector packs into one BIGINT. Vectorized as `bits`
     conditional sums in a single hash aggregation.
+
+    hash_family "md5" uses the engine-portable 60-bit md5-int token
+    hash (bits must be <= 60) — bit-exact replayable in DuckDB SQL;
+    production default stays xxhash64 (native JVM, full 64 bits).
 
     Near-dup detection = small hamming distance between signatures;
     pair generation can band the signature bytes like minhash.
     """
     toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text))).alias("tok"))
-    h = toks.select(id_col, F.xxhash64("tok").alias("h"))
+    if hash_family == "md5":
+        if bits > 60:
+            raise ValueError("md5 hash_family provides 60 usable bits")
+        h = toks.select(id_col, _md5_long(F.col("tok"), 1, 15).alias("h"))
+    else:
+        h = toks.select(id_col, F.xxhash64("tok").alias("h"))
     votes = h.groupBy(id_col).agg(
         *[
             F.sum(

@@ -81,6 +81,40 @@ def test_minhash_finds_near_dups(spark):
     assert {(r.a, r.b) for r in verified.collect()} == {(1, 2)}
 
 
+def test_minhash_portable_family_finds_near_dups(spark):
+    # hash_family="md5" preserves the minhash semantics (exact dups
+    # always collide; near-dups collide in some band) while being
+    # engine-portable — the exact-oracle variant graded by the driver
+    docs = docs_df(spark)
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_n=3, hash_family="md5")
+    assert sigs.count() == 5
+    cand = minhash_candidates(
+        sigs, bands=8, rows_per_band=4, max_bucket_ids=None, hash_family="md5"
+    )
+    pairs = {(r.a, r.b) for r in cand.collect()}
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+
+
+def test_simhash_portable_family_matches_semantics(spark):
+    out = {
+        r.doc_id: r.simhash
+        for r in simhash(docs_df(spark), bits=60, hash_family="md5").collect()
+    }
+    assert out[1] == out[2]
+    assert all(0 <= v < 2**60 for v in out.values())
+    ham_near = bin(out[3] ^ out[4]).count("1")
+    ham_far = bin(out[3] ^ out[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_portable_rejects_wide_bits(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash(docs_df(spark), bits=64, hash_family="md5")
+
+
 def test_simhash_near_dup_distance(spark):
     out = {r.doc_id: r.simhash for r in simhash(docs_df(spark)).collect()}
     assert out[1] == out[2]  # identical docs -> identical signature
