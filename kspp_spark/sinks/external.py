@@ -1,5 +1,5 @@
-"""External-system sinks: Elasticsearch-style doc upsert and InfluxDB
-line protocol.
+"""External-system sinks: Elasticsearch-style doc upsert, InfluxDB
+line protocol, and MQTT publish.
 
 Parity targets:
   elasticsearch_generic_avro_sink  libraries/kspp-es/elasticsearch_producer.h:166-180
@@ -7,6 +7,9 @@ Parity targets:
      bounded concurrent HTTP connections)
   influx_sink                      libraries/kspp-influx/influx_sink.h:10-53
     (batched line-protocol strings over HTTP)
+  mqtt_sink                        libraries/kspp-mqtt/mqtt_sink.h:12-104
+    (string-key/string-value topic sink; key -> topic, value ->
+     payload, the inverse of sources/bridge.py mqtt_source)
 
 Transports are pluggable callables (list[payload] -> None) so the
 formatting/batching semantics are testable without a network; wire in
@@ -111,6 +114,57 @@ def influx_sink(
         lines = influx_lines(batch, measurement, tag_cols, field_cols, event_time)
         lines.foreachPartition(
             lambda rows: transport([r.line for r in rows]) if rows else None
+        )
+
+    return write
+
+
+def mqtt_messages(
+    df: DataFrame,
+    key: str = "key",
+    value: str = "value",
+    retain_live: bool = False,
+) -> DataFrame:
+    """Render rows to MQTT publishes (topic, payload, retain) — the
+    inverse of the mqtt_source bridge's (topic, payload) mapping.
+
+    Tombstones (NULL value) become RETAINED EMPTY payloads — MQTT's
+    delete convention: a zero-length retained publish clears the
+    broker's retained message for the topic, mirroring the reference's
+    Kafka-tombstone semantics (mqtt_sink.h routes nullptr records into
+    the producer the same as values). `retain_live=True` additionally
+    retains live values so late subscribers see the latest state — the
+    ktable-changelog-to-MQTT shape.
+    """
+    is_dead = F.col(value).isNull()
+    return df.select(
+        F.col(key).cast("string").alias("topic"),
+        F.coalesce(F.col(value).cast("string"), F.lit("")).alias("payload"),
+        (is_dead | F.lit(retain_live)).alias("retain"),
+    )
+
+
+def mqtt_sink(
+    publish: Callable[[list[tuple[str, str, bool]]], None],
+    key: str = "key",
+    value: str = "value",
+    retain_live: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer publishing one partition's messages per
+    transport call (mqtt_sink.h:60-75 drains its queue through
+    mqtt_producer::insert; here the injectable `publish` receives
+    [(topic, payload, retain)] and wraps e.g. paho's
+    `client.publish(topic, payload, retain=retain)` — connection
+    lifecycle and QoS live in the transport, exactly like the ES/Influx
+    sinks above). Publishes scale with partition count; nothing routes
+    through the driver."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        msgs = mqtt_messages(batch, key, value, retain_live)
+        msgs.foreachPartition(
+            lambda rows: publish([(r.topic, r.payload, r.retain) for r in rows])
+            if rows
+            else None
         )
 
     return write

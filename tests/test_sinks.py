@@ -75,3 +75,54 @@ def test_incremental_dedup_replay_same_epoch_is_idempotent(spark, tmp_path):
     probe_and_update(batch, 0, state_dir=state, pairs_dir=pairs)
     second = {(r.new_id, r.dup_of) for r in spark.read.parquet(pairs).collect()}
     assert second == first
+
+
+def test_mqtt_messages_tombstone_is_retained_empty(spark):
+    """mqtt_sink.h parity: key -> topic, value -> payload; a tombstone
+    (NULL value) renders as a retained EMPTY payload — MQTT's
+    retained-message-clear convention for deletes."""
+    from kspp_spark.sinks.external import mqtt_messages
+
+    df = spark.createDataFrame(
+        [("sensors/t1", "21.5"), ("sensors/t2", None)], "key string, value string"
+    )
+    got = {r.topic: (r.payload, r.retain) for r in mqtt_messages(df).collect()}
+    assert got == {"sensors/t1": ("21.5", False), "sensors/t2": ("", True)}
+
+    retained = {
+        r.topic: r.retain for r in mqtt_messages(df, retain_live=True).collect()
+    }
+    assert retained == {"sensors/t1": True, "sensors/t2": True}
+
+
+def test_mqtt_sink_publishes_per_partition(spark, tmp_path):
+    """End-to-end foreachBatch publish through an injectable transport:
+    every row reaches the broker exactly once, tombstones as retained
+    empties. The transport spools to files (publishes happen in
+    executor pythons, so a driver list can't observe them)."""
+    import glob
+    import json
+    import uuid
+
+    from kspp_spark.sinks.external import mqtt_sink
+
+    spool = str(tmp_path / "published")
+    os.makedirs(spool, exist_ok=True)
+
+    def publish(msgs):
+        if not msgs:
+            return
+        with open(os.path.join(spool, uuid.uuid4().hex + ".json"), "w") as f:
+            json.dump(msgs, f)
+
+    write = mqtt_sink(publish)
+    batch = spark.createDataFrame(
+        [("a", "1"), ("b", "2"), ("c", None)], "key string, value string"
+    ).repartition(3)
+    write(batch, 0)
+
+    published = []
+    for path in glob.glob(os.path.join(spool, "*.json")):
+        with open(path) as f:
+            published.extend(tuple(m) for m in json.load(f))
+    assert sorted(published) == [("a", "1", False), ("b", "2", False), ("c", "", True)]

@@ -108,6 +108,62 @@ def test_rate_limit_stream_matches_batch(spark, stream_dir):
     assert len(got) < len(rows)  # some rejections happened
 
 
+def test_throughput_limit_batch_paces_to_rate(spark):
+    # thoughput_limiter.h parity: capacity-1 bucket refilling every
+    # 1000/msgs_per_sec ms. Events every 100ms at msgs_per_sec=5
+    # (refill 200ms): exactly every second event is admitted.
+    from kspp_spark.streaming.stateful import throughput_limit_batch
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", i, base + datetime.timedelta(milliseconds=100 * i)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(
+        r.value for r in throughput_limit_batch(df, "event_time", 5.0).collect()
+    )
+    assert got == [0, 2, 4, 6, 8, 10, 12, 14, 16, 18]
+
+
+def test_throughput_limit_stream_matches_batch(spark, stream_dir):
+    from kspp_spark.streaming.stateful import (
+        throughput_limit_batch,
+        throughput_limit_stream,
+    )
+
+    rows = [("a", i, ts(i)) for i in range(10)]  # 1s apart
+    batch_df = spark.createDataFrame(rows, SCHEMA)
+    expected = sorted(
+        r.value
+        for r in throughput_limit_batch(batch_df, "event_time", 0.5).collect()
+    )
+    _write_batch(spark, stream_dir, rows, 0)
+    src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    limited = throughput_limit_stream(src, "event_time", 0.5)
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("tls")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.value for r in spark.sql("select * from tls").collect())
+    assert got == expected
+    assert 0 < len(got) < len(rows)
+
+
+def test_source_throughput_options_mapping():
+    from kspp_spark.streaming.stateful import source_throughput_options
+
+    assert source_throughput_options(1000) == {"maxOffsetsPerTrigger": "1000"}
+    assert source_throughput_options(100, trigger_sec=2.5) == {
+        "maxOffsetsPerTrigger": "250"
+    }
+    assert source_throughput_options(0.1) == {"maxOffsetsPerTrigger": "1"}
+
+
 def test_delay_stream_holds_then_releases(spark, stream_dir, tmp_path):
     """delay.h semantics on the watermark clock, fully deterministic
     (no wall-clock anywhere): the watermark plays the topology tick.
