@@ -1228,8 +1228,13 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=64)
     # persist: the candidate set feeds BOTH the verify join and its
-    # semi-join doc pruning; without it the LSH lineage runs twice
-    cand = minhash_candidates(sigs, bands=16, rows_per_band=4).persist()
+    # semi-join doc pruning; without it the LSH lineage runs twice.
+    # max_bucket_ids caps boilerplate mega-buckets (scale path; see
+    # the recall caveat in minhash_candidates — overflow-overflow
+    # near-dups verify only through their hub links)
+    cand = minhash_candidates(
+        sigs, bands=16, rows_per_band=4, max_bucket_ids=256
+    ).persist()
     cand.count()
     return ngram_jaccard_pairs(docs, cand, threshold=0.5)
 

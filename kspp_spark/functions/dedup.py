@@ -124,7 +124,7 @@ def minhash_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
-    max_bucket_ids: int | None = 256,
+    max_bucket_ids: int | None = None,
     hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: equal band-slices bucket together; same-bucket pairs
@@ -135,16 +135,27 @@ def minhash_candidates(
     the whole signature lineage twice and shuffle it twice.
 
     Oversized buckets (mass-duplicated boilerplate is common in web
-    corpora) are bounded: the quadratic i<j expansion runs over the
+    corpora) can be bounded via `max_bucket_ids` (OPT-IN; default None
+    = unbounded all-pairs): the quadratic i<j expansion runs over the
     `max_bucket_ids` smallest ids only, and every overflow id instead
     pairs with the bucket's hub (the minimum id) — a STAR expansion.
     Output becomes linear in bucket size past the cap while the
-    connected components (what dedup clustering consumes) stay
-    identical: every member remains reachable from the hub. Without
-    the cap one 10M-doc bucket expands to ~5·10^13 pairs in a single
-    task. The residual cost is the packed id list itself (8 B/doc —
-    80 MB for a 10M bucket), which is storage, not pair explosion.
-    Set max_bucket_ids=None for unbounded all-pairs.
+    connected components of the RAW candidate graph stay identical:
+    every member remains reachable from the hub. Without the cap one
+    10M-doc bucket expands to ~5·10^13 pairs in a single task; the
+    residual capped cost is the packed id list itself (8 B/doc — 80 MB
+    for a 10M bucket), which is storage, not pair explosion.
+
+    RECALL CAVEAT when capping: if candidates feed a per-pair VERIFY
+    stage (e.g. ngram_jaccard_pairs), two true near-dups that both
+    land in a bucket's overflow are never scored directly — they
+    survive only if each one's hub link passes the verify threshold.
+    Identical-content buckets (the mass-boilerplate case the cap
+    targets) are unaffected (every hub link verifies at 1.0), but
+    borderline near-dups in a capped bucket can be lost
+    post-verification. Enable the cap on scale paths where oversized
+    buckets are boilerplate; leave it None when verified-pair recall
+    must be exact.
 
     hash_family "md5" uses the engine-portable md5-int band hash (see
     minhash_signatures) so the whole pipeline replays in SQL engines.

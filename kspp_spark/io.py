@@ -53,6 +53,13 @@ def load(spark: SparkSession, table: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
     if nanos_cols:
         # runtime-settable; required even when the caller owns the session
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Naive (isAdjustedToUTC=false) µs timestamps infer as
+    # TIMESTAMP_NTZ under Spark 4's default, which breaks
+    # unix_micros/unix_timestamp consumers and diverges from the
+    # TIMESTAMP type every query was written against. Disable the
+    # inference at LOAD time (session confs are runtime-settable) so
+    # the behavior holds even under the driver's vanilla session.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -23,6 +23,7 @@ topics).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Callable, Iterator
 
@@ -46,6 +47,11 @@ def sql_literal(v) -> str:
     if isinstance(v, datetime.date):
         return "DATE '" + v.isoformat() + "'"
     if isinstance(v, (int, float)):
+        # inf/nan render as bare `inf`/`nan` — invalid SQL that would
+        # produce a malformed remote WHERE clause; they can never be
+        # valid keyset cursor values, so fail loudly instead
+        if isinstance(v, float) and not math.isfinite(v):
+            raise ValueError(f"non-finite float is not a valid SQL literal: {v!r}")
         return repr(v)
     return "'" + str(v).replace("'", "''") + "'"
 

@@ -105,11 +105,29 @@ def probe_and_update(
     pairs = within
     # Detect existing state by attempting the read (works for any
     # filesystem scheme — local, hdfs://, s3a:// — unlike os.path checks,
-    # which silently disable the probe on remote state dirs).
+    # which silently disable the probe on remote state dirs). ONLY a
+    # missing/empty path means "first epoch"; any other failure
+    # (transient S3/HDFS error, permissions, corrupt footer) must
+    # re-raise — swallowing it would silently drop all accumulated LSH
+    # state and miss every cross-batch duplicate for this micro-batch.
+    from pyspark.errors import AnalysisException
+
     try:
         state = spark.read.parquet(state_dir)
-    except Exception:
-        state = None  # first epoch: no accumulated state yet
+    except AnalysisException as e:
+        msg = str(e)
+        if any(
+            tag in msg
+            for tag in (
+                "PATH_NOT_FOUND",
+                "Path does not exist",
+                "UNABLE_TO_INFER_SCHEMA",
+                "Unable to infer schema",
+            )
+        ):
+            state = None  # first epoch: no accumulated state yet
+        else:
+            raise
     if state is not None:
         # epoch=N directory naming surfaces as a discovered partition
         # column: exclude the CURRENT epoch so a checkpoint-recovery

@@ -191,7 +191,7 @@ def delay_stream(
     value: str,
     event_time: str,
     delay_ms: int,
-    watermark_delay: str = "0 seconds",
+    watermark_delay: str | None = None,
 ):
     """Streaming delay (delay.h:40-50): the reference releases a record
     once the topology tick passes event_time + delay. Spark mapping:
@@ -215,8 +215,22 @@ def delay_stream(
     data arrival — the price of determinism. Batch-mode delay is an
     identity (every event_time <= the batch tick), matching topology
     flush.
+
+    LATE-DATA CAVEAT: withWatermark makes Spark DROP input rows older
+    than the watermark before they reach this operator, whereas the
+    reference (delay.h) eventually forwards every record. A record
+    arriving out-of-order across micro-batches by more than
+    `watermark_delay` is silently discarded, not delayed-and-released.
+    The default therefore sizes the watermark to the DELAY DURATION
+    (disorder up to delay_ms survives — usually ample, since a stream
+    needing a delay operator tolerates at least that much lateness);
+    pass an explicit `watermark_delay` sized to your stream's real
+    disorder bound if it exceeds the delay.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if watermark_delay is None:
+        watermark_delay = f"{delay_ms} milliseconds"
 
     out_schema = (
         f"{key} string, {value} string, {event_time} timestamp"
@@ -236,10 +250,15 @@ def delay_stream(
         pend_idx = [i for i, t in enumerate(times) if t + delay_ms > wm]
         if pend_idx:
             state.update(([vals[i] for i in pend_idx], [times[i] for i in pend_idx]))
-            # fire when the watermark passes the earliest maturity; must
-            # be strictly ahead of the current watermark
+            # fire when the watermark reaches the earliest maturity.
+            # Spark fires EventTimeTimeout only when the watermark
+            # STRICTLY exceeds the armed timestamp, while the release
+            # predicate above is inclusive (t + delay <= wm) — arm at
+            # maturity-1 so the two agree when the watermark lands
+            # exactly on the maturity instant. Must stay strictly
+            # ahead of the current watermark, hence the wm+1 floor.
             next_fire = min(times[i] + delay_ms for i in pend_idx)
-            state.setTimeoutTimestamp(max(next_fire, wm + 1))
+            state.setTimeoutTimestamp(max(next_fire - 1, wm + 1))
         elif state.exists:
             state.remove()
         if ready_idx:

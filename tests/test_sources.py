@@ -100,6 +100,14 @@ def test_sql_literal_quoting():
     assert sql_literal(datetime.date(2024, 1, 2)) == "DATE '2024-01-02'"
     # strings escape embedded quotes (injection-safe for trusted cursors)
     assert sql_literal("o'brien") == "'o''brien'"
+    assert sql_literal(1.5) == "1.5"
+    # non-finite floats would render as bare inf/nan — invalid SQL in a
+    # remote WHERE clause; never valid cursor values, so they raise
+    import pytest as _pytest
+
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with _pytest.raises(ValueError):
+            sql_literal(bad)
 
 
 def test_confluent_framing(spark):
