@@ -20,8 +20,19 @@ def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = Non
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Requires spark-avro (bundled external module of Apache Spark)."""
-    return spark.read.format("avro").load(path)
+    """Avro container files. Prefers spark-avro (bundled external
+    module of Apache Spark: JVM decode, sync-marker splitting of large
+    files); when the jar is absent falls back to the self-contained
+    pure-Python OCF reader (sources/avro_ocf.py — per-file parallel,
+    generic-record subset)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:
+        if "Avro" not in str(e) and "avro" not in str(e):
+            raise
+        from kspp_spark.sources.avro_ocf import read_avro_ocf
+
+        return read_avro_ocf(spark, path)
 
 
 def stream_files(

@@ -26,6 +26,7 @@ import json
 import threading
 from typing import Callable, Iterable
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from kspp_spark.sources.kafka_avro import (
@@ -127,6 +128,30 @@ def split_by_schema_id(
     ]
 
 
+def _py_confluent_avro_value(value: str, writer_schema_json: str):
+    """Arrow-batched Python fallback for confluent_avro_value when the
+    spark-avro jar is absent: strip the 5-byte Confluent frame, decode
+    the avro binary with the self-contained codec (sources/avro_ocf.py)
+    into the writer schema's struct."""
+    import io
+    import json as _json
+
+    from kspp_spark.sources.avro_ocf import _decode, _pythonize, avro_to_spark_type
+
+    schema = _json.loads(writer_schema_json)
+    names = [f["name"] for f in schema["fields"]]
+
+    @F.pandas_udf(avro_to_spark_type(schema))
+    def dec(vals: pd.Series) -> pd.DataFrame:
+        rows = [
+            _pythonize(schema, _decode(schema, io.BytesIO(bytes(b)[5:])))
+            for b in vals
+        ]
+        return pd.DataFrame(rows, columns=names)
+
+    return dec(F.col(value))
+
+
 def decode_confluent_topic(
     df: DataFrame,
     client: SchemaRegistryClient,
@@ -134,11 +159,20 @@ def decode_confluent_topic(
     decoded: str = "decoded",
 ) -> list[tuple[int, DataFrame]]:
     """Decode each schema-id slice of a topic with its own writer
-    schema via from_avro (JVM-side; requires the spark-avro package on
-    the classpath). Returns [(schema_id, decoded frame)] — different
-    writer schemas produce different struct types, so aligning versions
-    into one frame is the caller's reader-schema decision."""
-    return [
-        (sid, part.withColumn(decoded, confluent_avro_value(value, schema)))
-        for sid, schema, part in split_by_schema_id(df, client, value)
-    ]
+    schema. Prefers from_avro (JVM-side; needs the spark-avro package
+    on the classpath); falls back to the Arrow-batched pure-Python
+    decoder otherwise. Returns [(schema_id, decoded frame)] —
+    different writer schemas produce different struct types, so
+    aligning versions into one frame is the caller's reader-schema
+    decision."""
+    out = []
+    for sid, schema, part in split_by_schema_id(df, client, value):
+        try:
+            d = part.withColumn(decoded, confluent_avro_value(value, schema))
+            d.schema  # force analysis so a missing jar surfaces here
+        except Exception as e:
+            if "avro" not in str(e) and "Avro" not in str(e):
+                raise
+            d = part.withColumn(decoded, _py_confluent_avro_value(value, schema))
+        out.append((sid, d))
+    return out
