@@ -285,6 +285,88 @@ def delay_stream(
     )
 
 
+def stream_table_join_stream(
+    stream: DataFrame, table: DataFrame, how: str = "left"
+):
+    """STREAMING kstream-ktable changelog join (join.h:28-209) — the
+    incremental form of operators/joins.changelog_stream_table_join,
+    reproducing the reference's emission sequence (golden vectors
+    test8_join.cpp:133-190): one output row per non-tombstone stream
+    event, paired with the table's LWW state as of that event; 'inner'
+    drops misses, 'left' keeps them with null right.
+
+    Both inputs are streaming changelogs in the canonical shape
+    (key string, value string, event_time timestamp[, seq long]);
+    NULL value = tombstone. The table side's state is carried across
+    micro-batches in group state (per-key LWW (value, ts, seq) —
+    exactly the mem_store the reference attaches to its ktable).
+    Within a micro-batch events replay in (event_time, table-first,
+    seq) order, the reference's tick order (join.h:75-79 processes the
+    table before the stream each tick). Across micro-batches the join
+    matches the reference when each key's events arrive time-ordered
+    across batches — the per-partition ordering a Kafka changelog
+    topic guarantees; a table update arriving AFTER a newer one is
+    ignored rather than regressing the state.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"unsupported stream-table join flavor: {how}")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from kspp_spark.operators.joins import _tagged_union
+
+    ev = _tagged_union(stream, table, table_first=True)
+    out_schema = (
+        "key string, event_time timestamp, left string, right string,"
+        " tombstone boolean"
+    )
+    # r_live distinguishes "no table row yet" from "tombstoned": both
+    # join as null, but only a live state survives LWW comparisons
+    state_schema = "r_val string, r_ts long, r_seq long, r_live boolean"
+    inner = how == "inner"
+
+    def join(key_, pdf_iter, state: GroupState):
+        if state.exists:
+            r_val, r_ts, r_seq, r_live = state.get
+            if not r_live:
+                r_val = None
+        else:
+            r_val, r_ts, r_seq = None, -(2**62), -(2**62)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["event_time", "_pri", "seq"], kind="mergesort")
+            out_rows = []
+            ts_ms = (pdf["event_time"].astype("int64") // 1_000_000).tolist()
+            # (itertuples renames _-prefixed columns; use plain lists)
+            it = zip(
+                pdf["_side"].tolist(),
+                pdf["_lv"].tolist(),
+                pdf["_rv"].tolist(),
+                pdf["seq"].tolist(),
+                pdf["event_time"].tolist(),
+                ts_ms,
+            )
+            for side, lv, rv, seq, et, ts in it:
+                if side == "R":
+                    if (ts, seq) >= (r_ts, r_seq):  # never regress LWW
+                        r_val, r_ts, r_seq = rv, ts, seq
+                elif lv is not None:  # stream tombstones emit nothing
+                    if r_val is not None or not inner:
+                        out_rows.append((key_[0], et, lv, r_val, False))
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["key", "event_time", "left", "right", "tombstone"],
+                )
+        state.update((r_val, int(r_ts), int(r_seq), r_val is not None))
+
+    return ev.groupBy("key").applyInPandasWithState(
+        join,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_table_stream(
     df: DataFrame,
     key: str,

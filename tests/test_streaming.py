@@ -635,3 +635,77 @@ def test_rocksdb_state_store_runs_stateful_query(spark, stream_dir):
         spark.conf.unset(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
         )
+
+
+@pytest.mark.parametrize("how", ["left", "inner"])
+def test_stream_table_join_reproduces_golden_sequence(spark, tmp_path, how):
+    """STREAMING kstream-ktable changelog join must reproduce the
+    reference's exact emission sequence (test8_join.cpp:133-190):
+      left:  (A,null,3) (B,a,5) (C,null,9) (D,d,15)
+      inner: (B,a,5) (D,d,15)
+    The fixture splits both changelogs at t=8 into two micro-batches,
+    so B joining 'a' and C joining null PROVE the table state (incl.
+    the tombstone at t=8) carries across batches in group state."""
+    import datetime
+
+    from kspp_spark.streaming.stateful import stream_table_join_stream
+
+    def t(ms):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=ms)
+
+    stream_a = [("42", None, t(1)), ("42", "A", t(3)), ("42", "B", t(5)),
+                ("42", None, t(7)), ("42", "C", t(9)), ("42", None, t(12)),
+                ("42", "D", t(15))]
+    stream_b = [("42", None, t(2)), ("42", "a", t(4)), ("42", "b", t(6)),
+                ("42", None, t(8)), ("42", "c", t(10)), ("42", None, t(11)),
+                ("42", None, t(13)), ("42", "d", t(14))]
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    sch = "key string, value string, event_time timestamp"
+    cut = t(8)
+    for rows, d in ((stream_a, a_dir), (stream_b, b_dir)):
+        spark.createDataFrame([r for r in rows if r[2] <= cut], sch).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    time.sleep(1.1)  # distinct mtimes -> stable batch order
+    for rows, d in ((stream_a, a_dir), (stream_b, b_dir)):
+        spark.createDataFrame([r for r in rows if r[2] > cut], sch).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    schema_t = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    src_a = (
+        spark.readStream.schema(schema_t)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(a_dir)
+    )
+    src_b = (
+        spark.readStream.schema(schema_t)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(b_dir)
+    )
+    out = stream_table_join_stream(src_a, src_b, how=how)
+    name = f"stj_{how}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.left, r.right, r.event_time.second)
+        for r in spark.sql(
+            f"select * from {name} order by event_time"
+        ).collect()
+    ]
+    if how == "left":
+        assert got == [("A", None, 3), ("B", "a", 5), ("C", None, 9), ("D", "d", 15)]
+    else:
+        assert got == [("B", "a", 5), ("D", "d", 15)]
