@@ -79,3 +79,49 @@ def test_protobuf_serdes_gated(spark, tmp_path):
         df.select(decode_protobuf("v", "M", str(tmp_path / "x.desc"))).collect()
     except Exception as e:  # package absent or desc missing — both fine here
         pytest.skip(f"spark-protobuf unavailable: {type(e).__name__}")
+
+
+def test_protobuf_py_decodes_spec_example(spark):
+    """Jarless wire decode pinned to the protobuf spec's own example:
+    field 1 = varint 150 encodes as 08 96 01; field 2 = string
+    'testing' as 12 07 74..67. Unknown fields skip per the wire rules."""
+    from kspp_spark.serdes import decode_protobuf_py
+
+    fields = {1: ("a", "int"), 2: ("b", "string")}
+    msg = bytes([0x08, 0x96, 0x01, 0x12, 0x07]) + b"testing"
+    # trailing unknown field 3 (varint) must be skipped
+    msg_unknown = msg + bytes([0x18, 0x2A])
+    df = spark.createDataFrame([(msg,), (msg_unknown,)], "v binary")
+    rows = df.select(decode_protobuf_py("v", fields).alias("m")).collect()
+    assert [(r.m.a, r.m.b) for r in rows] == [(150, "testing"), (150, "testing")]
+
+
+def test_protobuf_py_roundtrip_all_types(spark):
+    from kspp_spark.serdes import decode_protobuf_py, encode_protobuf_py
+    from pyspark.sql import functions as F
+
+    fields = {
+        1: ("i", "long"),
+        2: ("s", "string"),
+        3: ("d", "double"),
+        4: ("flag", "bool"),
+        5: ("z", "sint"),
+        6: ("raw", "bytes"),
+    }
+    df = spark.createDataFrame(
+        [(7, "x", 1.5, True, -42, b"\x00\xff"), (-3, "", 0.0, False, 0, b"")],
+        "i long, s string, d double, flag boolean, z long, raw binary",
+    )
+    packed = df.select(
+        encode_protobuf_py(F.struct(*[c for c in df.columns]), fields).alias("v")
+    )
+    back = packed.select(decode_protobuf_py("v", fields).alias("m")).select("m.*")
+    got = sorted((r.i, r.s, r.d, r.flag, r.z, bytes(r.raw or b"")) for r in back.collect())
+    # proto3 zero-values are absent on the wire -> decode as NULL;
+    # normalize both sides to compare semantic content
+    want = sorted([(7, "x", 1.5, True, -42, b"\x00\xff"), (-3, None, None, None, None, b"")])
+    norm = [
+        (a, b or None, c if c else None, d if d else None, e if e else None, f)
+        for (a, b, c, d, e, f) in got
+    ]
+    assert norm == want
