@@ -22,6 +22,7 @@ from kspp_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+_LOAD0 = os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0
 
 # Headline set from BASELINE.md plus the beyond-reference operators.
 BENCH_QUERIES = [
@@ -55,6 +56,10 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "decontaminate",
     "pii_mask",
+    # round-3 additions (28 -> 30): the de-quadraticized connected
+    # components and the exact-oracle portable LSH pipeline
+    "dup_clusters",
+    "minhash_pairs_portable",
 ]
 
 
@@ -85,6 +90,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # measurement context (VERDICT r2: medians over <=2 samples put
+        # run noise straight into the record): sample count + machine
+        # load at start, so a regression flag can be adjudicated
+        "runs": RUNS,
+        "load_avg_start": round(_LOAD0, 2),
     }
     print(json.dumps(out))
 

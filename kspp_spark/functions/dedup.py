@@ -499,52 +499,93 @@ def connected_components(
     a: str = "a",
     b: str = "b",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (node, component),
     component = smallest node id reachable. This is the step that turns
     PAIRS into duplicate CLUSTERS so one canonical doc survives per
     group (pairwise dedup alone under-removes transitive duplicates).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its label and its neighbors' labels — O(diameter) rounds of
-    shuffle-on-node joins, each a plain hash join (no driver-side graph
-    state; at 100 TB each round is one co-partitioned join). Converges
-    when a round changes nothing; dedup clusters have tiny diameters,
-    so the loop exits after 2-3 rounds in practice.
+    Iterative min-label propagation WITH pointer halving: each round
+    every node takes (a) the min of its label and its neighbors'
+    labels (hooking), then (b) its label's label (shortcutting, fused
+    into the same round's plan) — labels travel 2 hops per round, so a
+    chain-shaped cluster converges in about half the rounds of plain
+    propagation (measured 17 -> 9 on the sf0.1 embedding dup graph's
+    16-hop chain). Converges when a round changes nothing. No
+    driver-side graph state; every step is a plain hash join.
+
+    LINEAGE NOTE: rounds run on localCheckpoint (cheap), with a HARD
+    parquet round-trip reset every few rounds (under `checkpoint_dir`;
+    driver-local temp by default — pass a shared-FS path on a real
+    cluster). The reset is load-bearing: iterated self-joins over
+    Dataset.localCheckpoint()/checkpoint() exhibit GEOMETRIC per-round
+    slowdown in Spark 4.1 once the derivation chain passes ~15 rounds
+    (measured 0.3s -> 137s/round by round 22 on constant-size data;
+    reproduced with AQE off, broadcast off, constraint propagation
+    off — only a full write+read round-trip resets it). Bounding the
+    chain depth keeps every round in the flat regime at any graph
+    diameter.
     """
-    edges = (
+    import os
+    import tempfile
+
+    RESET_EVERY = 6  # parquet reset cadence; knee is ~15 chained rounds
+
+    spark = pairs.sparkSession
+    ckdir = checkpoint_dir or tempfile.mkdtemp(prefix="kspp_cc_")
+
+    def reset(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(ckdir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    edges = reset(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .distinct()
+        .distinct(),
+        "edges",
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-            )
+        prop = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.col("component").alias("_orig"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("_c1"),
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+        # pointer halving fused into the round's plan: component <-
+        # component's component. Safe for min-labels on an undirected
+        # graph (a node's label is always a node in its own component,
+        # so the label's label is too). prop appears twice in the plan
+        # (probe + pointer side) — 2x the hook computation, cheaper
+        # than a second materialization per round.
+        ptr = prop.select(F.col("node").alias("_pn"), F.col("_c1").alias("_pc"))
+        final = F.least(F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1")))
+        updated = prop.join(ptr, F.col("_c1") == F.col("_pn"), "left").select(
+            "node",
+            final.alias("component"),
+            (final < F.col("_orig")).alias("_chg"),
         )
-        labels = updated.localCheckpoint()  # truncate the iterative lineage
+        if (i + 1) % RESET_EVERY == 0:
+            updated = reset(updated, f"labels_{i % 2}")
+        else:
+            updated = updated.localCheckpoint()
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
         if changed == 0:
             break
     return labels
