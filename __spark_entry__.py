@@ -1445,7 +1445,8 @@ def _dup_cluster_pairs(spark, sf_dir):
     sequential-double rescoring, bitwise identical to the quadratic
     baseline (same shape as q_dedup_embedding). Split out so the
     plan-contract test can inspect this stage directly: the connected-
-    components loop localCheckpoints, which truncates lineage."""
+    components loop materializes per round (parquet lineage resets),
+    which truncates the plan the test would otherwise read."""
     from kspp_spark.functions.dedup import block_cosine_candidates, embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
