@@ -1264,6 +1264,22 @@ def q_simhash_portable(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), bits=60, hash_family="md5")
 
 
+def q_simhash_pairs_portable(spark, sf_dir):
+    """SimHash near-dup PAIR GENERATION, end to end with an exact
+    oracle: 60-bit portable signature -> 4x15-bit band blocking
+    (pigeonhole: every pair with hamming <= 3 shares a band —
+    deterministic recall) -> exact hamming verify via popcount(xor).
+    The xxhash64 production form is identical modulo the hash."""
+    from kspp_spark.functions.dedup import simhash_candidates, simhash_hamming_pairs
+
+    sigs = simhash(
+        _t(spark, sf_dir, "documents"), bits=60, hash_family="md5"
+    ).persist()
+    sigs.count()  # feeds both banding and the verify join
+    cands = simhash_candidates(sigs, bands=4, bits=60)
+    return simhash_hamming_pairs(sigs, cands, max_hamming=3)
+
+
 def q_curate_docs(spark, sf_dir):
     """Composite curation pipeline: quality gate -> language gate ->
     exact dedup -> per-doc stats (the end-to-end training-data shape)."""
@@ -1662,12 +1678,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # surface (45/50 green + 5 no-oracle). Round 3 rotates per VERDICT
     # r2 item #3 (the rotation is the judge's own instruction): the 4
     # oracle-bearing tail queries (decontaminate, pii_mask,
-    # token_diversity, corpus_stats) and the two new portable-hash
-    # variants (minhash_pairs_portable, simhash_portable — exact
-    # oracles for the previously no-oracle LSH/simhash family) swap in;
-    # the 5 rows-only queries (minhash_lsh_pairs, simhash, ivf_ann,
-    # media_decode, media_features_knn) and round-2-green
-    # scalar_functions rotate to the tail. NOTE: because the window
+    # token_diversity, corpus_stats) and the three new portable-hash
+    # variants (minhash_pairs_portable, simhash_portable,
+    # simhash_pairs_portable — exact oracles for the previously
+    # no-oracle LSH/simhash family, the last covering simhash PAIR
+    # GENERATION end to end) swap in; the 5 rows-only queries
+    # (minhash_lsh_pairs, simhash, ivf_ann, media_decode,
+    # media_features_knn) and round-2-green scalar_functions +
+    # except_keys rotate to the tail. NOTE: because the window
     # rotates, per-round driver scores are NOT comparable across
     # rounds; every rotated-out query stays registered and covered by
     # the local oracle-parity suite on every pytest run.
@@ -1691,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs_portable": q_minhash_pairs_portable,
         "simhash_portable": q_simhash_portable,
+        "simhash_pairs_portable": q_simhash_pairs_portable,
         "dedup_embedding": q_dedup_embedding,
         "quantize_embeddings": q_quantize_embeddings,
         # -- training-data pipeline --
@@ -1723,7 +1742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": q_price_histogram,
         "distinct_segments": q_distinct_segments,
         "intersect_keys": q_intersect_keys,
-        "except_keys": q_except_keys,
         "pivot_status": q_pivot_status,
         "cube_agg": q_cube_agg,
         "count_distinct": q_count_distinct,
@@ -1734,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-2-green rotations — still parity-tested locally
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "except_keys": q_except_keys,
         "ivf_ann": q_ivf_ann,
         "media_decode": q_media_decode,
         "media_features_knn": q_media_features_knn,
@@ -2908,6 +2927,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM banded l JOIN banded r
               ON l.b = r.b AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+        """,
+        # SimHash pair generation: signature CTE as simhash_portable,
+        # then 4x15-bit band blocking (self-join on the band slice) and
+        # exact hamming verify via bit_count(xor) — mirrors
+        # simhash_candidates + simhash_hamming_pairs
+        "simhash_pairs_portable": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+                FROM tok
+            ),
+            votes AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM h CROSS JOIN range(60) t(i)
+                GROUP BY doc_id, i
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+                FROM votes GROUP BY doc_id
+            ),
+            banded AS (
+                SELECT doc_id, b, (simhash >> (b * 15)) & 32767 AS chunk
+                FROM sig CROSS JOIN range(4) t(b)
+            ),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM banded l JOIN banded r
+                  ON l.b = r.b AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+            )
+            SELECT a, b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+            FROM cand
+            JOIN sig sa ON sa.doc_id = a
+            JOIN sig sb ON sb.doc_id = b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
         """,
         # SimHash replay: 60-bit md5-int token hash, per-bit +1/-1
         # votes, sign vector packed into one BIGINT — mirrors

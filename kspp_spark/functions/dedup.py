@@ -190,6 +190,17 @@ def minhash_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bhash")
+    return _bucket_pair_expansion(exploded, max_bucket_ids)
+
+
+def _bucket_pair_expansion(
+    exploded: DataFrame, max_bucket_ids: int | None
+) -> DataFrame:
+    """Shared LSH-bucket pair expansion: input (_id, band, bhash), one
+    hash aggregation per (band, bhash) bucket, JVM-side i<j expansion
+    within each bucket (capped head + hub-star overflow when
+    max_bucket_ids is set — see minhash_candidates for semantics).
+    Output: distinct (a, b) with a < b."""
     buckets = (
         exploded.groupBy("band", "bhash")
         .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
@@ -492,6 +503,72 @@ def simhash(
         ).alias("simhash"),
     )
     return sig
+
+
+def simhash_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bands: int = 4,
+    bits: int = 64,
+    max_bucket_ids: int | None = None,
+) -> DataFrame:
+    """SimHash blocking: band the signature into `bands` equal
+    bit-slices; documents sharing ANY slice are near-dup candidates.
+    Pigeonhole guarantee: every pair within hamming distance < `bands`
+    shares at least one identical slice, so the candidate set is a
+    SUPERSET of all pairs with hamming <= bands-1 (the standard
+    simhash blocking bound) — deterministic recall, unlike minhash's
+    probabilistic banding. One hash aggregation on (band, slice) +
+    the shared in-bucket expansion; no self-join.
+
+    Output: distinct candidate pairs (a, b) with a < b.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    exploded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col(sim_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bhash")
+    return _bucket_pair_expansion(exploded, max_bucket_ids)
+
+
+def simhash_hamming_pairs(
+    sigs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Verify simhash candidates exactly: hamming distance = popcount
+    of XOR, JVM-side bit_count — runs only on the candidate set.
+
+    Output: (a, b, hamming) with hamming <= max_hamming.
+    """
+    sa = sigs.select(F.col(id_col).alias("a"), F.col(sim_col).alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col(sim_col).alias("_sb"))
+    return (
+        candidates.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def connected_components(

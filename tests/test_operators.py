@@ -115,6 +115,22 @@ def test_simhash_portable_rejects_wide_bits(spark):
         simhash(docs_df(spark), bits=64, hash_family="md5")
 
 
+def test_simhash_banding_finds_near_dups(spark):
+    """simhash_candidates pigeonhole guarantee: pairs within hamming
+    distance < bands share a band slice, so exact dups and close
+    near-dups always surface; the hamming verify scores exactly."""
+    from kspp_spark.functions.dedup import simhash_candidates, simhash_hamming_pairs
+
+    sigs = simhash(docs_df(spark), bits=60, hash_family="md5")
+    cands = simhash_candidates(sigs, bands=4, bits=60)
+    pairs = {(r.a, r.b) for r in cands.collect()}
+    assert (1, 2) in pairs  # identical docs share every band
+    verified = simhash_hamming_pairs(sigs, cands, max_hamming=0)
+    got = {(r.a, r.b, r.hamming) for r in verified.collect()}
+    assert (1, 2, 0) in got
+    assert all(h == 0 for _, _, h in got)
+
+
 def test_simhash_near_dup_distance(spark):
     out = {r.doc_id: r.simhash for r in simhash(docs_df(spark)).collect()}
     assert out[1] == out[2]  # identical docs -> identical signature
