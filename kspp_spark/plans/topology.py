@@ -69,6 +69,23 @@ class Stream:
         fn = rate_limit_stream if self.df.isStreaming else rate_limit_batch
         return Stream(fn(self.df, key, event_time, filltime_ms, capacity))
 
+    def throughput_limit(
+        self,
+        event_time: str,
+        msgs_per_sec: float,
+        partition_key: str | None = None,
+    ) -> "Stream":
+        """thoughput_limiter (thoughput_limiter.h): capacity-1 token
+        bucket refilling every 1000/msgs_per_sec ms, per partition
+        source (or one global bucket when partition_key is None)."""
+        from kspp_spark.streaming.stateful import (
+            throughput_limit_batch,
+            throughput_limit_stream,
+        )
+
+        fn = throughput_limit_stream if self.df.isStreaming else throughput_limit_batch
+        return Stream(fn(self.df, event_time, msgs_per_sec, partition_key))
+
     def delay(
         self, key: str, value: str, event_time: str, delay_ms: int
     ) -> "Stream":
@@ -156,6 +173,19 @@ class Stream:
         from kspp_spark.sinks.writers import rotated_file_sink
 
         rotated_file_sink(self.df, path, event_time, window, fmt)
+
+    def to_mqtt(
+        self,
+        publish,
+        key: str = "key",
+        value: str = "value",
+        retain_live: bool = False,
+    ) -> None:
+        """mqtt_sink (mqtt_sink.h): key -> topic, value -> payload,
+        tombstones -> retained empty messages; injectable transport."""
+        from kspp_spark.sinks.external import mqtt_sink
+
+        mqtt_sink(publish, key, value, retain_live)(self.df, 0)
 
     def to_null(self) -> None:
         self.df.write.format("noop").mode("overwrite").save()

@@ -129,3 +129,40 @@ def test_materialized_table_get_and_iteration(spark):
     assert table.get("key", "a").value == 9  # LWW winner
     assert table.get("key", "zz") is None
     assert sorted((r.key, r.value) for r in table) == [("a", 9), ("b", 7)]
+
+
+def test_topology_throughput_limit_and_mqtt_sink(spark, tmp_path):
+    """The builder surface covers the round-3 operators: a topology can
+    throughput-limit a stream and publish it to MQTT end to end."""
+    import datetime
+    import glob
+    import json
+    import os
+    import uuid
+
+    from kspp_spark.plans.topology import Topology
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (f"t/{i}", str(i), base + datetime.timedelta(milliseconds=100 * i))
+        for i in range(10)
+    ]
+    t = Topology(spark)
+    src = t.mem_stream_source(rows, "key string, value string, event_time timestamp")
+    limited = src.throughput_limit("event_time", 5.0)  # refill 200ms -> every 2nd
+    assert sorted(r.value for r in limited.collect()) == ["0", "2", "4", "6", "8"]
+
+    spool = str(tmp_path / "mqtt")
+    os.makedirs(spool, exist_ok=True)
+
+    def publish(msgs):
+        if msgs:
+            with open(os.path.join(spool, uuid.uuid4().hex + ".json"), "w") as f:
+                json.dump(msgs, f)
+
+    limited.to_mqtt(publish)
+    published = []
+    for path in glob.glob(os.path.join(spool, "*.json")):
+        with open(path) as f:
+            published.extend(tuple(m) for m in json.load(f))
+    assert sorted(p[1] for p in published) == ["0", "2", "4", "6", "8"]
