@@ -9,6 +9,9 @@ materializes globally.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from kspp_spark.functions.text import doc_fingerprint, tokenize
@@ -593,9 +596,11 @@ def connected_components(
     driver-side graph state; every step is a plain hash join.
 
     LINEAGE NOTE: rounds run on localCheckpoint (cheap), with a HARD
-    parquet round-trip reset every few rounds (under `checkpoint_dir`;
-    driver-local temp by default — pass a shared-FS path on a real
-    cluster). The reset is load-bearing: iterated self-joins over
+    parquet round-trip reset every few rounds. Reset dir resolution:
+    `checkpoint_dir` param > the session's setCheckpointDir() > a
+    driver-local temp dir (LOCAL MASTER ONLY — on a cluster master with
+    neither source set this raises rather than writing to a path the
+    executors can't see). The reset is load-bearing: iterated self-joins over
     Dataset.localCheckpoint()/checkpoint() exhibit GEOMETRIC per-round
     slowdown in Spark 4.1 once the derivation chain passes ~15 rounds
     (measured 0.3s -> 137s/round by round 22 on constant-size data;
@@ -604,13 +609,29 @@ def connected_components(
     chain depth keeps every round in the flat regime at any graph
     diameter.
     """
-    import os
-    import tempfile
-
     RESET_EVERY = 6  # parquet reset cadence; knee is ~15 chained rounds
 
     spark = pairs.sparkSession
-    ckdir = checkpoint_dir or tempfile.mkdtemp(prefix="kspp_cc_")
+    owns_tmpdir = False
+    if checkpoint_dir is None:
+        # resolution order: caller param > session checkpoint dir >
+        # (local master only) driver-local temp. On a real cluster a
+        # driver-local temp path is NOT visible to executors, so refuse
+        # to guess rather than fail obscurely mid-iteration.
+        ckdir = spark.sparkContext.getCheckpointDir()
+        if ckdir is None:
+            master = spark.sparkContext.master or ""
+            if not master.startswith("local"):
+                raise ValueError(
+                    "connected_components needs a shared-filesystem "
+                    "checkpoint_dir on a non-local master: pass "
+                    "checkpoint_dir= or call "
+                    "spark.sparkContext.setCheckpointDir(...) first"
+                )
+            ckdir = tempfile.mkdtemp(prefix="kspp_cc_")
+            owns_tmpdir = True
+    else:
+        ckdir = checkpoint_dir
 
     def reset(df: DataFrame, name: str) -> DataFrame:
         path = os.path.join(ckdir, name)
@@ -658,11 +679,20 @@ def connected_components(
             (final < F.col("_orig")).alias("_chg"),
         )
         if (i + 1) % RESET_EVERY == 0:
-            updated = reset(updated, f"labels_{i % 2}")
+            # unique path per reset: never overwrite a parquet path a
+            # still-live plan (the previous reset's read) could reference
+            updated = reset(updated, f"labels_r{i + 1}")
         else:
             updated = updated.localCheckpoint()
         changed = updated.filter(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:
             break
+    if owns_tmpdir:
+        import shutil
+
+        # sever the parquet dependency before deleting our temp dir
+        # (labels may lazily read the last reset path otherwise)
+        labels = labels.localCheckpoint()
+        shutil.rmtree(ckdir, ignore_errors=True)
     return labels

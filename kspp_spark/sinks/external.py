@@ -161,10 +161,15 @@ def mqtt_sink(
 
     def write(batch: DataFrame, batch_id: int) -> None:
         msgs = mqtt_messages(batch, key, value, retain_live)
-        msgs.foreachPartition(
-            lambda rows: publish([(r.topic, r.payload, r.retain) for r in rows])
-            if rows
-            else None
-        )
+
+        def send(rows) -> None:
+            # materialize first: `rows` is an iterator (always truthy),
+            # so guarding on it directly would publish([]) per empty
+            # partition — a spurious transport call
+            msg_list = [(r.topic, r.payload, r.retain) for r in rows]
+            if msg_list:
+                publish(msg_list)
+
+        msgs.foreachPartition(send)
 
     return write

@@ -423,30 +423,28 @@ def write_avro_ocf(
     """One container file per partition (the reference sink writes one
     file per instance; pass coalesce=1 for a single file). Local/posix
     paths only — the jar path handles distributed filesystems."""
+    from pyspark.sql import functions as F
+
     os.makedirs(path, exist_ok=True)
     schema = spark_to_avro_schema(df.schema)
-    ts_cols = [
-        i for i, f in enumerate(df.schema.fields)
-        if isinstance(f.dataType, T.TimestampType)
-    ]
+    # convert timestamps to epoch-micros IN-PLAN: foreachPartition
+    # deserializes TimestampType through the executor's system timezone
+    # (session timeZone does not cover that Python path), so longs must
+    # leave the JVM already converted — exact and worker-tz-independent
+    if any(isinstance(f.dataType, T.TimestampType) for f in df.schema.fields):
+        df = df.select(
+            *[
+                F.unix_micros(F.col(f.name)).alias(f.name)
+                if isinstance(f.dataType, T.TimestampType)
+                else F.col(f.name)
+                for f in df.schema.fields
+            ]
+        )
     if coalesce:
         df = df.coalesce(coalesce)
 
     def write_partition(rows):
-        import datetime
-
-        epoch = datetime.datetime(1970, 1, 1)
-        out_rows = []
-        for r in rows:
-            vals = list(r)
-            for i in ts_cols:
-                if vals[i] is not None:
-                    # naive datetimes are UTC in this repo's convention;
-                    # integer arithmetic keeps exact µs (float .timestamp()
-                    # loses precision and applies the local zone)
-                    delta = vals[i] - epoch
-                    vals[i] = delta // datetime.timedelta(microseconds=1)
-            out_rows.append(vals)
+        out_rows = [list(r) for r in rows]
         if not out_rows:
             return
         data = build_container(schema, out_rows, codec)
@@ -473,27 +471,29 @@ def rotated_avro_ocf_sink(
     from pyspark.sql import functions as F
 
     schema = spark_to_avro_schema(df.schema)
-    ts_cols = [
-        i for i, f in enumerate(df.schema.fields)
-        if isinstance(f.dataType, T.TimestampType)
-    ]
     n_cols = len(df.schema.fields)
     tagged = df.withColumn(
         "_w", F.window(F.col(event_time), window).start.cast("string")
     )
+    # epoch-micros conversion in-plan (see write_avro_ocf): Python-side
+    # datetime deserialization applies the worker's system timezone
+    tagged = tagged.select(
+        *[
+            F.unix_micros(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, T.TimestampType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ],
+        F.col("_w"),
+    )
 
     def write_partition(rows):
-        import datetime
         from collections import defaultdict
 
-        epoch = datetime.datetime(1970, 1, 1)
         by_window = defaultdict(list)
         for r in rows:
             vals = list(r)[:n_cols]
             w = r._w
-            for i in ts_cols:
-                if vals[i] is not None:
-                    vals[i] = (vals[i] - epoch) // datetime.timedelta(microseconds=1)
             by_window[w].append(vals)
         for w, out_rows in by_window.items():
             d = os.path.join(path, f"window_start={w}")

@@ -28,7 +28,15 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.format("avro").load(path)
     except Exception as e:
-        if "Avro" not in str(e) and "avro" not in str(e):
+        # fall back ONLY on the jar-missing error; a genuine read
+        # failure with the jar present (corrupt file, unsupported type)
+        # must surface as-is, not be masked by the slower local fallback
+        msg = str(e)
+        if (
+            "FAILED_TO_FIND_DATA_SOURCE" not in msg
+            and "Failed to find data source" not in msg
+            and "Failed to find the data source" not in msg
+        ):
             raise
         from kspp_spark.sources.avro_ocf import read_avro_ocf
 

@@ -103,7 +103,13 @@ def rate_limit_stream(
             tokens, tstamp = state.get
         else:
             tokens, tstamp = float(capacity), 0
-        for pdf in pdf_iter:
+        # buffer the whole micro-batch for this key before sorting:
+        # applyInPandasWithState splits a key's rows into multiple Arrow
+        # chunks past arrow.maxRecordsPerBatch, and sorting each chunk
+        # independently would replay events out of global order
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(order, kind="mergesort")
             ts = (pdf[event_time].astype("int64") // 1_000_000).tolist()
             flags, tokens, tstamp = _run_bucket(ts, capacity, fillrate, tokens, tstamp)
@@ -331,7 +337,12 @@ def stream_table_join_stream(
                 r_val = None
         else:
             r_val, r_ts, r_seq = None, -(2**62), -(2**62)
-        for pdf in pdf_iter:
+        # concat before sorting — a key's micro-batch arrives as multiple
+        # Arrow chunks past arrow.maxRecordsPerBatch, and per-chunk sorts
+        # would let table updates replay after stream events they precede
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["event_time", "_pri", "seq"], kind="mergesort")
             out_rows = []
             ts_ms = (pdf["event_time"].astype("int64") // 1_000_000).tolist()
@@ -357,6 +368,117 @@ def stream_table_join_stream(
                     columns=["key", "event_time", "left", "right", "tombstone"],
                 )
         state.update((r_val, int(r_ts), int(r_seq), r_val is not None))
+
+    return ev.groupBy("key").applyInPandasWithState(
+        join,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def table_table_join_stream(
+    left: DataFrame, right: DataFrame, how: str = "left"
+):
+    """STREAMING ktable-ktable changelog join (join.h:212-508, "old
+    semantics") — the incremental form of
+    operators/joins.changelog_table_table_join, closing the last gap vs
+    the reference's continuous table-table joins: BOTH sides' LWW state
+    rides in group state, so the golden emission sequence
+    (test8_join.cpp:207-354) — including the impl-specific tombstones —
+    is reproduced across micro-batch boundaries with no batch recompute.
+
+    Inputs are streaming changelogs in the canonical shape (key string,
+    value string, event_time timestamp[, seq long]); NULL value =
+    tombstone. A change on EITHER side emits one output row:
+      left:  L state null -> tombstone, else (L, R?)     (join.h:290-294)
+      inner: either state null -> tombstone, else (L, R) (join.h:385-389)
+      outer: both states null -> tombstone, else (L?, R?)(join.h:474-491)
+
+    Within a micro-batch events replay in (event_time, left-first, seq)
+    order — table_first=False, matching the batch replay and the
+    reference's topology wiring order (join.h:228-229 registers left
+    then right). Across micro-batches the join matches the reference
+    when each key's events arrive time-ordered across batches — the
+    per-partition ordering a Kafka changelog topic guarantees; a side's
+    update arriving AFTER a newer one updates nothing but still emits
+    (the reference's store applies-or-ignores then always fires).
+
+    Scale: state is O(1) per key (two LWW cells); keys shard across
+    executors by the groupBy — the same bounded-state property as the
+    reference's per-partition mem_store.
+    """
+    if how not in ("left", "inner", "outer"):
+        raise ValueError(f"unsupported table-table join flavor: {how}")
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from kspp_spark.operators.joins import _tagged_union
+
+    ev = _tagged_union(left, right, table_first=False)
+    out_schema = (
+        "key string, event_time timestamp, left string, right string,"
+        " tombstone boolean"
+    )
+    # a null *_val with a real *_ts is a tombstoned cell; "never seen"
+    # carries ts=NEG — emission treats both as "no value" (reference
+    # behavior), but LWW comparisons still order correctly
+    state_schema = (
+        "l_val string, l_ts long, l_seq long,"
+        " r_val string, r_ts long, r_seq long"
+    )
+    NEG = -(2**62)
+
+    def join(key_, pdf_iter, state: GroupState):
+        if state.exists:
+            l_val, l_ts, l_seq, r_val, r_ts, r_seq = state.get
+        else:
+            l_val, l_ts, l_seq = None, NEG, NEG
+            r_val, r_ts, r_seq = None, NEG, NEG
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(["event_time", "_pri", "seq"], kind="mergesort")
+            out_rows = []
+            ts_ms = (pdf["event_time"].astype("int64") // 1_000_000).tolist()
+            it = zip(
+                pdf["_side"].tolist(),
+                pdf["_lv"].tolist(),
+                pdf["_rv"].tolist(),
+                pdf["seq"].tolist(),
+                pdf["event_time"].tolist(),
+                ts_ms,
+            )
+            for side, lv, rv, seq, et, ts in it:
+                if side == "L":
+                    if (ts, seq) >= (l_ts, l_seq):  # never regress LWW
+                        l_val, l_ts, l_seq = lv, ts, seq
+                else:
+                    if (ts, seq) >= (r_ts, r_seq):
+                        r_val, r_ts, r_seq = rv, ts, seq
+                if how == "left":
+                    tomb = l_val is None
+                elif how == "inner":
+                    tomb = l_val is None or r_val is None
+                else:
+                    tomb = l_val is None and r_val is None
+                out_rows.append(
+                    (
+                        key_[0],
+                        et,
+                        None if tomb else l_val,
+                        None if tomb else r_val,
+                        tomb,
+                    )
+                )
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["key", "event_time", "left", "right", "tombstone"],
+                )
+        state.update(
+            (l_val, int(l_ts), int(l_seq), r_val, int(r_ts), int(r_seq))
+        )
 
     return ev.groupBy("key").applyInPandasWithState(
         join,
@@ -418,7 +540,11 @@ def windowed_table_stream(
             slots = {int(si): (vi, int(ti)) for si, vi, ti in zip(s, v, t)}
         wm = state.getCurrentWatermarkMs()
         out_rows = []
-        for pdf in pdf_iter:
+        # concat chunks before the event-time sort (multi-chunk groups
+        # otherwise replay out of global order — see stream_table_join)
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(event_time, kind="mergesort")
             ts_ms = (pdf[event_time].astype("int64") // 1_000_000).tolist()
             vals = pdf[value].tolist()

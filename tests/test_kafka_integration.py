@@ -25,43 +25,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def murmur2_kafka(data: bytes) -> int:
-    """Kafka's murmur2 (the DefaultPartitioner hash — public Kafka
-    algorithm, org.apache.kafka.common.utils.Utils#murmur2)."""
-    length = len(data)
-    seed = 0x9747B28C
-    m = 0x5BD1E995
-    r = 24
-    mask = 0xFFFFFFFF
-    h = (seed ^ length) & mask
-    i = 0
-    while length - i >= 4:
-        k = int.from_bytes(data[i : i + 4], "little")
-        k = (k * m) & mask
-        k ^= k >> r
-        k = (k * m) & mask
-        h = (h * m) & mask
-        h ^= k
-        i += 4
-    left = length - i
-    if left == 3:
-        h ^= (data[i + 2] & 0xFF) << 16
-    if left >= 2:
-        h ^= (data[i + 1] & 0xFF) << 8
-    if left >= 1:
-        h ^= data[i] & 0xFF
-        h = (h * m) & mask
-    h ^= h >> 13
-    h = (h * m) & mask
-    h ^= h >> 15
-    # Java int semantics
-    if h >= 0x80000000:
-        h -= 0x100000000
-    return h
-
-
-def kafka_partition_for(key: bytes, num_partitions: int) -> int:
-    return (murmur2_kafka(key) & 0x7FFFFFFF) % num_partitions
+# murmur2/placement now live in the library (kafka_utils) and are
+# golden-vector-verified brokerlessly in test_kafka_brokerless.py;
+# this file checks the broker agrees with them end-to-end.
+from kspp_spark.kafka_utils import kafka_partition_for  # noqa: E402
 
 
 def test_round_trip_with_tombstones_and_murmur2(spark, tmp_path):

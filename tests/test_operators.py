@@ -465,6 +465,61 @@ def test_connected_components_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_checkpoint_dir_resolution(spark, tmp_path):
+    """Reset-dir fallback order: param > session checkpoint dir >
+    (local master only) owned temp dir that is cleaned up after. On a
+    cluster master with neither source set the call must refuse loudly
+    — a driver-local temp path is invisible to executors."""
+    import pytest
+
+    from kspp_spark.functions import dedup
+    from kspp_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
+
+    # 1. session checkpoint dir wins over the owned-temp path
+    ckdir = str(tmp_path / "session_ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    try:
+        made_tmp = []
+        real_mkdtemp = dedup.tempfile.mkdtemp
+
+        def spy_mkdtemp(*a, **kw):
+            d = real_mkdtemp(*a, **kw)
+            made_tmp.append(d)
+            return d
+
+        dedup.tempfile.mkdtemp = spy_mkdtemp
+        try:
+            out = {
+                r.node: r.component for r in connected_components(pairs).collect()
+            }
+        finally:
+            dedup.tempfile.mkdtemp = real_mkdtemp
+        assert out == {1: 1, 2: 1}
+        assert made_tmp == []  # session dir used, no temp created
+    finally:
+        # pyspark has no unsetCheckpointDir; point it at a throwaway so
+        # later tests see a existing-but-unused dir
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ck_rest"))
+
+    # 2. non-local master + no dir anywhere -> clear error
+    class _FakeCtx:
+        master = "spark://cluster:7077"
+
+        def getCheckpointDir(self):
+            return None
+
+    class _FakeSession:
+        sparkContext = _FakeCtx()
+
+    class _FakePairs:
+        sparkSession = _FakeSession()
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        connected_components(_FakePairs())
+
+
 def test_pack_sequences_greedy_first_fit(spark):
     from kspp_spark.functions.packing import pack_sequences, pack_stats
 

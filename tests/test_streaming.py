@@ -709,3 +709,94 @@ def test_stream_table_join_reproduces_golden_sequence(spark, tmp_path, how):
         assert got == [("A", None, 3), ("B", "a", 5), ("C", None, 9), ("D", "d", 15)]
     else:
         assert got == [("B", "a", 5), ("D", "d", 15)]
+
+
+@pytest.mark.parametrize("how", ["left", "inner", "outer"])
+def test_table_table_join_stream_reproduces_golden_sequence(spark, tmp_path, how):
+    """STREAMING ktable-ktable changelog join must reproduce the
+    reference's exact old-semantics emission sequences
+    (test8_join.cpp:207-354) with the changelogs split at t=8 into two
+    micro-batches: every emission after the cut (C at 9, c at 10, the
+    tombstone run 11-13, d/D at 14-15) joins against state built in the
+    FIRST batch, proving both sides' LWW cells persist in group state."""
+    import datetime
+
+    from kspp_spark.streaming.stateful import table_table_join_stream
+
+    def t(ms):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=ms)
+
+    stream_a = [("42", None, t(1)), ("42", "A", t(3)), ("42", "B", t(5)),
+                ("42", None, t(7)), ("42", "C", t(9)), ("42", None, t(12)),
+                ("42", "D", t(15))]
+    stream_b = [("42", None, t(2)), ("42", "a", t(4)), ("42", "b", t(6)),
+                ("42", None, t(8)), ("42", "c", t(10)), ("42", None, t(11)),
+                ("42", None, t(13)), ("42", "d", t(14))]
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    sch = "key string, value string, event_time timestamp"
+    cut = t(8)
+    for rows, d in ((stream_a, a_dir), (stream_b, b_dir)):
+        spark.createDataFrame([r for r in rows if r[2] <= cut], sch).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    time.sleep(1.1)  # distinct mtimes -> stable batch order
+    for rows, d in ((stream_a, a_dir), (stream_b, b_dir)):
+        spark.createDataFrame([r for r in rows if r[2] > cut], sch).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    schema_t = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    src_a = (
+        spark.readStream.schema(schema_t)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(a_dir)
+    )
+    src_b = (
+        spark.readStream.schema(schema_t)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(b_dir)
+    )
+    out = table_table_join_stream(src_a, src_b, how=how)
+    name = f"ttj_{how}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r.event_time.second, None if r.tombstone else (r.left, r.right))
+        for r in spark.sql(f"select * from {name} order by event_time").collect()
+    ]
+    # golden sequences transcribed in test_join_semantics.py from
+    # test8_join.cpp:207-244 / :261-300 / :317-354
+    if how == "left":
+        expected = [
+            (1, None), (2, None), (3, ("A", None)), (4, ("A", "a")),
+            (5, ("B", "a")), (6, ("B", "b")), (7, None), (8, None),
+            (9, ("C", None)), (10, ("C", "c")), (11, ("C", None)),
+            (12, None), (13, None), (14, None), (15, ("D", "d")),
+        ]
+    elif how == "inner":
+        expected = [
+            (1, None), (2, None), (3, None), (4, ("A", "a")),
+            (5, ("B", "a")), (6, ("B", "b")), (7, None), (8, None),
+            (9, None), (10, ("C", "c")), (11, None), (12, None),
+            (13, None), (14, None), (15, ("D", "d")),
+        ]
+    else:
+        expected = [
+            (1, None), (2, None), (3, ("A", None)), (4, ("A", "a")),
+            (5, ("B", "a")), (6, ("B", "b")), (7, (None, "b")), (8, None),
+            (9, ("C", None)), (10, ("C", "c")), (11, ("C", None)),
+            (12, None), (13, None), (14, (None, "d")), (15, ("D", "d")),
+        ]
+    assert got == expected
