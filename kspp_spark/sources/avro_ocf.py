@@ -224,9 +224,14 @@ def parse_container(data: bytes):
     return schema, records()
 
 
-def build_container(schema, rows, codec: str = "deflate") -> bytes:
+def build_container(
+    schema, rows, codec: str = "deflate", block_rows: int | None = None
+) -> bytes:
     """Serialize rows (sequences matching the record schema) into one
-    OCF byte string."""
+    OCF byte string. `block_rows` caps records per data block — a
+    multi-block container is what makes sync-marker splitting
+    (read_avro_ocf) able to parallelize one large file; None keeps a
+    single block."""
     sync = uuid.uuid4().bytes
     out = io.BytesIO()
     out.write(MAGIC)
@@ -239,22 +244,29 @@ def build_container(schema, rows, codec: str = "deflate") -> bytes:
         out,
     )
     out.write(sync)
+
+    def flush_block(block: io.BytesIO, n: int) -> None:
+        payload = block.getvalue()
+        if codec == "deflate":
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        elif codec != "null":
+            raise NotImplementedError(f"avro codec not supported: {codec}")
+        write_long(out, n)
+        write_long(out, len(payload))
+        out.write(payload)
+        out.write(sync)
+
     block = io.BytesIO()
     n = 0
     for row in rows:
         _encode(schema, row, block)
         n += 1
-    payload = block.getvalue()
-    if codec == "deflate":
-        co = zlib.compressobj(9, zlib.DEFLATED, -15)
-        payload = co.compress(payload) + co.flush()
-    elif codec != "null":
-        raise NotImplementedError(f"avro codec not supported: {codec}")
+        if block_rows is not None and n >= block_rows:
+            flush_block(block, n)
+            block, n = io.BytesIO(), 0
     if n:
-        write_long(out, n)
-        write_long(out, len(payload))
-        out.write(payload)
-        out.write(sync)
+        flush_block(block, n)
     return out.getvalue()
 
 
@@ -383,12 +395,17 @@ def _pythonize(schema, v):
 
 # ------------------------------------------------------------ Spark surface
 
-def read_avro_ocf(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed OCF read: binaryFile ships whole files to executors,
-    mapInPandas decodes there. The DataFrame schema derives from the
+def read_avro_ocf(
+    spark: SparkSession, path: str, split_bytes: int = 32 << 20
+) -> DataFrame:
+    """Distributed OCF read with sync-marker byte-range splitting:
+    every file fans out into ~split_bytes ranges, each decoded by its
+    own task via mapInPandas. The DataFrame schema derives from the
     FIRST file's embedded writer schema (read driver-side — header
     bytes only); all files must share it (the reference source reads
-    one container, so this matches its contract)."""
+    one container, avro_file_source.h:8-47, so this matches its
+    contract). Local/shared-posix paths (executors re-open the file by
+    name); the spark-avro jar path covers object stores."""
     import glob as _glob
 
     files = sorted(_glob.glob(os.path.join(path, "*.avro"))) or (
@@ -396,25 +413,97 @@ def read_avro_ocf(spark: SparkSession, path: str) -> DataFrame:
     )
     if not files:
         raise FileNotFoundError(f"no .avro files under {path!r}")
-    with open(files[0], "rb") as f:
-        schema, _ = parse_container(f.read())
+    with open(files[0], "rb") as f:  # header only, never the whole file
+        if f.read(4) != MAGIC:
+            raise ValueError(f"not an Avro object container file: {files[0]}")
+        meta = _decode({"type": "map", "values": "bytes"}, f)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
     spark_schema = avro_to_spark_type(schema)
+    col_names = [fld["name"] for fld in schema["fields"]]
+
+    # sync-marker splitting: one task per ~split_bytes byte range, so a
+    # single 10 GB container fans out instead of serializing into one
+    # task (the property the spark-avro jar's FileFormat gives the jar
+    # path). Ownership convention is Avro's own (DataFileReader.sync/
+    # pastSync): a split [s, e) decodes blocks that START at offset
+    # < e + SYNC_SIZE, beginning from the first sync marker found at
+    # offset >= s — no duplicated and no orphaned blocks across splits.
+    splits = []
+    for fname in files:
+        size = os.path.getsize(fname)
+        n_splits = max(1, -(-size // split_bytes))
+        step = -(-size // n_splits)
+        splits.extend(
+            (fname, i * step, min(size, (i + 1) * step))
+            for i in range(n_splits)
+        )
 
     def decode(batches):
         import pandas as pd
 
         for pdf in batches:
-            for content in pdf["content"]:
-                fschema, recs = parse_container(bytes(content))
-                rows = [_pythonize(fschema, r) for r in recs]
-                yield pd.DataFrame(
-                    rows, columns=[f["name"] for f in fschema["fields"]]
-                )
+            for fname, start, end in zip(
+                pdf["path"], pdf["start"], pdf["end"]
+            ):
+                rows = [
+                    _pythonize(schema, r)
+                    for r in _read_split(fname, int(start), int(end))
+                ]
+                if rows:
+                    yield pd.DataFrame(rows, columns=col_names)
 
-    binfiles = spark.read.format("binaryFile").load(
-        [f"file://{os.path.abspath(f)}" for f in files]
-    )
-    return binfiles.select("content").mapInPandas(decode, schema=spark_schema)
+    sdf = spark.createDataFrame(splits, "path string, start long, end long")
+    # spread splits across tasks (createDataFrame packs small rows into
+    # few partitions; each row here is a full byte-range of work)
+    sdf = sdf.repartition(len(splits))
+    return sdf.mapInPandas(decode, schema=spark_schema)
+
+
+def _find_sync(f, sync: bytes, start: int, size: int) -> int:
+    """Offset just past the first sync marker whose start offset is
+    >= `start` (Avro DataFileReader.sync semantics); `size` if none."""
+    f.seek(start)
+    overlap = b""
+    pos = start
+    while True:
+        chunk = f.read(1 << 20)
+        if not chunk:
+            return size
+        data = overlap + chunk
+        idx = data.find(sync)
+        if idx != -1:
+            return pos - len(overlap) + idx + SYNC_SIZE
+        overlap = data[-(SYNC_SIZE - 1):]
+        pos += len(chunk)
+
+
+def _read_split(path: str, start: int, end: int):
+    """Decode the records of the blocks owned by byte range [start, end)
+    of one OCF file (see read_avro_ocf for the ownership convention)."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"not an Avro object container file: {path}")
+        meta = _decode({"type": "map", "values": "bytes"}, f)
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+        sync = f.read(SYNC_SIZE)
+        header_end = f.tell()
+        pos = header_end if start == 0 else _find_sync(f, sync, start, size)
+        while pos < min(end + SYNC_SIZE, size):
+            f.seek(pos)
+            n = read_long(f)
+            block = f.read(read_long(f))
+            if codec == "deflate":
+                block = zlib.decompress(block, -15)
+            elif codec != "null":
+                raise NotImplementedError(f"avro codec not supported: {codec}")
+            if f.read(SYNC_SIZE) != sync:
+                raise ValueError("sync marker mismatch (corrupt block)")
+            pos = f.tell()
+            bbuf = io.BytesIO(block)
+            for _ in range(n):
+                yield _decode(schema, bbuf)
 
 
 def write_avro_ocf(

@@ -130,3 +130,61 @@ def test_rotated_avro_sink_rotates_by_window(spark, tmp_path):
     assert sorted(r.id for r in first.collect()) == [1, 2]
     second = read_avro_ocf(spark, os.path.join(path, dirs[1]))
     assert [r.id for r in second.collect()] == [3]
+
+
+def test_split_read_multi_block_file_across_tasks(spark, tmp_path):
+    """Sync-marker splitting: ONE multi-block container must fan out
+    across >1 task (byte-range splits with Avro's sync/pastSync
+    ownership convention) and still produce exactly the written rows —
+    the property that keeps a 10 GB container from serializing into a
+    single task on the jarless path."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.sources.avro_ocf import build_container, read_avro_ocf
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "body", "type": "string"},
+        ],
+    }
+    n = 5000
+    rows = [[i, f"row-{i}-" + "x" * 200] for i in range(n)]
+    data = build_container(schema, rows, codec="deflate", block_rows=100)
+    p = tmp_path / "big.avro"
+    p.write_bytes(data)
+
+    # split far below file size so a single file yields many ranges
+    split = max(1024, len(data) // 7)
+    df = read_avro_ocf(spark, str(p), split_bytes=split)
+    n_tasks = df.rdd.getNumPartitions()
+    assert n_tasks > 1, f"expected >1 split task, got {n_tasks}"
+
+    got = df.orderBy("id").collect()
+    assert len(got) == n
+    assert [r.id for r in got] == list(range(n))
+    assert got[1234].body == f"row-1234-" + "x" * 200
+
+    # no duplicated block across adjacent splits
+    assert df.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_split_read_null_codec_and_single_block(spark, tmp_path):
+    """Degenerate splits: a single-block file with splits narrower than
+    the block must still decode every row exactly once (first split
+    owns the block; later splits find no owned sync)."""
+    from kspp_spark.sources.avro_ocf import build_container, read_avro_ocf
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    rows = [[i] for i in range(500)]
+    p = tmp_path / "one_block.avro"
+    p.write_bytes(build_container(schema, rows, codec="null"))
+    df = read_avro_ocf(spark, str(p), split_bytes=512)
+    got = sorted(r.id for r in df.collect())
+    assert got == list(range(500))

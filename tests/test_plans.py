@@ -218,3 +218,66 @@ def test_pii_mask_is_map_only(spark, queries):
     # pure regexp_replace projection: zero Exchange nodes
     plan = formatted_plan(spark, queries["pii_mask"](spark, SF))
     assert "Exchange" not in plan
+
+
+def test_minhash_production_hash_plan_contract(spark):
+    """Scale contract for the PRODUCTION xxhash64 MinHash+LSH path
+    (the portable md5 variants prove value-correctness by oracle; this
+    pins the physical shape so a refactor can't silently regress the
+    path users actually run): candidate generation is aggregation on
+    (band, bhash) + JVM in-bucket expansion — never a signature
+    self-join, cartesian, or row-level Python."""
+    from kspp_spark.functions.dedup import minhash_candidates, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # parameters deliberately differ from q_minhash_lsh_pairs: that
+    # query persists its candidate set, and an identical plan here
+    # would be silently swapped for the InMemoryTableScan by the cache
+    # manager, hiding the physical shape this test pins
+    sigs = minhash_signatures(docs, num_hashes=64)
+    cand = minhash_candidates(sigs, bands=8, rows_per_band=8, max_bucket_ids=128)
+    plan = formatted_plan(spark, cand)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # exactly the three designed shuffles: per-doc signature agg,
+    # (band, bhash) bucket agg, pair distinct — nothing extra
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert re.search(r"Keys \[2\]: \[band#\d+, bhash#\d+L?\]", plan), (
+        "bucket aggregation on (band, bhash) missing"
+    )
+    # in-bucket pair expansion is JVM-side Generate (explode), not a
+    # grouped-pandas or join-based expansion
+    assert "Generate" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_simhash_production_hash_plan_contract(spark):
+    """Same contract for the production xxhash64 SimHash path:
+    signature build is a single per-doc aggregation; band blocking is
+    one (band, bhash) aggregation; the hamming verify joins are
+    key-equi joins (broadcast at this SF) — no cartesian, no
+    row-level Python anywhere."""
+    from kspp_spark.functions.dedup import (
+        simhash,
+        simhash_candidates,
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = simhash(docs)
+    # signature stage alone: one shuffle (the per-doc agg), Python-free
+    sig_plan = formatted_plan(spark, sigs)
+    assert len(re.findall(r"\(\d+\) Exchange", sig_plan)) == 1
+    assert "BatchEvalPython" not in sig_plan
+
+    pairs = simhash_hamming_pairs(
+        sigs, simhash_candidates(sigs, bands=4, bits=64), max_hamming=3
+    )
+    plan = formatted_plan(spark, pairs)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert re.search(r"Keys \[2\]: \[band#\d+, bhash#\d+L?\]", plan), (
+        "band-blocking aggregation on (band, bhash) missing"
+    )

@@ -126,3 +126,99 @@ def test_mqtt_sink_publishes_per_partition(spark, tmp_path):
         with open(path) as f:
             published.extend(tuple(m) for m in json.load(f))
     assert sorted(published) == [("a", "1", False), ("b", "2", False), ("c", "", True)]
+
+
+def test_dbapi_upsert_sink_sqlite_end_to_end(spark, tmp_path):
+    """Full reference upsert protocol (postgres_producer.cpp:147-238)
+    through real SQL, sqlite standing in for Postgres: auto-DDL on the
+    first batch, batched INSERT..ON CONFLICT upserts with intra-batch
+    LWW dedupe, tombstone deletes — then verify the table contents."""
+    import functools
+    import sqlite3
+
+    from pyspark.sql import types as T
+
+    from kspp_spark.sinks.jdbc import dbapi_upsert_sink, schema_to_create_table
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType(), False),
+            T.StructField("val", T.LongType(), True),
+            T.StructField("event_time", T.TimestampType(), True),
+        ]
+    )
+    ddl = schema_to_create_table(schema, "kv", ["key"], dialect="sqlite")
+    assert "CREATE TABLE IF NOT EXISTS kv" in ddl
+    assert "key text NOT NULL" in ddl
+    assert "PRIMARY KEY (key)" in ddl
+
+    db = str(tmp_path / "sink.db")
+    connect = functools.partial(sqlite3.connect, db, timeout=30)
+    sink = dbapi_upsert_sink(
+        connect, schema, "kv", ["key"], ["val"], dialect="sqlite"
+    )
+
+    # sqlite has no timestamp type; bind as ISO strings
+    def batch(rows):
+        df = spark.createDataFrame(
+            [(k, v, _ts(m)) for k, v, m in rows], schema
+        )
+        return df.withColumn(
+            "event_time", F.date_format("event_time", "yyyy-MM-dd HH:mm:ss")
+        )
+
+    # batch 1: plain inserts + an intra-batch duplicate (LWW: latest
+    # event_time wins, reference splits these into sub-batches)
+    sink(batch([("a", 1, 1), ("b", 2, 1), ("a", 10, 5)]), 0)
+    with sqlite3.connect(db) as conn:
+        got = dict(conn.execute("SELECT key, val FROM kv").fetchall())
+    assert got == {"a": 10, "b": 2}
+
+    # batch 2: upsert an existing key + insert a new one
+    sink(batch([("b", 20, 6), ("c", 3, 6)]), 1)
+    with sqlite3.connect(db) as conn:
+        got = dict(conn.execute("SELECT key, val FROM kv").fetchall())
+    assert got == {"a": 10, "b": 20, "c": 3}
+
+    # batch 3: tombstone (null val) deletes 'a'; upsert 'c'
+    sink(batch([("a", None, 7), ("c", 30, 7)]), 2)
+    with sqlite3.connect(db) as conn:
+        got = dict(conn.execute("SELECT key, val FROM kv").fetchall())
+    assert got == {"b": 20, "c": 30}
+
+
+def test_schema_to_create_table_postgres_types():
+    """Type mapping mirrors the reference's avro2sql table
+    (postgres_avro_utils.cpp:283-351): text/bytea/integer/bigint/
+    float4/float8/boolean + arrays as typed postgres arrays."""
+    from pyspark.sql import types as T
+
+    from kspp_spark.sinks.jdbc import schema_to_create_table
+
+    schema = T.StructType(
+        [
+            T.StructField("s", T.StringType(), False),
+            T.StructField("b", T.BinaryType(), True),
+            T.StructField("i", T.IntegerType(), True),
+            T.StructField("l", T.LongType(), True),
+            T.StructField("f", T.FloatType(), True),
+            T.StructField("d", T.DoubleType(), True),
+            T.StructField("bo", T.BooleanType(), True),
+            T.StructField("arr", T.ArrayType(T.StringType()), True),
+            T.StructField("dec", T.DecimalType(12, 2), True),
+        ]
+    )
+    ddl = schema_to_create_table(schema, "t", ["s"], dialect="postgres")
+    for frag in [
+        "s text NOT NULL",
+        "b bytea",
+        "i integer",
+        "l bigint",
+        "f float4",
+        "d float8",
+        "bo boolean",
+        "arr text[]",
+        "dec numeric(12,2)",
+        "PRIMARY KEY (s)",
+    ]:
+        assert frag in ddl, f"{frag!r} missing from:\n{ddl}"
