@@ -1,0 +1,240 @@
+"""CLI equivalents of the reference's tools/ directory.
+
+Parity targets (thin CLIs over operators this repo already has):
+  csv2avro       tools/csv2avro/csv2avro.cpp — CSV file(s) -> Avro
+                 container with a typed schema.
+  kafka2avro     tools/kafka2avro/kafka2avro.cpp:144-151 — Kafka topic
+                 -> event-time-rotated Avro files (file or s3 dst).
+  kafka2table    tools/kafka2rocksdb/kafka2rocksdb.cpp:122-124 — Kafka
+                 topic materialized as a latest-per-key table. The
+                 reference's RocksDB store maps to Spark's state store
+                 (+ a queryable parquet snapshot — at rest, parquet IS
+                 the serving copy; Spark's own RocksDB provider holds
+                 the streaming state, streaming/core.use_rocksdb_state).
+  mqtt2kafka     tools/mqtt2kafka/mqtt2kafka.cpp — MQTT bridge into a
+                 Kafka topic (sources/bridge.spool_source + kafka sink).
+
+Run: `python -m kspp_spark.tools <subcommand> --help`.
+
+Broker-bound subcommands build-and-start streaming queries and so need
+live endpoints; csv2avro runs anywhere (and is the one the sandbox
+e2e-tests). Every subcommand is a ~10-line wiring of library operators
+— by design: the reference's tools are the same thin wrappers over its
+operator library.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def csv2avro(
+    spark,
+    src: str,
+    dst: str,
+    codec: str = "deflate",
+    delimiter: str = ",",
+    header: bool = True,
+    block_rows: int = 4096,
+) -> None:
+    """CSV -> Avro OCF (csv2avro.cpp behavior: read typed rows, write
+    one container). Schema inference via the Spark CSV reader; output
+    through the jarless OCF writer (multi-block so downstream jarless
+    reads split)."""
+    from kspp_spark.sources.avro_ocf import (
+        build_container,
+        spark_to_avro_schema,
+    )
+
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("inferSchema", "true")
+        .csv(src)
+    )
+    import os
+    import uuid
+
+    schema = spark_to_avro_schema(df.schema)
+    os.makedirs(dst, exist_ok=True)
+
+    def write_partition(rows):
+        out_rows = [list(r) for r in rows]
+        if not out_rows:
+            return
+        data = build_container(schema, out_rows, codec, block_rows=block_rows)
+        with open(
+            os.path.join(dst, f"part-{uuid.uuid4().hex}.avro"), "wb"
+        ) as f:
+            f.write(data)
+
+    df.foreachPartition(write_partition)
+
+
+def kafka2avro(
+    spark,
+    brokers: str,
+    topic: str,
+    dst: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    fmt: str = "avro",
+):
+    """Kafka topic -> event-time-rotated files (kafka2avro.cpp:144-151;
+    dst may be a local path or s3a:// URI — same code path, like the
+    reference's file/s3 sink split). Returns the started query."""
+    from kspp_spark.sinks.writers import rotated_file_sink
+    from kspp_spark.sources.kafka_avro import kafka_stream
+
+    src = kafka_stream(spark, brokers, topic)
+
+    def write_batch(batch, batch_id):
+        rotated_file_sink(batch, dst, event_time="event_time", window=window, fmt=fmt)
+
+    return (
+        src.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def kafka2table(
+    spark,
+    brokers: str,
+    topic: str,
+    dst: str,
+    checkpoint: str,
+    rocksdb_state: bool = True,
+):
+    """Kafka changelog topic -> continuously-materialized latest-per-key
+    table (kafka2rocksdb.cpp:122-124: kafka_source -> ktable<rocksdb>).
+    Spark mapping: ktable_stream (LWW in streaming state, optionally on
+    the RocksDB provider) appends each micro-batch's UPDATES to a
+    parquet changelog at `dst`; `table_snapshot(spark, dst)` reads the
+    current table (latest per key — compaction on read, the same
+    merge-on-read a RocksDB LSM does natively). Returns the started
+    query."""
+    from kspp_spark.sources.kafka_avro import kafka_stream
+    from kspp_spark.streaming.core import ktable_stream, use_rocksdb_state
+
+    if rocksdb_state:
+        use_rocksdb_state(spark)
+    src = kafka_stream(spark, brokers, topic).selectExpr(
+        "CAST(key AS STRING) AS key",
+        "CAST(value AS STRING) AS value",
+        "event_time",
+    )
+    latest = ktable_stream(src, "key", ["value"], "event_time")
+    return (
+        latest.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(dst)
+        )
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def table_snapshot(spark, dst: str):
+    """Current latest-per-key view of a kafka2table changelog dir —
+    the read side of the reference's RocksDB get() surface. Tombstones
+    (null value) drop out, like rocksdb_store's deleted keys."""
+    from pyspark.sql import functions as F
+
+    log = spark.read.parquet(dst)
+    latest = (
+        log.groupBy("key")
+        .agg(F.max(F.struct("event_time", "value")).alias("_w"))
+        .select("key", F.col("_w.value").alias("value"),
+                F.col("_w.event_time").alias("event_time"))
+    )
+    return latest.filter(F.col("value").isNotNull())
+
+
+def mqtt2kafka(
+    spark,
+    spool_dir: str,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+):
+    """MQTT -> Kafka bridge (mqtt2kafka.cpp): an external paho-style
+    callback spools messages via BridgeSource.spool (sources/bridge
+    documents the transport contract); this end tails the spool
+    directory as a file stream and produces into the Kafka topic with
+    the reference's key/value framing (key = MQTT topic). Returns the
+    started query."""
+    from kspp_spark.sinks.writers import kafka_sink
+    from kspp_spark.sources.bridge import BRIDGE_SCHEMA
+
+    src = spark.readStream.schema(BRIDGE_SCHEMA).parquet(spool_dir)
+    return kafka_sink(src, brokers, topic, checkpoint)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="kspp_spark.tools")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("csv2avro", help="CSV file(s) -> Avro container")
+    c.add_argument("--src", required=True)
+    c.add_argument("--dst", required=True)
+    c.add_argument("--codec", default="deflate", choices=["deflate", "null"])
+    c.add_argument("--delimiter", default=",")
+    c.add_argument("--no-header", action="store_true")
+
+    k = sub.add_parser("kafka2avro", help="Kafka topic -> rotated Avro files")
+    k.add_argument("--brokers", required=True)
+    k.add_argument("--topic", required=True)
+    k.add_argument("--dst", required=True)
+    k.add_argument("--checkpoint", required=True)
+    k.add_argument("--window", default="1 hour")
+
+    r = sub.add_parser(
+        "kafka2table", help="Kafka changelog -> materialized latest-per-key table"
+    )
+    r.add_argument("--brokers", required=True)
+    r.add_argument("--topic", required=True)
+    r.add_argument("--dst", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--no-rocksdb", action="store_true")
+
+    m = sub.add_parser("mqtt2kafka", help="MQTT bridge spool -> Kafka topic")
+    m.add_argument("--spool-dir", required=True)
+    m.add_argument("--brokers", required=True)
+    m.add_argument("--topic", required=True)
+    m.add_argument("--checkpoint", required=True)
+
+    args = p.parse_args(argv)
+    from kspp_spark.session import get_spark
+
+    spark = get_spark(f"kspp_tools_{args.cmd}")
+    if args.cmd == "csv2avro":
+        csv2avro(
+            spark,
+            args.src,
+            args.dst,
+            codec=args.codec,
+            delimiter=args.delimiter,
+            header=not args.no_header,
+        )
+        return 0
+    if args.cmd == "kafka2avro":
+        q = kafka2avro(
+            spark, args.brokers, args.topic, args.dst, args.checkpoint,
+            window=args.window,
+        )
+    elif args.cmd == "kafka2table":
+        q = kafka2table(
+            spark, args.brokers, args.topic, args.dst, args.checkpoint,
+            rocksdb_state=not args.no_rocksdb,
+        )
+    else:
+        q = mqtt2kafka(
+            spark, args.spool_dir, args.brokers, args.topic, args.checkpoint
+        )
+    q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
