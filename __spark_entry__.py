@@ -1215,6 +1215,12 @@ def q_embedding_norms(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    # BOUNDED DEMO of the verify stage ONLY (doc_id < 150 -> ~11k
+    # candidate pairs): the explicit crossJoin exists to exercise
+    # ngram_jaccard_pairs against an exhaustive oracle and would NOT
+    # survive scale-up. The production path generates candidates via
+    # minhash/simhash banding (q_minhash_lsh_pairs,
+    # q_simhash_pairs_portable) — never copy this crossJoin shape.
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     ids = docs.select(F.col("doc_id").alias("a"))
     ids2 = docs.select(F.col("doc_id").alias("b"))
@@ -1278,6 +1284,19 @@ def q_simhash_pairs_portable(spark, sf_dir):
     sigs.count()  # feeds both banding and the verify join
     cands = simhash_candidates(sigs, bands=4, bits=60)
     return simhash_hamming_pairs(sigs, cands, max_hamming=3)
+
+
+def q_substring_spans(spark, sf_dir):
+    """Span-level EXACT substring duplication (Lee et al. exact-match
+    complement to document-level near-dup): 10-token windows
+    fingerprinted positionally; spans verbatim-shared by >= 2 distinct
+    docs with doc/occurrence counts. md5-portable fingerprints so the
+    oracle replays bit-for-bit; production default is xxhash64."""
+    from kspp_spark.functions.dedup import substring_dup_spans
+
+    return substring_dup_spans(
+        _t(spark, sf_dir, "documents"), span_tokens=10, hash_family="md5"
+    )
 
 
 def q_curate_docs(spark, sf_dir):
@@ -1797,6 +1816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "having": q_having,
         "lag_lead": q_lag_lead,
+        "substring_spans": q_substring_spans,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2925,6 +2945,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM banded l JOIN banded r
               ON l.b = r.b AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+        """,
+        # span-level exact-substring duplication: positional 10-token
+        # windows (NOT deduped per doc — n_occ counts within-doc
+        # repeats), 60-bit md5-int fingerprint, shared-by->=2-docs
+        # filter — mirrors functions/dedup.py substring_dup_spans
+        "substring_spans": f"""
+            WITH w AS (
+                SELECT doc_id, unnest(CASE WHEN len(toks) >= 10
+                    THEN list_transform(range(0, len(toks) - 9),
+                         i -> array_to_string(list_slice(toks, i + 1, i + 10), ' '))
+                    ELSE [] END) AS span
+                FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+            )
+            SELECT CAST('0x' || substr(md5(span), 1, 15) AS BIGINT) AS fp,
+                   COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_occ
+            FROM w
+            GROUP BY 1
+            HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         # SimHash pair generation: signature CTE as simhash_portable,
         # then 4x15-bit band blocking (self-join on the band slice) and

@@ -288,6 +288,64 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+    hash_family: str = "xxhash64",
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT substring duplication: token windows of `span_tokens`
+    consecutive tokens, fingerprinted positionally, aggregated to the
+    spans appearing in >= min_docs DISTINCT documents -> (fp, n_docs,
+    n_occ). This is the span-level complement of document-level
+    near-dup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" — exact-substring match): boilerplate headers,
+    license blocks, and templated passages repeat VERBATIM across
+    otherwise-distinct pages, which set-based MinHash under-weighs.
+
+    Shape at 100 TB: fingerprints are fixed-width longs — one explode
+    (narrow) + ONE hash shuffle of (fp, id); raw text never shuffles.
+    Count-distinct over ids is a partial-aggregable two-level agg.
+    Documents shorter than span_tokens contribute nothing (a span
+    signal needs a full window; short docs are document-level dedup's
+    job). hash_family "md5" is the engine-portable variant (DuckDB
+    replays bit-for-bit); production default xxhash64.
+
+    Join the result back on fp to locate/redact the spans per doc, or
+    aggregate n_occ-weighted to a per-doc duplication score.
+    """
+    n = span_tokens
+    toks = df.select(F.col(id_col), tokenize(F.col(text)).alias("_toks"))
+    k = F.size("_toks") - (n - 1)
+    # positional windows (NOT distinct — n_occ counts within-doc
+    # repeats too); explode(null) emits nothing for short docs
+    windows = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(F.col("_toks"), i, n), " "),
+        ),
+    )
+    spans = toks.select(F.col(id_col), F.explode(windows).alias("_span"))
+    if hash_family == "md5":
+        fp = _md5_long(F.col("_span"), 1, 15)
+    elif hash_family == "xxhash64":
+        fp = F.xxhash64(F.col("_span"))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return (
+        spans.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -721,3 +721,44 @@ def test_mix_corpus_hits_exact_ratios(spark):
                                      {"web": 3, "books": 1}, "doc_id").collect()
     )
     assert again == got
+
+
+def test_substring_dup_spans_finds_verbatim_spans(spark):
+    """Span-level exact dedup: a 6-token boilerplate block shared by
+    docs 1 and 3 (twice in doc 3) surfaces with n_docs=2; unique text
+    and sub-window docs contribute nothing."""
+    from kspp_spark.functions.dedup import substring_dup_spans
+
+    boiler = "all rights reserved see license file"
+    rows = [
+        (1, f"intro words here {boiler} more unique text one"),
+        (2, "completely different content with no duplication at all ok"),
+        (3, f"{boiler} and again {boiler}"),
+        (4, "short doc"),  # < span_tokens: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = substring_dup_spans(df, span_tokens=6, min_docs=2)
+    got = {(r.n_docs, r.n_occ) for r in out.collect()}
+    # exactly the boilerplate window is shared; doc 3 holds it twice
+    assert (2, 3) in got
+    # no span is shared by more than those two docs
+    assert all(nd == 2 for nd, _ in got)
+
+    # md5-portable and xxhash64 families agree on the aggregate shape
+    out_md5 = substring_dup_spans(df, span_tokens=6, hash_family="md5")
+    assert sorted((r.n_docs, r.n_occ) for r in out_md5.collect()) == sorted(
+        (r.n_docs, r.n_occ) for r in out.collect()
+    )
+
+
+def test_substring_dup_spans_counts_within_doc_repeats_only_with_min_docs_met(spark):
+    """A span repeated only WITHIN one doc does not qualify (n_docs=1):
+    the signal is cross-document boilerplate, not self-repetition —
+    that is repetition_stats' job."""
+    from kspp_spark.functions.dedup import substring_dup_spans
+
+    phrase = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, f"{phrase} and {phrase}")], "doc_id long, text string"
+    )
+    assert substring_dup_spans(df, span_tokens=6).count() == 0

@@ -281,3 +281,16 @@ def test_simhash_production_hash_plan_contract(spark):
     assert re.search(r"Keys \[2\]: \[band#\d+, bhash#\d+L?\]", plan), (
         "band-blocking aggregation on (band, bhash) missing"
     )
+
+
+def test_substring_spans_shuffles_fingerprints_only(spark, queries):
+    """Span dedup scale contract: raw text never shuffles — the span
+    windows project and fingerprint map-side, and the only exchanges
+    belong to the (fp, doc_id) count-distinct aggregation. No joins,
+    no Python."""
+    plan = formatted_plan(spark, queries["substring_spans"](spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    # count-distinct agg = at most two exchanges (partial on (fp, id),
+    # final on fp); the explode/hash stages are narrow
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan

@@ -800,3 +800,72 @@ def test_table_table_join_stream_reproduces_golden_sequence(spark, tmp_path, how
             (12, None), (13, None), (14, (None, "d")), (15, ("D", "d")),
         ]
     assert got == expected
+
+
+def test_table_table_join_stream_recovers_from_checkpoint(spark, tmp_path):
+    """Restart recovery for the table-table join: run 1 builds both
+    sides' LWW state, the query stops, new changes arrive, run 2 must
+    resume from the checkpoint and join the new changes against the
+    RECOVERED state (including a tombstoned left cell) — identical to
+    one continuous run."""
+    import datetime
+
+    from kspp_spark.streaming.stateful import table_table_join_stream
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    sch = "key string, value string, event_time timestamp"
+
+    def run_once():
+        schema_t = T.StructType(
+            [
+                T.StructField("key", T.StringType()),
+                T.StructField("value", T.StringType()),
+                T.StructField("event_time", T.TimestampType()),
+            ]
+        )
+        src_a = spark.readStream.schema(schema_t).parquet(a_dir)
+        src_b = spark.readStream.schema(schema_t).parquet(b_dir)
+        q = (
+            table_table_join_stream(src_a, src_b, how="outer")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: left gets A then a tombstone; right gets x
+    spark.createDataFrame(
+        [("k", "A", t(1)), ("k", None, t(3))], sch
+    ).coalesce(1).write.mode("append").parquet(a_dir)
+    spark.createDataFrame([("k", "x", t(2))], sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(b_dir)
+    run_once()
+
+    # run 2: ONLY a right-side update arrives; the join must use the
+    # recovered state (left tombstoned at t=3, right x) -> (None, "y")
+    time.sleep(1.1)
+    spark.createDataFrame([("k", "y", t(10))], sch).coalesce(1).write.mode(
+        "append"
+    ).parquet(b_dir)
+    run_once()
+
+    got = [
+        (r.event_time.second, None if r.tombstone else (r.left, r.right))
+        for r in spark.read.parquet(out_dir)
+        .orderBy("event_time")
+        .collect()
+    ]
+    assert got == [
+        (1, ("A", None)),   # run 1
+        (2, ("A", "x")),
+        (3, (None, "x")),   # left tombstone, outer keeps right
+        (10, (None, "y")),  # run 2 against recovered state
+    ]
