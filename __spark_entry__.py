@@ -1286,6 +1286,42 @@ def q_simhash_pairs_portable(spark, sf_dir):
     return simhash_hamming_pairs(sigs, cands, max_hamming=3)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear classifier inference at corpus
+    scale (Joulin et al. 2016 + the hashing trick): tokens hash into
+    256 weight buckets (engine-portable md5 model regenerated by the
+    oracle), document score = mean bucket weight accumulated as an
+    exact BIGINT sum (order-independent — no float-sum drift), one
+    map + one partial-aggregable shuffle of (doc_id, 2 ints)."""
+    from kspp_spark.functions.text import hashed_bow_score, linear_classifier_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_bow_score(docs, linear_classifier_weights(256))
+
+
+def q_srp_pairs(spark, sf_dir):
+    """Embedding near-dup, SCALE tier: sign-random-projection LSH
+    (Charikar 2002 hyperplane hashing) with an EXACT end-to-end oracle.
+    One map-only pass packs 32 sign bits per vector (Rademacher ±1
+    planes derived deterministically from md5 — srp_plane_signs — so
+    DuckDB regenerates the identical matrix); 4x8-bit band blocking
+    buckets candidates (one hash agg, shared in-bucket expansion, NO
+    self-join of the corpus); exact sequential-double cosine rescoring
+    runs only on candidates (~1.8% of all pairs at sf0.01). The
+    complement of q_dedup_embedding's exact block-matrix tier: at
+    billion-row scale only fixed-width signatures shuffle."""
+    from kspp_spark.functions.dedup import (
+        embedding_dup_pairs,
+        simhash_candidates,
+        srp_signatures,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sigs = srp_signatures(emb, planes=32, dims=64)
+    cands = simhash_candidates(sigs, id_col="vec_id", sim_col="srp", bands=4, bits=32)
+    return embedding_dup_pairs(emb, threshold=0.4, candidates=cands)
+
+
 def q_substring_spans(spark, sf_dir):
     """Span-level EXACT substring duplication (Lee et al. exact-match
     complement to document-level near-dup): 10-token windows
@@ -1817,6 +1853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having": q_having,
         "lag_lead": q_lag_lead,
         "substring_spans": q_substring_spans,
+        "srp_pairs": q_srp_pairs,
+        "quality_classifier": q_quality_classifier,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1824,6 +1862,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_features_knn": q_media_features_knn,
     }
+
+
+def _hbow_weights_sql(buckets: int, seed: int = 0) -> str:
+    """DuckDB list literal regenerating the hashed-BoW milli-weight
+    model — same derivation as text.linear_classifier_weights."""
+    from kspp_spark.functions.text import linear_classifier_weights
+
+    ws = linear_classifier_weights(buckets, seed)
+    return f"[{','.join(str(w) for w in ws)}]"
+
+
+def _srp_planes_sql(planes: int, dims: int, seed: int = 0) -> str:
+    """DuckDB CTE body regenerating the SRP ±1 plane matrix — the same
+    deterministic md5 derivation as functions/dedup.srp_plane_signs, so
+    the oracle's signatures are bit-for-bit the Spark ones."""
+    from kspp_spark.functions.dedup import srp_plane_signs
+
+    rows = srp_plane_signs(planes, dims, seed)
+    return " UNION ALL ".join(
+        f"SELECT {p} AS p, CAST([{','.join(str(int(s)) for s in row)}] "
+        "AS DOUBLE[]) AS s"
+        for p, row in enumerate(rows)
+    )
 
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
@@ -2945,6 +3006,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM banded l JOIN banded r
               ON l.b = r.b AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+        """,
+        # hashed linear classifier replay: the md5 milli-weight model
+        # regenerates from linear_classifier_weights; BIGINT weight
+        # sum is exact, one double division at the end — mirrors
+        # functions/text.py hashed_bow_score
+        "quality_classifier": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+            ),
+            w AS (
+                SELECT doc_id,
+                       CAST(wl[CAST(CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                                    % 256 AS INT) + 1] AS BIGINT) AS w
+                FROM tok CROSS JOIN (SELECT {_hbow_weights_sql(256)} AS wl) m
+            )
+            SELECT doc_id, COUNT(*) AS n_toks,
+                   CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) AS score,
+                   CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) > 0 AS keep
+            FROM w GROUP BY doc_id
+        """,
+        # SRP (hyperplane) LSH replay: the ±1 plane matrix regenerates
+        # from the same md5 derivation (srp_plane_signs), signatures
+        # are sequential-double dots (list_sum ≡ F.aggregate order),
+        # 4x8-bit band blocking, exact cosine verify on candidates —
+        # mirrors q_srp_pairs end to end
+        "srp_pairs": f"""
+            WITH planes AS ({_srp_planes_sql(32, 64)}),
+            sig AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN dot > 0
+                                THEN (CAST(1 AS BIGINT) << p)
+                                ELSE 0 END) AS BIGINT) AS srp
+                FROM (
+                    SELECT e.vec_id, pl.p,
+                           list_sum(list_transform(
+                               list_zip(e.embedding, pl.s),
+                               x -> CAST(x[1] AS DOUBLE) * x[2])) AS dot
+                    FROM embeddings e CROSS JOIN planes pl
+                ) GROUP BY vec_id
+            ),
+            banded AS (
+                SELECT vec_id, b, (srp >> (b * 8)) & 255 AS chunk
+                FROM sig CROSS JOIN range(4) t(b)
+            ),
+            cand AS (
+                SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+                FROM banded l JOIN banded r
+                  ON l.b = r.b AND l.chunk = r.chunk AND l.vec_id < r.vec_id
+            ),
+            v AS (SELECT vec_id, embedding AS e FROM embeddings)
+            SELECT a, b, score FROM (
+                SELECT a, b,
+                       list_sum(list_transform(list_zip(va.e, vb.e),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(va.e,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                            * list_sum(list_transform(vb.e,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS score
+                FROM cand
+                JOIN v va ON va.vec_id = cand.a
+                JOIN v vb ON vb.vec_id = cand.b
+            ) WHERE score >= 0.4
         """,
         # span-level exact-substring duplication: positional 10-token
         # windows (NOT deduped per doc — n_occ counts within-doc

@@ -632,6 +632,84 @@ def simhash_hamming_pairs(
     )
 
 
+def srp_plane_signs(
+    planes: int, dims: int, seed: int = 0
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components for sign-random-projection
+    LSH: component (p, d) is +1 when the first byte of
+    md5("srp:{seed}:{p}:{d}") < 128, else -1. Rademacher (±1) entries
+    preserve angles like Gaussian planes (Achlioptas 2003, "Database-
+    friendly random projections") while staying engine-portable: any
+    runtime that can compute md5 regenerates the identical matrix, so
+    an external oracle can replay signatures bit-for-bit.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"srp:{seed}:{p}:{d}".encode()).digest()[0] < 128
+            else -1.0
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def srp_signatures(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 32,
+    dims: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Sign-random-projection (hyperplane) LSH signatures for embedding
+    near-dup — "simhash for vectors" (Charikar 2002): bit p of the
+    signature is 1 iff dot(vec, plane_p) > 0, so
+    P[bits differ] = angle(a, b) / π and hamming distance estimates
+    the cosine angle.
+
+    This is the SCALE TIER for embedding near-dup that complements the
+    exact block-matrix tier (block_cosine_candidates): one MAP-ONLY
+    pass over the corpus (no shuffle — each signature is `planes`
+    sequential-double dot products against constant ±1 arrays, all
+    JVM-side higher-order functions), then band-bucket candidate
+    generation via simhash_candidates(sim_col="srp") and exact
+    rescoring of candidates only via embedding_dup_pairs(candidates=).
+    At 100 TB the corpus never self-joins; only fixed-width signatures
+    shuffle.
+
+    The plane matrix is deterministic from (planes, dims, seed)
+    (srp_plane_signs) — engine-portable, so a SQL oracle replays the
+    whole pipeline exactly; there is no separate "portable" hash
+    family needed.
+
+    planes <= 62 (signature packs into one BIGINT, sign convention
+    dot > 0, matching simhash's v > 0). Output: (id_col, srp BIGINT).
+    """
+    if planes > 62:
+        raise ValueError("srp_signatures packs into one BIGINT: planes <= 62")
+    signs = srp_plane_signs(planes, dims, seed)
+
+    def plane_dot(row: list[float]) -> Column:
+        lits = F.array(*[F.lit(s) for s in row])
+        prod = F.zip_with(F.col(vec), lits, lambda x, y: x.cast("double") * y)
+        return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+    packed = sum(
+        [
+            F.when(
+                plane_dot(signs[p]) > 0,
+                F.shiftleft(F.lit(1).cast("bigint"), p),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for p in range(planes)
+        ],
+        F.lit(0).cast("bigint"),
+    )
+    return df.select(F.col(id_col), packed.alias("srp"))
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "a",

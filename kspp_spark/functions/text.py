@@ -279,3 +279,67 @@ def chunk_documents(
             ),
         )
     )
+
+
+def linear_classifier_weights(buckets: int = 256, seed: int = 0) -> list[int]:
+    """Deterministic demo weight vector for hashed_bow_score: bucket b
+    gets an integer milli-weight in [-1000, 1000] derived from
+    md5("hbow:{seed}:{b}") — engine-portable, so an external SQL
+    oracle regenerates the identical model. Production replaces this
+    with weights trained offline (e.g. logistic regression / fastText
+    export quantized to milli-units)."""
+    import hashlib
+
+    out = []
+    for b in range(buckets):
+        h = int.from_bytes(
+            hashlib.md5(f"hbow:{seed}:{b}".encode()).digest()[:4], "big"
+        )
+        out.append(h % 2001 - 1000)
+    return out
+
+
+def hashed_bow_score(
+    df,
+    weights_milli: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """fastText-style linear bag-of-hashed-tokens scorer (Joulin et al.
+    2016, "Bag of Tricks for Efficient Text Classification"): serve a
+    trained linear text-quality classifier over a 100 TB corpus.
+
+    Tokens hash into len(weights_milli) buckets (engine-portable md5
+    bucket — the hashing trick, Weinberger et al. 2009); the document
+    score is the mean bucket weight. Weights are INTEGER milli-units so
+    the per-doc accumulation is an exact BIGINT sum (order-independent
+    — no float-summation nondeterminism across partitions); the final
+    mean divides once in double. Inference is one weight-table lookup
+    per token against a broadcast literal array plus a single
+    partial-aggregable sum — map-side combine keeps the shuffle at one
+    row per doc. No Python executes per row.
+
+    Output: (id_col, n_toks BIGINT, score DOUBLE, keep BOOLEAN) where
+    score = sum(w)/1000/n_toks and keep = score > 0. Documents with no
+    tokens contribute no rows (nothing to aggregate).
+    """
+    buckets = len(weights_milli)
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        % buckets
+    )
+    wlit = F.array(*[F.lit(int(w)) for w in weights_milli])
+    w = F.element_at(wlit, (bucket + 1).cast("int")).cast("bigint")
+    agg = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_toks"), F.sum(w).alias("_sw")
+    )
+    score = F.col("_sw").cast("double") / (F.lit(1000.0) * F.col("n_toks"))
+    return agg.select(
+        id_col,
+        "n_toks",
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )

@@ -72,9 +72,16 @@ def elasticsearch_sink(
 
     def write(batch: DataFrame, batch_id: int) -> None:
         actions = es_actions(batch, index, key, value_cols, event_time)
-        actions.foreachPartition(
-            lambda rows: transport([r.action for r in rows]) if rows else None
-        )
+
+        def send(rows) -> None:
+            # materialize first: `rows` is an iterator (always truthy),
+            # so guarding on it directly would call transport([]) once
+            # per empty partition
+            batch_actions = [r.action for r in rows]
+            if batch_actions:
+                transport(batch_actions)
+
+        actions.foreachPartition(send)
 
     return write
 
@@ -112,9 +119,13 @@ def influx_sink(
 
     def write(batch: DataFrame, batch_id: int) -> None:
         lines = influx_lines(batch, measurement, tag_cols, field_cols, event_time)
-        lines.foreachPartition(
-            lambda rows: transport([r.line for r in rows]) if rows else None
-        )
+
+        def send(rows) -> None:
+            batch_lines = [r.line for r in rows]
+            if batch_lines:
+                transport(batch_lines)
+
+        lines.foreachPartition(send)
 
     return write
 

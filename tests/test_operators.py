@@ -139,6 +139,80 @@ def test_simhash_near_dup_distance(spark):
     assert ham_near < ham_far
 
 
+def test_srp_signatures_deterministic_and_angle_sensitive(spark):
+    """SRP hyperplane hashing: identical vectors get identical
+    signatures; near-identical vectors land at smaller hamming
+    distance than unrelated ones (P[bit differs] = angle/pi)."""
+    from kspp_spark.functions.dedup import srp_signatures
+
+    base = [1.0 if d % 3 == 0 else -0.5 for d in range(16)]
+    near = list(base)
+    near[0] += 0.01  # cos ~ 0.9999
+    far = [(-1.0) ** d * (0.1 + d / 16.0) for d in range(16)]
+    rows = [(1, base), (2, list(base)), (3, near), (4, far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = {r.vec_id: r.srp for r in srp_signatures(df, planes=32, dims=16).collect()}
+    assert sigs[1] == sigs[2]  # identical input -> identical signature
+    ham_near = bin(sigs[1] ^ sigs[3]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[4]).count("1")
+    assert ham_near < ham_far
+    # determinism across evaluations (constant plane matrix)
+    again = {r.vec_id: r.srp for r in srp_signatures(df, planes=32, dims=16).collect()}
+    assert again == sigs
+
+
+def test_srp_banding_finds_planted_near_dup(spark):
+    """End-to-end SRP pipeline on planted near-dups: signature ->
+    band blocking -> exact cosine verify surfaces the planted pair
+    (hamming < bands shares a band by pigeonhole) and the verify
+    stage rejects non-duplicates in the same buckets."""
+    from kspp_spark.functions.dedup import (
+        embedding_dup_pairs,
+        simhash_candidates,
+        srp_signatures,
+    )
+
+    base = [1.0 if d % 3 == 0 else -0.5 for d in range(16)]
+    near = list(base)
+    near[1] += 0.01
+    rows = [(1, base), (2, near)] + [
+        (10 + i, [(-1.0) ** (d + i) * (0.1 + ((d * 7 + i * 13) % 16) / 16.0) for d in range(16)])
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = srp_signatures(df, planes=32, dims=16)
+    cands = simhash_candidates(sigs, id_col="vec_id", sim_col="srp", bands=4, bits=32)
+    out = embedding_dup_pairs(df, threshold=0.99, candidates=cands)
+    got = {(r.a, r.b) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_hashed_bow_score_exact_mean_and_determinism(spark):
+    """hashed_bow_score = mean bucket milli-weight: verify against a
+    hand-computed expectation using the same deterministic model, and
+    that repeated words weigh repeatedly (bag semantics)."""
+    import hashlib
+
+    from kspp_spark.functions.text import hashed_bow_score, linear_classifier_weights
+
+    ws = linear_classifier_weights(64)
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "   "), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in hashed_bow_score(df, ws).collect()}
+    exp1 = (ws[bucket("alpha")] + 2 * ws[bucket("beta")]) / (1000.0 * 3)
+    assert rows[1].n_toks == 3
+    assert rows[1].score == exp1
+    assert rows[1].keep == (exp1 > 0)
+    assert 2 not in rows  # no tokens -> no row
+    assert rows[3].score == ws[bucket("gamma")] / 1000.0
+
+
 def test_cosine_topk_self_best(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

@@ -185,6 +185,19 @@ def test_dedup_embedding_has_no_full_table_pair_join(spark, queries):
     assert not re.search(r"a#\d+L? < b#\d+", plan), "full-table a<b join present"
 
 
+def test_srp_pairs_has_no_full_table_pair_join(spark, queries):
+    # SRP scale tier contract: the signature stage is map-only (the
+    # plane dot products are JVM higher-order functions over constant
+    # arrays — no Python, no shuffle), candidates come from the
+    # banding hash aggregation + in-bucket expansion, and the exact
+    # cosine verify joins only the candidate ids back to the corpus.
+    # Never a row-level a<b join or cartesian product over embeddings.
+    plan = formatted_plan(spark, queries["srp_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert not re.search(r"a#\d+L? < b#\d+", plan), "full-table a<b join present"
+
+
 def test_dup_clusters_has_no_full_table_pair_join(spark, queries):
     # same scale contract for the connected-components feeder: the
     # candidate stage must be the packed block-matrix path, never the
