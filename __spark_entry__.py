@@ -1640,6 +1640,55 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus downsampling: each document is kept
+    with probability proportional to its length (capped at 1), via a
+    deterministic md5-uniform draw per doc_id — map-only, stable
+    across reruns/partitionings, replayed exactly by the oracle."""
+    from kspp_spark.functions.sampling import sample_weighted
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.col("n_chars").cast("double") / F.lit(800.0)
+    return sample_weighted(docs, w, salt="ws").select("doc_id", "lang", "n_chars")
+
+
+def q_interval_join(spark, sf_dir):
+    """Stream-stream INTERVAL join (event-time-bounded): attribute
+    each purchase to the views by the same user in the preceding hour.
+    Batch form of streaming/core.stream_stream_join with a time-range
+    ON clause — the condition that lets Structured Streaming bound
+    join state by the watermark (see
+    tests/test_streaming.py::test_stream_stream_interval_join_matches_batch
+    for the readStream form producing identical rows). The equi-key
+    (user_id) keeps the shuffle a hash join; the range predicate
+    filters within matched keys — never a cross product."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    joined = v.join(
+        p,
+        on=[
+            v.user_id == p.user_id,
+            p.pts > v.vts,
+            p.pts <= v.vts + F.expr("INTERVAL 1 HOUR"),
+        ],
+    )
+    return joined.select(
+        v.user_id.alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("vts"))).alias(
+            "micros_between"
+        ),
+    )
+
+
 def q_order_keys_agg(spark, sf_dir):
     """Array aggregation (nested result type): sorted order-key list
     per customer with >12 orders. The list is emitted comma-joined so
@@ -1855,6 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "srp_pairs": q_srp_pairs,
         "quality_classifier": q_quality_classifier,
+        "interval_join": q_interval_join,
+        "weighted_sample": q_weighted_sample,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3006,6 +3057,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM banded l JOIN banded r
               ON l.b = r.b AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+        """,
+        # weighted-sample replay: identical md5-uniform draw and
+        # clamped weight; IEEE doubles compare identically
+        "weighted_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 15)
+                       AS BIGINT) AS DOUBLE) / 1152921504606846976.0
+                  < least(greatest(CAST(n_chars AS DOUBLE) / 800.0, 0.0), 1.0)
+        """,
+        # interval-join replay: same equi-key + time-range predicate;
+        # epoch_us difference mirrors unix_micros
+        "interval_join": """
+            SELECT v.user_id AS user_id,
+                   v.event_id AS view_id,
+                   p.event_id AS purchase_id,
+                   epoch_us(p.ts) - epoch_us(v.ts) AS micros_between
+            FROM events v JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
         """,
         # hashed linear classifier replay: the md5 milli-weight model
         # regenerates from linear_classifier_weights; BIGINT weight

@@ -150,3 +150,31 @@ def mix_corpus(
         .filter(F.col("_rk") <= F.col("_k"))
         .drop("_h", "_rk", "_k")
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    weight: Column | str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-row IMPORTANCE sampling: keep a row with probability equal
+    to its own weight column (clamped to [0, 1]) — e.g. keep documents
+    proportionally to a quality score, the standard quality-weighted
+    corpus downsampling move.
+
+    Deterministic like everything in this module: the row's uniform
+    draw is md5(id || salt) / 2^60, a pure function of the id — so
+    the kept set is stable across reruns/partitionings/engines and
+    replayable in SQL (u and the comparison are identical IEEE doubles
+    in any engine). Different `salt` values give independent draws.
+    Map-only; survives any repartition.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = h.cast("double") / F.lit(float(1 << 60))
+    return df.filter(u < F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0)))

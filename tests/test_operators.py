@@ -187,6 +187,28 @@ def test_srp_banding_finds_planted_near_dup(spark):
     assert got == {(1, 2)}
 
 
+def test_sample_weighted_deterministic_partition_invariant_and_proportional(spark):
+    """sample_weighted keeps each row with probability ~ its weight,
+    deterministically: same kept set under any repartitioning, weight
+    0 keeps nothing, weight >= 1 keeps everything, and the keep rate
+    tracks the weight within sampling tolerance."""
+    from kspp_spark.functions.sampling import sample_weighted
+
+    rows = [(i, 0.3) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept1 = {r.doc_id for r in sample_weighted(df, "w").collect()}
+    kept2 = {r.doc_id for r in sample_weighted(df.repartition(13), "w").collect()}
+    assert kept1 == kept2
+    assert 0.25 < len(kept1) / 2000 < 0.35
+    zero = sample_weighted(df.withColumn("w", F.lit(0.0)), "w").count()
+    assert zero == 0
+    allof = sample_weighted(df.withColumn("w", F.lit(2.0)), "w").count()
+    assert allof == 2000
+    # independent draws under a different salt
+    kept3 = {r.doc_id for r in sample_weighted(df, "w", salt="other").collect()}
+    assert kept3 != kept1
+
+
 def test_hashed_bow_score_exact_mean_and_determinism(spark):
     """hashed_bow_score = mean bucket milli-weight: verify against a
     hand-computed expectation using the same deterministic model, and

@@ -869,3 +869,88 @@ def test_table_table_join_stream_recovers_from_checkpoint(spark, tmp_path):
         (3, (None, "x")),   # left tombstone, outer keeps right
         (10, (None, "y")),  # run 2 against recovered state
     ]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (q_interval_join's readStream form):
+    watermarks on both sides + the time-range ON clause bound the join
+    state; the appended output equals the batch join on the same data
+    even with the purchase arriving in a later micro-batch than its
+    view."""
+    from kspp_spark.streaming.core import stream_stream_join
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    b1 = [
+        (1, 10, "view", ts(0)),
+        (1, 11, "purchase", ts(30)),  # within 1 min of view 10
+        (2, 20, "view", ts(5)),
+    ]
+    import datetime
+
+    late = ts(5) + datetime.timedelta(minutes=10)  # outside the 1-minute range
+    b2 = [
+        (2, 21, "purchase", ts(50)),  # later micro-batch, still in range
+        (1, 12, "purchase", ts(59)),  # second purchase for view 10
+        (2, 22, "purchase", late),
+    ]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(b1, ev_schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, ev_schema).coalesce(1).write.mode("append").parquet(path)
+
+    def views(df):
+        return df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("vts"),
+        )
+
+    def purchases(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+
+    cond = [
+        F.col("v_user") == F.col("p_user"),
+        F.col("pts") > F.col("vts"),
+        F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 MINUTE"),
+    ]
+    batch_df = spark.read.parquet(path)
+    expected = {
+        (r.view_id, r.purchase_id)
+        for r in views(batch_df).join(purchases(batch_df), on=cond).collect()
+    }
+    assert expected == {(10, 11), (10, 12), (20, 21)}
+
+    src = spark.readStream.schema(ev_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(path)
+    joined = stream_stream_join(
+        views(src),
+        purchases(src),
+        on=cond,
+        event_time_left="vts",
+        event_time_right="pts",
+        delay="2 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.sql("select * from ssij").collect()
+    }
+    assert got == expected
