@@ -1640,6 +1640,35 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_rollup_cascade(spark, sf_dir):
+    """Continuous-aggregate-style cascade rollup: hourly per-event-type
+    stats from ONE scan of events, daily stats re-aggregated from the
+    hourly partials (decomposable aggs only — count re-sums, min/max
+    re-extremize). Plan shares the hourly shuffle across both union
+    branches (exchange reuse); at 100 TB that is 1 fact scan instead
+    of 2 and a daily agg over already-reduced rows. The measures are
+    order-independent (count/min/max) so results are exact under any
+    partitioning."""
+    from kspp_spark.operators.aggregates import cascade_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = cascade_rollup(
+        ev,
+        event_time="ts",
+        keys=["event_type"],
+        measures={
+            "n": ("event_id", "count"),
+            "max_value": ("value", "max"),
+            "min_value": ("value", "min"),
+        },
+        grains=("hour", "day"),
+    )
+    return out.select(
+        "grain", "window_start", "event_type", F.col("n").cast("long").alias("n"),
+        "max_value", "min_value",
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-weighted corpus downsampling: each document is kept
     with probability proportional to its length (capped at 1), via a
@@ -1906,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
+        "rollup_cascade": q_rollup_cascade,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3057,6 +3087,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM banded l JOIN banded r
               ON l.b = r.b AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+        """,
+        # cascade-rollup replay: daily grain re-aggregates the hourly
+        # CTE exactly as the Spark cascade re-aggregates partials
+        "rollup_cascade": """
+            WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS window_start,
+                       COUNT(*) AS n, MAX(value) AS max_value,
+                       MIN(value) AS min_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT 'hour' AS grain, window_start, event_type,
+                   CAST(n AS BIGINT) AS n, max_value, min_value
+            FROM h
+            UNION ALL
+            SELECT 'day' AS grain, date_trunc('day', window_start) AS window_start,
+                   event_type, CAST(SUM(n) AS BIGINT) AS n,
+                   MAX(max_value) AS max_value, MIN(min_value) AS min_value
+            FROM h GROUP BY 2, 3
         """,
         # weighted-sample replay: identical md5-uniform draw and
         # clamped weight; IEEE doubles compare identically

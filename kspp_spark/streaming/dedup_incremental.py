@@ -29,7 +29,46 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from kspp_spark.functions.dedup import minhash_signatures
+from kspp_spark.functions.dedup import minhash_signatures, srp_signatures
+
+
+def srp_banded_signatures(
+    df: DataFrame,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 32,
+    dims: int = 64,
+    bands: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """(id, band, bhash) banded SRP signatures — the dedup-state row
+    format for EMBEDDING streams (the streaming face of the hyperplane
+    LSH tier, functions/dedup.srp_signatures): band b's bhash is the
+    b-th bit-slice of the packed signature, so two vectors share a
+    bucket iff that slice matches — identical semantics to the batch
+    path's simhash_candidates(sim_col="srp") banding. Pass as
+    `banded_fn` to probe_and_update / incremental_near_dedup."""
+    width = planes // bands
+    mask = (1 << width) - 1
+    sigs = srp_signatures(
+        df, vec=vec, id_col=id_col, planes=planes, dims=dims, seed=seed
+    )
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("srp"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bhash")
 
 
 def banded_signatures(
@@ -81,18 +120,27 @@ def probe_and_update(
     num_hashes: int = 64,
     shingle_n: int = 3,
     bands: int = 16,
+    banded_fn=None,
 ) -> None:
     """foreachBatch body: emit (new_id, dup_of) candidate pairs for the
     micro-batch — against the accumulated state AND within the batch —
     then append the batch's banded signatures to the state.
 
+    `banded_fn` (batch DataFrame -> (id, band, bhash)) swaps the
+    signature family: default is the MinHash text path
+    (banded_signatures); pass srp_banded_signatures for embedding
+    streams. The probe/update machinery is family-agnostic.
+
     Epoch-named state files make replays after a checkpoint recovery
     overwrite rather than double-append (idempotent at-least-once)."""
     spark = batch_df.sparkSession
-    new = banded_signatures(
-        batch_df, text=text, id_col=id_col, num_hashes=num_hashes,
-        shingle_n=shingle_n, bands=bands,
-    ).cache()
+    if banded_fn is None:
+        new = banded_signatures(
+            batch_df, text=text, id_col=id_col, num_hashes=num_hashes,
+            shingle_n=shingle_n, bands=bands,
+        ).cache()
+    else:
+        new = banded_fn(batch_df).cache()
 
     # within-batch pairs: same bucket, smaller id first
     left = new.select("band", "bhash", F.col("id").alias("a"))

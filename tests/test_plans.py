@@ -185,6 +185,37 @@ def test_dedup_embedding_has_no_full_table_pair_join(spark, queries):
     assert not re.search(r"a#\d+L? < b#\d+", plan), "full-table a<b join present"
 
 
+def test_rollup_cascade_aggregates_partials_not_base(spark, queries):
+    # the cascade contract: the day grain re-aggregates the HOURLY
+    # partials — day-truncation is only ever applied to the hourly
+    # window_start, never to the base event timestamp. (A naive
+    # two-grain rollup would show date_trunc(day, ts) over the scan.)
+    plan = formatted_plan(spark, queries["rollup_cascade"](spark, SF))
+    assert "date_trunc(hour" in plan
+    assert not re.search(r"date_trunc\(day, ts#", plan), (
+        "day grain aggregates the base table instead of hourly partials"
+    )
+
+
+def test_rollup_cascade_persist_scans_base_once(spark):
+    # with persist=True the finest grain materializes: exactly one
+    # parquet scan in the whole multi-grain plan; the day branch reads
+    # the in-memory hourly relation
+    from kspp_spark.operators.aggregates import cascade_rollup
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = cascade_rollup(
+        ev, "ts", ["event_type"], {"n": ("event_id", "count")},
+        grains=("hour", "day"), persist=True,
+    )
+    try:
+        plan = formatted_plan(spark, out)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "InMemory" in plan
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_srp_pairs_has_no_full_table_pair_join(spark, queries):
     # SRP scale tier contract: the signature stage is map-only (the
     # plane dot products are JVM higher-order functions over constant

@@ -954,3 +954,60 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from ssij").collect()
     }
     assert got == expected
+
+
+def test_incremental_embedding_near_dedup_across_batches(spark, tmp_path):
+    """Embedding-stream near-dup via the SRP banded state: a batch-2
+    vector that is a near copy of a batch-1 vector is flagged against
+    the accumulated state (same probe/update machinery as the MinHash
+    text path, swapped signature family)."""
+    from kspp_spark.streaming.dedup_incremental import (
+        incremental_near_dedup,
+        srp_banded_signatures,
+    )
+
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    in_dir = str(tmp_path / "vecs")
+    state = str(tmp_path / "state")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = [1.0 if d % 3 == 0 else -0.5 for d in range(16)]
+    other = [(-1.0) ** d * (0.1 + d / 16.0) for d in range(16)]
+
+    def banded(df):
+        return srp_banded_signatures(df, planes=32, dims=16, bands=4)
+
+    def run():
+        src = spark.readStream.schema(emb_schema).parquet(in_dir)
+        q = incremental_near_dedup(
+            src, state, pairs, ckpt, id_col="vec_id", banded_fn=banded
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1, base), (2, other)], emb_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()
+    import time as _t
+
+    _t.sleep(1.1)
+    near = list(base)
+    near[0] += 0.01
+    spark.createDataFrame([(3, near)], emb_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()
+
+    got = {
+        (r.new_id, r.dup_of)
+        for r in spark.read.parquet(pairs).select("new_id", "dup_of").collect()
+    }
+    assert (3, 1) in got          # cross-batch embedding near-dup found
+    assert (3, 2) not in got      # unrelated vector not flagged
+    assert not any(a == b for a, b in got)
