@@ -1640,6 +1640,60 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 changelog versioning: every (user_id, ts) event
+    becomes a dimension version with [valid_from, valid_to) and
+    is_current — the warehouse-history complement of ktable's
+    latest-only view. One shuffle + one per-key lead() pass;
+    event_id tiebreaks equal timestamps so intervals are
+    deterministic."""
+    from kspp_spark.operators.aggregates import scd2_history
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "value", "ts")
+    return scd2_history(
+        ev,
+        key="user_id",
+        value_cols=["event_id", "value"],
+        event_time="ts",
+        seq="event_id",
+    )
+
+
+def q_approx_quantiles(spark, sf_dir):
+    """Distributed quantile sketch (Greenwald-Khanna percentile_approx)
+    bounds-checked against the exact percentile in the same query —
+    the same checkable contract as approx_distinct: sketch internals
+    are engine-specific, so the graded output is the exact p50/p90
+    plus booleans asserting the sketch landed within the accuracy
+    bound (1/accuracy = 1% rank error → ±2% of the group's price
+    spread covers it deterministically for fixed data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("exact_p50"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.9)).alias("exact_p90"),
+        F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(100)).alias(
+            "_a50"
+        ),
+        F.percentile_approx(F.col("l_extendedprice"), F.lit(0.9), F.lit(100)).alias(
+            "_a90"
+        ),
+        (F.max("l_extendedprice") - F.min("l_extendedprice")).alias("_spread"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p90",
+        (
+            F.abs(F.col("_a50") - F.col("exact_p50"))
+            <= F.col("_spread") * F.lit(0.02)
+        ).alias("p50_within_bound"),
+        (
+            F.abs(F.col("_a90") - F.col("exact_p90"))
+            <= F.col("_spread") * F.lit(0.02)
+        ).alias("p90_within_bound"),
+    )
+
+
 def q_rollup_cascade(spark, sf_dir):
     """Continuous-aggregate-style cascade rollup: hourly per-event-type
     stats from ONE scan of events, daily stats re-aggregated from the
@@ -1936,6 +1990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
         "rollup_cascade": q_rollup_cascade,
+        "approx_quantiles": q_approx_quantiles,
+        "scd2_history": q_scd2_history,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3087,6 +3143,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
             FROM banded l JOIN banded r
               ON l.b = r.b AND l.bhash = r.bhash AND l.doc_id < r.doc_id
+        """,
+        # SCD2 replay: LEAD over (user_id) ordered by (ts, event_id)
+        # mirrors the seq-tiebroken window pass exactly
+        "scd2_history": """
+            SELECT user_id, event_id, value,
+                   ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL AS is_current
+            FROM events
+        """,
+        # approx-quantile sketch: estimate is engine-specific; the
+        # checkable contract is exact percentiles + in-bound booleans
+        # the Spark side evaluates against its own sketch
+        "approx_quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+                   quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+                   TRUE AS p50_within_bound,
+                   TRUE AS p90_within_bound
+            FROM lineitem GROUP BY l_returnflag
         """,
         # cascade-rollup replay: daily grain re-aggregates the hourly
         # CTE exactly as the Spark cascade re-aggregates partials

@@ -251,3 +251,56 @@ def cascade_rollup(
     for f in frames[1:]:
         result = result.unionByName(f)
     return result
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str | list[str],
+    value_cols: list[str],
+    event_time: str = "event_time",
+    seq: str | None = None,
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 view of a changelog: where
+    ktable() keeps only the LATEST value per key, this keeps EVERY
+    version with its validity interval — the standard warehouse answer
+    to "what did this key look like at time T?".
+
+    Input is the same (key, values, event_time) changelog the ktable
+    operators consume (tombstone = NULL value marks a delete, closing
+    the current version without opening a new one). Output: one row
+    per non-delete version with valid_from (its event_time), valid_to
+    (the NEXT change's event_time for that key — including a delete —
+    or NULL while current), and is_current.
+
+    `seq` tiebreaks equal event_times (same contract as ktable's seq)
+    so version order — and therefore every interval — is
+    deterministic.
+
+    One shuffle on the key; the interval assignment is a single
+    per-key window pass (lead), no self-join. Point-in-time lookup is
+    then a plain range predicate:
+    valid_from <= T AND (valid_to IS NULL OR T < valid_to) — pushdown-
+    friendly, and at 100 TB the history table partitions/z-orders on
+    valid_from like any fact.
+    """
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    tcol = tombstone_col or value_cols[0]
+    order = [F.col(event_time)] + ([F.col(seq)] if seq else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    versioned = df.select(
+        *keys,
+        *value_cols,
+        F.col(event_time).alias("valid_from"),
+        F.lead(F.col(event_time)).over(w).alias("valid_to"),
+    )
+    live = versioned.filter(F.col(tcol).isNotNull())
+    return live.select(
+        *keys,
+        *value_cols,
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -187,6 +187,41 @@ def test_srp_banding_finds_planted_near_dup(spark):
     assert got == {(1, 2)}
 
 
+def test_scd2_history_versions_and_tombstones(spark):
+    """scd2_history: each change opens a version valid until the next
+    change; a tombstone closes the current version without opening one;
+    a re-insert after a delete starts a fresh version."""
+    import datetime
+
+    from kspp_spark.operators.aggregates import scd2_history
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        ("a", "v1", t(1)),
+        ("a", "v2", t(5)),
+        ("a", None, t(8)),   # delete closes v2
+        ("a", "v3", t(12)),  # re-insert opens a new current version
+        ("b", "w1", t(3)),
+    ]
+    df = spark.createDataFrame(rows, "key string, value string, event_time timestamp")
+    got = {
+        (r.key, r.value): (
+            r.valid_from.second,
+            r.valid_to.second if r.valid_to else None,
+            r.is_current,
+        )
+        for r in scd2_history(df, key="key", value_cols=["value"]).collect()
+    }
+    assert got == {
+        ("a", "v1"): (1, 5, False),
+        ("a", "v2"): (5, 8, False),   # closed by the tombstone
+        ("a", "v3"): (12, None, True),
+        ("b", "w1"): (3, None, True),
+    }
+
+
 def test_sample_weighted_deterministic_partition_invariant_and_proportional(spark):
     """sample_weighted keeps each row with probability ~ its weight,
     deterministically: same kept set under any repartitioning, weight

@@ -267,3 +267,42 @@ def test_block_cosine_candidates_superset_property(spark, vecs, n_blocks):
         for r in embedding_dup_pairs(df, threshold=0.8, candidates=cands).collect()
     }
     assert blocked == brute
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-100, max_value=100), min_size=8, max_size=8
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_srp_signatures_match_independent_replay(spark, vecs):
+    """The one-SQL-expression SRP signature equals an independent
+    pure-Python replay (same md5 plane derivation, same sequential
+    dot accumulation) for ANY vector set — pins the packed-bit layout
+    and the dot>0 sign convention against the fast JVM form."""
+    from kspp_spark.functions.dedup import srp_plane_signs, srp_signatures
+
+    planes, dims = 16, 8
+    signs = srp_plane_signs(planes, dims)
+
+    def replay(vec):
+        packed = 0
+        for p in range(planes):
+            dot = 0.0
+            for x, s in zip(vec, signs[p]):
+                dot += float(x) * s
+            if dot > 0:
+                packed |= 1 << p
+        return packed
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.srp
+        for r in srp_signatures(df, planes=planes, dims=dims).collect()
+    }
+    assert got == {i: replay(v) for i, v in enumerate(vecs)}
