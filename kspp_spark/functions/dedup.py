@@ -14,6 +14,7 @@ import tempfile
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from kspp_spark.functions.hashing import md5_long
 from kspp_spark.functions.text import doc_fingerprint, tokenize
 
 
@@ -50,12 +51,8 @@ def _shingles(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
-def _md5_long(c: Column, start: int = 1, length: int = 15) -> Column:
-    """Engine-portable integer hash: `length` hex chars of md5 read as
-    an int (60 bits for length=15 — ANSI-overflow-safe in int64).
-    Identical in DuckDB as CAST('0x' || substr(md5(x), start, length)
-    AS BIGINT); same trick as sampling.hash_bucket."""
-    return F.conv(F.substring(F.md5(c), start, length), 16, 10).cast("long")
+# engine-portable integer hash, shared repo-wide (hashing.md5_long)
+_md5_long = md5_long
 
 
 def minhash_signatures(
@@ -585,10 +582,30 @@ def simhash_candidates(
 
     Output: distinct candidate pairs (a, b) with a < b.
     """
+    exploded = signature_band_slices(
+        sigs, id_col=id_col, sim_col=sim_col, bands=bands, bits=bits, out_id="_id"
+    )
+    return _bucket_pair_expansion(exploded, max_bucket_ids)
+
+
+def signature_band_slices(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bands: int = 4,
+    bits: int = 64,
+    out_id: str = "_id",
+) -> DataFrame:
+    """(out_id, band, bhash): band b of a packed bit signature is its
+    b-th `bits // bands`-wide slice. The ONE definition of the slicing
+    used by both the batch candidate generator (simhash_candidates,
+    incl. the SRP form) and the streaming dedup state
+    (streaming/dedup_incremental.srp_banded_signatures) — the two
+    must stay bit-identical for probe-vs-batch parity."""
     width = bits // bands
     mask = (1 << width) - 1
-    exploded = sigs.select(
-        F.col(id_col).alias("_id"),
+    return sigs.select(
+        F.col(id_col).alias(out_id),
         F.explode(
             F.array(
                 *[
@@ -602,8 +619,7 @@ def simhash_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bhash")
-    return _bucket_pair_expansion(exploded, max_bucket_ids)
+    ).select(out_id, "bb.band", "bb.bhash")
 
 
 def simhash_hamming_pairs(
@@ -705,12 +721,20 @@ def srp_signatures(
         )
         + ")"
     )
-    sig_expr = (
+    packed = (
         f"aggregate(transform({planes_lit}, (pl, p) -> "
         f"IF(aggregate(zip_with(`{vec}`, pl, (x, y) -> double(x) * y), "
         "0D, (a, x) -> a + x) > 0D, "
         "shiftleft(cast(1 as bigint), p), cast(0 as bigint))), "
         "cast(0 as bigint), (acc, v) -> acc | v)"
+    )
+    # dims guard: a vector of the wrong length would zip_with-pad with
+    # NULLs, silently yielding srp=0 for every row (one giant LSH
+    # bucket). Fail loudly instead.
+    sig_expr = (
+        f"IF(size(`{vec}`) = {dims}, {packed}, "
+        f"cast(raise_error('srp_signatures: embedding length <> dims={dims}') "
+        "as bigint))"
     )
     return df.select(F.col(id_col), F.expr(sig_expr).alias("srp"))
 
@@ -741,7 +765,9 @@ def connected_components(
     `checkpoint_dir` param > the session's setCheckpointDir() > a
     driver-local temp dir (LOCAL MASTER ONLY — on a cluster master with
     neither source set this raises rather than writing to a path the
-    executors can't see). The reset is load-bearing: iterated self-joins over
+    executors can't see). Each run writes under its own unique
+    subdirectory of the resolved base (concurrent runs never collide)
+    and deletes it on completion. The reset is load-bearing: iterated self-joins over
     Dataset.localCheckpoint()/checkpoint() exhibit GEOMETRIC per-round
     slowdown in Spark 4.1 once the derivation chain passes ~15 rounds
     (measured 0.3s -> 137s/round by round 22 on constant-size data;
@@ -753,14 +779,14 @@ def connected_components(
     RESET_EVERY = 6  # parquet reset cadence; knee is ~15 chained rounds
 
     spark = pairs.sparkSession
-    owns_tmpdir = False
+    local_tmpdir = None
     if checkpoint_dir is None:
         # resolution order: caller param > session checkpoint dir >
         # (local master only) driver-local temp. On a real cluster a
         # driver-local temp path is NOT visible to executors, so refuse
         # to guess rather than fail obscurely mid-iteration.
-        ckdir = spark.sparkContext.getCheckpointDir()
-        if ckdir is None:
+        base = spark.sparkContext.getCheckpointDir()
+        if base is None:
             master = spark.sparkContext.master or ""
             if not master.startswith("local"):
                 raise ValueError(
@@ -769,15 +795,37 @@ def connected_components(
                     "checkpoint_dir= or call "
                     "spark.sparkContext.setCheckpointDir(...) first"
                 )
-            ckdir = tempfile.mkdtemp(prefix="kspp_cc_")
-            owns_tmpdir = True
+            base = local_tmpdir = tempfile.mkdtemp(prefix="kspp_cc_")
     else:
-        ckdir = checkpoint_dir
+        base = checkpoint_dir
+    # unique RUN-scoped subdir: concurrent/overlapping runs sharing the
+    # session checkpoint dir must never overwrite each other's live
+    # reset files, and the whole subdir is deleted on completion so
+    # repeated runs don't accumulate parquet copies
+    import uuid as _uuid
+
+    ckdir = (base.rstrip("/") + "/" if "://" in base else os.path.join(base, "")) + (
+        f"cc_{_uuid.uuid4().hex}"
+    )
 
     def reset(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(ckdir, name)
+        path = ckdir + "/" + name if "://" in ckdir else os.path.join(ckdir, name)
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
+
+    def cleanup() -> None:
+        # works for any Hadoop-visible scheme (local, hdfs://, s3a://)
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(ckdir)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        except Exception:
+            pass  # best-effort; leaked files are inert
+        if local_tmpdir is not None:
+            import shutil
+
+            shutil.rmtree(local_tmpdir, ignore_errors=True)
 
     edges = reset(
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -829,11 +877,8 @@ def connected_components(
         labels = updated.drop("_chg")
         if changed == 0:
             break
-    if owns_tmpdir:
-        import shutil
-
-        # sever the parquet dependency before deleting our temp dir
-        # (labels may lazily read the last reset path otherwise)
-        labels = labels.localCheckpoint()
-        shutil.rmtree(ckdir, ignore_errors=True)
+    # sever the parquet dependency before deleting the run dir (labels
+    # may lazily read the last reset path otherwise)
+    labels = labels.localCheckpoint()
+    cleanup()
     return labels

@@ -26,16 +26,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from kspp_spark.functions.hashing import md5_long
+
 N_BUCKETS = 10_000
 
 
 def hash_bucket(col: Column | str, salt: str = "") -> Column:
     """Deterministic, engine-portable bucket in [0, N_BUCKETS)."""
     c = F.col(col) if isinstance(col, str) else col
-    h = F.conv(
-        F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 15), 16, 10
-    ).cast("long")
-    return h % N_BUCKETS
+    return md5_long(F.concat(c.cast("string"), F.lit(salt))) % N_BUCKETS
 
 
 def split_assign(
@@ -171,10 +170,6 @@ def sample_weighted(
     Map-only; survives any repartition.
     """
     w = F.col(weight) if isinstance(weight, str) else weight
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     u = h.cast("double") / F.lit(float(1 << 60))
     return df.filter(u < F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0)))

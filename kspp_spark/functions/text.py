@@ -323,14 +323,13 @@ def hashed_bow_score(
     score = sum(w)/1000/n_toks and keep = score > 0. Documents with no
     tokens contribute no rows (nothing to aggregate).
     """
+    from kspp_spark.functions.hashing import md5_long
+
     buckets = len(weights_milli)
     toks = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-        % buckets
-    )
+    bucket = md5_long(F.col("tok")) % buckets
     wlit = F.array(*[F.lit(int(w)) for w in weights_milli])
     w = F.element_at(wlit, (bucket + 1).cast("int")).cast("bigint")
     agg = toks.groupBy(id_col).agg(

@@ -214,9 +214,13 @@ def cascade_rollup(
     exactly once even when the optimizer keeps the union branches
     separate (plan-pinned); without it the branches share the
     identical finest-grain exchange only when Spark's runtime exchange
-    reuse fires. In a production continuous-aggregate setup the finest
-    grain is materialized to storage instead, and coarser grains read
-    it back — same algebra, durable partials.
+    reuse fires. The cache is NOT auto-released (the union reads it
+    lazily): the caller owns it — unpersist via
+    spark.catalog.clearCache() (or drop the session) once the result
+    is materialized, or long-running jobs looping over many tables
+    accumulate cached partials. In a production continuous-aggregate
+    setup the finest grain is materialized to storage instead, and
+    coarser grains read it back — same algebra, durable partials.
     """
     first_aggs, re_aggs = [], []
     for name, (src, kind) in measures.items():

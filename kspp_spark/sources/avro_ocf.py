@@ -295,6 +295,8 @@ def avro_to_spark_type(schema) -> T.DataType:
         t = schema["type"]
         if schema.get("logicalType") in _TS_LOGICAL:
             return T.TimestampType()
+        if schema.get("logicalType") == "date":
+            return T.DateType()
         if t == "record":
             return T.StructType(
                 [
@@ -338,6 +340,8 @@ def spark_to_avro_schema(st: T.StructType, name: str = "topLevelRecord"):
             return "string"
         if isinstance(dt, T.TimestampType):
             return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
         if isinstance(dt, T.ArrayType):
             return {"type": "array", "items": conv(dt.elementType, field_name)}
         if isinstance(dt, T.MapType):
@@ -380,6 +384,8 @@ def _pythonize(schema, v):
             return datetime.datetime.fromtimestamp(
                 v / 1000, tz=datetime.timezone.utc
             ).replace(tzinfo=None)
+        if lt == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
         t = schema["type"]
         if t == "record":
             return tuple(
@@ -507,28 +513,38 @@ def _read_split(path: str, start: int, end: int):
 
 
 def write_avro_ocf(
-    df: DataFrame, path: str, codec: str = "deflate", coalesce: int | None = None
+    df: DataFrame,
+    path: str,
+    codec: str = "deflate",
+    coalesce: int | None = None,
+    block_rows: int | None = None,
 ) -> None:
     """One container file per partition (the reference sink writes one
     file per instance; pass coalesce=1 for a single file). Local/posix
-    paths only — the jar path handles distributed filesystems."""
+    paths only — the jar path handles distributed filesystems.
+    block_rows caps records per data block so large containers split
+    across tasks on read-back (sync-marker splitting)."""
     from pyspark.sql import functions as F
 
     os.makedirs(path, exist_ok=True)
     schema = spark_to_avro_schema(df.schema)
-    # convert timestamps to epoch-micros IN-PLAN: foreachPartition
-    # deserializes TimestampType through the executor's system timezone
-    # (session timeZone does not cover that Python path), so longs must
-    # leave the JVM already converted — exact and worker-tz-independent
-    if any(isinstance(f.dataType, T.TimestampType) for f in df.schema.fields):
-        df = df.select(
-            *[
-                F.unix_micros(F.col(f.name)).alias(f.name)
-                if isinstance(f.dataType, T.TimestampType)
-                else F.col(f.name)
-                for f in df.schema.fields
-            ]
-        )
+    # convert temporals to their Avro integer forms IN-PLAN:
+    # foreachPartition deserializes TimestampType through the
+    # executor's system timezone (session timeZone does not cover that
+    # Python path), so epoch-micros/epoch-days must leave the JVM
+    # already converted — exact and worker-tz-independent
+    if any(
+        isinstance(f.dataType, (T.TimestampType, T.DateType))
+        for f in df.schema.fields
+    ):
+        def to_avro_col(f):
+            if isinstance(f.dataType, T.TimestampType):
+                return F.unix_micros(F.col(f.name)).alias(f.name)
+            if isinstance(f.dataType, T.DateType):
+                return F.datediff(F.col(f.name), F.lit("1970-01-01")).alias(f.name)
+            return F.col(f.name)
+
+        df = df.select(*[to_avro_col(f) for f in df.schema.fields])
     if coalesce:
         df = df.coalesce(coalesce)
 
@@ -536,7 +552,7 @@ def write_avro_ocf(
         out_rows = [list(r) for r in rows]
         if not out_rows:
             return
-        data = build_container(schema, out_rows, codec)
+        data = build_container(schema, out_rows, codec, block_rows=block_rows)
         fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
         with open(fname, "wb") as f:
             f.write(data)

@@ -48,27 +48,14 @@ def srp_banded_signatures(
     bucket iff that slice matches — identical semantics to the batch
     path's simhash_candidates(sim_col="srp") banding. Pass as
     `banded_fn` to probe_and_update / incremental_near_dedup."""
-    width = planes // bands
-    mask = (1 << width) - 1
+    from kspp_spark.functions.dedup import signature_band_slices
+
     sigs = srp_signatures(
         df, vec=vec, id_col=id_col, planes=planes, dims=dims, seed=seed
     )
-    return sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("srp"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bhash")
+    return signature_band_slices(
+        sigs, id_col=id_col, sim_col="srp", bands=bands, bits=planes, out_id="id"
+    )
 
 
 def banded_signatures(

@@ -40,11 +40,9 @@ def csv2avro(
     """CSV -> Avro OCF (csv2avro.cpp behavior: read typed rows, write
     one container). Schema inference via the Spark CSV reader; output
     through the jarless OCF writer (multi-block so downstream jarless
-    reads split)."""
-    from kspp_spark.sources.avro_ocf import (
-        build_container,
-        spark_to_avro_schema,
-    )
+    reads split, and timestamp/date columns convert in-plan — the
+    writer owns the temporal handling)."""
+    from kspp_spark.sources.avro_ocf import write_avro_ocf
 
     df = (
         spark.read.option("header", str(header).lower())
@@ -52,23 +50,7 @@ def csv2avro(
         .option("inferSchema", "true")
         .csv(src)
     )
-    import os
-    import uuid
-
-    schema = spark_to_avro_schema(df.schema)
-    os.makedirs(dst, exist_ok=True)
-
-    def write_partition(rows):
-        out_rows = [list(r) for r in rows]
-        if not out_rows:
-            return
-        data = build_container(schema, out_rows, codec, block_rows=block_rows)
-        with open(
-            os.path.join(dst, f"part-{uuid.uuid4().hex}.avro"), "wb"
-        ) as f:
-            f.write(data)
-
-    df.foreachPartition(write_partition)
+    write_avro_ocf(df, dst, codec=codec, block_rows=block_rows)
 
 
 def kafka2avro(
@@ -78,18 +60,27 @@ def kafka2avro(
     dst: str,
     checkpoint: str,
     window: str = "1 hour",
-    fmt: str = "avro",
+    fmt: str = "ocf",
 ):
     """Kafka topic -> event-time-rotated files (kafka2avro.cpp:144-151;
     dst may be a local path or s3a:// URI — same code path, like the
-    reference's file/s3 sink split). Returns the started query."""
+    reference's file/s3 sink split). Default fmt="ocf" writes avro
+    containers through the jarless codec (works in environments
+    without spark-avro); pass fmt="avro"/"parquet" to use a jar-backed
+    writer. Returns the started query."""
     from kspp_spark.sinks.writers import rotated_file_sink
+    from kspp_spark.sources.avro_ocf import rotated_avro_ocf_sink
     from kspp_spark.sources.kafka_avro import kafka_stream
 
     src = kafka_stream(spark, brokers, topic)
 
     def write_batch(batch, batch_id):
-        rotated_file_sink(batch, dst, event_time="event_time", window=window, fmt=fmt)
+        if fmt == "ocf":
+            rotated_avro_ocf_sink(batch, dst, event_time="event_time", window=window)
+        else:
+            rotated_file_sink(
+                batch, dst, event_time="event_time", window=window, fmt=fmt
+            )
 
     return (
         src.writeStream.foreachBatch(write_batch)
@@ -188,6 +179,12 @@ def main(argv: list[str] | None = None) -> int:
     k.add_argument("--dst", required=True)
     k.add_argument("--checkpoint", required=True)
     k.add_argument("--window", default="1 hour")
+    k.add_argument(
+        "--fmt",
+        default="ocf",
+        choices=["ocf", "avro", "parquet"],
+        help="ocf = jarless avro containers (default); avro/parquet need jars",
+    )
 
     r = sub.add_parser(
         "kafka2table", help="Kafka changelog -> materialized latest-per-key table"
@@ -221,7 +218,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "kafka2avro":
         q = kafka2avro(
             spark, args.brokers, args.topic, args.dst, args.checkpoint,
-            window=args.window,
+            window=args.window, fmt=args.fmt,
         )
     elif args.cmd == "kafka2table":
         q = kafka2table(

@@ -38,6 +38,34 @@ def test_csv2avro_end_to_end(spark, tmp_path):
     assert kinds["active"] == "boolean"
 
 
+def test_csv2avro_timestamp_and_date_columns(spark, tmp_path):
+    """Regression: CSV columns inferred as timestamp/date must convert
+    in-plan (write_avro_ocf owns the temporal handling) instead of
+    crashing the per-partition encoder on datetime objects."""
+    from kspp_spark.sources.avro_ocf import read_avro_ocf
+    from kspp_spark.tools import csv2avro
+
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "id,seen,day\n"
+        "1,2024-03-01T10:30:00,2024-03-01\n"
+        "2,2024-03-02T08:00:00,2024-03-02\n"
+    )
+    dst = str(tmp_path / "out_avro")
+    csv2avro(spark, str(src), dst)
+
+    back = read_avro_ocf(spark, dst)
+    kinds = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert kinds["seen"] == "timestamp"
+    assert kinds["day"] == "date"
+    rows = {r.id: (r.seen, r.day) for r in back.collect()}
+    assert rows[1] == (
+        datetime.datetime(2024, 3, 1, 10, 30),
+        datetime.date(2024, 3, 1),
+    )
+    assert rows[2][1] == datetime.date(2024, 3, 2)
+
+
 def test_table_snapshot_latest_per_key_with_tombstones(spark, tmp_path):
     """kafka2table read side: the parquet changelog compacts to latest
     per key on read; a newest-null value deletes the key (rocksdb_store
