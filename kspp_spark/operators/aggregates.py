@@ -180,6 +180,35 @@ def windowed_sum(
     )
 
 
+def rollup_agg_exprs(
+    measures: dict[str, tuple[str, str]],
+) -> tuple[list[Column], list[Column]]:
+    """(first_aggs, re_aggs) for a decomposable-measure dict — the
+    shared algebra of cascade_rollup (batch) and the streaming
+    continuous rollup (streaming/rollup.py): first_aggs aggregate base
+    rows; re_aggs merge partials of the SAME measures (count re-sums,
+    sum re-sums, min/max re-extremize) and are therefore valid both
+    for coarser grains and for merging partials of the same window
+    across micro-batches."""
+    first_aggs, re_aggs = [], []
+    for name, (src, kind) in measures.items():
+        if kind == "count":
+            first_aggs.append(F.count(F.lit(1)).alias(name))
+            re_aggs.append(F.sum(name).alias(name))
+        elif kind == "sum":
+            first_aggs.append(F.sum(src).alias(name))
+            re_aggs.append(F.sum(name).alias(name))
+        elif kind == "min":
+            first_aggs.append(F.min(src).alias(name))
+            re_aggs.append(F.min(name).alias(name))
+        elif kind == "max":
+            first_aggs.append(F.max(src).alias(name))
+            re_aggs.append(F.max(name).alias(name))
+        else:
+            raise ValueError(f"non-decomposable aggregate kind: {kind}")
+    return first_aggs, re_aggs
+
+
 def cascade_rollup(
     df: DataFrame,
     event_time: str,
@@ -222,22 +251,7 @@ def cascade_rollup(
     setup the finest grain is materialized to storage instead, and
     coarser grains read it back — same algebra, durable partials.
     """
-    first_aggs, re_aggs = [], []
-    for name, (src, kind) in measures.items():
-        if kind == "count":
-            first_aggs.append(F.count(F.lit(1)).alias(name))
-            re_aggs.append(F.sum(name).alias(name))
-        elif kind == "sum":
-            first_aggs.append(F.sum(src).alias(name))
-            re_aggs.append(F.sum(name).alias(name))
-        elif kind == "min":
-            first_aggs.append(F.min(src).alias(name))
-            re_aggs.append(F.min(name).alias(name))
-        elif kind == "max":
-            first_aggs.append(F.max(src).alias(name))
-            re_aggs.append(F.max(name).alias(name))
-        else:
-            raise ValueError(f"non-decomposable aggregate kind: {kind}")
+    first_aggs, re_aggs = rollup_agg_exprs(measures)
 
     cur = df.groupBy(
         F.date_trunc(grains[0], F.col(event_time)).alias("window_start"), *keys

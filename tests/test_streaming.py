@@ -1011,3 +1011,55 @@ def test_incremental_embedding_near_dedup_across_batches(spark, tmp_path):
     assert (3, 1) in got          # cross-batch embedding near-dup found
     assert (3, 2) not in got      # unrelated vector not flagged
     assert not any(a == b for a, b in got)
+
+
+def test_continuous_rollup_matches_batch_cascade(spark, tmp_path):
+    """Streaming continuous aggregate: per-batch finest-grain partials
+    + merge-on-read snapshot equals the batch cascade_rollup on the
+    full data, regardless of how rows split across micro-batches
+    (decomposable measures merge associatively)."""
+    from kspp_spark.operators.aggregates import cascade_rollup
+    from kspp_spark.streaming.rollup import rollup_snapshot, rollup_stream
+
+    in_dir = str(tmp_path / "ev")
+    state = str(tmp_path / "partials")
+    ckpt = str(tmp_path / "ckpt")
+    measures = {"n": ("value", "count"), "mx": ("value", "max")}
+
+    b1 = [("a", 1, ts(1)), ("a", 5, ts(2)), ("b", 3, ts(40))]
+    b2 = [("a", 9, ts(3)), ("b", 2, ts(41)), ("a", 4, ts(50))]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        src = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        q = rollup_stream(
+            src, state, ckpt, event_time="event_time", keys=["key"],
+            measures=measures, grain="minute",
+        )
+        q.awaitTermination(120)
+
+    run()
+    import time as _t
+
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    snap = rollup_snapshot(
+        spark, state, keys=["key"], measures=measures, grains=("minute", "hour")
+    )
+    full = spark.createDataFrame(b1 + b2, SCHEMA)
+    batch = cascade_rollup(
+        full, "event_time", ["key"], measures, grains=("minute", "hour")
+    )
+
+    def canon(df):
+        return sorted(
+            (r.grain, r.window_start, r.key, r.n, r.mx) for r in df.collect()
+        )
+
+    assert canon(snap) == canon(batch)
+    # two epochs of partials on disk, none rescanning history
+    import glob
+
+    assert len(glob.glob(state + "/epoch=*")) == 2
