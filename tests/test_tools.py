@@ -111,3 +111,17 @@ def test_cli_rejects_unknown_subcommand():
 
     with pytest.raises(SystemExit):
         tools.main(["not-a-tool"])
+
+
+def test_examples_compile():
+    """The examples/ scripts (reference examples/ parity) stay
+    importable — full runs need their own SparkSession so they are
+    exercised manually, but syntax/import rot is caught here."""
+    import pathlib
+    import py_compile
+
+    ex_dir = pathlib.Path(__file__).parent.parent / "examples"
+    scripts = sorted(ex_dir.glob("example_*.py"))
+    assert len(scripts) >= 4
+    for s in scripts:
+        py_compile.compile(str(s), doraise=True)
