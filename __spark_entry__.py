@@ -1640,6 +1640,40 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_chunk_tokens(spark, sf_dir):
+    """Token-window chunking (context-window form of chunk_documents'
+    char windows): 64-token chunks starting every 48 tokens (16-token
+    overlap) — map-only tokenize + sequence + slice, exact oracle."""
+    from kspp_spark.functions.text import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_tokens(docs, chunk_len=64, step=48)
+
+
+def q_srp_ann(spark, sf_dir):
+    """Approximate nearest neighbors via hyperplane-LSH banding with
+    an EXACT end-to-end oracle: query and corpus signatures from the
+    deterministic SRP planes, candidates = shared band buckets (an
+    equi-join — never query x corpus), exact cosine rescoring, top-5
+    per query with deterministic tiebreak. The scale path beside
+    q_knn_cosine's brute force; recall is the LSH collision rate, and
+    whatever candidates LSH yields, the oracle reproduces them
+    bit-for-bit."""
+    from kspp_spark.functions.similarity import srp_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = srp_ann_topk(
+        queries, emb, k=5, q_id="query_id", c_id="vec_id",
+        planes=32, dims=64, bands=4,
+    )
+    return out.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "rank", "score"
+    )
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD type-2 changelog versioning: every (user_id, ts) event
     becomes a dimension version with [valid_from, valid_to) and
@@ -1997,6 +2031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cascade": q_rollup_cascade,
         "approx_quantiles": q_approx_quantiles,
         "scd2_history": q_scd2_history,
+        "srp_ann": q_srp_ann,
+        "chunk_tokens": q_chunk_tokens,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3227,6 +3263,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) AS score,
                    CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) > 0 AS keep
             FROM w GROUP BY doc_id
+        """,
+        # token-window chunking replay: same 1-based starts every 48,
+        # inclusive list_slice spans, single-space rejoin
+        "chunk_tokens": f"""
+            WITH d AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            e AS (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1, 48)) AS token_start
+                FROM d WHERE len(toks) > 0
+            )
+            SELECT doc_id,
+                   CAST((token_start - 1) // 48 AS BIGINT) AS chunk_id,
+                   token_start,
+                   CAST(len(list_slice(toks, token_start, token_start + 63))
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(
+                       list_slice(toks, token_start, token_start + 63), ' '
+                   ) AS chunk_text
+            FROM e
+        """,
+        # SRP-ANN replay: both sides' signatures from the same plane
+        # CTE, band-bucket equi-join candidates, exact cosine, top-5
+        # per query with (score desc, id) tiebreak — mirrors
+        # similarity.srp_ann_topk end to end
+        "srp_ann": f"""
+            WITH planes AS ({_srp_planes_sql(32, 64)}),
+            sig AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN dot > 0
+                                THEN (CAST(1 AS BIGINT) << p)
+                                ELSE 0 END) AS BIGINT) AS srp
+                FROM (
+                    SELECT e.vec_id, pl.p,
+                           list_sum(list_transform(
+                               list_zip(e.embedding, pl.s),
+                               x -> CAST(x[1] AS DOUBLE) * x[2])) AS dot
+                    FROM embeddings e CROSS JOIN planes pl
+                ) GROUP BY vec_id
+            ),
+            banded AS (
+                SELECT vec_id, b, (srp >> (b * 8)) & 255 AS chunk
+                FROM sig CROSS JOIN range(4) t(b)
+            ),
+            cand AS (
+                SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                FROM banded q JOIN banded c
+                  ON q.b = c.b AND q.chunk = c.chunk
+                WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+            ),
+            v AS (SELECT vec_id, embedding AS e FROM embeddings),
+            scored AS (
+                SELECT qid, cid,
+                       list_sum(list_transform(list_zip(vq.e, vc.e),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                       / sqrt(list_sum(list_transform(vq.e,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                            * list_sum(list_transform(vc.e,
+                                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS score
+                FROM cand
+                JOIN v vq ON vq.vec_id = cand.qid
+                JOIN v vc ON vc.vec_id = cand.cid
+            )
+            SELECT qid AS query_id, cid AS neighbor_id, rank, score FROM (
+                SELECT qid, cid, score,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, cid) AS rank
+                FROM scored WHERE score IS NOT NULL
+            ) WHERE rank <= 5
         """,
         # SRP (hyperplane) LSH replay: the ±1 plane matrix regenerates
         # from the same md5 derivation (srp_plane_signs), signatures

@@ -246,3 +246,67 @@ def quantize_embeddings(
         scale.alias("scale"),
         q.alias("q_embedding"),
     )
+
+
+def srp_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    planes: int = 32,
+    dims: int = 64,
+    bands: int = 4,
+    seed: int = 0,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors with an EXACT
+    replayable plan: candidates are corpus vectors sharing at least
+    one SRP signature band with the query (hyperplane LSH — the same
+    deterministic md5-derived planes as dedup.srp_signatures, so every
+    stage reproduces bit-for-bit in an external SQL engine), scored by
+    exact sequential-double cosine, top-k per query with a
+    deterministic (score desc, id) tiebreak.
+
+    The scale path next to the brute-force cosine_topk: the corpus is
+    touched by one map-only signature pass + a band-bucket equi-join —
+    never a query x corpus cross join. Recall is the LSH collision
+    probability (raise bands / lower per-band bits to trade candidate
+    volume for recall); queries with no collisions return < k rows.
+
+    Output: (q_id, c_id, rank, score).
+    """
+    from kspp_spark.functions.dedup import (
+        signature_band_slices,
+        srp_signatures,
+    )
+
+    sq = srp_signatures(queries, vec=q_vec, id_col=q_id, planes=planes, dims=dims, seed=seed)
+    sc = srp_signatures(corpus, vec=c_vec, id_col=c_id, planes=planes, dims=dims, seed=seed)
+    bq = signature_band_slices(
+        sq, id_col=q_id, sim_col="srp", bands=bands, bits=planes, out_id="_qid"
+    )
+    bc = signature_band_slices(
+        sc, id_col=c_id, sim_col="srp", bands=bands, bits=planes, out_id="_cid"
+    )
+    cand = bq.join(bc, ["band", "bhash"]).select("_qid", "_cid").distinct()
+    if exclude_self:
+        cand = cand.filter(F.col("_qid") != F.col("_cid"))
+    qv = queries.select(F.col(q_id).alias("_qid"), F.col(q_vec).alias("_qv"))
+    cv = corpus.select(F.col(c_id).alias("_cid"), F.col(c_vec).alias("_cv"))
+    scored = cand.join(qv, "_qid").join(cv, "_cid")
+    dot = _dot(F.col("_qv"), F.col("_cv"), False)
+    qn = _dot(F.col("_qv"), F.col("_qv"), False)
+    cn = _dot(F.col("_cv"), F.col("_cv"), False)
+    score = F.when((qn > 0) & (cn > 0), dot / F.sqrt(qn * cn))
+    scored = scored.select(
+        F.col("_qid").alias(q_id), F.col("_cid").alias(c_id), score.alias("score")
+    ).filter(F.col("score").isNotNull())  # zero-norm vectors match nothing
+    w = W.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "rank", "score")
+    )

@@ -342,3 +342,39 @@ def hashed_bow_score(
         score.alias("score"),
         (score > 0).alias("keep"),
     )
+
+
+def chunk_tokens(
+    df,
+    chunk_len: int,
+    step: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split documents into fixed-size TOKEN windows — the
+    context-window form of chunk_documents (char windows): a chunk
+    starts every `step` tokens (default = chunk_len, non-overlapping;
+    step < chunk_len overlaps) and spans up to `chunk_len` tokens,
+    rejoined with single spaces. Returns (id, chunk_id,
+    token_start [1-based], n_tokens, chunk_text).
+
+    Map-only like the char form: tokenize + sequence + explode +
+    slice, all JVM-side. Documents with no tokens produce no chunks.
+    """
+    step = chunk_len if step is None else step
+    starts = F.sequence(F.lit(1), F.size(F.col("_toks")), F.lit(step))
+    piece = F.slice(F.col("_toks"), F.col("token_start"), chunk_len)
+    return (
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(id_col, "_toks", F.explode(starts).alias("token_start"))
+        .select(
+            id_col,
+            F.floor((F.col("token_start") - 1) / F.lit(float(step)))
+            .cast("long")
+            .alias("chunk_id"),
+            "token_start",
+            F.size(piece).cast("long").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

@@ -244,6 +244,53 @@ def test_sample_weighted_deterministic_partition_invariant_and_proportional(spar
     assert kept3 != kept1
 
 
+def test_chunk_tokens_windows_and_overlap(spark):
+    """chunk_tokens: 1-based starts every `step`, spans capped at
+    chunk_len tokens, tail chunk shorter, empty docs dropped."""
+    from kspp_spark.functions.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, " "), (3, "x y")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.token_start, r.n_tokens, r.chunk_text)
+        for r in chunk_tokens(df, chunk_len=4, step=3).collect()
+    }
+    assert got == {
+        (1, 0): (1, 4, "a b c d"),
+        (1, 1): (4, 4, "d e f g"),
+        (1, 2): (7, 1, "g"),
+        (3, 0): (1, 2, "x y"),
+    }
+
+
+def test_srp_ann_finds_planted_neighbor(spark):
+    """srp_ann_topk surfaces a planted near-identical vector as the
+    top neighbor (near-dup signatures share every band); rank and
+    tiebreak are deterministic."""
+    from kspp_spark.functions.similarity import srp_ann_topk
+
+    base = [1.0 if d % 3 == 0 else -0.5 for d in range(16)]
+    near = list(base)
+    near[2] += 0.01
+    rows = [(1, base), (2, near)] + [
+        (10 + i, [(-1.0) ** (d + i) * (0.2 + ((d * 5 + i * 11) % 16) / 16.0) for d in range(16)])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = srp_ann_topk(
+        queries, df, k=3, q_id="q_id", c_id="vec_id", planes=32, dims=16, bands=4
+    ).collect()
+    assert out, "planted near-dup must collide in at least one band"
+    best = min(out, key=lambda r: r.rank)
+    assert (best.vec_id, best.rank) == (2, 1)
+    assert best.score > 0.99
+
+
 def test_hashed_bow_score_exact_mean_and_determinism(spark):
     """hashed_bow_score = mean bucket milli-weight: verify against a
     hand-computed expectation using the same deterministic model, and

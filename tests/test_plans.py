@@ -229,6 +229,17 @@ def test_srp_pairs_has_no_full_table_pair_join(spark, queries):
     assert not re.search(r"a#\d+L? < b#\d+", plan), "full-table a<b join present"
 
 
+def test_srp_ann_has_no_query_corpus_cross_join(spark, queries):
+    # ANN scale contract: candidates come from the band-bucket
+    # equi-join of fixed-width signatures; the query never cross-joins
+    # the corpus (that is q_knn_cosine's brute-force baseline, which
+    # broadcasts 20 queries deliberately)
+    plan = formatted_plan(spark, queries["srp_ann"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_dup_clusters_has_no_full_table_pair_join(spark, queries):
     # same scale contract for the connected-components feeder: the
     # candidate stage must be the packed block-matrix path, never the
