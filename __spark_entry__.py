@@ -1667,7 +1667,7 @@ def q_srp_ann(spark, sf_dir):
     )
     out = srp_ann_topk(
         queries, emb, k=5, q_id="query_id", c_id="vec_id",
-        planes=32, dims=64, bands=4,
+        planes=32, dims=64, bands=4, exclude_self=True,
     )
     return out.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), "rank", "score"

@@ -601,9 +601,11 @@ def signature_band_slices(
     used by both the batch candidate generator (simhash_candidates,
     incl. the SRP form) and the streaming dedup state
     (streaming/dedup_incremental.srp_banded_signatures) — the two
-    must stay bit-identical for probe-vs-batch parity."""
+    must stay bit-identical for probe-vs-batch parity. NULL signatures
+    (e.g. NULL embeddings) are dropped — NULL is not a bucket."""
     width = bits // bands
     mask = (1 << width) - 1
+    sigs = sigs.filter(F.col(sim_col).isNotNull())
     return sigs.select(
         F.col(id_col).alias(out_id),
         F.explode(
@@ -730,11 +732,14 @@ def srp_signatures(
     )
     # dims guard: a vector of the wrong length would zip_with-pad with
     # NULLs, silently yielding srp=0 for every row (one giant LSH
-    # bucket). Fail loudly instead.
+    # bucket). Fail loudly — except NULL embeddings, which degrade to
+    # NULL signatures (and are dropped by signature_band_slices, so
+    # they never bucket together).
     sig_expr = (
-        f"IF(size(`{vec}`) = {dims}, {packed}, "
-        f"cast(raise_error('srp_signatures: embedding length <> dims={dims}') "
-        "as bigint))"
+        f"CASE WHEN `{vec}` IS NULL THEN cast(NULL as bigint) "
+        f"WHEN size(`{vec}`) = {dims} THEN {packed} "
+        f"ELSE cast(raise_error('srp_signatures: embedding length <> "
+        f"dims={dims}') as bigint) END"
     )
     return df.select(F.col(id_col), F.expr(sig_expr).alias("srp"))
 
@@ -808,77 +813,107 @@ def connected_components(
         f"cc_{_uuid.uuid4().hex}"
     )
 
+    written: list[str] = []
+
     def reset(df: DataFrame, name: str) -> DataFrame:
         path = ckdir + "/" + name if "://" in ckdir else os.path.join(ckdir, name)
         df.write.mode("overwrite").parquet(path)
+        written.append(path)
         return spark.read.parquet(path)
 
-    def cleanup() -> None:
+    def _fs_delete(path: str) -> None:
         # works for any Hadoop-visible scheme (local, hdfs://, s3a://)
         try:
             jvm = spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(ckdir)
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
             fs.delete(jpath, True)
         except Exception:
             pass  # best-effort; leaked files are inert
+
+    def cleanup(keep: str | None = None) -> None:
+        if keep is None:
+            _fs_delete(ckdir)
+        else:
+            for p in written:
+                if p != keep:
+                    _fs_delete(p)
         if local_tmpdir is not None:
             import shutil
 
             shutil.rmtree(local_tmpdir, ignore_errors=True)
 
-    edges = reset(
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .distinct(),
-        "edges",
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
-    )
-    for i in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
+    try:
+        edges = reset(
+            pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+            .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+            .distinct(),
+            "edges",
         )
-        prop = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.col("component").alias("_orig"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("_c1"),
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint()
         )
-        # pointer halving fused into the round's plan: component <-
-        # component's component. Safe for min-labels on an undirected
-        # graph (a node's label is always a node in its own component,
-        # so the label's label is too). prop appears twice in the plan
-        # (probe + pointer side) — 2x the hook computation, cheaper
-        # than a second materialization per round.
-        ptr = prop.select(F.col("node").alias("_pn"), F.col("_c1").alias("_pc"))
-        final = F.least(F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1")))
-        updated = prop.join(ptr, F.col("_c1") == F.col("_pn"), "left").select(
-            "node",
-            final.alias("component"),
-            (final < F.col("_orig")).alias("_chg"),
-        )
-        if (i + 1) % RESET_EVERY == 0:
-            # unique path per reset: never overwrite a parquet path a
-            # still-live plan (the previous reset's read) could reference
-            updated = reset(updated, f"labels_r{i + 1}")
-        else:
-            updated = updated.localCheckpoint()
-        changed = updated.filter(F.col("_chg")).limit(1).count()
-        labels = updated.drop("_chg")
-        if changed == 0:
-            break
-    # sever the parquet dependency before deleting the run dir (labels
-    # may lazily read the last reset path otherwise)
-    labels = labels.localCheckpoint()
-    cleanup()
+        for i in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            prop = labels.join(
+                neighbor_min, labels.node == neighbor_min.src, "left"
+            ).select(
+                "node",
+                F.col("component").alias("_orig"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("_c1"),
+            )
+            # pointer halving fused into the round's plan: component <-
+            # component's component. Safe for min-labels on an undirected
+            # graph (a node's label is always a node in its own component,
+            # so the label's label is too). prop appears twice in the plan
+            # (probe + pointer side) — 2x the hook computation, cheaper
+            # than a second materialization per round.
+            ptr = prop.select(F.col("node").alias("_pn"), F.col("_c1").alias("_pc"))
+            final = F.least(F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1")))
+            updated = prop.join(ptr, F.col("_c1") == F.col("_pn"), "left").select(
+                "node",
+                final.alias("component"),
+                (final < F.col("_orig")).alias("_chg"),
+            )
+            if (i + 1) % RESET_EVERY == 0:
+                # unique path per reset: never overwrite a parquet path a
+                # still-live plan (the previous reset's read) could reference
+                updated = reset(updated, f"labels_r{i + 1}")
+            else:
+                updated = updated.localCheckpoint()
+            changed = updated.filter(F.col("_chg")).limit(1).count()
+            labels = updated.drop("_chg")
+            if changed == 0:
+                break
+    except BaseException:
+        cleanup()  # failed run: remove the whole run dir, nothing leaks
+        raise
+    # Success: make the result durable in a way that matches the
+    # deployment, then delete the intermediates.
+    master = spark.sparkContext.master or ""
+    if master.startswith("local"):
+        # executor == driver: localCheckpoint blocks are as durable as
+        # the process itself
+        labels = labels.localCheckpoint()
+        cleanup()
+    elif spark.sparkContext.getCheckpointDir() is not None:
+        # reliable (shared-FS, Spark-managed) checkpoint: survives
+        # executor loss, run dir fully removable
+        labels = labels.checkpoint(eager=True)
+        cleanup()
+    else:
+        # cluster with only a caller-supplied dir: persist the final
+        # labels as parquet there (durable; the caller owns the dir's
+        # lifecycle) and delete only the intermediates
+        labels = reset(labels, "final")
+        cleanup(keep=written[-1])
     return labels

@@ -260,7 +260,7 @@ def srp_ann_topk(
     dims: int = 64,
     bands: int = 4,
     seed: int = 0,
-    exclude_self: bool = True,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors with an EXACT
     replayable plan: candidates are corpus vectors sharing at least
@@ -275,6 +275,12 @@ def srp_ann_topk(
     never a query x corpus cross join. Recall is the LSH collision
     probability (raise bands / lower per-band bits to trade candidate
     volume for recall); queries with no collisions return < k rows.
+
+    exclude_self drops candidates whose corpus id EQUALS the query id —
+    only meaningful when the queries are drawn from the corpus itself
+    (same id space). Leave False (the default) when querying one table
+    against another: unrelated tables can share raw id values, and
+    excluding those would silently drop true neighbors.
 
     Output: (q_id, c_id, rank, score).
     """

@@ -512,6 +512,34 @@ def _read_split(path: str, start: int, end: int):
                 yield _decode(schema, bbuf)
 
 
+def _temporals_to_avro(df: DataFrame, extra=()) -> DataFrame:
+    """Convert timestamp/date columns to their Avro integer forms
+    (epoch-micros / epoch-days) IN-PLAN: foreachPartition deserializes
+    temporal types through the executor's system timezone (session
+    timeZone does not cover that Python path), so the integers must
+    leave the JVM already converted — exact and worker-tz-independent.
+    `extra` columns pass through untouched (e.g. a window tag)."""
+    from pyspark.sql import functions as F
+
+    if not any(
+        isinstance(f.dataType, (T.TimestampType, T.DateType))
+        for f in df.schema.fields
+        if f.name not in extra
+    ):
+        return df
+
+    def to_avro_col(f):
+        if f.name in extra:
+            return F.col(f.name)
+        if isinstance(f.dataType, T.TimestampType):
+            return F.unix_micros(F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, T.DateType):
+            return F.datediff(F.col(f.name), F.lit("1970-01-01")).alias(f.name)
+        return F.col(f.name)
+
+    return df.select(*[to_avro_col(f) for f in df.schema.fields])
+
+
 def write_avro_ocf(
     df: DataFrame,
     path: str,
@@ -528,23 +556,7 @@ def write_avro_ocf(
 
     os.makedirs(path, exist_ok=True)
     schema = spark_to_avro_schema(df.schema)
-    # convert temporals to their Avro integer forms IN-PLAN:
-    # foreachPartition deserializes TimestampType through the
-    # executor's system timezone (session timeZone does not cover that
-    # Python path), so epoch-micros/epoch-days must leave the JVM
-    # already converted — exact and worker-tz-independent
-    if any(
-        isinstance(f.dataType, (T.TimestampType, T.DateType))
-        for f in df.schema.fields
-    ):
-        def to_avro_col(f):
-            if isinstance(f.dataType, T.TimestampType):
-                return F.unix_micros(F.col(f.name)).alias(f.name)
-            if isinstance(f.dataType, T.DateType):
-                return F.datediff(F.col(f.name), F.lit("1970-01-01")).alias(f.name)
-            return F.col(f.name)
-
-        df = df.select(*[to_avro_col(f) for f in df.schema.fields])
+    df = _temporals_to_avro(df)
     if coalesce:
         df = df.coalesce(coalesce)
 
@@ -580,17 +592,9 @@ def rotated_avro_ocf_sink(
     tagged = df.withColumn(
         "_w", F.window(F.col(event_time), window).start.cast("string")
     )
-    # epoch-micros conversion in-plan (see write_avro_ocf): Python-side
-    # datetime deserialization applies the worker's system timezone
-    tagged = tagged.select(
-        *[
-            F.unix_micros(F.col(f.name)).alias(f.name)
-            if isinstance(f.dataType, T.TimestampType)
-            else F.col(f.name)
-            for f in df.schema.fields
-        ],
-        F.col("_w"),
-    )
+    # temporal conversion in-plan (shared with write_avro_ocf): the
+    # window tag is already a string and passes through
+    tagged = _temporals_to_avro(tagged, extra=("_w",))
 
     def write_partition(rows):
         from collections import defaultdict

@@ -188,3 +188,23 @@ def test_split_read_null_codec_and_single_block(spark, tmp_path):
     df = read_avro_ocf(spark, str(p), split_bytes=512)
     got = sorted(r.id for r in df.collect())
     assert got == list(range(500))
+
+
+def test_rotated_avro_sink_handles_date_columns(spark, tmp_path):
+    """Regression: the rotated sink shares write_avro_ocf's in-plan
+    temporal conversion, so a date column round-trips instead of
+    crashing the partition encoder."""
+    import datetime
+
+    from kspp_spark.sources.avro_ocf import read_avro_ocf, rotated_avro_ocf_sink
+
+    rows = [
+        (1, datetime.date(2024, 3, 1), datetime.datetime(2024, 1, 1, 0, 10)),
+        (2, datetime.date(2024, 3, 2), datetime.datetime(2024, 1, 1, 2, 5)),
+    ]
+    df = spark.createDataFrame(rows, "id long, day date, event_time timestamp")
+    dst = str(tmp_path / "rot")
+    rotated_avro_ocf_sink(df, dst, window="1 hour")
+    back = read_avro_ocf(spark, dst + "/window_start=*")
+    got = {r.id: r.day for r in back.collect()}
+    assert got == {1: datetime.date(2024, 3, 1), 2: datetime.date(2024, 3, 2)}

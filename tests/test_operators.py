@@ -283,7 +283,8 @@ def test_srp_ann_finds_planted_neighbor(spark):
         F.col("vec_id").alias("q_id"), "embedding"
     )
     out = srp_ann_topk(
-        queries, df, k=3, q_id="q_id", c_id="vec_id", planes=32, dims=16, bands=4
+        queries, df, k=3, q_id="q_id", c_id="vec_id", planes=32, dims=16,
+        bands=4, exclude_self=True,  # queries drawn from the corpus
     ).collect()
     assert out, "planted near-dup must collide in at least one band"
     best = min(out, key=lambda r: r.rank)
@@ -940,3 +941,19 @@ def test_substring_dup_spans_counts_within_doc_repeats_only_with_min_docs_met(sp
         [(1, f"{phrase} and {phrase}")], "doc_id long, text string"
     )
     assert substring_dup_spans(df, span_tokens=6).count() == 0
+
+
+def test_srp_signatures_null_embedding_degrades_not_raises(spark):
+    """NULL embeddings produce NULL signatures (not an error and not
+    srp=0), and band slicing drops them so NULLs never bucket
+    together as spurious candidates."""
+    from kspp_spark.functions.dedup import signature_band_slices, srp_signatures
+
+    rows = [(1, [1.0] * 8), (2, None), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sigs = srp_signatures(df, planes=16, dims=8)
+    got = {r.vec_id: r.srp for r in sigs.collect()}
+    assert got[2] is None and got[3] is None and got[1] is not None
+    sliced = signature_band_slices(sigs, id_col="vec_id", sim_col="srp",
+                                   bands=4, bits=16)
+    assert {r._id for r in sliced.collect()} == {1}
