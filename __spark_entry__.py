@@ -1640,6 +1640,41 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_quantized_ann(spark, sf_dir):
+    """Int8 rescoring ANN tier, fully exact-oracled: SRP band-bucket
+    candidates (as q_srp_ann) rescored with the QUANTIZED vectors —
+    4x less data through the scoring join, and because symmetric-int8
+    scales cancel out of the cosine, the dot and both norms are exact
+    BIGINT sums: the one float op is a final divide of exact integers,
+    so even the float-summation-order caveat of double scoring
+    disappears."""
+    from kspp_spark.functions.dedup import signature_band_slices, srp_signatures
+    from kspp_spark.functions.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sigs = srp_signatures(emb, planes=32, dims=64)
+    b = signature_band_slices(
+        sigs, id_col="vec_id", sim_col="srp", bands=4, bits=32, out_id="id"
+    )
+    bq = b.filter(F.col("id") < 20).select(
+        F.col("id").alias("query_id"), "band", "bhash"
+    )
+    bc = b.select(F.col("id").alias("neighbor_id"), "band", "bhash")
+    cand = (
+        bq.join(bc, ["band", "bhash"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qz = quantize_embeddings(emb)
+    return quantized_cosine_topk(
+        cand, qz, k=5, q_id="query_id", c_id="neighbor_id"
+    )
+
+
 def q_chunk_tokens(spark, sf_dir):
     """Token-window chunking (context-window form of chunk_documents'
     char windows): 64-token chunks starting every 48 tokens (16-token
@@ -2033,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "srp_ann": q_srp_ann,
         "chunk_tokens": q_chunk_tokens,
+        "quantized_ann": q_quantized_ann,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3263,6 +3299,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) AS score,
                    CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) > 0 AS keep
             FROM w GROUP BY doc_id
+        """,
+        # int8-rescore ANN replay: SRP candidates as srp_ann, then the
+        # quantization formula of quantize_embeddings and exact BIGINT
+        # dot/norm sums — one final double divide
+        "quantized_ann": f"""
+            WITH planes AS ({_srp_planes_sql(32, 64)}),
+            sig AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN dot > 0
+                                THEN (CAST(1 AS BIGINT) << p)
+                                ELSE 0 END) AS BIGINT) AS srp
+                FROM (
+                    SELECT e.vec_id, pl.p,
+                           list_sum(list_transform(
+                               list_zip(e.embedding, pl.s),
+                               x -> CAST(x[1] AS DOUBLE) * x[2])) AS dot
+                    FROM embeddings e CROSS JOIN planes pl
+                ) GROUP BY vec_id
+            ),
+            banded AS (
+                SELECT vec_id, b, (srp >> (b * 8)) & 255 AS chunk
+                FROM sig CROSS JOIN range(4) t(b)
+            ),
+            cand AS (
+                SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+                FROM banded q JOIN banded c
+                  ON q.b = c.b AND q.chunk = c.chunk
+                WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+            ),
+            qz AS (
+                SELECT vec_id,
+                       CASE WHEN max_abs = 0.0
+                            THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(e, x -> CAST(floor(
+                                x / (max_abs / 127.0) + 0.5) AS BIGINT))
+                       END AS q
+                FROM (
+                    SELECT vec_id,
+                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                           list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+                    FROM embeddings
+                )
+            ),
+            scored AS (
+                SELECT qid, cid,
+                       CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                            p -> p[1] * p[2])) AS DOUBLE)
+                       / sqrt(CAST(list_sum(list_transform(a.q, x -> x * x))
+                                   AS DOUBLE)
+                            * CAST(list_sum(list_transform(b.q, x -> x * x))
+                                   AS DOUBLE)) AS score
+                FROM cand
+                JOIN qz a ON a.vec_id = cand.qid
+                JOIN qz b ON b.vec_id = cand.cid
+                WHERE list_sum(list_transform(a.q, x -> x * x)) > 0
+                  AND list_sum(list_transform(b.q, x -> x * x)) > 0
+            )
+            SELECT qid AS query_id, cid AS neighbor_id, rank, score FROM (
+                SELECT qid, cid, score,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, cid) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
         # token-window chunking replay: same 1-based starts every 48,
         # inclusive list_slice spans, single-space rejoin

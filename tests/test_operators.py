@@ -957,3 +957,37 @@ def test_srp_signatures_null_embedding_degrades_not_raises(spark):
     sliced = signature_band_slices(sigs, id_col="vec_id", sim_col="srp",
                                    bands=4, bits=16)
     assert {r._id for r in sliced.collect()} == {1}
+
+
+def test_quantized_cosine_topk_matches_double_ranking(spark):
+    """Int8 rescoring: exact BIGINT dot/norm sums rank the planted
+    near-dup first, agreeing with double-precision cosine ranking on
+    well-separated vectors (quantization noise < separation)."""
+    from kspp_spark.functions.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    base = [1.0 if d % 3 == 0 else -0.5 for d in range(16)]
+    near = list(base)
+    near[0] += 0.01
+    rows = [(1, base), (2, near)] + [
+        (10 + i, [(-1.0) ** (d + i) * (0.2 + ((d * 5 + i * 11) % 16) / 16.0) for d in range(16)])
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = (
+        df.select(F.col("vec_id").alias("q")).filter(F.col("q") == 1)
+        .crossJoin(df.select(F.col("vec_id").alias("c")))
+        .filter(F.col("q") != F.col("c"))
+    )
+    qz = quantize_embeddings(df)
+    got = quantized_cosine_topk(cand, qz, k=3, q_id="q", c_id="c").collect()
+    assert [r.c for r in sorted(got, key=lambda r: r.rank)][0] == 2
+    # double-precision reference agrees on the top neighbor
+    queries = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q"), "embedding"
+    )
+    ref = cosine_topk(queries, df, k=1, q_id="q", c_id="vec_id").collect()
+    assert ref[0].vec_id == 2
