@@ -60,12 +60,14 @@ BENCH_QUERIES = [
     # components and the exact-oracle portable LSH pipeline
     "dup_clusters",
     "minhash_pairs_portable",
-    # round-4 additions (30 -> 33): span-level exact-substring dedup,
-    # the SRP hyperplane-LSH embedding tier, and hashed linear
-    # classifier inference
+    # round-4 additions (30 -> 35): span-level exact-substring dedup,
+    # the SRP hyperplane-LSH embedding tier (pairs + ANN + int8
+    # rescore), and hashed linear classifier inference
     "substring_spans",
     "srp_pairs",
     "quality_classifier",
+    "srp_ann",
+    "quantized_ann",
 ]
 
 
