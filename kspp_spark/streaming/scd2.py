@@ -1,0 +1,172 @@
+"""Streaming SCD type-2: incremental dimension-history maintenance.
+
+The streaming face of operators/aggregates.scd2_history: each
+micro-batch folds its changes into the OPEN versions only — newly
+closed intervals append to a history area, the new open set replaces
+the state snapshot — so per-trigger work is O(batch + open keys),
+never a recompute over all history. Same epoch-idempotent parquet
+convention as streaming/dedup_incremental and streaming/rollup
+(overwrite-by-epoch => checkpoint-recovery replays are safe).
+
+Correctness window: a change folds correctly as long as it is not
+older than an ALREADY-CLOSED interval of its key (closed history is
+immutable). Changes may arrive out of order relative to the open
+version — the per-key window recompute inside each fold handles that —
+but data late enough to precede a closed interval needs the batch
+operator over the full changelog. This is the standard warehouse
+trade; the reference's LWW stores simply drop such records
+(mem_store.h:75-77), so this is strictly more permissive.
+
+Reference: no kspp equivalent (ktable keeps latest only) —
+beyond-reference north-star operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from kspp_spark.operators.aggregates import scd2_history
+
+
+def _epoch_dirs(spark, base: str) -> list[tuple[int, str]]:
+    """(epoch, path) under base via the Hadoop FS API (any scheme);
+    [] when the base does not exist yet."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("epoch="):
+            out.append((int(name.split("=", 1)[1]), str(st.getPath())))
+    return sorted(out)
+
+
+def scd2_fold_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    history_dir: str,
+    key: str | list[str],
+    value_cols: list[str],
+    event_time: str = "event_time",
+    seq: str | None = None,
+    tombstone_col: str | None = None,
+    keep_state_epochs: int = 2,
+) -> None:
+    """foreachBatch body: (prior open versions ∪ batch changes) -> one
+    per-key scd2 window pass -> closed intervals append to
+    history/epoch=<id>, surviving open versions replace
+    state/epoch=<id>. Reads ONLY the newest prior state epoch (the
+    state snapshot is self-contained); prunes state epochs older than
+    `keep_state_epochs` behind the current one."""
+    spark = batch_df.sparkSession
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = [*keys, *value_cols, event_time, *([seq] if seq else [])]
+    changes = batch_df.select(*cols)
+
+    epochs = [(e, p) for e, p in _epoch_dirs(spark, state_dir) if e != int(epoch_id)]
+    if epochs:
+        prior = spark.read.parquet(epochs[-1][1])
+        open_rows = prior.select(
+            *keys,
+            *value_cols,
+            F.col("valid_from").alias(event_time),
+            *([seq] if seq else []),
+        )
+        changes = changes.unionByName(open_rows)
+
+    versioned = scd2_history(
+        changes,
+        key=keys,
+        value_cols=value_cols,
+        event_time=event_time,
+        seq=seq,
+        tombstone_col=tombstone_col,
+    )
+    closed = versioned.filter(F.col("valid_to").isNotNull()).drop("is_current")
+    open_new = versioned.filter(F.col("valid_to").isNull()).drop(
+        "valid_to", "is_current"
+    )
+    # seq must ride along in state so later folds keep the tiebreak;
+    # equal (key, ts) collisions keep the max seq (the version that won)
+    if seq:
+        seq_src = changes.groupBy(
+            *keys, F.col(event_time).alias("valid_from")
+        ).agg(F.max(seq).alias(seq))
+        open_new = open_new.join(seq_src, [*keys, "valid_from"], "left")
+    closed.write.mode("overwrite").parquet(
+        os.path.join(history_dir, f"epoch={int(epoch_id)}")
+    )
+    open_new.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"epoch={int(epoch_id)}")
+    )
+    # prune old state snapshots (each is self-contained)
+    for e, p in epochs[:-keep_state_epochs] if keep_state_epochs else []:
+        try:
+            jvm = spark._jvm
+            jp = jvm.org.apache.hadoop.fs.Path(p)
+            jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
+        except Exception:
+            pass  # best-effort; stale snapshots are inert
+
+
+def scd2_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    history_dir: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Wire a changelog stream into the SCD2 fold loop. Returns the
+    started StreamingQuery; `scd2_snapshot` serves the full history."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        scd2_fold_batch(
+            batch_df, epoch_id, state_dir=state_dir, history_dir=history_dir,
+            **kwargs,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def scd2_snapshot(
+    spark, state_dir: str, history_dir: str, seq: str | None = None
+) -> DataFrame:
+    """Current full SCD2 view: all closed intervals (immutable history
+    epochs) plus the newest open set with valid_to NULL / is_current
+    TRUE — the same schema as the batch scd2_history. Pass the same
+    `seq` as the fold so its state-plumbing column is dropped."""
+    hist_epochs = _epoch_dirs(spark, history_dir)
+    state_epochs = _epoch_dirs(spark, state_dir)
+    closed = (
+        spark.read.parquet(*[p for _, p in hist_epochs]).withColumn(
+            "is_current", F.lit(False)
+        )
+        if hist_epochs
+        else None
+    )
+    open_set = None
+    if state_epochs:
+        open_set = spark.read.parquet(state_epochs[-1][1])
+        if seq:
+            open_set = open_set.drop(seq)
+        open_set = open_set.withColumn(
+            "valid_to", F.lit(None).cast("timestamp")
+        ).withColumn("is_current", F.lit(True))
+    if closed is None and open_set is None:
+        raise ValueError("no scd2 state or history found")
+    if closed is None:
+        return open_set
+    if open_set is None:
+        return closed
+    return closed.unionByName(open_set.select(*closed.columns))

@@ -1063,3 +1063,58 @@ def test_continuous_rollup_matches_batch_cascade(spark, tmp_path):
     import glob
 
     assert len(glob.glob(state + "/epoch=*")) == 2
+
+
+def test_scd2_stream_matches_batch_history(spark, tmp_path):
+    """Streaming SCD2 fold: open versions + batch changes recompute
+    per key each trigger; the snapshot (closed history + open set)
+    equals the batch scd2_history over the full changelog, including a
+    tombstone closing a version in a later batch and a re-insert
+    opening a fresh one."""
+    from kspp_spark.operators.aggregates import scd2_history
+    from kspp_spark.streaming.scd2 import scd2_snapshot, scd2_stream
+
+    SCHEMA_STR = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    in_dir = str(tmp_path / "chg")
+    state = str(tmp_path / "state")
+    hist = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [("a", "v1", ts(1)), ("a", "v2", ts(5)), ("b", "w1", ts(3))]
+    b2 = [("a", None, ts(8)), ("b", "w2", ts(9)), ("a", "v3", ts(12))]
+    spark.createDataFrame(b1, SCHEMA_STR).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        src = spark.readStream.schema(SCHEMA_STR).parquet(in_dir)
+        q = scd2_stream(
+            src, state, hist, ckpt, key="key", value_cols=["value"],
+            event_time="event_time",
+        )
+        q.awaitTermination(120)
+
+    run()
+    import time as _t
+
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, SCHEMA_STR).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    def canon(df):
+        return sorted(
+            (r.key, r.value, r.valid_from, r.valid_to, r.is_current)
+            for r in df.collect()
+        )
+
+    snap = scd2_snapshot(spark, state, hist)
+    full = spark.createDataFrame(b1 + b2, SCHEMA_STR)
+    batch = scd2_history(full, key="key", value_cols=["value"])
+    assert canon(snap) == canon(batch)
+    # the tombstoned interval is closed history; v3 and w2 are current
+    cur = {(r.key, r.value) for r in snap.filter(F.col("is_current")).collect()}
+    assert cur == {("a", "v3"), ("b", "w2")}
