@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -102,3 +102,42 @@ def write_bucketed(
     if path:
         w = w.option("path", path)  # external table at an explicit location
     w.saveAsTable(table)
+
+
+def write_partitioned_sorted(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    sort_by: str | list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Persist with PRUNABLE LAYOUT: hive-style directory partitioning
+    on low-cardinality columns (reads filtered on them scan only the
+    matching directories — PartitionFilters in the plan, pinned by
+    tests/test_plans.py::test_partitioned_write_enables_pruning) plus
+    optional within-file clustering on sort_by, which tightens parquet
+    row-group min/max stats so range predicates skip row groups
+    inside each file.
+
+    The write repartitions on the partition columns first so each
+    output directory is produced by the tasks that own its rows — one
+    file per (task, partition-dir) instead of every task appending to
+    every directory (the small-files explosion at 1000 executors).
+
+    This is the batch data-layout half of the scale story: bucketing
+    (write_bucketed) co-locates JOIN keys; directory partitioning +
+    sort prunes SCANS. At 100 TB choose partition columns with
+    hundreds-to-thousands of values (date, source, lang) — never
+    high-cardinality ids.
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    out = df.repartition(*[F.col(c) for c in parts])
+    if sort_by:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        out = out.sortWithinPartitions(*parts, *sorts)
+    w = out.write.format(fmt).mode(mode).partitionBy(*parts)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.save(path)

@@ -185,6 +185,24 @@ def test_dedup_embedding_has_no_full_table_pair_join(spark, queries):
     assert not re.search(r"a#\d+L? < b#\d+", plan), "full-table a<b join present"
 
 
+def test_partitioned_write_enables_pruning(spark, tmp_path):
+    # the data-layout contract: a filter on the partition column of a
+    # write_partitioned_sorted dataset reaches the scan as a
+    # PartitionFilter (directory pruning), not a post-scan Filter over
+    # all partitions
+    from kspp_spark.io import write_partitioned_sorted
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "bylang")
+    write_partitioned_sorted(docs, out, partition_by="lang", sort_by="n_chars")
+    back = spark.read.parquet(out).filter("lang = 'en'").select("doc_id")
+    plan = formatted_plan(spark, back)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:600]
+    # and the rows actually come back
+    assert back.count() > 0
+
+
 def test_rollup_cascade_aggregates_partials_not_base(spark, queries):
     # the cascade contract: the day grain re-aggregates the HOURLY
     # partials — day-truncation is only ever applied to the hourly

@@ -306,3 +306,45 @@ def test_srp_signatures_match_independent_replay(spark, vecs):
         for r in srp_signatures(df, planes=planes, dims=dims).collect()
     }
     assert got == {i: replay(v) for i, v in enumerate(vecs)}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows_strategy)
+def test_scd2_history_matches_replay(spark, raw):
+    """scd2_history equals a pure-Python interval replay for ANY
+    changelog — including duplicate timestamps (seq tiebreak),
+    tombstones (value <= -4 maps to NULL), and re-inserts."""
+    from kspp_spark.operators.aggregates import scd2_history
+
+    rows = [
+        (k, None if v <= -4 else str(v), EPOCH + datetime.timedelta(seconds=s), i)
+        for i, (k, v, s) in enumerate(raw)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = sorted(
+        (r.key, r.valid_from, r.value, r.valid_to, r.is_current)
+        for r in scd2_history(
+            df, key="key", value_cols=["value"], seq="seq"
+        ).collect()
+    )
+
+    expected = []
+    by_key = {}
+    for k, v, t, i in rows:
+        by_key.setdefault(k, []).append((t, i, v))
+    for k, evs in by_key.items():
+        evs.sort()  # (event_time, seq) — the operator's version order
+        for j, (t, i, v) in enumerate(evs):
+            if v is None:
+                continue  # tombstones never appear as versions
+            nxt = evs[j + 1][0] if j + 1 < len(evs) else None
+            expected.append((k, t, v, nxt, nxt is None))
+    assert got == sorted(expected)
