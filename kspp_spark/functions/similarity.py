@@ -238,8 +238,13 @@ def quantize_embeddings(
     max_abs = F.array_max(F.transform(as_double, F.abs))
     # all-zero vectors: scale 0, quantized all-zero (guard the division)
     scale = max_abs / F.lit(127.0)
-    q = F.when(max_abs == 0.0, F.transform(as_double, lambda x: F.lit(0).cast("long"))).otherwise(
-        F.transform(as_double, lambda x: F.floor(x / scale + F.lit(0.5)))
+    # codes live in [-127, 127] -> store as TINYINT (1 byte/element):
+    # the actual 4x-vs-float32 storage/bandwidth win. Consumers widen
+    # before arithmetic (quantized_cosine_topk's idot casts to bigint).
+    q = F.when(
+        max_abs == 0.0, F.transform(as_double, lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.transform(as_double, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint"))
     )
     return df.select(
         F.col(id_col),
@@ -345,7 +350,9 @@ def quantized_cosine_topk(
     """
 
     def idot(a: Column, b: Column) -> Column:
-        prod = F.zip_with(a, b, lambda x, y: x * y)
+        # widen int8 codes BEFORE multiplying: tinyint*tinyint would
+        # overflow at 127*127 under ANSI
+        prod = F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint"))
         return F.aggregate(prod, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
     qv = quantized.select(

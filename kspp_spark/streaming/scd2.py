@@ -66,10 +66,29 @@ def scd2_fold_batch(
     `keep_state_epochs` behind the current one."""
     spark = batch_df.sparkSession
     keys = [key] if isinstance(key, str) else list(key)
+    if tombstone_col and tombstone_col not in value_cols:
+        # state persists value_cols only; a standalone delete-flag
+        # column could not survive the fold's round trip
+        raise ValueError(
+            "streaming scd2 fold: tombstone_col must be one of value_cols"
+        )
     cols = [*keys, *value_cols, event_time, *([seq] if seq else [])]
     changes = batch_df.select(*cols)
 
-    epochs = [(e, p) for e, p in _epoch_dirs(spark, state_dir) if e != int(epoch_id)]
+    all_epochs = _epoch_dirs(spark, state_dir)
+    if any(e > int(epoch_id) for e, _ in all_epochs):
+        # epoch ids restarted (fresh checkpoint) against retained state:
+        # folding would silently re-read stale open versions and
+        # OVERWRITE immutable history epochs — refuse loudly instead
+        raise ValueError(
+            "scd2 state contains epochs newer than the current trigger: "
+            "the checkpoint was reset against an existing state_dir. "
+            "Resume with the original checkpoint, or reprocess into "
+            "fresh state_dir/history_dir."
+        )
+    # strictly-before epochs only: a checkpoint-recovery replay of
+    # epoch N (whose own state N already exists) rebuilds from N-1
+    epochs = [(e, p) for e, p in all_epochs if e < int(epoch_id)]
     if epochs:
         prior = spark.read.parquet(epochs[-1][1])
         open_rows = prior.select(
@@ -87,7 +106,9 @@ def scd2_fold_batch(
         event_time=event_time,
         seq=seq,
         tombstone_col=tombstone_col,
-    )
+    ).cache()  # ONE evaluation feeds both writes: without it the two
+    # actions re-execute the fold independently and an equal-timestamp
+    # tie (no seq) could resolve differently between history and state
     closed = versioned.filter(F.col("valid_to").isNotNull()).drop("is_current")
     open_new = versioned.filter(F.col("valid_to").isNull()).drop(
         "valid_to", "is_current"
@@ -105,6 +126,7 @@ def scd2_fold_batch(
     open_new.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"epoch={int(epoch_id)}")
     )
+    versioned.unpersist()
     # prune old state snapshots (each is self-contained)
     for e, p in epochs[:-keep_state_epochs] if keep_state_epochs else []:
         try:
@@ -148,6 +170,14 @@ def scd2_snapshot(
     `seq` as the fold so its state-plumbing column is dropped."""
     hist_epochs = _epoch_dirs(spark, history_dir)
     state_epochs = _epoch_dirs(spark, state_dir)
+    if state_epochs:
+        # epoch alignment: the fold writes history/epoch=N BEFORE
+        # state/epoch=N, so a snapshot taken between the two (or after
+        # a crash between them) must ignore history epochs newer than
+        # the newest state snapshot — otherwise a version closed at N
+        # appears both closed (history N) and current (state N-1)
+        newest_state = state_epochs[-1][0]
+        hist_epochs = [(e, p) for e, p in hist_epochs if e <= newest_state]
     closed = (
         spark.read.parquet(*[p for _, p in hist_epochs]).withColumn(
             "is_current", F.lit(False)
