@@ -1640,6 +1640,18 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 retrieval over the corpus with rational idf (N/df — no
+    transcendental log) and fixed-order per-term summation, so the
+    whole ranking replays bitwise in SQL. Top-15 docs for a three-term
+    query; df/N are tiny broadcast aggregates, term filtering happens
+    before any shuffle."""
+    from kspp_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["scan", "join", "window"], k=15)
+
+
 def q_quantized_ann(spark, sf_dir):
     """Int8 rescoring ANN tier, fully exact-oracled: SRP band-bucket
     candidates (as q_srp_ann) rescored with the QUANTIZED vectors —
@@ -2070,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann": q_srp_ann,
         "chunk_tokens": q_chunk_tokens,
         "quantized_ann": q_quantized_ann,
+        "bm25_search": q_bm25_search,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3300,6 +3313,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) AS score,
                    CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) > 0 AS keep
             FROM w GROUP BY doc_id
+        """,
+        # BM25 replay: rational idf, identical expression tree and
+        # fixed-order term summation — mirrors text.bm25_topk
+        "bm25_search": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+            ),
+            dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+            stats AS (
+                SELECT CAST(SUM(dl) AS DOUBLE) AS total_len,
+                       CAST(COUNT(*) AS DOUBLE) AS n_docs
+                FROM dl
+            ),
+            hits AS (
+                SELECT doc_id, term FROM toks
+                WHERE term IN ('scan', 'join', 'window')
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM hits GROUP BY 1, 2
+            ),
+            dfq AS (
+                SELECT term, COUNT(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM hits) GROUP BY 1
+            ),
+            per AS (
+                SELECT tf.doc_id, tf.term,
+                       ((stats.n_docs / dfq.df) * (CAST(tf.tf AS DOUBLE) * 2.2))
+                       / (CAST(tf.tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                   / (stats.total_len / stats.n_docs))) AS s
+                FROM tf
+                JOIN dfq USING (term)
+                JOIN dl USING (doc_id)
+                CROSS JOIN stats
+            ),
+            agg AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN term = 'scan' THEN s END) AS s0,
+                       SUM(CASE WHEN term = 'join' THEN s END) AS s1,
+                       SUM(CASE WHEN term = 'window' THEN s END) AS s2
+                FROM per GROUP BY 1
+            )
+            SELECT doc_id, score, rank FROM (
+                SELECT doc_id,
+                       ((0.0 + COALESCE(s0, 0.0)) + COALESCE(s1, 0.0))
+                       + COALESCE(s2, 0.0) AS score,
+                       row_number() OVER (
+                           ORDER BY ((0.0 + COALESCE(s0, 0.0))
+                                     + COALESCE(s1, 0.0))
+                                    + COALESCE(s2, 0.0) DESC, doc_id
+                       ) AS rank
+                FROM agg
+            ) WHERE rank <= 15
         """,
         # int8-rescore ANN replay: SRP candidates as srp_ann, then the
         # quantization formula of quantize_embeddings and exact BIGINT

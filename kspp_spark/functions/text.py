@@ -378,3 +378,78 @@ def chunk_tokens(
             F.array_join(piece, " ").alias("chunk_text"),
         )
     )
+
+
+def bm25_topk(
+    df,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 retrieval over the corpus (Robertson et al.) with a
+    RATIONAL idf (N/df — no transcendental log, whose last-ulp
+    behavior differs between libm and the JVM; same determinism move
+    as the TF-IDF operator), so every arithmetic step is a fixed
+    expression tree over exact integers and any engine replaying it
+    agrees bitwise:
+
+        score(d) = Σ_t (N/df_t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))
+
+    The per-term partial scores sum in the FIXED order of
+    `query_terms` (conditional aggregation, one column per term —
+    never a float sum over an unordered group), keeping the total
+    deterministic under any partitioning.
+
+    Scale shape: one tokenize pass computes doc lengths (map + agg);
+    term frequencies aggregate only rows matching the query terms
+    (filter pushed before the shuffle); df and N are tiny aggregates
+    broadcast onto the scoring join. Returns (id_col, score, rank),
+    top-k by (score desc, id).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = doclen.agg(
+        F.sum("_dl").cast("double").alias("_total_len"),
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+    )
+    hits = toks.filter(F.col("term").isin(*query_terms))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = (
+        hits.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("_total_len") / F.col("_n_docs")
+    idf = F.col("_n_docs") / F.col("_df")
+    tfd = F.col("_tf").cast("double")
+    part = (idf * (tfd * F.lit(k1 + 1.0))) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / avgdl)
+    )
+    per_term = scored.select(F.col(id_col), F.col("term"), part.alias("_s"))
+    agg = per_term.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    total = agg.select(
+        F.col(id_col),
+        sum(
+            [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(query_terms))],
+            F.lit(0.0),
+        ).alias("score"),
+    )
+    w = W.partitionBy().orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", "rank")
+    )

@@ -991,3 +991,25 @@ def test_quantized_cosine_topk_matches_double_ranking(spark):
     )
     ref = cosine_topk(queries, df, k=1, q_id="q", c_id="vec_id").collect()
     assert ref[0].vec_id == 2
+
+
+def test_bm25_topk_ranks_rare_and_short_docs_higher(spark):
+    """BM25 semantics: a doc matching the RARER query term outranks
+    one matching the common term (idf), and between equal matches the
+    shorter document wins (length normalization)."""
+    from kspp_spark.functions.text import bm25_topk
+
+    filler = " ".join(f"w{i}" for i in range(50))
+    rows = [
+        (1, "rare common"),                      # both terms, short
+        (2, "common " + filler),                 # common term, long
+        (3, "rare " + filler),                   # rare term, long
+        (4, "common x y z"),                     # common term, short
+        (5, filler),                             # no match
+    ] + [(10 + i, "common filler text here") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["rare", "common"], k=10)
+    ranked = [r.doc_id for r in sorted(out.collect(), key=lambda r: r.rank)]
+    assert ranked[0] == 1            # both terms -> top
+    assert 5 not in ranked           # non-matching doc absent
+    assert ranked.index(3) < ranked.index(2)  # rare beats common at equal length
