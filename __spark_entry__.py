@@ -1640,6 +1640,19 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index materialization (the storage face of retrieval):
+    term -> document frequency, occurrence count, sorted posting list
+    (comma-joined for canonical hashing). The synthetic corpus has a
+    ~31-term vocabulary, so the full index (min_df=2) is the
+    non-trivial graded surface; the min_df/max_df bloat guards are
+    unit-tested separately."""
+    from kspp_spark.functions.text import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=2)
+
+
 def q_bm25_search(spark, sf_dir):
     """BM25 retrieval over the corpus with rational idf (N/df — no
     transcendental log) and fixed-order per-term summation, so the
@@ -2083,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": q_chunk_tokens,
         "quantized_ann": q_quantized_ann,
         "bm25_search": q_bm25_search,
+        "inverted_index": q_inverted_index,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3313,6 +3327,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) AS score,
                    CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) > 0 AS keep
             FROM w GROUP BY doc_id
+        """,
+        # inverted-index replay: same two-level aggregation, sorted
+        # posting list joined canonically
+        "inverted_index": f"""
+            WITH td AS (
+                SELECT term, doc_id, COUNT(*) AS tf FROM (
+                    SELECT doc_id, unnest({_TOKENS}) AS term FROM documents
+                ) GROUP BY 1, 2
+            )
+            SELECT term,
+                   COUNT(*) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS n_occ,
+                   array_to_string(list_sort(list(doc_id)), ',') AS postings
+            FROM td GROUP BY term
+            HAVING COUNT(*) >= 2
         """,
         # BM25 replay: rational idf, identical expression tree and
         # fixed-order term summation — mirrors text.bm25_topk

@@ -453,3 +453,43 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "score", "rank")
     )
+
+
+def inverted_index(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int | None = None,
+):
+    """Materialize an inverted index: one row per term with its
+    document frequency, total occurrences, and the sorted posting list
+    — the storage face of BM25/keyword retrieval (write it bucketed by
+    term via io.write_bucketed and a term-lookup join is shuffle-free).
+
+    min_df/max_df bound the vocabulary: singleton terms (hapax
+    legomena, typically half the vocabulary) and stopword-like terms
+    that post nearly every document are the classic index bloat.
+
+    Two hash aggregations — (term, doc) then term — shuffling integer
+    counts and ids only; posting lists are per-term, so task memory is
+    bounded by the biggest surviving posting list (cap with max_df).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+    td = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("_tf"))
+    agg = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("_tf").alias("n_occ"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_postings"),
+    )
+    out = agg.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out.select(
+        "term",
+        "df",
+        "n_occ",
+        F.concat_ws(
+            ",", F.transform(F.col("_postings"), lambda x: x.cast("string"))
+        ).alias("postings"),
+    )

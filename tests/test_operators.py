@@ -1013,3 +1013,24 @@ def test_bm25_topk_ranks_rare_and_short_docs_higher(spark):
     assert ranked[0] == 1            # both terms -> top
     assert 5 not in ranked           # non-matching doc absent
     assert ranked.index(3) < ranked.index(2)  # rare beats common at equal length
+
+
+def test_inverted_index_postings_and_df_bounds(spark):
+    """inverted_index: sorted postings, df/occurrence counts, and the
+    min_df/max_df vocabulary bounds."""
+    from kspp_spark.functions.text import inverted_index
+
+    rows = [
+        (1, "alpha beta beta"),
+        (2, "alpha gamma"),
+        (3, "alpha delta"),
+        (4, "beta unique"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: (r.df, r.n_occ, r.postings)
+           for r in inverted_index(df, min_df=2).collect()}
+    assert out["alpha"] == (3, 3, "1,2,3")
+    assert out["beta"] == (2, 3, "1,4")     # tf 2 in doc 1 + 1 in doc 4
+    assert "unique" not in out              # hapax pruned by min_df
+    capped = {r.term for r in inverted_index(df, min_df=2, max_df=2).collect()}
+    assert capped == {"beta"}               # alpha pruned by max_df
