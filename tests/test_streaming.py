@@ -1118,3 +1118,72 @@ def test_scd2_stream_matches_batch_history(spark, tmp_path):
     # the tombstoned interval is closed history; v3 and w2 are current
     cur = {(r.key, r.value) for r in snap.filter(F.col("is_current")).collect()}
     assert cur == {("a", "v3"), ("b", "w2")}
+
+
+def test_scd2_fold_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint-recovery semantics: re-running the SAME epoch's fold
+    (a foreachBatch replay after a crash) overwrites that epoch's
+    outputs instead of double-applying — the snapshot is unchanged."""
+    from kspp_spark.streaming.scd2 import scd2_fold_batch, scd2_snapshot
+
+    state = str(tmp_path / "state")
+    hist = str(tmp_path / "hist")
+    schema = "key string, value string, event_time timestamp"
+    b0 = spark.createDataFrame([("a", "v1", ts(1)), ("b", "w1", ts(2))], schema)
+    b1 = spark.createDataFrame([("a", "v2", ts(5))], schema)
+
+    def fold(df, e):
+        scd2_fold_batch(df, e, state, hist, key="key", value_cols=["value"])
+
+    fold(b0, 0)
+    fold(b1, 1)
+
+    def canon():
+        return sorted(
+            (r.key, r.value, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_snapshot(spark, state, hist).collect()
+        )
+
+    before = canon()
+    fold(b1, 1)  # replay of epoch 1 after a simulated crash
+    assert canon() == before
+    assert ("a", "v2", ts(5), None, True) in before
+
+
+def test_scd2_fold_refuses_reset_checkpoint(spark, tmp_path):
+    """Epoch ids restarting below existing state (fresh checkpoint
+    against retained dirs) must fail loudly, not clobber history."""
+    from kspp_spark.streaming.scd2 import scd2_fold_batch
+
+    state = str(tmp_path / "state")
+    hist = str(tmp_path / "hist")
+    schema = "key string, value string, event_time timestamp"
+    b = spark.createDataFrame([("a", "v1", ts(1))], schema)
+    scd2_fold_batch(b, 5, state, hist, key="key", value_cols=["value"])
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        scd2_fold_batch(b, 0, state, hist, key="key", value_cols=["value"])
+
+
+def test_rollup_fold_replay_is_idempotent(spark, tmp_path):
+    """Same recovery contract for the continuous rollup: replaying an
+    epoch overwrites its partials; the snapshot is unchanged."""
+    from kspp_spark.streaming.rollup import rollup_partials_batch, rollup_snapshot
+
+    state = str(tmp_path / "partials")
+    measures = {"n": ("value", "count")}
+    b0 = spark.createDataFrame([("a", 1, ts(1)), ("a", 2, ts(2))], SCHEMA)
+    b1 = spark.createDataFrame([("a", 3, ts(40))], SCHEMA)
+    rollup_partials_batch(b0, 0, state, "event_time", ["key"], measures, "minute")
+    rollup_partials_batch(b1, 1, state, "event_time", ["key"], measures, "minute")
+
+    def canon():
+        return sorted(
+            (r.grain, r.window_start, r.key, r.n)
+            for r in rollup_snapshot(
+                spark, state, ["key"], measures, grains=("minute", "hour")
+            ).collect()
+        )
+
+    before = canon()
+    rollup_partials_batch(b1, 1, state, "event_time", ["key"], measures, "minute")
+    assert canon() == before
