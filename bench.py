@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "quality_classifier",
     "srp_ann",
     "quantized_ann",
+    "bm25_search",
+    "inverted_index",
 ]
 
 

@@ -447,11 +447,14 @@ def bm25_topk(
             F.lit(0.0),
         ).alias("score"),
     )
+    # top-k via orderBy+limit (TakeOrderedAndProject: bounded per-task
+    # heaps, no global sort/window over every matching doc — the same
+    # plan contract as the repo's other top-k operators); the rank
+    # window then runs over k rows only
+    top = total.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     w = W.partitionBy().orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        total.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "score", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
     )
 
 

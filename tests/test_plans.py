@@ -185,6 +185,15 @@ def test_dedup_embedding_has_no_full_table_pair_join(spark, queries):
     assert not re.search(r"a#\d+L? < b#\d+", plan), "full-table a<b join present"
 
 
+def test_bm25_topk_uses_limit_not_global_window(spark, queries):
+    # retrieval top-k must be TakeOrderedAndProject (bounded per-task
+    # heaps), never a single-partition global sort/window over every
+    # matching document
+    plan = formatted_plan(spark, queries["bm25_search"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partitioned_write_enables_pruning(spark, tmp_path):
     # the data-layout contract: a filter on the partition column of a
     # write_partitioned_sorted dataset reaches the scan as a
