@@ -1,0 +1,96 @@
+"""Incremental inverted-index maintenance for document streams.
+
+The streaming face of functions/text.inverted_index, on the same
+epoch-idempotent fold convention as streaming/rollup and
+streaming/scd2: each micro-batch writes its own (term, doc_id, tf)
+partial postings under epoch=<id> (overwrite => checkpoint-recovery
+replays are safe); the queryable index materializes on read by
+merging partials — counts sum, posting lists union — so per-trigger
+work is O(batch), never a re-tokenization of the accumulated corpus.
+
+Assumes an append-only document stream (each doc_id ingested once) —
+the standard corpus-building shape. Re-ingesting a doc_id would sum
+its term frequencies twice; route updates through a dedup stage
+(streaming/core.dedup_stream) first.
+
+Reference: no kspp equivalent — beyond-reference north-star operator
+(the retrieval complement of the BM25/keyword-search surface).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from kspp_spark.functions.text import tokenize
+
+
+def index_partials_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """foreachBatch body: tokenize ONLY the micro-batch and write its
+    (term, doc_id, tf) partial postings under epoch=<id>."""
+    toks = batch_df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    partial = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    partial.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"epoch={int(epoch_id)}")
+    )
+
+
+def index_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Wire a document stream into the index fold. Returns the started
+    StreamingQuery; `index_snapshot` serves the current index."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        index_partials_batch(
+            batch_df, epoch_id, state_dir, id_col=id_col, text_col=text_col
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def index_snapshot(
+    spark,
+    state_dir: str,
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Current inverted index from the accumulated partials — same
+    schema and vocabulary bounds as the batch inverted_index:
+    (term, df, n_occ, postings)."""
+    partials = spark.read.parquet(state_dir).drop("epoch")
+    agg = partials.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("n_occ"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_postings"),
+    )
+    out = agg.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out.select(
+        "term",
+        "df",
+        "n_occ",
+        F.concat_ws(
+            ",", F.transform(F.col("_postings"), lambda x: x.cast("string"))
+        ).alias("postings"),
+    )

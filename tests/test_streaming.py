@@ -1187,3 +1187,50 @@ def test_rollup_fold_replay_is_idempotent(spark, tmp_path):
     before = canon()
     rollup_partials_batch(b1, 1, state, "event_time", ["key"], measures, "minute")
     assert canon() == before
+
+
+def test_incremental_index_matches_batch_inverted_index(spark, tmp_path):
+    """Streaming index fold: per-batch partial postings + merge-on-read
+    snapshot equals the batch inverted_index over the full corpus, and
+    replaying an epoch leaves the snapshot unchanged."""
+    from kspp_spark.functions.text import inverted_index
+    from kspp_spark.streaming.index_incremental import (
+        index_partials_batch,
+        index_snapshot,
+        index_stream,
+    )
+
+    in_dir = str(tmp_path / "docs")
+    state = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    b1 = [(1, "alpha beta beta"), (2, "alpha gamma")]
+    b2 = [(3, "alpha delta"), (4, "beta gamma")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        src = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(in_dir)
+        q = index_stream(src, state, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    import time as _t
+
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    def canon(df):
+        return sorted(
+            (r.term, r.df, r.n_occ, r.postings) for r in df.collect()
+        )
+
+    snap = index_snapshot(spark, state, min_df=2)
+    full = spark.createDataFrame(b1 + b2, schema)
+    batch = inverted_index(full, min_df=2)
+    assert canon(snap) == canon(batch)
+    # replay idempotency: re-fold batch 2's rows as its epoch
+    index_partials_batch(spark.createDataFrame(b2, schema), 1, state)
+    assert canon(index_snapshot(spark, state, min_df=2)) == canon(batch)
