@@ -1534,6 +1534,23 @@ def q_dup_clusters(spark, sf_dir):
     return connected_components(_dup_cluster_pairs(spark, sf_dir))
 
 
+def q_dedup_near(spark, sf_dir):
+    """Near-dup REMOVAL end to end — the step the whole dedup surface
+    exists for: candidate pairs -> exact verify -> connected components
+    -> drop every cluster member except its canonical (minimum-id)
+    representative. Survivors = singletons + one doc per duplicate
+    cluster, via one anti-join of the corpus against the non-canonical
+    members."""
+    from kspp_spark.functions.dedup import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    clusters = connected_components(_dup_cluster_pairs(spark, sf_dir))
+    victims = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    return emb.join(victims, "vec_id", "left_anti").select("vec_id", "label")
+
+
 def q_ivf_ann(spark, sf_dir):
     # no SQL oracle: KMeans cell assignment is implementation-specific;
     # exactness property (nprobe=nlist == brute force) is unit-tested.
@@ -2098,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_ann": q_quantized_ann,
         "bm25_search": q_bm25_search,
         "inverted_index": q_inverted_index,
+        "dedup_near": q_dedup_near,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -2477,6 +2495,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n AS node, LEAST(n, MIN(m)) AS component
             FROM reach GROUP BY n
+        """,
+        # near-dup removal replay: the dup_clusters recursive-CTE
+        # components, then corpus minus non-canonical members
+        "dedup_near": """
+            WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),
+            pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM v a, v b
+                WHERE a.vec_id < b.vec_id
+                  AND list_sum(list_transform(list_zip(a.e, b.e), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                      / sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                           * list_sum(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) >= 0.4
+            ),
+            edges AS (
+                SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+            ),
+            reach(n, m) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s
+            ),
+            comp AS (
+                SELECT n AS node, LEAST(n, MIN(m)) AS component
+                FROM reach GROUP BY n
+            )
+            SELECT e.vec_id, e.label FROM embeddings e
+            WHERE e.vec_id NOT IN (
+                SELECT node FROM comp WHERE node <> component
+            )
         """,
         "curate_docs": f"""
             WITH gated AS (

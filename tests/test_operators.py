@@ -1034,3 +1034,19 @@ def test_inverted_index_postings_and_df_bounds(spark):
     assert "unique" not in out              # hapax pruned by min_df
     capped = {r.term for r in inverted_index(df, min_df=2, max_df=2).collect()}
     assert capped == {"beta"}               # alpha pruned by max_df
+
+
+def test_near_dedup_survivors_one_per_cluster(spark):
+    """End-to-end removal semantics: after clustering, exactly one
+    canonical (min-id) doc survives per duplicate cluster and all
+    singletons survive."""
+    from kspp_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 7), (10, 11)], "a long, b long")
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 5, 7, 10, 11]], "vec_id long")
+    clusters = connected_components(pairs)
+    victims = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("vec_id")
+    )
+    survivors = {r.vec_id for r in ids.join(victims, "vec_id", "left_anti").collect()}
+    assert survivors == {1, 5, 10}  # cluster mins {1,10} + singleton 5
