@@ -1657,6 +1657,17 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search via positional postings: posexplode once,
+    keep only the phrase terms' postings, equi-join adjacent positions
+    — the scalable form of LIKE '%scan join%' (the joins carry tiny
+    term-filtered postings, never documents)."""
+    from kspp_spark.functions.text import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, ["scan", "join"])
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted-index materialization (the storage face of retrieval):
     term -> document frequency, occurrence count, sorted posting list
@@ -2116,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "inverted_index": q_inverted_index,
         "dedup_near": q_dedup_near,
+        "phrase_search": q_phrase_search,
         # rows-only checks (approximate / stubbed codecs by design)
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -3375,6 +3387,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) AS score,
                    CAST(SUM(w) AS DOUBLE) / (1000.0 * COUNT(*)) > 0 AS keep
             FROM w GROUP BY doc_id
+        """,
+        # phrase-search replay: positional postings via position-range
+        # unnest + list indexing, adjacency equi-join on (doc, position)
+        "phrase_search": f"""
+            WITH pos AS (
+                SELECT doc_id, toks[p] AS term, p
+                FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) d,
+                     unnest(range(1, len(toks) + 1)) t(p)
+                WHERE toks[p] IN ('scan', 'join')
+            )
+            SELECT a.doc_id, COUNT(*) AS n_matches
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            WHERE a.term = 'scan' AND b.term = 'join'
+            GROUP BY a.doc_id
         """,
         # inverted-index replay: same two-level aggregation, sorted
         # posting list joined canonically

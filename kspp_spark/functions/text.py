@@ -496,3 +496,37 @@ def inverted_index(
             ",", F.transform(F.col("_postings"), lambda x: x.cast("string"))
         ).alias("postings"),
     )
+
+
+def phrase_search(
+    df,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact phrase search via POSITIONAL postings — the scalable form
+    of `text LIKE '%...%'`: tokenize once with positions (posexplode),
+    keep only postings of the phrase's terms, and match consecutive
+    positions with equi-joins on (doc, position + offset). At corpus
+    scale the joins carry only the phrase terms' postings (tiny after
+    the term filter pushes into the scan), never the documents.
+
+    Returns (id_col, n_matches) for documents containing the phrase at
+    least once — n_matches counts occurrences (overlapping included).
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_search needs >= 2 terms (use a filter for 1)")
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("_p", "_term"),
+    ).filter(F.col("_term").isin(*phrase))
+    first = pos.filter(F.col("_term") == phrase[0]).select(
+        id_col, F.col("_p").alias("_p0")
+    )
+    matched = first
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = pos.filter(F.col("_term") == t).select(
+            F.col(id_col), (F.col("_p") - i).alias("_p0")
+        )
+        matched = matched.join(nxt, [id_col, "_p0"])
+    return matched.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))

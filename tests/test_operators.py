@@ -1050,3 +1050,25 @@ def test_near_dedup_survivors_one_per_cluster(spark):
     )
     survivors = {r.vec_id for r in ids.join(victims, "vec_id", "left_anti").collect()}
     assert survivors == {1, 5, 10}  # cluster mins {1,10} + singleton 5
+
+
+def test_phrase_search_adjacency_and_counts(spark):
+    """phrase_search: only exact consecutive sequences match; counts
+    include repeated and overlapping occurrences; 3-term phrases chain
+    the adjacency joins."""
+    from kspp_spark.functions.text import phrase_search
+
+    rows = [
+        (1, "big data rocks big data"),   # "big data" twice
+        (2, "data big"),                  # reversed -> no match
+        (3, "big x data"),                # gap -> no match
+        (4, "big data big data big"),     # twice again
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_matches for r in phrase_search(df, ["big", "data"]).collect()}
+    assert got == {1: 2, 4: 2}
+    got3 = {
+        r.doc_id: r.n_matches
+        for r in phrase_search(df, ["big", "data", "rocks"]).collect()
+    }
+    assert got3 == {1: 1}
