@@ -1658,10 +1658,10 @@ def q_funnel(spark, sf_dir):
 
 
 def q_phrase_search(spark, sf_dir):
-    """Exact phrase search via positional postings: posexplode once,
-    keep only the phrase terms' postings, equi-join adjacent positions
-    — the scalable form of LIKE '%scan join%' (the joins carry tiny
-    term-filtered postings, never documents)."""
+    """Exact phrase search via positional postings: posexplode, keep
+    only the phrase terms' postings (filtered pre-shuffle), equi-join
+    adjacent positions — the scalable form of LIKE '%scan join%' (the
+    joins carry tiny postings, never documents)."""
     from kspp_spark.functions.text import phrase_search
 
     docs = _t(spark, sf_dir, "documents")
@@ -1998,8 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (srp_pairs, srp_ann, quantized_ann, quality_classifier,
     # interval_join, weighted_sample, rollup_cascade, approx_quantiles,
     # scd2_history, chunk_tokens, bm25_search, inverted_index,
-    # dedup_near, substring_spans if not yet graded) — currently
-    # local-parity-only via the per-pytest oracle suite. NOTE:
+    # dedup_near, phrase_search, substring_spans if not yet graded) —
+    # currently local-parity-only via the per-pytest oracle suite. NOTE:
     # because the window rotates, per-round driver scores are NOT
     # comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite

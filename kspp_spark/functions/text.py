@@ -505,11 +505,13 @@ def phrase_search(
     text_col: str = "text",
 ):
     """Exact phrase search via POSITIONAL postings — the scalable form
-    of `text LIKE '%...%'`: tokenize once with positions (posexplode),
-    keep only postings of the phrase's terms, and match consecutive
-    positions with equi-joins on (doc, position + offset). At corpus
-    scale the joins carry only the phrase terms' postings (tiny after
-    the term filter pushes into the scan), never the documents.
+    of `text LIKE '%...%'`: tokenize with positions (posexplode), keep
+    only postings of the phrase's terms, and match consecutive
+    positions with equi-joins on (doc, position + offset). The term
+    filter applies in the same narrow stage as the tokenize (before
+    any shuffle), so only the phrase terms' tiny postings ever shuffle
+    or join — never the documents. Against a pre-materialized
+    positional index the scan drops out entirely.
 
     Returns (id_col, n_matches) for documents containing the phrase at
     least once — n_matches counts occurrences (overlapping included).
