@@ -168,8 +168,14 @@ def sample_weighted(
     replayable in SQL (u and the comparison are identical IEEE doubles
     in any engine). Different `salt` values give independent draws.
     Map-only; survives any repartition.
+
+    NULL weights are treated as 0.0 (the row is dropped) — coalesced
+    explicitly so the contract is visible: a partially-null quality
+    column shrinks the kept set by exactly its null rows, never
+    silently via NULL-comparison semantics.
     """
     w = F.col(weight) if isinstance(weight, str) else weight
     h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     u = h.cast("double") / F.lit(float(1 << 60))
-    return df.filter(u < F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0)))
+    p = F.coalesce(w.cast("double"), F.lit(0.0))
+    return df.filter(u < F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)))

@@ -112,6 +112,7 @@ def write_partitioned_sorted(
     fmt: str = "parquet",
     mode: str = "overwrite",
     max_records_per_file: int | None = None,
+    files_per_partition: int = 1,
 ) -> None:
     """Persist with PRUNABLE LAYOUT: hive-style directory partitioning
     on low-cardinality columns (reads filtered on them scan only the
@@ -122,18 +123,29 @@ def write_partitioned_sorted(
     inside each file.
 
     The write repartitions on the partition columns first so each
-    output directory is produced by the tasks that own its rows — one
-    file per (task, partition-dir) instead of every task appending to
-    every directory (the small-files explosion at 1000 executors).
+    output directory is produced by the tasks that own its rows —
+    `files_per_partition` files per partition-dir instead of every
+    task appending to every directory (the small-files explosion at
+    1000 executors).
 
-    This is the batch data-layout half of the scale story: bucketing
-    (write_bucketed) co-locates JOIN keys; directory partitioning +
-    sort prunes SCANS. At 100 TB choose partition columns with
-    hundreds-to-thousands of values (date, source, lang) — never
-    high-cardinality ids.
+    files_per_partition=1 (default) gives one writer task per
+    partition value — correct for balanced partitions, but a HOT
+    partition (one date holding most of the data) would be written by
+    a single task no matter how many executors exist
+    (maxRecordsPerFile splits the file, not the task). For skewed
+    partition values set files_per_partition=N: the repartition adds a
+    bounded salt so up to N tasks share each partition value, and
+    sortWithinPartitions still leads with the partition columns so
+    each task writes one run per directory.
     """
     parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
-    out = df.repartition(*[F.col(c) for c in parts])
+    if files_per_partition > 1:
+        # bounded salt: spreads a hot partition value over up to N
+        # tasks; deterministic per row via pmod(hash(all cols))
+        salt = F.pmod(F.hash(*df.columns), F.lit(files_per_partition))
+        out = df.repartition(*[F.col(c) for c in parts], salt)
+    else:
+        out = df.repartition(*[F.col(c) for c in parts])
     if sort_by:
         sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         out = out.sortWithinPartitions(*parts, *sorts)

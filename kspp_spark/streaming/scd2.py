@@ -76,15 +76,17 @@ def scd2_fold_batch(
     changes = batch_df.select(*cols)
 
     all_epochs = _epoch_dirs(spark, state_dir)
-    if any(e > int(epoch_id) for e, _ in all_epochs):
-        # epoch ids restarted (fresh checkpoint) against retained state:
-        # folding would silently re-read stale open versions and
-        # OVERWRITE immutable history epochs — refuse loudly instead
+    hist_ahead = [e for e, _ in _epoch_dirs(spark, history_dir) if e > int(epoch_id)]
+    if any(e > int(epoch_id) for e, _ in all_epochs) or hist_ahead:
+        # epoch ids restarted (fresh checkpoint) against retained state
+        # OR against retained history (state_dir pruned but history_dir
+        # kept): folding would silently re-read stale open versions
+        # and/or OVERWRITE immutable history epochs — refuse loudly
         raise ValueError(
-            "scd2 state contains epochs newer than the current trigger: "
-            "the checkpoint was reset against an existing state_dir. "
-            "Resume with the original checkpoint, or reprocess into "
-            "fresh state_dir/history_dir."
+            "scd2 state/history contains epochs newer than the current "
+            "trigger: the checkpoint was reset against an existing "
+            "state_dir/history_dir. Resume with the original checkpoint, "
+            "or reprocess into fresh state_dir/history_dir."
         )
     # strictly-before epochs only: a checkpoint-recovery replay of
     # epoch N (whose own state N already exists) rebuilds from N-1
@@ -106,9 +108,14 @@ def scd2_fold_batch(
         event_time=event_time,
         seq=seq,
         tombstone_col=tombstone_col,
-    ).cache()  # ONE evaluation feeds both writes: without it the two
-    # actions re-execute the fold independently and an equal-timestamp
-    # tie (no seq) could resolve differently between history and state
+    ).localCheckpoint(eager=True)
+    # ONE materialized evaluation feeds both writes. cache() is not
+    # enough: caching is best-effort, and an evicted block would let the
+    # two actions re-execute the fold independently — an equal-timestamp
+    # tie (no seq) could then resolve differently between history and
+    # state, leaving a version both closed and open (or neither).
+    # localCheckpoint severs lineage: a lost block fails the trigger
+    # (and checkpoint recovery replays it) instead of recomputing.
     closed = versioned.filter(F.col("valid_to").isNotNull()).drop("is_current")
     open_new = versioned.filter(F.col("valid_to").isNull()).drop(
         "valid_to", "is_current"
@@ -126,7 +133,8 @@ def scd2_fold_batch(
     open_new.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"epoch={int(epoch_id)}")
     )
-    versioned.unpersist()
+    # (the localCheckpoint blocks are released by the ContextCleaner
+    # once `versioned` goes out of scope — no explicit unpersist)
     # prune old state snapshots (each is self-contained)
     for e, p in epochs[:-keep_state_epochs] if keep_state_epochs else []:
         try:
@@ -190,8 +198,12 @@ def scd2_snapshot(
         open_set = spark.read.parquet(state_epochs[-1][1])
         if seq:
             open_set = open_set.drop(seq)
+        # valid_to must match valid_from's type (the batch operator
+        # supports any orderable event_time, e.g. bigint epoch-millis —
+        # a hardcoded timestamp cast would break the unionByName)
+        vf_type = open_set.schema["valid_from"].dataType
         open_set = open_set.withColumn(
-            "valid_to", F.lit(None).cast("timestamp")
+            "valid_to", F.lit(None).cast(vf_type)
         ).withColumn("is_current", F.lit(True))
     if closed is None and open_set is None:
         raise ValueError("no scd2 state or history found")

@@ -242,6 +242,11 @@ def test_sample_weighted_deterministic_partition_invariant_and_proportional(spar
     # independent draws under a different salt
     kept3 = {r.doc_id for r in sample_weighted(df, "w", salt="other").collect()}
     assert kept3 != kept1
+    # NULL weights drop the row (documented coalesce-to-0 contract)
+    nullw = sample_weighted(
+        df.withColumn("w", F.lit(None).cast("double")), "w"
+    ).count()
+    assert nullw == 0
 
 
 def test_chunk_tokens_windows_and_overlap(spark):

@@ -212,6 +212,39 @@ def test_partitioned_write_enables_pruning(spark, tmp_path):
     assert back.count() > 0
 
 
+def test_partitioned_write_salt_spreads_hot_partition(spark, tmp_path):
+    # the skew knob: files_per_partition=N lets up to N writer tasks
+    # share one hot partition value (each writes its own file), while
+    # the dataset read back is identical
+    import glob
+
+    from kspp_spark.io import write_partitioned_sorted
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "salted")
+    # at test scale every salted bucket is tiny, so AQE would (rightly)
+    # coalesce them back into one task — disable coalescing here to
+    # observe the salt mechanism itself; at 100 TB a hot partition
+    # exceeds the advisory size and its salted buckets stay split
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        write_partitioned_sorted(
+            docs, out, partition_by="lang", sort_by="n_chars",
+            files_per_partition=4,
+        )
+    finally:
+        spark.conf.set(coalesce_key, prev)
+    # the dominant lang dir gets >1 data file (one per salted task)
+    dirs = glob.glob(f"{out}/lang=*/")
+    counts = {d: len(glob.glob(f"{d}/part-*")) for d in dirs}
+    assert max(counts.values()) > 1, counts
+    assert all(n <= 4 for n in counts.values()), counts
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+
 def test_rollup_cascade_aggregates_partials_not_base(spark, queries):
     # the cascade contract: the day grain re-aggregates the HOURLY
     # partials — day-truncation is only ever applied to the hourly

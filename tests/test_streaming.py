@@ -1164,6 +1164,49 @@ def test_scd2_fold_refuses_reset_checkpoint(spark, tmp_path):
         scd2_fold_batch(b, 0, state, hist, key="key", value_cols=["value"])
 
 
+def test_scd2_fold_refuses_reset_when_only_history_retained(spark, tmp_path):
+    """The reset guard must also fire when state_dir was pruned/deleted
+    but history_dir kept: a fresh checkpoint restarting at epoch 0
+    would otherwise pass the state-only check and mode('overwrite')
+    clobber immutable history epochs."""
+    import shutil
+
+    from kspp_spark.streaming.scd2 import scd2_fold_batch
+
+    state = str(tmp_path / "state")
+    hist = str(tmp_path / "hist")
+    schema = "key string, value string, event_time timestamp"
+    b = spark.createDataFrame([("a", "v1", ts(1))], schema)
+    scd2_fold_batch(b, 5, state, hist, key="key", value_cols=["value"])
+    shutil.rmtree(state)  # simulate state pruned, history retained
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        scd2_fold_batch(b, 0, state, hist, key="key", value_cols=["value"])
+
+
+def test_scd2_snapshot_bigint_event_time(spark, tmp_path):
+    """scd2_snapshot must derive the open set's NULL valid_to cast
+    from valid_from's actual type — a bigint epoch-millis changelog
+    (which batch scd2_history supports) must union cleanly."""
+    from kspp_spark.streaming.scd2 import scd2_fold_batch, scd2_snapshot
+
+    state = str(tmp_path / "state")
+    hist = str(tmp_path / "hist")
+    schema = "key string, value string, event_time bigint"
+    b0 = spark.createDataFrame([("a", "v1", 1000), ("b", "w1", 2000)], schema)
+    b1 = spark.createDataFrame([("a", "v2", 5000)], schema)
+    scd2_fold_batch(b0, 0, state, hist, key="key", value_cols=["value"])
+    scd2_fold_batch(b1, 1, state, hist, key="key", value_cols=["value"])
+    snap = scd2_snapshot(spark, state, hist)
+    assert dict(snap.dtypes)["valid_to"] == "bigint"
+    rows = sorted(
+        (r.key, r.value, r.valid_from, r.valid_to, r.is_current)
+        for r in snap.collect()
+    )
+    assert ("a", "v1", 1000, 5000, False) in rows
+    assert ("a", "v2", 5000, None, True) in rows
+    assert ("b", "w1", 2000, None, True) in rows
+
+
 def test_rollup_fold_replay_is_idempotent(spark, tmp_path):
     """Same recovery contract for the continuous rollup: replaying an
     epoch overwrites its partials; the snapshot is unchanged."""
