@@ -450,9 +450,12 @@ def bm25_topk(
     # top-k via orderBy+limit (TakeOrderedAndProject: bounded per-task
     # heaps, no global sort/window over every matching doc — the same
     # plan contract as the repo's other top-k operators); the rank
-    # window then runs over k rows only
+    # window then runs over k rows only. Partitioning the window by a
+    # constant keeps the identical single-partition semantics but
+    # silences WindowExec's "No Partition Defined" warning, which would
+    # otherwise train operators to ignore the real instances.
     top = total.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
-    w = W.partitionBy().orderBy(F.col("score").desc(), F.col(id_col))
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", "rank"
     )
@@ -532,3 +535,160 @@ def phrase_search(
         )
         matched = matched.join(nxt, [id_col, "_p0"])
     return matched.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def positional_index(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+):
+    """Materialize a POSITIONAL index: one row per (term, doc) with
+    term frequency, the sorted token positions, and the term's
+    document frequency — the artifact that makes phrase search and
+    BM25 index-only queries (phrase_search_indexed / bm25_indexed
+    consume it without ever re-scanning the corpus). Write it bucketed
+    by term (io.write_bucketed) and every term-lookup join is
+    shuffle-free; streaming/index_incremental keeps the non-positional
+    variant fresh — the same fold applies here.
+
+    Positions are 0-based token offsets (posexplode order), so
+    adjacency means position + 1 — the contract phrase_search_indexed
+    relies on.
+
+    Scale shape: one posexplode + one (term, doc) aggregation — only
+    (term, doc_id, int) triples shuffle, never document text; the df
+    column comes from a term-partitioned window over the aggregated
+    postings (compact rows, and the same hash key the bucketed write
+    uses). min_df/max_df bound vocabulary bloat exactly as in
+    inverted_index.
+
+    Reference: no kspp equivalent (kspp has no retrieval surface) —
+    the storage half of the phrase/BM25 operators.
+    """
+    from pyspark.sql import Window as W
+
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    )
+    td = pos.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    out = td.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out.select("term", id_col, "tf", "df", "positions")
+
+
+def doc_lengths(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, dl) token counts — the per-document side table BM25 needs
+    next to the positional index. Map-only (size over tokenize, no
+    explode/shuffle); empty documents are excluded, matching the
+    explode-based length table inside bm25_topk so the indexed and
+    direct paths score identically."""
+    out = df.select(F.col(id_col), F.size(tokenize(F.col(text_col))).alias("dl"))
+    return out.filter(F.col("dl") > 0)
+
+
+def phrase_search_indexed(
+    index_df,
+    phrase: list[str],
+    id_col: str = "doc_id",
+):
+    """Exact phrase search over a pre-materialized positional index
+    (positional_index output) — the index-only form of phrase_search:
+    no corpus scan, no tokenize; only the phrase terms' posting rows
+    are read (an `IN` pushed to the index scan — with the index
+    written bucketed/partitioned by term, storage prunes to exactly
+    those terms) and their positions matched by adjacency equi-joins
+    on (doc, position + offset).
+
+    Same output contract as phrase_search: (id_col, n_matches) with
+    overlapping occurrences counted.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase search needs >= 2 terms (use a filter for 1)")
+    pos = index_df.filter(F.col("term").isin(*phrase)).select(
+        F.col(id_col),
+        "term",
+        F.explode(F.col("positions")).alias("_p"),
+    )
+    first = pos.filter(F.col("term") == phrase[0]).select(
+        id_col, F.col("_p").alias("_p0")
+    )
+    matched = first
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = pos.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("_p") - i).alias("_p0")
+        )
+        matched = matched.join(nxt, [id_col, "_p0"])
+    return matched.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+def bm25_indexed(
+    index_df,
+    doclen_df,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 over a pre-materialized positional index + doc-length
+    table — the index-only form of bm25_topk: the corpus is never
+    re-tokenized at query time. tf and df come straight off the index
+    rows (the term `IN` filter prunes the index scan to the query
+    terms); N and avgdl are one tiny aggregate over the length table,
+    broadcast onto scoring.
+
+    Bitwise-identical scores to bm25_topk: same rational idf (N/df,
+    no log), same expression tree, same FIXED-order summation over
+    `query_terms` — so the direct and indexed paths are
+    interchangeable and share one oracle.
+
+    Returns (id_col, score, rank), top-k by (score desc, id).
+    """
+    from pyspark.sql import Window as W
+
+    hits = index_df.filter(F.col("term").isin(*query_terms)).select(
+        F.col(id_col), "term", F.col("tf").alias("_tf"), F.col("df").alias("_df")
+    )
+    stats = doclen_df.agg(
+        F.sum("dl").cast("double").alias("_total_len"),
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+    )
+    scored = hits.join(
+        doclen_df.select(F.col(id_col), F.col("dl").alias("_dl")), id_col
+    ).crossJoin(F.broadcast(stats))
+    avgdl = F.col("_total_len") / F.col("_n_docs")
+    idf = F.col("_n_docs") / F.col("_df")
+    tfd = F.col("_tf").cast("double")
+    part = (idf * (tfd * F.lit(k1 + 1.0))) / (
+        tfd
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / avgdl)
+    )
+    per_term = scored.select(F.col(id_col), F.col("term"), part.alias("_s"))
+    agg = per_term.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s{i}")
+            for i, t in enumerate(query_terms)
+        ]
+    )
+    total = agg.select(
+        F.col(id_col),
+        sum(
+            [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(query_terms))],
+            F.lit(0.0),
+        ).alias("score"),
+    )
+    top = total.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
+    )

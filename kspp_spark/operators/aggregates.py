@@ -17,6 +17,8 @@ possible plan for these semantics.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -216,6 +218,7 @@ def cascade_rollup(
     measures: dict[str, tuple[str, str]],
     grains: tuple[str, ...] = ("hour", "day"),
     persist: bool = False,
+    unpersist_after: bool = False,
 ) -> DataFrame:
     """Multi-grain time rollup computed as a CASCADE (the continuous-
     aggregate / materialized-rollup pattern): the finest grain
@@ -243,14 +246,19 @@ def cascade_rollup(
     exactly once even when the optimizer keeps the union branches
     separate (plan-pinned); without it the branches share the
     identical finest-grain exchange only when Spark's runtime exchange
-    reuse fires. The cache is NOT auto-released (the union reads it
-    lazily): the caller owns it — unpersist via
-    spark.catalog.clearCache() (or drop the session) once the result
-    is materialized, or long-running jobs looping over many tables
-    accumulate cached partials. In a production continuous-aggregate
-    setup the finest grain is materialized to storage instead, and
-    coarser grains read it back — same algebra, durable partials.
+    reuse fires. By default the cache is NOT auto-released (the union
+    reads it lazily) — the caller owns it. unpersist_after=True is the
+    materialize-and-release form for long-running jobs looping over
+    many tables: the full cascade is evaluated eagerly (localCheckpoint)
+    while the finest grain is cached, then the cache is dropped before
+    returning — no cached partials accumulate, and the returned frame
+    is already materialized (its blocks go with it when it is GC'd).
+    In a production continuous-aggregate setup the finest grain is
+    materialized to storage instead, and coarser grains read it back —
+    same algebra, durable partials (streaming/rollup.py).
     """
+    if unpersist_after and not persist:
+        raise ValueError("unpersist_after requires persist=True")
     first_aggs, re_aggs = rollup_agg_exprs(measures)
 
     cur = df.groupBy(
@@ -258,6 +266,7 @@ def cascade_rollup(
     ).agg(*first_aggs)
     if persist:
         cur = cur.persist()
+    finest = cur  # the persisted handle (cur is reassigned per grain)
     out_cols = ["window_start", *keys, *measures]
     frames = [cur.select(F.lit(grains[0]).alias("grain"), *out_cols)]
     for g in grains[1:]:
@@ -268,6 +277,12 @@ def cascade_rollup(
     result = frames[0]
     for f in frames[1:]:
         result = result.unionByName(f)
+    if unpersist_after:
+        # materialize the whole cascade while the finest grain is
+        # cached, then release the cache — the caller gets an
+        # already-evaluated frame and owns no cache lifecycle
+        result = result.localCheckpoint(eager=True)
+        finest.unpersist()
     return result
 
 
@@ -322,3 +337,69 @@ def scd2_history(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def scd2_lookup_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str | list[str],
+    fact_time: str = "event_time",
+    value_cols: list[str] | None = None,
+    how: str = "inner",
+    broadcast_history: bool = False,
+) -> DataFrame:
+    """Point-in-time (as-of) join of a fact stream against an SCD2
+    history table (scd2_history / scd2_snapshot output): each fact row
+    picks up the dimension version that was valid AT ITS OWN event
+    time — valid_from <= t AND (valid_to IS NULL OR t < valid_to).
+    The dimensional-join face of the as-of family: asof_join matches
+    against raw change events; this matches against the closed
+    intervals a warehouse actually stores.
+
+    Because a key's intervals partition time (scd2_history closes each
+    version at exactly the next version's valid_from), every fact
+    matches AT MOST one version — the join never fans out. Facts
+    before the key's first version (or inside a tombstone gap) match
+    nothing: dropped under how='inner', kept with NULL dimension
+    columns under how='left'.
+
+    Scale shape: the key equality is an equi hash/sort-merge join
+    (Catalyst extracts it; the interval predicate applies as a
+    post-join filter on the matched key's few versions — never a cross
+    product). Dimension histories are usually tiny next to facts:
+    broadcast_history=True pins a broadcast hash join, making the
+    lookup shuffle-free for the fact side — at 100 TB that is the
+    difference between shuffling the fact table and not.
+
+    value_cols selects which history columns ride along (default: all
+    except the keys and interval bookkeeping). Output: facts.* +
+    value_cols + valid_from (the matched version's start — drop it if
+    unwanted).
+
+    Reference: no kspp equivalent (ktable joins see only the LATEST
+    value, join.h:212-311) — beyond-reference warehouse operator.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if how not in ("inner", "left"):
+        raise ValueError("scd2_lookup_join: how must be 'inner' or 'left'")
+    if value_cols is None:
+        value_cols = [
+            c
+            for c in history.columns
+            if c not in keys and c not in ("valid_from", "valid_to", "is_current")
+        ]
+    h = history.select(
+        *[F.col(k).alias(f"_h_{k}") for k in keys],
+        *value_cols,
+        "valid_from",
+        "valid_to",
+    )
+    if broadcast_history:
+        h = F.broadcast(h)
+    t = F.col(fact_time)
+    cond = [facts[k] == F.col(f"_h_{k}") for k in keys] + [
+        F.col("valid_from") <= t,
+        F.col("valid_to").isNull() | (t < F.col("valid_to")),
+    ]
+    joined = facts.join(h, reduce(lambda a, b: a & b, cond), how)
+    return joined.select(*facts.columns, *value_cols, "valid_from")

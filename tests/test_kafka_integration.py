@@ -82,3 +82,48 @@ def test_round_trip_with_tombstones_and_murmur2(spark, tmp_path):
     assert all(len(ps) == 1 for ps in by_key.values())
     for k, ps in by_key.items():
         assert ps == {kafka_partition_for(k.encode(), n_parts)}
+
+
+def test_starting_timestamp_skips_earlier_messages(spark):
+    """startingTimestamp parity with the reference's start_point
+    spooling phase (kafka_source.h:111-131: messages whose broker
+    timestamp precedes start_point are consumed and DISCARDED before
+    the source goes live). The Spark Kafka source expresses the same
+    contract declaratively: startingTimestamp resolves, per partition,
+    to the earliest offset whose timestamp is >= the given ms — so a
+    batch read returns exactly the records at-or-after the cut."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    topic = f"kspp-spark-it-ts-{uuid.uuid4().hex[:12]}"
+
+    def produce(rows):
+        df = spark.createDataFrame(rows, "key string, value string")
+        (
+            df.select(
+                F.col("key").cast("binary").alias("key"),
+                F.col("value").cast("binary").alias("value"),
+            )
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", BROKERS)
+            .option("topic", topic)
+            .save()
+        )
+
+    produce([("k1", "old-1"), ("k2", "old-2")])
+    time.sleep(1.5)  # ensure a strictly-later broker timestamp
+    cut_ms = int(time.time() * 1000)
+    time.sleep(0.1)
+    produce([("k1", "new-1"), ("k3", "new-3")])
+
+    back = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", BROKERS)
+        .option("subscribe", topic)
+        .option("startingTimestamp", str(cut_ms))
+        .load()
+        .select(F.col("value").cast("string").alias("value"))
+    )
+    got = sorted(r.value for r in back.collect())
+    assert got == ["new-1", "new-3"]

@@ -1077,3 +1077,157 @@ def test_phrase_search_adjacency_and_counts(spark):
         for r in phrase_search(df, ["big", "data", "rocks"]).collect()
     }
     assert got3 == {1: 1}
+
+
+def test_scd2_lookup_join_point_in_time(spark):
+    """Facts pick up the dimension version valid at their own event
+    time; tombstone gaps and pre-history facts drop (inner) or keep
+    NULLs (left); no fan-out ever (intervals partition time)."""
+    from datetime import datetime, timedelta
+
+    from kspp_spark.operators.aggregates import scd2_history, scd2_lookup_join
+
+    def t(s):
+        return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+    chg = spark.createDataFrame(
+        [
+            ("k1", "v1", t(10)),
+            ("k1", "v2", t(20)),
+            ("k1", None, t(30)),   # tombstone: k1 gone in [30, 40)
+            ("k1", "v3", t(40)),
+            ("k2", "w1", t(15)),
+        ],
+        "key string, value string, event_time timestamp",
+    )
+    hist = scd2_history(chg, key="key", value_cols=["value"])
+    facts = spark.createDataFrame(
+        [
+            (1, "k1", t(5)),    # before first version -> no match
+            (2, "k1", t(10)),   # boundary: valid_from inclusive -> v1
+            (3, "k1", t(19)),   # -> v1
+            (4, "k1", t(20)),   # boundary: valid_to exclusive -> v2
+            (5, "k1", t(35)),   # tombstone gap -> no match
+            (6, "k1", t(99)),   # open version -> v3
+            (7, "k2", t(16)),   # -> w1
+            (8, "kX", t(16)),   # unknown key -> no match
+        ],
+        "fid int, key string, event_time timestamp",
+    )
+    inner = scd2_lookup_join(facts, hist, key="key")
+    got = {r.fid: r.value for r in inner.collect()}
+    assert got == {2: "v1", 3: "v1", 4: "v2", 6: "v3", 7: "w1"}
+    assert inner.count() == 5  # no fan-out
+    left = scd2_lookup_join(facts, hist, key="key", how="left")
+    assert left.count() == 8
+    lg = {r.fid: r.value for r in left.collect()}
+    assert lg[1] is None and lg[5] is None and lg[8] is None and lg[6] == "v3"
+
+
+def test_scd2_lookup_join_broadcast_plan(spark):
+    """broadcast_history=True pins a BroadcastHashJoin — the fact side
+    never shuffles for the lookup."""
+    from datetime import datetime
+
+    from kspp_spark.operators.aggregates import scd2_history, scd2_lookup_join
+
+    chg = spark.createDataFrame(
+        [("k1", "v1", datetime(2024, 1, 1))],
+        "key string, value string, event_time timestamp",
+    )
+    hist = scd2_history(chg, key="key", value_cols=["value"])
+    facts = spark.createDataFrame(
+        [(1, "k1", datetime(2024, 6, 1))],
+        "fid int, key string, event_time timestamp",
+    )
+    out = scd2_lookup_join(facts, hist, key="key", broadcast_history=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cascade_rollup_unpersist_after_releases_cache(spark):
+    """unpersist_after=True returns a materialized cascade and leaves
+    no cached finest-grain partials behind (the long-running-job
+    footgun); results are identical to the lazy form."""
+    from datetime import datetime
+
+    from kspp_spark.operators.aggregates import cascade_rollup
+
+    df = spark.createDataFrame(
+        [(k, v, datetime(2024, 1, 1 + d, h)) for k, v, d, h in [
+            ("a", 1, 0, 0), ("a", 2, 0, 0), ("a", 3, 0, 5), ("b", 4, 1, 3),
+        ]],
+        "key string, value long, ts timestamp",
+    )
+    measures = {"n": ("value", "count"), "total": ("value", "sum")}
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    lazy = cascade_rollup(df, "ts", ["key"], measures).collect()
+    eager_df = cascade_rollup(
+        df, "ts", ["key"], measures, persist=True, unpersist_after=True
+    )
+    after = jsc.getPersistentRDDs().size()
+    # only the localCheckpoint RDD of the returned frame may remain —
+    # the finest-grain cache itself must be gone
+    assert after <= before + 1, (before, after)
+    canon = lambda rows: sorted(
+        (r.grain, r.window_start, r.key, r.n, r.total) for r in rows
+    )
+    assert canon(eager_df.collect()) == canon(lazy)
+    import pytest
+
+    with pytest.raises(ValueError, match="requires persist"):
+        cascade_rollup(df, "ts", ["key"], measures, unpersist_after=True)
+
+
+def test_indexed_retrieval_matches_direct(spark):
+    """phrase_search_indexed / bm25_indexed over a positional_index
+    reproduce phrase_search / bm25_topk exactly (bitwise for BM25 —
+    same expression tree and summation order)."""
+    from kspp_spark.functions.text import (
+        bm25_indexed,
+        bm25_topk,
+        doc_lengths,
+        phrase_search,
+        phrase_search_indexed,
+        positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark scan join scan join window"),
+            (2, "join window scan"),
+            (3, "scan join scan join"),
+            (4, "completely unrelated words here"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    idx = positional_index(docs)
+    # index shape: df counts docs per term; positions are 0-based sorted
+    row = {(r.term, r.doc_id): r for r in idx.collect()}
+    assert row[("scan", 1)].tf == 2 and row[("scan", 1)].positions == [1, 3]
+    assert row[("scan", 1)].df == 3
+    direct = {(r.doc_id, r.n_matches) for r in phrase_search(docs, ["scan", "join"]).collect()}
+    viaidx = {(r.doc_id, r.n_matches) for r in phrase_search_indexed(idx, ["scan", "join"]).collect()}
+    assert direct == viaidx and (1, 2) in direct and (3, 2) in direct
+    b_direct = bm25_topk(docs, ["scan", "join", "window"], k=4).collect()
+    b_idx = bm25_indexed(idx, doc_lengths(docs), ["scan", "join", "window"], k=4).collect()
+    assert [(r.doc_id, r.score, r.rank) for r in b_direct] == [
+        (r.doc_id, r.score, r.rank) for r in b_idx
+    ]
+
+
+def test_positional_index_df_bounds(spark):
+    """min_df/max_df prune the vocabulary exactly as inverted_index."""
+    from kspp_spark.functions.text import positional_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")],
+        "doc_id long, text string",
+    )
+    terms = {r.term for r in positional_index(docs, min_df=2).collect()}
+    assert terms == {"a", "b"}
+    terms = {r.term for r in positional_index(docs, min_df=2, max_df=2).collect()}
+    assert terms == {"b"}

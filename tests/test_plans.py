@@ -194,6 +194,38 @@ def test_bm25_topk_uses_limit_not_global_window(spark, queries):
     assert "CartesianProduct" not in plan
 
 
+def test_stored_index_queries_never_scan_corpus(spark, tmp_path):
+    # the materialized-index contract: once the positional index and
+    # doc-length table are written, phrase search and BM25 run
+    # index-only — the documents table appears NOWHERE in their plans,
+    # and the phrase terms' IN filter is pushed to the index scan
+    from kspp_spark.functions.text import (
+        bm25_indexed,
+        doc_lengths,
+        phrase_search_indexed,
+        positional_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx_path = str(tmp_path / "pidx")
+    dl_path = str(tmp_path / "dlen")
+    positional_index(docs).write.parquet(idx_path)
+    doc_lengths(docs).write.parquet(dl_path)
+    idx = spark.read.parquet(idx_path)
+    dl = spark.read.parquet(dl_path)
+
+    pplan = formatted_plan(spark, phrase_search_indexed(idx, ["table", "scan"]))
+    assert "documents" not in pplan, "indexed phrase search re-scans the corpus"
+    assert re.search(r"PushedFilters:.*term.*[Ii]n", pplan), pplan[:800]
+
+    bplan = formatted_plan(
+        spark, bm25_indexed(idx, dl, ["table", "query", "filter"], k=10)
+    )
+    assert "documents" not in bplan, "indexed BM25 re-scans the corpus"
+    assert "TakeOrderedAndProject" in bplan
+    assert "CartesianProduct" not in bplan
+
+
 def test_partitioned_write_enables_pruning(spark, tmp_path):
     # the data-layout contract: a filter on the partition column of a
     # write_partitioned_sorted dataset reaches the scan as a
