@@ -1767,6 +1767,26 @@ def q_scd2_lookup(spark, sf_dir):
     )
 
 
+def q_token_pairs(spark, sf_dir):
+    """Adjacent-token-pair frequencies (one BPE merge-round count at
+    corpus scale): arrays self-zip inside codegen, pairs shuffle as
+    pre-aggregated partials. min_count=5 prunes the tail in-agg."""
+    from kspp_spark.functions.text import token_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_pair_counts(docs, min_count=5)
+
+
+def q_lm_scores(spark, sf_dir):
+    """Corpus-bigram LM fluency scoring: integer milli-probability
+    quantization (BIGINT DIV + BIGINT sums — order-independent), one
+    final double divide, so the ranking replays bitwise in SQL."""
+    from kspp_spark.functions.text import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
 def q_quantized_ann(spark, sf_dir):
     """Int8 rescoring ANN tier, fully exact-oracled: SRP band-bucket
     candidates (as q_srp_ann) rescored with the QUANTIZED vectors —
@@ -2098,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed": q_phrase_search_indexed,
         "bm25_indexed": q_bm25_indexed,
         "scd2_lookup": q_scd2_lookup,
+        "token_pairs": q_token_pairs,
+        "lm_scores": q_lm_scores,
         # -- re-certify: round-3-graded queries over modules that changed in r4/r5
         #    (text/sampling/similarity/dedup/pipeline/asof families) --
         "token_count": q_token_count,
@@ -3492,6 +3514,40 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(doc_id)), ',') AS postings
             FROM td GROUP BY term
             HAVING COUNT(*) >= 2
+        """,
+        # BPE merge-round replay: adjacent pairs via parallel index
+        # unnest, one aggregation, in-agg tail prune
+        "token_pairs": f"""
+            WITH t AS (SELECT {_TOKENS} AS toks FROM documents),
+            p AS (
+                SELECT toks[i] AS a, toks[i + 1] AS b
+                FROM t, unnest(range(1, len(toks))) u(i)
+            )
+            SELECT a, b, COUNT(*) AS cnt FROM p GROUP BY 1, 2
+            HAVING COUNT(*) >= 5
+        """,
+        # bigram-LM replay: identical integer milli-probability
+        # quantization (// is DuckDB's integer floor division), BIGINT
+        # sums, one final double divide
+        "lm_scores": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            pairs AS (
+                SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+                FROM t, unnest(range(1, len(toks))) u(i)
+            ),
+            bigram AS (
+                SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2
+            ),
+            ctx AS (SELECT a, COUNT(*) AS ca FROM pairs GROUP BY 1),
+            lm AS (
+                SELECT a, b, CAST((1000 * cab) // ca AS BIGINT) AS milli
+                FROM bigram JOIN ctx USING (a)
+            )
+            SELECT doc_id, COUNT(*) AS n_pairs,
+                   CAST(SUM(milli) AS DOUBLE)
+                   / (1000.0 * CAST(COUNT(*) AS DOUBLE)) AS score
+            FROM pairs JOIN lm USING (a, b)
+            GROUP BY doc_id
         """,
         # positional-index replay: 0-based positions via range unnest,
         # per-(term, doc) aggregation, df as a term-partitioned count

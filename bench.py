@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "quantized_ann",
     "bm25_search",
     "inverted_index",
+    # round-5 additions (37 -> 40): positional-index materialization,
+    # index-backed phrase search (index built in-plan here; the stored
+    # index is plan-pinned in tests), and SCD2 point-in-time lookup
+    "positional_index",
+    "phrase_search_indexed",
+    "scd2_lookup",
 ]
 
 

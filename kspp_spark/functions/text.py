@@ -692,3 +692,100 @@ def bm25_indexed(
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", "rank"
     )
+
+
+def token_pair_counts(
+    df,
+    text_col: str = "text",
+    min_count: int = 1,
+):
+    """Corpus-wide adjacent-token-pair frequencies — the inner loop of
+    BPE/WordPiece tokenizer training (count all adjacent symbol pairs,
+    merge the most frequent, repeat). One merge round at corpus scale
+    is exactly this operator; a driver loop over merge rounds is the
+    full trainer.
+
+    Pure JVM plan: zip each token array with its own tail
+    (arrays_zip + slice) so pairs materialize inside codegen, explode,
+    then ONE hash aggregation — pairs shuffle as pre-aggregated
+    (string, string, count) partials, never documents. min_count
+    prunes the long tail before it leaves the aggregation.
+
+    Returns (a, b, cnt) sorted nowhere (order it at the terminal);
+    counts include overlapping pairs ("x x x" -> (x,x) twice), the
+    BPE-standard convention.
+
+    Reference: no kspp equivalent — beyond-reference training-data
+    operator (Sennrich et al. 2016 subword units).
+    """
+    toks = tokenize(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+    )
+    out = (
+        df.select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("cnt") >= min_count)
+    return out
+
+
+def bigram_lm_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-bigram language-model scoring — the classic
+    fluency/quality proxy (a document whose adjacent-token transitions
+    are common in the corpus scores high; shuffled or degenerate text
+    scores low). For each adjacent pair (a, b) the conditional
+    probability is estimated as C(a,b) / C(a·) over the whole corpus,
+    and the document score is the mean of those probabilities.
+
+    Exactness move (same as the hashed classifier's milli-weights):
+    each probability is quantized to an INTEGER milli-probability
+    floor(1000·C(a,b)/C(a·)) — BIGINT floor-division and BIGINT sums
+    are order-independent and engine-identical, so the ONLY float op
+    is one final divide and the whole ranking replays bitwise in SQL.
+    (A float-sum or log-based perplexity would drift in the last ulp
+    across engines and summation orders.)
+
+    Scale shape: one pair explode + one (a, b) aggregation build the
+    LM (pre-aggregated integer partials shuffle); scoring is an
+    equi-join of the doc pairs against the LM on (a, b) + one per-doc
+    aggregation. Documents with < 2 tokens are dropped (no pairs).
+
+    Returns (id_col, n_pairs, score) with score in [0, 1).
+
+    Reference: no kspp equivalent — beyond-reference corpus-quality
+    operator (n-gram LM scoring, Jelinek-style counting).
+    """
+    toks = tokenize(F.col(text_col))
+    pairs_col = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+    )
+    pairs = df.select(F.col(id_col), F.explode(pairs_col).alias("_p")).select(
+        id_col, F.col("_p.a").alias("a"), F.col("_p.b").alias("b")
+    )
+    bigram = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_cab"))
+    context = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("_ca"))
+    # integer floor-division (DIV) keeps the quantization exact — a
+    # double divide + floor could land on the wrong side of an integer
+    # boundary when 1000·cab/ca is representable ambiguity
+    lm = bigram.join(context, "a").select(
+        "a",
+        "b",
+        F.expr("(1000 * _cab) DIV _ca").cast("long").alias("_milli"),
+    )
+    scored = pairs.join(lm, ["a", "b"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum("_milli").cast("double")
+            / (F.lit(1000.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("score"),
+    )

@@ -1231,3 +1231,42 @@ def test_positional_index_df_bounds(spark):
     assert terms == {"a", "b"}
     terms = {r.term for r in positional_index(docs, min_df=2, max_df=2).collect()}
     assert terms == {"b"}
+
+
+def test_token_pair_counts_bpe_convention(spark):
+    """Adjacent pairs count with overlap ("x x x" -> (x,x) twice);
+    single-token and empty docs contribute nothing; min_count prunes."""
+    from kspp_spark.functions.text import token_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "x x x"), (2, "a b a b"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b): r.cnt for r in token_pair_counts(docs).collect()}
+    assert got == {("x", "x"): 2, ("a", "b"): 2, ("b", "a"): 1}
+    pruned = {(r.a, r.b) for r in token_pair_counts(docs, min_count=2).collect()}
+    assert pruned == {("x", "x"), ("a", "b")}
+
+
+def test_bigram_lm_scores_exact_milli_quantization(spark):
+    """LM score = mean of floor(1000*C(ab)/C(a.))/1000 over the doc's
+    pairs — hand-checked on a corpus where the counts are obvious, and
+    fluent word order outscores shuffled order."""
+    from kspp_spark.functions.text import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "cat the sat"),  # shuffled: rare transitions
+        ],
+        "doc_id long, text string",
+    )
+    # pair counts: (the,cat)=2 (cat,sat)=1 (cat,ran)=1 (cat,the)=1 (the,sat)=1
+    # contexts:    the.=3  cat.=3
+    # doc1: (the,cat)=floor(2000/3)=666, (cat,sat)=floor(1000/3)=333
+    got = {r.doc_id: (r.n_pairs, r.score) for r in bigram_lm_scores(docs).collect()}
+    assert got[1] == (2, (666 + 333) / 2000)
+    assert got[2] == (2, (666 + 333) / 2000)
+    assert got[3] == (2, (333 + 333) / 2000)
+    assert got[1][1] > got[3][1]  # fluent beats shuffled
