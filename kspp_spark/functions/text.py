@@ -733,10 +733,26 @@ def token_pair_counts(
     return out
 
 
+def doc_token_pairs(df, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, a, b) adjacent-token pairs per document — the shared
+    explode both bigram_lm_scores and a BPE merge round consume.
+    Materialize it once (parquet) when feeding several passes: the
+    corpus tokenizes exactly once instead of once per consumer."""
+    toks = tokenize(F.col(text_col))
+    pairs_col = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+    )
+    return df.select(F.col(id_col), F.explode(pairs_col).alias("_p")).select(
+        id_col, F.col("_p.a").alias("a"), F.col("_p.b").alias("b")
+    )
+
+
 def bigram_lm_scores(
     df,
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs_df=None,
 ):
     """Corpus-bigram language-model scoring — the classic
     fluency/quality proxy (a document whose adjacent-token transitions
@@ -757,19 +773,21 @@ def bigram_lm_scores(
     LM (pre-aggregated integer partials shuffle); scoring is an
     equi-join of the doc pairs against the LM on (a, b) + one per-doc
     aggregation. Documents with < 2 tokens are dropped (no pairs).
+    The plan consumes the pair explode three times (pairs, bigram
+    counts, context counts) — Spark re-tokenizes per consumer, fine at
+    moderate scale; at 100 TB pass `pairs_df` (doc_token_pairs output
+    materialized to parquet) so the corpus tokenizes exactly once and
+    every pass reads compact (id, a, b) triples.
 
     Returns (id_col, n_pairs, score) with score in [0, 1).
 
     Reference: no kspp equivalent — beyond-reference corpus-quality
     operator (n-gram LM scoring, Jelinek-style counting).
     """
-    toks = tokenize(F.col(text_col))
-    pairs_col = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
-    )
-    pairs = df.select(F.col(id_col), F.explode(pairs_col).alias("_p")).select(
-        id_col, F.col("_p.a").alias("a"), F.col("_p.b").alias("b")
+    pairs = (
+        pairs_df
+        if pairs_df is not None
+        else doc_token_pairs(df, id_col=id_col, text_col=text_col)
     )
     bigram = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_cab"))
     context = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("_ca"))

@@ -441,3 +441,40 @@ def test_substring_spans_shuffles_fingerprints_only(spark, queries):
     # count-distinct agg = at most two exchanges (partial on (fp, id),
     # final on fp); the explode/hash stages are narrow
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_token_pairs_single_shuffle(spark, queries):
+    # one BPE merge-round count = pairs materialized inside codegen +
+    # ONE hash aggregation: exactly one Exchange, no Python anywhere
+    plan = formatted_plan(spark, queries["token_pairs"](spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:600]
+    assert "BatchEvalPython" not in plan
+
+
+def test_lm_scores_no_cartesian_all_equi_joins(spark, queries):
+    # the LM build and the scoring pass are equi-joins on (a) / (a, b)
+    # — never a cross product; small LM sides broadcast at this scale
+    plan = formatted_plan(spark, queries["lm_scores"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lm_scores_materialized_pairs_skip_retokenize(spark, tmp_path):
+    # the 100 TB form: with pairs_df pre-materialized, the documents
+    # table appears NOWHERE in the scoring plan (corpus tokenized once
+    # at materialization, not once per consumer) and scores are
+    # identical to the inline form
+    from kspp_spark.functions.text import bigram_lm_scores, doc_token_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs_path = str(tmp_path / "pairs")
+    doc_token_pairs(docs).write.parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+    out = bigram_lm_scores(docs, pairs_df=pairs)
+    plan = formatted_plan(spark, out)
+    assert "documents" not in plan, "materialized-pairs path re-scans the corpus"
+    inline = {
+        (r.doc_id, r.n_pairs, r.score) for r in bigram_lm_scores(docs).collect()
+    }
+    stored = {(r.doc_id, r.n_pairs, r.score) for r in out.collect()}
+    assert inline == stored
