@@ -94,3 +94,80 @@ def index_snapshot(
             ",", F.transform(F.col("_postings"), lambda x: x.cast("string"))
         ).alias("postings"),
     )
+
+
+def positional_partials_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """foreachBatch body for the POSITIONAL index: tokenize only the
+    micro-batch and write its (term, doc_id, tf, positions) partial
+    postings under epoch=<id> — the streaming producer of the
+    positional_index artifact phrase_search_indexed / bm25_indexed
+    consume. Same epoch-overwrite idempotency as the tf-only fold;
+    same append-only doc_id assumption."""
+    pos = batch_df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    )
+    partial = pos.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    partial.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"epoch={int(epoch_id)}")
+    )
+
+
+def positional_index_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Wire a document stream into the positional-index fold. Returns
+    the started StreamingQuery; `positional_index_snapshot` serves the
+    current index."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        positional_partials_batch(
+            batch_df, epoch_id, state_dir, id_col=id_col, text_col=text_col
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def positional_index_snapshot(
+    spark,
+    state_dir: str,
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Current positional index from the accumulated partials — the
+    exact schema of the batch functions/text.positional_index
+    ((term, doc_id, tf, df, positions)), so the indexed query
+    operators run unchanged against a streaming-maintained index.
+    Since docs are append-only, each (term, doc) lives in exactly one
+    epoch: the merge is a term-partitioned df count over the union —
+    no posting-list surgery."""
+    from pyspark.sql import Window as W
+
+    partials = spark.read.parquet(state_dir).drop("epoch")
+    out = partials.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("term"))
+    )
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out.select("term", id_col, "tf", "df", "positions")

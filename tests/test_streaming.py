@@ -1277,3 +1277,64 @@ def test_incremental_index_matches_batch_inverted_index(spark, tmp_path):
     # replay idempotency: re-fold batch 2's rows as its epoch
     index_partials_batch(spark.createDataFrame(b2, schema), 1, state)
     assert canon(index_snapshot(spark, state, min_df=2)) == canon(batch)
+
+
+def test_incremental_positional_index_serves_indexed_queries(spark, tmp_path):
+    """Streaming POSITIONAL index fold: the merge-on-read snapshot
+    equals the batch positional_index over the full corpus, the
+    indexed phrase/BM25 operators run unchanged against it, and
+    replaying an epoch leaves the snapshot unchanged."""
+    from kspp_spark.functions.text import (
+        phrase_search,
+        phrase_search_indexed,
+        positional_index,
+    )
+    from kspp_spark.streaming.index_incremental import (
+        positional_index_snapshot,
+        positional_index_stream,
+        positional_partials_batch,
+    )
+
+    in_dir = str(tmp_path / "docs")
+    state = str(tmp_path / "pidx")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+    b1 = [(1, "alpha beta beta gamma"), (2, "alpha gamma")]
+    b2 = [(3, "alpha beta gamma"), (4, "beta gamma alpha beta")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = positional_index_stream(src, state, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    import time as _t
+
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    def canon(df):
+        return sorted(
+            (r.term, r.doc_id, r.tf, r.df, tuple(r.positions)) for r in df.collect()
+        )
+
+    snap = positional_index_snapshot(spark, state)
+    full = spark.createDataFrame(b1 + b2, schema)
+    assert canon(snap) == canon(positional_index(full))
+    # the indexed phrase operator runs unchanged on the streaming index
+    direct = {
+        (r.doc_id, r.n_matches)
+        for r in phrase_search(full, ["beta", "gamma"]).collect()
+    }
+    via = {
+        (r.doc_id, r.n_matches)
+        for r in phrase_search_indexed(snap, ["beta", "gamma"]).collect()
+    }
+    assert direct == via and (1, 1) in via and (4, 1) in via
+    # replay idempotency
+    positional_partials_batch(spark.createDataFrame(b2, schema), 1, state)
+    assert canon(positional_index_snapshot(spark, state)) == canon(
+        positional_index(full)
+    )
