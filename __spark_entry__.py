@@ -1787,6 +1787,25 @@ def q_lm_scores(spark, sf_dir):
     return bigram_lm_scores(docs)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE merge-rule training (3 rounds): each round is one
+    distributed pair count + a JVM-fold merge application; the driver
+    sees only the 1-row argmax per round (bounded control plane).
+    Iterative => rows-only check (no single SQL statement expresses
+    the round-over-round dependency); the per-round counting plan is
+    token_pairs' oracle-verified single-shuffle aggregation, and the
+    trainer semantics are pinned by unit golden tests
+    (tests/test_operators.py::test_bpe_train_learns_expected_merges)."""
+    from kspp_spark.functions.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=3)
+    return spark.createDataFrame(
+        [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, a string, b string, cnt long",
+    )
+
+
 def q_quantized_ann(spark, sf_dir):
     """Int8 rescoring ANN tier, fully exact-oracled: SRP band-bucket
     candidates (as q_srp_ann) rescored with the QUANTIZED vectors —
@@ -2225,7 +2244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "having": q_having,
         "lag_lead": q_lag_lead,
-        # rows-only checks (approximate / stubbed codecs by design)
+        # rows-only checks (approximate / stubbed codecs / iterative
+        # by design)
+        "bpe_merges": q_bpe_merges,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ivf_ann": q_ivf_ann,

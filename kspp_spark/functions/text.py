@@ -807,3 +807,91 @@ def bigram_lm_scores(
             / (F.lit(1000.0) * F.count(F.lit(1)).cast("double"))
         ).alias("score"),
     )
+
+
+def apply_bpe_merge(tokens: Column, a: str, b: str, joiner: str = " ") -> Column:
+    """Replace every adjacent occurrence of (a, b) in a token array
+    with the merged symbol — one BPE merge applied corpus-wide as a
+    PURE JVM fold (F.aggregate), left-to-right with the standard
+    no-overlap rule ("x x x" with merge (x,x) -> ["x x", "x"]).
+
+    The merged symbol is a + joiner + b; with the default space
+    joiner, re-tokenizing the merged text would undo the merge, so
+    trainers keep arrays (never round-trip through text) — exactly
+    what bpe_train does.
+    """
+    t = tokens if isinstance(tokens, Column) else F.col(tokens)
+    merged = F.lit(a + joiner + b)
+    empty = F.array().cast("array<string>")
+
+    def step(acc, x):
+        # the no-overlap rule is structural: once (a, b) merges, the
+        # array's last element is the merged symbol (!= a), so the
+        # following b cannot chain-merge — "x x x" yields ["x x", "x"]
+        can_merge = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+        )
+        replaced = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+        )
+        return F.when(can_merge, replaced).otherwise(
+            F.concat(acc, F.array(x))
+        )
+
+    return F.aggregate(t, empty, step)
+
+
+def bpe_train(
+    df,
+    n_merges: int,
+    text_col: str = "text",
+    joiner: str = " ",
+):
+    """Train BPE merge rules at corpus scale (Sennrich et al. 2016):
+    repeat n_merges times {count all adjacent pairs (ONE distributed
+    aggregation, token_pair_counts' plan), pick the most frequent
+    (count desc, then lexicographic — deterministic), apply it
+    corpus-wide as a JVM fold}. Returns (merges, tokens_df) where
+    merges is [(a, b, count), ...] in merge order and tokens_df holds
+    the final token arrays.
+
+    Driver involvement is O(n_merges) 1-row collects — the classic
+    bounded control plane (like ANN centroid seeding); all pair
+    counting and merge application stays distributed and codegen'd.
+    Each round localCheckpoints the merged arrays: round K's plan is
+    O(1) deep instead of K nested folds (the geometric-plan-growth
+    trap the connected-components operator documents).
+
+    The standard trainer operates on characters-within-words; this
+    operates on whitespace tokens (the corpus's natural symbols here)
+    — the algorithm is identical, only the initial alphabet differs.
+    """
+    toks_df = df.select(tokenize(F.col(text_col)).alias("toks"))
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = F.arrays_zip(
+            F.slice(
+                F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))
+            ).alias("a"),
+            F.slice(
+                F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))
+            ).alias("b"),
+        )
+        top = (
+            toks_df.select(F.explode(pairs).alias("_p"))
+            .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].cnt < 2:
+            break  # nothing left worth merging
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        merges.append((a, b, cnt))
+        toks_df = toks_df.select(
+            apply_bpe_merge(F.col("toks"), a, b, joiner).alias("toks")
+        ).localCheckpoint(eager=True)
+    return merges, toks_df

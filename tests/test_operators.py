@@ -1270,3 +1270,45 @@ def test_bigram_lm_scores_exact_milli_quantization(spark):
     assert got[2] == (2, (666 + 333) / 2000)
     assert got[3] == (2, (333 + 333) / 2000)
     assert got[1][1] > got[3][1]  # fluent beats shuffled
+
+
+def test_apply_bpe_merge_no_overlap_fold(spark):
+    """One merge applied corpus-wide as a JVM fold, left-to-right with
+    the standard no-overlap rule."""
+    from kspp_spark.functions.text import apply_bpe_merge, tokenize
+
+    df = spark.createDataFrame(
+        [("x x x",), ("a x x b",), ("x",), ("",)], "text string"
+    )
+    out = df.select(
+        apply_bpe_merge(tokenize(F.col("text")), "x", "x").alias("toks")
+    )
+    got = [r.toks for r in out.collect()]
+    assert got == [["x x", "x"], ["a", "x x", "b"], ["x"], []]
+
+
+def test_bpe_train_learns_expected_merges(spark):
+    """The trainer picks the most frequent pair each round
+    (deterministic count-desc, lexicographic tiebreak), applies it,
+    and later rounds can merge previously-merged symbols."""
+    from kspp_spark.functions.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            ("new york city",),
+            ("new york state",),
+            ("new york city hall",),
+            ("old york city",),
+        ],
+        "text string",
+    )
+    merges, toks_df = bpe_train(docs, n_merges=3)
+    assert merges[0][:2] == ("new", "york") and merges[0][2] == 3
+    assert merges[1][:2] == ("new york", "city") or merges[1][:2] == ("york", "city")
+    # the final arrays contain the merged symbols
+    rows = {tuple(r.toks) for r in toks_df.collect()}
+    assert any("new york" in t for row in rows for t in row)
+    # vocabulary-exhausted corpora stop early instead of looping
+    tiny = spark.createDataFrame([("a b",)], "text string")
+    m2, _ = bpe_train(tiny, n_merges=5)
+    assert m2 == []  # every pair is a singleton -> no merge worth making
