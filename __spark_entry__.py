@@ -1127,6 +1127,23 @@ def q_bpe_token_count(spark, sf_dir):
     return docs.select("doc_id", bpe_token_estimate("text").alias("n_bpe"))
 
 
+def q_top_terms_per_lang(spark, sf_dir):
+    """Grouped top-k: the 5 most frequent terms per language — ONE
+    (lang, term) count shuffle, then a rank window PARTITIONED BY lang
+    over the already-tiny aggregate (distributed per-group heaps, no
+    global sort; at 100 TB the window input is |vocab|×|langs| rows,
+    not the corpus). Deterministic tiebreak (cnt desc, term)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select("lang", F.explode(tokenize("text")).alias("term"))
+    counts = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "term")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "cnt", "rnk")
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """TF-IDF-style scoring, engine-exact: score = tf * (N / df) with
     rational idf (no transcendental log whose last bit could differ
@@ -2139,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "token_pairs": q_token_pairs,
         "lm_scores": q_lm_scores,
+        "top_terms_per_lang": q_top_terms_per_lang,
         # -- re-certify: round-3-graded queries over modules that changed in r4/r5
         #    (text/sampling/similarity/dedup/pipeline/asof families) --
         "token_count": q_token_count,
@@ -3535,6 +3553,21 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(doc_id)), ',') AS postings
             FROM td GROUP BY term
             HAVING COUNT(*) >= 2
+        """,
+        # grouped top-k replay: same count + per-group rank window
+        "top_terms_per_lang": f"""
+            WITH counts AS (
+                SELECT lang, term, COUNT(*) AS cnt FROM (
+                    SELECT lang, unnest({_TOKENS}) AS term FROM documents
+                ) GROUP BY 1, 2
+            )
+            SELECT lang, term, cnt, rnk FROM (
+                SELECT lang, term, cnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY cnt DESC, term
+                       ) AS rnk
+                FROM counts
+            ) WHERE rnk <= 5
         """,
         # BPE merge-round replay: adjacent pairs via parallel index
         # unnest, one aggregation, in-agg tail prune
