@@ -153,3 +153,73 @@ def write_partitioned_sorted(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.save(path)
+
+
+def zorder_value(
+    cols: list,
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+):
+    """Morton (Z-order) key over N numeric columns as a pure Column
+    expression: each column min/max-normalizes to an unsigned `bits`-
+    bit integer, then the bit planes interleave (bit i of column j
+    lands at position i·N + j). Sorting by this ONE key clusters the
+    data in ALL the columns simultaneously — the multi-column
+    generalization of write_partitioned_sorted's single sort: a
+    lexicographic (a, b) sort gives b no locality at all, Z-order
+    gives every column ~bits/N effective bits of locality.
+
+    mins/maxs are the per-column domains (one tiny agg upstream —
+    write_zordered does it); values clamp to the domain, NULLs sort
+    first (grid cell 0). Integer arithmetic only: shifts, masks and
+    BIGINT sums, so the key is deterministic everywhere.
+    """
+    n = len(cols)
+    if not (1 <= n * bits <= 62):
+        raise ValueError("zorder_value: need 1 <= n_cols*bits <= 62")
+    z = F.lit(0).cast("long")
+    scale = float((1 << bits) - 1)
+    for j, (c, lo, hi) in enumerate(zip(cols, mins, maxs)):
+        col = F.col(c) if isinstance(c, str) else c
+        span = (hi - lo) or 1.0
+        frac = (col.cast("double") - F.lit(float(lo))) / F.lit(float(span))
+        clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+        q = F.coalesce(
+            F.round(clamped * F.lit(scale)).cast("long"), F.lit(0)
+        )
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist with MULTI-COLUMN clustering: range-partition and sort
+    on the Morton key of `cols`, so parquet row-group min/max stats
+    are tight in EVERY listed column and range predicates on any of
+    them skip row groups — the open-format equivalent of Z-ORDER
+    OPTIMIZE in table formats. One tiny min/max agg + one range
+    shuffle; at 100 TB this is the layout move for fact tables queried
+    by several independent range dimensions (time AND key AND size).
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [stats[f"_lo{i}"] or 0.0 for i in range(len(cols))]
+    maxs = [stats[f"_hi{i}"] or 0.0 for i in range(len(cols))]
+    z = zorder_value(cols, mins, maxs, bits=bits).alias("_z")
+    out = df.withColumn("_z", z)
+    parts = num_files or out.sparkSession.sparkContext.defaultParallelism
+    out = out.repartitionByRange(parts, F.col("_z")).sortWithinPartitions("_z")
+    out.drop("_z").write.format(fmt).mode(mode).save(path)

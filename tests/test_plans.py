@@ -478,3 +478,50 @@ def test_lm_scores_materialized_pairs_skip_retokenize(spark, tmp_path):
     }
     stored = {(r.doc_id, r.n_pairs, r.score) for r in out.collect()}
     assert inline == stored
+
+
+def test_zorder_write_clusters_every_column(spark, tmp_path):
+    # the multi-column layout contract: after write_zordered on
+    # (value, user_id), EVERY file covers only a fraction of BOTH
+    # domains (parquet footer min/max), so range predicates on either
+    # column skip files/row-groups. A lexicographic sort would give
+    # the secondary column full-domain spans in every file.
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from kspp_spark.io import write_zordered
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("value", "user_id")
+    out = str(tmp_path / "z")
+    write_zordered(ev, out, ["value", "user_id"], num_files=8)
+
+    def spans(path_glob, col_idx):
+        spans = []
+        for f in glob.glob(path_glob):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(col_idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(col_idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        return spans
+
+    files = f"{out}/part-*.parquet"
+    stats = ev.agg(
+        F.max("value") - F.min("value"), F.max("user_id") - F.min("user_id")
+    ).collect()[0]
+    v_dom, u_dom = float(stats[0]), float(stats[1])
+    v_spans, u_spans = spans(files, 0), spans(files, 1)
+    assert len(v_spans) >= 4
+    # both dimensions clustered: average per-file span well under the
+    # domain (a single-column sort leaves the other at ~domain)
+    assert sum(v_spans) / len(v_spans) < 0.7 * v_dom, (v_spans, v_dom)
+    assert sum(u_spans) / len(u_spans) < 0.7 * u_dom, (u_spans, u_dom)
+    # and nothing lost
+    assert spark.read.parquet(out).count() == ev.count()
