@@ -13,6 +13,9 @@ Parity targets (thin CLIs over operators this repo already has):
                  the streaming state, streaming/core.use_rocksdb_state).
   mqtt2kafka     tools/mqtt2kafka/mqtt2kafka.cpp — MQTT bridge into a
                  Kafka topic (sources/bridge.spool_source + kafka sink).
+  docs2index     (beyond-reference) parquet corpus -> bucketed
+                 positional index + doc-length table; the offline half
+                 of the index-only retrieval queries.
 
 Run: `python -m kspp_spark.tools <subcommand> --help`.
 
@@ -162,6 +165,42 @@ def mqtt2kafka(
     return kafka_sink(src, brokers, topic, checkpoint)
 
 
+def docs2index(
+    spark,
+    src: str,
+    dst: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+    buckets: int = 32,
+) -> None:
+    """Materialize the retrieval artifacts for a parquet document
+    corpus (beyond-reference — kspp has no retrieval surface): the
+    positional index written BUCKETED BY TERM (every term-lookup join
+    downstream is exchange-free) plus the doc-length side table. After
+    this, phrase_search_indexed / bm25_indexed run index-only — the
+    corpus never re-tokenizes at query time."""
+    from kspp_spark.functions.text import doc_lengths, positional_index
+    from kspp_spark.io import write_bucketed
+
+    docs = spark.read.parquet(src)
+    idx = positional_index(
+        docs, id_col=id_col, text_col=text_col, min_df=min_df, max_df=max_df
+    )
+    write_bucketed(
+        idx,
+        table="kspp_positional_index",
+        key="term",
+        buckets=buckets,
+        path=f"{dst}/postings",
+        sort_by="term",
+    )
+    doc_lengths(docs, id_col=id_col, text_col=text_col).write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/doclen")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="kspp_spark.tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -201,10 +240,33 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--topic", required=True)
     m.add_argument("--checkpoint", required=True)
 
+    d = sub.add_parser(
+        "docs2index", help="parquet corpus -> bucketed positional index + doclens"
+    )
+    d.add_argument("--src", required=True)
+    d.add_argument("--dst", required=True)
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--min-df", type=int, default=1)
+    d.add_argument("--max-df", type=int, default=None)
+    d.add_argument("--buckets", type=int, default=32)
+
     args = p.parse_args(argv)
     from kspp_spark.session import get_spark
 
     spark = get_spark(f"kspp_tools_{args.cmd}")
+    if args.cmd == "docs2index":
+        docs2index(
+            spark,
+            args.src,
+            args.dst,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            min_df=args.min_df,
+            max_df=args.max_df,
+            buckets=args.buckets,
+        )
+        return 0
     if args.cmd == "csv2avro":
         csv2avro(
             spark,

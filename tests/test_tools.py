@@ -125,3 +125,38 @@ def test_examples_compile():
     assert len(scripts) >= 4
     for s in scripts:
         py_compile.compile(str(s), doraise=True)
+
+
+def test_docs2index_builds_queryable_artifacts(spark, tmp_path):
+    """docs2index writes the bucketed postings + doclen table, and the
+    indexed query operators produce the same results as the direct
+    path when reading them back."""
+    from kspp_spark.functions.text import (
+        bm25_indexed,
+        bm25_topk,
+        phrase_search,
+        phrase_search_indexed,
+    )
+    from kspp_spark.tools import docs2index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = "/root/testdata/sf0.001/documents.parquet"
+    dst = str(tmp_path / "idx")
+    docs2index(spark, src, dst, buckets=4)
+    idx = spark.read.parquet(f"{dst}/postings")
+    dl = spark.read.parquet(f"{dst}/doclen")
+    direct = {
+        (r.doc_id, r.n_matches)
+        for r in phrase_search(docs, ["table", "scan"]).collect()
+    }
+    via = {
+        (r.doc_id, r.n_matches)
+        for r in phrase_search_indexed(idx, ["table", "scan"]).collect()
+    }
+    assert direct == via and via
+    b1 = [(r.doc_id, r.score) for r in bm25_topk(docs, ["scan", "join"], k=5).collect()]
+    b2 = [
+        (r.doc_id, r.score)
+        for r in bm25_indexed(idx, dl, ["scan", "join"], k=5).collect()
+    ]
+    assert b1 == b2
