@@ -558,17 +558,17 @@ def positional_index(
     relies on.
 
     Scale shape: one posexplode + one (term, doc) aggregation — only
-    (term, doc_id, int) triples shuffle, never document text; the df
-    column comes from a term-partitioned window over the aggregated
-    postings (compact rows, and the same hash key the bucketed write
-    uses). min_df/max_df bound vocabulary bloat exactly as in
-    inverted_index.
+    (term, doc_id, int) triples shuffle, never document text. The df
+    column joins back from a per-term count aggregate via a PLAIN
+    equi-join: the df side is ~|vocab| integer rows, so AQE broadcasts
+    it (the postings with their position arrays never re-shuffle);
+    with a truly huge vocabulary the join degrades to one term-keyed
+    shuffle — the same cost a window over term would always pay.
+    min_df/max_df bound vocabulary bloat exactly as in inverted_index.
 
     Reference: no kspp equivalent (kspp has no retrieval surface) —
     the storage half of the phrase/BM25 operators.
     """
-    from pyspark.sql import Window as W
-
     pos = df.select(
         F.col(id_col),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
@@ -577,11 +577,16 @@ def positional_index(
         F.count(F.lit(1)).alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
-    out = td.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    dfreq = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
-        out = out.filter(F.col("df") >= min_df)
+        dfreq = dfreq.filter(F.col("df") >= min_df)
     if max_df is not None:
-        out = out.filter(F.col("df") <= max_df)
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    # plain (unhinted) join: AQE broadcasts the tiny df side; the
+    # postings' position arrays stay where the (term, doc) agg left
+    # them. df-bound filters apply to the df side BEFORE the join, so
+    # pruned terms' postings drop via the join itself.
+    out = td.join(dfreq, "term")
     return out.select("term", id_col, "tf", "df", "positions")
 
 

@@ -158,16 +158,14 @@ def positional_index_snapshot(
     ((term, doc_id, tf, df, positions)), so the indexed query
     operators run unchanged against a streaming-maintained index.
     Since docs are append-only, each (term, doc) lives in exactly one
-    epoch: the merge is a term-partitioned df count over the union —
-    no posting-list surgery."""
-    from pyspark.sql import Window as W
-
+    epoch: the merge is a per-term df count joined back (plain join —
+    AQE broadcasts the tiny df side, so the position arrays never
+    re-shuffle; same plan shape as the batch positional_index)."""
     partials = spark.read.parquet(state_dir).drop("epoch")
-    out = partials.withColumn(
-        "df", F.count(F.lit(1)).over(W.partitionBy("term"))
-    )
+    dfreq = partials.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
-        out = out.filter(F.col("df") >= min_df)
+        dfreq = dfreq.filter(F.col("df") >= min_df)
     if max_df is not None:
-        out = out.filter(F.col("df") <= max_df)
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    out = partials.join(dfreq, "term")
     return out.select("term", id_col, "tf", "df", "positions")

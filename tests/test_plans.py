@@ -525,3 +525,11 @@ def test_zorder_write_clusters_every_column(spark, tmp_path):
     assert sum(u_spans) / len(u_spans) < 0.7 * u_dom, (u_spans, u_dom)
     # and nothing lost
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_positional_index_df_join_broadcasts_not_reshuffles(spark, queries):
+    # the df side is ~|vocab| integer rows: AQE/Catalyst must broadcast
+    # it so the heavy position arrays never cross a second shuffle
+    plan = formatted_plan(spark, queries["positional_index"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
