@@ -1823,6 +1823,26 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """KMeans topic clustering of the embedding table (spark.ml;
+    map + tree-aggregate training, broadcast-centroid assignment).
+    Iterative/seeded => rows-only check, like ivf_ann."""
+    from kspp_spark.functions.similarity import kmeans_embedding_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_embedding_clusters(emb, k=8)
+
+
+def q_diverse_sample(spark, sf_dir):
+    """Cluster-balanced (diversity-aware) downsampling: up to 20 rows
+    from each of 8 embedding clusters, deterministic md5 pick within
+    clusters. Rows-only (KMeans-seeded)."""
+    from kspp_spark.functions.similarity import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb, k=8, per_cluster=20)
+
+
 def q_quantized_ann(spark, sf_dir):
     """Int8 rescoring ANN tier, fully exact-oracled: SRP band-bucket
     candidates (as q_srp_ann) rescored with the QUANTIZED vectors —
@@ -2265,6 +2285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only checks (approximate / stubbed codecs / iterative
         # by design)
         "bpe_merges": q_bpe_merges,
+        "embedding_clusters": q_embedding_clusters,
+        "diverse_sample": q_diverse_sample,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ivf_ann": q_ivf_ann,

@@ -382,3 +382,91 @@ def quantized_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "rank", "score")
     )
+
+
+def kmeans_embedding_clusters(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster an embedding column with spark.ml KMeans (the same
+    coarse quantizer ivf_ann_topk trains internally, exposed as a
+    first-class operator): returns (id_col, cluster, l2) where l2 is
+    the squared distance to the assigned centroid — the standard
+    building block for topic bucketing, semantic dedup triage, and
+    diversity-aware sampling.
+
+    Scale shape: KMeans training aggregates per-partition partial
+    sums (Lloyd's steps are map + tree-aggregate, no shuffle of the
+    vectors); assignment is one broadcast of k centroids over a
+    map-only pass. Iterative/seeded => rows-only check territory, like
+    ivf_ann.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(vec).cast("array<double>").alias("_v"),
+        array_to_vector(F.col(vec).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="features",
+        predictionCol="cluster",
+    ).fit(feat)
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, _centroid array<double>",
+    )
+    assigned = model.transform(feat).select(id_col, "_v", "cluster")
+    l2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        assigned.join(F.broadcast(cent), "cluster")
+        .select(id_col, "cluster", l2.alias("l2"))
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    k: int = 16,
+    per_cluster: int = 100,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 42,
+    salt: str = "",
+) -> DataFrame:
+    """Diversity-aware downsampling: cluster the embeddings, then keep
+    (up to) `per_cluster` rows from EVERY cluster — the semantic
+    complement of stratified_sample's metadata strata. Uniform random
+    sampling over-represents dense regions of embedding space; this
+    keeps the tails.
+
+    Within each cluster the kept rows are chosen by the repo's
+    deterministic md5 draw over the id (partition/rerun-invariant,
+    independent draws per salt) — so given the same fitted clustering,
+    the selection itself is fully reproducible.
+
+    Returns (id_col, cluster). One broadcast-assignment pass + one
+    per-cluster rank window over (hash, id).
+    """
+    from kspp_spark.functions.sampling import hash_bucket
+
+    assigned = kmeans_embedding_clusters(
+        df, k=k, id_col=id_col, vec=vec, seed=seed
+    )
+    h = hash_bucket(id_col, salt).alias("_h")
+    w = W.partitionBy("cluster").orderBy("_h", id_col)
+    return (
+        assigned.withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_cluster)
+        .select(id_col, "cluster")
+    )

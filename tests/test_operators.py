@@ -1312,3 +1312,42 @@ def test_bpe_train_learns_expected_merges(spark):
     tiny = spark.createDataFrame([("a b",)], "text string")
     m2, _ = bpe_train(tiny, n_merges=5)
     assert m2 == []  # every pair is a singleton -> no merge worth making
+
+
+def test_kmeans_clusters_and_balanced_sample(spark):
+    """Identical vectors co-cluster with l2=0; cluster_balanced_sample
+    keeps at most per_cluster rows per cluster, covers every non-empty
+    cluster, and the within-cluster pick is deterministic."""
+    from kspp_spark.functions.similarity import (
+        cluster_balanced_sample,
+        kmeans_embedding_clusters,
+    )
+
+    # two tight groups far apart + exact duplicates inside each
+    rows = []
+    for i in range(20):
+        rows.append((i, [10.0 + (i % 3) * 0.01, 10.0]))
+    for i in range(20, 40):
+        rows.append((i, [-10.0 - (i % 3) * 0.01, -10.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_embedding_clusters(df, k=2, id_col="vec_id")
+    got = {r.vec_id: (r.cluster, r.l2) for r in out.collect()}
+    assert len(got) == 40
+    left = {got[i][0] for i in range(20)}
+    right = {got[i][0] for i in range(20, 40)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    assert all(l2 < 1.0 for _, l2 in got.values())
+
+    samp = cluster_balanced_sample(df, k=2, per_cluster=5, id_col="vec_id")
+    rows1 = sorted((r.vec_id, r.cluster) for r in samp.collect())
+    counts = {}
+    for _, c in rows1:
+        counts[c] = counts.get(c, 0) + 1
+    assert set(counts.values()) == {5} and len(counts) == 2
+    rows2 = sorted(
+        (r.vec_id, r.cluster)
+        for r in cluster_balanced_sample(
+            df.repartition(7), k=2, per_cluster=5, id_col="vec_id"
+        ).collect()
+    )
+    assert [v for v, _ in rows1] == [v for v, _ in rows2]  # deterministic pick
