@@ -146,6 +146,30 @@ class Stream:
             )
         )
 
+    # ---- warehouse overlays (beyond-reference)
+    def scd2(self, key, value_cols, event_time="event_time", **kw) -> "Stream":
+        """SCD type-2 history of this changelog (every version with
+        its validity interval) — aggregates.scd2_history."""
+        return Stream(
+            agg_ops.scd2_history(self.df, key, value_cols, event_time, **kw)
+        )
+
+    def scd2_lookup(
+        self, history: "Stream", key, fact_time="event_time", **kw
+    ) -> "Stream":
+        """Point-in-time join of this fact stream against an SCD2
+        history Stream — aggregates.scd2_lookup_join."""
+        return Stream(
+            agg_ops.scd2_lookup_join(self.df, history.df, key, fact_time, **kw)
+        )
+
+    def cascade_rollup(self, event_time, keys, measures, **kw) -> "Stream":
+        """Multi-grain time rollup (finest grain scans once, coarser
+        grains re-aggregate partials) — aggregates.cascade_rollup."""
+        return Stream(
+            agg_ops.cascade_rollup(self.df, event_time, list(keys), measures, **kw)
+        )
+
     # ---- terminals (§2.2)
     def visit(self, fn: Callable) -> None:
         sl_ops.visitor(self.df, fn)

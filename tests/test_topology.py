@@ -166,3 +166,46 @@ def test_topology_throughput_limit_and_mqtt_sink(spark, tmp_path):
         with open(path) as f:
             published.extend(tuple(m) for m in json.load(f))
     assert sorted(p[1] for p in published) == ["0", "2", "4", "6", "8"]
+
+
+def test_topology_warehouse_overlays(spark):
+    """The fluent surface covers the round-5 warehouse operators:
+    changelog -> scd2 -> point-in-time lookup, and cascade rollup."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from kspp_spark.plans.topology import Topology
+
+    def t(s):
+        return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+    topo = Topology(spark)
+    chg = topo.source(
+        spark.createDataFrame(
+            [("k1", "v1", t(10)), ("k1", "v2", t(20))],
+            "key string, value string, event_time timestamp",
+        )
+    )
+    hist = chg.scd2(key="key", value_cols=["value"])
+    assert {(r.value, r.is_current) for r in hist.df.collect()} == {
+        ("v1", False),
+        ("v2", True),
+    }
+    facts = topo.source(
+        spark.createDataFrame(
+            [(1, "k1", t(15))], "fid int, key string, event_time timestamp"
+        )
+    )
+    looked = facts.scd2_lookup(hist, key="key", broadcast_history=True)
+    assert [r.value for r in looked.df.collect()] == ["v1"]
+
+    ev = topo.source(
+        spark.createDataFrame(
+            [("a", 1, t(0)), ("a", 2, t(3600))],
+            "key string, value long, ts timestamp",
+        )
+    )
+    grains = ev.cascade_rollup("ts", ["key"], {"n": ("value", "count")})
+    got = {(r.grain, r.n) for r in grains.df.collect()}
+    assert ("hour", 1) in got and ("day", 2) in got
