@@ -2091,6 +2091,22 @@ def q_windowed_ktable(spark, sf_dir):
     )
 
 
+def q_media_metadata(spark, sf_dir):
+    """The EXACT-oracled slice of the multimodal surface: typed
+    metadata attached to opaque binary media (byte length + md5
+    digest) — pure JVM Column ops over the binary column, replayed in
+    SQL via octet_length/md5 over the same UTF-8 bytes. The decode
+    path stays rows-only (pluggable codec), but the metadata plumbing
+    is provably correct."""
+    from kspp_spark.functions.multimodal import attach_media_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("media"))
+    return attach_media_metadata(media).select(
+        "doc_id", "media_n_bytes", "media_digest"
+    )
+
+
 def q_media_decode(spark, sf_dir):
     # no SQL oracle: mapInPandas decode plumbing (deterministic fake
     # decoder; real codec pluggable). Media synthesized from doc text.
@@ -2282,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "having": q_having,
         "lag_lead": q_lag_lead,
+        "media_metadata": q_media_metadata,
         # rows-only checks (approximate / stubbed codecs / iterative
         # by design)
         "bpe_merges": q_bpe_merges,
@@ -3575,6 +3592,14 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(doc_id)), ',') AS postings
             FROM td GROUP BY term
             HAVING COUNT(*) >= 2
+        """,
+        # media-metadata replay: octet_length/md5 over the same UTF-8
+        # bytes the Spark side encodes
+        "media_metadata": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS media_n_bytes,
+                   md5(text) AS media_digest
+            FROM documents
         """,
         # grouped top-k replay: same count + per-group rank window
         "top_terms_per_lang": f"""
