@@ -391,13 +391,15 @@ def kmeans_embedding_clusters(
     vec: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    include_l2: bool = True,
 ) -> DataFrame:
     """Cluster an embedding column with spark.ml KMeans (the same
     coarse quantizer ivf_ann_topk trains internally, exposed as a
-    first-class operator): returns (id_col, cluster, l2) where l2 is
-    the squared distance to the assigned centroid — the standard
+    first-class operator): returns (id_col, cluster[, l2]) where l2
+    is the squared distance to the assigned centroid — the standard
     building block for topic bucketing, semantic dedup triage, and
-    diversity-aware sampling.
+    diversity-aware sampling. include_l2=False skips the centroid
+    join entirely for consumers that only need the assignment.
 
     Scale shape: KMeans training aggregates per-partition partial
     sums (Lloyd's steps are map + tree-aggregate, no shuffle of the
@@ -417,12 +419,14 @@ def kmeans_embedding_clusters(
         k=k, seed=seed, maxIter=max_iter, featuresCol="features",
         predictionCol="cluster",
     ).fit(feat)
+    assigned = model.transform(feat).select(id_col, "_v", "cluster")
+    if not include_l2:
+        return assigned.select(id_col, "cluster")
     spark = df.sparkSession
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster int, _centroid array<double>",
     )
-    assigned = model.transform(feat).select(id_col, "_v", "cluster")
     l2 = F.aggregate(
         F.zip_with(F.col("_v"), F.col("_centroid"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -442,6 +446,8 @@ def cluster_balanced_sample(
     vec: str = "embedding",
     seed: int = 42,
     salt: str = "",
+    max_iter: int = 20,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Diversity-aware downsampling: cluster the embeddings, then keep
     (up to) `per_cluster` rows from EVERY cluster — the semantic
@@ -451,16 +457,25 @@ def cluster_balanced_sample(
 
     Within each cluster the kept rows are chosen by the repo's
     deterministic md5 draw over the id (partition/rerun-invariant,
-    independent draws per salt) — so given the same fitted clustering,
-    the selection itself is fully reproducible.
+    independent draws per salt). To draw several independent samples
+    over ONE fitted clustering (rather than re-training KMeans per
+    call), pass `assignments` — a (id_col, cluster) frame, e.g.
+    kmeans_embedding_clusters(..., include_l2=False) materialized
+    once — and vary `salt`.
 
-    Returns (id_col, cluster). One broadcast-assignment pass + one
-    per-cluster rank window over (hash, id).
+    Returns (id_col, cluster). One broadcast-assignment pass (skipped
+    when assignments are supplied) + one per-cluster rank window over
+    (hash, id).
     """
     from kspp_spark.functions.sampling import hash_bucket
 
-    assigned = kmeans_embedding_clusters(
-        df, k=k, id_col=id_col, vec=vec, seed=seed
+    assigned = (
+        assignments
+        if assignments is not None
+        else kmeans_embedding_clusters(
+            df, k=k, id_col=id_col, vec=vec, seed=seed, max_iter=max_iter,
+            include_l2=False,
+        )
     )
     h = hash_bucket(id_col, salt).alias("_h")
     w = W.partitionBy("cluster").orderBy("_h", id_col)

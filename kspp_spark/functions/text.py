@@ -614,7 +614,12 @@ def phrase_search_indexed(
     on (doc, position + offset).
 
     Same output contract as phrase_search: (id_col, n_matches) with
-    overlapping occurrences counted.
+    overlapping occurrences counted — PROVIDED the index is unpruned
+    for the phrase's terms: postings dropped by positional_index's
+    min_df/max_df bounds contribute no matches, so a document
+    containing the phrase goes unreported if any of its terms was
+    pruned. Build phrase-serving indexes with min_df=1 (the default),
+    or keep pruned indexes for BM25 only.
     """
     if len(phrase) < 2:
         raise ValueError("phrase search needs >= 2 terms (use a filter for 1)")
@@ -654,7 +659,12 @@ def bm25_indexed(
     Bitwise-identical scores to bm25_topk: same rational idf (N/df,
     no log), same expression tree, same FIXED-order summation over
     `query_terms` — so the direct and indexed paths are
-    interchangeable and share one oracle.
+    interchangeable and share one oracle. The identity holds for
+    query terms PRESENT in the index: terms dropped by min_df/max_df
+    pruning contribute zero here where bm25_topk would score them
+    (deliberate when max_df prunes stopwords — that is the standard
+    retrieval move — but a min_df-pruned rare term silently changes
+    rankings; build with min_df=1 if exact bm25_topk parity matters).
 
     Returns (id_col, score, rank), top-k by (score desc, id).
     """

@@ -388,6 +388,16 @@ def scd2_lookup_join(
             for c in history.columns
             if c not in keys and c not in ("valid_from", "valid_to", "is_current")
         ]
+    # a fact column sharing a name with a carried history column (or
+    # with the interval bookkeeping) would make the post-join select
+    # ambiguous — fail with the fix instead of an AMBIGUOUS_REFERENCE
+    clashes = set(facts.columns) & ({*value_cols, "valid_from", "valid_to"})
+    if clashes:
+        raise ValueError(
+            "scd2_lookup_join: fact column(s) "
+            f"{sorted(clashes)} collide with history output columns — "
+            "rename them on one side or narrow value_cols"
+        )
     h = history.select(
         *[F.col(k).alias(f"_h_{k}") for k in keys],
         *value_cols,
@@ -396,7 +406,8 @@ def scd2_lookup_join(
     )
     if broadcast_history:
         h = F.broadcast(h)
-    t = F.col(fact_time)
+    t = facts[fact_time]  # facts-side reference: unambiguous even if a
+    # history value column shares the fact_time name
     cond = [facts[k] == F.col(f"_h_{k}") for k in keys] + [
         F.col("valid_from") <= t,
         F.col("valid_to").isNull() | (t < F.col("valid_to")),

@@ -102,13 +102,16 @@ def positional_partials_batch(
     state_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    doclen_dir: str | None = None,
 ) -> None:
     """foreachBatch body for the POSITIONAL index: tokenize only the
     micro-batch and write its (term, doc_id, tf, positions) partial
     postings under epoch=<id> — the streaming producer of the
     positional_index artifact phrase_search_indexed / bm25_indexed
-    consume. Same epoch-overwrite idempotency as the tf-only fold;
-    same append-only doc_id assumption."""
+    consume. With `doclen_dir`, the per-doc token lengths fold too
+    (BM25's side table — docs are append-only, so each epoch's
+    lengths are final). Same epoch-overwrite idempotency as the
+    tf-only fold; same append-only doc_id assumption."""
     pos = batch_df.select(
         F.col(id_col),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
@@ -120,6 +123,19 @@ def positional_partials_batch(
     partial.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"epoch={int(epoch_id)}")
     )
+    if doclen_dir is not None:
+        from kspp_spark.functions.text import doc_lengths
+
+        doc_lengths(batch_df, id_col=id_col, text_col=text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(doclen_dir, f"epoch={int(epoch_id)}"))
+
+
+def doc_lengths_snapshot(spark, doclen_dir: str) -> DataFrame:
+    """Current doc-length table from the accumulated per-epoch folds —
+    the streaming-maintained form of functions/text.doc_lengths, fed
+    straight into bm25_indexed."""
+    return spark.read.parquet(doclen_dir).drop("epoch")
 
 
 def positional_index_stream(
@@ -128,14 +144,17 @@ def positional_index_stream(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    doclen_dir: str | None = None,
 ):
     """Wire a document stream into the positional-index fold. Returns
-    the started StreamingQuery; `positional_index_snapshot` serves the
-    current index."""
+    the started StreamingQuery; `positional_index_snapshot` (and
+    `doc_lengths_snapshot` when doclen_dir is set) serve the current
+    artifacts."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         positional_partials_batch(
-            batch_df, epoch_id, state_dir, id_col=id_col, text_col=text_col
+            batch_df, epoch_id, state_dir, id_col=id_col, text_col=text_col,
+            doclen_dir=doclen_dir,
         )
 
     return (

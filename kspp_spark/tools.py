@@ -180,25 +180,36 @@ def docs2index(
     positional index written BUCKETED BY TERM (every term-lookup join
     downstream is exchange-free) plus the doc-length side table. After
     this, phrase_search_indexed / bm25_indexed run index-only — the
-    corpus never re-tokenizes at query time."""
-    from kspp_spark.functions.text import doc_lengths, positional_index
+    corpus never re-tokenizes at query time.
+
+    The corpus tokenizes ONCE: the unpruned index is built and
+    persisted, doc lengths derive from it (dl = Σ tf per doc — every
+    token posts exactly once), and the df bounds then prune what gets
+    written. Note min_df pruning trades phrase/BM25 exactness for
+    index size — see phrase_search_indexed/bm25_indexed docstrings."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.text import positional_index
     from kspp_spark.io import write_bucketed
 
     docs = spark.read.parquet(src)
-    idx = positional_index(
-        docs, id_col=id_col, text_col=text_col, min_df=min_df, max_df=max_df
-    )
-    write_bucketed(
-        idx,
-        table="kspp_positional_index",
-        key="term",
-        buckets=buckets,
-        path=f"{dst}/postings",
-        sort_by="term",
-    )
-    doc_lengths(docs, id_col=id_col, text_col=text_col).write.mode(
-        "overwrite"
-    ).parquet(f"{dst}/doclen")
+    idx = positional_index(docs, id_col=id_col, text_col=text_col).persist()
+    try:
+        dl = idx.groupBy(id_col).agg(F.sum("tf").cast("int").alias("dl"))
+        dl.write.mode("overwrite").parquet(f"{dst}/doclen")
+        pruned = idx.filter(F.col("df") >= min_df)
+        if max_df is not None:
+            pruned = pruned.filter(F.col("df") <= max_df)
+        write_bucketed(
+            pruned,
+            table="kspp_positional_index",
+            key="term",
+            buckets=buckets,
+            path=f"{dst}/postings",
+            sort_by="term",
+        )
+    finally:
+        idx.unpersist()
 
 
 def main(argv: list[str] | None = None) -> int:

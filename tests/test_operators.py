@@ -1351,3 +1351,27 @@ def test_kmeans_clusters_and_balanced_sample(spark):
         ).collect()
     )
     assert [v for v, _ in rows1] == [v for v, _ in rows2]  # deterministic pick
+
+
+def test_scd2_lookup_join_rejects_colliding_columns(spark):
+    """A fact column sharing a name with a carried history column must
+    fail loudly with the fix, not with AMBIGUOUS_REFERENCE."""
+    import pytest
+    from datetime import datetime
+
+    from kspp_spark.operators.aggregates import scd2_history, scd2_lookup_join
+
+    chg = spark.createDataFrame(
+        [("k1", "v1", datetime(2024, 1, 1))],
+        "key string, value string, event_time timestamp",
+    )
+    hist = scd2_history(chg, key="key", value_cols=["value"])
+    facts = spark.createDataFrame(
+        [(1, "k1", "fv", datetime(2024, 6, 1))],
+        "fid int, key string, value string, event_time timestamp",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        scd2_lookup_join(facts, hist, key="key")
+    # narrowing value_cols away from the clash is the documented fix
+    ok = scd2_lookup_join(facts, hist, key="key", value_cols=[])
+    assert ok.count() == 1

@@ -1285,11 +1285,15 @@ def test_incremental_positional_index_serves_indexed_queries(spark, tmp_path):
     indexed phrase/BM25 operators run unchanged against it, and
     replaying an epoch leaves the snapshot unchanged."""
     from kspp_spark.functions.text import (
+        bm25_indexed,
+        bm25_topk,
+        doc_lengths,
         phrase_search,
         phrase_search_indexed,
         positional_index,
     )
     from kspp_spark.streaming.index_incremental import (
+        doc_lengths_snapshot,
         positional_index_snapshot,
         positional_index_stream,
         positional_partials_batch,
@@ -1297,6 +1301,7 @@ def test_incremental_positional_index_serves_indexed_queries(spark, tmp_path):
 
     in_dir = str(tmp_path / "docs")
     state = str(tmp_path / "pidx")
+    dlen = str(tmp_path / "dlen")
     ckpt = str(tmp_path / "ckpt")
     schema = "doc_id long, text string"
     b1 = [(1, "alpha beta beta gamma"), (2, "alpha gamma")]
@@ -1305,7 +1310,7 @@ def test_incremental_positional_index_serves_indexed_queries(spark, tmp_path):
 
     def run():
         src = spark.readStream.schema(schema).parquet(in_dir)
-        q = positional_index_stream(src, state, ckpt)
+        q = positional_index_stream(src, state, ckpt, doclen_dir=dlen)
         q.awaitTermination(120)
 
     run()
@@ -1333,8 +1338,26 @@ def test_incremental_positional_index_serves_indexed_queries(spark, tmp_path):
         for r in phrase_search_indexed(snap, ["beta", "gamma"]).collect()
     }
     assert direct == via and (1, 1) in via and (4, 1) in via
-    # replay idempotency
-    positional_partials_batch(spark.createDataFrame(b2, schema), 1, state)
+    # BM25 over the streaming index + streaming doc-length fold equals
+    # the direct operator over the full corpus
+    dl_snap = doc_lengths_snapshot(spark, dlen)
+    assert sorted((r.doc_id, r.dl) for r in dl_snap.collect()) == sorted(
+        (r.doc_id, r.dl) for r in doc_lengths(full).collect()
+    )
+    b_direct = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_topk(full, ["beta", "gamma"], k=4).collect()
+    ]
+    b_stream = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_indexed(snap, dl_snap, ["beta", "gamma"], k=4).collect()
+    ]
+    assert b_direct == b_stream
+    # replay idempotency (incl. the doclen fold)
+    positional_partials_batch(
+        spark.createDataFrame(b2, schema), 1, state, doclen_dir=dlen
+    )
     assert canon(positional_index_snapshot(spark, state)) == canon(
         positional_index(full)
     )
+    assert doc_lengths_snapshot(spark, dlen).count() == 4
