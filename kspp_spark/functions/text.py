@@ -910,3 +910,44 @@ def bpe_train(
             apply_bpe_merge(F.col("toks"), a, b, joiner).alias("toks")
         ).localCheckpoint(eager=True)
     return merges, toks_df
+
+
+def ngram_counts(
+    df,
+    n: int = 3,
+    text_col: str = "text",
+    min_count: int = 1,
+    joiner: str = " ",
+):
+    """Corpus-wide n-gram frequencies — the general form of
+    token_pair_counts (n=2 reproduces its pairs, space-joined):
+    contamination fingerprints, n-gram LM tables, and boilerplate
+    detection all start here.
+
+    Same plan shape as the pair counter: the n-gram strings
+    materialize inside codegen (transform over a sliding slice — no
+    posexplode self-join), explode, then ONE hash aggregation with
+    pre-aggregated partials; min_count prunes the tail in-agg.
+
+    Returns (ngram, cnt) with overlapping occurrences counted.
+    """
+    if n < 1:
+        raise ValueError("ngram_counts: n must be >= 1")
+    toks = tokenize(F.col(text_col))
+    upper = F.size(toks) - (n - 1)
+    # guard: sequence(1, 0) would generate DESCENDING [1, 0] (and a
+    # 0 start index is invalid for slice) — short docs get no n-grams
+    idx = F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
+    n_grams = F.transform(
+        idx, lambda i: F.concat_ws(joiner, F.slice(toks, i, n))
+    )
+    out = (
+        df.select(F.explode(n_grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("cnt") >= min_count)
+    return out

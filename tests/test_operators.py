@@ -1375,3 +1375,21 @@ def test_scd2_lookup_join_rejects_colliding_columns(spark):
     # narrowing value_cols away from the clash is the documented fix
     ok = scd2_lookup_join(facts, hist, key="key", value_cols=[])
     assert ok.count() == 1
+
+
+def test_ngram_counts_generalizes_pairs(spark):
+    """n=2 reproduces token_pair_counts (space-joined); n=3 counts
+    overlapping trigrams; short docs contribute nothing."""
+    from kspp_spark.functions.text import ngram_counts, token_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    pairs = {
+        f"{r.a} {r.b}": r.cnt for r in token_pair_counts(docs).collect()
+    }
+    grams2 = {r.ngram: r.cnt for r in ngram_counts(docs, n=2).collect()}
+    assert grams2 == pairs
+    grams3 = {r.ngram: r.cnt for r in ngram_counts(docs, n=3).collect()}
+    assert grams3 == {"a b c": 2, "b c a": 1, "c a b": 1}
+    assert ngram_counts(docs, n=3, min_count=2).count() == 1
