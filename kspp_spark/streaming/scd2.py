@@ -212,3 +212,56 @@ def scd2_snapshot(
     if open_set is None:
         return closed
     return closed.unionByName(open_set.select(*closed.columns))
+
+
+def scd2_enrich_stream(
+    facts_stream: DataFrame,
+    state_dir: str,
+    history_dir: str,
+    key: str | list[str],
+    sink,
+    checkpoint: str,
+    fact_time: str = "event_time",
+    seq: str | None = None,
+    value_cols: list[str] | None = None,
+    how: str = "inner",
+    broadcast_history: bool = True,
+):
+    """Streaming point-in-time enrichment: each fact micro-batch joins
+    against the CURRENT scd2 snapshot (closed history + open set) with
+    scd2_lookup_join semantics — facts pick up the dimension version
+    valid at their own event time, including versions closed long ago.
+    The composition of this module's fold (dimension side) with the
+    batch lookup operator (fact side): the dimension stream folds via
+    scd2_stream into state_dir/history_dir; the fact stream enriches
+    here.
+
+    `sink(enriched_df, epoch_id)` receives each enriched batch (write
+    it wherever the pipeline lands). Snapshot reads are per-trigger —
+    at scale, history epochs are parquet already partitioned by epoch,
+    and the broadcast keeps the fact side shuffle-free.
+
+    Returns the started StreamingQuery.
+    """
+    from kspp_spark.operators.aggregates import scd2_lookup_join
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hist = scd2_snapshot(spark, state_dir, history_dir, seq=seq)
+        enriched = scd2_lookup_join(
+            batch_df,
+            hist,
+            key=key,
+            fact_time=fact_time,
+            value_cols=value_cols,
+            how=how,
+            broadcast_history=broadcast_history,
+        )
+        sink(enriched, epoch_id)
+
+    return (
+        facts_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

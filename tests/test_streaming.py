@@ -1361,3 +1361,44 @@ def test_incremental_positional_index_serves_indexed_queries(spark, tmp_path):
         positional_index(full)
     )
     assert doc_lengths_snapshot(spark, dlen).count() == 4
+
+
+def test_scd2_enrich_stream_point_in_time(spark, tmp_path):
+    """Streaming enrichment: the dimension changelog folds via
+    scd2_stream; a fact stream then picks up the version valid at each
+    fact's OWN event time — including versions closed before the fact
+    batch ran."""
+    from kspp_spark.streaming.scd2 import scd2_enrich_stream, scd2_fold_batch
+
+    state = str(tmp_path / "state")
+    hist = str(tmp_path / "hist")
+    facts_dir = str(tmp_path / "facts")
+    ckpt = str(tmp_path / "ckpt")
+    out = {}
+
+    dim_schema = "key string, dim string, event_time timestamp"
+    b0 = spark.createDataFrame(
+        [("k1", "v1", ts(10)), ("k1", "v2", ts(20)), ("k2", "w1", ts(5))],
+        dim_schema,
+    )
+    scd2_fold_batch(b0, 0, state, hist, key="key", value_cols=["dim"])
+
+    facts = spark.createDataFrame(
+        [(1, "k1", ts(15)), (2, "k1", ts(25)), (3, "k2", ts(50))],
+        "fid int, key string, event_time timestamp",
+    )
+    facts.coalesce(1).write.mode("append").parquet(facts_dir)
+    src = spark.readStream.schema(
+        "fid int, key string, event_time timestamp"
+    ).parquet(facts_dir)
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            out[r.fid] = r.dim
+
+    q = scd2_enrich_stream(
+        src, state, hist, key="key", sink=sink, checkpoint=ckpt
+    )
+    q.awaitTermination(120)
+    # fact 1 at t15 sees v1 (closed at t20 — long before this ran)
+    assert out == {1: "v1", 2: "v2", 3: "w1"}
