@@ -348,3 +348,66 @@ def test_scd2_history_matches_replay(spark, raw):
             nxt = evs[j + 1][0] if j + 1 < len(evs) else None
             expected.append((k, t, v, nxt, nxt is None))
     assert got == sorted(expected)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_ngram_counts_matches_python_replay(spark, docs, n):
+    """ngram_counts over random token lists equals a pure-Python
+    sliding-window count (overlaps included, short docs contribute
+    nothing)."""
+    from collections import Counter
+
+    from kspp_spark.functions.text import ngram_counts
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.ngram: r.cnt for r in ngram_counts(df, n=n).collect()}
+    ref = Counter(
+        " ".join(toks[i : i + n])
+        for toks in docs
+        for i in range(len(toks) - n + 1)
+    )
+    assert got == dict(ref)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["p", "q", "r"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_lm_scores_match_python_replay(spark, docs):
+    """bigram_lm_scores equals the integer milli-probability replay
+    computed in pure Python (floor division, per-doc mean)."""
+    from collections import Counter
+
+    from kspp_spark.functions.text import bigram_lm_scores
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = [
+        (i, a, b)
+        for i, toks in enumerate(docs)
+        for a, b in zip(toks, toks[1:])
+    ]
+    cab = Counter((a, b) for _, a, b in pairs)
+    ca = Counter(a for _, a, _ in pairs)
+    expected = {}
+    for i, toks in enumerate(docs):
+        ps = list(zip(toks, toks[1:]))
+        if not ps:
+            continue
+        milli = sum((1000 * cab[(a, b)]) // ca[a] for a, b in ps)
+        expected[i] = (len(ps), milli / (1000.0 * len(ps)))
+    got = {r.doc_id: (r.n_pairs, r.score) for r in bigram_lm_scores(df).collect()}
+    assert got == expected
