@@ -930,6 +930,12 @@ def ngram_counts(
     pre-aggregated partials; min_count prunes the tail in-agg.
 
     Returns (ngram, cnt) with overlapping occurrences counted.
+
+    `joiner` must not be producible by concatenating tokens: with the
+    default single space it never is (tokenize splits on whitespace),
+    but e.g. joiner='' would alias ('ab','c') and ('a','bc') to one
+    key 'abc', silently merging their counts. Keep a separator that
+    cannot appear inside a token.
     """
     if n < 1:
         raise ValueError("ngram_counts: n must be >= 1")

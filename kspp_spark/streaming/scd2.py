@@ -176,14 +176,18 @@ def scd2_snapshot(
     epochs) plus the newest open set with valid_to NULL / is_current
     TRUE — the same schema as the batch scd2_history. Pass the same
     `seq` as the fold so its state-plumbing column is dropped."""
-    hist_epochs = _epoch_dirs(spark, history_dir)
+    # LIST ORDER MATTERS under a concurrently-running fold: state
+    # FIRST, then history. The fold writes history/epoch=N before
+    # state/epoch=N; listing history first could miss epoch N's
+    # closed intervals while the subsequent state listing already sees
+    # state N (which no longer holds them) — versions closed at N
+    # would vanish from the snapshot. Listing state first pairs state
+    # N-1 (or N) with history <= that epoch, which is always a
+    # consistent view; the e <= newest_state filter handles the
+    # crash-between-writes case the same way.
     state_epochs = _epoch_dirs(spark, state_dir)
+    hist_epochs = _epoch_dirs(spark, history_dir)
     if state_epochs:
-        # epoch alignment: the fold writes history/epoch=N BEFORE
-        # state/epoch=N, so a snapshot taken between the two (or after
-        # a crash between them) must ignore history epochs newer than
-        # the newest state snapshot — otherwise a version closed at N
-        # appears both closed (history N) and current (state N-1)
         newest_state = state_epochs[-1][0]
         hist_epochs = [(e, p) for e, p in hist_epochs if e <= newest_state]
     closed = (
@@ -236,6 +240,19 @@ def scd2_enrich_stream(
     scd2_stream into state_dir/history_dir; the fact stream enriches
     here.
 
+    CORRECTNESS PRECONDITION — the dimension stream must LEAD fact
+    event times: a fact enriched while its key's next dimension change
+    is still in flight matches the then-open version, and once the
+    sink has it there is no retraction. Operationally that means
+    delaying facts past the dimension lag (operators/stateless delay
+    or a watermark gap), exactly the reference's min_buffering
+    discipline (cluster_config.h:44-46). For the same reason a
+    checkpoint-recovery REPLAY of a fact epoch joins against the
+    snapshot at replay time, which may be newer than the original
+    attempt saw — pair this with an overwrite-by-epoch sink (the
+    module's convention) so a replay fully replaces the epoch's
+    output rather than mixing with it.
+
     `sink(enriched_df, epoch_id)` receives each enriched batch (write
     it wherever the pipeline lands). Snapshot reads are per-trigger —
     at scale, history epochs are parquet already partitioned by epoch,
@@ -247,7 +264,17 @@ def scd2_enrich_stream(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        hist = scd2_snapshot(spark, state_dir, history_dir, seq=seq)
+        try:
+            hist = scd2_snapshot(spark, state_dir, history_dir, seq=seq)
+        except ValueError:
+            # no dimension state yet (fact stream started first)
+            if batch_df.isEmpty():
+                return  # nothing to enrich, nothing lost
+            raise ValueError(
+                "scd2_enrich_stream: facts arrived before the dimension "
+                "fold produced any state — start scd2_stream first (the "
+                "dimension must lead fact event times; see docstring)"
+            )
         enriched = scd2_lookup_join(
             batch_df,
             hist,

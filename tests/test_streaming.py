@@ -1402,3 +1402,27 @@ def test_scd2_enrich_stream_point_in_time(spark, tmp_path):
     q.awaitTermination(120)
     # fact 1 at t15 sees v1 (closed at t20 — long before this ran)
     assert out == {1: "v1", 2: "v2", 3: "w1"}
+
+
+def test_scd2_enrich_stream_guards_missing_dimension(spark, tmp_path):
+    """A non-empty fact batch arriving before any dimension fold must
+    fail with the actionable start-ordering error, not an opaque
+    snapshot ValueError; an empty batch is a harmless no-op."""
+    from kspp_spark.streaming.scd2 import scd2_enrich_stream
+
+    state = str(tmp_path / "state")
+    hist = str(tmp_path / "hist")
+    facts_dir = str(tmp_path / "facts")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "k1", ts(15))], "fid int, key string, event_time timestamp"
+    ).coalesce(1).write.mode("append").parquet(facts_dir)
+    src = spark.readStream.schema(
+        "fid int, key string, event_time timestamp"
+    ).parquet(facts_dir)
+    q = scd2_enrich_stream(
+        src, state, hist, key="key", sink=lambda df, e: df.count(),
+        checkpoint=ckpt,
+    )
+    with pytest.raises(Exception, match="dimension fold"):
+        q.awaitTermination(120)
