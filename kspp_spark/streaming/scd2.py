@@ -292,3 +292,50 @@ def scd2_enrich_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_bootstrap(
+    changelog_df: DataFrame,
+    state_dir: str,
+    history_dir: str,
+    key: str | list[str],
+    value_cols: list[str],
+    event_time: str = "event_time",
+    seq: str | None = None,
+    tombstone_col: str | None = None,
+) -> None:
+    """Bootstrap the streaming fold's state from a HISTORICAL batch
+    changelog — the standard migration move when a table's past lives
+    in a warehouse and only new changes arrive on the stream: one
+    batch scd2_history pass over the full history, closed intervals
+    land in history/epoch=-1 and the open set in state/epoch=-1, so a
+    FRESH streaming checkpoint (whose first trigger is epoch 0) picks
+    the bootstrap state up through the normal strictly-before-epoch
+    read. Refuses to run over dirs that already hold epochs.
+    """
+    spark = changelog_df.sparkSession
+    if _epoch_dirs(spark, state_dir) or _epoch_dirs(spark, history_dir):
+        raise ValueError(
+            "scd2_bootstrap: state_dir/history_dir already contain epochs — "
+            "bootstrap only initializes fresh directories"
+        )
+    keys = [key] if isinstance(key, str) else list(key)
+    versioned = scd2_history(
+        changelog_df,
+        key=keys,
+        value_cols=value_cols,
+        event_time=event_time,
+        seq=seq,
+        tombstone_col=tombstone_col,
+    ).localCheckpoint(eager=True)
+    closed = versioned.filter(F.col("valid_to").isNotNull()).drop("is_current")
+    open_new = versioned.filter(F.col("valid_to").isNull()).drop(
+        "valid_to", "is_current"
+    )
+    if seq:
+        seq_src = changelog_df.groupBy(
+            *keys, F.col(event_time).alias("valid_from")
+        ).agg(F.max(seq).alias(seq))
+        open_new = open_new.join(seq_src, [*keys, "valid_from"], "left")
+    closed.write.mode("overwrite").parquet(os.path.join(history_dir, "epoch=-1"))
+    open_new.write.mode("overwrite").parquet(os.path.join(state_dir, "epoch=-1"))

@@ -1426,3 +1426,52 @@ def test_scd2_enrich_stream_guards_missing_dimension(spark, tmp_path):
     )
     with pytest.raises(Exception, match="dimension fold"):
         q.awaitTermination(120)
+
+
+def test_scd2_bootstrap_then_stream_matches_full_batch(spark, tmp_path):
+    """Bootstrap from a historical batch changelog, then fold only the
+    NEW changes through the streaming path: the snapshot equals the
+    batch scd2_history over the full (historical + new) changelog, and
+    bootstrap refuses non-fresh directories."""
+    from kspp_spark.operators.aggregates import scd2_history
+    from kspp_spark.streaming.scd2 import (
+        scd2_bootstrap,
+        scd2_fold_batch,
+        scd2_snapshot,
+    )
+
+    state = str(tmp_path / "state")
+    hist = str(tmp_path / "hist")
+    schema = "key string, value string, event_time timestamp"
+    historical = [
+        ("a", "v1", ts(1)), ("a", "v2", ts(10)), ("b", "w1", ts(5)),
+    ]
+    new = [("a", "v3", ts(20)), ("c", "x1", ts(21))]
+    scd2_bootstrap(
+        spark.createDataFrame(historical, schema), state, hist,
+        key="key", value_cols=["value"],
+    )
+    # a fresh streaming checkpoint starts at epoch 0 and reads the
+    # bootstrap (epoch=-1) through the strictly-before rule
+    scd2_fold_batch(
+        spark.createDataFrame(new, schema), 0, state, hist,
+        key="key", value_cols=["value"],
+    )
+    snap = scd2_snapshot(spark, state, hist)
+    full = scd2_history(
+        spark.createDataFrame(historical + new, schema),
+        key="key", value_cols=["value"],
+    )
+
+    def canon(df):
+        return sorted(
+            (r.key, r.value, r.valid_from, r.valid_to, r.is_current)
+            for r in df.collect()
+        )
+
+    assert canon(snap) == canon(full)
+    with pytest.raises(ValueError, match="fresh"):
+        scd2_bootstrap(
+            spark.createDataFrame(historical, schema), state, hist,
+            key="key", value_cols=["value"],
+        )
