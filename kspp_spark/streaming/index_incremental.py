@@ -188,3 +188,42 @@ def positional_index_snapshot(
         dfreq = dfreq.filter(F.col("df") <= max_df)
     out = partials.join(dfreq, "term")
     return out.select("term", id_col, "tf", "df", "positions")
+
+
+def index_bootstrap(
+    corpus_df: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    positional: bool = False,
+    doclen_dir: str | None = None,
+) -> None:
+    """Bootstrap the incremental index from an EXISTING corpus (same
+    epoch=-1 convention as the scd2/rollup bootstraps): one batch
+    tokenize pass lands as the epoch=-1 partial; a fresh stream's
+    epochs then accumulate on top through the normal merge-on-read
+    snapshot. positional=True writes the positional partials (and the
+    doc-length fold when doclen_dir is set). Refuses non-fresh
+    directories; the append-only doc_id assumption extends across the
+    bootstrap boundary (streamed docs must be NEW doc_ids)."""
+    spark = corpus_df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath) and any(
+        st.getPath().getName().startswith("epoch=")
+        for st in fs.listStatus(jpath)
+    ):
+        raise ValueError(
+            "index_bootstrap: state_dir already contains epochs — "
+            "bootstrap only initializes fresh directories"
+        )
+    if positional:
+        positional_partials_batch(
+            corpus_df, -1, state_dir, id_col=id_col, text_col=text_col,
+            doclen_dir=doclen_dir,
+        )
+    else:
+        index_partials_batch(
+            corpus_df, -1, state_dir, id_col=id_col, text_col=text_col
+        )

@@ -108,3 +108,36 @@ def rollup_snapshot(
     for f in frames[1:]:
         result = result.unionByName(f)
     return result
+
+
+def rollup_bootstrap(
+    history_df: DataFrame,
+    state_dir: str,
+    event_time: str,
+    keys: list[str],
+    measures: dict[str, tuple[str, str]],
+    grain: str = "hour",
+) -> None:
+    """Bootstrap the continuous rollup from HISTORICAL data (the
+    warehouse-to-stream migration move, same epoch=-1 convention as
+    streaming/scd2.scd2_bootstrap): one finest-grain aggregation over
+    the history lands as the epoch=-1 partial; a fresh stream's
+    epochs (0, 1, ...) then merge with it through the normal
+    snapshot re-aggregation — exact for decomposable measures even
+    when history and stream overlap a window. Refuses non-fresh
+    directories."""
+    spark = history_df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath) and any(
+        st.getPath().getName().startswith("epoch=")
+        for st in fs.listStatus(jpath)
+    ):
+        raise ValueError(
+            "rollup_bootstrap: state_dir already contains epochs — "
+            "bootstrap only initializes fresh directories"
+        )
+    rollup_partials_batch(
+        history_df, -1, state_dir, event_time, keys, measures, grain
+    )

@@ -1475,3 +1475,92 @@ def test_scd2_bootstrap_then_stream_matches_full_batch(spark, tmp_path):
             spark.createDataFrame(historical, schema), state, hist,
             key="key", value_cols=["value"],
         )
+
+
+def test_rollup_bootstrap_then_stream_matches_batch_cascade(spark, tmp_path):
+    """Historical data bootstraps the continuous rollup at epoch=-1;
+    streamed epochs merge on top — the snapshot equals the batch
+    cascade over history + stream, including an overlapping window."""
+    from kspp_spark.operators.aggregates import cascade_rollup
+    from kspp_spark.streaming.rollup import (
+        rollup_bootstrap,
+        rollup_partials_batch,
+        rollup_snapshot,
+    )
+
+    state = str(tmp_path / "partials")
+    measures = {"n": ("value", "count"), "total": ("value", "sum")}
+    hist_rows = [("a", 1, ts(1)), ("a", 2, ts(2)), ("b", 5, ts(40))]
+    new_rows = [("a", 3, ts(3)), ("b", 7, ts(50))]  # same windows again
+    rollup_bootstrap(
+        spark.createDataFrame(hist_rows, SCHEMA), state, "event_time",
+        ["key"], measures, "minute",
+    )
+    rollup_partials_batch(
+        spark.createDataFrame(new_rows, SCHEMA), 0, state, "event_time",
+        ["key"], measures, "minute",
+    )
+    snap = rollup_snapshot(spark, state, ["key"], measures, ("minute", "hour"))
+    full = cascade_rollup(
+        spark.createDataFrame(hist_rows + new_rows, SCHEMA), "event_time",
+        ["key"], measures, ("minute", "hour"),
+    )
+
+    def canon(df):
+        return sorted(
+            (r.grain, r.window_start, r.key, r.n, r.total) for r in df.collect()
+        )
+
+    assert canon(snap) == canon(full)
+    with pytest.raises(ValueError, match="fresh"):
+        rollup_bootstrap(
+            spark.createDataFrame(hist_rows, SCHEMA), state, "event_time",
+            ["key"], measures, "minute",
+        )
+
+
+def test_index_bootstrap_then_stream_matches_batch(spark, tmp_path):
+    """A corpus bootstraps the incremental index at epoch=-1; streamed
+    docs accumulate on top — snapshots equal the batch builders over
+    the union, for both the tf-only and positional forms."""
+    from kspp_spark.functions.text import inverted_index, positional_index
+    from kspp_spark.streaming.index_incremental import (
+        index_bootstrap,
+        index_partials_batch,
+        index_snapshot,
+        positional_index_snapshot,
+        positional_partials_batch,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = [(1, "alpha beta beta"), (2, "alpha gamma")]
+    streamed = [(3, "beta gamma alpha")]
+    full = spark.createDataFrame(corpus + streamed, schema)
+
+    s1 = str(tmp_path / "idx")
+    index_bootstrap(spark.createDataFrame(corpus, schema), s1)
+    index_partials_batch(spark.createDataFrame(streamed, schema), 0, s1)
+    got = sorted(
+        (r.term, r.df, r.n_occ, r.postings)
+        for r in index_snapshot(spark, s1, min_df=2).collect()
+    )
+    want = sorted(
+        (r.term, r.df, r.n_occ, r.postings)
+        for r in inverted_index(full, min_df=2).collect()
+    )
+    assert got == want
+
+    s2 = str(tmp_path / "pidx")
+    index_bootstrap(spark.createDataFrame(corpus, schema), s2, positional=True)
+    positional_partials_batch(spark.createDataFrame(streamed, schema), 0, s2)
+    got_p = sorted(
+        (r.term, r.doc_id, r.tf, r.df, tuple(r.positions))
+        for r in positional_index_snapshot(spark, s2).collect()
+    )
+    want_p = sorted(
+        (r.term, r.doc_id, r.tf, r.df, tuple(r.positions))
+        for r in positional_index(full).collect()
+    )
+    assert got_p == want_p
+    with pytest.raises(ValueError, match="fresh"):
+        index_bootstrap(spark.createDataFrame(corpus, schema), s2)
