@@ -450,12 +450,16 @@ def bm25_topk(
     # top-k via orderBy+limit (TakeOrderedAndProject: bounded per-task
     # heaps, no global sort/window over every matching doc — the same
     # plan contract as the repo's other top-k operators); the rank
-    # window then runs over k rows only. Partitioning the window by a
-    # constant keeps the identical single-partition semantics but
-    # silences WindowExec's "No Partition Defined" warning, which would
-    # otherwise train operators to ignore the real instances.
+    # window then runs over k rows only. The window partitions on
+    # pmod(xxhash64(id), 1) — always 0, so single-partition semantics
+    # are unchanged, but unlike a bare F.lit(0) (which constant-folds
+    # out of the partition spec) the expression survives to WindowExec
+    # and the "No Partition Defined" warning stays silent, so the real
+    # instances of that warning keep their signal.
     top = total.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
-    w = W.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col(id_col))
+    w = W.partitionBy(F.pmod(F.xxhash64(id_col), F.lit(1))).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", "rank"
     )
@@ -702,8 +706,13 @@ def bm25_indexed(
             F.lit(0.0),
         ).alias("score"),
     )
+    # same non-foldable constant partition as bm25_topk: single-
+    # partition semantics over the <=k post-limit rows, without the
+    # spurious WindowExec warning
     top = total.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
-    w = W.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col(id_col))
+    w = W.partitionBy(F.pmod(F.xxhash64(id_col), F.lit(1))).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", "rank"
     )

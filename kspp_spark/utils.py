@@ -11,6 +11,7 @@ path.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 
@@ -18,8 +19,9 @@ from dataclasses import dataclass
 class ClusterUri:
     """scheme://authority[/path] where authority is a comma-separated
     host:port list (IPv6 hosts in brackets). Scheme is lowercased;
-    whitespace inside the authority list is stripped
-    (test7_cluster_uri.cpp: "a, b ,c" -> "a,b,c")."""
+    ALL whitespace inside the authority is erased, even mid-element
+    (cluster_uri.cpp:23 remove_if(isspace): "a b, c" -> "ab,c";
+    test7_cluster_uri.cpp: "a, b ,c" -> "a,b,c")."""
 
     scheme: str
     authority: str
@@ -47,8 +49,12 @@ class ClusterUri:
                 split_at = i
                 break
         authority_raw, path = rest[:split_at], rest[split_at:]
+        # the reference erases ALL whitespace inside the authority
+        # (cluster_uri.cpp:23 remove_if(isspace)), not just around the
+        # comma-separated elements: "a b,c" -> "ab,c"
+        authority_raw = re.sub(r"\s+", "", authority_raw)
         authority = ",".join(
-            part.strip() for part in authority_raw.split(",") if part.strip()
+            part for part in authority_raw.split(",") if part
         )
         if not authority:
             return None
