@@ -1734,6 +1734,59 @@ def q_positional_index(spark, sf_dir):
     )
 
 
+def q_positional_index_folded(spark, sf_dir):
+    """CHANGELOG-folded positional index: the corpus bootstraps the
+    incremental fold at epoch=-1 with every doc_id%7==0 doc holding a
+    STALE placeholder text, then one changelog epoch UPDATES those
+    docs to their true text and TOMBSTONES (NULL text) the
+    doc_id%11==0 docs (mod-7 ones excluded so no doc both updates and
+    deletes in one epoch) — exercising the latest-epoch-wins merge's
+    supersede and delete paths across the bootstrap boundary
+    (krecord.h:23-25 tombstone rule, mem_store.h:64-83 LWW). The
+    served snapshot must equal a fresh batch positional_index over
+    the corpus's final logical state — exactly what the oracle
+    computes with a plain WHERE. The snapshot localCheckpoints before
+    the temp fold-state dir is removed, so the returned frame is
+    self-contained."""
+    import shutil
+    import tempfile
+
+    from kspp_spark.streaming.index_incremental import (
+        index_bootstrap,
+        positional_index_snapshot,
+        positional_partials_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stale = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("stale placeholder content")
+        ).otherwise(F.col("text")),
+    )
+    updates = docs.filter(F.col("doc_id") % 7 == 0)
+    tombstones = docs.filter(
+        (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0)
+    ).select("doc_id", F.lit(None).cast("string").alias("text"))
+    state = tempfile.mkdtemp(prefix="kspp_idx_fold_")
+    try:
+        index_bootstrap(stale, state, positional=True)
+        positional_partials_batch(updates.unionByName(tombstones), 0, state)
+        snap = positional_index_snapshot(spark, state, min_df=2)
+        out = snap.select(
+            "term",
+            "doc_id",
+            "tf",
+            "df",
+            F.concat_ws(
+                ",", F.transform(F.col("positions"), lambda x: x.cast("string"))
+            ).alias("positions"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return out
+
+
 def q_phrase_search_indexed(spark, sf_dir):
     """Index-only phrase search: the positional index (built in-plan
     here; in production read back from its bucketed parquet — plan
@@ -2216,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         # -- never driver-graded: round-5 additions (indexed retrieval + SCD2 lookup) --
         "positional_index": q_positional_index,
+        "positional_index_folded": q_positional_index_folded,
         "phrase_search_indexed": q_phrase_search_indexed,
         "bm25_indexed": q_bm25_indexed,
         "scd2_lookup": q_scd2_lookup,
@@ -3701,6 +3755,26 @@ def oracle_sql() -> dict[str, str]:
             WITH pos AS (
                 SELECT doc_id, toks[p] AS term, p - 1 AS pos
                 FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents) d,
+                     unnest(range(1, len(toks) + 1)) t(p)
+            ),
+            td AS (
+                SELECT term, doc_id, COUNT(*) AS tf,
+                       array_to_string(list_sort(list(pos)), ',') AS positions
+                FROM pos GROUP BY 1, 2
+            )
+            SELECT term, doc_id, tf, df, positions FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM td
+            ) WHERE df >= 2
+        """,
+        # changelog-folded index replay: the fold's final logical
+        # corpus (updates supersede, tombstones delete) is a plain
+        # WHERE over documents — a correct changelog merge is
+        # indistinguishable from a fresh batch index over it
+        "positional_index_folded": f"""
+            WITH pos AS (
+                SELECT doc_id, toks[p] AS term, p - 1 AS pos
+                FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents
+                      WHERE (doc_id % 11 <> 0 OR doc_id % 7 = 0)) d,
                      unnest(range(1, len(toks) + 1)) t(p)
             ),
             td AS (

@@ -1,20 +1,43 @@
-"""Incremental inverted-index maintenance for document streams.
+"""Incremental inverted-index maintenance for document CHANGELOGS.
 
 The streaming face of functions/text.inverted_index, on the same
 epoch-idempotent fold convention as streaming/rollup and
 streaming/scd2: each micro-batch writes its own (term, doc_id, tf)
 partial postings under epoch=<id> (overwrite => checkpoint-recovery
 replays are safe); the queryable index materializes on read by
-merging partials — counts sum, posting lists union — so per-trigger
-work is O(batch), never a re-tokenization of the accumulated corpus.
+merging partials — so per-trigger work is O(batch), never a
+re-tokenization of the accumulated corpus.
 
-Assumes an append-only document stream (each doc_id ingested once) —
-the standard corpus-building shape. Re-ingesting a doc_id would sum
-its term frequencies twice; route updates through a dedup stage
-(streaming/core.dedup_stream) first.
+CHANGELOG SEMANTICS (krecord.h:23-25 — NULL value = tombstone;
+mem_store.h:64-83 — last write wins per key): a re-emitted doc_id
+SUPERSEDES its older postings, and a tombstone (NULL text) REMOVES
+them. The mechanism is latest-epoch-wins per doc_id:
+
+- every epoch writes, besides its postings, one SENTINEL row
+  (term NULL, tf 0) per doc_id the batch touched — so tombstoned and
+  empty documents still register their presence in that epoch;
+- the snapshot keeps only each doc's newest epoch's rows (a per-doc
+  max-epoch map — (doc_id, int) pairs, orders of magnitude smaller
+  than the postings — joined back on doc_id), then drops sentinels.
+  A deleted doc's newest epoch holds only its sentinel => no
+  postings survive; an updated doc's older postings lose the
+  max-epoch comparison. df counts and posting lists are computed
+  AFTER superseding, so they never count ghosts.
+
+A doc_id must appear at most once per micro-batch (the standard
+compacted-changelog shape); pass `seq_col` to let the fold resolve
+within-batch collisions last-write-wins by that column instead.
+
+Scale shape: per trigger, only the batch tokenizes; on read, only
+integer/term triples shuffle (text never does), and the doc->epoch
+map is a tiny aggregate the join side can broadcast. Snapshot cost
+grows with the number of retained epochs — `compact_index_state`
+rewrites the accumulated fold as a single epoch when triggers pile
+up.
 
 Reference: no kspp equivalent — beyond-reference north-star operator
-(the retrieval complement of the BM25/keyword-search surface).
+(the retrieval complement of the BM25/keyword-search surface), with
+delete/update propagation matching the reference's table semantics.
 """
 
 from __future__ import annotations
@@ -24,6 +47,35 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from kspp_spark.functions.text import tokenize
+from kspp_spark.streaming.scd2 import _epoch_dirs
+
+
+def _guard_epoch_monotonic(spark, state_dir: str, epoch_id: int, what: str) -> None:
+    """Refuse a fold whose state already holds epochs NEWER than the
+    current trigger: that means the checkpoint was reset against a
+    retained state_dir, and folding would silently mix stale epochs
+    into every merge-on-read snapshot (same loud refusal as
+    scd2_fold_batch; replays of the CURRENT epoch remain fine — they
+    overwrite their own directory)."""
+    if any(e > int(epoch_id) for e, _ in _epoch_dirs(spark, state_dir)):
+        raise ValueError(
+            f"{what}: state_dir contains epochs newer than the current "
+            "trigger — the checkpoint was reset against an existing "
+            "state directory. Resume with the original checkpoint, or "
+            "fold into a fresh directory."
+        )
+
+
+def _lww_batch(batch_df: DataFrame, id_col: str, text_col: str, seq_col: str | None):
+    """Resolve within-batch doc_id collisions last-write-wins by
+    seq_col (max_by — the mem_store LWW rule applied inside one
+    trigger). Without seq_col the batch is trusted to be compacted
+    (one row per doc_id)."""
+    if seq_col is None:
+        return batch_df
+    return batch_df.groupBy(id_col).agg(
+        F.max_by(F.col(text_col), F.col(seq_col)).alias(text_col)
+    )
 
 
 def index_partials_batch(
@@ -32,14 +84,26 @@ def index_partials_batch(
     state_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seq_col: str | None = None,
 ) -> None:
     """foreachBatch body: tokenize ONLY the micro-batch and write its
-    (term, doc_id, tf) partial postings under epoch=<id>."""
-    toks = batch_df.select(
+    (term, doc_id, tf) partial postings under epoch=<id>, plus one
+    NULL-term sentinel per touched doc_id (the changelog presence
+    marker — see module docstring)."""
+    _guard_epoch_monotonic(
+        batch_df.sparkSession, state_dir, epoch_id, "index_partials_batch"
+    )
+    batch = _lww_batch(batch_df, id_col, text_col, seq_col)
+    toks = batch.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
     )
     partial = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-    partial.write.mode("overwrite").parquet(
+    sentinels = batch.select(
+        F.lit(None).cast("string").alias("term"),
+        F.col(id_col),
+        F.lit(0).cast("long").alias("tf"),
+    )
+    partial.unionByName(sentinels).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"epoch={int(epoch_id)}")
     )
 
@@ -50,13 +114,16 @@ def index_stream(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seq_col: str | None = None,
 ):
-    """Wire a document stream into the index fold. Returns the started
-    StreamingQuery; `index_snapshot` serves the current index."""
+    """Wire a document changelog into the index fold. Returns the
+    started StreamingQuery; `index_snapshot` serves the current
+    index."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         index_partials_batch(
-            batch_df, epoch_id, state_dir, id_col=id_col, text_col=text_col
+            batch_df, epoch_id, state_dir, id_col=id_col, text_col=text_col,
+            seq_col=seq_col,
         )
 
     return (
@@ -64,6 +131,25 @@ def index_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _live_rows(spark, state_dir: str, id_col: str) -> DataFrame:
+    """Latest-epoch-wins merge of the accumulated partials: keep each
+    doc's newest epoch's rows, drop the sentinels. The doc->epoch map
+    is a tiny (id, int) aggregate; the join back is an equi-join on
+    the id (AQE broadcasts the map side at moderate scale)."""
+    partials = spark.read.parquet(state_dir)
+    latest = partials.groupBy(F.col(id_col).alias("_lid")).agg(
+        F.max("epoch").alias("_e")
+    )
+    return (
+        partials.join(
+            latest,
+            (F.col(id_col) == F.col("_lid")) & (F.col("epoch") == F.col("_e")),
+        )
+        .drop("_lid", "_e", "epoch")
+        .filter(F.col("term").isNotNull())
     )
 
 
@@ -76,9 +162,11 @@ def index_snapshot(
 ) -> DataFrame:
     """Current inverted index from the accumulated partials — same
     schema and vocabulary bounds as the batch inverted_index:
-    (term, df, n_occ, postings)."""
-    partials = spark.read.parquet(state_dir).drop("epoch")
-    agg = partials.groupBy("term").agg(
+    (term, df, n_occ, postings). Superseded and tombstoned documents
+    are invisible: df/n_occ/postings are computed after the
+    latest-epoch-wins merge."""
+    live = _live_rows(spark, state_dir, id_col)
+    agg = live.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("n_occ"),
         F.sort_array(F.collect_list(F.col(id_col))).alias("_postings"),
@@ -103,16 +191,25 @@ def positional_partials_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     doclen_dir: str | None = None,
+    seq_col: str | None = None,
 ) -> None:
     """foreachBatch body for the POSITIONAL index: tokenize only the
     micro-batch and write its (term, doc_id, tf, positions) partial
     postings under epoch=<id> — the streaming producer of the
     positional_index artifact phrase_search_indexed / bm25_indexed
-    consume. With `doclen_dir`, the per-doc token lengths fold too
-    (BM25's side table — docs are append-only, so each epoch's
-    lengths are final). Same epoch-overwrite idempotency as the
-    tf-only fold; same append-only doc_id assumption."""
-    pos = batch_df.select(
+    consume — plus the NULL-term sentinel per touched doc (changelog
+    presence marker). With `doclen_dir`, the per-doc token lengths
+    fold too (BM25's side table): every touched doc writes its length
+    each epoch (0 for tombstones), and the snapshot takes the newest.
+    Same epoch-overwrite idempotency as the tf-only fold."""
+    spark = batch_df.sparkSession
+    _guard_epoch_monotonic(spark, state_dir, epoch_id, "positional_partials_batch")
+    if doclen_dir is not None:
+        _guard_epoch_monotonic(
+            spark, doclen_dir, epoch_id, "positional_partials_batch(doclen)"
+        )
+    batch = _lww_batch(batch_df, id_col, text_col, seq_col)
+    pos = batch.select(
         F.col(id_col),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
     )
@@ -120,22 +217,49 @@ def positional_partials_batch(
         F.count(F.lit(1)).alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
-    partial.write.mode("overwrite").parquet(
+    sentinels = batch.select(
+        F.lit(None).cast("string").alias("term"),
+        F.col(id_col),
+        F.lit(0).cast("long").alias("tf"),
+        F.array().cast("array<int>").alias("positions"),
+    )
+    partial.unionByName(sentinels).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"epoch={int(epoch_id)}")
     )
     if doclen_dir is not None:
-        from kspp_spark.functions.text import doc_lengths
-
-        doc_lengths(batch_df, id_col=id_col, text_col=text_col).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(doclen_dir, f"epoch={int(epoch_id)}"))
+        # directly (not via text.doc_lengths, which drops dl=0 rows):
+        # tombstoned/empty docs must register a 0 length so their
+        # stale lengths lose the latest-epoch-wins merge
+        lengths = batch.select(
+            F.col(id_col),
+            F.coalesce(
+                F.size(tokenize(F.col(text_col))), F.lit(0)
+            ).cast("long").alias("dl"),
+        )
+        lengths.write.mode("overwrite").parquet(
+            os.path.join(doclen_dir, f"epoch={int(epoch_id)}")
+        )
 
 
 def doc_lengths_snapshot(spark, doclen_dir: str) -> DataFrame:
     """Current doc-length table from the accumulated per-epoch folds —
     the streaming-maintained form of functions/text.doc_lengths, fed
-    straight into bm25_indexed."""
-    return spark.read.parquet(doclen_dir).drop("epoch")
+    straight into bm25_indexed. Latest-epoch-wins per doc; dl=0 rows
+    (tombstoned/empty docs) drop out, matching the batch operator's
+    dl > 0 contract."""
+    lengths = spark.read.parquet(doclen_dir)
+    id_col = lengths.columns[0]  # partials write (id_col, dl) + epoch
+    latest = lengths.groupBy(F.col(id_col).alias("_lid")).agg(
+        F.max("epoch").alias("_e")
+    )
+    return (
+        lengths.join(
+            latest,
+            (F.col(id_col) == F.col("_lid")) & (F.col("epoch") == F.col("_e")),
+        )
+        .drop("_lid", "_e", "epoch")
+        .filter(F.col("dl") > 0)
+    )
 
 
 def positional_index_stream(
@@ -145,16 +269,17 @@ def positional_index_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     doclen_dir: str | None = None,
+    seq_col: str | None = None,
 ):
-    """Wire a document stream into the positional-index fold. Returns
-    the started StreamingQuery; `positional_index_snapshot` (and
-    `doc_lengths_snapshot` when doclen_dir is set) serve the current
-    artifacts."""
+    """Wire a document changelog into the positional-index fold.
+    Returns the started StreamingQuery; `positional_index_snapshot`
+    (and `doc_lengths_snapshot` when doclen_dir is set) serve the
+    current artifacts."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         positional_partials_batch(
             batch_df, epoch_id, state_dir, id_col=id_col, text_col=text_col,
-            doclen_dir=doclen_dir,
+            doclen_dir=doclen_dir, seq_col=seq_col,
         )
 
     return (
@@ -176,17 +301,19 @@ def positional_index_snapshot(
     exact schema of the batch functions/text.positional_index
     ((term, doc_id, tf, df, positions)), so the indexed query
     operators run unchanged against a streaming-maintained index.
-    Since docs are append-only, each (term, doc) lives in exactly one
-    epoch: the merge is a per-term df count joined back (plain join —
-    AQE broadcasts the tiny df side, so the position arrays never
-    re-shuffle; same plan shape as the batch positional_index)."""
-    partials = spark.read.parquet(state_dir).drop("epoch")
-    dfreq = partials.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    The latest-epoch-wins merge supersedes updated docs and erases
+    tombstoned ones BEFORE df counts, so the served index equals a
+    fresh batch index over the corpus's current logical state. The
+    merge joins only the tiny doc->epoch map; the df side broadcasts
+    via AQE, so the position arrays never re-shuffle (same plan shape
+    as the batch positional_index)."""
+    live = _live_rows(spark, state_dir, id_col)
+    dfreq = live.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
-    out = partials.join(dfreq, "term")
+    out = live.join(dfreq, "term")
     return out.select("term", id_col, "tf", "df", "positions")
 
 
@@ -204,20 +331,20 @@ def index_bootstrap(
     epochs then accumulate on top through the normal merge-on-read
     snapshot. positional=True writes the positional partials (and the
     doc-length fold when doclen_dir is set). Refuses non-fresh
-    directories; the append-only doc_id assumption extends across the
-    bootstrap boundary (streamed docs must be NEW doc_ids)."""
+    directories — BOTH state_dir and doclen_dir (a doclen_dir with
+    retained epochs would shadow the bootstrap lengths and skew
+    BM25's N/avgdl). Streamed doc_ids may update or tombstone
+    bootstrapped ones — the changelog merge supersedes across the
+    bootstrap boundary like any other epoch."""
     spark = corpus_df.sparkSession
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(state_dir)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(jpath) and any(
-        st.getPath().getName().startswith("epoch=")
-        for st in fs.listStatus(jpath)
+    for d, label in [(state_dir, "state_dir")] + (
+        [(doclen_dir, "doclen_dir")] if doclen_dir is not None else []
     ):
-        raise ValueError(
-            "index_bootstrap: state_dir already contains epochs — "
-            "bootstrap only initializes fresh directories"
-        )
+        if _epoch_dirs(spark, d):
+            raise ValueError(
+                f"index_bootstrap: {label} already contains epochs — "
+                "bootstrap only initializes fresh directories"
+            )
     if positional:
         positional_partials_batch(
             corpus_df, -1, state_dir, id_col=id_col, text_col=text_col,
@@ -227,3 +354,28 @@ def index_bootstrap(
         index_partials_batch(
             corpus_df, -1, state_dir, id_col=id_col, text_col=text_col
         )
+
+
+def compact_index_state(
+    spark,
+    state_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    positional: bool = True,
+) -> None:
+    """Rewrite an accumulated fold as a single epoch=-1 partial in a
+    FRESH out_dir: the latest-epoch-wins merge runs once at compaction
+    instead of on every snapshot read, and dropped/superseded postings
+    physically disappear. Point the stream at out_dir with a fresh
+    checkpoint afterwards (the epoch guard enforces the fresh-dir
+    discipline)."""
+    if _epoch_dirs(spark, out_dir):
+        raise ValueError(
+            "compact_index_state: out_dir already contains epochs — "
+            "compaction writes a fresh directory"
+        )
+    live = _live_rows(spark, state_dir, id_col)
+    cols = ["term", id_col, "tf"] + (["positions"] if positional else [])
+    live.select(*cols).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "epoch=-1")
+    )

@@ -44,7 +44,24 @@ def rollup_partials_batch(
 ) -> None:
     """foreachBatch body: aggregate the micro-batch to finest-grain
     partials and write them under epoch=<id> (overwrite => replay-
-    idempotent)."""
+    idempotent). Refuses to fold when state_dir already holds epochs
+    NEWER than this trigger — a reset checkpoint against retained
+    state would overwrite epoch=0 while older epochs survive, mixing
+    stale and new partials into every snapshot (same loud refusal as
+    scd2_fold_batch; a replay of the CURRENT epoch overwrites its own
+    directory and stays fine)."""
+    from kspp_spark.streaming.scd2 import _epoch_dirs
+
+    if any(
+        e > int(epoch_id)
+        for e, _ in _epoch_dirs(batch_df.sparkSession, state_dir)
+    ):
+        raise ValueError(
+            "rollup_partials_batch: state_dir contains epochs newer than "
+            "the current trigger — the checkpoint was reset against an "
+            "existing state directory. Resume with the original "
+            "checkpoint, or fold into a fresh directory."
+        )
     first_aggs, _ = rollup_agg_exprs(measures)
     partials = batch_df.groupBy(
         F.date_trunc(grain, F.col(event_time)).alias("window_start"), *keys

@@ -1564,3 +1564,275 @@ def test_index_bootstrap_then_stream_matches_batch(spark, tmp_path):
     assert got_p == want_p
     with pytest.raises(ValueError, match="fresh"):
         index_bootstrap(spark.createDataFrame(corpus, schema), s2)
+
+
+def test_incremental_index_changelog_update_and_delete(spark, tmp_path):
+    """Changelog semantics (krecord.h:23-25 tombstones, mem_store LWW):
+    a re-emitted doc_id supersedes its older postings, a NULL-text
+    tombstone removes them, and an update-to-empty erases postings —
+    for BOTH the tf-only and positional folds. The folded snapshots
+    equal fresh batch indexes over the corpus's final logical state,
+    and the indexed phrase/BM25 operators agree with the direct ones."""
+    from kspp_spark.functions.text import (
+        bm25_indexed,
+        bm25_topk,
+        inverted_index,
+        phrase_search,
+        phrase_search_indexed,
+        positional_index,
+    )
+    from kspp_spark.streaming.index_incremental import (
+        doc_lengths_snapshot,
+        index_partials_batch,
+        index_snapshot,
+        positional_index_snapshot,
+        positional_partials_batch,
+    )
+
+    schema = "doc_id long, text string"
+    b0 = [
+        (1, "alpha beta beta gamma"),
+        (2, "alpha gamma STALE stale"),  # superseded in b1
+        (3, "delta delta beta"),  # tombstoned in b1
+        (4, "beta gamma alpha beta"),
+        (5, "shortlived words"),  # updated to empty in b1
+    ]
+    b1 = [
+        (2, "alpha gamma beta"),  # update: STALE terms must vanish
+        (3, None),  # tombstone: all postings must vanish
+        (5, ""),  # empty update: all postings must vanish
+        (6, "gamma beta alpha"),  # plain append
+    ]
+    # final logical corpus after the changelog
+    final = [
+        (1, "alpha beta beta gamma"),
+        (2, "alpha gamma beta"),
+        (4, "beta gamma alpha beta"),
+        (6, "gamma beta alpha"),
+    ]
+    full = spark.createDataFrame(final, schema)
+
+    # tf-only fold
+    s1 = str(tmp_path / "idx")
+    index_partials_batch(spark.createDataFrame(b0, schema), 0, s1)
+    index_partials_batch(spark.createDataFrame(b1, schema), 1, s1)
+
+    def canon_i(df):
+        return sorted((r.term, r.df, r.n_occ, r.postings) for r in df.collect())
+
+    assert canon_i(index_snapshot(spark, s1, min_df=1)) == canon_i(
+        inverted_index(full, min_df=1)
+    )
+    # no ghost of the stale/tombstoned terms anywhere
+    terms = {r.term for r in index_snapshot(spark, s1, min_df=1).collect()}
+    assert "stale" not in terms and "delta" not in terms
+    assert "shortlived" not in terms
+    # replay idempotency: re-folding the last epoch changes nothing
+    index_partials_batch(spark.createDataFrame(b1, schema), 1, s1)
+    assert canon_i(index_snapshot(spark, s1, min_df=1)) == canon_i(
+        inverted_index(full, min_df=1)
+    )
+
+    # positional fold + doclen fold
+    s2 = str(tmp_path / "pidx")
+    dlen = str(tmp_path / "dlen")
+    positional_partials_batch(
+        spark.createDataFrame(b0, schema), 0, s2, doclen_dir=dlen
+    )
+    positional_partials_batch(
+        spark.createDataFrame(b1, schema), 1, s2, doclen_dir=dlen
+    )
+
+    def canon_p(df):
+        return sorted(
+            (r.term, r.doc_id, r.tf, r.df, tuple(r.positions))
+            for r in df.collect()
+        )
+
+    snap = positional_index_snapshot(spark, s2)
+    assert canon_p(snap) == canon_p(positional_index(full))
+    # doc lengths: superseded lengths replaced, tombstoned/empty gone
+    dl_snap = doc_lengths_snapshot(spark, dlen)
+    assert sorted((r.doc_id, r.dl) for r in dl_snap.collect()) == [
+        (1, 4), (2, 3), (4, 4), (6, 3),
+    ]
+    # indexed operators over the folded index == direct over final corpus
+    direct = {
+        (r.doc_id, r.n_matches)
+        for r in phrase_search(full, ["gamma", "beta"]).collect()
+    }
+    via = {
+        (r.doc_id, r.n_matches)
+        for r in phrase_search_indexed(snap, ["gamma", "beta"]).collect()
+    }
+    assert direct == via
+    b_direct = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_topk(full, ["beta", "gamma"], k=4).collect()
+    ]
+    b_stream = [
+        (r.doc_id, r.score, r.rank)
+        for r in bm25_indexed(snap, dl_snap, ["beta", "gamma"], k=4).collect()
+    ]
+    assert b_direct == b_stream
+
+
+def test_incremental_index_changelog_across_bootstrap(spark, tmp_path):
+    """The changelog merge supersedes across the epoch=-1 bootstrap
+    boundary: streamed updates/tombstones override bootstrapped docs."""
+    from kspp_spark.functions.text import positional_index
+    from kspp_spark.streaming.index_incremental import (
+        index_bootstrap,
+        positional_index_snapshot,
+        positional_partials_batch,
+    )
+
+    schema = "doc_id long, text string"
+    corpus = [(1, "alpha beta"), (2, "old words here"), (3, "beta gamma")]
+    changes = [(2, "alpha beta gamma"), (3, None)]
+    final = [(1, "alpha beta"), (2, "alpha beta gamma")]
+
+    s = str(tmp_path / "pidx")
+    index_bootstrap(spark.createDataFrame(corpus, schema), s, positional=True)
+    positional_partials_batch(spark.createDataFrame(changes, schema), 0, s)
+
+    def canon(df):
+        return sorted(
+            (r.term, r.doc_id, r.tf, r.df, tuple(r.positions))
+            for r in df.collect()
+        )
+
+    assert canon(positional_index_snapshot(spark, s)) == canon(
+        positional_index(spark.createDataFrame(final, schema))
+    )
+
+
+def test_incremental_index_seq_col_within_batch_lww(spark, tmp_path):
+    """A doc_id colliding WITHIN one micro-batch resolves last-write-
+    wins by seq_col (the mem_store.h:64-83 rule applied inside one
+    trigger) instead of double-counting."""
+    from kspp_spark.functions.text import inverted_index
+    from kspp_spark.streaming.index_incremental import (
+        index_partials_batch,
+        index_snapshot,
+    )
+
+    schema = "doc_id long, text string, seq long"
+    batch = [
+        (1, "alpha alpha", 10),
+        (1, "beta gamma", 20),  # wins
+        (2, "gamma", 5),
+    ]
+    s = str(tmp_path / "idx")
+    index_partials_batch(
+        spark.createDataFrame(batch, schema), 0, s, seq_col="seq"
+    )
+    want = sorted(
+        (r.term, r.df, r.n_occ, r.postings)
+        for r in inverted_index(
+            spark.createDataFrame([(1, "beta gamma"), (2, "gamma")],
+                                  "doc_id long, text string"),
+            min_df=1,
+        ).collect()
+    )
+    got = sorted(
+        (r.term, r.df, r.n_occ, r.postings)
+        for r in index_snapshot(spark, s, min_df=1).collect()
+    )
+    assert got == want
+
+
+def test_fold_guards_refuse_reset_checkpoint(spark, tmp_path):
+    """A fresh checkpoint (epoch ids restarting at 0) against retained
+    state must refuse loudly in EVERY fold family — index, positional,
+    doclen, rollup — matching scd2_fold_batch's existing guard."""
+    from kspp_spark.streaming.index_incremental import (
+        index_bootstrap,
+        index_partials_batch,
+        positional_partials_batch,
+    )
+    from kspp_spark.streaming.rollup import rollup_partials_batch
+
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame([(1, "alpha beta")], schema)
+
+    s1 = str(tmp_path / "idx")
+    index_partials_batch(docs, 5, s1)
+    with pytest.raises(ValueError, match="newer than the current trigger"):
+        index_partials_batch(docs, 0, s1)
+    index_partials_batch(docs, 5, s1)  # same-epoch replay stays legal
+
+    s2 = str(tmp_path / "pidx")
+    dlen = str(tmp_path / "dlen")
+    positional_partials_batch(docs, 5, s2, doclen_dir=dlen)
+    with pytest.raises(ValueError, match="newer than the current trigger"):
+        positional_partials_batch(docs, 0, s2, doclen_dir=dlen)
+    # a stale doclen_dir alone (state_dir fresh) must also refuse
+    s2b = str(tmp_path / "pidx2")
+    with pytest.raises(ValueError, match="newer than the current trigger"):
+        positional_partials_batch(docs, 0, s2b, doclen_dir=dlen)
+
+    # bootstrap refuses a doclen_dir with retained epochs even when
+    # state_dir is fresh (ADVICE r5: double-counted BM25 N/avgdl)
+    s2c = str(tmp_path / "pidx3")
+    with pytest.raises(ValueError, match="doclen_dir already contains"):
+        index_bootstrap(docs, s2c, positional=True, doclen_dir=dlen)
+
+    s3 = str(tmp_path / "rollup")
+    ev = spark.createDataFrame(
+        [("k", 1.0, ts(10))], "key string, v double, event_time timestamp"
+    )
+    measures = {"n": ("v", "count")}
+    rollup_partials_batch(ev, 5, s3, "event_time", ["key"], measures, "minute")
+    with pytest.raises(ValueError, match="newer than the current trigger"):
+        rollup_partials_batch(ev, 0, s3, "event_time", ["key"], measures, "minute")
+
+
+def test_compact_index_state_preserves_snapshot(spark, tmp_path):
+    """Compaction rewrites the accumulated fold as one epoch=-1 partial
+    in a fresh directory: the snapshot is unchanged, superseded and
+    tombstoned postings physically disappear, and new epochs keep
+    folding on top."""
+    from kspp_spark.functions.text import positional_index
+    from kspp_spark.streaming.index_incremental import (
+        compact_index_state,
+        positional_index_snapshot,
+        positional_partials_batch,
+    )
+
+    schema = "doc_id long, text string"
+    s = str(tmp_path / "pidx")
+    out = str(tmp_path / "compacted")
+    positional_partials_batch(
+        spark.createDataFrame([(1, "alpha beta"), (2, "old stuff")], schema), 0, s
+    )
+    positional_partials_batch(
+        spark.createDataFrame([(2, "alpha gamma"), (3, None)], schema), 1, s
+    )
+
+    def canon(df):
+        return sorted(
+            (r.term, r.doc_id, r.tf, r.df, tuple(r.positions))
+            for r in df.collect()
+        )
+
+    before = canon(positional_index_snapshot(spark, s))
+    compact_index_state(spark, s, out)
+    assert canon(positional_index_snapshot(spark, out)) == before
+    # physically gone: no 'old'/'stuff' rows in the compacted files
+    raw = spark.read.parquet(out)
+    assert raw.filter(F.col("term").isin("old", "stuff")).count() == 0
+    # folding continues on the compacted dir
+    positional_partials_batch(
+        spark.createDataFrame([(4, "beta beta")], schema), 0, out
+    )
+    want = canon(
+        positional_index(
+            spark.createDataFrame(
+                [(1, "alpha beta"), (2, "alpha gamma"), (4, "beta beta")], schema
+            )
+        )
+    )
+    assert canon(positional_index_snapshot(spark, out)) == want
+    with pytest.raises(ValueError, match="fresh"):
+        compact_index_state(spark, s, out)
