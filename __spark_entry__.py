@@ -1908,11 +1908,38 @@ def q_embedding_clusters(spark, sf_dir):
 def q_diverse_sample(spark, sf_dir):
     """Cluster-balanced (diversity-aware) downsampling: up to 20 rows
     from each of 8 embedding clusters, deterministic md5 pick within
-    clusters. Rows-only (KMeans-seeded)."""
+    clusters. Rows-only (KMeans-seeded) — q_srp_diverse_sample is the
+    fully-deterministic, exact-oracled twin."""
     from kspp_spark.functions.similarity import cluster_balanced_sample
 
     emb = _t(spark, sf_dir, "embeddings")
     return cluster_balanced_sample(emb, k=8, per_cluster=20)
+
+
+def q_srp_diverse_sample(spark, sf_dir):
+    """FULLY DETERMINISTIC diversity sampling (the driver-gradable twin
+    of q_diverse_sample): the diversity partition is the SRP
+    hyperplane bucket — 2^6=64 semantic buckets from the bit-exact
+    md5-derived plane matrix, the same signature machinery srp_pairs
+    proved against its oracle — and within each bucket up to 5 rows
+    survive by the repo's md5 draw. Map-only signatures + one rank
+    window; no KMeans seed anywhere, so the result replays exactly in
+    SQL."""
+    from kspp_spark.functions.similarity import srp_bucket_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_bucket_sample(emb, per_bucket=5, planes=6, dims=64)
+
+
+def q_srp_bucket_profile(spark, sf_dir):
+    """Occupancy profile of the SRP diversity buckets (bucket, n,
+    min_id, max_id) — integer-exact skew inspection of the partition
+    q_srp_diverse_sample draws from. One map-only signature pass +
+    one aggregation."""
+    from kspp_spark.functions.similarity import srp_bucket_profile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_bucket_profile(emb, planes=6, dims=64)
 
 
 def q_quantized_ann(spark, sf_dir):
@@ -2254,6 +2281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-graded: round-4 additions (VERDICT r4 item #1) --
         "substring_spans": q_substring_spans,
         "srp_pairs": q_srp_pairs,
+        "srp_diverse_sample": q_srp_diverse_sample,
+        "srp_bucket_profile": q_srp_bucket_profile,
         "quality_classifier": q_quality_classifier,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
@@ -4104,6 +4133,56 @@ def oracle_sql() -> dict[str, str]:
                 JOIN v va ON va.vec_id = cand.a
                 JOIN v vb ON vb.vec_id = cand.b
             ) WHERE score >= 0.4
+        """,
+        # deterministic SRP-bucket diversity sampling: signature CTE as
+        # srp_pairs (bit-exact md5-derived planes), bucket = the packed
+        # 6-bit signature, md5-rank draw within buckets as sample_per_lang
+        "srp_diverse_sample": f"""
+            WITH planes AS ({_srp_planes_sql(6, 64)}),
+            sig AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN dot > 0
+                                THEN (CAST(1 AS BIGINT) << p)
+                                ELSE 0 END) AS BIGINT) AS bucket
+                FROM (
+                    SELECT e.vec_id, pl.p,
+                           list_sum(list_transform(
+                               list_zip(e.embedding, pl.s),
+                               x -> CAST(x[1] AS DOUBLE) * x[2])) AS dot
+                    FROM embeddings e CROSS JOIN planes pl
+                ) GROUP BY vec_id
+            ),
+            ranked AS (
+                SELECT vec_id, bucket,
+                       row_number() OVER (
+                           PARTITION BY bucket
+                           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000,
+                                    vec_id
+                       ) AS rk
+                FROM sig
+            )
+            SELECT vec_id, bucket FROM ranked WHERE rk <= 5
+        """,
+        # SRP diversity-bucket occupancy profile: same signature CTE,
+        # one integer-exact aggregation per bucket
+        "srp_bucket_profile": f"""
+            WITH planes AS ({_srp_planes_sql(6, 64)}),
+            sig AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN dot > 0
+                                THEN (CAST(1 AS BIGINT) << p)
+                                ELSE 0 END) AS BIGINT) AS bucket
+                FROM (
+                    SELECT e.vec_id, pl.p,
+                           list_sum(list_transform(
+                               list_zip(e.embedding, pl.s),
+                               x -> CAST(x[1] AS DOUBLE) * x[2])) AS dot
+                    FROM embeddings e CROSS JOIN planes pl
+                ) GROUP BY vec_id
+            )
+            SELECT bucket, COUNT(*) AS n,
+                   MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
+            FROM sig GROUP BY bucket
         """,
         # span-level exact-substring duplication: positional 10-token
         # windows (NOT deduped per doc — n_occ counts within-doc

@@ -485,3 +485,75 @@ def cluster_balanced_sample(
         .filter(F.col("_rk") <= per_cluster)
         .select(id_col, "cluster")
     )
+
+
+def srp_bucket_sample(
+    df: DataFrame,
+    per_bucket: int = 100,
+    planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 0,
+    salt: str = "",
+) -> DataFrame:
+    """FULLY DETERMINISTIC diversity-aware downsampling — the
+    replayable tier of cluster_balanced_sample: the diversity
+    partition is the SRP hyperplane bucket (2^planes buckets; the
+    md5-derived ±1 plane matrix of dedup.srp_plane_signs, so any
+    engine regenerates the identical assignment bit-for-bit) instead
+    of a KMeans fit, and within each bucket the kept rows are the
+    repo's md5 draw over the id. Same diversity semantics — nearby
+    vectors share buckets (P[split] = angle/π per plane), so keeping
+    per_bucket rows from every bucket preserves the tails of
+    embedding space — but no iteration, no seed-dependent centroids,
+    and an exact SQL oracle.
+
+    Scale shape: one map-only signature pass (srp_signatures — JVM
+    higher-order functions, no shuffle), then one rank window
+    partitioned by bucket over (hash, id). Independent redraws: vary
+    `salt` (the buckets stay fixed).
+
+    Returns (id_col, bucket) with bucket = the packed SRP signature
+    in [0, 2^planes).
+    """
+    from kspp_spark.functions.dedup import srp_signatures
+    from kspp_spark.functions.sampling import hash_bucket
+
+    sig = srp_signatures(
+        df, vec=vec, id_col=id_col, planes=planes, dims=dims, seed=seed
+    )
+    h = hash_bucket(id_col, salt).alias("_h")
+    w = W.partitionBy("srp").orderBy("_h", id_col)
+    return (
+        sig.withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_bucket)
+        .select(F.col(id_col), F.col("srp").alias("bucket"))
+    )
+
+
+def srp_bucket_profile(
+    df: DataFrame,
+    planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Occupancy profile of the SRP diversity buckets (the
+    skew-inspection companion to srp_bucket_sample: how balanced is
+    the partition a balanced sample would draw from?): one map-only
+    signature pass + one integer aggregation per bucket. Returns
+    (bucket, n, min_id, max_id) — integer-exact, so the profile
+    replays bitwise in SQL."""
+    from kspp_spark.functions.dedup import srp_signatures
+
+    sig = srp_signatures(
+        df, vec=vec, id_col=id_col, planes=planes, dims=dims, seed=seed
+    )
+    return sig.groupBy(F.col("srp").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+    )

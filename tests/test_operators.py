@@ -1393,3 +1393,46 @@ def test_ngram_counts_generalizes_pairs(spark):
     grams3 = {r.ngram: r.cnt for r in ngram_counts(docs, n=3).collect()}
     assert grams3 == {"a b c": 2, "b c a": 1, "c a b": 1}
     assert ngram_counts(docs, n=3, min_count=2).count() == 1
+
+
+def test_srp_bucket_sample_deterministic_and_capped(spark):
+    """The SRP-bucket diversity sample is fully deterministic (no
+    KMeans seed), caps every bucket at per_bucket, draws independently
+    per salt while the buckets stay fixed, and agrees with
+    srp_bucket_profile's occupancy on the bucket universe."""
+    import random
+
+    from kspp_spark.functions.similarity import (
+        srp_bucket_profile,
+        srp_bucket_sample,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    s1 = srp_bucket_sample(df, per_bucket=3, planes=4, dims=16)
+    s2 = srp_bucket_sample(df, per_bucket=3, planes=4, dims=16)
+    got1 = sorted((r.vec_id, r.bucket) for r in s1.collect())
+    got2 = sorted((r.vec_id, r.bucket) for r in s2.collect())
+    assert got1 == got2 and got1  # rerun-identical
+    from collections import Counter
+
+    per = Counter(b for _, b in got1)
+    assert max(per.values()) <= 3
+    assert all(0 <= b < 16 for _, b in got1)
+
+    prof = {
+        r.bucket: (r.n, r.min_id, r.max_id)
+        for r in srp_bucket_profile(df, planes=4, dims=16).collect()
+    }
+    # every sampled bucket exists in the profile with n >= kept count
+    for b, kept in per.items():
+        assert prof[b][0] >= kept
+    # a different salt redraws within the SAME buckets
+    s3 = srp_bucket_sample(df, per_bucket=3, planes=4, dims=16, salt="x")
+    got3 = sorted((r.vec_id, r.bucket) for r in s3.collect())
+    assert Counter(b for _, b in got3).keys() == per.keys()
+    assert got3 != got1  # an independent draw (16 buckets, 200 ids)
