@@ -1869,11 +1869,16 @@ def q_ngram_counts(spark, sf_dir):
 def q_lm_scores(spark, sf_dir):
     """Corpus-bigram LM fluency scoring: integer milli-probability
     quantization (BIGINT DIV + BIGINT sums — order-independent), one
-    final double divide, so the ranking replays bitwise in SQL."""
-    from kspp_spark.functions.text import bigram_lm_scores
+    final double divide, so the ranking replays bitwise in SQL. The
+    (id, a, b) pairs materialize ONCE (eager localCheckpoint) and
+    feed both the LM build and the scoring join — the corpus
+    tokenizes exactly once, the 100 TB plan shape (plan-pinned:
+    test_plans.test_lm_scores_graded_query_tokenizes_once)."""
+    from kspp_spark.functions.text import bigram_lm_scores, doc_token_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return bigram_lm_scores(docs)
+    pairs = doc_token_pairs(docs).localCheckpoint(eager=True)
+    return bigram_lm_scores(docs, pairs_df=pairs)
 
 
 def q_bpe_merges(spark, sf_dir):

@@ -794,14 +794,17 @@ def bigram_lm_scores(
     across engines and summation orders.)
 
     Scale shape: one pair explode + one (a, b) aggregation build the
-    LM (pre-aggregated integer partials shuffle); scoring is an
-    equi-join of the doc pairs against the LM on (a, b) + one per-doc
-    aggregation. Documents with < 2 tokens are dropped (no pairs).
-    The plan consumes the pair explode three times (pairs, bigram
-    counts, context counts) — Spark re-tokenizes per consumer, fine at
-    moderate scale; at 100 TB pass `pairs_df` (doc_token_pairs output
-    materialized to parquet) so the corpus tokenizes exactly once and
-    every pass reads compact (id, a, b) triples.
+    LM (pre-aggregated integer partials shuffle); the context counts
+    DERIVE from the bigram counts (C(a·) = Σ_b C(a,b) — a second tiny
+    aggregation over the already-aggregated LM rows, never a second
+    pass over the pairs); scoring is an equi-join of the doc pairs
+    against the LM on (a, b) + one per-doc aggregation. Documents
+    with < 2 tokens are dropped (no pairs). Inline, the plan consumes
+    the pair explode twice (LM build + scoring) — Spark re-tokenizes
+    per consumer, fine at moderate scale; at 100 TB pass `pairs_df`
+    (doc_token_pairs output materialized to parquet, or
+    localCheckpointed) so the corpus tokenizes exactly once and every
+    pass reads compact (id, a, b) triples.
 
     Returns (id_col, n_pairs, score) with score in [0, 1).
 
@@ -814,7 +817,9 @@ def bigram_lm_scores(
         else doc_token_pairs(df, id_col=id_col, text_col=text_col)
     )
     bigram = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_cab"))
-    context = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("_ca"))
+    # C(a·) = Σ_b C(a,b): re-aggregate the LM rows instead of counting
+    # the pairs again — identical counts, one fewer pairs consumer
+    context = bigram.groupBy("a").agg(F.sum("_cab").alias("_ca"))
     # integer floor-division (DIV) keeps the quantization exact — a
     # double divide + floor could land on the wrong side of an integer
     # boundary when 1000·cab/ca is representable ambiguity

