@@ -876,7 +876,8 @@ def bpe_train(
     df,
     n_merges: int,
     text_col: str = "text",
-    joiner: str = " ",
+    joiner: str | None = None,
+    alphabet: str = "words",
 ):
     """Train BPE merge rules at corpus scale (Sennrich et al. 2016):
     repeat n_merges times {count all adjacent pairs (ONE distributed
@@ -893,11 +894,29 @@ def bpe_train(
     O(1) deep instead of K nested folds (the geometric-plan-growth
     trap the connected-components operator documents).
 
-    The standard trainer operates on characters-within-words; this
-    operates on whitespace tokens (the corpus's natural symbols here)
-    — the algorithm is identical, only the initial alphabet differs.
+    alphabet='chars' is the paper-standard trainer: each whitespace
+    word becomes its own symbol sequence — characters plus a final
+    '</w>' end-of-word marker — so pairs never span word boundaries
+    and merges rebuild subwords (default joiner '', so ('e','s')
+    merges to 'es' exactly as in the paper's worked example; golden-
+    vector-tested against it). alphabet='words' treats whitespace
+    tokens as the initial symbols over whole documents (default
+    joiner ' ') — same algorithm, coarser alphabet, useful for
+    phrase-table style merges.
     """
-    toks_df = df.select(tokenize(F.col(text_col)).alias("toks"))
+    if alphabet == "chars":
+        joiner = "" if joiner is None else joiner
+        words = df.select(F.explode(tokenize(F.col(text_col))).alias("_w"))
+        toks_df = words.select(
+            F.concat(
+                F.split(F.col("_w"), ""), F.array(F.lit("</w>"))
+            ).alias("toks")
+        )
+    elif alphabet == "words":
+        joiner = " " if joiner is None else joiner
+        toks_df = df.select(tokenize(F.col(text_col)).alias("toks"))
+    else:
+        raise ValueError("bpe_train: alphabet must be 'words' or 'chars'")
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs = F.arrays_zip(

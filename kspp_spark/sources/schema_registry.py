@@ -91,14 +91,24 @@ class SchemaRegistryClient:
             self._cache[schema_id] = schema
         return schema
 
-    def put_schema(self, subject: str, schema: str | dict) -> int:
+    def put_schema(
+        self, subject: str, schema: str | dict, schema_type: str | None = None
+    ) -> int:
         """Register a schema under a subject; returns the global id
-        (confluent_http_proxy.cpp:150 POST /subjects/{s}/versions)."""
+        (confluent_http_proxy.cpp:150 POST /subjects/{s}/versions).
+        schema_type None/'AVRO' posts the registry-default payload;
+        'PROTOBUF'/'JSON' add the Confluent schemaType field (the
+        registry compiles/validates server-side — the reference's
+        local protobuf Importer pass is a client-side convenience,
+        kspp_protobuf_register_schema.cpp:36-46)."""
         if not isinstance(schema, str):
             schema = json.dumps(schema)
+        payload: dict = {"schema": schema}
+        if schema_type and schema_type.upper() != "AVRO":
+            payload["schemaType"] = schema_type.upper()
         body = self._post(
             f"{self.base_url}/subjects/{subject}/versions",
-            json.dumps({"schema": schema}),
+            json.dumps(payload),
         )
         schema_id = int(json.loads(body)["id"])
         with self._lock:

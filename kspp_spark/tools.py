@@ -16,6 +16,14 @@ Parity targets (thin CLIs over operators this repo already has):
   docs2index     (beyond-reference) parquet corpus -> bucketed
                  positional index + doc-length table; the offline half
                  of the index-only retrieval queries.
+  register-schema  tools/kspp_protobuf_register_schema/
+                 kspp_protobuf_register_schema.cpp — register a
+                 protobuf (or avro/json) schema file under a subject
+                 via the schema-registry client; prints the assigned
+                 global id. The reference compiles the .proto locally
+                 (protobuf Importer) before posting — Confluent
+                 registries validate server-side, so this posts the
+                 schema text directly (no local protoc dependency).
 
 Run: `python -m kspp_spark.tools <subcommand> --help`.
 
@@ -212,6 +220,35 @@ def docs2index(
         idx.unpersist()
 
 
+def register_schema(
+    registry_url: str,
+    subject: str,
+    schema_file: str,
+    schema_type: str | None = None,
+    post_fn=None,
+) -> int:
+    """Register a schema file under a subject
+    (kspp_protobuf_register_schema.cpp:18-56: argv = source_root,
+    .protofile, subject -> protobuf_register_schema). Type defaults
+    by extension: .proto -> PROTOBUF, .json -> JSON, anything else
+    (.avsc) -> AVRO. Returns the assigned global schema id. post_fn
+    is the injectable transport (tests / air-gapped registries) —
+    same convention as SchemaRegistryClient."""
+    from kspp_spark.sources.schema_registry import SchemaRegistryClient
+
+    if schema_type is None:
+        low = schema_file.lower()
+        schema_type = (
+            "PROTOBUF"
+            if low.endswith(".proto")
+            else "JSON" if low.endswith(".json") else "AVRO"
+        )
+    with open(schema_file, "r", encoding="utf-8") as f:
+        schema_text = f.read()
+    client = SchemaRegistryClient(registry_url, post_fn=post_fn)
+    return client.put_schema(subject, schema_text, schema_type=schema_type)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="kspp_spark.tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -262,7 +299,29 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--max-df", type=int, default=None)
     d.add_argument("--buckets", type=int, default=32)
 
+    s = sub.add_parser(
+        "register-schema",
+        help="register a protobuf/avro/json schema file under a subject",
+    )
+    s.add_argument("--registry", required=True, help="schema-registry base URL")
+    s.add_argument("--subject", required=True)
+    s.add_argument("--file", required=True, help=".proto / .avsc / .json file")
+    s.add_argument(
+        "--type",
+        default=None,
+        choices=["avro", "protobuf", "json"],
+        help="override the extension-derived schema type",
+    )
+
     args = p.parse_args(argv)
+    if args.cmd == "register-schema":
+        # registry-only: no SparkSession needed
+        schema_id = register_schema(
+            args.registry, args.subject, args.file,
+            schema_type=args.type.upper() if args.type else None,
+        )
+        print(schema_id)
+        return 0
     from kspp_spark.session import get_spark
 
     spark = get_spark(f"kspp_tools_{args.cmd}")

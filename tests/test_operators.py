@@ -1436,3 +1436,33 @@ def test_srp_bucket_sample_deterministic_and_capped(spark):
     got3 = sorted((r.vec_id, r.bucket) for r in s3.collect())
     assert Counter(b for _, b in got3).keys() == per.keys()
     assert got3 != got1  # an independent draw (16 buckets, 200 ids)
+
+
+def test_bpe_train_chars_reproduces_sennrich_example(spark):
+    """Character-level BPE (alphabet='chars') reproduces the worked
+    example of Sennrich et al. 2016 (fig. 1 corpus: low x5, lower x2,
+    newest x6, widest x3): merges follow pair counts computed WITHIN
+    words over the char+'</w>' alphabet, ties broken (count desc, a,
+    b). Hand-derived sequence:
+      (e,s)=6+3=9 -> es; (es,t)=9 -> est; (est,</w>)=9 -> est</w>;
+      (l,o)=5+2=7 -> lo; (lo,w)=7 -> low."""
+    from kspp_spark.functions.text import bpe_train
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame([(w,) for w in words], "text string")
+    merges, toks_df = bpe_train(df, n_merges=5, alphabet="chars")
+    assert merges == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+    ]
+    # after 5 merges 'low' is the single symbol ['low', '</w>'] and
+    # 'newest' is ['n', 'e', 'w', 'est</w>']
+    seqs = {tuple(r.toks) for r in toks_df.collect()}
+    assert ("low", "</w>") in seqs
+    assert ("n", "e", "w", "est</w>") in seqs
+    # pairs never span word boundaries: 'low' x5 never merges with the
+    # following word's leading char (no symbol containing 'w</w>n')
+    assert not any("w</w>n" in s for seq in seqs for s in seq)

@@ -1836,3 +1836,45 @@ def test_compact_index_state_preserves_snapshot(spark, tmp_path):
     assert canon(positional_index_snapshot(spark, out)) == want
     with pytest.raises(ValueError, match="fresh"):
         compact_index_state(spark, s, out)
+
+
+def test_use_rocksdb_state_provider_actually_engages(spark, tmp_path):
+    """use_rocksdb_state must not silently no-op: a stateful streaming
+    query started after the switch reports RocksDB state-store metrics
+    (lastProgress.stateOperators.customMetrics carries rocksdb* keys,
+    which the default HDFSBackedStateStoreProvider never emits).
+    Restores the provider afterwards so other tests keep the default."""
+    from kspp_spark.streaming.core import count_by_key_stream, use_rocksdb_state
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a",), ("b",), ("a",)], "k string"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    try:
+        use_rocksdb_state(spark)
+        src = spark.readStream.schema("k string").parquet(in_dir)
+        counted = count_by_key_stream(src, "k")
+        q = (
+            counted.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("rocksdb_probe")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = q.recentProgress
+        assert progress, "query produced no progress events"
+        state_ops = [p["stateOperators"] for p in progress if p["stateOperators"]]
+        assert state_ops, "no stateful operator in progress metrics"
+        metrics = state_ops[-1][0].get("customMetrics", {})
+        rocks_keys = [m for m in metrics if "rocksdb" in m.lower()]
+        assert rocks_keys, f"RocksDB provider not engaged: {sorted(metrics)}"
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)

@@ -160,3 +160,43 @@ def test_docs2index_builds_queryable_artifacts(spark, tmp_path):
         for r in bm25_indexed(idx, dl, ["scan", "join"], k=5).collect()
     ]
     assert b1 == b2
+
+
+def test_register_schema_protobuf_and_avro(tmp_path):
+    """register-schema parity (kspp_protobuf_register_schema.cpp):
+    a .proto file posts with Confluent schemaType=PROTOBUF, an .avsc
+    posts the registry-default (no schemaType field), both to
+    POST /subjects/{subject}/versions, returning the assigned id."""
+    import json
+
+    from kspp_spark.tools import register_schema
+
+    calls = []
+
+    def fake_post(url, payload):
+        calls.append((url, json.loads(payload)))
+        return json.dumps({"id": len(calls)})
+
+    proto = tmp_path / "user.proto"
+    proto.write_text('syntax = "proto3"; message User { int64 id = 1; }')
+    sid = register_schema(
+        "http://reg:8081", "user-value", str(proto), post_fn=fake_post
+    )
+    assert sid == 1
+    url, payload = calls[0]
+    assert url == "http://reg:8081/subjects/user-value/versions"
+    assert payload["schemaType"] == "PROTOBUF"
+    assert "message User" in payload["schema"]
+
+    avsc = tmp_path / "user.avsc"
+    avsc.write_text(
+        '{"type": "record", "name": "User", '
+        '"fields": [{"name": "id", "type": "long"}]}'
+    )
+    sid = register_schema(
+        "http://reg:8081", "user-avro", str(avsc), post_fn=fake_post
+    )
+    assert sid == 2
+    url, payload = calls[1]
+    assert url == "http://reg:8081/subjects/user-avro/versions"
+    assert "schemaType" not in payload  # AVRO is the registry default
