@@ -1551,6 +1551,31 @@ def q_dup_clusters(spark, sf_dir):
     return connected_components(_dup_cluster_pairs(spark, sf_dir))
 
 
+def q_dup_clusters_fixed(spark, sf_dir):
+    """Connected components over a FIXED synthetic duplicate graph —
+    the data-stable benchmark twin of q_dup_clusters (whose cost
+    follows the driver-regenerated testdata's planted cluster
+    structure and so can't be compared across rounds, VERDICT r5):
+    20k nodes form md5-delimited chains (node i starts a new chain
+    iff md5('ccb:'||i)%32==0, expected length 32 — long chains are
+    the pointer-halving worst case), identical bytes every run and
+    every round. Exact closed-form oracle: a chain member's component
+    is the largest chain-start <= its id; singleton chains have no
+    edges and so never enter the pair set."""
+    from kspp_spark.functions.dedup import connected_components
+    from kspp_spark.functions.hashing import md5_long
+
+    n = 20_000
+    nodes = spark.range(n).select(F.col("id"))
+    is_start = (
+        md5_long(F.concat(F.lit("ccb:"), F.col("id").cast("string"))) % 32 == 0
+    ) | (F.col("id") == 0)
+    edges = nodes.filter((F.col("id") > 0) & ~is_start).select(
+        (F.col("id") - 1).alias("a"), F.col("id").alias("b")
+    )
+    return connected_components(edges)
+
+
 def q_dedup_near(spark, sf_dir):
     """Near-dup REMOVAL end to end — the step the whole dedup surface
     exists for: candidate pairs -> exact verify -> connected components
@@ -2264,60 +2289,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Round 1 graded the core streaming/TPC-H surface; round 2 the
     # LLM-pipeline / as-of / set-op surface; round 3 the portable-hash
     # LSH family + oracle tail (50/50); round 4 re-certified the
-    # round-1 core (50/50). Round 5 executes VERDICT r4 item #1: the
-    # 15 round-4 additions (srp_pairs .. substring_spans) plus this
-    # round's 7 oracle-backed additions (positional_index,
-    # phrase_search_indexed, bm25_indexed, scd2_lookup, token_pairs,
-    # lm_scores, top_terms_per_lang) take the window — every one
-    # already passes an exact DuckDB oracle locally — padded with 28
-    # round-3-
-    # graded queries whose underlying modules (text/sampling/
-    # similarity/dedup/pipeline/asof) changed in rounds 4-5 and so
-    # benefit most from re-certification. The round-4-graded core and
-    # the unchanged round-3 remainder rotate to the tail.
-    # ROUND-6 CANDIDATES: whatever this round adds, plus the 18
-    # round-3-graded tail queries (pricing_summary .. lag_lead) whose
-    # last external grade will then be three rounds old. NOTE: because
-    # the window rotates, per-round driver scores are NOT comparable
-    # across rounds; every rotated-out query stays registered and
-    # covered by the local oracle-parity suite
-    # (tests/test_oracle_parity.py) on every pytest run.
+    # round-1 core (50/50); round 5 (50/50) graded the 15 round-4
+    # additions, NINE round-5 oracle-backed additions
+    # (positional_index, phrase_search_indexed, bm25_indexed,
+    # scd2_lookup, token_pairs, lm_scores, ngram_counts,
+    # media_metadata, top_terms_per_lang) and 26 re-certs of
+    # changed-module queries. ROUND 6 window (this ordering): the 4
+    # round-6 additions (changelog-folded index, SRP diversity
+    # sample + profile, fixed-graph CC — all exact-oracled), the 18
+    # round-3-graded tail queries whose last external grade was three
+    # rounds old (pricing_summary .. lag_lead, VERDICT r5 item #3),
+    # the 5 queries displaced from the r5 window before grading
+    # (simhash_pairs_portable .. asof_nearest), and 23 re-certs over
+    # modules this round touched (text.py: BM25 window partition +
+    # fused LM counts; similarity.py: SRP samplers; rollup/index
+    # folds: changelog + guards; scd2: shared _epoch_dirs).
+    # ROUND-7 CANDIDATES: whatever round 7 adds, plus the r4-graded
+    # core (filter_lineitem .. except_keys) whose grade will then be
+    # three rounds old. NOTE: because the window rotates, per-round
+    # driver scores are NOT comparable across rounds; every
+    # rotated-out query stays registered and covered by the local
+    # oracle-parity suite (tests/test_oracle_parity.py) on every
+    # pytest run.
     return {
-        # -- never driver-graded: round-4 additions (VERDICT r4 item #1) --
-        "substring_spans": q_substring_spans,
-        "srp_pairs": q_srp_pairs,
+        # -- round-6 additions (exact oracles, never driver-graded) --
+        "positional_index_folded": q_positional_index_folded,
         "srp_diverse_sample": q_srp_diverse_sample,
         "srp_bucket_profile": q_srp_bucket_profile,
+        "dup_clusters_fixed": q_dup_clusters_fixed,
+        # -- re-certify: the 18 round-3-graded queries, last graded 3 rounds ago --
+        "pricing_summary": q_pricing_summary,
+        "session_windows": q_session_windows,
+        "windowed_ktable": q_windowed_ktable,
+        "json_extract": q_json_extract,
+        "funnel": q_funnel,
+        "order_keys_agg": q_order_keys_agg,
+        "rate_limiter": q_rate_limiter,
+        "approx_distinct": q_approx_distinct,
+        "local_supplier_volume": q_local_supplier_volume,
+        "ntile_quartiles": q_ntile_quartiles,
+        "price_histogram": q_price_histogram,
+        "distinct_segments": q_distinct_segments,
+        "intersect_keys": q_intersect_keys,
+        "pivot_status": q_pivot_status,
+        "cube_agg": q_cube_agg,
+        "count_distinct": q_count_distinct,
+        "having": q_having,
+        "lag_lead": q_lag_lead,
+        # -- displaced from the r5 window before grading --
+        "simhash_pairs_portable": q_simhash_pairs_portable,
+        "pack_sequences": q_pack_sequences,
+        "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
+        # -- re-certify: queries over modules changed in round 6 --
+        "lm_scores": q_lm_scores,
+        "bm25_search": q_bm25_search,
+        "bm25_indexed": q_bm25_indexed,
+        "phrase_search_indexed": q_phrase_search_indexed,
+        "positional_index": q_positional_index,
+        "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
+        "token_pairs": q_token_pairs,
+        "ngram_counts": q_ngram_counts,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
+        "bigram_counts": q_bigram_counts,
+        "top_terms_per_lang": q_top_terms_per_lang,
+        "knn_cosine": q_knn_cosine,
+        "srp_ann": q_srp_ann,
+        "quantized_ann": q_quantized_ann,
+        "srp_pairs": q_srp_pairs,
+        "quantize_embeddings": q_quantize_embeddings,
+        "embedding_norms": q_embedding_norms,
+        "rollup_cascade": q_rollup_cascade,
+        "scd2_lookup": q_scd2_lookup,
+        "scd2_history": q_scd2_history,
+        # ---- end of the 50-query grading window ----
+        # round-5-graded surface (CORRECTNESS_r05: 50/50 pass) — still
+        # parity-tested locally on every pytest run
+        "substring_spans": q_substring_spans,
         "quality_classifier": q_quality_classifier,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
-        "rollup_cascade": q_rollup_cascade,
         "approx_quantiles": q_approx_quantiles,
-        "scd2_history": q_scd2_history,
-        "srp_ann": q_srp_ann,
         "chunk_tokens": q_chunk_tokens,
-        "quantized_ann": q_quantized_ann,
-        "bm25_search": q_bm25_search,
-        "inverted_index": q_inverted_index,
         "dedup_near": q_dedup_near,
-        "phrase_search": q_phrase_search,
-        # -- never driver-graded: round-5 additions (indexed retrieval + SCD2 lookup) --
-        "positional_index": q_positional_index,
-        "positional_index_folded": q_positional_index_folded,
-        "phrase_search_indexed": q_phrase_search_indexed,
-        "bm25_indexed": q_bm25_indexed,
-        "scd2_lookup": q_scd2_lookup,
-        "token_pairs": q_token_pairs,
-        "lm_scores": q_lm_scores,
-        "ngram_counts": q_ngram_counts,
         "media_metadata": q_media_metadata,
-        "top_terms_per_lang": q_top_terms_per_lang,
-        # -- re-certify: round-3-graded queries over modules that changed in r4/r5
-        #    (text/sampling/similarity/dedup/pipeline/asof families) --
-        "token_count": q_token_count,
-        "bpe_token_count": q_bpe_token_count,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bigram_counts": q_bigram_counts,
         "quality_metrics": q_quality_metrics,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2331,26 +2390,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "sample_per_lang": q_sample_per_lang,
         "corpus_mix": q_corpus_mix,
-        "knn_cosine": q_knn_cosine,
-        "embedding_norms": q_embedding_norms,
         "dedup_embedding": q_dedup_embedding,
-        "quantize_embeddings": q_quantize_embeddings,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs_portable": q_minhash_pairs_portable,
         "simhash_portable": q_simhash_portable,
         "curate_docs": q_curate_docs,
-        # ---- end of the 50-query grading window ----
-        # (simhash_pairs_portable, pack_sequences + asof re-certs
-        # displaced to the tail by this round's later additions —
-        # still parity-tested locally)
-        "simhash_pairs_portable": q_simhash_pairs_portable,
-        "pack_sequences": q_pack_sequences,
-        "asof_join": q_asof_join,
-        "asof_forward": q_asof_forward,
-        "asof_nearest": q_asof_nearest,
-        # round-4-graded surface (CORRECTNESS_r04: 50/50 pass) — still
-        # parity-tested locally on every pytest run
+        # round-4-graded surface (CORRECTNESS_r04: 50/50 pass)
         "filter_lineitem": q_filter_lineitem,
         "transform_revenue": q_transform_revenue,
         "flat_map_words": q_flat_map_words,
@@ -2401,25 +2447,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "scalar_functions": q_scalar_functions,
         "except_keys": q_except_keys,
-        # round-3-graded, code unchanged since
-        "pricing_summary": q_pricing_summary,
-        "session_windows": q_session_windows,
-        "windowed_ktable": q_windowed_ktable,
-        "json_extract": q_json_extract,
-        "funnel": q_funnel,
-        "order_keys_agg": q_order_keys_agg,
-        "rate_limiter": q_rate_limiter,
-        "approx_distinct": q_approx_distinct,
-        "local_supplier_volume": q_local_supplier_volume,
-        "ntile_quartiles": q_ntile_quartiles,
-        "price_histogram": q_price_histogram,
-        "distinct_segments": q_distinct_segments,
-        "intersect_keys": q_intersect_keys,
-        "pivot_status": q_pivot_status,
-        "cube_agg": q_cube_agg,
-        "count_distinct": q_count_distinct,
-        "having": q_having,
-        "lag_lead": q_lag_lead,
         # rows-only checks (approximate / stubbed codecs / iterative
         # by design)
         "bpe_merges": q_bpe_merges,
@@ -2782,6 +2809,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_lines
             FROM lineitem JOIN per_part ON l_partkey = p_key
             WHERE CAST(l_quantity AS DECIMAL(18,2)) * CAST(5 AS DECIMAL(2,0)) * cnt < sum_qty
+        """,
+        # fixed synthetic duplicate graph: md5-delimited chains have a
+        # CLOSED-FORM component (largest chain-start <= id) — no
+        # recursive CTE needed; singleton chains carry no edges
+        "dup_clusters_fixed": """
+            WITH marked AS (
+                SELECT i, (i = 0 OR
+                           CAST(('0x' || substr(md5('ccb:' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 32 = 0
+                          ) AS is_start
+                FROM range(0, 20000) t(i)
+            ),
+            comp AS (
+                SELECT i, MAX(CASE WHEN is_start THEN i END) OVER (
+                    ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS component
+                FROM marked
+            ),
+            sized AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY component)
+            SELECT comp.i AS node, comp.component
+            FROM comp JOIN sized USING (component)
+            WHERE sized.n >= 2
         """,
         "dup_clusters": """
             WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),

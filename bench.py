@@ -76,6 +76,65 @@ BENCH_QUERIES = [
     "positional_index",
     "phrase_search_indexed",
     "scd2_lookup",
+    # round-6 additions (40 -> 44): changelog-folded index, SRP-bucket
+    # diversity sampling, single-tokenize LM scoring, and the
+    # DATA-STABLE synthetic duplicate graph (q_dup_clusters' cost
+    # follows the driver-regenerated testdata's planted clusters;
+    # dup_clusters_fixed is byte-identical every round)
+    "positional_index_folded",
+    "srp_diverse_sample",
+    "lm_scores",
+    "dup_clusters_fixed",
+]
+
+# Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
+# (mirrored in BASELINE.md "Recorded bests"; update both together when
+# a round sets a new best). The cross-round normalization protocol:
+# VM throughput varies 25-30% round to round (adjudicated in r5,
+# METRICS.md), so raw cross-round ratios are meaningless. NORM_BASKET
+# is the untouched-since-round-1 TPC-H/map-only queries — any uniform
+# shift on them is machine, not code. machine_factor = median over the
+# basket of (current / best); normalized_ratio(q) = (current / best)
+# / machine_factor. A judge reads code regressions off normalized
+# ratios in ONE file: ~1.0 = at the recorded best, >1.2 = look at it.
+RECORD_BEST = {
+    "asof_join": 0.4896, "bm25_search": 0.6476, "count_by_key": 0.2935,
+    "count_by_value": 0.3924, "curate_docs": 2.2013,
+    "decontaminate": 1.0006, "dedup_embedding": 0.5995,
+    "dedup_exact": 0.2633, "dup_clusters": 4.8608,
+    "inverted_index": 0.5021, "knn_cosine": 0.7924,
+    "kstream_left_join": 0.3857, "ktable_latest": 0.4202,
+    "large_orders": 0.9146, "local_supplier_volume": 0.7684,
+    "market_share": 0.9967, "minhash_lsh_pairs": 2.4254,
+    "minhash_pairs_portable": 1.9396, "pack_sequences": 0.3167,
+    "phrase_search_indexed": 0.6248, "pii_mask": 0.3386,
+    "positional_index": 1.0657, "pricing_summary": 0.7079,
+    "quality_classifier": 0.5822, "quantized_ann": 1.59,
+    "repetition_stats": 0.8608, "returned_items": 0.5897,
+    "revenue_per_nation": 0.5711, "scd2_lookup": 0.4122,
+    "session_windows": 0.3308, "srp_ann": 1.4082, "srp_pairs": 2.3054,
+    "substring_spans": 1.0932, "tfidf_top_terms": 0.606,
+    "train_split": 0.1192, "transform_revenue": 0.4287,
+    "volume_shipping": 0.8839, "waiting_suppliers": 1.1042,
+    "windowed_count": 0.2676, "word_count": 0.3139,
+    # round-6 additions, first measured on a machine_factor=1.28
+    # round and de-rated into record-round units (measured / mf)
+    "dup_clusters_fixed": 3.3206,
+    "lm_scores": 0.7559,
+    "positional_index_folded": 2.0318,
+    "srp_diverse_sample": 0.2821,
+}
+
+# untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
+# code delta since their BASELINE.md record): a uniform shift here is
+# the machine, not the code
+NORM_BASKET = [
+    "count_by_key", "count_by_value", "ktable_latest",
+    "kstream_left_join", "transform_revenue", "windowed_count",
+    "pricing_summary", "revenue_per_nation", "word_count",
+    "returned_items", "volume_shipping", "large_orders",
+    "local_supplier_volume", "market_share", "waiting_suppliers",
+    "train_split",
 ]
 
 
@@ -112,6 +171,25 @@ def main() -> None:
         "runs": RUNS,
         "load_avg_start": round(_LOAD0, 2),
     }
+    # cross-round normalization (VERDICT r5 item #6) — only meaningful
+    # against the sf0.1 record the bests were taken at
+    if out["sf"] == 0.1:
+        basket = [
+            timings[q] / RECORD_BEST[q]
+            for q in NORM_BASKET
+            if q in timings and q in RECORD_BEST
+        ]
+        if basket:
+            mf = round(statistics.median(basket), 4)
+            out["machine_factor"] = mf
+            out["normalized"] = {
+                q: round((t / RECORD_BEST[q]) / mf, 3)
+                for q, t in timings.items()
+                if q in RECORD_BEST
+            }
+            out["unnormalized"] = sorted(
+                q for q in timings if q not in RECORD_BEST
+            )
     print(json.dumps(out))
 
 
