@@ -1910,10 +1910,11 @@ def q_bpe_merges(spark, sf_dir):
     """BPE merge-rule training (3 rounds): each round is one
     distributed pair count + a JVM-fold merge application; the driver
     sees only the 1-row argmax per round (bounded control plane).
-    Iterative => rows-only check (no single SQL statement expresses
-    the round-over-round dependency); the per-round counting plan is
-    token_pairs' oracle-verified single-shuffle aggregation, and the
-    trainer semantics are pinned by unit golden tests
+    EXACT-ORACLED since round 6: the iteration count is a constant of
+    the query, so the whole loop — pair count, deterministic argmax,
+    fold-merge with the structural no-overlap rule — replays as
+    chained CTEs with list_reduce (_bpe_oracle_sql). The early-stop
+    branch (top count < 2) stays pinned by unit golden tests
     (tests/test_operators.py::test_bpe_train_learns_expected_merges)."""
     from kspp_spark.functions.text import bpe_train
 
@@ -2300,7 +2301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-3-graded tail queries whose last external grade was three
     # rounds old (pricing_summary .. lag_lead, VERDICT r5 item #3),
     # the 5 queries displaced from the r5 window before grading
-    # (simhash_pairs_portable .. asof_nearest), and 23 re-certs over
+    # (simhash_pairs_portable .. asof_nearest), bpe_merges (NEWLY
+    # exact-oracled this round — never full-green before), and 22
+    # re-certs over
     # modules this round touched (text.py: BM25 window partition +
     # fused LM counts; similarity.py: SRP samplers; rollup/index
     # folds: changelog + guards; scd2: shared _epoch_dirs).
@@ -2365,8 +2368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "rollup_cascade": q_rollup_cascade,
         "scd2_lookup": q_scd2_lookup,
-        "scd2_history": q_scd2_history,
+        "bpe_merges": q_bpe_merges,
         # ---- end of the 50-query grading window ----
+        "scd2_history": q_scd2_history,
         # round-5-graded surface (CORRECTNESS_r05: 50/50 pass) — still
         # parity-tested locally on every pytest run
         "substring_spans": q_substring_spans,
@@ -2448,8 +2452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "except_keys": q_except_keys,
         # rows-only checks (approximate / stubbed codecs / iterative
-        # by design)
-        "bpe_merges": q_bpe_merges,
+        # by design; bpe_merges graduated to an exact oracle in r6 —
+        # constant round count => the loop chains as CTEs)
         "embedding_clusters": q_embedding_clusters,
         "diverse_sample": q_diverse_sample,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2458,6 +2462,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_features_knn": q_media_features_knn,
     }
+
+
+def _bpe_oracle_sql(n_rounds: int = 3, joiner: str = " ") -> str:
+    """DuckDB replay of bpe_train's full iterative loop: each round is
+    a pair count + deterministic argmax (cnt desc, a, b) + a
+    list_reduce fold applying the merge with the SAME structural
+    no-overlap rule as apply_bpe_merge ('x x x' -> ['x x', 'x']). The
+    trainer is iterative, but the iteration count is a CONSTANT of the
+    query (3 rounds), so chained CTEs express it exactly — the whole
+    driver-side control plane (1-row argmax per round) replays as SQL.
+    Assumes every graded round finds a pair with cnt >= 2 (true at the
+    graded SF by orders of magnitude; the early-stop branch is pinned
+    by unit golden tests instead)."""
+    parts = [f"WITH t0 AS (SELECT {_TOKENS} AS toks FROM documents)"]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT p[1] AS a, p[2] AS b, COUNT(*) AS cnt
+  FROM (SELECT unnest(list_zip(toks, toks[2:])) AS p FROM t{i - 1})
+  WHERE p[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+m{i} AS (SELECT a, b, cnt FROM p{i} WHERE cnt >= 2
+         ORDER BY cnt DESC, a, b LIMIT 1),
+t{i} AS (
+  SELECT list_reduce(
+    list_prepend(CAST([] AS VARCHAR[]), list_transform(toks, x -> [x])),
+    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = a AND x[1] = b
+                     THEN list_append(acc[1:-2], a || '{joiner}' || b)
+                     ELSE list_concat(acc, x) END
+  ) AS toks
+  FROM t{i - 1}, m{i}
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a, b, cnt FROM m{i}"
+        for i in range(1, n_rounds + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{union}\n)")
+    return "".join(parts)
 
 
 def _hbow_weights_sql(buckets: int, seed: int = 0) -> str:
@@ -3848,6 +3891,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM td
             ) WHERE df >= 2
         """,
+        # iterative BPE trainer replay: constant round count => the
+        # whole loop (pair count + argmax + fold-merge per round)
+        # chains as CTEs; see _bpe_oracle_sql
+        "bpe_merges": _bpe_oracle_sql(3),
         # changelog-folded index replay: the fold's final logical
         # corpus (updates supersede, tombstones delete) is a plain
         # WHERE over documents — a correct changelog merge is

@@ -170,6 +170,27 @@ class Stream:
             agg_ops.cascade_rollup(self.df, event_time, list(keys), measures, **kw)
         )
 
+    def positional_index(self, id_col="doc_id", text_col="text", **kw) -> "Stream":
+        """Materialize the positional retrieval index of this document
+        stream — functions/text.positional_index."""
+        from kspp_spark.functions.text import positional_index
+
+        return Stream(
+            positional_index(self.df, id_col=id_col, text_col=text_col, **kw)
+        )
+
+    def bm25(self, query_terms, k=10, id_col="doc_id", text_col="text", **kw) -> "Stream":
+        """BM25 top-k retrieval over this document stream —
+        functions/text.bm25_topk."""
+        from kspp_spark.functions.text import bm25_topk
+
+        return Stream(
+            bm25_topk(
+                self.df, list(query_terms), k=k, id_col=id_col,
+                text_col=text_col, **kw,
+            )
+        )
+
     # ---- terminals (§2.2)
     def visit(self, fn: Callable) -> None:
         sl_ops.visitor(self.df, fn)

@@ -543,3 +543,36 @@ def test_positional_index_df_join_broadcasts_not_reshuffles(spark, queries):
     plan = formatted_plan(spark, queries["positional_index"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_folded_index_snapshot_broadcasts_merge_maps(spark, tmp_path):
+    # the changelog merge must join only the tiny (doc, max-epoch) and
+    # per-term df maps — BROADCAST at this scale, never a SortMergeJoin
+    # that would re-shuffle the heavy position arrays; and like every
+    # query in the repo, zero Python in the plan
+    from pyspark.sql import functions as F
+
+    from kspp_spark.streaming.index_incremental import (
+        index_bootstrap,
+        positional_index_snapshot,
+        positional_partials_batch,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    state = str(tmp_path / "pidx")
+    index_bootstrap(docs, state, positional=True)
+    positional_partials_batch(docs.filter(F.col("doc_id") % 7 == 0), 0, state)
+    plan = formatted_plan(spark, positional_index_snapshot(spark, state, min_df=2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_srp_sampler_single_shuffle_no_python(spark, queries):
+    # deterministic diversity sampling: signatures are MAP-ONLY (JVM
+    # higher-order fns over constant plane arrays) — the only Exchange
+    # is the per-bucket rank window / profile aggregation
+    for name in ["srp_diverse_sample", "srp_bucket_profile"]:
+        plan = formatted_plan(spark, queries[name](spark, SF))
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, name
+        assert "BatchEvalPython" not in plan, name

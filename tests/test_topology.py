@@ -209,3 +209,28 @@ def test_topology_warehouse_overlays(spark):
     grains = ev.cascade_rollup("ts", ["key"], {"n": ("value", "count")})
     got = {(r.grain, r.n) for r in grains.df.collect()}
     assert ("hour", 1) in got and ("day", 2) in got
+
+
+def test_topology_retrieval_overlays(spark):
+    """Fluent retrieval surface: document stream -> positional index,
+    and BM25 top-k straight off the stream."""
+    from kspp_spark.plans.topology import Topology
+
+    topo = Topology(spark)
+    docs = topo.source(
+        spark.createDataFrame(
+            [
+                (1, "spark scan spark"),
+                (2, "scan join"),
+                (3, "spark join scan"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    idx = docs.positional_index(min_df=2)
+    rows = {(r.term, r.doc_id, r.tf) for r in idx.df.collect()}
+    assert ("spark", 1, 2) in rows and ("scan", 2, 1) in rows
+
+    top = docs.bm25(["spark"], k=2)
+    got = [(r.doc_id, r.rank) for r in top.df.collect()]
+    assert got[0] == (1, 1) and len(got) == 2
