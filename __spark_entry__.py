@@ -1926,6 +1926,26 @@ def q_bpe_merges(spark, sf_dir):
     )
 
 
+def q_bpe_encoded(spark, sf_dir):
+    """The tokenizer END TO END: train 3 BPE merges on the corpus
+    (bpe_train — bounded 1-row-argmax control plane), then ENCODE the
+    corpus with the learned table (bpe_encode — sequential JVM folds,
+    bit-identical to the training corpus's final state by
+    construction). Exact oracle: the same train+encode loop replays as
+    chained CTEs emitting the per-doc token arrays
+    (_bpe_oracle_sql(emit='corpus'))."""
+    from kspp_spark.functions.text import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=3)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.concat_ws("|", "toks").alias("toks_str"),
+    )
+
+
 def q_embedding_clusters(spark, sf_dir):
     """KMeans topic clustering of the embedding table (spark.ml;
     map + tree-aggregate training, broadcast-centroid assignment).
@@ -2371,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         # ---- end of the 50-query grading window ----
         "scd2_history": q_scd2_history,
+        "bpe_encoded": q_bpe_encoded,
         # round-5-graded surface (CORRECTNESS_r05: 50/50 pass) — still
         # parity-tested locally on every pytest run
         "substring_spans": q_substring_spans,
@@ -2464,7 +2485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _bpe_oracle_sql(n_rounds: int = 3, joiner: str = " ") -> str:
+def _bpe_oracle_sql(
+    n_rounds: int = 3, joiner: str = " ", emit: str = "merges"
+) -> str:
     """DuckDB replay of bpe_train's full iterative loop: each round is
     a pair count + deterministic argmax (cnt desc, a, b) + a
     list_reduce fold applying the merge with the SAME structural
@@ -2474,8 +2497,15 @@ def _bpe_oracle_sql(n_rounds: int = 3, joiner: str = " ") -> str:
     driver-side control plane (1-row argmax per round) replays as SQL.
     Assumes every graded round finds a pair with cnt >= 2 (true at the
     graded SF by orders of magnitude; the early-stop branch is pinned
-    by unit golden tests instead)."""
-    parts = [f"WITH t0 AS (SELECT {_TOKENS} AS toks FROM documents)"]
+    by unit golden tests instead).
+
+    emit='merges' returns the merge table (merge_rank, a, b, cnt);
+    emit='corpus' returns the ENCODED corpus — each doc's token array
+    after all n_rounds merges (doc_id, n_tokens, toks_str), i.e. the
+    oracle for bpe_encode over bpe_train's table."""
+    parts = [
+        f"WITH t0 AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)"
+    ]
     for i in range(1, n_rounds + 1):
         parts.append(f""",
 p{i} AS (
@@ -2487,7 +2517,7 @@ p{i} AS (
 m{i} AS (SELECT a, b, cnt FROM p{i} WHERE cnt >= 2
          ORDER BY cnt DESC, a, b LIMIT 1),
 t{i} AS (
-  SELECT list_reduce(
+  SELECT doc_id, list_reduce(
     list_prepend(CAST([] AS VARCHAR[]), list_transform(toks, x -> [x])),
     (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = a AND x[1] = b
                      THEN list_append(acc[1:-2], a || '{joiner}' || b)
@@ -2495,11 +2525,17 @@ t{i} AS (
   ) AS toks
   FROM t{i - 1}, m{i}
 )""")
-    union = "\nUNION ALL ".join(
-        f"SELECT {i} AS merge_rank, a, b, cnt FROM m{i}"
-        for i in range(1, n_rounds + 1)
-    )
-    parts.append(f"\nSELECT * FROM (\n{union}\n)")
+    if emit == "corpus":
+        parts.append(f"""
+SELECT doc_id, len(toks) AS n_tokens,
+       array_to_string(toks, '|') AS toks_str
+FROM t{n_rounds}""")
+    else:
+        union = "\nUNION ALL ".join(
+            f"SELECT {i} AS merge_rank, a, b, cnt FROM m{i}"
+            for i in range(1, n_rounds + 1)
+        )
+        parts.append(f"\nSELECT * FROM (\n{union}\n)")
     return "".join(parts)
 
 
@@ -3895,6 +3931,9 @@ def oracle_sql() -> dict[str, str]:
         # whole loop (pair count + argmax + fold-merge per round)
         # chains as CTEs; see _bpe_oracle_sql
         "bpe_merges": _bpe_oracle_sql(3),
+        # train + ENCODE replay: same chained CTEs, emitting the
+        # per-doc token arrays after all merges
+        "bpe_encoded": _bpe_oracle_sql(3, emit="corpus"),
         # changelog-folded index replay: the fold's final logical
         # corpus (updates supersede, tombstones delete) is a plain
         # WHERE over documents — a correct changelog merge is

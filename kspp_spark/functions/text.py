@@ -945,6 +945,95 @@ def bpe_train(
     return merges, toks_df
 
 
+def bpe_encode(
+    df,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = " ",
+    checkpoint_every: int = 8,
+):
+    """Apply a trained BPE merge table to a corpus — the ENCODE half
+    of the tokenizer (bpe_train learns the table, this tokenizes with
+    it): merges apply SEQUENTIALLY in training order, so the encoded
+    corpus is bit-identical to the training corpus's final state by
+    construction (no rank-priority re-application ambiguity). Each
+    merge is one corpus-wide JVM fold (apply_bpe_merge);
+    localCheckpoint every `checkpoint_every` merges bounds the plan
+    depth exactly like the trainer's per-round reset.
+
+    Returns (id_col, toks array<string>). `merges` accepts (a, b) or
+    bpe_train's (a, b, count) tuples.
+
+    This path is right for merge tables up to the tens — each merge
+    is a plan node. For VOCABULARY-scale tables (32k merges) use
+    bpe_encode_pandas: same sequential semantics, one Arrow-batched
+    pass.
+    """
+    pairs = [(m[0], m[1]) for m in merges]
+    out = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("toks"))
+    for i, (a, b) in enumerate(pairs):
+        out = out.select(
+            F.col(id_col),
+            apply_bpe_merge(F.col("toks"), a, b, joiner).alias("toks"),
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < len(pairs):
+            out = out.localCheckpoint(eager=True)
+    return out
+
+
+def bpe_encode_pandas(
+    df,
+    merges,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    joiner: str = " ",
+):
+    """Vocabulary-scale BPE encoding: one Arrow-batched mapInPandas
+    pass applying the merge table with the SAME sequential-order
+    semantics as bpe_encode (unit-pinned identical). Per document the
+    adjacent-pair set makes non-applicable merges an O(1) skip, so a
+    32k-merge table costs ~n_merges set probes + (applications x
+    doc_len) — applications are bounded by the doc's own shrinkage.
+    Map-only (no shuffle); at production scale the same mapInPandas
+    contract takes a native tokenizer (e.g. HF tokenizers) as a
+    drop-in.
+    """
+    import pandas as pd
+
+    merge_list = [(m[0], m[1]) for m in merges]
+
+    def encode_batch(batches):
+        for pdf in batches:
+            encoded = []
+            for text in pdf[text_col]:
+                toks = text.split() if text else []
+                pairs = set(zip(toks, toks[1:]))
+                for a, b in merge_list:
+                    if (a, b) not in pairs:
+                        continue
+                    out, i = [], 0
+                    while i < len(toks):
+                        if (
+                            i + 1 < len(toks)
+                            and toks[i] == a
+                            and toks[i + 1] == b
+                        ):
+                            out.append(a + joiner + b)
+                            i += 2
+                        else:
+                            out.append(toks[i])
+                            i += 1
+                    toks = out
+                    pairs = set(zip(toks, toks[1:]))
+                encoded.append(toks)
+            yield pd.DataFrame({id_col: pdf[id_col], "toks": encoded})
+
+    return df.select(id_col, text_col).mapInPandas(
+        encode_batch, f"{id_col} long, toks array<string>"
+    )
+
+
 def ngram_counts(
     df,
     n: int = 3,

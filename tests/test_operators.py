@@ -1466,3 +1466,40 @@ def test_bpe_train_chars_reproduces_sennrich_example(spark):
     # pairs never span word boundaries: 'low' x5 never merges with the
     # following word's leading char (no symbol containing 'w</w>n')
     assert not any("w</w>n" in s for seq in seqs for s in seq)
+
+
+def test_bpe_encode_paths_agree_and_match_training_state(spark):
+    """bpe_encode (JVM folds) and bpe_encode_pandas (Arrow-batched
+    vocab-scale path) implement the SAME sequential-order semantics,
+    and both reproduce the training corpus's final token state."""
+    from kspp_spark.functions.text import bpe_encode, bpe_encode_pandas, bpe_train
+
+    rows = [
+        (1, "the quick fox the quick dog"),
+        (2, "the quick fox jumps over the dog"),
+        (3, "dog and fox and the quick fox"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, trained = bpe_train(df, n_merges=3)
+    # tiny corpus: 2 viable merges, the second COMPOUND (('the quick',
+    # 'fox')) — exercises merges over previously-merged symbols
+    assert len(merges) >= 2 and merges[1][0] == "the quick"
+
+    jvm = {r.doc_id: tuple(r.toks) for r in bpe_encode(df, merges).collect()}
+    arrow = {
+        r.doc_id: tuple(r.toks) for r in bpe_encode_pandas(df, merges).collect()
+    }
+    assert jvm == arrow
+    # encode == training final state (multiset of per-doc arrays)
+    assert sorted(jvm.values()) == sorted(
+        tuple(r.toks) for r in trained.collect()
+    )
+    assert jvm[4] == ()  # empty doc stays empty
+    # the learned pair really merged: the top pair never appears
+    # adjacent in any encoded doc
+    a, b, _ = merges[0]
+    for toks in jvm.values():
+        assert not any(
+            x == a and y == b for x, y in zip(toks, toks[1:])
+        )
