@@ -411,3 +411,73 @@ def test_bigram_lm_scores_match_python_replay(spark, docs):
         expected[i] = (len(ps), milli / (1000.0 * len(ps)))
     got = {r.doc_id: (r.n_pairs, r.score) for r in bigram_lm_scores(df).collect()}
     assert got == expected
+
+
+changelog_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),  # doc_id (small space =>
+        #                                         many update/delete hits)
+        st.one_of(
+            st.none(),  # tombstone
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                min_size=0,
+                max_size=6,
+            ).map(" ".join),
+        ),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=changelog_strategy, n_batches=st.integers(min_value=1, max_value=4))
+def test_changelog_index_fold_equals_batch_rebuild(spark, tmp_path_factory, ops, n_batches):
+    """PROPERTY: for ANY interleaving of inserts / updates / tombstones
+    split across ANY number of fold epochs, the folded positional-index
+    snapshot equals a fresh batch positional_index over the changelog's
+    final logical state (last write per doc wins; NULL/empty deletes).
+    Randomization catches epoch-boundary and collision cases the
+    hand-written scenarios can't enumerate."""
+    from kspp_spark.functions.text import positional_index
+    from kspp_spark.streaming.index_incremental import (
+        positional_index_snapshot,
+        positional_partials_batch,
+    )
+
+    # within one epoch a doc_id must be unique (compacted-changelog
+    # contract): keep the LAST op per doc per batch — that is also the
+    # reference LWW this property replays
+    state = str(tmp_path_factory.mktemp("fold"))
+    chunks = [ops[i::n_batches] for i in range(n_batches)]
+    final: dict[int, str | None] = {}
+    wrote = 0
+    for epoch, chunk in enumerate(c for c in chunks if c):
+        last = {}
+        for doc_id, text in chunk:
+            last[doc_id] = text
+            final[doc_id] = text
+        batch = spark.createDataFrame(
+            [(d, t) for d, t in last.items()], "doc_id long, text string"
+        )
+        positional_partials_batch(batch, epoch, state)
+        wrote += 1
+    assert wrote >= 1
+    live = [
+        (d, t) for d, t in final.items() if t  # drop tombstones/empties
+    ]
+    got = sorted(
+        (r.term, r.doc_id, r.tf, r.df, tuple(r.positions))
+        for r in positional_index_snapshot(spark, state).collect()
+    )
+    if not live:
+        assert got == []
+        return
+    want = sorted(
+        (r.term, r.doc_id, r.tf, r.df, tuple(r.positions))
+        for r in positional_index(
+            spark.createDataFrame(live, "doc_id long, text string")
+        ).collect()
+    )
+    assert got == want
