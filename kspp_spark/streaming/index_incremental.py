@@ -26,7 +26,13 @@ them. The mechanism is latest-epoch-wins per doc_id:
 
 A doc_id must appear at most once per micro-batch (the standard
 compacted-changelog shape); pass `seq_col` to let the fold resolve
-within-batch collisions last-write-wins by that column instead.
+within-batch collisions last-write-wins by that column instead — AND
+to make the cross-epoch merge EVENT-ordered: with seq_col, the
+winning version per doc is max (seq, epoch), so a late-arriving
+STALE update or delete (lower seq in a later epoch) is ignored —
+the reference's stale-update/stale-delete rule (mem_store.h:64-83).
+Use one seq mode consistently across bootstrap, stream, and
+compaction (compaction preserves winning seqs).
 
 Scale shape: per trigger, only the batch tokenizes; on read, only
 integer/term triples shuffle (text never does), and the doc->epoch
@@ -69,12 +75,15 @@ def _guard_epoch_monotonic(spark, state_dir: str, epoch_id: int, what: str) -> N
 def _lww_batch(batch_df: DataFrame, id_col: str, text_col: str, seq_col: str | None):
     """Resolve within-batch doc_id collisions last-write-wins by
     seq_col (max_by — the mem_store LWW rule applied inside one
-    trigger). Without seq_col the batch is trusted to be compacted
-    (one row per doc_id)."""
+    trigger), keeping the winning seq as `_seq` so the CROSS-epoch
+    merge is event-ordered too (see module docstring). Without
+    seq_col the batch is trusted to be compacted (one row per
+    doc_id) and the merge falls back to arrival (epoch) order."""
     if seq_col is None:
         return batch_df
     return batch_df.groupBy(id_col).agg(
-        F.max_by(F.col(text_col), F.col(seq_col)).alias(text_col)
+        F.max_by(F.col(text_col), F.col(seq_col)).alias(text_col),
+        F.max(seq_col).alias("_seq"),
     )
 
 
@@ -94,14 +103,19 @@ def index_partials_batch(
         batch_df.sparkSession, state_dir, epoch_id, "index_partials_batch"
     )
     batch = _lww_batch(batch_df, id_col, text_col, seq_col)
+    seq_cols = [F.col("_seq")] if seq_col else []
     toks = batch.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"),
+        *seq_cols,
     )
-    partial = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    partial = toks.groupBy("term", id_col, *(["_seq"] if seq_col else [])).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     sentinels = batch.select(
         F.lit(None).cast("string").alias("term"),
         F.col(id_col),
         F.lit(0).cast("long").alias("tf"),
+        *seq_cols,
     )
     partial.unionByName(sentinels).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"epoch={int(epoch_id)}")
@@ -134,12 +148,33 @@ def index_stream(
     )
 
 
-def _live_rows(spark, state_dir: str, id_col: str) -> DataFrame:
+def _live_rows(spark, state_dir: str, id_col: str, keep_seq: bool = False) -> DataFrame:
     """Latest-epoch-wins merge of the accumulated partials: keep each
     doc's newest epoch's rows, drop the sentinels. The doc->epoch map
     is a tiny (id, int) aggregate; the join back is an equi-join on
     the id (AQE broadcasts the map side at moderate scale)."""
     partials = spark.read.parquet(state_dir)
+    if "_seq" in partials.columns:
+        # EVENT-ordered LWW (mem_store.h:64-83): the winning version is
+        # max (seq, epoch) — a late-arriving STALE update or delete
+        # (lower seq in a later epoch) loses the merge and is ignored,
+        # exactly the reference's stale-update/stale-delete rule. All
+        # epochs must be written with the same seq mode (mixing
+        # seq-less partials into a seq-ed state leaves NULL _seq rows
+        # that lose every comparison).
+        latest = partials.groupBy(F.col(id_col).alias("_lid")).agg(
+            F.max(F.struct("_seq", "epoch")).alias("_w")
+        )
+        return (
+            partials.join(
+                latest,
+                (F.col(id_col) == F.col("_lid"))
+                & (F.col("_seq") == F.col("_w._seq"))
+                & (F.col("epoch") == F.col("_w.epoch")),
+            )
+            .drop("_lid", "_w", "epoch", *([] if keep_seq else ["_seq"]))
+            .filter(F.col("term").isNotNull())
+        )
     latest = partials.groupBy(F.col(id_col).alias("_lid")).agg(
         F.max("epoch").alias("_e")
     )
@@ -209,11 +244,13 @@ def positional_partials_batch(
             spark, doclen_dir, epoch_id, "positional_partials_batch(doclen)"
         )
     batch = _lww_batch(batch_df, id_col, text_col, seq_col)
+    seq_cols = [F.col("_seq")] if seq_col else []
     pos = batch.select(
         F.col(id_col),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+        *seq_cols,
     )
-    partial = pos.groupBy("term", id_col).agg(
+    partial = pos.groupBy("term", id_col, *(["_seq"] if seq_col else [])).agg(
         F.count(F.lit(1)).alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
     )
@@ -222,6 +259,7 @@ def positional_partials_batch(
         F.col(id_col),
         F.lit(0).cast("long").alias("tf"),
         F.array().cast("array<int>").alias("positions"),
+        *seq_cols,
     )
     partial.unionByName(sentinels).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"epoch={int(epoch_id)}")
@@ -235,6 +273,7 @@ def positional_partials_batch(
             F.coalesce(
                 F.size(tokenize(F.col(text_col))), F.lit(0)
             ).cast("long").alias("dl"),
+            *seq_cols,
         )
         lengths.write.mode("overwrite").parquet(
             os.path.join(doclen_dir, f"epoch={int(epoch_id)}")
@@ -248,7 +287,21 @@ def doc_lengths_snapshot(spark, doclen_dir: str) -> DataFrame:
     (tombstoned/empty docs) drop out, matching the batch operator's
     dl > 0 contract."""
     lengths = spark.read.parquet(doclen_dir)
-    id_col = lengths.columns[0]  # partials write (id_col, dl) + epoch
+    id_col = lengths.columns[0]  # partials write (id_col, dl[, _seq]) + epoch
+    if "_seq" in lengths.columns:
+        latest = lengths.groupBy(F.col(id_col).alias("_lid")).agg(
+            F.max(F.struct("_seq", "epoch")).alias("_w")
+        )
+        return (
+            lengths.join(
+                latest,
+                (F.col(id_col) == F.col("_lid"))
+                & (F.col("_seq") == F.col("_w._seq"))
+                & (F.col("epoch") == F.col("_w.epoch")),
+            )
+            .drop("_lid", "_w", "epoch", "_seq")
+            .filter(F.col("dl") > 0)
+        )
     latest = lengths.groupBy(F.col(id_col).alias("_lid")).agg(
         F.max("epoch").alias("_e")
     )
@@ -324,6 +377,7 @@ def index_bootstrap(
     text_col: str = "text",
     positional: bool = False,
     doclen_dir: str | None = None,
+    seq_col: str | None = None,
 ) -> None:
     """Bootstrap the incremental index from an EXISTING corpus (same
     epoch=-1 convention as the scd2/rollup bootstraps): one batch
@@ -335,7 +389,11 @@ def index_bootstrap(
     retained epochs would shadow the bootstrap lengths and skew
     BM25's N/avgdl). Streamed doc_ids may update or tombstone
     bootstrapped ones — the changelog merge supersedes across the
-    bootstrap boundary like any other epoch."""
+    bootstrap boundary like any other epoch. seq mode must be
+    CONSISTENT across bootstrap and stream: if the stream folds with
+    seq_col, bootstrap with one too (a seq column is synthesizable as
+    F.lit(0) when the corpus has none — every real stream seq then
+    supersedes it)."""
     spark = corpus_df.sparkSession
     for d, label in [(state_dir, "state_dir")] + (
         [(doclen_dir, "doclen_dir")] if doclen_dir is not None else []
@@ -348,11 +406,12 @@ def index_bootstrap(
     if positional:
         positional_partials_batch(
             corpus_df, -1, state_dir, id_col=id_col, text_col=text_col,
-            doclen_dir=doclen_dir,
+            doclen_dir=doclen_dir, seq_col=seq_col,
         )
     else:
         index_partials_batch(
-            corpus_df, -1, state_dir, id_col=id_col, text_col=text_col
+            corpus_df, -1, state_dir, id_col=id_col, text_col=text_col,
+            seq_col=seq_col,
         )
 
 
@@ -374,8 +433,12 @@ def compact_index_state(
             "compact_index_state: out_dir already contains epochs — "
             "compaction writes a fresh directory"
         )
-    live = _live_rows(spark, state_dir, id_col)
+    live = _live_rows(spark, state_dir, id_col, keep_seq=True)
     cols = ["term", id_col, "tf"] + (["positions"] if positional else [])
+    if "_seq" in live.columns:
+        # keep each surviving row's winning seq: a late STALE update
+        # arriving after compaction must still lose the merge
+        cols.append("_seq")
     live.select(*cols).write.mode("overwrite").parquet(
         os.path.join(out_dir, "epoch=-1")
     )

@@ -1878,3 +1878,70 @@ def test_use_rocksdb_state_provider_actually_engages(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prior)
+
+
+def test_incremental_index_seq_mode_ignores_stale_updates(spark, tmp_path):
+    """EVENT-ordered changelog merge (mem_store.h:64-83): with seq_col,
+    a late-arriving STALE update or STALE delete (lower seq in a LATER
+    epoch) loses the merge and is ignored — for postings and the
+    doc-length fold; compaction preserves the winning seqs so
+    staleness protection survives a rewrite."""
+    from kspp_spark.functions.text import positional_index
+    from kspp_spark.streaming.index_incremental import (
+        compact_index_state,
+        doc_lengths_snapshot,
+        positional_index_snapshot,
+        positional_partials_batch,
+    )
+
+    schema = "doc_id long, text string, seq long"
+    # epoch 0: current versions
+    b0 = [(1, "alpha beta", 20), (2, "gamma delta", 20), (3, "beta beta", 20)]
+    # epoch 1: doc1 STALE update (seq 10 < 20) -> ignored;
+    #          doc2 STALE delete -> ignored;
+    #          doc3 FRESH update (seq 30) -> supersedes
+    b1 = [(1, "should never appear", 10), (2, None, 10), (3, "beta gamma", 30)]
+    final = [(1, "alpha beta"), (2, "gamma delta"), (3, "beta gamma")]
+
+    s = str(tmp_path / "pidx")
+    dlen = str(tmp_path / "dlen")
+    positional_partials_batch(
+        spark.createDataFrame(b0, schema), 0, s, doclen_dir=dlen, seq_col="seq"
+    )
+    positional_partials_batch(
+        spark.createDataFrame(b1, schema), 1, s, doclen_dir=dlen, seq_col="seq"
+    )
+
+    def canon(df):
+        return sorted(
+            (r.term, r.doc_id, r.tf, r.df, tuple(r.positions))
+            for r in df.collect()
+        )
+
+    want = canon(positional_index(
+        spark.createDataFrame(final, "doc_id long, text string")
+    ))
+    assert canon(positional_index_snapshot(spark, s)) == want
+    assert sorted(
+        (r.doc_id, r.dl) for r in doc_lengths_snapshot(spark, dlen).collect()
+    ) == [(1, 2), (2, 2), (3, 2)]
+
+    # compaction keeps winning seqs: the same stale update REPLAYED
+    # against the compacted state still loses
+    out = str(tmp_path / "compacted")
+    compact_index_state(spark, s, out)
+    assert canon(positional_index_snapshot(spark, out)) == want
+    positional_partials_batch(
+        spark.createDataFrame([(1, "still stale", 5)], schema), 0, out,
+        seq_col="seq",
+    )
+    assert canon(positional_index_snapshot(spark, out)) == want
+    # and a genuinely fresh update supersedes post-compaction
+    positional_partials_batch(
+        spark.createDataFrame([(1, "fresh text", 99)], schema), 1, out,
+        seq_col="seq",
+    )
+    got_terms = {
+        r.term for r in positional_index_snapshot(spark, out).collect()
+    }
+    assert "fresh" in got_terms and "stale" not in got_terms
