@@ -999,15 +999,26 @@ def bpe_encode_pandas(
     contract takes a native tokenizer (e.g. HF tokenizers) as a
     drop-in.
     """
+    import re as _re
+
     import pandas as pd
 
     merge_list = [(m[0], m[1]) for m in merges]
+    # ASCII \\s+ to match tokenize()'s Java regex exactly (Python's
+    # str.split()/default \\s are Unicode-aware and would split on
+    # NBSP etc. where the JVM path keeps one token)
+    _ws = _re.compile(r"\s+", _re.ASCII)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def encode_batch(batches):
         for pdf in batches:
             encoded = []
             for text in pdf[text_col]:
-                toks = text.split() if text else []
+                if text is None:
+                    # NULL text -> NULL toks, same as tokenize(NULL)
+                    encoded.append(None)
+                    continue
+                toks = [t for t in _ws.split(text) if t]
                 pairs = set(zip(toks, toks[1:]))
                 for a, b in merge_list:
                     if (a, b) not in pairs:
@@ -1030,7 +1041,7 @@ def bpe_encode_pandas(
             yield pd.DataFrame({id_col: pdf[id_col], "toks": encoded})
 
     return df.select(id_col, text_col).mapInPandas(
-        encode_batch, f"{id_col} long, toks array<string>"
+        encode_batch, f"{id_col} {id_type}, toks array<string>"
     )
 
 

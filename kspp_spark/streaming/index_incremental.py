@@ -53,23 +53,10 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from kspp_spark.functions.text import tokenize
-from kspp_spark.streaming.scd2 import _epoch_dirs
-
-
-def _guard_epoch_monotonic(spark, state_dir: str, epoch_id: int, what: str) -> None:
-    """Refuse a fold whose state already holds epochs NEWER than the
-    current trigger: that means the checkpoint was reset against a
-    retained state_dir, and folding would silently mix stale epochs
-    into every merge-on-read snapshot (same loud refusal as
-    scd2_fold_batch; replays of the CURRENT epoch remain fine — they
-    overwrite their own directory)."""
-    if any(e > int(epoch_id) for e, _ in _epoch_dirs(spark, state_dir)):
-        raise ValueError(
-            f"{what}: state_dir contains epochs newer than the current "
-            "trigger — the checkpoint was reset against an existing "
-            "state directory. Resume with the original checkpoint, or "
-            "fold into a fresh directory."
-        )
+from kspp_spark.streaming.epochs import (
+    epoch_dirs as _epoch_dirs,
+    guard_epoch_monotonic as _guard_epoch_monotonic,
+)
 
 
 def _lww_batch(batch_df: DataFrame, id_col: str, text_col: str, seq_col: str | None):
@@ -148,20 +135,26 @@ def index_stream(
     )
 
 
-def _live_rows(spark, state_dir: str, id_col: str, keep_seq: bool = False) -> DataFrame:
-    """Latest-epoch-wins merge of the accumulated partials: keep each
-    doc's newest epoch's rows, drop the sentinels. The doc->epoch map
-    is a tiny (id, int) aggregate; the join back is an equi-join on
-    the id (AQE broadcasts the map side at moderate scale)."""
-    partials = spark.read.parquet(state_dir)
+def _winning_rows(
+    spark, state_dir: str, id_col: str, keep_seq: bool = False
+) -> DataFrame:
+    """The winning version's rows per doc (SENTINELS INCLUDED) from
+    the accumulated partials. The doc->winner map is a tiny (id,
+    version) aggregate — orders of magnitude smaller than the
+    postings — joined back on the id (AQE broadcasts the map side at
+    moderate scale).
+
+    Without a _seq column the winner is the newest epoch (arrival
+    order). With _seq (the fold ran with seq_col) the winner is max
+    (seq, epoch) — EVENT-ordered LWW (mem_store.h:64-83): a
+    late-arriving STALE update or delete loses the merge. Rows with
+    NULL _seq (epochs folded before seq_col was adopted, surfaced via
+    mergeSchema) rank BELOW every real seq — struct-max NULLS FIRST
+    plus a null-safe join — so migrating a seq-less state to seq mode
+    is well-defined: every seq-ed write supersedes the legacy rows,
+    and seq-less-only docs keep serving by epoch order."""
+    partials = spark.read.option("mergeSchema", "true").parquet(state_dir)
     if "_seq" in partials.columns:
-        # EVENT-ordered LWW (mem_store.h:64-83): the winning version is
-        # max (seq, epoch) — a late-arriving STALE update or delete
-        # (lower seq in a later epoch) loses the merge and is ignored,
-        # exactly the reference's stale-update/stale-delete rule. All
-        # epochs must be written with the same seq mode (mixing
-        # seq-less partials into a seq-ed state leaves NULL _seq rows
-        # that lose every comparison).
         latest = partials.groupBy(F.col(id_col).alias("_lid")).agg(
             F.max(F.struct("_seq", "epoch")).alias("_w")
         )
@@ -169,11 +162,10 @@ def _live_rows(spark, state_dir: str, id_col: str, keep_seq: bool = False) -> Da
             partials.join(
                 latest,
                 (F.col(id_col) == F.col("_lid"))
-                & (F.col("_seq") == F.col("_w._seq"))
+                & F.col("_seq").eqNullSafe(F.col("_w._seq"))
                 & (F.col("epoch") == F.col("_w.epoch")),
             )
             .drop("_lid", "_w", "epoch", *([] if keep_seq else ["_seq"]))
-            .filter(F.col("term").isNotNull())
         )
     latest = partials.groupBy(F.col(id_col).alias("_lid")).agg(
         F.max("epoch").alias("_e")
@@ -184,7 +176,15 @@ def _live_rows(spark, state_dir: str, id_col: str, keep_seq: bool = False) -> Da
             (F.col(id_col) == F.col("_lid")) & (F.col("epoch") == F.col("_e")),
         )
         .drop("_lid", "_e", "epoch")
-        .filter(F.col("term").isNotNull())
+    )
+
+
+def _live_rows(spark, state_dir: str, id_col: str) -> DataFrame:
+    """Winning postings only: the merge of _winning_rows minus the
+    NULL-term presence sentinels (a deleted doc's winner is its
+    sentinel alone, so nothing of it survives here)."""
+    return _winning_rows(spark, state_dir, id_col).filter(
+        F.col("term").isNotNull()
     )
 
 
@@ -286,33 +286,10 @@ def doc_lengths_snapshot(spark, doclen_dir: str) -> DataFrame:
     straight into bm25_indexed. Latest-epoch-wins per doc; dl=0 rows
     (tombstoned/empty docs) drop out, matching the batch operator's
     dl > 0 contract."""
-    lengths = spark.read.parquet(doclen_dir)
-    id_col = lengths.columns[0]  # partials write (id_col, dl[, _seq]) + epoch
-    if "_seq" in lengths.columns:
-        latest = lengths.groupBy(F.col(id_col).alias("_lid")).agg(
-            F.max(F.struct("_seq", "epoch")).alias("_w")
-        )
-        return (
-            lengths.join(
-                latest,
-                (F.col(id_col) == F.col("_lid"))
-                & (F.col("_seq") == F.col("_w._seq"))
-                & (F.col("epoch") == F.col("_w.epoch")),
-            )
-            .drop("_lid", "_w", "epoch", "_seq")
-            .filter(F.col("dl") > 0)
-        )
-    latest = lengths.groupBy(F.col(id_col).alias("_lid")).agg(
-        F.max("epoch").alias("_e")
-    )
-    return (
-        lengths.join(
-            latest,
-            (F.col(id_col) == F.col("_lid")) & (F.col("epoch") == F.col("_e")),
-        )
-        .drop("_lid", "_e", "epoch")
-        .filter(F.col("dl") > 0)
-    )
+    # partials write (id_col, dl[, _seq]) + epoch; same winner rule as
+    # the postings merge (shared _winning_rows)
+    id_col = spark.read.parquet(doclen_dir).columns[0]
+    return _winning_rows(spark, doclen_dir, id_col).filter(F.col("dl") > 0)
 
 
 def positional_index_stream(
@@ -423,22 +400,24 @@ def compact_index_state(
     positional: bool = True,
 ) -> None:
     """Rewrite an accumulated fold as a single epoch=-1 partial in a
-    FRESH out_dir: the latest-epoch-wins merge runs once at compaction
-    instead of on every snapshot read, and dropped/superseded postings
-    physically disappear. Point the stream at out_dir with a fresh
-    checkpoint afterwards (the epoch guard enforces the fresh-dir
-    discipline)."""
+    FRESH out_dir: the winning-version merge runs once at compaction
+    instead of on every snapshot read, and superseded postings
+    physically disappear. The winners' SENTINEL rows are kept — in
+    seq mode a tombstoned doc's only surviving row is its sentinel
+    carrying the delete's seq, and dropping it would let a late STALE
+    update resurrect the deleted doc (the sentinel is what makes the
+    stale write lose the merge). Point the stream at out_dir with a
+    fresh checkpoint afterwards (the epoch guard enforces the
+    fresh-dir discipline)."""
     if _epoch_dirs(spark, out_dir):
         raise ValueError(
             "compact_index_state: out_dir already contains epochs — "
             "compaction writes a fresh directory"
         )
-    live = _live_rows(spark, state_dir, id_col, keep_seq=True)
+    winners = _winning_rows(spark, state_dir, id_col, keep_seq=True)
     cols = ["term", id_col, "tf"] + (["positions"] if positional else [])
-    if "_seq" in live.columns:
-        # keep each surviving row's winning seq: a late STALE update
-        # arriving after compaction must still lose the merge
+    if "_seq" in winners.columns:
         cols.append("_seq")
-    live.select(*cols).write.mode("overwrite").parquet(
+    winners.select(*cols).write.mode("overwrite").parquet(
         os.path.join(out_dir, "epoch=-1")
     )

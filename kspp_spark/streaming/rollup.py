@@ -50,18 +50,11 @@ def rollup_partials_batch(
     stale and new partials into every snapshot (same loud refusal as
     scd2_fold_batch; a replay of the CURRENT epoch overwrites its own
     directory and stays fine)."""
-    from kspp_spark.streaming.scd2 import _epoch_dirs
+    from kspp_spark.streaming.epochs import guard_epoch_monotonic
 
-    if any(
-        e > int(epoch_id)
-        for e, _ in _epoch_dirs(batch_df.sparkSession, state_dir)
-    ):
-        raise ValueError(
-            "rollup_partials_batch: state_dir contains epochs newer than "
-            "the current trigger — the checkpoint was reset against an "
-            "existing state directory. Resume with the original "
-            "checkpoint, or fold into a fresh directory."
-        )
+    guard_epoch_monotonic(
+        batch_df.sparkSession, state_dir, epoch_id, "rollup_partials_batch"
+    )
     first_aggs, _ = rollup_agg_exprs(measures)
     partials = batch_df.groupBy(
         F.date_trunc(grain, F.col(event_time)).alias("window_start"), *keys

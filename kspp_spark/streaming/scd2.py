@@ -28,22 +28,12 @@ import os
 from pyspark.sql import DataFrame, functions as F
 
 from kspp_spark.operators.aggregates import scd2_history
+from kspp_spark.streaming.epochs import epoch_dirs
 
 
-def _epoch_dirs(spark, base: str) -> list[tuple[int, str]]:
-    """(epoch, path) under base via the Hadoop FS API (any scheme);
-    [] when the base does not exist yet."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(base)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return []
-    out = []
-    for st in fs.listStatus(jpath):
-        name = st.getPath().getName()
-        if name.startswith("epoch="):
-            out.append((int(name.split("=", 1)[1]), str(st.getPath())))
-    return sorted(out)
+# shared epoch machinery lives in streaming/epochs; the private alias
+# stays importable for back-compat
+_epoch_dirs = epoch_dirs
 
 
 def scd2_fold_batch(

@@ -1479,27 +1479,46 @@ def test_bpe_encode_paths_agree_and_match_training_state(spark):
         (2, "the quick fox jumps over the dog"),
         (3, "dog and fox and the quick fox"),
         (4, ""),
+        (5, None),  # tombstone-style NULL text
+        (6, "the quick fox"),  # NBSP: ONE token on the JVM \\s+ path
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    merges, trained = bpe_train(df, n_merges=3)
+    train_df = df.filter("doc_id <= 4")
+    merges, trained = bpe_train(train_df, n_merges=3)
     # tiny corpus: 2 viable merges, the second COMPOUND (('the quick',
     # 'fox')) — exercises merges over previously-merged symbols
     assert len(merges) >= 2 and merges[1][0] == "the quick"
 
-    jvm = {r.doc_id: tuple(r.toks) for r in bpe_encode(df, merges).collect()}
-    arrow = {
-        r.doc_id: tuple(r.toks) for r in bpe_encode_pandas(df, merges).collect()
-    }
+    def canon(it):
+        return {
+            r.doc_id: (tuple(r.toks) if r.toks is not None else None)
+            for r in it
+        }
+
+    jvm = canon(bpe_encode(df, merges).collect())
+    arrow = canon(bpe_encode_pandas(df, merges).collect())
     assert jvm == arrow
     # encode == training final state (multiset of per-doc arrays)
-    assert sorted(jvm.values()) == sorted(
+    assert sorted(v for d, v in jvm.items() if d <= 4) == sorted(
         tuple(r.toks) for r in trained.collect()
     )
     assert jvm[4] == ()  # empty doc stays empty
+    assert jvm[5] is None  # NULL text stays NULL on BOTH paths
+    # NBSP is not a separator on either path (Java \\s+ is ASCII-only;
+    # the pandas path must match, not Python's Unicode str.split)
+    assert jvm[6] == ("the quick", "fox")
     # the learned pair really merged: the top pair never appears
     # adjacent in any encoded doc
     a, b, _ = merges[0]
     for toks in jvm.values():
-        assert not any(
+        assert not toks or not any(
             x == a and y == b for x, y in zip(toks, toks[1:])
         )
+    # id column type is honored, not hardcoded (string ids are legal
+    # everywhere else in the text module)
+    sdf = spark.createDataFrame(
+        [("x", "the quick fox")], "doc_id string, text string"
+    )
+    got = bpe_encode_pandas(sdf, merges).collect()
+    # both merges apply: (the, quick) then the compound ('the quick', fox)
+    assert got[0].doc_id == "x" and got[0].toks == ["the quick fox"]

@@ -1945,3 +1945,79 @@ def test_incremental_index_seq_mode_ignores_stale_updates(spark, tmp_path):
         r.term for r in positional_index_snapshot(spark, out).collect()
     }
     assert "fresh" in got_terms and "stale" not in got_terms
+
+
+def test_compaction_preserves_tombstone_seq_no_resurrection(spark, tmp_path):
+    """Regression (round-6 review): a TOMBSTONED doc's winning version
+    is its sentinel alone — compaction must keep that sentinel (with
+    the delete's seq), or a later STALE update would resurrect the
+    deleted doc with older-than-delete content."""
+    from kspp_spark.streaming.index_incremental import (
+        compact_index_state,
+        positional_index_snapshot,
+        positional_partials_batch,
+    )
+
+    schema = "doc_id long, text string, seq long"
+    s = str(tmp_path / "pidx")
+    out = str(tmp_path / "compacted")
+    positional_partials_batch(
+        spark.createDataFrame([(1, "doomed words", 20)], schema), 0, s,
+        seq_col="seq",
+    )
+    positional_partials_batch(
+        spark.createDataFrame([(1, None, 30)], schema), 1, s, seq_col="seq"
+    )
+    assert positional_index_snapshot(spark, s).count() == 0
+    compact_index_state(spark, s, out)
+    assert positional_index_snapshot(spark, out).count() == 0
+    # the stale pre-delete update replays against the COMPACTED state:
+    # the kept sentinel (seq 30) must still win
+    positional_partials_batch(
+        spark.createDataFrame([(1, "stale resurrection", 10)], schema), 0,
+        out, seq_col="seq",
+    )
+    assert positional_index_snapshot(spark, out).count() == 0
+    # a post-delete write is a legitimate re-add
+    positional_partials_batch(
+        spark.createDataFrame([(1, "legit readd", 40)], schema), 1, out,
+        seq_col="seq",
+    )
+    assert {
+        r.term for r in positional_index_snapshot(spark, out).collect()
+    } == {"legit", "readd"}
+
+
+def test_seq_mode_migration_from_seqless_state(spark, tmp_path):
+    """Migration semantics: epochs folded BEFORE seq_col was adopted
+    surface with NULL _seq (mergeSchema) and rank below every real
+    seq — seq-ed writes supersede legacy rows, while docs only in the
+    legacy epochs keep serving by epoch order (no silent data loss)."""
+    from kspp_spark.streaming.index_incremental import (
+        index_partials_batch,
+        index_snapshot,
+    )
+
+    s = str(tmp_path / "idx")
+    index_partials_batch(
+        spark.createDataFrame(
+            [(1, "legacy one"), (2, "legacy two")], "doc_id long, text string"
+        ),
+        0,
+        s,
+    )
+    index_partials_batch(
+        spark.createDataFrame(
+            [(1, "seqed update", 5)], "doc_id long, text string, seq long"
+        ),
+        1,
+        s,
+        seq_col="seq",
+    )
+    got = {
+        r.term: r.postings
+        for r in index_snapshot(spark, s, min_df=1).collect()
+    }
+    assert "legacy" in got and got["legacy"] == "2"  # doc 2 still served
+    assert got.get("seqed") == "1" and got.get("update") == "1"
+    assert "one" not in got  # doc 1's legacy rows superseded
