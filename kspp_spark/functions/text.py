@@ -945,6 +945,26 @@ def bpe_train(
     return merges, toks_df
 
 
+def save_bpe_merges(spark, merges, path: str) -> None:
+    """Persist a trained merge table as parquet (merge_rank, a, b,
+    cnt) — the tokenizer ARTIFACT: train once on the cluster, encode
+    anywhere. Rank order is the load order (sequential semantics)."""
+    rows = [
+        (i + 1, m[0], m[1], int(m[2]) if len(m) > 2 else None)
+        for i, m in enumerate(merges)
+    ]
+    spark.createDataFrame(
+        rows, "merge_rank int, a string, b string, cnt long"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str, int]]:
+    """Load a persisted merge table in rank order, ready for
+    bpe_encode / bpe_encode_pandas."""
+    rows = spark.read.parquet(path).orderBy("merge_rank").collect()
+    return [(r.a, r.b, r.cnt) for r in rows]
+
+
 def bpe_encode(
     df,
     merges,

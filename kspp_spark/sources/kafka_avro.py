@@ -41,31 +41,65 @@ def confluent_avro_value(value: Column | str, json_schema: str) -> Column:
     return from_avro(F.substring(v, 6, 2147483647), json_schema)
 
 
+def kafka_reader_options(
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    starting_timestamp_ms: int | None = None,
+) -> dict[str, str]:
+    """The Kafka reader option map — split out of kafka_stream so the
+    start-mode mapping is testable WITHOUT a broker. Reference modes
+    (kafka_source.h:111-131): BEGINNING = 'earliest', END = 'latest',
+    STORED = the checkpoint dir, and start_point_ms > 0 =
+    `startingTimestamp` — Spark resolves each partition to its first
+    offset with timestamp >= the start point, which is exactly the
+    reference's spooling loop (skip the PREFIX below start_point_ms,
+    then pass everything, including later out-of-order older
+    timestamps, kafka_source.h:110-127). Timestamp mode replaces
+    startingOffsets — the two are mutually exclusive in Spark's
+    source."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+    }
+    if starting_timestamp_ms is not None:
+        opts["startingTimestamp"] = str(int(starting_timestamp_ms))
+    else:
+        opts["startingOffsets"] = starting_offsets
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
     topic: str,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
+    starting_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Structured-Streaming Kafka source in the canonical changelog
     shape: (key binary, value binary nullable, event_time).
 
     The reference's start-offset modes map directly: BEGINNING =
-    'earliest', END = 'latest', STORED = checkpoint dir, timestamp =
-    startingTimestamp. Kafka's message timestamp becomes event_time
-    (kafka_source.h:217); a null value is a tombstone.
+    'earliest', END = 'latest', STORED = checkpoint dir,
+    start_point_ms = starting_timestamp_ms (kafka_source.h:111-131;
+    see kafka_reader_options). Kafka's message timestamp becomes
+    event_time (kafka_source.h:217); a null value is a tombstone.
     max_offsets_per_trigger is the backpressure bound
     (kafka_source.h:146-149's queue cap).
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        brokers,
+        topic,
+        starting_offsets=starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+        starting_timestamp_ms=starting_timestamp_ms,
+    ).items():
+        reader = reader.option(k, v)
     df = reader.load()
     return df.select(
         F.col("key"),

@@ -16,6 +16,9 @@ Parity targets (thin CLIs over operators this repo already has):
   docs2index     (beyond-reference) parquet corpus -> bucketed
                  positional index + doc-length table; the offline half
                  of the index-only retrieval queries.
+  train-bpe      (beyond-reference) parquet corpus -> persisted BPE
+                 merge table (the tokenizer artifact bpe_encode
+                 consumes; chars or words alphabet).
   register-schema  tools/kspp_protobuf_register_schema/
                  kspp_protobuf_register_schema.cpp — register a
                  protobuf (or avro/json) schema file under a subject
@@ -220,6 +223,30 @@ def docs2index(
         idx.unpersist()
 
 
+def train_bpe(
+    spark,
+    src: str,
+    dst: str,
+    n_merges: int = 64,
+    alphabet: str = "chars",
+    text_col: str = "text",
+) -> int:
+    """Train a BPE merge table on a parquet corpus and persist it as
+    the tokenizer artifact (merge_rank, a, b, cnt) — the offline half
+    of bpe_encode/bpe_encode_pandas (beyond-reference: the tokenizer-
+    training face of the training-data pipeline, Sennrich et al.
+    2016). Returns the number of merges learned (early stop when no
+    pair repeats)."""
+    from kspp_spark.functions.text import bpe_train, save_bpe_merges
+
+    docs = spark.read.parquet(src)
+    merges, _ = bpe_train(
+        docs, n_merges=n_merges, text_col=text_col, alphabet=alphabet
+    )
+    save_bpe_merges(spark, merges, dst)
+    return len(merges)
+
+
 def register_schema(
     registry_url: str,
     subject: str,
@@ -299,6 +326,15 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--max-df", type=int, default=None)
     d.add_argument("--buckets", type=int, default=32)
 
+    t = sub.add_parser(
+        "train-bpe", help="parquet corpus -> persisted BPE merge table"
+    )
+    t.add_argument("--src", required=True)
+    t.add_argument("--dst", required=True)
+    t.add_argument("--n-merges", type=int, default=64)
+    t.add_argument("--alphabet", default="chars", choices=["chars", "words"])
+    t.add_argument("--text-col", default="text")
+
     s = sub.add_parser(
         "register-schema",
         help="register a protobuf/avro/json schema file under a subject",
@@ -314,6 +350,16 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = p.parse_args(argv)
+    if args.cmd == "train-bpe":
+        from kspp_spark.session import get_spark
+
+        n = train_bpe(
+            get_spark("kspp_tools_train_bpe"), args.src, args.dst,
+            n_merges=args.n_merges, alphabet=args.alphabet,
+            text_col=args.text_col,
+        )
+        print(n)
+        return 0
     if args.cmd == "register-schema":
         # registry-only: no SparkSession needed
         schema_id = register_schema(

@@ -141,3 +141,26 @@ def test_confluent_avro_payload_decodes_jarless(spark):
     assert sid == 7
     rec = _decode(schema, _io.BytesIO(payload))  # records decode as tuples
     assert rec == ("alice", 42)
+
+
+def test_kafka_reader_start_modes_brokerless():
+    """Start-mode mapping (kafka_source.h:111-131) pinned without a
+    broker: offset modes set startingOffsets; a start point in ms sets
+    startingTimestamp INSTEAD (mutually exclusive in Spark's source);
+    the backpressure bound maps to maxOffsetsPerTrigger."""
+    from kspp_spark.sources.kafka_avro import kafka_reader_options
+
+    o = kafka_reader_options("b:9092", "t")
+    assert o["startingOffsets"] == "earliest" and "startingTimestamp" not in o
+
+    o = kafka_reader_options("b:9092", "t", starting_offsets="latest")
+    assert o["startingOffsets"] == "latest"
+
+    o = kafka_reader_options(
+        "b:9092", "t", starting_timestamp_ms=1_700_000_000_000,
+        max_offsets_per_trigger=5000,
+    )
+    assert o["startingTimestamp"] == "1700000000000"
+    assert "startingOffsets" not in o  # timestamp mode replaces it
+    assert o["maxOffsetsPerTrigger"] == "5000"
+    assert o["subscribe"] == "t" and o["kafka.bootstrap.servers"] == "b:9092"

