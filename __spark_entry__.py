@@ -1946,6 +1946,22 @@ def q_bpe_encoded(spark, sf_dir):
     )
 
 
+def q_bpe_merges_chars(spark, sf_dir):
+    """PAPER-STANDARD char-level BPE training (Sennrich et al. 2016:
+    characters within words + '</w>' end-of-word marker, merges never
+    span word boundaries), 3 rounds on the corpus — driver-certifying
+    the alphabet='chars' trainer against the same chained-CTE replay
+    as q_bpe_merges (joiner '' rebuilds subwords)."""
+    from kspp_spark.functions.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=3, alphabet="chars")
+    return spark.createDataFrame(
+        [(i + 1, a, b, int(c)) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, a string, b string, cnt long",
+    )
+
+
 def q_embedding_clusters(spark, sf_dir):
     """KMeans topic clustering of the embedding table (spark.ml;
     map + tree-aggregate training, broadcast-centroid assignment).
@@ -2392,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of the 50-query grading window ----
         "scd2_history": q_scd2_history,
         "bpe_encoded": q_bpe_encoded,
+        "bpe_merges_chars": q_bpe_merges_chars,
         # round-5-graded surface (CORRECTNESS_r05: 50/50 pass) — still
         # parity-tested locally on every pytest run
         "substring_spans": q_substring_spans,
@@ -2486,7 +2503,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _bpe_oracle_sql(
-    n_rounds: int = 3, joiner: str = " ", emit: str = "merges"
+    n_rounds: int = 3,
+    joiner: str = " ",
+    emit: str = "merges",
+    alphabet: str = "words",
 ) -> str:
     """DuckDB replay of bpe_train's full iterative loop: each round is
     a pair count + deterministic argmax (cnt desc, a, b) + a
@@ -2502,10 +2522,25 @@ def _bpe_oracle_sql(
     emit='merges' returns the merge table (merge_rank, a, b, cnt);
     emit='corpus' returns the ENCODED corpus — each doc's token array
     after all n_rounds merges (doc_id, n_tokens, toks_str), i.e. the
-    oracle for bpe_encode over bpe_train's table."""
-    parts = [
-        f"WITH t0 AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)"
-    ]
+    oracle for bpe_encode over bpe_train's table.
+
+    alphabet='chars' replays the PAPER-STANDARD trainer: one symbol
+    sequence per whitespace word (chars + '</w>' marker — the same
+    unicode-char split as Spark's F.split(w, '')), so pairs never
+    span word boundaries; merges-emission only."""
+    if alphabet == "chars":
+        assert emit == "merges", "char alphabet replays merges only"
+        id_keep = ""
+        parts = [
+            "WITH t0 AS ("
+            "SELECT list_append(regexp_split_to_array(w, ''), '</w>') AS toks "
+            f"FROM (SELECT unnest({_TOKENS}) AS w FROM documents))"
+        ]
+    else:
+        id_keep = "doc_id, "
+        parts = [
+            f"WITH t0 AS (SELECT doc_id, {_TOKENS} AS toks FROM documents)"
+        ]
     for i in range(1, n_rounds + 1):
         parts.append(f""",
 p{i} AS (
@@ -2517,7 +2552,7 @@ p{i} AS (
 m{i} AS (SELECT a, b, cnt FROM p{i} WHERE cnt >= 2
          ORDER BY cnt DESC, a, b LIMIT 1),
 t{i} AS (
-  SELECT doc_id, list_reduce(
+  SELECT {id_keep}list_reduce(
     list_prepend(CAST([] AS VARCHAR[]), list_transform(toks, x -> [x])),
     (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = a AND x[1] = b
                      THEN list_append(acc[1:-2], a || '{joiner}' || b)
@@ -3934,6 +3969,8 @@ def oracle_sql() -> dict[str, str]:
         # train + ENCODE replay: same chained CTEs, emitting the
         # per-doc token arrays after all merges
         "bpe_encoded": _bpe_oracle_sql(3, emit="corpus"),
+        # char-alphabet trainer replay (chars + '</w>', joiner '')
+        "bpe_merges_chars": _bpe_oracle_sql(3, joiner="", alphabet="chars"),
         # changelog-folded index replay: the fold's final logical
         # corpus (updates supersede, tombstones delete) is a plain
         # WHERE over documents — a correct changelog merge is
