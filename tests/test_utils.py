@@ -2,6 +2,8 @@
 assertions of the reference's tests/test7_cluster_uri.cpp and
 tests/test7_url_vector.cpp."""
 
+import os
+
 from kspp_spark.utils import ClusterUri, split_url_list
 
 
@@ -83,3 +85,83 @@ def test_split_url_list_default_scheme():
 def test_split_url_list_drops_empty_and_bad():
     v = split_url_list("http://a:1, ,b:2", "http")
     assert [str(u) for u in v] == ["http://a:1", "http://b:2"]
+
+
+def test_cluster_config_env_parity(tmp_path, monkeypatch):
+    """cluster_config load_config_from_env parity (env.cpp:33-66,
+    cluster_config.cpp:37-59): same KSPP_* variables and defaults;
+    feature flags gate what loads; bad broker lists are fatal;
+    missing TLS material warns and is ignored."""
+    import warnings as _w
+
+    from kspp_spark.config import (
+        KAFKA,
+        SCHEMA_REGISTRY,
+        STATE_STORE,
+        ClusterConfig,
+    )
+
+    monkeypatch.setenv("KSPP_KAFKA_BROKER_URL", "ssl://b1:9093, b2:9093")
+    monkeypatch.setenv("KSPP_SCHEMA_REGISTRY_URL", "http://reg:8081")
+    monkeypatch.setenv("KSPP_STATE_STORE_ROOT", str(tmp_path / "state"))
+    monkeypatch.setenv("KSPP_CA_CERT", str(tmp_path / "missing.pem"))
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        cfg = ClusterConfig(
+            consumer_group="g1", flags=KAFKA | SCHEMA_REGISTRY | STATE_STORE
+        ).load_config_from_env()
+    assert cfg.consumer_group == "g1"
+    assert cfg.brokers == "ssl://b1:9093, b2:9093"
+    assert cfg.schema_registry_uri == "http://reg:8081"
+    assert os.path.isdir(cfg.storage_root)
+    # missing CA cert: warn-and-ignore, client auth never attempted
+    assert any("ca_cert not found" in str(w.message) for w in caught)
+    assert cfg.ca_cert_path == "" and cfg.client_cert_path == ""
+
+    # random consumer group when empty (consumer_group_or_random)
+    assert ClusterConfig().consumer_group != ClusterConfig().consumer_group
+
+    # fatal on an unparseable broker list (cluster_config.cpp:71)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad broker config"):
+        ClusterConfig().set_brokers("   ")
+
+
+def test_cluster_config_kafka_options_translation(tmp_path):
+    """kafka_options(): schemes drop out of bootstrap.servers, select
+    the security protocol, and configured TLS client auth adds the
+    ssl.* locations; mixed schemes are rejected."""
+    import pytest as _pytest
+
+    from kspp_spark.config import ClusterConfig
+
+    cfg = ClusterConfig(consumer_group="g")
+    cfg.set_brokers("plaintext://b1:9092,b2:9092")
+    o = cfg.kafka_options()
+    assert o["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert o["kafka.security.protocol"] == "PLAINTEXT"
+    assert "kafka.ssl.ca.location" not in o
+
+    ca = tmp_path / "ca.pem"; ca.write_text("x")
+    cert = tmp_path / "c.pem"; cert.write_text("x")
+    key = tmp_path / "k.pem"; key.write_text("x")
+    cfg.set_brokers("ssl://b1:9093")
+    assert cfg.set_ca_cert_path(str(ca))
+    assert cfg.set_private_key_path(str(cert), str(key), "pw")
+    o = cfg.kafka_options()
+    assert o["kafka.security.protocol"] == "SSL"
+    assert o["kafka.ssl.ca.location"] == str(ca)
+    assert o["kafka.ssl.certificate.location"] == str(cert)
+    assert o["kafka.ssl.key.location"] == str(key)
+    assert o["kafka.ssl.key.password"] == "pw"
+
+    cfg.set_brokers("plaintext://a:9092,ssl://b:9093")
+    with _pytest.raises(ValueError, match="mixed broker schemes"):
+        cfg.kafka_options()
+
+    # incomplete client auth (key missing) is ignored wholesale
+    cfg2 = ClusterConfig(consumer_group="g2")
+    assert not cfg2.set_private_key_path(str(cert), str(tmp_path / "nope"))
+    assert cfg2.client_cert_path == ""
