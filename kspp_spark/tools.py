@@ -276,6 +276,29 @@ def register_schema(
     return client.put_schema(subject, schema_text, schema_type=schema_type)
 
 
+def resolve_brokers(brokers: str | None) -> str:
+    """CLI default resolution, reference-style: an omitted --brokers
+    falls back to the KSPP_KAFKA_BROKER_URL environment (via
+    ClusterConfig, so URI validation and scheme handling apply) and
+    yields the bare bootstrap list Spark wants."""
+    if brokers:
+        return brokers
+    from kspp_spark.config import KAFKA, ClusterConfig
+
+    cfg = ClusterConfig(flags=KAFKA).load_config_from_env()
+    return cfg.kafka_options()["kafka.bootstrap.servers"]
+
+
+def resolve_registry(url: str | None) -> str:
+    """An omitted --registry falls back to KSPP_SCHEMA_REGISTRY_URL
+    (env.cpp:41)."""
+    if url:
+        return url
+    from kspp_spark.config import default_schema_registry_uri
+
+    return default_schema_registry_uri()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="kspp_spark.tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -288,7 +311,8 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--no-header", action="store_true")
 
     k = sub.add_parser("kafka2avro", help="Kafka topic -> rotated Avro files")
-    k.add_argument("--brokers", required=True)
+    k.add_argument("--brokers", default=None,
+                   help="default: KSPP_KAFKA_BROKER_URL")
     k.add_argument("--topic", required=True)
     k.add_argument("--dst", required=True)
     k.add_argument("--checkpoint", required=True)
@@ -303,7 +327,8 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser(
         "kafka2table", help="Kafka changelog -> materialized latest-per-key table"
     )
-    r.add_argument("--brokers", required=True)
+    r.add_argument("--brokers", default=None,
+                   help="default: KSPP_KAFKA_BROKER_URL")
     r.add_argument("--topic", required=True)
     r.add_argument("--dst", required=True)
     r.add_argument("--checkpoint", required=True)
@@ -311,7 +336,8 @@ def main(argv: list[str] | None = None) -> int:
 
     m = sub.add_parser("mqtt2kafka", help="MQTT bridge spool -> Kafka topic")
     m.add_argument("--spool-dir", required=True)
-    m.add_argument("--brokers", required=True)
+    m.add_argument("--brokers", default=None,
+                   help="default: KSPP_KAFKA_BROKER_URL")
     m.add_argument("--topic", required=True)
     m.add_argument("--checkpoint", required=True)
 
@@ -339,7 +365,8 @@ def main(argv: list[str] | None = None) -> int:
         "register-schema",
         help="register a protobuf/avro/json schema file under a subject",
     )
-    s.add_argument("--registry", required=True, help="schema-registry base URL")
+    s.add_argument("--registry", default=None,
+                   help="schema-registry base URL (default: KSPP_SCHEMA_REGISTRY_URL)")
     s.add_argument("--subject", required=True)
     s.add_argument("--file", required=True, help=".proto / .avsc / .json file")
     s.add_argument(
@@ -363,7 +390,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "register-schema":
         # registry-only: no SparkSession needed
         schema_id = register_schema(
-            args.registry, args.subject, args.file,
+            resolve_registry(args.registry), args.subject, args.file,
             schema_type=args.type.upper() if args.type else None,
         )
         print(schema_id)
@@ -395,17 +422,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "kafka2avro":
         q = kafka2avro(
-            spark, args.brokers, args.topic, args.dst, args.checkpoint,
-            window=args.window, fmt=args.fmt,
+            spark, resolve_brokers(args.brokers), args.topic, args.dst,
+            args.checkpoint, window=args.window, fmt=args.fmt,
         )
     elif args.cmd == "kafka2table":
         q = kafka2table(
-            spark, args.brokers, args.topic, args.dst, args.checkpoint,
-            rocksdb_state=not args.no_rocksdb,
+            spark, resolve_brokers(args.brokers), args.topic, args.dst,
+            args.checkpoint, rocksdb_state=not args.no_rocksdb,
         )
     else:
         q = mqtt2kafka(
-            spark, args.spool_dir, args.brokers, args.topic, args.checkpoint
+            spark, args.spool_dir, resolve_brokers(args.brokers), args.topic,
+            args.checkpoint,
         )
     q.awaitTermination()
     return 0

@@ -228,3 +228,17 @@ def test_train_bpe_cli_persists_loadable_merge_table(spark, tmp_path):
     # chars pipeline contract (encode operates on whatever alphabet the
     # table was trained on — here chars, so re-split words first)
     assert all(isinstance(a, str) and isinstance(b, str) for a, b, _ in loaded)
+
+
+def test_cli_env_fallbacks(monkeypatch):
+    """Omitted --brokers / --registry resolve from the reference's
+    KSPP_* environment (env.cpp conventions), with explicit args
+    winning."""
+    from kspp_spark.tools import resolve_brokers, resolve_registry
+
+    monkeypatch.setenv("KSPP_KAFKA_BROKER_URL", "plaintext://env1:9092,env2:9092")
+    monkeypatch.setenv("KSPP_SCHEMA_REGISTRY_URL", "http://envreg:8081")
+    assert resolve_brokers(None) == "env1:9092,env2:9092"
+    assert resolve_brokers("cli:9092") == "cli:9092"
+    assert resolve_registry(None) == "http://envreg:8081"
+    assert resolve_registry("http://cli:1") == "http://cli:1"
