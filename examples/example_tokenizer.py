@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from kspp_spark.functions.text import (
     bpe_encode,
     bpe_encode_pandas,
+    load_bpe_alphabet,
     load_bpe_merges,
     save_bpe_merges,
     bpe_train,
@@ -36,18 +37,20 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/merges"
-        save_bpe_merges(spark, merges, path)
+        save_bpe_merges(spark, merges, path, alphabet="words")
         loaded = load_bpe_merges(spark, path)
+        alphabet = load_bpe_alphabet(spark, path)
+        assert alphabet == "words"
         assert [(a, b) for a, b, _ in loaded] == [(a, b) for a, b, _ in merges]
 
         sample = docs.limit(50)
         jvm = {
             r.doc_id: tuple(r.toks)
-            for r in bpe_encode(sample, loaded).collect()
+            for r in bpe_encode(sample, loaded, alphabet=alphabet).collect()
         }
         arrow = {
             r.doc_id: tuple(r.toks)
-            for r in bpe_encode_pandas(sample, loaded).collect()
+            for r in bpe_encode_pandas(sample, loaded, alphabet=alphabet).collect()
         }
         assert jvm == arrow
         n_before = sample.select(

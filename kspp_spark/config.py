@@ -186,17 +186,26 @@ class ClusterConfig:
         options: schemes drop out of bootstrap.servers (Spark wants
         host:port), the scheme selects kafka.security.protocol
         (plaintext -> PLAINTEXT, ssl -> SSL), and configured client
-        auth adds the ssl.* locations. Mixed schemes are rejected —
-        one listener type per connection, as in the reference's
-        librdkafka config."""
-        uris = split_url_list(self.brokers or default_kafka_broker_uri(),
-                              "plaintext")
+        auth adds the ssl.* locations. A scheme stated once on the
+        first element covers the unschemed rest ('ssl://b1,b2' is one
+        SSL listener list — the natural multi-broker shape);
+        EXPLICITLY mixed schemes are rejected — one listener type per
+        connection, as in the reference's librdkafka config. An
+        unparseable broker list is as fatal here as in set_brokers."""
+        raw = self.brokers or default_kafka_broker_uri()
+        uris = split_url_list(raw, "plaintext")
+        if not uris:
+            raise ValueError(
+                f"cluster_config: bad broker config - bad uri: {raw}"
+            )
+        # unschemed elements inherit the FIRST element's scheme
+        uris = split_url_list(raw, uris[0].scheme)
         schemes = {u.scheme for u in uris}
         if len(schemes) > 1:
             raise ValueError(
                 f"cluster_config: mixed broker schemes: {sorted(schemes)}"
             )
-        scheme = schemes.pop() if schemes else "plaintext"
+        scheme = schemes.pop()
         opts = {
             "kafka.bootstrap.servers": ",".join(u.authority for u in uris),
             "kafka.security.protocol": "SSL" if scheme == "ssl" else "PLAINTEXT",

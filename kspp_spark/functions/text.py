@@ -945,24 +945,51 @@ def bpe_train(
     return merges, toks_df
 
 
-def save_bpe_merges(spark, merges, path: str) -> None:
+def save_bpe_merges(spark, merges, path: str, alphabet: str = "words") -> None:
     """Persist a trained merge table as parquet (merge_rank, a, b,
-    cnt) — the tokenizer ARTIFACT: train once on the cluster, encode
-    anywhere. Rank order is the load order (sequential semantics)."""
+    cnt, alphabet) — the tokenizer ARTIFACT: train once on the
+    cluster, encode anywhere. Rank order is the load order
+    (sequential semantics); the alphabet rides along so encoders
+    apply the table over the symbols it was trained on."""
     rows = [
-        (i + 1, m[0], m[1], int(m[2]) if len(m) > 2 else None)
+        (i + 1, m[0], m[1], int(m[2]) if len(m) > 2 else None, alphabet)
         for i, m in enumerate(merges)
     ]
     spark.createDataFrame(
-        rows, "merge_rank int, a string, b string, cnt long"
+        rows, "merge_rank int, a string, b string, cnt long, alphabet string"
     ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def load_bpe_merges(spark, path: str) -> list[tuple[str, str, int]]:
     """Load a persisted merge table in rank order, ready for
-    bpe_encode / bpe_encode_pandas."""
+    bpe_encode / bpe_encode_pandas (load_bpe_alphabet recovers which
+    alphabet to encode with)."""
     rows = spark.read.parquet(path).orderBy("merge_rank").collect()
     return [(r.a, r.b, r.cnt) for r in rows]
+
+
+def load_bpe_alphabet(spark, path: str) -> str:
+    """The alphabet a persisted merge table was trained on ('words'
+    for artifacts predating the column)."""
+    df = spark.read.parquet(path)
+    if "alphabet" not in df.columns:
+        return "words"
+    return df.select("alphabet").first()[0]
+
+
+def _char_symbols(text_col_expr):
+    """Per-doc symbol array for the CHARS alphabet: each whitespace
+    word becomes its unicode chars + a '</w>' end-of-word marker,
+    flattened doc-wide. Safe to apply word-trained merges over the
+    flattened array: a trained pair's FIRST element never ends with
+    '</w>' (nothing follows the marker within a word during
+    training), so no merge can match across a word boundary."""
+    return F.flatten(
+        F.transform(
+            tokenize(text_col_expr),
+            lambda w: F.concat(F.split(w, ""), F.array(F.lit("</w>"))),
+        )
+    )
 
 
 def bpe_encode(
@@ -970,8 +997,9 @@ def bpe_encode(
     merges,
     id_col: str = "doc_id",
     text_col: str = "text",
-    joiner: str = " ",
+    joiner: str | None = None,
     checkpoint_every: int = 8,
+    alphabet: str = "words",
 ):
     """Apply a trained BPE merge table to a corpus — the ENCODE half
     of the tokenizer (bpe_train learns the table, this tokenizes with
@@ -982,6 +1010,12 @@ def bpe_encode(
     localCheckpoint every `checkpoint_every` merges bounds the plan
     depth exactly like the trainer's per-round reset.
 
+    `alphabet` MUST match the table's training alphabet (bpe_train):
+    'words' tokenizes to whitespace symbols (joiner default ' ');
+    'chars' splits each word to chars + '</w>' (joiner default '', so
+    subwords rebuild) — merges still never span word boundaries (see
+    _char_symbols).
+
     Returns (id_col, toks array<string>). `merges` accepts (a, b) or
     bpe_train's (a, b, count) tuples.
 
@@ -990,8 +1024,16 @@ def bpe_encode(
     bpe_encode_pandas: same sequential semantics, one Arrow-batched
     pass.
     """
+    if alphabet == "chars":
+        joiner = "" if joiner is None else joiner
+        symbols = _char_symbols(F.col(text_col))
+    elif alphabet == "words":
+        joiner = " " if joiner is None else joiner
+        symbols = tokenize(F.col(text_col))
+    else:
+        raise ValueError("bpe_encode: alphabet must be 'words' or 'chars'")
     pairs = [(m[0], m[1]) for m in merges]
-    out = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("toks"))
+    out = df.select(F.col(id_col), symbols.alias("toks"))
     for i, (a, b) in enumerate(pairs):
         out = out.select(
             F.col(id_col),
@@ -1007,7 +1049,8 @@ def bpe_encode_pandas(
     merges,
     id_col: str = "doc_id",
     text_col: str = "text",
-    joiner: str = " ",
+    joiner: str | None = None,
+    alphabet: str = "words",
 ):
     """Vocabulary-scale BPE encoding: one Arrow-batched mapInPandas
     pass applying the merge table with the SAME sequential-order
@@ -1023,6 +1066,11 @@ def bpe_encode_pandas(
 
     import pandas as pd
 
+    if alphabet not in ("words", "chars"):
+        raise ValueError("bpe_encode_pandas: alphabet must be 'words' or 'chars'")
+    if joiner is None:
+        joiner = "" if alphabet == "chars" else " "
+    chars_mode = alphabet == "chars"
     merge_list = [(m[0], m[1]) for m in merges]
     # ASCII \\s+ to match tokenize()'s Java regex exactly (Python's
     # str.split()/default \\s are Unicode-aware and would split on
@@ -1039,6 +1087,8 @@ def bpe_encode_pandas(
                     encoded.append(None)
                     continue
                 toks = [t for t in _ws.split(text) if t]
+                if chars_mode:
+                    toks = [c for w in toks for c in [*w, "</w>"]]
                 pairs = set(zip(toks, toks[1:]))
                 for a, b in merge_list:
                     if (a, b) not in pairs:

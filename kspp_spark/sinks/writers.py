@@ -118,17 +118,22 @@ def kafka_sink(
     checkpoint: str,
     key: str = "key",
     value: str = "value",
+    extra_options: dict[str, str] | None = None,
 ):
     """Produce to Kafka (streaming). Default partitioner murmur2 on the
     serialized key matches the reference's partition choice
-    (kspp.h:283-304 uses librdkafka murmur2)."""
+    (kspp.h:283-304 uses librdkafka murmur2). extra_options carries
+    kafka.* client config (e.g. the TLS map from
+    config.ClusterConfig.kafka_options)."""
     out = df.select(
         F.col(key).cast("binary").alias("key"),
         F.col(value).cast("binary").alias("value"),
     )
+    w = out.writeStream.format("kafka")
+    for k, v in (extra_options or {}).items():
+        w = w.option(k, v)
     return (
-        out.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
+        w.option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
         .start()

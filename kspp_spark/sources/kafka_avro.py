@@ -47,6 +47,7 @@ def kafka_reader_options(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
     starting_timestamp_ms: int | None = None,
+    extra_options: dict[str, str] | None = None,
 ) -> dict[str, str]:
     """The Kafka reader option map — split out of kafka_stream so the
     start-mode mapping is testable WITHOUT a broker. Reference modes
@@ -69,6 +70,10 @@ def kafka_reader_options(
         opts["startingOffsets"] = starting_offsets
     if max_offsets_per_trigger is not None:
         opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    if extra_options:
+        # security/TLS options from config.ClusterConfig.kafka_options
+        # (or any kafka.* client option); explicit args above win
+        opts = {**extra_options, **opts}
     return opts
 
 
@@ -79,6 +84,7 @@ def kafka_stream(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
     starting_timestamp_ms: int | None = None,
+    extra_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Structured-Streaming Kafka source in the canonical changelog
     shape: (key binary, value binary nullable, event_time).
@@ -98,6 +104,7 @@ def kafka_stream(
         starting_offsets=starting_offsets,
         max_offsets_per_trigger=max_offsets_per_trigger,
         starting_timestamp_ms=starting_timestamp_ms,
+        extra_options=extra_options,
     ).items():
         reader = reader.option(k, v)
     df = reader.load()

@@ -75,6 +75,7 @@ def kafka2avro(
     checkpoint: str,
     window: str = "1 hour",
     fmt: str = "ocf",
+    kafka_extra: dict[str, str] | None = None,
 ):
     """Kafka topic -> event-time-rotated files (kafka2avro.cpp:144-151;
     dst may be a local path or s3a:// URI — same code path, like the
@@ -86,7 +87,7 @@ def kafka2avro(
     from kspp_spark.sources.avro_ocf import rotated_avro_ocf_sink
     from kspp_spark.sources.kafka_avro import kafka_stream
 
-    src = kafka_stream(spark, brokers, topic)
+    src = kafka_stream(spark, brokers, topic, extra_options=kafka_extra)
 
     def write_batch(batch, batch_id):
         if fmt == "ocf":
@@ -110,6 +111,7 @@ def kafka2table(
     dst: str,
     checkpoint: str,
     rocksdb_state: bool = True,
+    kafka_extra: dict[str, str] | None = None,
 ):
     """Kafka changelog topic -> continuously-materialized latest-per-key
     table (kafka2rocksdb.cpp:122-124: kafka_source -> ktable<rocksdb>).
@@ -124,7 +126,9 @@ def kafka2table(
 
     if rocksdb_state:
         use_rocksdb_state(spark)
-    src = kafka_stream(spark, brokers, topic).selectExpr(
+    src = kafka_stream(
+        spark, brokers, topic, extra_options=kafka_extra
+    ).selectExpr(
         "CAST(key AS STRING) AS key",
         "CAST(value AS STRING) AS value",
         "event_time",
@@ -162,6 +166,7 @@ def mqtt2kafka(
     brokers: str,
     topic: str,
     checkpoint: str,
+    kafka_extra: dict[str, str] | None = None,
 ):
     """MQTT -> Kafka bridge (mqtt2kafka.cpp): an external paho-style
     callback spools messages via BridgeSource.spool (sources/bridge
@@ -173,7 +178,7 @@ def mqtt2kafka(
     from kspp_spark.sources.bridge import BRIDGE_SCHEMA
 
     src = spark.readStream.schema(BRIDGE_SCHEMA).parquet(spool_dir)
-    return kafka_sink(src, brokers, topic, checkpoint)
+    return kafka_sink(src, brokers, topic, checkpoint, extra_options=kafka_extra)
 
 
 def docs2index(
@@ -243,7 +248,7 @@ def train_bpe(
     merges, _ = bpe_train(
         docs, n_merges=n_merges, text_col=text_col, alphabet=alphabet
     )
-    save_bpe_merges(spark, merges, dst)
+    save_bpe_merges(spark, merges, dst, alphabet=alphabet)
     return len(merges)
 
 
@@ -276,17 +281,40 @@ def register_schema(
     return client.put_schema(subject, schema_text, schema_type=schema_type)
 
 
-def resolve_brokers(brokers: str | None) -> str:
+def resolve_kafka(brokers: str | None) -> tuple[str, dict[str, str]]:
     """CLI default resolution, reference-style: an omitted --brokers
-    falls back to the KSPP_KAFKA_BROKER_URL environment (via
-    ClusterConfig, so URI validation and scheme handling apply) and
-    yields the bare bootstrap list Spark wants."""
+    falls back to the KSPP_KAFKA_BROKER_URL environment and yields
+    (bootstrap servers, extra kafka.* client options) — the SECURITY
+    config rides along, so an ssl:// environment is dialed SSL, not
+    plaintext. TLS material is only probed when the resolved scheme
+    is ssl (no spurious cert warnings on plaintext runs). An explicit
+    --brokers is passed through verbatim with no extra options."""
     if brokers:
-        return brokers
-    from kspp_spark.config import KAFKA, ClusterConfig
+        return brokers, {}
+    from kspp_spark.config import (
+        ClusterConfig,
+        default_ca_cert_path,
+        default_client_cert_path,
+        default_client_key_passphrase,
+        default_client_key_path,
+        default_kafka_broker_uri,
+    )
+    from kspp_spark.utils import split_url_list
 
-    cfg = ClusterConfig(flags=KAFKA).load_config_from_env()
-    return cfg.kafka_options()["kafka.bootstrap.servers"]
+    cfg = ClusterConfig(consumer_group="cli")
+    cfg.set_brokers(default_kafka_broker_uri())
+    if any(
+        u.scheme == "ssl"
+        for u in split_url_list(cfg.brokers, "plaintext")
+    ):
+        if cfg.set_ca_cert_path(default_ca_cert_path()):
+            cfg.set_private_key_path(
+                default_client_cert_path(),
+                default_client_key_path(),
+                default_client_key_passphrase(),
+            )
+    opts = cfg.kafka_options()
+    return opts.pop("kafka.bootstrap.servers"), opts
 
 
 def resolve_registry(url: str | None) -> str:
@@ -420,20 +448,23 @@ def main(argv: list[str] | None = None) -> int:
             header=not args.no_header,
         )
         return 0
+    bootstrap, kafka_extra = resolve_kafka(args.brokers)
     if args.cmd == "kafka2avro":
         q = kafka2avro(
-            spark, resolve_brokers(args.brokers), args.topic, args.dst,
+            spark, bootstrap, args.topic, args.dst,
             args.checkpoint, window=args.window, fmt=args.fmt,
+            kafka_extra=kafka_extra,
         )
     elif args.cmd == "kafka2table":
         q = kafka2table(
-            spark, resolve_brokers(args.brokers), args.topic, args.dst,
+            spark, bootstrap, args.topic, args.dst,
             args.checkpoint, rocksdb_state=not args.no_rocksdb,
+            kafka_extra=kafka_extra,
         )
     else:
         q = mqtt2kafka(
-            spark, args.spool_dir, resolve_brokers(args.brokers), args.topic,
-            args.checkpoint,
+            spark, args.spool_dir, bootstrap, args.topic,
+            args.checkpoint, kafka_extra=kafka_extra,
         )
     q.awaitTermination()
     return 0

@@ -1522,3 +1522,35 @@ def test_bpe_encode_paths_agree_and_match_training_state(spark):
     got = bpe_encode_pandas(sdf, merges).collect()
     # both merges apply: (the, quick) then the compound ('the quick', fox)
     assert got[0].doc_id == "x" and got[0].toks == ["the quick fox"]
+
+
+def test_bpe_encode_chars_alphabet_paths_agree(spark):
+    """Chars-alphabet encode: both paths split words to chars+'</w>',
+    apply merges in training order, agree token-for-token, and match
+    the trainer's final per-word state (flattened per doc; merges
+    never span word boundaries)."""
+    from kspp_spark.functions.text import bpe_encode, bpe_encode_pandas, bpe_train
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    corpus = spark.createDataFrame([(w,) for w in words], "text string")
+    merges, _ = bpe_train(corpus, n_merges=5, alphabet="chars")
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "newest"), (3, "")],
+        "doc_id long, text string",
+    )
+    jvm = {
+        r.doc_id: tuple(r.toks)
+        for r in bpe_encode(docs, merges, alphabet="chars").collect()
+    }
+    arrow = {
+        r.doc_id: tuple(r.toks)
+        for r in bpe_encode_pandas(docs, merges, alphabet="chars").collect()
+    }
+    assert jvm == arrow
+    # after 5 Sennrich merges: low -> ['low','</w>'], lower keeps
+    # ['low','e','r','</w>'], newest -> ['n','e','w','est</w>'];
+    # flattened per doc, no merge ever crossing the word boundary
+    assert jvm[1] == ("low", "</w>", "low", "e", "r", "</w>")
+    assert jvm[2] == ("n", "e", "w", "est</w>")
+    assert jvm[3] == ()

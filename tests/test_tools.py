@@ -224,21 +224,63 @@ def test_train_bpe_cli_persists_loadable_merge_table(spark, tmp_path):
         spark.read.parquet(src), n_merges=4, alphabet="chars"
     )
     assert [(a, b) for a, b, _ in loaded] == [(a, b) for a, b, _ in direct]
-    # the artifact drives encode: apply to a word-alphabet frame via the
-    # chars pipeline contract (encode operates on whatever alphabet the
-    # table was trained on — here chars, so re-split words first)
-    assert all(isinstance(a, str) and isinstance(b, str) for a, b, _ in loaded)
+    # the artifact records its alphabet and DRIVES encode: the loaded
+    # chars table applied with the matching alphabet reproduces the
+    # trainer's merges on real text (first merge = ('e','s') -> 'es'
+    # is present in the encoded symbols; encode with the WRONG
+    # (words) alphabet applies nothing)
+    from kspp_spark.functions.text import bpe_encode, load_bpe_alphabet
+
+    assert load_bpe_alphabet(spark, dst) == "chars"
+    docs = spark.read.parquet(src)
+    enc = bpe_encode(docs, loaded, alphabet=load_bpe_alphabet(spark, dst))
+    rows = enc.collect()
+    toks = {t for r in rows for t in r.toks}
+    a0, b0, _ = loaded[0]
+    # the top merge really applied: its pair never survives adjacent,
+    # and its merged symbol lives on (possibly inside later compound
+    # merges, e.g. 'lo' -> 'low')
+    assert not any(
+        x == a0 and y == b0 for r in rows for x, y in zip(r.toks, r.toks[1:])
+    )
+    assert any((a0 + b0) in t for t in toks)
+    assert any(len(t) > 1 and t != "</w>" for t in toks)  # real subwords
+    # encode with the WRONG (words) alphabet applies nothing — which is
+    # exactly why the artifact records its alphabet
+    words_enc = bpe_encode(docs, loaded, alphabet="words")
+    text0 = docs.orderBy("doc_id").first().text
+    assert words_enc.orderBy("doc_id").first().toks == text0.split()
 
 
-def test_cli_env_fallbacks(monkeypatch):
+def test_cli_env_fallbacks(monkeypatch, tmp_path, recwarn):
     """Omitted --brokers / --registry resolve from the reference's
-    KSPP_* environment (env.cpp conventions), with explicit args
-    winning."""
-    from kspp_spark.tools import resolve_brokers, resolve_registry
+    KSPP_* environment (env.cpp conventions) INCLUDING the security
+    config: an ssl:// environment yields SSL client options, a
+    plaintext one never probes TLS files; explicit args win."""
+    from kspp_spark.tools import resolve_kafka, resolve_registry
 
     monkeypatch.setenv("KSPP_KAFKA_BROKER_URL", "plaintext://env1:9092,env2:9092")
     monkeypatch.setenv("KSPP_SCHEMA_REGISTRY_URL", "http://envreg:8081")
-    assert resolve_brokers(None) == "env1:9092,env2:9092"
-    assert resolve_brokers("cli:9092") == "cli:9092"
+    bootstrap, extra = resolve_kafka(None)
+    assert bootstrap == "env1:9092,env2:9092"
+    assert extra["kafka.security.protocol"] == "PLAINTEXT"
+    # plaintext env: no TLS filesystem probing, no cert warnings
+    assert not [w for w in recwarn.list if "ca_cert" in str(w.message)]
+    assert resolve_kafka("cli:9092") == ("cli:9092", {})
     assert resolve_registry(None) == "http://envreg:8081"
     assert resolve_registry("http://cli:1") == "http://cli:1"
+
+    # ssl env with TLS material present: the security config rides
+    # along instead of being silently discarded
+    ca = tmp_path / "ca.pem"; ca.write_text("x")
+    cert = tmp_path / "c.pem"; cert.write_text("x")
+    key = tmp_path / "k.pem"; key.write_text("x")
+    monkeypatch.setenv("KSPP_KAFKA_BROKER_URL", "ssl://b1:9093,b2:9093")
+    monkeypatch.setenv("KSPP_CA_CERT", str(ca))
+    monkeypatch.setenv("KSPP_CLIENT_CERT", str(cert))
+    monkeypatch.setenv("KSPP_CLIENT_KEY", str(key))
+    bootstrap, extra = resolve_kafka(None)
+    assert bootstrap == "b1:9093,b2:9093"  # scheme-once covers the list
+    assert extra["kafka.security.protocol"] == "SSL"
+    assert extra["kafka.ssl.ca.location"] == str(ca)
+    assert extra["kafka.ssl.certificate.location"] == str(cert)
