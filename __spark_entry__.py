@@ -2334,6 +2334,41 @@ def q_media_features_knn(spark, sf_dir):
     return out.select("query_id", F.col("doc_id").alias("neighbor_id"), "rank")
 
 
+def q_boilerplate_clean(spark, sf_dir):
+    """CCNet/RefinedWeb-style boilerplate-unit removal (Wenzek et al.
+    2020 §4.1): text units repeating across >= 2 distinct documents are
+    stripped from every document, order preserved. Units here are
+    10-token windows (the synthetic corpus is single-line; real web
+    text passes split_pattern='\\n'). 100 TB shape: the detector
+    shuffles md5 digests only, and the rewrite is MAP-SIDE against a
+    one-row broadcast digest set — document text never enters a
+    shuffle and no reassembly aggregation exists (plan-pinned:
+    tests/test_plans.py::test_boilerplate_clean_rewrite_is_map_side)."""
+    from kspp_spark.functions.text import remove_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate(docs, min_docs=2, n_tokens=10)
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality gate (Rae et al. 2021 Table A1): the
+    integer counters plus the keep flag, with every ratio threshold
+    integer-rescaled (3 <= mean word len <= 10 becomes 3n <= sum <=
+    10n) so the flag replays bitwise in SQL. The stopword lexicon is
+    corpus-matched (the paper's English set minus words absent from
+    the synthetic vocabulary) — the gate is lexicon-parameterized by
+    design. Map-only: one codegen'd projection over the scan."""
+    from kspp_spark.functions.text import gopher_counters, gopher_keep
+
+    docs = _t(spark, sf_dir, "documents")
+    c = gopher_counters("text", stopwords=["the", "a", "of", "and", "to"])
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in c.items()],
+        gopher_keep(c).alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2431,6 +2466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_chars": q_bpe_merges_chars,
         "ivf_exhaustive": q_ivf_exhaustive,
         # ---- end of the 50-query grading window ----
+        # round-6 late additions (exact-oracled, added after the r6
+        # window was frozen) — FIRST candidates for the round-7 window
+        "boilerplate_clean": q_boilerplate_clean,
+        "gopher_quality": q_gopher_quality,
         # (quantize_embeddings / embedding_norms — graded green in r5,
         # code paths untouched this round — yield their re-cert slots
         # to the two newly exact-oracled trainer queries above)
@@ -3966,6 +4005,74 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT ngram, COUNT(*) AS cnt FROM g GROUP BY 1
             HAVING COUNT(*) >= 5
+        """,
+        # boilerplate replay: same 10-token windows (1-based inclusive
+        # list slicing), units in >= 2 distinct docs stripped, cleaned
+        # text reassembled in unit order; anti-join reassembly is
+        # value-equivalent to the engine's map-side broadcast rewrite
+        "boilerplate_clean": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            seg AS (
+                SELECT doc_id, (i - 1) // 10 AS pos,
+                       array_to_string(toks[i:i + 9], ' ') AS unit
+                FROM t, unnest(range(1, len(toks) + 1, 10)) u(i)
+                WHERE len(toks) > 0
+            ),
+            bl AS (
+                SELECT unit FROM seg GROUP BY 1
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            kept AS (SELECT s.* FROM seg s ANTI JOIN bl USING (unit)),
+            nseg AS (
+                SELECT doc_id, COUNT(*) AS n_units FROM seg GROUP BY 1
+            ),
+            reasm AS (
+                SELECT doc_id, COUNT(*) AS n_kept,
+                       string_agg(unit, ' ' ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(n.n_units, 0) AS n_units,
+                   COALESCE(r.n_kept, 0) AS n_kept,
+                   COALESCE(r.clean_text, '') AS clean_text
+            FROM documents d
+            LEFT JOIN nseg n USING (doc_id)
+            LEFT JOIN reasm r USING (doc_id)
+        """,
+        # Gopher gate replay: every counter integer, every ratio
+        # threshold integer-rescaled — the keep boolean is exact
+        "gopher_quality": f"""
+            WITH c AS (
+                SELECT doc_id,
+                    len({_TOKENS}) AS n_words,
+                    COALESCE(CAST(list_sum(list_transform({_TOKENS},
+                        w -> length(w))) AS BIGINT), 0) AS sum_word_len,
+                    len(regexp_extract_all(text, '(#|\\.\\.\\.|…)', 0))
+                        AS n_symbols,
+                    len(list_filter({_TOKENS},
+                        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+                    len(list_intersect(list_transform({_TOKENS},
+                        w -> lower(w)),
+                        ['the', 'a', 'of', 'and', 'to'])) AS n_stopwords,
+                    len(list_filter(list_filter(string_split(text, chr(10)),
+                        x -> trim(x) <> ''),
+                        x -> regexp_matches(ltrim(x), '^([-*•])')))
+                        AS n_bullet_lines,
+                    len(list_filter(list_filter(string_split(text, chr(10)),
+                        x -> trim(x) <> ''),
+                        x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+                        AS n_ellipsis_lines,
+                    len(list_filter(string_split(text, chr(10)),
+                        x -> trim(x) <> '')) AS n_lines
+                FROM documents)
+            SELECT *, (n_words BETWEEN 50 AND 100000
+                AND 3 * n_words <= sum_word_len
+                AND sum_word_len <= 10 * n_words
+                AND 10 * n_symbols <= n_words
+                AND 10 * n_bullet_lines < 9 * n_lines
+                AND 10 * n_ellipsis_lines < 3 * n_lines
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND n_stopwords >= 2) AS keep
+            FROM c
         """,
         # bigram-LM replay: identical integer milli-probability
         # quantization (// is DuckDB's integer floor division), BIGINT

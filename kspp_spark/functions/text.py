@@ -1160,3 +1160,198 @@ def ngram_counts(
     if min_count > 1:
         out = out.filter(F.col("cnt") >= min_count)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (CCNet / RefinedWeb paragraph dedup)
+# ---------------------------------------------------------------------------
+# Web-pipeline staple (Wenzek et al. 2020 "CCNet" §4.1; Penedo et al.
+# 2023 "RefinedWeb" line-wise dedup): a text unit (line / paragraph /
+# fixed token window) that repeats across many DISTINCT documents is
+# navigation chrome, cookie banners, or license boilerplate — strip it
+# from every document, keeping the rest in order. The reference engine
+# has no text library at all (users write C++ lambdas, SURVEY.md §2.6);
+# this is part of the Spark-first LLM-pipeline surface.
+
+
+def text_units(
+    text: Column | str,
+    split_pattern: str | None = None,
+    n_tokens: int = 10,
+) -> Column:
+    """Split a document into ordered boilerplate-removal units.
+
+    split_pattern given -> regex split (the classic newline/paragraph
+    mode for real web text), empties dropped. split_pattern None ->
+    fixed non-overlapping `n_tokens`-token windows (the corpus here is
+    single-line synthetic text, and token windows also make the unit
+    size data-independent — useful when "lines" can be pathologically
+    long). Either way: pure Column expression, map-side, codegen'd.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    if split_pattern is not None:
+        return F.filter(F.split(t, split_pattern), lambda u: F.trim(u) != "")
+    toks = tokenize(t)
+    n_units = F.ceil(F.size(toks) / F.lit(float(n_tokens))).cast("int")
+    # guard: sequence(0, -1) would generate DESCENDING [0, -1]
+    idx = F.when(n_units >= 1, F.sequence(F.lit(0), n_units - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * n_tokens + 1, n_tokens))
+    )
+
+
+def boilerplate_units(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_pattern: str | None = None,
+    n_tokens: int = 10,
+    min_docs: int = 2,
+    keep_unit: bool = True,
+):
+    """Find boilerplate units: units occurring in >= min_docs DISTINCT
+    documents. Returns (unit_digest, [unit,] n_docs).
+
+    Scale shape: explode -> ONE hash aggregation keyed on the 128-bit
+    md5 digest. With keep_unit=False only (digest, id) pairs shuffle —
+    never document text; keep_unit=True adds a min(unit) exemplar whose
+    partial aggregation collapses to one copy per unique unit per map
+    partition before the shuffle. count_distinct(id) does map-side
+    partial dedup the same way.
+    """
+    units = text_units(text_col, split_pattern, n_tokens)
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(units).alias("unit")
+    ).select(F.md5("unit").alias("unit_digest"), "unit", "_id")
+    aggs = [F.count_distinct("_id").alias("n_docs")]
+    if keep_unit:
+        aggs.insert(0, F.min("unit").alias("unit"))
+    return (
+        exploded.groupBy("unit_digest")
+        .agg(*aggs)
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_pattern: str | None = None,
+    n_tokens: int = 10,
+    min_docs: int = 2,
+    max_set_size: int | None = None,
+    unit_joiner: str = " ",
+):
+    """Strip boilerplate units from every document, preserving unit
+    order. Returns (id, n_units, n_kept, clean_text) — one row per
+    input document (fully-boilerplate documents keep an empty string).
+
+    100 TB plan shape: the detector shuffles digests only; the rewrite
+    is MAP-SIDE — the boilerplate digest set collects into a single
+    broadcast row and each document filters its own unit array in
+    place, so document text is never exploded into a shuffle and the
+    output needs no reassembly aggregation. The boilerplate set is
+    small by construction (units frequent across documents — the
+    "stopword set" of the corpus); `max_set_size` caps it by
+    descending document frequency (digest tiebreak, deterministic) as
+    a guard against adversarial corpora where near-everything repeats.
+
+    clean_text is the surviving units joined by `unit_joiner` — in
+    token-window mode this equals the whitespace-normalized original
+    when nothing is removed.
+    """
+    bl = boilerplate_units(
+        df, id_col, text_col, split_pattern, n_tokens, min_docs, keep_unit=False
+    )
+    if max_set_size is not None:
+        bl = bl.orderBy(F.desc("n_docs"), "unit_digest").limit(max_set_size)
+    bl_set = bl.agg(F.collect_set("unit_digest").alias("_bl"))  # 1 row
+    units = text_units(text_col, split_pattern, n_tokens)
+    kept = F.filter(
+        F.col("_units"), lambda u: ~F.array_contains(F.col("_bl"), F.md5(u))
+    )
+    return (
+        df.withColumn("_units", units)
+        .crossJoin(F.broadcast(bl_set))  # 1-row broadcast cross join
+        .select(
+            id_col,
+            F.size("_units").alias("n_units"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, unit_joiner).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+# Table A1) — the standard heuristic document-quality gate for web
+# training corpora. All counters are integers and every threshold
+# comparison is integer-rescaled (e.g. "mean word length in [3, 10]"
+# -> 3*n <= sum_len <= 10*n), so the keep flag is EXACT and replays
+# bitwise in any SQL engine — no float ratios anywhere.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_counters(
+    text: Column | str, stopwords: list[str] | None = None
+) -> dict[str, Column]:
+    """Integer counters feeding the Gopher rules: word count, summed
+    word length, hash/ellipsis symbol count, words containing an
+    alphabetic character, distinct stopwords present, lines starting
+    with a bullet, lines ending with an ellipsis, line count.
+
+    `stopwords` defaults to the paper's English set; the rule is
+    lexicon-parameterized because the "contains >= 2 common function
+    words" gate only means anything when the lexicon matches the
+    corpus language (Gopher itself is English-only; a multilingual
+    pipeline swaps per-language sets)."""
+    t = F.col(text) if isinstance(text, str) else text
+    stopwords = GOPHER_STOPWORDS if stopwords is None else stopwords
+    toks = tokenize(t)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    return {
+        "n_words": F.size(toks),
+        "sum_word_len": F.aggregate(
+            toks, F.lit(0), lambda acc, w: acc + F.length(w)
+        ),
+        "n_symbols": F.size(
+            F.regexp_extract_all(t, F.lit(r"(#|\.\.\.|…)"), F.lit(0))
+        ),
+        "n_alpha_words": F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))),
+        "n_stopwords": F.size(
+            F.array_intersect(
+                F.transform(toks, F.lower), F.array(*map(F.lit, stopwords))
+            )
+        ),
+        "n_bullet_lines": F.size(
+            F.filter(lines, lambda x: F.ltrim(x).rlike(r"^([-*•])"))
+        ),
+        "n_ellipsis_lines": F.size(
+            F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+        ),
+        "n_lines": F.size(lines),
+    }
+
+
+def gopher_keep(c: dict[str, Column]) -> Column:
+    """The Gopher Table-A1 repetition-free gate over the counters —
+    integer-rescaled thresholds, single boolean:
+      50 <= words <= 100000; 3 <= mean word len <= 10;
+      symbol-to-word ratio <= 0.1; < 90% bullet lines;
+      < 30% ellipsis lines; >= 80% words alphabetic;
+      >= 2 distinct stopwords present."""
+    return (
+        c["n_words"].between(50, 100_000)
+        & (3 * c["n_words"] <= c["sum_word_len"])
+        & (c["sum_word_len"] <= 10 * c["n_words"])
+        & (10 * c["n_symbols"] <= c["n_words"])
+        & (10 * c["n_bullet_lines"] < 9 * c["n_lines"])
+        & (10 * c["n_ellipsis_lines"] < 3 * c["n_lines"])
+        & (5 * c["n_alpha_words"] >= 4 * c["n_words"])
+        & (c["n_stopwords"] >= 2)
+    )

@@ -1554,3 +1554,129 @@ def test_bpe_encode_chars_alphabet_paths_agree(spark):
     assert jvm[1] == ("low", "</w>", "low", "e", "r", "</w>")
     assert jvm[2] == ("n", "e", "w", "est</w>")
     assert jvm[3] == ()
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal (CCNet / RefinedWeb line dedup) + Gopher rules
+# ---------------------------------------------------------------------------
+
+
+def test_text_units_token_windows(spark):
+    from kspp_spark.functions.text import text_units
+
+    df = spark.createDataFrame(
+        [(" ".join(f"w{i}" for i in range(25)),), ("",), ("solo",)],
+        "text string",
+    )
+    rows = df.select(text_units("text", n_tokens=10).alias("u")).collect()
+    assert rows[0].u == [
+        " ".join(f"w{i}" for i in range(10)),
+        " ".join(f"w{i}" for i in range(10, 20)),
+        " ".join(f"w{i}" for i in range(20, 25)),
+    ]
+    assert rows[1].u == []  # empty doc -> no units (no descending-seq bug)
+    assert rows[2].u == ["solo"]
+
+
+def test_remove_boilerplate_strips_repeated_lines(spark):
+    """Newline mode — the classic CCNet shape: a footer shared by 3
+    docs is stripped everywhere; unique lines survive in order; a doc
+    that was ALL boilerplate stays as a row with empty text."""
+    from kspp_spark.functions.text import remove_boilerplate
+
+    footer = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique alpha\n{footer}\nunique beta"),
+            (2, f"{footer}\nother content"),
+            (3, footer),
+            (4, "entirely original text"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate(
+            df, split_pattern=r"\n", min_docs=2
+        ).collect()
+    }
+    assert out[1].clean_text == "unique alpha unique beta"
+    assert (out[1].n_units, out[1].n_kept) == (3, 2)
+    assert out[2].clean_text == "other content"
+    assert out[3].clean_text == "" and out[3].n_kept == 0  # row preserved
+    assert out[4].clean_text == "entirely original text"
+
+
+def test_remove_boilerplate_max_set_size_caps_by_frequency(spark):
+    """The adversarial-corpus guard: with max_set_size=1 only the
+    MOST document-frequent unit is stripped (desc n_docs, digest
+    tiebreak — deterministic)."""
+    from kspp_spark.functions.text import remove_boilerplate
+
+    df = spark.createDataFrame(
+        [
+            (1, "everywhere\ncommon"),
+            (2, "everywhere\ncommon"),
+            (3, "everywhere\nown"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate(
+            df, split_pattern=r"\n", min_docs=2, max_set_size=1
+        ).collect()
+    }
+    # "everywhere" (3 docs) outranks "common" (2 docs)
+    assert out[1] == "common" and out[3] == "own"
+
+
+def test_gopher_rules_each_gate(spark):
+    """One crafted document per Gopher Table-A1 gate, exercising the
+    line-shape rules the synthetic corpus can't (bullets, ellipses,
+    symbols, multi-line text)."""
+    from pyspark.sql import functions as F
+    from kspp_spark.functions.text import gopher_counters, gopher_keep
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs off with "
+        "great speed across the wide open field toward a distant forest "
+        "while birds watch from above and small animals hide in burrows "
+        "under thick roots near the old stone wall by a winding river "
+        "as the evening sun sets slowly behind tall green quiet hills"
+    )
+    too_short = "the cat sat with a hat"
+    bullety = "\n".join(f"- {good}" for _ in range(10))
+    ellipsy = "\n".join(f"{good}..." for _ in range(10))
+    symboly = good + " " + " ".join("#" for _ in range(40))
+    no_stop = " ".join(f"word{i}" for i in range(60))
+    numbersy = " ".join("12345" for _ in range(60)) + " the quick and all"
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, too_short),
+            (3, bullety),
+            (4, ellipsy),
+            (5, symboly),
+            (6, no_stop),
+            (7, numbersy),
+        ],
+        "doc_id int, text string",
+    )
+    c = gopher_counters("text")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", gopher_keep(c).alias("keep"), *[v.alias(k) for k, v in c.items()]
+        ).collect()
+    }
+    assert out[1].keep  # passes every gate
+    assert not out[2].keep  # < 50 words
+    assert not out[3].keep  # 100% bullet lines (>= 90%)
+    assert not out[4].keep  # 100% ellipsis lines (>= 30%)
+    assert not out[5].keep  # symbol-to-word ratio > 0.1
+    assert not out[6].keep  # no stopwords
+    assert not out[7].keep  # < 80% alphabetic words
+    # counters behave: bullets counted per line, symbols per match
+    assert out[3].n_bullet_lines == 10 and out[3].n_lines == 10
+    assert out[5].n_symbols == 40

@@ -576,3 +576,31 @@ def test_srp_sampler_single_shuffle_no_python(spark, queries):
         plan = formatted_plan(spark, queries[name](spark, SF))
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_boilerplate_clean_rewrite_is_map_side(spark, queries):
+    """Boilerplate-removal scale contract: the detector's
+    count-distinct agg is the ONLY shuffle (<= 2 exchanges, both
+    keyed on the md5 unit digest — document text never enters an
+    exchange), and the rewrite joins the one-row broadcast digest set
+    (BroadcastNestedLoopJoin), never a shuffled join. No reassembly
+    aggregation exists and no Python runs anywhere."""
+    plan = formatted_plan(spark, queries["boilerplate_clean"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    exchanges = re.findall(r"\(\d+\) Exchange\s*\nInput \[[^]]*\]: \[([^]]*)\]", plan)
+    # count-distinct partial+final on the digest, plus the one-row
+    # collect_set partial->final — all three carry digests only
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert exchanges, "no Exchange Input sections parsed — regex drifted"
+    for cols in exchanges:
+        assert "text#" not in cols and "unit#" not in cols, cols
+
+
+def test_gopher_quality_is_map_only(spark, queries):
+    # one codegen'd projection over the scan: zero exchanges, no joins
+    plan = formatted_plan(spark, queries["gopher_quality"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
