@@ -85,6 +85,11 @@ BENCH_QUERIES = [
     "srp_diverse_sample",
     "lm_scores",
     "dup_clusters_fixed",
+    # round-6 late additions (44 -> 46): corpus-frequency boilerplate
+    # removal (digest-only detector shuffle + map-side broadcast
+    # rewrite) and the map-only Gopher quality gate
+    "boilerplate_clean",
+    "gopher_quality",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
@@ -100,6 +105,8 @@ BENCH_QUERIES = [
 RECORD_BEST = {
     "asof_join": 0.4655,
     "bm25_search": 0.6476,
+    "boilerplate_clean": 3.426,
+    "gopher_quality": 0.7774,
     "count_by_key": 0.2935,
     "count_by_value": 0.3924,
     "curate_docs": 2.1775,
