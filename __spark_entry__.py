@@ -2347,7 +2347,33 @@ def q_boilerplate_clean(spark, sf_dir):
     from kspp_spark.functions.text import remove_boilerplate
 
     docs = _t(spark, sf_dir, "documents")
-    return remove_boilerplate(docs, min_docs=2, n_tokens=10)
+    return remove_boilerplate(
+        docs,
+        min_docs=2,
+        n_tokens=10,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition gate (Rae et al. 2021 Table A1, repetition
+    half): duplicate-line count/char fractions plus top-{2,3,4}-gram
+    and duplicate-{5..10}-gram character coverage, all integer
+    counters with integer-rescaled thresholds -> exact keep flag.
+    One Generate explodes lines + all nine gram sizes as tagged units
+    built inside codegen; ONE (id, n, unit) count shuffle + ONE
+    per-doc aggregation serve the whole 11-signal suite (plan-pinned:
+    tests/test_plans.py::test_gopher_repetition_two_shuffles)."""
+    from kspp_spark.functions.text import (
+        gopher_repetition_counters,
+        gopher_repetition_keep,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = gopher_repetition_counters(
+        docs, repartition_to=spark.sparkContext.defaultParallelism
+    )
+    return out.withColumn("keep", gopher_repetition_keep())
 
 
 def q_gopher_quality(spark, sf_dir):
@@ -2470,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window was frozen) — FIRST candidates for the round-7 window
         "boilerplate_clean": q_boilerplate_clean,
         "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
         # (quantize_embeddings / embedding_norms — graded green in r5,
         # code paths untouched this round — yield their re-cert slots
         # to the two newly exact-oracled trainer queries above)
@@ -2667,6 +2694,82 @@ def _srp_planes_sql(planes: int, dims: int, seed: int = 0) -> str:
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 _NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def _gopher_repetition_oracle_sql() -> str:
+    """DuckDB replay of gopher_repetition_counters + keep: lines and
+    every gram size union into one tagged (doc, n, unit) stream (the
+    same shape the engine explodes), counted once, aggregated per doc
+    with the identical integer char-coverage expressions and the
+    identical integer-rescaled thresholds."""
+    from kspp_spark.functions.text import GOPHER_REPETITION_MAX
+
+    top_ns, dup_ns = (2, 3, 4), (5, 6, 7, 8, 9, 10)
+    gram_selects = "\n                UNION ALL\n".join(
+        f"""
+                SELECT doc_id, {n} AS n,
+                       array_to_string(toks[i:i + {n - 1}], ' ') AS u
+                FROM t, unnest(range(1, len(toks) - {n} + 2)) r(i)"""
+        for n in (*top_ns, *dup_ns)
+    )
+    extra_aggs = ",\n".join(
+        [
+            f"                CAST(COALESCE(MAX(CASE WHEN n = {n} THEN "
+            f"c * length(u) END), 0) AS BIGINT) AS top{n}_chars"
+            for n in top_ns
+        ]
+        + [
+            f"                CAST(COALESCE(SUM(CASE WHEN n = {n} AND c > 1 "
+            f"THEN c * length(u) END), 0) AS BIGINT) AS dup{n}_chars"
+            for n in dup_ns
+        ]
+    )
+    keep_terms = []
+    for name, (a, b) in GOPHER_REPETITION_MAX.items():
+        denom = "n_lines" if name == "dup_line_cnt" else "total_chars"
+        keep_terms.append(f"{b} * {name} <= {a} * {denom}")
+    keep = "\n                AND ".join(keep_terms)
+    cols = (
+        ["n_lines", "dup_line_cnt", "dup_line_chars"]
+        + [f"top{n}_chars" for n in top_ns]
+        + [f"dup{n}_chars" for n in dup_ns]
+    )
+    filled = ",\n                ".join(f"COALESCE(a.{c}, 0) AS {c}" for c in cols)
+    return f"""
+            WITH t AS (
+                SELECT doc_id, length(text) AS total_chars,
+                       {_TOKENS} AS toks,
+                       list_filter(string_split(text, chr(10)),
+                                   x -> trim(x) <> '') AS lines
+                FROM documents
+            ),
+            units AS (
+                SELECT doc_id, 0 AS n, unnest(lines) AS u FROM t
+                UNION ALL{gram_selects}
+            ),
+            cnt AS (
+                SELECT doc_id, n, u, COUNT(*) AS c
+                FROM units GROUP BY 1, 2, 3
+            ),
+            agg AS (
+                SELECT doc_id,
+                CAST(COALESCE(SUM(CASE WHEN n = 0 THEN c END), 0)
+                    AS BIGINT) AS n_lines,
+                CAST(COALESCE(SUM(CASE WHEN n = 0 AND c > 1 THEN c - 1
+                    END), 0) AS BIGINT) AS dup_line_cnt,
+                CAST(COALESCE(SUM(CASE WHEN n = 0 AND c > 1 THEN
+                    (c - 1) * length(u) END), 0) AS BIGINT)
+                    AS dup_line_chars,
+{extra_aggs}
+                FROM cnt GROUP BY 1
+            ),
+            full_rows AS (
+                SELECT d.doc_id, d.total_chars,
+                {filled}
+                FROM t d LEFT JOIN agg a USING (doc_id)
+            )
+            SELECT *, ({keep}) AS keep FROM full_rows
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4074,6 +4177,10 @@ def oracle_sql() -> dict[str, str]:
                 AND n_stopwords >= 2) AS keep
             FROM c
         """,
+        # repetition-gate replay: lines + nine gram sizes as one
+        # tagged-unit union, per-(doc, n, unit) counts, integer
+        # char-coverage aggregates, integer-rescaled keep
+        "gopher_repetition": _gopher_repetition_oracle_sql(),
         # bigram-LM replay: identical integer milli-probability
         # quantization (// is DuckDB's integer floor division), BIGINT
         # sums, one final double divide

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     # rewrite) and the map-only Gopher quality gate
     "boilerplate_clean",
     "gopher_quality",
+    "gopher_repetition",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
@@ -105,8 +106,9 @@ BENCH_QUERIES = [
 RECORD_BEST = {
     "asof_join": 0.4655,
     "bm25_search": 0.6476,
-    "boilerplate_clean": 3.426,
+    "boilerplate_clean": 1.9682,
     "gopher_quality": 0.7774,
+    "gopher_repetition": 2.6706,
     "count_by_key": 0.2935,
     "count_by_value": 0.3924,
     "curate_docs": 2.1775,

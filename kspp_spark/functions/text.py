@@ -1244,6 +1244,7 @@ def remove_boilerplate(
     min_docs: int = 2,
     max_set_size: int | None = None,
     unit_joiner: str = " ",
+    repartition_to: int | None = None,
 ):
     """Strip boilerplate units from every document, preserving unit
     order. Returns (id, n_units, n_kept, clean_text) — one row per
@@ -1273,6 +1274,12 @@ def remove_boilerplate(
     kept = F.filter(
         F.col("_units"), lambda u: ~F.array_contains(F.col("_bl"), F.md5(u))
     )
+    # The per-unit md5 + digest-set membership scan runs on the SCAN's
+    # partitioning; a small input (few file splits) serializes it on a
+    # few cores. repartition_to spreads the documents first; at real
+    # scale the scan already has thousands of splits — leave None.
+    if repartition_to is not None:
+        df = df.repartition(repartition_to)
     return (
         df.withColumn("_units", units)
         .crossJoin(F.broadcast(bl_set))  # 1-row broadcast cross join
@@ -1336,6 +1343,154 @@ def gopher_counters(
         ),
         "n_lines": F.size(lines),
     }
+
+
+def gopher_repetition_counters(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    repartition_to: int | None = None,
+):
+    """Gopher repetition counters (Rae et al. 2021 Table A1, the
+    repetition half): per document —
+
+      n_lines          non-empty lines
+      dup_line_cnt     line occurrences beyond each line's first
+      dup_line_chars   characters in those beyond-first occurrences
+      top{n}_chars     n in top_ns: the largest character coverage
+                       (count * length) of any single n-gram
+      dup{n}_chars     n in dup_ns: characters covered by all
+                       occurrences of n-grams that occur more than
+                       once (count * length summed)
+      total_chars      document length
+
+    All counters are integers, so every Table-A1 ratio threshold
+    integer-rescales into an exact comparison (gopher_repetition_keep).
+
+    Documented deviations from the paper's prose (which gives
+    thresholds, not mechanics): the "most frequently occurring
+    n-gram" is selected BY character coverage (count*length — the
+    quantity the threshold actually tests, and tiebreak-free), and
+    duplicate-n-gram characters count every occurrence of a repeated
+    n-gram without de-overlapping spans (position-marking overlapped
+    occurrences needs per-doc sequential state; this conservative
+    upper bound stays a pure aggregation).
+
+    Scale shape: ONE Generate explodes lines and every gram size as
+    tagged (n, unit) structs built inside codegen, ONE count
+    aggregation on (id, n, unit-digest-sized strings), ONE per-doc
+    aggregation, then an equi-join back to the doc frame for
+    total_chars — 2 shuffles + 1 doc-keyed join for the whole
+    11-signal suite, n-grams never re-tokenize the corpus per n.
+    """
+    t = F.col(text_col)
+    # Materialize the token/line arrays as projected columns BEFORE
+    # building the gram lambdas: referencing the raw tokenize()
+    # expression inside nine transform() closures re-evaluates the
+    # regex split per generated ELEMENT (measured 15x slower at
+    # sf0.1); against a projected column each row tokenizes once.
+    pre = df.select(
+        F.col(id_col).alias("_id"),
+        tokenize(t).alias("_toks"),
+        F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "").alias("_lines"),
+    )
+    # The explode inflates ~9x-the-token-count units per document, so
+    # a small input (few file splits) serializes the heavy Generate on
+    # a few cores. repartition_to spreads the PRE-explode rows (one
+    # token array per doc — the cheap side) across the cluster; at
+    # real scale the scan already has thousands of splits and callers
+    # leave this None.
+    if repartition_to is not None:
+        pre = pre.repartition(repartition_to)
+    toks = F.col("_toks")
+
+    def grams(n):
+        upper = F.size(toks) - (n - 1)
+        idx = F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    # tagged unit stream: n=0 marks a line, n>=2 marks an n-gram.
+    # NOTE the factory instead of a default-arg lambda: transform()
+    # treats a two-parameter lambda as (element, index) and would
+    # silently pass the POSITION as the second argument.
+    def tag(n_val):
+        return lambda x: F.struct(F.lit(n_val).alias("n"), x.alias("u"))
+
+    parts = [F.transform(F.col("_lines"), tag(0))] + [
+        F.transform(grams(n), tag(n)) for n in (*top_ns, *dup_ns)
+    ]
+    ex = pre.select(
+        "_id", F.explode(F.flatten(F.array(*parts))).alias("x")
+    ).select("_id", F.col("x.n").alias("_n"), F.col("x.u").alias("_u"))
+    per_unit = ex.groupBy("_id", "_n", "_u").agg(F.count(F.lit(1)).alias("_c"))
+    c, u, n = F.col("_c"), F.col("_u"), F.col("_n")
+    is_dup = c > 1
+    aggs = [
+        F.coalesce(F.sum(F.when(n == 0, c)), F.lit(0)).alias("n_lines"),
+        F.coalesce(F.sum(F.when((n == 0) & is_dup, c - 1)), F.lit(0)).alias(
+            "dup_line_cnt"
+        ),
+        F.coalesce(
+            F.sum(F.when((n == 0) & is_dup, (c - 1) * F.length(u))), F.lit(0)
+        ).alias("dup_line_chars"),
+    ]
+    for k in top_ns:
+        aggs.append(
+            F.coalesce(F.max(F.when(n == k, c * F.length(u))), F.lit(0)).alias(
+                f"top{k}_chars"
+            )
+        )
+    for k in dup_ns:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when((n == k) & is_dup, c * F.length(u))), F.lit(0)
+            ).alias(f"dup{k}_chars")
+        )
+    per_doc = per_unit.groupBy("_id").agg(*aggs)
+    base = df.select(F.col(id_col), F.length(t).alias("total_chars"))
+    out = base.join(per_doc, base[id_col] == per_doc["_id"], "left").drop("_id")
+    # empty docs produce no units at all -> fill every counter with 0
+    zero_filled = [
+        F.coalesce(F.col(f.name), F.lit(0)).alias(f.name)
+        for f in per_doc.schema.fields
+        if f.name != "_id"
+    ]
+    return out.select(id_col, "total_chars", *zero_filled)
+
+
+# Table-A1 repetition thresholds: maximum allowed fraction per signal.
+# Expressed as (numerator_scale, denominator_scale) so the comparison
+# stays in integers: frac <= a/b  <=>  b * counter <= a * total.
+GOPHER_REPETITION_MAX = {
+    "dup_line_cnt": (30, 100),  # duplicate line fraction <= 0.30
+    "dup_line_chars": (20, 100),  # duplicate line char fraction <= 0.20
+    "top2_chars": (20, 100),
+    "top3_chars": (18, 100),
+    "top4_chars": (16, 100),
+    "dup5_chars": (15, 100),
+    "dup6_chars": (14, 100),
+    "dup7_chars": (13, 100),
+    "dup8_chars": (12, 100),
+    "dup9_chars": (11, 100),
+    "dup10_chars": (10, 100),
+}
+
+
+def gopher_repetition_keep(c: dict[str, Column] | None = None) -> Column:
+    """The repetition gate over gopher_repetition_counters output
+    columns (pass a dict of Columns to override; defaults to the
+    output column names). Line fractions divide by n_lines, char
+    fractions by total_chars — all integer-rescaled, exact."""
+    col = (lambda k: c[k]) if c is not None else F.col
+    keep = F.lit(True)
+    for name, (a, b) in GOPHER_REPETITION_MAX.items():
+        denom = col("n_lines") if name == "dup_line_cnt" else col("total_chars")
+        keep = keep & (b * col(name) <= a * denom)
+    return keep
 
 
 def gopher_keep(c: dict[str, Column]) -> Column:

