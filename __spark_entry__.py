@@ -1274,7 +1274,12 @@ def q_minhash_pairs_portable(spark, sf_dir):
     stage bit-for-bit (production keeps xxhash64). max_bucket_ids=None:
     uncapped all-pairs expansion matches the SQL self-join semantics
     exactly (the cap's hub-star overflow is a scale-path rewrite)."""
-    docs = _t(spark, sf_dir, "documents")
+    from kspp_spark.io import rebalance_small_scan
+
+    # small-input adapter: the shingle+32-hash signature map stage is
+    # the cost center; spread a single-split local scan first (no-op
+    # on cluster-sized inputs — see rebalance_small_scan)
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, num_hashes=32, hash_family="md5")
     return minhash_candidates(
         sigs, bands=8, rows_per_band=4, max_bucket_ids=None, hash_family="md5"
@@ -1346,18 +1351,24 @@ def q_substring_spans(spark, sf_dir):
     docs with doc/occurrence counts. md5-portable fingerprints so the
     oracle replays bit-for-bit; production default is xxhash64."""
     from kspp_spark.functions.dedup import substring_dup_spans
+    from kspp_spark.io import rebalance_small_scan
 
-    return substring_dup_spans(
-        _t(spark, sf_dir, "documents"), span_tokens=10, hash_family="md5"
-    )
+    # small-input adapter for the positional-fingerprint map stage
+    # (no-op on cluster-sized inputs — see rebalance_small_scan)
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
+    return substring_dup_spans(docs, span_tokens=10, hash_family="md5")
 
 
 def q_curate_docs(spark, sf_dir):
     """Composite curation pipeline: quality gate -> language gate ->
-    exact dedup -> per-doc stats (the end-to-end training-data shape)."""
+    exact dedup -> per-doc stats (the end-to-end training-data shape).
+    The regex gates + language ID are the cost center, so a
+    single-split local scan spreads first (no-op on cluster-sized
+    inputs — see rebalance_small_scan; 1.7x at sf0.1/local[32])."""
     from kspp_spark.functions.pipeline import curate_documents
+    from kspp_spark.io import rebalance_small_scan
 
-    return curate_documents(_t(spark, sf_dir, "documents"))
+    return curate_documents(rebalance_small_scan(_t(spark, sf_dir, "documents")))
 
 
 def q_token_diversity(spark, sf_dir):

@@ -106,12 +106,12 @@ BENCH_QUERIES = [
 RECORD_BEST = {
     "asof_join": 0.4655,
     "bm25_search": 0.6476,
-    "boilerplate_clean": 1.9682,
+    "boilerplate_clean": 1.565,
     "gopher_quality": 0.7774,
     "gopher_repetition": 2.6706,
     "count_by_key": 0.2935,
     "count_by_value": 0.3924,
-    "curate_docs": 2.1775,
+    "curate_docs": 2.1596,
     "decontaminate": 1.0006,
     "dedup_embedding": 0.5995,
     "dedup_exact": 0.2633,
@@ -143,7 +143,7 @@ RECORD_BEST = {
     "srp_ann": 1.4082,
     "srp_diverse_sample": 0.2821,
     "srp_pairs": 2.3054,
-    "substring_spans": 1.0932,
+    "substring_spans": 0.9832,
     "tfidf_top_terms": 0.606,
     "train_split": 0.1192,
     "transform_revenue": 0.4287,

@@ -223,3 +223,22 @@ def write_zordered(
     parts = num_files or out.sparkSession.sparkContext.defaultParallelism
     out = out.repartitionByRange(parts, F.col("_z")).sortWithinPartitions("_z")
     out.drop("_z").write.format(fmt).mode(mode).save(path)
+
+
+def rebalance_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin rebalance for inputs whose scan yields fewer splits
+    than the session's parallelism (a few-MB local parquet file is one
+    split — one row group cannot be byte-split by maxPartitionBytes —
+    so compute-heavy map stages serialize on one core).
+
+    STRUCTURALLY A NO-OP AT SCALE: a cluster-sized table always scans
+    as >= thousands of splits, the condition never fires, and no
+    shuffle is added — this only adapts tiny inputs to wide sessions.
+    Only worth applying before map-heavy narrow stages (shingling,
+    gram explosion, regex gates); measured counterproductive when the
+    plan is dominated by joins/broadcasts downstream.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
