@@ -481,3 +481,58 @@ def test_changelog_index_fold_equals_batch_rebuild(spark, tmp_path_factory, ops,
         ).collect()
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_gopher_repetition_partition_invariant(spark, docs, n_parts):
+    """The repetition counters are a pure per-document function: any
+    repartitioning of the input (including the small-input rebalance
+    path) yields identical rows."""
+    from kspp_spark.functions.text import gopher_repetition_counters
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple, gopher_repetition_counters(df).collect()))
+    re_p = sorted(
+        map(
+            tuple,
+            gopher_repetition_counters(df, repartition_to=n_parts).collect(),
+        )
+    )
+    assert base == re_p
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["u", "v", "w"]), min_size=0, max_size=15),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+def test_remove_boilerplate_is_idempotent(spark, docs, min_docs):
+    """Fixed point: after one removal pass, surviving units' document
+    frequencies can only have DECREASED (documents never gain units),
+    so every survivor stays below min_docs and a second pass with the
+    same parameters removes nothing."""
+    from kspp_spark.functions.text import remove_boilerplate
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = remove_boilerplate(df, min_docs=min_docs, n_tokens=2)
+    cleaned = once.select(
+        "doc_id", once.clean_text.alias("text")
+    )
+    twice = remove_boilerplate(cleaned, min_docs=min_docs, n_tokens=2)
+    first = {r.doc_id: r.clean_text for r in once.collect()}
+    second = {r.doc_id: r.clean_text for r in twice.collect()}
+    assert first == second
