@@ -2357,13 +2357,12 @@ def q_boilerplate_clean(spark, sf_dir):
     tests/test_plans.py::test_boilerplate_clean_rewrite_is_map_side)."""
     from kspp_spark.functions.text import remove_boilerplate
 
-    docs = _t(spark, sf_dir, "documents")
-    return remove_boilerplate(
-        docs,
-        min_docs=2,
-        n_tokens=10,
-        repartition_to=spark.sparkContext.defaultParallelism,
-    )
+    from kspp_spark.io import rebalance_small_scan
+
+    # conditional small-input adapter — no-op on cluster-sized scans,
+    # so the no-text-in-shuffle claim holds unconditionally at scale
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
+    return remove_boilerplate(docs, min_docs=2, n_tokens=10)
 
 
 def q_gopher_repetition(spark, sf_dir):
@@ -2380,10 +2379,10 @@ def q_gopher_repetition(spark, sf_dir):
         gopher_repetition_keep,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    out = gopher_repetition_counters(
-        docs, repartition_to=spark.sparkContext.defaultParallelism
-    )
+    from kspp_spark.io import rebalance_small_scan
+
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
+    out = gopher_repetition_counters(docs)
     return out.withColumn("keep", gopher_repetition_keep())
 
 

@@ -85,9 +85,10 @@ BENCH_QUERIES = [
     "srp_diverse_sample",
     "lm_scores",
     "dup_clusters_fixed",
-    # round-6 late additions (44 -> 46): corpus-frequency boilerplate
+    # round-6 late additions (44 -> 47): corpus-frequency boilerplate
     # removal (digest-only detector shuffle + map-side broadcast
-    # rewrite) and the map-only Gopher quality gate
+    # rewrite), the map-only Gopher quality gate, and the one-pass
+    # Gopher repetition suite
     "boilerplate_clean",
     "gopher_quality",
     "gopher_repetition",

