@@ -1271,9 +1271,42 @@ def remove_boilerplate(
     bl = boilerplate_units(
         df, id_col, text_col, split_pattern, n_tokens, min_docs, keep_unit=False
     )
+    return remove_boilerplate_with_set(
+        df,
+        bl,
+        id_col=id_col,
+        text_col=text_col,
+        split_pattern=split_pattern,
+        n_tokens=n_tokens,
+        max_set_size=max_set_size,
+        unit_joiner=unit_joiner,
+        repartition_to=repartition_to,
+    )
+
+
+def remove_boilerplate_with_set(
+    df,
+    boilerplate_df,
+    digest_col: str = "unit_digest",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_pattern: str | None = None,
+    n_tokens: int = 10,
+    max_set_size: int | None = None,
+    unit_joiner: str = " ",
+    repartition_to: int | None = None,
+):
+    """The rewrite half of remove_boilerplate against an EXTERNAL
+    boilerplate set (any frame with a md5-unit-digest column, e.g. the
+    snapshot of the streaming frequency fold in
+    streaming/boilerplate_incremental — so a continuously-maintained
+    set strips documents without recounting the corpus). Same map-side
+    broadcast shape and parameters as remove_boilerplate."""
+    bl = boilerplate_df
     if max_set_size is not None:
-        bl = bl.orderBy(F.desc("n_docs"), "unit_digest").limit(max_set_size)
-    bl_set = bl.agg(F.collect_set("unit_digest").alias("_bl"))  # 1 row
+        order = [F.desc("n_docs")] if "n_docs" in bl.columns else []
+        bl = bl.orderBy(*order, digest_col).limit(max_set_size)
+    bl_set = bl.agg(F.collect_set(digest_col).alias("_bl"))  # 1 row
     units = text_units(text_col, split_pattern, n_tokens)
     kept = F.filter(
         F.col("_units"), lambda u: ~F.array_contains(F.col("_bl"), F.md5(u))

@@ -81,19 +81,25 @@ def index_partials_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     seq_col: str | None = None,
+    unitize=None,
 ) -> None:
     """foreachBatch body: tokenize ONLY the micro-batch and write its
     (term, doc_id, tf) partial postings under epoch=<id>, plus one
     NULL-term sentinel per touched doc_id (the changelog presence
-    marker — see module docstring)."""
+    marker — see module docstring).
+
+    `unitize` (Column -> array<string> Column, default whitespace
+    tokenize) generalizes what a "term" is: the boilerplate fold
+    (streaming/boilerplate_incremental) passes md5'd text units, so
+    the same changelog machinery maintains a unit-frequency state."""
     _guard_epoch_monotonic(
         batch_df.sparkSession, state_dir, epoch_id, "index_partials_batch"
     )
     batch = _lww_batch(batch_df, id_col, text_col, seq_col)
     seq_cols = [F.col("_seq")] if seq_col else []
+    units = (unitize or tokenize)(F.col(text_col))
     toks = batch.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"),
-        *seq_cols,
+        F.col(id_col), F.explode(units).alias("term"), *seq_cols,
     )
     partial = toks.groupBy("term", id_col, *(["_seq"] if seq_col else [])).agg(
         F.count(F.lit(1)).alias("tf")

@@ -2021,3 +2021,82 @@ def test_seq_mode_migration_from_seqless_state(spark, tmp_path):
     assert "legacy" in got and got["legacy"] == "2"  # doc 2 still served
     assert got.get("seqed") == "1" and got.get("update") == "1"
     assert "one" not in got  # doc 1's legacy rows superseded
+
+
+def test_boilerplate_fold_matches_batch_and_handles_changelog(spark, tmp_path):
+    """Streaming boilerplate-frequency fold: (1) the snapshot over
+    appended batches equals the batch detector over the full corpus;
+    (2) changelog semantics — a re-crawled doc's old units stop
+    counting and a tombstone removes the doc's contribution — so the
+    set equals a batch recount over the LIVE corpus only; (3) replay
+    is idempotent; (4) the snapshot feeds the same rewrite as the
+    batch path."""
+    from kspp_spark.functions.text import (
+        boilerplate_units,
+        remove_boilerplate,
+        remove_boilerplate_with_set,
+    )
+    from kspp_spark.streaming.boilerplate_incremental import (
+        boilerplate_partials_batch,
+        boilerplate_set_snapshot,
+    )
+
+    state = str(tmp_path / "bl")
+    schema = "doc_id long, text string"
+    footer = "subscribe now"
+    b0 = [(1, f"unique one\n{footer}"), (2, f"{footer}\nother stuff")]
+    b1 = [(3, f"third doc\n{footer}"), (4, "fully original")]
+
+    def canon(df):
+        return sorted((r.unit_digest, r.n_docs) for r in df.collect())
+
+    boilerplate_partials_batch(
+        spark.createDataFrame(b0, schema), 0, state, split_pattern=r"\n"
+    )
+    boilerplate_partials_batch(
+        spark.createDataFrame(b1, schema), 1, state, split_pattern=r"\n"
+    )
+    snap = boilerplate_set_snapshot(spark, state, min_docs=2)
+    full = spark.createDataFrame(b0 + b1, schema)
+    batch = boilerplate_units(
+        full, split_pattern=r"\n", min_docs=2, keep_unit=False
+    )
+    assert canon(snap) == canon(batch)
+
+    # (4) rewrite against the snapshot == batch removal on the corpus
+    got = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate_with_set(
+            full, snap, split_pattern=r"\n"
+        ).collect()
+    }
+    want = {
+        r.doc_id: r.clean_text
+        for r in remove_boilerplate(full, split_pattern=r"\n", min_docs=2).collect()
+    }
+    assert got == want
+    assert got[1] == "unique one"  # the shared footer is stripped
+
+    # (2) changelog: doc 2 re-crawled WITHOUT the footer, doc 3
+    # tombstoned -> footer now lives only in doc 1 -> below min_docs
+    b2 = [(2, "recrawled clean page"), (3, None)]
+    boilerplate_partials_batch(
+        spark.createDataFrame(b2, schema), 2, state, split_pattern=r"\n"
+    )
+    snap2 = boilerplate_set_snapshot(spark, state, min_docs=2)
+    live = spark.createDataFrame(
+        [b0[0], (2, "recrawled clean page"), b1[1]], schema
+    )
+    live_batch = boilerplate_units(
+        live, split_pattern=r"\n", min_docs=2, keep_unit=False
+    )
+    assert canon(snap2) == canon(live_batch)
+    assert canon(snap2) == []  # nothing repeats across the live docs
+
+    # (3) replay idempotency: re-fold epoch 2
+    boilerplate_partials_batch(
+        spark.createDataFrame(b2, schema), 2, state, split_pattern=r"\n"
+    )
+    assert canon(boilerplate_set_snapshot(spark, state, min_docs=2)) == canon(
+        live_batch
+    )
