@@ -12,6 +12,12 @@ md5 digests only and rewrites map-side against a one-row broadcast
 set; the Gopher gate is a single codegen'd projection; dedup is one
 aggregation per tier. Document text never crosses a shuffle outside
 the near-dup verify joins.
+
+For a CONTINUOUS crawl, stage 1 runs as the streaming frequency fold
+(streaming/boilerplate_incremental): the live boilerplate set tracks
+re-crawls and deletes, and remove_boilerplate_with_set strips each
+batch against it without recounting the corpus — see
+example_live_index.py for the shared changelog-fold mechanics.
 """
 
 import os
