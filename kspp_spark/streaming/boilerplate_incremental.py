@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kspp_spark.functions.text import text_units
+from kspp_spark.streaming.epochs import epoch_dirs as _epoch_dirs
 from kspp_spark.streaming.index_incremental import (
     _live_rows,
     compact_index_state,
@@ -123,6 +124,39 @@ def boilerplate_set_snapshot(
         live.groupBy(F.col("term").alias("unit_digest"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_bootstrap(
+    corpus_df: DataFrame,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_pattern: str | None = None,
+    n_tokens: int = 10,
+    seq_col: str | None = None,
+) -> None:
+    """Bootstrap the fold from an EXISTING corpus (the epoch=-1
+    convention shared with the index/scd2/rollup bootstraps): one
+    batch unit pass lands as the epoch=-1 partial; a fresh stream's
+    epochs accumulate on top, and streamed doc_ids may update or
+    tombstone bootstrapped ones across the boundary. Refuses
+    non-fresh directories. Keep seq mode consistent between bootstrap
+    and stream (synthesize F.lit(0) when the corpus has none)."""
+    if _epoch_dirs(corpus_df.sparkSession, state_dir):
+        raise ValueError(
+            "boilerplate_bootstrap: state_dir already contains epochs — "
+            "bootstrap only initializes fresh directories"
+        )
+    boilerplate_partials_batch(
+        corpus_df,
+        -1,
+        state_dir,
+        id_col=id_col,
+        text_col=text_col,
+        split_pattern=split_pattern,
+        n_tokens=n_tokens,
+        seq_col=seq_col,
     )
 
 

@@ -2100,3 +2100,60 @@ def test_boilerplate_fold_matches_batch_and_handles_changelog(spark, tmp_path):
     assert canon(boilerplate_set_snapshot(spark, state, min_docs=2)) == canon(
         live_batch
     )
+
+
+def test_boilerplate_bootstrap_then_stream(spark, tmp_path):
+    """epoch=-1 batch bootstrap + streamed updates: the set equals a
+    batch recount over the live corpus; a stream tombstone supersedes
+    a bootstrapped doc across the boundary; non-fresh dirs refused."""
+    import pytest as _pt
+
+    from kspp_spark.functions.text import boilerplate_units
+    from kspp_spark.streaming.boilerplate_incremental import (
+        boilerplate_bootstrap,
+        boilerplate_partials_batch,
+        boilerplate_set_snapshot,
+        compact_boilerplate_state,
+    )
+
+    state = str(tmp_path / "bl")
+    schema = "doc_id long, text string"
+    footer = "all rights reserved"
+    corpus = [(1, f"page one\n{footer}"), (2, f"page two\n{footer}"),
+              (3, f"page three\n{footer}")]
+    boilerplate_bootstrap(
+        spark.createDataFrame(corpus, schema), state, split_pattern=r"\n"
+    )
+
+    def canon(df):
+        return sorted((r.unit_digest, r.n_docs) for r in df.collect())
+
+    snap = boilerplate_set_snapshot(spark, state, min_docs=3)
+    batch = boilerplate_units(
+        spark.createDataFrame(corpus, schema),
+        split_pattern=r"\n", min_docs=3, keep_unit=False,
+    )
+    assert canon(snap) == canon(batch) and len(canon(snap)) == 1
+
+    # stream epoch 0: tombstone doc 3 -> footer drops to 2 live docs
+    boilerplate_partials_batch(
+        spark.createDataFrame([(3, None)], schema), 0, state,
+        split_pattern=r"\n",
+    )
+    assert canon(boilerplate_set_snapshot(spark, state, min_docs=3)) == []
+    live = boilerplate_units(
+        spark.createDataFrame(corpus[:2], schema),
+        split_pattern=r"\n", min_docs=2, keep_unit=False,
+    )
+    assert canon(boilerplate_set_snapshot(spark, state, min_docs=2)) == canon(live)
+
+    # refuses a non-fresh directory
+    with _pt.raises(ValueError, match="fresh"):
+        boilerplate_bootstrap(
+            spark.createDataFrame(corpus, schema), state, split_pattern=r"\n"
+        )
+
+    # compaction preserves the set
+    out = str(tmp_path / "bl2")
+    compact_boilerplate_state(spark, state, out)
+    assert canon(boilerplate_set_snapshot(spark, out, min_docs=2)) == canon(live)
