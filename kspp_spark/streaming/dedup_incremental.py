@@ -118,6 +118,18 @@ def probe_and_update(
     (banded_signatures); pass srp_banded_signatures for embedding
     streams. The probe/update machinery is family-agnostic.
 
+    CHANGELOG SEMANTICS (same rules as the index folds,
+    krecord.h:23-25 / mem_store.h:64-83, arrival-ordered): a
+    re-emitted id SUPERSEDES its older signatures — the probe only
+    matches each doc's newest epoch's bands, so stale content stops
+    pairing — and a tombstone (NULL text/vector, which produces no
+    signature rows) deletes the doc from the probe-able state. Every
+    epoch writes one band=-1 presence SENTINEL per touched id to
+    register updates/deletes; ids must be unique within a batch (the
+    compacted-changelog shape). Pairs already emitted to pairs_dir
+    are an append log of PAST observations — consumers joining pairs
+    against the live corpus drop pairs whose members died later.
+
     Epoch-named state files make replays after a checkpoint recovery
     overwrite rather than double-append (idempotent at-least-once)."""
     spark = batch_df.sparkSession
@@ -128,6 +140,11 @@ def probe_and_update(
         ).cache()
     else:
         new = banded_fn(batch_df).cache()
+    sentinels = batch_df.select(
+        F.col(id_col).alias("id"),
+        F.lit(-1).alias("band"),
+        F.lit(0).cast("long").alias("bhash"),
+    ).distinct()
 
     # within-batch pairs: same bucket, smaller id first
     left = new.select("band", "bhash", F.col("id").alias("a"))
@@ -170,6 +187,19 @@ def probe_and_update(
         # the within-batch pairs a second time in (a,b)+(b,a) form.
         if "epoch" in state.columns:
             state = state.filter(F.col("epoch") != F.lit(int(epoch_id)))
+            # latest-epoch-wins: only each doc's NEWEST epoch's bands
+            # are probe-able (superseded content and tombstoned docs —
+            # whose newest epoch holds only the band=-1 sentinel —
+            # stop matching). The id->max-epoch map is a tiny
+            # aggregate relative to the band state.
+            latest = state.groupBy(F.col("id").alias("_lid")).agg(
+                F.max("epoch").alias("_e")
+            )
+            state = state.join(
+                latest,
+                (F.col("id") == F.col("_lid"))
+                & (F.col("epoch") == F.col("_e")),
+            ).filter(F.col("band") >= 0)
         state = state.select("id", "band", "bhash")
         cross = (
             new.join(state.withColumnRenamed("id", "dup_of"), ["band", "bhash"])
@@ -183,7 +213,7 @@ def probe_and_update(
         .write.mode("overwrite")
         .parquet(os.path.join(pairs_dir, f"epoch={epoch_id}"))
     )
-    new.write.mode("overwrite").parquet(
+    new.unionByName(sentinels).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"epoch={epoch_id}")
     )
     new.unpersist()

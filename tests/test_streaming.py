@@ -2157,3 +2157,43 @@ def test_boilerplate_bootstrap_then_stream(spark, tmp_path):
     out = str(tmp_path / "bl2")
     compact_boilerplate_state(spark, state, out)
     assert canon(boilerplate_set_snapshot(spark, out, min_docs=2)) == canon(live)
+
+
+def test_incremental_dedup_changelog_supersede_and_tombstone(spark, tmp_path):
+    """Changelog semantics for the near-dup state: a re-emitted doc's
+    OLD content stops matching (latest-epoch-wins), its NEW content
+    matches; a tombstoned doc stops generating candidates entirely;
+    replaying an epoch emits no duplicate pairs."""
+    from kspp_spark.streaming.dedup_incremental import probe_and_update
+
+    state = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    schema = "doc_id long, text string"
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark aggregation plans here"
+
+    def pairs():
+        return sorted(
+            (r.new_id, r.dup_of)
+            for r in spark.read.parquet(pairs_dir).select("new_id", "dup_of").collect()
+        )
+
+    # epoch 0: doc 1 = A
+    probe_and_update(spark.createDataFrame([(1, text_a)], schema), 0, state, pairs_dir)
+    # epoch 1: doc 1 RE-EMITTED as B (supersedes A), doc 2 tombstoned-
+    # before-known is irrelevant; also add doc 9 = B's near-copy later
+    probe_and_update(spark.createDataFrame([(1, text_b)], schema), 1, state, pairs_dir)
+    # epoch 2: doc 2 = A -> must NOT pair with doc 1 (its A is stale)
+    probe_and_update(spark.createDataFrame([(2, text_a)], schema), 2, state, pairs_dir)
+    assert pairs() == []
+    # epoch 3: doc 3 = B -> pairs with doc 1 (its live content)
+    probe_and_update(spark.createDataFrame([(3, text_b)], schema), 3, state, pairs_dir)
+    assert pairs() == [(3, 1)]
+    # epoch 4: doc 1 tombstoned (NULL text -> no signature rows)
+    probe_and_update(spark.createDataFrame([(1, None)], schema), 4, state, pairs_dir)
+    # epoch 5: doc 4 = B -> doc 1 is dead; only doc 3 matches
+    probe_and_update(spark.createDataFrame([(4, text_b)], schema), 5, state, pairs_dir)
+    assert pairs() == [(3, 1), (4, 3)]
+    # replay epoch 5 (checkpoint recovery): pairs unchanged
+    probe_and_update(spark.createDataFrame([(4, text_b)], schema), 5, state, pairs_dir)
+    assert pairs() == [(3, 1), (4, 3)]
