@@ -2197,3 +2197,46 @@ def test_incremental_dedup_changelog_supersede_and_tombstone(spark, tmp_path):
     # replay epoch 5 (checkpoint recovery): pairs unchanged
     probe_and_update(spark.createDataFrame([(4, text_b)], schema), 5, state, pairs_dir)
     assert pairs() == [(3, 1), (4, 3)]
+
+
+def test_incremental_dedup_srp_tombstone(spark, tmp_path):
+    """Embedding-family changelog: a NULL embedding yields no
+    signature rows (only the presence sentinel), so the tombstoned
+    vector stops matching future near-copies."""
+    from kspp_spark.streaming.dedup_incremental import (
+        probe_and_update,
+        srp_banded_signatures,
+    )
+
+    state = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    schema = "vec_id long, embedding array<float>"
+    base = [1.0 if d % 3 == 0 else -0.5 for d in range(16)]
+
+    def banded(df):
+        return srp_banded_signatures(df, planes=32, dims=16, bands=4)
+
+    def pairs():
+        return sorted(
+            (r.new_id, r.dup_of)
+            for r in spark.read.parquet(pairs_dir).select("new_id", "dup_of").collect()
+        )
+
+    probe_and_update(
+        spark.createDataFrame([(1, base)], schema), 0, state, pairs_dir,
+        id_col="vec_id", banded_fn=banded,
+    )
+    probe_and_update(
+        spark.createDataFrame([(2, base)], schema), 1, state, pairs_dir,
+        id_col="vec_id", banded_fn=banded,
+    )
+    assert pairs() == [(2, 1)]  # identical vector pairs while 1 lives
+    probe_and_update(
+        spark.createDataFrame([(1, None)], schema), 2, state, pairs_dir,
+        id_col="vec_id", banded_fn=banded,
+    )
+    probe_and_update(
+        spark.createDataFrame([(3, base)], schema), 3, state, pairs_dir,
+        id_col="vec_id", banded_fn=banded,
+    )
+    assert pairs() == [(2, 1), (3, 2)]  # 1 is dead; only 2 matches
