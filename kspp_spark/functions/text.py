@@ -1304,8 +1304,14 @@ def remove_boilerplate_with_set(
     broadcast shape and parameters as remove_boilerplate."""
     bl = boilerplate_df
     if max_set_size is not None:
-        order = [F.desc("n_docs")] if "n_docs" in bl.columns else []
-        bl = bl.orderBy(*order, digest_col).limit(max_set_size)
+        if "n_docs" not in bl.columns:
+            raise ValueError(
+                "remove_boilerplate_with_set: max_set_size caps by "
+                "document frequency and requires an n_docs column — "
+                "a digest-only frame would be truncated to an "
+                "arbitrary (lexicographic) subset"
+            )
+        bl = bl.orderBy(F.desc("n_docs"), digest_col).limit(max_set_size)
     bl_set = bl.agg(F.collect_set(digest_col).alias("_bl"))  # 1 row
     units = text_units(text_col, split_pattern, n_tokens)
     kept = F.filter(

@@ -134,11 +134,18 @@ def probe_and_update(
     overwrite rather than double-append (idempotent at-least-once)."""
     spark = batch_df.sparkSession
     if banded_fn is None:
+        # NULL text must yield NO signature rows (the tombstone
+        # contract) — unfiltered, _shingles' concat_ws fallback turns
+        # NULL into the empty-string signature and every tombstone
+        # would near-dup-match every other tombstone.
         new = banded_signatures(
-            batch_df, text=text, id_col=id_col, num_hashes=num_hashes,
+            batch_df.filter(F.col(text).isNotNull()),
+            text=text, id_col=id_col, num_hashes=num_hashes,
             shingle_n=shingle_n, bands=bands,
         ).cache()
     else:
+        # contract for custom families: banded_fn must emit no rows
+        # for NULL payloads (srp_banded_signatures does — verified)
         new = banded_fn(batch_df).cache()
     sentinels = batch_df.select(
         F.col(id_col).alias("id"),
@@ -200,6 +207,12 @@ def probe_and_update(
                 (F.col("id") == F.col("_lid"))
                 & (F.col("epoch") == F.col("_e")),
             ).filter(F.col("band") >= 0)
+        # docs re-emitted or tombstoned IN THIS BATCH: their prior
+        # epochs' bands are superseded as of this trigger, but the
+        # current-epoch exclusion above (replay safety) would leave
+        # them probe-able — anti-join them out; the within-batch pass
+        # already covers their NEW content.
+        state = state.join(sentinels.select("id"), "id", "left_anti")
         state = state.select("id", "band", "bhash")
         cross = (
             new.join(state.withColumnRenamed("id", "dup_of"), ["band", "bhash"])
@@ -241,3 +254,31 @@ def incremental_near_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_dedup_state(spark, state_dir: str, out_dir: str) -> None:
+    """Rewrite the accumulated band state as a single epoch=-1 in a
+    FRESH out_dir, keeping only each id's winning (newest-epoch) rows
+    — superseded bands physically disappear, so per-trigger probe
+    cost tracks the live corpus instead of total update history.
+    Tombstoned ids' sentinels are kept (same policy as the index
+    fold's compaction). Point the stream at out_dir with a fresh
+    checkpoint afterwards."""
+    import os as _os
+
+    from kspp_spark.streaming.epochs import epoch_dirs as _epoch_dirs
+
+    if _epoch_dirs(spark, out_dir):
+        raise ValueError(
+            "compact_dedup_state: out_dir already contains epochs — "
+            "compaction writes a fresh directory"
+        )
+    state = spark.read.parquet(state_dir)
+    latest = state.groupBy(F.col("id").alias("_lid")).agg(
+        F.max("epoch").alias("_e")
+    )
+    winners = state.join(
+        latest,
+        (F.col("id") == F.col("_lid")) & (F.col("epoch") == F.col("_e")),
+    ).select("id", "band", "bhash")
+    winners.write.mode("overwrite").parquet(_os.path.join(out_dir, "epoch=-1"))

@@ -1723,3 +1723,15 @@ def test_gopher_repetition_counters_golden(spark):
     assert not keeps[2]  # degenerate repetition fails
     assert not keeps[3]  # 1/3 duplicate lines > 0.30
     assert keeps[4]  # empty doc: every 0 <= threshold * 0 holds
+
+
+def test_remove_boilerplate_with_set_cap_requires_frequency(spark):
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+    from kspp_spark.functions.text import remove_boilerplate_with_set
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    digests_only = spark.createDataFrame([("d",)], "unit_digest string")
+    with _pt.raises(ValueError, match="n_docs"):
+        remove_boilerplate_with_set(df, digests_only, max_set_size=1)

@@ -2240,3 +2240,54 @@ def test_incremental_dedup_srp_tombstone(spark, tmp_path):
         id_col="vec_id", banded_fn=banded,
     )
     assert pairs() == [(2, 1), (3, 2)]  # 1 is dead; only 2 matches
+
+
+def test_incremental_dedup_changelog_edge_cases(spark, tmp_path):
+    """The two review-verified leaks plus compaction: (1) two
+    tombstones never pair (NULL text yields NO signature rows — not
+    the empty-string signature); (2) content superseded IN THE SAME
+    BATCH as a new doc carrying the old content does not pair (the
+    replay-safe current-epoch exclusion must not resurrect prior
+    epochs of batch-touched ids); (3) compaction preserves probe
+    results while dropping superseded epochs."""
+    from kspp_spark.streaming.dedup_incremental import (
+        compact_dedup_state,
+        probe_and_update,
+    )
+
+    state = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    schema = "doc_id long, text string"
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark aggregation plans here"
+
+    def pairs(d=pairs_dir):
+        return sorted(
+            (r.new_id, r.dup_of)
+            for r in spark.read.parquet(d).select("new_id", "dup_of").collect()
+        )
+
+    # (2) same-batch supersede: epoch 0 doc 1 = A; epoch 1 re-emits
+    # doc 1 as B AND introduces doc 5 = A -> no (5, 1) stale pair
+    probe_and_update(spark.createDataFrame([(1, text_a)], schema), 0, state, pairs_dir)
+    probe_and_update(
+        spark.createDataFrame([(1, text_b), (5, text_a)], schema), 1, state, pairs_dir
+    )
+    assert pairs() == []
+    # (1) tombstone two docs in different epochs -> no tombstone pair
+    probe_and_update(spark.createDataFrame([(1, None)], schema), 2, state, pairs_dir)
+    probe_and_update(spark.createDataFrame([(5, None)], schema), 3, state, pairs_dir)
+    assert pairs() == []
+    # live content still probes: doc 6 = B matched nothing (1 is dead)
+    probe_and_update(spark.createDataFrame([(6, text_b)], schema), 4, state, pairs_dir)
+    assert pairs() == []
+    # (3) compaction: probe results identical off the compacted state
+    state2 = str(tmp_path / "state2")
+    pairs2 = str(tmp_path / "pairs2")
+    compact_dedup_state(spark, state, state2)
+    probe_and_update(spark.createDataFrame([(7, text_b)], schema), 0, state2, pairs2)
+    assert pairs(pairs2) == [(7, 6)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="fresh"):
+        compact_dedup_state(spark, state, state2)
