@@ -185,8 +185,10 @@ class ClusterConfig:
         """The configured brokers + TLS as Spark Kafka source/sink
         options: schemes drop out of bootstrap.servers (Spark wants
         host:port), the scheme selects kafka.security.protocol
-        (plaintext -> PLAINTEXT, ssl -> SSL), and configured client
-        auth adds the ssl.* locations. A scheme stated once on the
+        (plaintext -> PLAINTEXT, ssl -> SSL), and configured TLS
+        material translates to the Java client's KIP-651 PEM configs
+        (truststore location for the CA, inline keystore chain/key
+        for client auth). A scheme stated once on the
         first element covers the unschemed rest ('ssl://b1,b2' is one
         SSL listener list — the natural multi-broker shape);
         EXPLICITLY mixed schemes are rejected — one listener type per
@@ -211,10 +213,29 @@ class ClusterConfig:
             "kafka.security.protocol": "SSL" if scheme == "ssl" else "PLAINTEXT",
         }
         if scheme == "ssl" and self.ca_cert_path:
-            opts["kafka.ssl.ca.location"] = self.ca_cert_path
+            # The reference configures librdkafka (ssl.ca.location /
+            # ssl.certificate.location / ssl.key.location,
+            # rd_kafka_utils.cpp), but Spark's Kafka source/sink uses
+            # the Apache Kafka JAVA client, which ignores unknown
+            # configs — so those names would leave SSL engaged with no
+            # trust or client auth. Translate to the Java client's PEM
+            # configs (KIP-651): the CA bundle file is a valid PEM
+            # truststore as-is; the separate cert/key FILES of the
+            # librdkafka convention have no two-file keystore form, so
+            # their contents ride inline via ssl.keystore.
+            # certificate.chain + ssl.keystore.key (both official
+            # KIP-651 configs, password-protected keys honored via
+            # ssl.key.password).
+            opts["kafka.ssl.truststore.type"] = "PEM"
+            opts["kafka.ssl.truststore.location"] = self.ca_cert_path
             if self.client_cert_path and self.client_key_path:
-                opts["kafka.ssl.certificate.location"] = self.client_cert_path
-                opts["kafka.ssl.key.location"] = self.client_key_path
+                with open(self.client_cert_path, "r") as f:
+                    chain = f.read()
+                with open(self.client_key_path, "r") as f:
+                    key_pem = f.read()
+                opts["kafka.ssl.keystore.type"] = "PEM"
+                opts["kafka.ssl.keystore.certificate.chain"] = chain
+                opts["kafka.ssl.keystore.key"] = key_pem
                 if self.client_key_passphrase:
                     opts["kafka.ssl.key.password"] = self.client_key_passphrase
         return opts

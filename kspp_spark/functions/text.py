@@ -1544,16 +1544,20 @@ def gopher_keep(c: dict[str, Column]) -> Column:
     """The Gopher Table-A1 repetition-free gate over the counters —
     integer-rescaled thresholds, single boolean:
       50 <= words <= 100000; 3 <= mean word len <= 10;
-      symbol-to-word ratio <= 0.1; < 90% bullet lines;
-      < 30% ellipsis lines; >= 80% words alphabetic;
-      >= 2 distinct stopwords present."""
+      symbol-to-word ratio <= 0.1; <= 90% bullet lines;
+      <= 30% ellipsis lines; >= 80% words alphabetic;
+      >= 2 distinct stopwords present.
+
+    Table A1 removes documents whose bullet/ellipsis fraction EXCEEDS
+    90%/30%, so a document exactly at the boundary is kept — the
+    gates are <= (inclusive), like every other ratio gate here."""
     return (
         c["n_words"].between(50, 100_000)
         & (3 * c["n_words"] <= c["sum_word_len"])
         & (c["sum_word_len"] <= 10 * c["n_words"])
         & (10 * c["n_symbols"] <= c["n_words"])
-        & (10 * c["n_bullet_lines"] < 9 * c["n_lines"])
-        & (10 * c["n_ellipsis_lines"] < 3 * c["n_lines"])
+        & (10 * c["n_bullet_lines"] <= 9 * c["n_lines"])
+        & (10 * c["n_ellipsis_lines"] <= 3 * c["n_lines"])
         & (5 * c["n_alpha_words"] >= 4 * c["n_words"])
         & (c["n_stopwords"] >= 2)
     )

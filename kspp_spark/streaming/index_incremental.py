@@ -286,15 +286,24 @@ def positional_partials_batch(
         )
 
 
-def doc_lengths_snapshot(spark, doclen_dir: str) -> DataFrame:
+def doc_lengths_snapshot(
+    spark, doclen_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
     """Current doc-length table from the accumulated per-epoch folds —
     the streaming-maintained form of functions/text.doc_lengths, fed
     straight into bm25_indexed. Latest-epoch-wins per doc; dl=0 rows
     (tombstoned/empty docs) drop out, matching the batch operator's
-    dl > 0 contract."""
+    dl > 0 contract. `id_col` must match the fold's (explicit, like
+    every sibling snapshot — never inferred from physical column
+    order, which schema merges could reshuffle)."""
     # partials write (id_col, dl[, _seq]) + epoch; same winner rule as
     # the postings merge (shared _winning_rows)
-    id_col = spark.read.parquet(doclen_dir).columns[0]
+    cols = spark.read.parquet(doclen_dir).columns
+    if id_col not in cols:
+        raise ValueError(
+            f"doc_lengths_snapshot: id_col {id_col!r} not in doclen "
+            f"state columns {cols} — pass the id_col the fold ran with"
+        )
     return _winning_rows(spark, doclen_dir, id_col).filter(F.col("dl") > 0)
 
 

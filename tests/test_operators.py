@@ -1651,6 +1651,10 @@ def test_gopher_rules_each_gate(spark):
     symboly = good + " " + " ".join("#" for _ in range(40))
     no_stop = " ".join(f"word{i}" for i in range(60))
     numbersy = " ".join("12345" for _ in range(60)) + " the quick and all"
+    # Table A1 removes only when the fraction EXCEEDS 90% / 30%:
+    # exactly-at-boundary documents are KEPT (inclusive gates)
+    bullet_edge = "\n".join([f"- {good}"] * 9 + [good])  # 9/10 bullets
+    ellipsis_edge = "\n".join([f"{good}..."] * 3 + [good] * 7)  # 3/10
     df = spark.createDataFrame(
         [
             (1, good),
@@ -1660,6 +1664,8 @@ def test_gopher_rules_each_gate(spark):
             (5, symboly),
             (6, no_stop),
             (7, numbersy),
+            (8, bullet_edge),
+            (9, ellipsis_edge),
         ],
         "doc_id int, text string",
     )
@@ -1677,6 +1683,8 @@ def test_gopher_rules_each_gate(spark):
     assert not out[5].keep  # symbol-to-word ratio > 0.1
     assert not out[6].keep  # no stopwords
     assert not out[7].keep  # < 80% alphabetic words
+    assert out[8].keep  # exactly 90% bullet lines — boundary kept
+    assert out[9].keep  # exactly 30% ellipsis lines — boundary kept
     # counters behave: bullets counted per line, symbols per match
     assert out[3].n_bullet_lines == 10 and out[3].n_lines == 10
     assert out[5].n_symbols == 40

@@ -282,5 +282,6 @@ def test_cli_env_fallbacks(monkeypatch, tmp_path, recwarn):
     bootstrap, extra = resolve_kafka(None)
     assert bootstrap == "b1:9093,b2:9093"  # scheme-once covers the list
     assert extra["kafka.security.protocol"] == "SSL"
-    assert extra["kafka.ssl.ca.location"] == str(ca)
-    assert extra["kafka.ssl.certificate.location"] == str(cert)
+    assert extra["kafka.ssl.truststore.type"] == "PEM"
+    assert extra["kafka.ssl.truststore.location"] == str(ca)
+    assert extra["kafka.ssl.keystore.certificate.chain"] == "x"

@@ -131,8 +131,11 @@ def test_cluster_config_env_parity(tmp_path, monkeypatch):
 
 def test_cluster_config_kafka_options_translation(tmp_path):
     """kafka_options(): schemes drop out of bootstrap.servers, select
-    the security protocol, and configured TLS client auth adds the
-    ssl.* locations; mixed schemes are rejected."""
+    the security protocol, and configured TLS material translates to
+    the Java client's KIP-651 PEM configs (the librdkafka-style
+    ssl.*.location names the reference uses are NOT understood by the
+    Apache Kafka Java client Spark embeds — emitting them would leave
+    SSL with no trust/client auth); mixed schemes are rejected."""
     import pytest as _pytest
 
     from kspp_spark.config import ClusterConfig
@@ -142,20 +145,28 @@ def test_cluster_config_kafka_options_translation(tmp_path):
     o = cfg.kafka_options()
     assert o["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
     assert o["kafka.security.protocol"] == "PLAINTEXT"
-    assert "kafka.ssl.ca.location" not in o
+    assert "kafka.ssl.truststore.location" not in o
 
-    ca = tmp_path / "ca.pem"; ca.write_text("x")
-    cert = tmp_path / "c.pem"; cert.write_text("x")
-    key = tmp_path / "k.pem"; key.write_text("x")
+    ca = tmp_path / "ca.pem"; ca.write_text("CA PEM")
+    cert = tmp_path / "c.pem"; cert.write_text("CERT CHAIN PEM")
+    key = tmp_path / "k.pem"; key.write_text("KEY PEM")
     cfg.set_brokers("ssl://b1:9093")
     assert cfg.set_ca_cert_path(str(ca))
     assert cfg.set_private_key_path(str(cert), str(key), "pw")
     o = cfg.kafka_options()
     assert o["kafka.security.protocol"] == "SSL"
-    assert o["kafka.ssl.ca.location"] == str(ca)
-    assert o["kafka.ssl.certificate.location"] == str(cert)
-    assert o["kafka.ssl.key.location"] == str(key)
+    # CA file is a valid PEM truststore as-is (location form)
+    assert o["kafka.ssl.truststore.type"] == "PEM"
+    assert o["kafka.ssl.truststore.location"] == str(ca)
+    # separate cert/key files have no two-file Java keystore form —
+    # contents ride inline via the KIP-651 string configs
+    assert o["kafka.ssl.keystore.type"] == "PEM"
+    assert o["kafka.ssl.keystore.certificate.chain"] == "CERT CHAIN PEM"
+    assert o["kafka.ssl.keystore.key"] == "KEY PEM"
     assert o["kafka.ssl.key.password"] == "pw"
+    # no librdkafka-style names leak through (the Java client would
+    # ignore them and log 'not a known config')
+    assert not [k for k in o if ".location" in k and "store" not in k]
 
     cfg.set_brokers("plaintext://a:9092,ssl://b:9093")
     with _pytest.raises(ValueError, match="mixed broker schemes"):
