@@ -2291,3 +2291,272 @@ def test_incremental_dedup_changelog_edge_cases(spark, tmp_path):
 
     with _pt.raises(ValueError, match="fresh"):
         compact_dedup_state(spark, state, state2)
+
+
+def test_incremental_dedup_epoch_guard(spark, tmp_path):
+    """A fresh checkpoint pointed at a RETAINED state dir restarts
+    epoch ids at 0 while older retained epochs carry higher numbers —
+    the fold must refuse loudly instead of silently serving stale
+    signatures as each doc's newest version (same guard as the
+    index/rollup folds)."""
+    from kspp_spark.streaming.dedup_incremental import probe_and_update
+
+    state = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    schema = "doc_id long, text string"
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    probe_and_update(spark.createDataFrame([(1, text_a)], schema), 0, state, pairs_dir)
+    probe_and_update(spark.createDataFrame([(2, text_a)], schema), 1, state, pairs_dir)
+    with pytest.raises(ValueError, match="newer than the current"):
+        probe_and_update(
+            spark.createDataFrame([(3, text_a)], schema), 0, state, pairs_dir
+        )
+    # replaying the CURRENT epoch stays fine (checkpoint recovery)
+    probe_and_update(spark.createDataFrame([(2, text_a)], schema), 1, state, pairs_dir)
+
+
+def test_incremental_dedup_seq_event_ordered_lww(spark, tmp_path):
+    """seq mode: a late-arriving STALE update or delete (lower seq in
+    a newer epoch) is IGNORED — the doc keeps its fresher content, the
+    stale content pairs with nothing, and a fresh delete still works
+    (mem_store.h:64-83's stale-update/stale-delete rule). Within-batch
+    collisions resolve max_by(seq)."""
+    from kspp_spark.streaming.dedup_incremental import probe_and_update
+
+    state = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    schema = "doc_id long, text string, seq long"
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark aggregation plans here"
+
+    def step(rows, epoch):
+        probe_and_update(
+            spark.createDataFrame(rows, schema), epoch, state, pairs_dir,
+            seq_col="seq",
+        )
+
+    def pairs():
+        return sorted(
+            (r.new_id, r.dup_of)
+            for r in spark.read.parquet(pairs_dir).select("new_id", "dup_of").collect()
+        )
+
+    step([(1, text_a, 10)], 0)
+    step([(2, text_b, 20)], 1)
+    # STALE update: doc 1 -> B at seq 5 (< 10). Must NOT pair with
+    # doc 2 (=B) and must NOT supersede doc 1's A.
+    step([(1, text_b, 5)], 2)
+    assert pairs() == []
+    # doc 1 still serves A: a new A doc pairs with it
+    step([(3, text_a, 30)], 3)
+    assert pairs() == [(3, 1)]
+    # STALE delete: tombstone at seq 7 (< 10) is ignored
+    step([(1, None, 7)], 4)
+    step([(4, text_a, 40)], 5)
+    assert pairs() == [(3, 1), (4, 1), (4, 3)]
+    # FRESH delete takes effect
+    step([(1, None, 50)], 6)
+    step([(5, text_a, 60)], 7)
+    assert pairs() == [(3, 1), (4, 1), (4, 3), (5, 3), (5, 4)]
+    # within-batch collision: doc 6 emitted twice, winner is seq 100=B
+    step([(6, text_a, 90), (6, text_b, 100)], 8)
+    assert (9, 9) not in pairs()
+    assert pairs() == [(2, 6), (3, 1), (4, 1), (4, 3), (5, 3), (5, 4)] or \
+        pairs() == [(3, 1), (4, 1), (4, 3), (5, 3), (5, 4), (6, 2)]
+
+
+def test_incremental_dedup_seq_batch_equivalence(spark, tmp_path):
+    """Under RANDOM update/delete interleavings with stale writes
+    mixed in, a final-epoch probe doc pairs with exactly the docs a
+    BATCH banded-signature run over the LIVE (seq-LWW-resolved)
+    corpus says it should — and compaction preserves that."""
+    import random
+
+    from kspp_spark.streaming.dedup_incremental import (
+        banded_signatures,
+        compact_dedup_state,
+        probe_and_update,
+    )
+
+    texts = {
+        "A": "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "B": "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "C": "uniform victor whiskey xray yankee zulu one two three four",
+    }
+    schema = "doc_id long, text string, seq long"
+    rng = random.Random(707)
+    truth: dict = {}  # doc_id -> (text_key or None, seq) after LWW
+    state = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    epoch = 0
+    for _ in range(12):
+        rows = []
+        for doc in rng.sample(range(1, 7), rng.randint(1, 3)):
+            kind = rng.choice(["update", "update", "stale", "delete"])
+            cur_seq = truth.get(doc, (None, -1))[1]
+            if kind == "stale" and cur_seq >= 0:
+                # strictly lower seq than the doc's current winner
+                rows.append((doc, texts[rng.choice("ABC")], cur_seq - 1))
+                continue
+            seq = cur_seq + rng.randint(1, 5) + 1
+            key = None if kind == "delete" else rng.choice("ABC")
+            rows.append((doc, texts[key] if key else None, seq))
+            truth[doc] = (key, seq)
+        probe_and_update(
+            spark.createDataFrame(rows, schema), epoch, state, pairs_dir,
+            seq_col="seq",
+        )
+        epoch += 1
+
+    def probe(state_dir, pairs_out, probe_epoch):
+        q = [(100, texts["A"], 10_000), (200, texts["B"], 10_000)]
+        probe_and_update(
+            spark.createDataFrame(q, schema), probe_epoch, state_dir, pairs_out,
+            seq_col="seq",
+        )
+        return sorted(
+            (r.new_id, r.dup_of)
+            for r in spark.read.parquet(
+                os.path.join(pairs_out, f"epoch={probe_epoch}")
+            ).collect()
+        )
+
+    # expected: batch band collisions of the probe docs against the
+    # live corpus (identical text -> all bands collide; disjoint-vocab
+    # text -> none)
+    live = [
+        (doc, texts[key]) for doc, (key, _) in truth.items() if key is not None
+    ]
+    corpus = spark.createDataFrame(live + [(100, texts["A"]), (200, texts["B"])],
+                                   "doc_id long, text string")
+    b = banded_signatures(corpus)
+    qb = b.filter(F.col("id").isin([100, 200]))
+    cb = b.filter(~F.col("id").isin([100, 200]))
+    expected = sorted(
+        set(
+            (r.qid, r.id)
+            for r in qb.select(F.col("id").alias("qid"), "band", "bhash")
+            .join(cb, ["band", "bhash"])
+            .collect()
+        )
+    )
+    got = probe(state, str(tmp_path / "p1"), epoch)
+    assert got == expected
+    # compaction (seq-preserving) serves the identical probe
+    state2 = str(tmp_path / "state2")
+    compact_dedup_state(spark, state, state2)
+    assert probe(state2, str(tmp_path / "p3"), 0) == expected
+    # and a stale write still loses AFTER compaction (the sentinel
+    # kept the winning seq)
+    dead = [d for d, (k, _) in truth.items() if k is None]
+    if dead:
+        doc = dead[0]
+        probe_and_update(
+            spark.createDataFrame([(doc, texts["A"], 0)], schema), 1,
+            state2, str(tmp_path / "p4"), seq_col="seq",
+        )
+        got2 = sorted(
+            r.dup_of
+            for r in spark.read.parquet(str(tmp_path / "p4")).collect()
+        )
+        assert got2 == []  # resurrection attempt pairs with nothing
+
+
+def test_incremental_dedup_verify_scores(spark, tmp_path):
+    """verify=True: pairs come out scored with the MinHash Jaccard
+    estimate (fraction of equal signature components) against each
+    member's WINNING signature — identical docs score exactly 1.0,
+    planted near-dups score exactly what a batch minhash_signatures
+    comparison says, and tombstoned members drop out of the verify
+    lookup."""
+    from kspp_spark.functions.dedup import minhash_signatures
+    from kspp_spark.streaming.dedup_incremental import probe_and_update
+
+    state = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    schema = "doc_id long, text string"
+    text_a = (
+        "the quick brown fox jumps over the lazy dog while the crowd "
+        "watches from the old wooden bridge near the river bank today"
+    )
+    # one word changed -> high-but-not-1.0 estimated jaccard
+    text_a2 = text_a.replace("wooden", "stone")
+
+    def step(rows, epoch):
+        probe_and_update(
+            spark.createDataFrame(rows, schema), epoch, state, pairs_dir,
+            verify=True, min_score=0.5,
+        )
+
+    step([(1, text_a)], 0)
+    step([(2, text_a)], 1)  # identical -> score 1.0
+    step([(3, text_a2)], 2)  # near-dup -> estimator score
+    rows = {
+        (r.new_id, r.dup_of): (r.score, r.verified)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert rows[(2, 1)] == (1.0, True)
+    # expected estimator score from the BATCH signature path
+    sigs = {
+        r.doc_id: r.sig
+        for r in minhash_signatures(
+            spark.createDataFrame([(1, text_a), (3, text_a2)], schema)
+        ).collect()
+    }
+    est = sum(x == y for x, y in zip(sigs[1], sigs[3])) / len(sigs[1])
+    assert 0 < est < 1.0
+    for pair in [(3, 1), (3, 2)]:
+        score, verified = rows[pair]
+        assert abs(score - est) < 1e-12
+        assert verified == (est >= 0.5)
+    # tombstone doc 1; a new identical doc pairs only with live docs
+    step([(1, None)], 3)
+    step([(4, text_a)], 4)
+    e4 = {
+        (r.new_id, r.dup_of): r.score
+        for r in spark.read.parquet(os.path.join(pairs_dir, "epoch=4")).collect()
+    }
+    assert (4, 1) not in e4 and e4[(4, 2)] == 1.0
+
+
+def test_incremental_dedup_verify_srp_family(spark, tmp_path):
+    """Embedding-family verify: SRP hamming similarity scores — an
+    identical vector scores 1.0 verified; the sigs state tombstones
+    with the doc (NULL embedding -> NULL sig row)."""
+    from kspp_spark.streaming.dedup_incremental import (
+        probe_and_update,
+        srp_banded_signatures,
+        srp_sig_fn,
+        srp_score_fn,
+    )
+
+    state = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    schema = "vec_id long, embedding array<float>"
+    base = [1.0 if d % 3 == 0 else -0.5 for d in range(16)]
+
+    def step(rows, epoch):
+        probe_and_update(
+            spark.createDataFrame(rows, schema), epoch, state, pairs_dir,
+            id_col="vec_id",
+            banded_fn=lambda df: srp_banded_signatures(df, planes=32, dims=16, bands=4),
+            verify=True,
+            sig_fn=srp_sig_fn(planes=32, dims=16),
+            score_fn=srp_score_fn(32),
+            min_score=0.9,
+        )
+
+    step([(1, base)], 0)
+    step([(2, base)], 1)
+    got = [
+        (r.new_id, r.dup_of, r.score, r.verified)
+        for r in spark.read.parquet(pairs_dir).collect()
+    ]
+    assert got == [(2, 1, 1.0, True)]
+    step([(1, None)], 2)
+    step([(3, base)], 3)
+    e3 = [
+        (r.new_id, r.dup_of)
+        for r in spark.read.parquet(os.path.join(pairs_dir, "epoch=3")).collect()
+    ]
+    assert e3 == [(3, 2)]
