@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "boilerplate_clean",
     "gopher_quality",
     "gopher_repetition",
+    # round-7 addition (47 -> 48): exact-oracled image header decode
+    # (Arrow-batched synthesis + public-spec byte parse)
+    "media_decode",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
@@ -117,13 +120,14 @@ RECORD_BEST = {
     "dedup_embedding": 0.5995,
     "dedup_exact": 0.2554,
     "dup_clusters": 4.6982,
-    "dup_clusters_fixed": 3.3206,
+    "dup_clusters_fixed": 3.4437,
     "inverted_index": 0.4654,
     "knn_cosine": 0.7735,
     "kstream_left_join": 0.3857,
     "ktable_latest": 0.3616,
     "large_orders": 0.902,
     "lm_scores": 0.7559,
+    "media_decode": 0.2656,
     "local_supplier_volume": 0.6774,
     "market_share": 0.9109,
     "minhash_lsh_pairs": 2.4254,

@@ -504,6 +504,22 @@ def _verify_pairs(
     return scored, batch_sigs
 
 
+def dedup_sigs_snapshot(spark, sigs_dir: str) -> DataFrame:
+    """(id, sig): each live doc's WINNING signature from the verify
+    stage's signature state — the same max(seq, epoch) merge as the
+    probe. Tombstoned docs (winning row has NULL sig) drop out. Use
+    to re-score historical pairs against current content, or to seed
+    a batch candidate run that must agree with the stream."""
+    state = _read_state(spark, sigs_dir)
+    if state is None:
+        raise ValueError(f"dedup_sigs_snapshot: no state at {sigs_dir}")
+    return (
+        _winner_rows(state)
+        .filter(F.col("sig").isNotNull())
+        .select("id", "sig")
+    )
+
+
 def incremental_near_dedup(
     stream_df: DataFrame,
     state_dir: str,

@@ -68,9 +68,11 @@ def _lww_batch(batch_df: DataFrame, id_col: str, text_col: str, seq_col: str | N
     doc_id) and the merge falls back to arrival (epoch) order."""
     if seq_col is None:
         return batch_df
+    # _seq is pinned to BIGINT: epochs written from differently-typed
+    # seq sources (int literals vs long columns) must merge-read
     return batch_df.groupBy(id_col).agg(
         F.max_by(F.col(text_col), F.col(seq_col)).alias(text_col),
-        F.max(seq_col).alias("_seq"),
+        F.max(seq_col).cast("long").alias("_seq"),
     )
 
 

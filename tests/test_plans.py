@@ -622,6 +622,18 @@ def test_gopher_quality_is_map_only(spark, queries):
     assert "BatchEvalPython" not in plan
 
 
+def test_media_decode_is_map_only_arrow(spark, queries):
+    """Image-header decode scale contract: two Arrow-batched
+    MapInPandas stages (synthesize, parse) over one scan — zero
+    exchanges (bytes never shuffle, never reach the driver), no
+    row-at-a-time Python, no join."""
+    plan = formatted_plan(spark, queries["media_decode"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
+
+
 def test_gopher_repetition_two_shuffles(spark, queries):
     """Repetition-suite scale contract: lines + all nine gram sizes
     explode from ONE Generate over ONE scan (total_chars rides the

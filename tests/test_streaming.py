@@ -624,9 +624,17 @@ def test_rocksdb_state_store_runs_stateful_query(spark, stream_dir):
         q = _run_available_now(count_by_key_stream(src, "key"), "rocks_cbk")
         got = {r.key: r.cnt for r in spark.sql("select * from rocks_cbk").collect()}
         assert got == {"a": 2, "b": 1}
-        # the query's state actually used RocksDB
+        # the query's state actually used RocksDB: the provider
+        # publishes rocksdb* custom metrics on the state operator —
+        # absent under the default HDFS-backed provider, so a silent
+        # fallback cannot pass this
         progress = q.lastProgress
         assert progress is not None
+        ops = progress["stateOperators"]
+        assert ops, "stateful query reported no state operators"
+        custom = ops[0].get("customMetrics") or {}
+        rocks_keys = [k for k in custom if k.startswith("rocksdb")]
+        assert rocks_keys, f"no rocksdb* custom metrics; got {sorted(custom)}"
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
