@@ -1359,6 +1359,45 @@ def q_substring_spans(spark, sf_dir):
     return substring_dup_spans(docs, span_tokens=10, hash_family="md5")
 
 
+def q_dup_span_intervals(spark, sf_dir):
+    """MAXIMAL duplicated-span intervals (Lee et al. exact-substring
+    dedup, the localization step): positional 10-token window
+    fingerprints, cross-document duplicate set, per-doc
+    gaps-and-islands merge — 1-based inclusive token intervals.
+    md5-portable fingerprints so the whole chain (incl. the island
+    merge's window functions) replays bit-for-bit in SQL."""
+    from kspp_spark.functions.dedup import dup_span_intervals
+    from kspp_spark.io import rebalance_small_scan
+
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
+    out = dup_span_intervals(docs, span_tokens=10, hash_family="md5")
+    return out.select(
+        "doc_id",
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.col("end_pos").cast("long").alias("end_pos"),
+        "n_windows",
+    )
+
+
+def q_dup_spans_removed(spark, sf_dir):
+    """Exact-substring span REMOVAL (Lee et al.): tokens covered by
+    any maximal duplicated interval are cut; survivors rejoin in
+    order. The interval join carries fixed-width (id, start, end)
+    rows; the corpus shuffles once — the inherent cost of a rewrite.
+    Exact-oracled end to end including the rebuilt text."""
+    from kspp_spark.functions.dedup import remove_dup_spans
+    from kspp_spark.io import rebalance_small_scan
+
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
+    out = remove_dup_spans(docs, span_tokens=10, hash_family="md5")
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 def q_curate_docs(spark, sf_dir):
     """Composite curation pipeline: quality gate -> language gate ->
     exact dedup -> per-doc stats (the end-to-end training-data shape).
@@ -2581,6 +2620,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": q_bigram_counts,
         "scd2_history": q_scd2_history,
         "substring_spans": q_substring_spans,
+        # ROUND-7 LATE ADDITIONS (never graded — ROUND-8 CANDIDATES
+        # alongside the two deferred core queries above): the
+        # localization + removal completion of the Lee et al.
+        # exact-substring tier, both exact-oracled
+        "dup_span_intervals": q_dup_span_intervals,
+        "dup_spans_removed": q_dup_spans_removed,
         "quality_classifier": q_quality_classifier,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
@@ -4682,6 +4727,87 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             GROUP BY 1
             HAVING COUNT(DISTINCT doc_id) >= 2
+        """,
+        # span-interval replay: positional window fps -> cross-doc dup
+        # set -> per-doc gaps-and-islands (running-max window, same
+        # merge rule: overlap OR adjacency) -> maximal intervals
+        "dup_span_intervals": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            w AS (
+                SELECT doc_id, u.pos, u.fp FROM (
+                    SELECT doc_id, unnest(CASE WHEN len(toks) >= 10
+                        THEN list_transform(range(0, len(toks) - 9), i ->
+                            {{'pos': i + 1,
+                              'fp': CAST('0x' || substr(md5(array_to_string(
+                                   list_slice(toks, i + 1, i + 10), ' ')), 1, 15)
+                                   AS BIGINT)}})
+                        ELSE [] END) AS u
+                    FROM t)
+            ),
+            d AS (SELECT fp FROM w GROUP BY fp
+                  HAVING COUNT(DISTINCT doc_id) >= 2),
+            h AS (SELECT doc_id, pos FROM w WHERE fp IN (SELECT fp FROM d)),
+            i AS (SELECT doc_id, pos,
+                      CASE WHEN pos > COALESCE(MAX(pos + 9) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), -1) + 1
+                           THEN 1 ELSE 0 END AS new_i
+                  FROM h),
+            j AS (SELECT doc_id, pos, SUM(new_i) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) AS island FROM i)
+            SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 9 AS end_pos,
+                   COUNT(*) AS n_windows
+            FROM j GROUP BY doc_id, island
+        """,
+        # span-removal replay: the interval CTE chain above, then
+        # tokens-with-positions anti-filtered by interval coverage and
+        # string_agg'd back in order; '' when everything was cut
+        "dup_spans_removed": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            w AS (
+                SELECT doc_id, u.pos, u.fp FROM (
+                    SELECT doc_id, unnest(CASE WHEN len(toks) >= 10
+                        THEN list_transform(range(0, len(toks) - 9), i ->
+                            {{'pos': i + 1,
+                              'fp': CAST('0x' || substr(md5(array_to_string(
+                                   list_slice(toks, i + 1, i + 10), ' ')), 1, 15)
+                                   AS BIGINT)}})
+                        ELSE [] END) AS u
+                    FROM t)
+            ),
+            d AS (SELECT fp FROM w GROUP BY fp
+                  HAVING COUNT(DISTINCT doc_id) >= 2),
+            h AS (SELECT doc_id, pos FROM w WHERE fp IN (SELECT fp FROM d)),
+            i AS (SELECT doc_id, pos,
+                      CASE WHEN pos > COALESCE(MAX(pos + 9) OVER (
+                               PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), -1) + 1
+                           THEN 1 ELSE 0 END AS new_i
+                  FROM h),
+            j AS (SELECT doc_id, pos, SUM(new_i) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) AS island FROM i),
+            iv AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 9 AS e
+                   FROM j GROUP BY doc_id, island),
+            tok AS (SELECT doc_id, unnest(toks) AS tok,
+                           generate_subscripts(toks, 1) AS pos FROM t),
+            kept AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                       COUNT(*) AS n_kept
+                FROM tok
+                WHERE NOT EXISTS (SELECT 1 FROM iv
+                                  WHERE iv.doc_id = tok.doc_id
+                                  AND tok.pos BETWEEN iv.s AND iv.e)
+                GROUP BY doc_id)
+            SELECT t.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+                   len(t.toks) AS n_tokens,
+                   len(t.toks) - COALESCE(k.n_kept, 0) AS n_removed
+            FROM t LEFT JOIN kept k USING (doc_id)
         """,
         # SimHash pair generation: signature CTE as simhash_portable,
         # then 4x15-bit band blocking (self-join on the band slice) and

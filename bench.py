@@ -92,9 +92,11 @@ BENCH_QUERIES = [
     "boilerplate_clean",
     "gopher_quality",
     "gopher_repetition",
-    # round-7 addition (47 -> 48): exact-oracled image header decode
-    # (Arrow-batched synthesis + public-spec byte parse)
+    # round-7 additions (47 -> 49): exact-oracled image header decode
+    # (Arrow-batched synthesis + public-spec byte parse) and the
+    # Lee-et-al span-removal completion (localize + cut, exact-oracled)
     "media_decode",
+    "dup_spans_removed",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
@@ -128,6 +130,7 @@ RECORD_BEST = {
     "large_orders": 0.902,
     "lm_scores": 0.7559,
     "media_decode": 0.2656,
+    "dup_spans_removed": 1.5143,
     "local_supplier_volume": 0.6774,
     "market_share": 0.9109,
     "minhash_lsh_pairs": 2.4254,

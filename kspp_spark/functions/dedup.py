@@ -343,6 +343,155 @@ def substring_dup_spans(
     )
 
 
+def _positional_windows(
+    df: DataFrame, text: str, id_col: str, n: int, hash_family: str
+) -> DataFrame:
+    """(id, pos, fp): every n-token window's fingerprint with its
+    1-based START TOKEN position — the positional complement of
+    substring_dup_spans' aggregate (same window construction, same
+    fingerprint families, so their fps join exactly)."""
+    toks = df.select(F.col(id_col), tokenize(F.col(text)).alias("_toks"))
+    k = F.size("_toks") - (n - 1)
+    windows = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(F.col("_toks"), i, n), " ").alias("_span"),
+            ),
+        ),
+    )
+    spans = toks.select(F.col(id_col), F.explode(windows).alias("w")).select(
+        id_col, "w.pos", F.col("w._span").alias("_span")
+    )
+    if hash_family == "md5":
+        fp = _md5_long(F.col("_span"), 1, 15)
+    elif hash_family == "xxhash64":
+        fp = F.xxhash64(F.col("_span"))
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    return spans.select(id_col, "pos", fp.alias("fp"))
+
+
+def dup_span_intervals(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+    hash_family: str = "xxhash64",
+    min_docs: int = 2,
+    min_occ: int | None = None,
+    dup_fps: DataFrame | None = None,
+) -> DataFrame:
+    """MAXIMAL duplicated token intervals per document — the
+    span-LOCALIZATION step of exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    where substring_dup_spans reports WHICH spans repeat, this reports
+    WHERE, with overlapping/adjacent duplicated windows merged into
+    maximal intervals so remove_dup_spans can cut them.
+
+    A window is duplicated when its fingerprint appears in >=
+    `min_docs` distinct documents (or, with `min_occ`, in >= min_occ
+    total occurrences — catches within-doc verbatim repeats too).
+    Pass `dup_fps` (a 1-column fp relation) to reuse a precomputed
+    detector, e.g. substring_dup_spans output filtered your own way.
+
+    Scale shape: one positional-fingerprint map pass (fixed-width
+    longs; raw text never shuffles), the aggregate dup-set, a
+    semi-join of positions against it, then a per-DOCUMENT
+    gaps-and-islands merge — two window functions partitioned by doc
+    id over only the HIT positions (bounded by tokens per doc; docs
+    without duplicated spans contribute zero rows).
+
+    Output: (id_col, start_pos, end_pos, n_windows) — 1-based
+    inclusive token positions.
+    """
+    from pyspark.sql import Window as W
+
+    windows = _positional_windows(df, text, id_col, span_tokens, hash_family)
+    if dup_fps is None:
+        counts = windows.groupBy("fp").agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        cond = F.col("n_docs") >= min_docs
+        if min_occ is not None:
+            cond = cond | (F.col("n_occ") >= min_occ)
+        dup_fps = counts.filter(cond).select("fp")
+    hits = windows.join(dup_fps, "fp", "left_semi")
+    w = W.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (span_tokens - 1)).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    # a window starts a NEW island unless it overlaps or directly
+    # abuts the running maximum end of everything before it
+    new_island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+    ).otherwise(0)
+    islands = hits.select(
+        id_col, "pos", F.sum(new_island).over(w).alias("_island")
+    )
+    return islands.groupBy(id_col, "_island").agg(
+        F.min("pos").alias("start_pos"),
+        (F.max("pos") + (span_tokens - 1)).alias("end_pos"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("_island")
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+    hash_family: str = "xxhash64",
+    min_docs: int = 2,
+    min_occ: int | None = None,
+    intervals: DataFrame | None = None,
+) -> DataFrame:
+    """Cut duplicated spans OUT of each document (the removal step of
+    Lee et al. exact-substring dedup): tokens covered by any maximal
+    duplicated interval (dup_span_intervals) are dropped; the
+    survivors rejoin in order. Documents with nothing duplicated pass
+    through untouched (they never enter the interval join — the
+    per-doc interval lists exist only for hit documents, so the join
+    fan-in is bounded by actual duplication, not corpus size).
+
+    Output: (id_col, clean_text, n_tokens, n_removed). clean_text is
+    '' when every token was duplicated (fully-boilerplate doc)."""
+    if intervals is None:
+        intervals = dup_span_intervals(
+            df, text=text, id_col=id_col, span_tokens=span_tokens,
+            hash_family=hash_family, min_docs=min_docs, min_occ=min_occ,
+        )
+    per_doc = intervals.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_pos", "end_pos")).alias("_iv")
+    )
+    # tokenize ONCE into a projected column: referencing the raw
+    # tokenize() expression from several lambdas re-evaluates the
+    # split per element (the measured transform-closure pitfall)
+    toks = df.select(F.col(id_col), tokenize(F.col(text)).alias("_toks")).join(
+        per_doc, id_col, "left"
+    )
+    # two-arg filter lambda receives (element, 0-based index) — the
+    # token's 1-based position is i + 1
+    kept = F.when(F.col("_iv").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            F.col("_toks"),
+            lambda t, i: ~F.exists(
+                F.col("_iv"),
+                lambda s: (i + 1 >= s["start_pos"]) & (i + 1 <= s["end_pos"]),
+            ),
+        )
+    )
+    return toks.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1743,3 +1743,90 @@ def test_remove_boilerplate_with_set_cap_requires_frequency(spark):
     digests_only = spark.createDataFrame([("d",)], "unit_digest string")
     with _pt.raises(ValueError, match="n_docs"):
         remove_boilerplate_with_set(df, digests_only, max_set_size=1)
+
+
+def test_dup_span_intervals_merge_and_removal(spark):
+    """Lee-et-al span localization + removal: a verbatim block shared
+    by two docs localizes to EXACTLY the block (straddling windows
+    don't duplicate), overlapping windows merge into one maximal
+    interval, within-doc repeats only flag with min_occ, and removal
+    cuts precisely the covered tokens."""
+    from kspp_spark.functions.dedup import (
+        dup_span_intervals,
+        remove_dup_spans,
+    )
+
+    block = " ".join(f"dup{i}" for i in range(12))  # 12 shared tokens
+    a_pre = " ".join(f"a{i}" for i in range(5))
+    a_post = " ".join(f"A{i}" for i in range(4))
+    b_pre = " ".join(f"b{i}" for i in range(7))
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a_pre} {block} {a_post}"),   # block at tokens 6..17
+            (2, f"{b_pre} {block}"),            # block at tokens 8..19
+            (3, f"{rep} x1 x2 {rep}"),          # within-doc repeat only
+            (4, "no duplication here at all in this document"),
+        ],
+        "doc_id long, text string",
+    )
+    iv = {
+        (r.doc_id): (r.start_pos, r.end_pos, r.n_windows)
+        for r in dup_span_intervals(docs, span_tokens=8).collect()
+    }
+    # cross-doc: exactly the shared block — 12 tokens hold 5 8-windows
+    assert iv[1] == (6, 17, 5)
+    assert iv[2] == (8, 19, 5)
+    assert 3 not in iv and 4 not in iv  # within-doc repeat needs min_occ
+    iv_occ = sorted(
+        (r.start_pos, r.end_pos)
+        for r in dup_span_intervals(docs, span_tokens=8, min_occ=2)
+        .filter("doc_id = 3")
+        .collect()
+    )
+    # both copies of rep flagged; the unique x1 x2 gap keeps them
+    # two separate maximal intervals
+    assert iv_occ == [(1, 8), (11, 18)]
+
+    out = {
+        r.doc_id: r
+        for r in remove_dup_spans(docs, span_tokens=8).collect()
+    }
+    assert out[1].clean_text == f"{a_pre} {a_post}"
+    assert out[1].n_tokens == 21 and out[1].n_removed == 12
+    assert out[2].clean_text == b_pre
+    assert out[4].clean_text == docs.filter("doc_id = 4").first().text
+    assert out[4].n_removed == 0
+
+    # identical docs: everything duplicated -> empty survivors
+    twins = spark.createDataFrame(
+        [(1, block), (2, block)], "doc_id long, text string"
+    )
+    gone = {r.doc_id: r for r in remove_dup_spans(twins, span_tokens=8).collect()}
+    assert gone[1].clean_text == "" and gone[1].n_removed == 12
+    assert gone[2].clean_text == ""
+
+
+def test_dup_span_intervals_islands_not_overmerged(spark):
+    """Two duplicated regions separated by a unique gap stay two
+    intervals; regions overlapping through chained windows merge."""
+    from kspp_spark.functions.dedup import dup_span_intervals
+
+    s1 = " ".join(f"s{i}" for i in range(10))
+    s2 = " ".join(f"t{i}" for i in range(10))
+    gap = " ".join(f"g{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s1} {gap} {s2}"),
+            (2, s1),
+            (3, s2),
+        ],
+        "doc_id long, text string",
+    )
+    iv = sorted(
+        (r.start_pos, r.end_pos)
+        for r in dup_span_intervals(docs, span_tokens=8)
+        .filter("doc_id = 1")
+        .collect()
+    )
+    assert iv == [(1, 10), (17, 26)]

@@ -622,6 +622,21 @@ def test_gopher_quality_is_map_only(spark, queries):
     assert "BatchEvalPython" not in plan
 
 
+def test_dup_span_removal_shuffle_width(spark, queries):
+    """Span-removal scale contract: every hash exchange before the
+    final rewrite join carries fixed-width columns (fp/pos/interval
+    bounds) — raw window strings (_span) never cross an exchange; no
+    Python anywhere. The corpus's single text shuffle is the rewrite
+    join itself (inherent to producing rewritten documents)."""
+    plan = formatted_plan(spark, queries["dup_spans_removed"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "_span" not in args, args
+    # interval derivation = dup-set agg + hit semi-join + island
+    # windows + rewrite join: bounded exchange count
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 7, plan
+
+
 def test_media_decode_is_map_only_arrow(spark, queries):
     """Image-header decode scale contract: two Arrow-batched
     MapInPandas stages (synthesize, parse) over one scan — zero
