@@ -2568,3 +2568,62 @@ def test_incremental_dedup_verify_srp_family(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(pairs_dir, "epoch=3")).collect()
     ]
     assert e3 == [(3, 2)]
+
+
+def test_incremental_near_dedup_stream_seq_verify_e2e(spark, tmp_path):
+    """Full writeStream wiring with seq-mode changelog AND the verify
+    stage: across real micro-batches, an identical re-arrival scores
+    1.0 verified, a stale update is ignored, and the sigs state folds
+    alongside the band state under the stream's checkpoint."""
+    from pyspark.sql import types as T2
+
+    from kspp_spark.streaming.dedup_incremental import (
+        dedup_sigs_snapshot,
+        incremental_near_dedup,
+    )
+
+    doc_schema = T2.StructType(
+        [
+            T2.StructField("doc_id", T2.LongType()),
+            T2.StructField("text", T2.StringType()),
+            T2.StructField("seq", T2.LongType()),
+        ]
+    )
+    in_dir = str(tmp_path / "docs")
+    state = str(tmp_path / "state")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about spark execution plans " * 5
+
+    def run():
+        src = spark.readStream.schema(doc_schema).parquet(in_dir)
+        q = incremental_near_dedup(
+            src, state, pairs, ckpt,
+            seq_col="seq", verify=True, min_score=0.5,
+        )
+        q.awaitTermination(120)
+
+    import time as _t
+
+    spark.createDataFrame([(1, base, 10), (2, other, 10)], doc_schema).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    run()
+    _t.sleep(1.1)
+    # identical re-arrival of doc 1's content as doc 3 + a STALE
+    # update of doc 1 (seq 5 < 10: ignored — doc 1 keeps `base`)
+    spark.createDataFrame(
+        [(3, base, 20), (1, other, 5)], doc_schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    got = {
+        (r.new_id, r.dup_of): (r.score, r.verified)
+        for r in spark.read.parquet(pairs).collect()
+    }
+    assert got[(3, 1)] == (1.0, True)  # vs doc 1's LIVE (non-stale) text
+    assert (3, 2) not in got and (1, 2) not in got
+    # the sigs state serves winning signatures for all three docs
+    sigs = {r.id: r.sig for r in dedup_sigs_snapshot(spark, state + "_sigs").collect()}
+    assert set(sigs) == {1, 2, 3}
+    assert sigs[1] == sigs[3] != sigs[2]  # doc 1 kept base's signature
