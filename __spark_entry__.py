@@ -1398,6 +1398,51 @@ def q_dup_spans_removed(spark, sf_dir):
     )
 
 
+def q_train_shuffle(spark, sf_dir):
+    """Deterministic global training order: rank 1..N by the md5 of
+    the doc id — the reproducible corpus shuffle. NO single-partition
+    window: the uniform 60-bit key buckets ARITHMETICALLY (map-only
+    range partition), per-bucket counts prefix-sum into offsets (the
+    bounded driver control plane), rank = within-bucket row_number +
+    offset. The oracle is the plain global window — parity proves the
+    distributed two-pass rank equals it exactly."""
+    from kspp_spark.functions.sampling import shuffle_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_order(docs, id_col="doc_id", salt="r7", buckets=64)
+
+
+def q_shard_assign(spark, sf_dir):
+    """Token-balanced output sharding (LPT serpentine): rank docs by
+    (token count DESC, md5, id) — per-VALUE offsets + one window per
+    distinct length, never a global window — and snake across 8
+    shards so per-shard token sums are near-equal, deterministically.
+    The oracle replays the global rank + serpentine fold directly."""
+    from kspp_spark.functions.sampling import shard_assign
+    from kspp_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    out = shard_assign(
+        docs, id_col="doc_id", n_shards=8, salt="r7", balance_col="n_tokens"
+    )
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "shard"
+    )
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity partition (Wenzek et al.
+    2020 §4.3): head/middle/tail thirds per language by the
+    engine-exact milli-integer LM score (ordering total via the id
+    tiebreak, so ntile replays bitwise)."""
+    from kspp_spark.functions.text import perplexity_partition
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_partition(docs, n_buckets=3)
+
+
 def q_curate_docs(spark, sf_dir):
     """Composite curation pipeline: quality gate -> language gate ->
     exact dedup -> per-doc stats (the end-to-end training-data shape).
@@ -2623,9 +2668,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROUND-7 LATE ADDITIONS (never graded — ROUND-8 CANDIDATES
         # alongside the two deferred core queries above): the
         # localization + removal completion of the Lee et al.
-        # exact-substring tier, both exact-oracled
+        # exact-substring tier, the training-prep tier (global shuffle
+        # rank / LPT sharding / CCNet perplexity partition) — all five
+        # exact-oracled
         "dup_span_intervals": q_dup_span_intervals,
         "dup_spans_removed": q_dup_spans_removed,
+        "train_shuffle": q_train_shuffle,
+        "shard_assign": q_shard_assign,
+        "perplexity_buckets": q_perplexity_buckets,
+        "train_shuffle": q_train_shuffle,
+        "shard_assign": q_shard_assign,
+        "perplexity_buckets": q_perplexity_buckets,
         "quality_classifier": q_quality_classifier,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
@@ -3563,6 +3616,68 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 'view' THEN 2000
                                     WHEN 'click' THEN 1000
                                     ELSE 500 END
+        """,
+        # global-shuffle replay: the distributed two-pass rank must
+        # equal the plain global window over the same md5 key
+        "train_shuffle": """
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || 'r7'), 1, 15)) AS BIGINT),
+                           doc_id
+                   ) AS shuffle_rank
+            FROM documents
+        """,
+        # serpentine-shard replay: global (weight DESC, md5, id) rank,
+        # snake fold across 8 shards
+        "shard_assign": f"""
+            WITH t AS (
+                SELECT doc_id, len({_TOKENS}) AS n_tokens,
+                       CAST(('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || 'r7'), 1, 15)) AS BIGINT)
+                           AS k
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, n_tokens,
+                       ROW_NUMBER() OVER (
+                           ORDER BY n_tokens DESC, k, doc_id
+                       ) - 1 AS rank0
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(CASE WHEN rank0 % 16 < 8 THEN rank0 % 16
+                             ELSE 15 - rank0 % 16 END AS INT) AS shard
+            FROM r
+        """,
+        # CCNet perplexity-partition replay: the lm_scores milli-
+        # integer CTE chain + per-language ntile over the total order
+        "perplexity_buckets": f"""
+            WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+            pairs AS (
+                SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+                FROM t, unnest(range(1, len(toks))) u(i)
+            ),
+            bigram AS (
+                SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY 1, 2
+            ),
+            ctx AS (SELECT a, COUNT(*) AS ca FROM pairs GROUP BY 1),
+            lm AS (
+                SELECT a, b, CAST((1000 * cab) // ca AS BIGINT) AS milli
+                FROM bigram JOIN ctx USING (a)
+            ),
+            scores AS (
+                SELECT doc_id,
+                       CAST(SUM(milli) AS DOUBLE)
+                       / (1000.0 * CAST(COUNT(*) AS DOUBLE)) AS score
+                FROM pairs JOIN lm USING (a, b)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang, s.score,
+                   NTILE(3) OVER (
+                       PARTITION BY d.lang ORDER BY s.score DESC, d.doc_id
+                   ) AS ppl_bucket
+            FROM documents d JOIN scores s ON d.doc_id = s.doc_id
         """,
         "corpus_mix": """
             WITH w AS (

@@ -97,6 +97,12 @@ BENCH_QUERIES = [
     # Lee-et-al span-removal completion (localize + cut, exact-oracled)
     "media_decode",
     "dup_spans_removed",
+    # round-7 late additions (49 -> 52): training-prep tier —
+    # distributed two-pass global shuffle rank, LPT serpentine token
+    # sharding, CCNet perplexity partition (all exact-oracled)
+    "train_shuffle",
+    "shard_assign",
+    "perplexity_buckets",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
@@ -131,6 +137,9 @@ RECORD_BEST = {
     "lm_scores": 0.7559,
     "media_decode": 0.2656,
     "dup_spans_removed": 1.5143,
+    "train_shuffle": 0.6563,
+    "shard_assign": 0.9377,
+    "perplexity_buckets": 1.6262,
     "local_supplier_volume": 0.6774,
     "market_share": 0.9109,
     "minhash_lsh_pairs": 2.4254,

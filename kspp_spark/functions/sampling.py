@@ -106,6 +106,116 @@ def topk_per_stratum(
     )
 
 
+def shuffle_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic GLOBAL training order: (id_col, shuffle_rank),
+    rank 1..N by (md5(id||salt), id) — the reproducible corpus shuffle
+    a training run wants (same permutation across reruns, cluster
+    sizes, and engines; re-salt for a new epoch order).
+
+    Scale shape — a global rank WITHOUT a single-partition window:
+    the 60-bit md5 key is uniform, so bucket = key DIV ceil(2^60/B)
+    is a map-only, arithmetically balanced range partition; per-bucket
+    counts (<= `buckets` rows, the bounded driver control plane)
+    prefix-sum into offsets, and rank = within-bucket row_number +
+    offset. One shuffle of (id, key); deterministic across executions
+    because the bucket function is pure arithmetic, never sampled
+    boundaries. The oracle replays it as ROW_NUMBER() OVER (ORDER BY
+    key, id)."""
+    key = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    width = (1 << 60) // buckets + 1
+    narrow = df.select(
+        F.col(id_col),
+        key.alias("_k"),
+    ).withColumn("_b", F.expr(f"_k DIV {width}").cast("int"))
+    counts = sorted(
+        (r._b, r["count"]) for r in narrow.groupBy("_b").count().collect()
+    )
+    offsets, acc = {}, 0
+    for b, n in counts:
+        offsets[b] = acc
+        acc += n
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    w = W.partitionBy("_b").orderBy("_k", id_col)
+    return narrow.select(
+        F.col(id_col),
+        (F.row_number().over(w) + omap[F.col("_b")]).cast("long").alias(
+            "shuffle_rank"
+        ),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "",
+    balance_col: str | None = None,
+) -> DataFrame:
+    """Deterministic output sharding for training data.
+
+    Without `balance_col`: shard = md5(id||salt) % n_shards — pure
+    map, count-balanced by hash uniformity, stable under reruns and
+    repartitions. Output: df + shard.
+
+    With `balance_col` (e.g. a token count): LPT-style serpentine —
+    rows rank globally by (weight DESC, md5, id) and snake across
+    shards (0..n-1, n-1..0, ...), so each shard's WEIGHT sum is
+    near-equal, not just its row count (the classic longest-
+    processing-time approximation, done distributively). The global
+    rank uses per-VALUE offsets: one count per distinct balance value
+    (the bounded driver control plane — token lengths have small
+    bounded cardinality; don't pass continuous columns) + a window
+    per value. Output: (id_col, balance_col, shard).
+    """
+    if balance_col is None:
+        return df.withColumn(
+            "shard",
+            (
+                md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+                % n_shards
+            ).cast("int"),
+        )
+    key = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    narrow = df.select(
+        F.col(id_col), F.col(balance_col).alias("_w0"), key.alias("_k")
+    )
+    counts = [
+        (r._w0, r["count"]) for r in narrow.groupBy("_w0").count().collect()
+    ]
+    if any(v is None for v, _ in counts):
+        raise ValueError("shard_assign: balance_col must be non-NULL")
+    counts.sort(key=lambda t: -t[0])
+    if len(counts) > 65536:
+        raise ValueError(
+            "shard_assign: balance_col cardinality too high for the "
+            "per-value offset map — bucket the weight first (e.g. "
+            "token count DIV 16)"
+        )
+    offsets, acc = {}, 0
+    for v, n in counts:
+        offsets[v] = acc
+        acc += n
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    w = W.partitionBy("_w0").orderBy("_k", id_col)
+    rank0 = F.row_number().over(w) - 1 + omap[F.col("_w0")]
+    pos = rank0 % (2 * n_shards)
+    shard = F.when(pos < n_shards, pos).otherwise(2 * n_shards - 1 - pos)
+    return narrow.select(
+        F.col(id_col),
+        F.col("_w0").alias(balance_col),
+        shard.cast("int").alias("shard"),
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     source_col: str,

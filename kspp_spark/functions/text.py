@@ -838,6 +838,48 @@ def bigram_lm_scores(
     )
 
 
+def perplexity_partition(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    pairs_df=None,
+):
+    """CCNet-style per-language perplexity partition (Wenzek et al.
+    2020 §4.3): rank documents within each language by LM fluency
+    (bigram_lm_scores — higher = more fluent) and split them into
+    `n_buckets` equal-count tiers; bucket 1 is CCNet's "head" (the
+    cleanest slice, the one usually kept or upweighted), the last is
+    "tail". Ordering is (score DESC, id) — total, so the tiers replay
+    bitwise in SQL (the milli-integer score protocol makes the score
+    itself engine-exact).
+
+    Scale note: ntile needs a per-language window — exact, but one
+    task per language at the extreme (a 100 TB single-language corpus
+    should instead derive CUTOFF scores per language with
+    approx_percentile and bucket map-side, trading exact equal counts
+    for full parallelism; this operator is the exact tier). Documents
+    with < 2 tokens have no LM score and are absent, like
+    bigram_lm_scores itself.
+
+    Returns (id_col, lang_col, score, ppl_bucket).
+    """
+    from pyspark.sql import Window as W
+
+    scores = bigram_lm_scores(
+        df, id_col=id_col, text_col=text_col, pairs_df=pairs_df
+    )
+    joined = df.select(F.col(id_col), F.col(lang_col)).join(scores, id_col)
+    w = W.partitionBy(lang_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return joined.select(
+        id_col,
+        lang_col,
+        "score",
+        F.ntile(n_buckets).over(w).alias("ppl_bucket"),
+    )
+
+
 def apply_bpe_merge(tokens: Column, a: str, b: str, joiner: str = " ") -> Column:
     """Replace every adjacent occurrence of (a, b) in a token array
     with the merged symbol — one BPE merge applied corpus-wide as a

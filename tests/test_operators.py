@@ -1830,3 +1830,93 @@ def test_dup_span_intervals_islands_not_overmerged(spark):
         .collect()
     )
     assert iv == [(1, 10), (17, 26)]
+
+
+def test_shuffle_order_is_exact_global_permutation(spark):
+    """The two-pass distributed rank is a permutation of 1..N that
+    equals the direct global ordering by (md5 key, id) — and is
+    invariant under input repartitioning."""
+    from kspp_spark.functions.hashing import md5_long
+    from kspp_spark.functions.sampling import shuffle_order
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r.shuffle_rank for r in shuffle_order(df, buckets=16).collect()}
+    assert sorted(out.values()) == list(range(1, 501))
+    key = {
+        r.doc_id: r.k
+        for r in df.select(
+            "doc_id", md5_long(F.col("doc_id").cast("string")).alias("k")
+        ).collect()
+    }
+    direct = {
+        d: i + 1
+        for i, d in enumerate(sorted(key, key=lambda d: (key[d], d)))
+    }
+    assert out == direct
+    again = {
+        r.doc_id: r.shuffle_rank
+        for r in shuffle_order(df.repartition(7), buckets=16).collect()
+    }
+    assert again == out
+
+
+def test_shard_assign_modes(spark):
+    """Hash mode is a pure map in [0, n); balanced mode's serpentine
+    keeps per-shard WEIGHT sums near-equal and is deterministic."""
+    from kspp_spark.functions.sampling import shard_assign
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id").withColumn(
+        "w", (F.col("doc_id") % 37 + 1).cast("int")
+    )
+    hashed = shard_assign(df, n_shards=8)
+    assert hashed.filter("shard < 0 or shard >= 8").count() == 0
+    assert set(hashed.columns) == {"doc_id", "w", "shard"}
+
+    bal = shard_assign(df, n_shards=8, balance_col="w")
+    sums = {
+        r.shard: r.s
+        for r in bal.groupBy("shard").agg(F.sum("w").alias("s")).collect()
+    }
+    assert len(sums) == 8
+    # LPT serpentine: spread bounded by ~max weight (37), not by luck
+    assert max(sums.values()) - min(sums.values()) <= 37
+    again = shard_assign(df.repartition(5), n_shards=8, balance_col="w")
+    assert sorted(map(tuple, bal.collect())) == sorted(map(tuple, again.collect()))
+
+    import pytest as _pt
+
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, w int")
+    with _pt.raises(ValueError, match="non-NULL"):
+        shard_assign(nulls, n_shards=2, balance_col="w")
+
+
+def test_perplexity_partition_tiers(spark):
+    """Per-language thirds: equal-count tiers, fluent (high-score)
+    docs in bucket 1, short docs absent (no LM pairs)."""
+    from kspp_spark.functions.text import perplexity_partition
+
+    # NOTE the count-based bigram LM scores SINGLETON contexts at
+    # probability 1.0 (no smoothing), so "junk" must reuse COMMON
+    # contexts with rare continuations to score low — not use unique
+    # tokens (which would score a perfect 1.0)
+    fluent = "a b a b a b a b"
+    junk = "a c b c a c b c"  # a-> and b-> are common contexts; ->c rare
+    rows = [(i, fluent, "en") for i in range(4)]
+    rows += [(10 + i, junk, "en") for i in range(2)]
+    rows += [(20, "solo", "fr")]  # 1 token -> no pairs -> absent
+    rows += [(30 + i, fluent, "de") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_partition(df, n_buckets=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert "fr" not in by_lang
+    en = sorted(by_lang["en"], key=lambda r: r.doc_id)
+    # the 4 fluent docs outscore the 2 junk docs; tiers are 2/2/2
+    assert [r.ppl_bucket for r in en] == [1, 1, 2, 2, 3, 3]
+    assert all(
+        a.score >= b.score
+        for a in by_lang["en"] if a.ppl_bucket == 1
+        for b in by_lang["en"] if b.ppl_bucket == 3
+    )
+    assert sorted(r.ppl_bucket for r in by_lang["de"]) == [1, 2, 3]

@@ -622,6 +622,16 @@ def test_gopher_quality_is_map_only(spark, queries):
     assert "BatchEvalPython" not in plan
 
 
+def test_train_shuffle_no_single_partition_window(spark, queries):
+    """Global-rank scale contract: the two-pass rank never plans an
+    Exchange SinglePartition (the global-window scale killer) — every
+    window partitions by the arithmetic bucket / balance value."""
+    for name in ["train_shuffle", "shard_assign"]:
+        plan = formatted_plan(spark, queries[name](spark, SF))
+        assert "SinglePartition" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
 def test_dup_span_removal_shuffle_width(spark, queries):
     """Span-removal scale contract: every hash exchange before the
     final rewrite join carries fixed-width columns (fp/pos/interval
