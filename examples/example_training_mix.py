@@ -1,5 +1,6 @@
 """End-to-end training-data assembly (beyond-reference): quality gate
--> LM fluency gate -> near-dup removal -> chunking -> packing -> split.
+-> LM fluency gate -> near-dup removal -> chunking -> packing -> split
+-> deterministic global shuffle -> token-balanced shards.
 Each stage is one of the library's oracle-backed operators; everything
 stays one lazy Catalyst plan until the terminal counts."""
 
@@ -14,7 +15,7 @@ from kspp_spark.functions.dedup import (
     ngram_jaccard_pairs,
 )
 from kspp_spark.functions.packing import pack_sequences
-from kspp_spark.functions.sampling import split_assign
+from kspp_spark.functions.sampling import shard_assign, shuffle_order, split_assign
 from kspp_spark.functions.text import (
     bigram_lm_scores,
     chunk_tokens,
@@ -62,6 +63,17 @@ def main() -> None:
         packed.select(F.col("pack_id").cast("string").alias("pid")).distinct(),
         id_col="pid",
     )
+    # 7. deterministic training ORDER (re-salt for a new epoch's
+    #    permutation) + 8. token-balanced output shards
+    train_packs = final.filter("split = 'train'")
+    ordered = shuffle_order(train_packs, id_col="pid", salt="epoch0")
+    weights = packed.groupBy(F.col("pack_id").cast("string").alias("pid")).agg(
+        F.sum("size").cast("int").alias("pack_tokens")
+    )
+    shards = shard_assign(
+        weights.join(train_packs.select("pid"), "pid"),
+        id_col="pid", n_shards=4, balance_col="pack_tokens",
+    )
 
     print(f"documents in          : {n0}")
     print(f"after quality gate    : {kept.count()}")
@@ -73,6 +85,15 @@ def main() -> None:
         for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     print(f"packs per split       : {by_split}")
+    n_train = ordered.count()
+    ranks = sorted(r.shuffle_rank for r in ordered.collect())
+    assert ranks == list(range(1, n_train + 1)), "shuffle rank not a permutation"
+    shard_tokens = {
+        r.shard: r.s
+        for r in shards.groupBy("shard").agg(F.sum("pack_tokens").alias("s")).collect()
+    }
+    print(f"train order           : {n_train} packs, rank 1..{n_train}")
+    print(f"shard token sums      : {dict(sorted(shard_tokens.items()))}")
     spark.stop()
 
 

@@ -1,0 +1,184 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the standard container
+format of web crawls (Common Crawl, Internet Archive, heritrix), i.e.
+the raw input of every web-corpus curation pipeline this library's
+boilerplate/Gopher/dedup tiers consume. Beyond-reference capability
+(kspp has no web-archive surface); the parser is written to the
+public spec only.
+
+Format (ISO 28500 / WARC 1.0-1.1): a WARC file is a concatenation of
+records; each record is
+
+    WARC/1.0\\r\\n
+    <Name>: <value>\\r\\n ...          (headers; Content-Length required)
+    \\r\\n
+    <Content-Length bytes of block>
+    \\r\\n\\r\\n                         (record separator)
+
+and a ``.warc.gz`` is a concatenation of GZIP MEMBERS, one record per
+member (the Common Crawl convention) — Python's gzip handles member
+concatenation transparently, so one decompressed stream parses the
+same either way.
+
+Scale shape: Spark's `binaryFile` source assigns ONE FILE PER TASK
+(WARC is not arbitrarily splittable — record boundaries are only
+discoverable by scanning), so parallelism = file count; Common Crawl
+ships ~1 GB segments in the tens of thousands, which parallelizes a
+cluster fine. Payload bytes go straight from the Arrow batch into the
+output binary column — never through the driver. The 2 GB
+per-file limit of binaryFile is the documented bound (real crawl
+segments stay under it by convention). A splittable-gzip custom
+input format is the beyond-2GB path, out of scope here.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_no", T.IntegerType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def parse_warc_stream(data: bytes) -> Iterator[dict]:
+    """Parse one WARC file's bytes (plain or gzip — multi-member
+    handled by gzip itself) into record dicts. Strict on structure
+    (a malformed Content-Length or version line raises ValueError
+    naming the offset — silent resync would hide truncation), but
+    tolerant of trailing CRLF/LF padding between records."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    buf = io.BytesIO(data)
+    n = 0
+    while True:
+        # skip inter-record padding
+        line = buf.readline()
+        while line in (b"\r\n", b"\n"):
+            line = buf.readline()
+        if not line:
+            return
+        if not line.startswith(b"WARC/"):
+            raise ValueError(
+                f"warc: expected version line at offset "
+                f"{buf.tell() - len(line)}, got {line[:40]!r}"
+            )
+        headers: dict[str, str] = {}
+        while True:
+            h = buf.readline()
+            if h in (b"\r\n", b"\n", b""):
+                break
+            # continuation lines (obs-fold) append to the last header
+            if h[:1] in (b" ", b"\t") and headers:
+                last = next(reversed(headers))
+                headers[last] += " " + h.strip().decode("utf-8", "replace")
+                continue
+            name, _, value = h.partition(b":")
+            headers[name.strip().decode("ascii", "replace").lower()] = (
+                value.strip().decode("utf-8", "replace")
+            )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError(f"warc: record {n} bad Content-Length") from e
+        block = buf.read(length)
+        if len(block) != length:
+            raise ValueError(
+                f"warc: record {n} truncated "
+                f"({len(block)}/{length} payload bytes)"
+            )
+        yield {
+            "record_no": n,
+            "warc_type": headers.get("warc-type"),
+            "record_id": headers.get("warc-record-id"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "content_type": headers.get("content-type"),
+            "content_length": length,
+            "payload": block,
+        }
+        n += 1
+
+
+def http_response_body(payload: bytes) -> bytes:
+    """The entity body of an application/http response block: bytes
+    after the first blank line (the HTTP status line + headers are
+    the WARC block's prefix per the spec). Returns the input
+    unchanged when no header terminator exists (non-HTTP block)."""
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        idx = payload.find(sep)
+        if idx >= 0:
+            return payload[idx + len(sep):]
+    return payload
+
+
+def read_warc(
+    spark,
+    path: str,
+    warc_types: tuple[str, ...] | None = ("response",),
+) -> DataFrame:
+    """WARC files -> one row per record (WARC_SCHEMA). `warc_types`
+    keeps only those record types ('response' by default — the
+    crawled pages; pass None for all, including warcinfo/request/
+    metadata). One file per task (see module docstring)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_stream(bytes(content)):
+                    if warc_types is not None and rec["warc_type"] not in warc_types:
+                        continue
+                    rec["warc_file"] = fpath
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def warc_to_documents(
+    warc_df: DataFrame, id_offset: int = 0
+) -> DataFrame:
+    """Shape WARC response records into this library's `documents`
+    table form: (doc_id, url, text) — HTTP headers stripped, body
+    decoded utf-8 (errors replaced), doc_id = stable per-file record
+    numbering offset by the file's hash so ids don't collide across
+    files. Feed straight into the curation tiers (boilerplate ->
+    gopher -> dedup)."""
+    # Arrow-batched body extraction (a plain Python UDF would be the
+    # row-at-a-time slow path this repo bans from hot paths)
+    @F.pandas_udf(T.StringType())
+    def body_arrow(p: pd.Series) -> pd.Series:
+        return p.map(
+            lambda b: http_response_body(bytes(b)).decode("utf-8", "replace")
+            if b is not None
+            else None
+        )
+
+    did = (
+        F.pmod(F.xxhash64("warc_file"), F.lit(1 << 40)) * F.lit(1 << 20)
+        + F.col("record_no")
+        + F.lit(id_offset)
+    )
+    return warc_df.select(
+        did.cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        body_arrow(F.col("payload")).alias("text"),
+    )

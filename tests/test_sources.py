@@ -397,3 +397,135 @@ def test_keyset_rescrape_rewinds_trailing_window(spark):
     src.fetch_fn = _fake_db(spark, rows_t0 + [(3, 12, "late")])
     got = sorted((r.id, r.payload) for r in src.poll_once().collect())
     assert (3, "late") in got
+
+
+def _make_warc(records):
+    """Assemble spec-shaped WARC bytes: version line + headers +
+    Content-Length block + CRLF CRLF separator per record."""
+    out = b""
+    for headers, block in records:
+        h = "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+        out += (
+            b"WARC/1.0\r\n"
+            + h.encode()
+            + f"Content-Length: {len(block)}\r\n\r\n".encode()
+            + block
+            + b"\r\n\r\n"
+        )
+    return out
+
+
+def _sample_warc():
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html>the quick brown fox jumps over the lazy dog</html>"
+    )
+    return _make_warc(
+        [
+            (
+                {
+                    "WARC-Type": "warcinfo",
+                    "WARC-Record-ID": "<urn:uuid:0>",
+                    "Content-Type": "application/warc-fields",
+                },
+                b"software: synthetic\r\n",
+            ),
+            (
+                {
+                    "WARC-Type": "request",
+                    "WARC-Record-ID": "<urn:uuid:1>",
+                    "WARC-Target-URI": "http://example.org/a",
+                },
+                b"GET /a HTTP/1.1\r\nHost: example.org\r\n\r\n",
+            ),
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": "<urn:uuid:2>",
+                    "WARC-Target-URI": "http://example.org/a",
+                    "WARC-Date": "2026-08-14T00:00:00Z",
+                    "Content-Type": "application/http;msgtype=response",
+                },
+                http,
+            ),
+            (
+                {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": "<urn:uuid:3>",
+                    "WARC-Target-URI": "http://example.org/b",
+                    "WARC-Date": "2026-08-14T00:00:01Z",
+                    "Content-Type": "application/http;msgtype=response",
+                },
+                b"HTTP/1.1 200 OK\r\n\r\nsecond page body",
+            ),
+        ]
+    )
+
+
+def test_warc_parser_golden():
+    """ISO 28500 parse: record structure, header fields, payload
+    lengths; gzip MEMBER-PER-RECORD concatenation (the Common Crawl
+    convention) parses identically; truncation raises."""
+    import gzip as _gzip
+
+    import pytest as _pt
+
+    from kspp_spark.sources.warc import http_response_body, parse_warc_stream
+
+    raw = _sample_warc()
+    recs = list(parse_warc_stream(raw))
+    assert [r["warc_type"] for r in recs] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    assert recs[2]["target_uri"] == "http://example.org/a"
+    assert recs[2]["content_length"] == len(recs[2]["payload"])
+    assert http_response_body(recs[2]["payload"]).startswith(b"<html>the quick")
+    assert http_response_body(recs[3]["payload"]) == b"second page body"
+
+    # member-per-record gzip: compress each record separately, concat
+    members = raw.split(b"\r\n\r\nWARC/")
+    parts = [members[0] + b"\r\n\r\n"] + [
+        b"WARC/" + m + (b"\r\n\r\n" if not m.endswith(b"\r\n\r\n") else b"")
+        for m in members[1:]
+    ]
+    gz = b"".join(_gzip.compress(p) for p in parts)
+    assert [r["record_id"] for r in parse_warc_stream(gz)] == [
+        r["record_id"] for r in recs
+    ]
+
+    with _pt.raises(ValueError, match="truncated"):
+        list(parse_warc_stream(raw[:-30]))
+    with _pt.raises(ValueError, match="version line"):
+        list(parse_warc_stream(b"not a warc at all\r\n"))
+
+
+def test_read_warc_spark(spark, tmp_path):
+    """The distributed read: one row per response record by default,
+    all records with warc_types=None, and warc_to_documents yields a
+    curation-ready (doc_id, url, text) frame with headers stripped."""
+    from kspp_spark.sources.warc import read_warc, warc_to_documents
+
+    p = tmp_path / "crawl"
+    p.mkdir()
+    (p / "seg-00000.warc").write_bytes(_sample_warc())
+    import gzip as _gzip
+
+    (p / "seg-00001.warc.gz").write_bytes(_gzip.compress(_sample_warc()))
+
+    out = read_warc(spark, str(p)).collect()
+    assert len(out) == 4  # 2 responses x 2 files
+    assert {r.warc_type for r in out} == {"response"}
+    assert all(r.content_length == len(r.payload) for r in out)
+
+    everything = read_warc(spark, str(p), warc_types=None)
+    assert everything.count() == 8
+
+    docs = warc_to_documents(read_warc(spark, str(p))).collect()
+    assert len(docs) == 4
+    by_url = {}
+    for r in docs:
+        by_url.setdefault(r.url, []).append(r.text)
+    assert sorted(by_url) == ["http://example.org/a", "http://example.org/b"]
+    assert all("the quick brown fox" in t for t in by_url["http://example.org/a"])
+    assert all(t == "second page body" for t in by_url["http://example.org/b"])
+    assert len({r.doc_id for r in docs}) == 4  # ids unique across files
