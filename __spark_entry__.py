@@ -1443,6 +1443,53 @@ def q_perplexity_buckets(spark, sf_dir):
     return perplexity_partition(docs, n_buckets=3)
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization for crawl dedup (functions/web.py): four
+    deterministic URL shapes synthesized per document (uppercase
+    host+www, default ports, userinfo, tracking params, permuted
+    query order, trailing slashes, fragments), then canonical form +
+    host + registrable-domain approximation — pure JVM string
+    algebra, replayed exactly by the SQL oracle."""
+    from kspp_spark.functions.web import canonicalize_url, url_domain, url_host
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.col("doc_id") % 4
+    n = (F.col("doc_id") % 7).cast("string")
+    src = F.col("source")
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTPS://WWW."), src,
+                F.lit(".Example.COM:443/Docs/"), n,
+                F.lit("/?b=2&a=1&utm_source=feed#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(F.lit("http://"), src, F.lit(".example.com:80/a/b///")),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://user:pw@"), src,
+                F.lit(".example.com:8443/path?gclid=xyz&z=9"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://"), src, F.lit(".EXAMPLE.com/only?"))
+        )
+    )
+    df = docs.select("doc_id", url.alias("url"))
+    return df.select(
+        "doc_id",
+        "url",
+        canonicalize_url("url").alias("canon_url"),
+        url_host("url").alias("host"),
+        url_domain("url").alias("domain"),
+    )
+
+
 def q_curate_docs(spark, sf_dir):
     """Composite curation pipeline: quality gate -> language gate ->
     exact dedup -> per-doc stats (the end-to-end training-data shape).
@@ -2669,8 +2716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # alongside the two deferred core queries above): the
         # localization + removal completion of the Lee et al.
         # exact-substring tier, the training-prep tier (global shuffle
-        # rank / LPT sharding / CCNet perplexity partition) — all five
-        # exact-oracled
+        # rank / LPT sharding / CCNet perplexity partition), and URL
+        # canonicalization — all six exact-oracled
         "dup_span_intervals": q_dup_span_intervals,
         "dup_spans_removed": q_dup_spans_removed,
         "train_shuffle": q_train_shuffle,
@@ -2679,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_shuffle": q_train_shuffle,
         "shard_assign": q_shard_assign,
         "perplexity_buckets": q_perplexity_buckets,
+        "url_canonicalize": q_url_canonicalize,
         "quality_classifier": q_quality_classifier,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
@@ -3616,6 +3664,65 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 'view' THEN 2000
                                     WHEN 'click' THEN 1000
                                     ELSE 500 END
+        """,
+        # URL-canonicalization replay: the same synthesis CASE, then
+        # the identical string algebra (anchored regexes need no 'g'
+        # flag; DuckDB list_filter/list_sort mirror filter/sort_array)
+        "url_canonicalize": """
+            WITH u AS (
+                SELECT doc_id,
+                    CASE doc_id % 4
+                        WHEN 0 THEN 'HTTPS://WWW.' || source ||
+                            '.Example.COM:443/Docs/' ||
+                            CAST(doc_id % 7 AS VARCHAR) ||
+                            '/?b=2&a=1&utm_source=feed#frag'
+                        WHEN 1 THEN 'http://' || source ||
+                            '.example.com:80/a/b///'
+                        WHEN 2 THEN 'https://user:pw@' || source ||
+                            '.example.com:8443/path?gclid=xyz&z=9'
+                        ELSE 'http://' || source || '.EXAMPLE.com/only?'
+                    END AS url
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, url,
+                    lower(regexp_extract(url, '^([^:/?#]+):', 1)) AS scheme,
+                    regexp_replace(
+                        regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1),
+                        '^[^@]*@', '') AS noname,
+                    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+                        AS rawpath,
+                    regexp_extract(url, '\\?([^#]*)', 1) AS q
+                FROM u
+            ),
+            c AS (
+                SELECT doc_id, url, scheme,
+                    lower(regexp_replace(noname, ':[0-9]+$', '')) AS host0,
+                    regexp_replace(
+                        lower(regexp_replace(noname, ':[0-9]+$', '')),
+                        '^www\\.', '') AS host,
+                    regexp_extract(noname, ':([0-9]+)$', 1) AS port,
+                    CASE WHEN regexp_replace(rawpath, '/+$', '') = ''
+                         THEN '/'
+                         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+                    array_to_string(list_sort(list_filter(
+                        string_split(q, '&'),
+                        x -> x <> '' AND NOT regexp_matches(x,
+                            '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref_src)=')
+                    )), '&') AS qc
+                FROM p
+            )
+            SELECT doc_id, url,
+                scheme || '://' || host ||
+                CASE WHEN port <> ''
+                          AND NOT (scheme = 'http' AND port = '80')
+                          AND NOT (scheme = 'https' AND port = '443')
+                     THEN ':' || port ELSE '' END ||
+                path ||
+                CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS canon_url,
+                host0 AS host,
+                regexp_extract(host0, '([^.]+\\.[^.]+)$', 1) AS domain
+            FROM c
         """,
         # global-shuffle replay: the distributed two-pass rank must
         # equal the plain global window over the same md5 key

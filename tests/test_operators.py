@@ -1920,3 +1920,72 @@ def test_perplexity_partition_tiers(spark):
         for b in by_lang["en"] if b.ppl_bucket == 3
     )
     assert sorted(r.ppl_bucket for r in by_lang["de"]) == [1, 2, 3]
+
+
+def test_url_canonicalization_rules(spark):
+    """Each canonicalization rule on a crafted URL: case, fragment,
+    userinfo, default vs explicit ports, trailing slashes, tracking
+    params, query sort, www strip — plus host/domain extraction."""
+    from kspp_spark.functions.web import (
+        canonicalize_url,
+        url_domain,
+        url_host,
+    )
+
+    cases = [
+        # (url, canon, host, domain)
+        ("HTTP://WWW.Ex.COM/Path/#frag", "http://ex.com/Path", "www.ex.com", "ex.com"),
+        ("https://a.b.ex.com:443/x", "https://a.b.ex.com/x", "a.b.ex.com", "ex.com"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x", "ex.com", "ex.com"),
+        ("http://u:p@ex.com:80/", "http://ex.com/", "ex.com", "ex.com"),
+        ("http://ex.com", "http://ex.com/", "ex.com", "ex.com"),
+        (
+            "http://ex.com/p?z=1&a=2&utm_campaign=c&fbclid=f",
+            "http://ex.com/p?a=2&z=1",
+            "ex.com",
+            "ex.com",
+        ),
+        ("http://ex.com/p?", "http://ex.com/p", "ex.com", "ex.com"),
+        # path case and params are PRESERVED (only scheme/host fold)
+        ("http://EX.com/CaseD?X=Y", "http://ex.com/CaseD?X=Y", "ex.com", "ex.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    got = {
+        r.url: (r.c, r.h, r.d)
+        for r in df.select(
+            "url",
+            canonicalize_url("url").alias("c"),
+            url_host("url").alias("h"),
+            url_domain("url").alias("d"),
+        ).collect()
+    }
+    for u, c, h, d in cases:
+        assert got[u] == (c, h, d), u
+
+
+def test_latest_capture_per_url(spark):
+    """Crawl dedup: permuted params / default port / fragment
+    variants collapse to one canonical row, the newest capture wins
+    (id tiebreak on equal dates), n_captures counts the group."""
+    from kspp_spark.functions.web import latest_capture_per_url
+
+    rows = [
+        (1, "http://ex.com/a?x=1&y=2", "2026-01-01T00:00:00Z", "old"),
+        (2, "http://EX.com:80/a?y=2&x=1#f", "2026-03-01T00:00:00Z", "new"),
+        (3, "http://ex.com/b", "2026-02-01T00:00:00Z", "b1"),
+        (4, "http://ex.com/b/", "2026-02-01T00:00:00Z", "b2"),  # tie -> id 4
+    ]
+    df = spark.createDataFrame(
+        rows, "rec_id long, url string, warc_date string, body string"
+    )
+    out = {
+        r.canon_url: r
+        for r in latest_capture_per_url(
+            df, url_col="url", date_col="warc_date", tiebreak_col="rec_id"
+        ).collect()
+    }
+    a = out["http://ex.com/a?x=1&y=2"]
+    assert (a.body, a.n_captures, a.rec_id) == ("new", 2, 2)
+    b = out["http://ex.com/b"]
+    assert (b.body, b.n_captures) == ("b2", 2)
+    assert len(out) == 2
