@@ -1490,6 +1490,32 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_html_to_text(spark, sf_dir):
+    """HTML -> text extraction (functions/web.html_to_text): each
+    document's text is wrapped into a deterministic page template
+    (title, style+script elements that must vanish WITH content, a
+    comment, headings/paragraph/div blocks, named entities), then the
+    pure-JVM regexp chain strips it back to line-structured text. The
+    oracle replays synthesis + chain exactly (RE2/Java-compatible
+    patterns; DuckDB needs the explicit 'g' flag where Spark's
+    regexp_replace is always global)."""
+    from kspp_spark.functions.web import html_to_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><style>p{margin:0}</style><script>var x=\"<b>"),
+        sid, F.lit("</b>\";</script></head><body><!-- id "), sid,
+        F.lit(" --><h1>Doc&nbsp;"), sid, F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit("</p><div>&amp; footer &hellip;</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id", html_to_text(html).alias("clean_text")
+    )
+
+
 def q_curate_docs(spark, sf_dir):
     """Composite curation pipeline: quality gate -> language gate ->
     exact dedup -> per-doc stats (the end-to-end training-data shape).
@@ -2717,7 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # localization + removal completion of the Lee et al.
         # exact-substring tier, the training-prep tier (global shuffle
         # rank / LPT sharding / CCNet perplexity partition), and URL
-        # canonicalization — all six exact-oracled
+        # canonicalization + HTML->text — all seven exact-oracled
         "dup_span_intervals": q_dup_span_intervals,
         "dup_spans_removed": q_dup_spans_removed,
         "train_shuffle": q_train_shuffle,
@@ -2727,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "perplexity_buckets": q_perplexity_buckets,
         "url_canonicalize": q_url_canonicalize,
+        "html_to_text": q_html_to_text,
         "quality_classifier": q_quality_classifier,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
@@ -3664,6 +3691,65 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 'view' THEN 2000
                                     WHEN 'click' THEN 1000
                                     ELSE 500 END
+        """,
+        # html-to-text replay: the same page-template synthesis, then
+        # the identical strip chain — DuckDB regexp_replace needs the
+        # 'g' flag (Spark's is always global); entity decode order
+        # matters (&amp; last) and is preserved
+        "html_to_text": """
+            WITH h AS (
+                SELECT doc_id,
+                    '<html><head><title>' || source ||
+                    '</title><style>p{margin:0}</style><script>var x="<b>'
+                    || CAST(doc_id AS VARCHAR) ||
+                    '</b>";</script></head><body><!-- id ' ||
+                    CAST(doc_id AS VARCHAR) || ' --><h1>Doc&nbsp;' ||
+                    CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+                    '<p>' || text ||
+                    '</p><div>&amp; footer &hellip;</div></body></html>'
+                    AS html
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                    regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(
+                    regexp_replace(html,
+                        '(?is)<script[\\s>].*?</script\\s*>', '', 'g'),
+                        '(?is)<script/?>.*?</script\\s*>', '', 'g'),
+                        '(?is)<style[\\s>].*?</style\\s*>', '', 'g'),
+                        '(?is)<style/?>.*?</style\\s*>', '', 'g'),
+                        '(?is)<noscript[\\s>]?.*?</noscript\\s*>', '', 'g'),
+                        '(?is)<template[\\s>]?.*?</template\\s*>', '', 'g'),
+                        '(?s)<!--.*?-->', '', 'g') AS x
+                FROM h
+            ),
+            t AS (
+                SELECT doc_id,
+                    regexp_replace(regexp_replace(x,
+                        '(?i)<(?:br\\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|/blockquote|/section|/article|/header|/footer|/pre)\\s*>',
+                        chr(10), 'g'),
+                        '(?s)<[^>]*>', ' ', 'g') AS x
+                FROM s
+            ),
+            e AS (
+                SELECT doc_id,
+                    replace(replace(replace(replace(replace(replace(
+                    replace(replace(replace(replace(replace(x,
+                        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                        '&quot;', '"'), '&#34;', '"'), '&#39;', ''''),
+                        '&apos;', ''''), '&mdash;', '—'), '&ndash;', '–'),
+                        '&hellip;', '…'), '&amp;', '&') AS x
+                FROM t
+            )
+            SELECT doc_id,
+                regexp_replace(
+                    regexp_replace(regexp_replace(regexp_replace(x,
+                        '[ \\t\\x0b\\f\\r]+', ' ', 'g'),
+                        ' ?\\n ?', chr(10), 'g'),
+                        '\\n{2,}', chr(10), 'g'),
+                    '^\\s+|\\s+$', '', 'g') AS clean_text
+            FROM e
         """,
         # URL-canonicalization replay: the same synthesis CASE, then
         # the identical string algebra (anchored regexes need no 'g'

@@ -97,13 +97,14 @@ BENCH_QUERIES = [
     # Lee-et-al span-removal completion (localize + cut, exact-oracled)
     "media_decode",
     "dup_spans_removed",
-    # round-7 late additions (49 -> 53): training-prep tier —
+    # round-7 late additions (49 -> 54): training-prep tier —
     # distributed two-pass global shuffle rank, LPT serpentine token
     # sharding, CCNet perplexity partition (all exact-oracled)
     "train_shuffle",
     "shard_assign",
     "perplexity_buckets",
     "url_canonicalize",
+    "html_to_text",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
@@ -142,6 +143,7 @@ RECORD_BEST = {
     "shard_assign": 0.9377,
     "perplexity_buckets": 1.6262,
     "url_canonicalize": 0.5689,
+    "html_to_text": 1.1887,
     "local_supplier_volume": 0.6774,
     "market_share": 0.9109,
     "minhash_lsh_pairs": 2.4254,

@@ -96,6 +96,71 @@ def canonicalize_url(
     )
 
 
+# the HTML named entities decoded by html_to_text (the handful that
+# dominate real pages; numeric entities beyond these stay literal —
+# a documented bound, not silent corruption)
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
+    ("&amp;", "&"),  # LAST: otherwise &amp;lt; would double-decode
+]
+
+# tags whose CLOSE (or self) marks a block boundary -> newline
+_BLOCK_TAG_RE = (
+    r"(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol|"
+    r"/blockquote|/section|/article|/header|/footer|/pre)\s*>"
+)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Plain text from an HTML page — the step between WARC HTTP
+    bodies and the text-curation tiers, as a PURE JVM regexp chain
+    (no parser library, no Python per row, engine-replayable):
+
+    1. script/style/noscript/template elements removed WITH content
+    2. comments removed
+    3. block-closing tags become newlines (so paragraphs/list items
+       stay separate lines for the boilerplate-line tier)
+    4. every remaining tag stripped
+    5. the dominant named entities decoded (HTML_ENTITIES; &amp;
+       last so entity-references-of-entities don't double-decode)
+    6. whitespace normalized: runs of spaces/tabs collapse, >2 blank
+       lines collapse to one, edges trimmed
+
+    This is a tag STRIPPER, not a DOM parser: malformed nesting
+    degrades to extra/missing line breaks, never to dropped text —
+    the right failure mode for corpus building. (RE2/Java regex
+    compatible: (?is) flags + non-greedy spans only.)"""
+    c = F.col(html) if isinstance(html, str) else html
+    for pat in (
+        r"(?is)<script[\s>].*?</script\s*>",
+        r"(?is)<script/?>.*?</script\s*>",
+        r"(?is)<style[\s>].*?</style\s*>",
+        r"(?is)<style/?>.*?</style\s*>",
+        r"(?is)<noscript[\s>]?.*?</noscript\s*>",
+        r"(?is)<template[\s>]?.*?</template\s*>",
+        r"(?s)<!--.*?-->",
+    ):
+        c = F.regexp_replace(c, pat, "")
+    c = F.regexp_replace(c, _BLOCK_TAG_RE, "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, repl in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(repl))
+    c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    # trim() strips spaces only — edges must lose newlines too
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def latest_capture_per_url(
     df: DataFrame,
     url_col: str = "url",

@@ -1989,3 +1989,31 @@ def test_latest_capture_per_url(spark):
     b = out["http://ex.com/b"]
     assert (b.body, b.n_captures) == ("b2", 2)
     assert len(out) == 2
+
+
+def test_html_to_text_extraction(spark):
+    """Tag stripping: script/style/noscript vanish WITH content,
+    comments vanish, block closes become line breaks (line structure
+    feeds the boilerplate-line tier), entities decode in the right
+    order, whitespace normalizes, edges lose newlines too."""
+    from kspp_spark.functions.web import html_to_text
+
+    html = (
+        '<html><head><title>T</title><style type="text/css">body{x}'
+        '</style>\n<script src="x.js"></script>'
+        "<script>var a = '<p>not text</p>';</script></head>\n"
+        "<body><!-- comment --><h1>Head&nbsp;Line</h1>\n"
+        "<p>first &amp; second &lt;tag&gt;</p><div>div text</div>\n"
+        "<ul><li>one</li><li>two</li></ul>\n"
+        "<noscript>enable js</noscript><pre>  pre   text </pre>tail"
+        "<br><br></body></html>"
+    )
+    # &amp;lt; must decode to the LITERAL '&lt;' (one level), never '<'
+    tricky = "<p>&amp;lt;kept&amp;gt;</p>"
+    df = spark.createDataFrame([(1, html), (2, tricky)], "i long, h string")
+    out = {r.i: r.t for r in df.select("i", html_to_text("h").alias("t")).collect()}
+    assert out[1] == (
+        "T\nHead Line\nfirst & second <tag>\ndiv text\none\ntwo\n"
+        "pre text\ntail"
+    )
+    assert out[2] == "&lt;kept&gt;"
