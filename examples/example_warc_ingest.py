@@ -15,7 +15,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from kspp_spark.functions.text import gopher_counters, gopher_keep
-from kspp_spark.functions.web import latest_capture_per_url
+from kspp_spark.functions.web import html_to_text, latest_capture_per_url
 from kspp_spark.session import get_spark
 from kspp_spark.sources.warc import read_warc, warc_to_documents
 
@@ -91,8 +91,10 @@ def main() -> None:
         winner = latest.filter(F.col("canon_url").contains("/a?")).first()
         assert winner.n_captures == 2 and "NEW CAPTURE" in winner.text
 
+        # HTML -> text (JVM regexp chain), then the quality gate
+        extracted = latest.withColumn("text", html_to_text(F.col("text")))
         c = gopher_counters("text", stopwords=["the", "a", "of", "and", "to"])
-        kept = latest.filter(gopher_keep(c))
+        kept = extracted.filter(gopher_keep(c))
         print(f"pass the quality gate : {kept.count()} (the 'tiny' page drops)")
         assert kept.count() == 2
     finally:

@@ -172,7 +172,10 @@ def shard_assign(
     rank uses per-VALUE offsets: one count per distinct balance value
     (the bounded driver control plane — token lengths have small
     bounded cardinality; don't pass continuous columns) + a window
-    per value. Output: (id_col, balance_col, shard).
+    per value. The other extreme — one value dominating — serializes
+    that value's window into one task: bucket the weight first
+    (e.g. token count DIV 16) if its distribution is degenerate.
+    Output: (id_col, balance_col, shard).
     """
     if balance_col is None:
         return df.withColumn(

@@ -27,7 +27,9 @@ cluster fine. Payload bytes go straight from the Arrow batch into the
 output binary column — never through the driver. The 2 GB
 per-file limit of binaryFile is the documented bound (real crawl
 segments stay under it by convention). A splittable-gzip custom
-input format is the beyond-2GB path, out of scope here.
+input format is the beyond-2GB path, out of scope here. For GB-scale
+segments also set spark.sql.execution.arrow.maxRecordsPerBatch=1 so
+an Arrow batch never holds several segments' bytes at once.
 """
 
 from __future__ import annotations
