@@ -536,3 +536,83 @@ def test_remove_boilerplate_is_idempotent(spark, docs, min_docs):
     first = {r.doc_id: r.clean_text for r in once.collect()}
     second = {r.doc_id: r.clean_text for r in twice.collect()}
     assert first == second
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    urls=st.lists(
+        st.builds(
+            lambda scheme, www, host, port, path, slash, params, frag:
+            f"{scheme}://{'www.' if www else ''}{host}"
+            + (f":{port}" if port else "")
+            + path + ("/" if slash else "")
+            + ("?" + "&".join(params) if params else "")
+            + ("#x" if frag else ""),
+            st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+            st.booleans(),
+            st.sampled_from(["Ex.COM", "a.ex.com", "ex.com"]),
+            st.sampled_from(["", "80", "443", "8080"]),
+            st.sampled_from(["", "/p", "/A/b"]),
+            st.booleans(),
+            st.lists(
+                st.sampled_from(["a=1", "b=2", "utm_source=x", "z="]),
+                max_size=3, unique=True,
+            ),
+            st.booleans(),
+        ),
+        min_size=1, max_size=12, unique=True,
+    )
+)
+def test_url_canonicalize_idempotent_and_fold_invariant(spark, urls):
+    """canon(canon(u)) == canon(u) over randomized URL shapes, and
+    case/param-order/fragment/default-port variants of the SAME
+    logical URL all land on one canonical form."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.web import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select("url", canonicalize_url("url").alias("c1"))
+    twice = once.select(
+        "url", "c1", canonicalize_url("c1").alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c1 == r.c2, (r.url, r.c1, r.c2)
+    # variant collapse on a fixed logical URL
+    variants = [
+        "http://Ex.COM:80/p?a=1&b=2#f",
+        "HTTP://WWW.ex.com/p?b=2&a=1",
+        "http://ex.com/p/?a=1&utm_source=s&b=2",
+    ]
+    vdf = spark.createDataFrame([(u,) for u in variants], "url string")
+    canon = {r.c for r in vdf.select(canonicalize_url("url").alias("c")).collect()}
+    assert canon == {"http://ex.com/p?a=1&b=2"}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+            min_size=1, max_size=8,
+        ),
+        min_size=1, max_size=30,
+    ),
+    tag=st.sampled_from(["p", "div", "li", "h2"]),
+)
+def test_html_to_text_preserves_tag_free_words(spark, words, tag):
+    """The tag stripper's failure-mode contract: body text without
+    markup characters survives extraction verbatim (word sequence
+    preserved), whatever block structure wraps it."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.web import html_to_text
+
+    body = " ".join(words)
+    html = (
+        f"<html><body><{tag} class='c'>{body}</{tag}>"
+        f"<script>drop()</script></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    out = df.select(html_to_text("h").alias("t")).first().t
+    assert out.split() == body.split()
