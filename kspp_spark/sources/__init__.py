@@ -20,6 +20,11 @@ from kspp_spark.sources.schema_registry import (
     decode_confluent_topic,
     split_by_schema_id,
 )
+from kspp_spark.sources.warc import (
+    parse_warc_stream,
+    read_warc,
+    warc_to_documents,
+)
 
 __all__ = [
     "BridgeSource",
@@ -38,4 +43,7 @@ __all__ = [
     "SchemaRegistryClient",
     "decode_confluent_topic",
     "split_by_schema_id",
+    "parse_warc_stream",
+    "read_warc",
+    "warc_to_documents",
 ]
