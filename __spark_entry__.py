@@ -2503,8 +2503,15 @@ def q_media_decode(spark, sf_dir):
 
 
 def q_media_features_knn(spark, sf_dir):
-    # no SQL oracle: fake featurizer -> cosine top-3 over extracted
-    # features (the full multimodal retrieval pipeline shape)
+    """Multimodal retrieval pipeline, EXACT-oracled since r7: media
+    bytes -> feature vectors -> cosine top-3. The featurizer is the
+    deterministic stand-in (sha256 digest bytes scaled to [-1,1] —
+    a real vision encoder plugs into the same Arrow plumbing), but
+    its math is engine-replayable: each component (byte-128)/128 is
+    an exact binary fraction, so features, dot products, and the
+    ranking replay bit-for-bit in SQL — certifying the full
+    extract->score->rank pipeline, with only the encoder itself
+    honest-stubbed."""
     from kspp_spark.functions.multimodal import extract_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -2780,15 +2787,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_portable": q_minhash_pairs_portable,
         "simhash_portable": q_simhash_portable,
         "curate_docs": q_curate_docs,
-        # rows-only checks (approximate / stubbed codecs / iterative
-        # by design; media_decode graduated to an exact oracle in r7
-        # — real header parse vs closed-form synthesis)
+        # exact-oracled since r7 (deterministic-featurizer math is
+        # engine-replayable; the encoder itself stays a stand-in)
+        "media_features_knn": q_media_features_knn,
+        # rows-only checks (approximate / production-hash twins /
+        # seeded-iterative by design; media_decode AND
+        # media_features_knn graduated to exact oracles in r7)
         "embedding_clusters": q_embedding_clusters,
         "diverse_sample": q_diverse_sample,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ivf_ann": q_ivf_ann,
-        "media_features_knn": q_media_features_knn,
     }
 
 
@@ -4228,6 +4237,31 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
                 FROM s
             ) WHERE rank <= 5
+        """,
+        # multimodal retrieval replay: the deterministic featurizer's
+        # sha256-derived components are exact binary fractions
+        # ((byte-128)/128), so features and cosine ranks replay
+        # bit-for-bit; only the encoder is a stand-in
+        "media_features_knn": f"""
+            WITH f AS (
+                SELECT doc_id, list_transform(range(0, 16), i ->
+                    (CAST(('0x' || substr(sha256(text),
+                         2 * i + 1, 2)) AS INT) - 128) / 128.0) AS e
+                FROM documents
+            ),
+            q AS (SELECT doc_id AS qid, e FROM f WHERE doc_id < 5),
+            c AS (SELECT doc_id AS cid, e FROM f),
+            s AS (
+                SELECT q.qid, c.cid, {dot} / sqrt({qn} * {cn}) AS score
+                FROM q, c WHERE q.qid <> c.cid
+            )
+            SELECT qid AS query_id, cid AS neighbor_id, rank FROM (
+                SELECT qid, cid,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY score DESC, cid
+                       ) AS rank
+                FROM s
+            ) WHERE rank <= 3
         """,
         "knn_cosine": f"""
             WITH q AS (SELECT vec_id AS qid, embedding AS e FROM embeddings WHERE vec_id < 20),
