@@ -273,7 +273,10 @@ def probe_and_update(
       `score_fn` (sig_a, sig_b -> score; srp_score_fn is hamming
       similarity).
     `verified` = score >= min_score; pairs are emitted unfiltered so
-    consumers choose their own gate. Candidates are already
+    consumers choose their own gate. Keep `verify` constant across a
+    stream's life: toggling it mid-stream leaves pairs_dir epochs
+    with two schemas (read them with mergeSchema) and a sigs state
+    that misses the unverified epochs' docs. Candidates are already
     band-bounded, so the verify join is candidate-sized — never a
     corpus join. PRECISION NOTE: the score is the signature ESTIMATE
     (variance ~ sqrt(j(1-j)/num_hashes)); a gate needing exact

@@ -2627,3 +2627,41 @@ def test_incremental_near_dedup_stream_seq_verify_e2e(spark, tmp_path):
     sigs = {r.id: r.sig for r in dedup_sigs_snapshot(spark, state + "_sigs").collect()}
     assert set(sigs) == {1, 2, 3}
     assert sigs[1] == sigs[3] != sigs[2]  # doc 1 kept base's signature
+
+
+def test_incremental_dedup_stale_write_pairs_nothing_within_batch(spark, tmp_path):
+    """A STALE update arriving in the SAME batch as a new doc carrying
+    matching content must pair with nothing in either direction: the
+    stale content never probes (not within the batch, not against
+    state), and the doc's live state content stays probe-able."""
+    from kspp_spark.streaming.dedup_incremental import probe_and_update
+
+    state = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    schema = "doc_id long, text string, seq long"
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark aggregation plans here"
+
+    def step(rows, epoch):
+        probe_and_update(
+            spark.createDataFrame(rows, schema), epoch, state, pairs_dir,
+            seq_col="seq",
+        )
+
+    def pairs():
+        return sorted(
+            (r.new_id, r.dup_of)
+            for r in spark.read.parquet(pairs_dir).select("new_id", "dup_of").collect()
+        )
+
+    step([(1, text_a, 10)], 0)
+    # one batch: stale doc 1 -> B (seq 5 < 10) + new doc 2 = B.
+    # Neither a within-batch (2,1)/(1,2) nor any cross pair may appear.
+    step([(1, text_b, 5), (2, text_b, 20)], 1)
+    assert pairs() == []
+    # doc 1 still serves A (the stale B never superseded it)
+    step([(3, text_a, 30)], 2)
+    assert pairs() == [(3, 1)]
+    # and doc 2's B (which DID win — fresh insert) is probe-able
+    step([(4, text_b, 40)], 3)
+    assert pairs() == [(3, 1), (4, 2)]
