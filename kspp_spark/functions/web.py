@@ -187,3 +187,25 @@ def latest_capture_per_url(
         )
         .select("canon_url", "_r.*", "n_captures")
     )
+
+
+def crawl_dedup_stream(
+    stream_df: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+):
+    """The STREAMING face of latest-capture dedup: a crawl stream
+    keyed by canonical URL with LWW by capture date — exactly the
+    ktable changelog materialization (streaming/core.ktable_stream),
+    so re-crawls of the same logical page supersede in state and each
+    micro-batch emits the updated winners (update output mode).
+    Returns the aggregated streaming DataFrame; attach your sink.
+    State is one row per canonical URL (Spark state store — RocksDB
+    provider for crawl-scale key counts)."""
+    from kspp_spark.streaming.core import ktable_stream
+
+    value_cols = [c for c in stream_df.columns if c != date_col]
+    keyed = stream_df.withColumn("canon_url", canonicalize_url(url_col))
+    return ktable_stream(
+        keyed, key="canon_url", value_cols=value_cols, event_time=date_col
+    )

@@ -2665,3 +2665,59 @@ def test_incremental_dedup_stale_write_pairs_nothing_within_batch(spark, tmp_pat
     # and doc 2's B (which DID win — fresh insert) is probe-able
     step([(4, text_b, 40)], 3)
     assert pairs() == [(3, 1), (4, 2)]
+
+
+def test_crawl_dedup_stream(spark, tmp_path):
+    """Streaming latest-capture dedup: across micro-batches, a
+    re-crawl of the same logical page (permuted params, default port,
+    uppercase host) supersedes in state; the final table holds one
+    winner per canonical URL."""
+    from pyspark.sql import types as T2
+
+    from kspp_spark.functions.web import crawl_dedup_stream
+
+    schema = T2.StructType(
+        [
+            T2.StructField("url", T2.StringType()),
+            T2.StructField("warc_date", T2.TimestampType()),
+            T2.StructField("body", T2.StringType()),
+        ]
+    )
+    in_dir = str(tmp_path / "crawl")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def run(name):
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            crawl_dedup_stream(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write(
+        [
+            ("http://ex.com/a?x=1&y=2", ts(10), "old-a"),
+            ("http://ex.com/b", ts(10), "only-b"),
+        ]
+    )
+    import time as _t
+
+    _t.sleep(1.1)
+    write([("http://EX.com:80/a?y=2&x=1", ts(20), "new-a")])
+    run("crawl_t")
+    got = {
+        r.canon_url: (r.body, r.warc_date)
+        for r in spark.sql("select * from crawl_t").collect()
+    }
+    assert got == {
+        "http://ex.com/a?x=1&y=2": ("new-a", ts(20)),
+        "http://ex.com/b": ("only-b", ts(10)),
+    }
