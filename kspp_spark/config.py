@@ -10,7 +10,9 @@ its environment unchanged.
 The Spark-facing addition is `kafka_options()`: the configured broker
 URI list and TLS paths translated into the Spark Kafka source/sink
 option map (bootstrap servers without scheme, security.protocol from
-the URI scheme, ssl.* locations when client auth is configured).
+the URI scheme, and the Java client's KIP-651 PEM truststore/keystore
+configs when TLS material is configured — the reference's librdkafka
+option names would be silently ignored by the client Spark embeds).
 """
 
 from __future__ import annotations
