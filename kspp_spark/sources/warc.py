@@ -156,14 +156,17 @@ def read_warc(
 
 
 def warc_to_documents(
-    warc_df: DataFrame, id_offset: int = 0
+    warc_df: DataFrame, id_offset: int = 0, with_date: bool = False
 ) -> DataFrame:
     """Shape WARC response records into this library's `documents`
     table form: (doc_id, url, text) — HTTP headers stripped, body
     decoded utf-8 (errors replaced), doc_id = stable per-file record
     numbering offset by the file's hash so ids don't collide across
-    files. Feed straight into the curation tiers (boilerplate ->
-    gopher -> dedup)."""
+    files (2^40 file-hash space x 2^20 records/file — comfortably
+    above any crawl's segment and per-segment record counts). Feed
+    straight into the curation tiers (boilerplate -> gopher ->
+    dedup); `with_date` carries warc_date through for latest-capture
+    URL dedup (functions/web.latest_capture_per_url)."""
     # Arrow-batched body extraction (a plain Python UDF would be the
     # row-at-a-time slow path this repo bans from hot paths)
     @F.pandas_udf(T.StringType())
@@ -182,5 +185,6 @@ def warc_to_documents(
     return warc_df.select(
         did.cast("long").alias("doc_id"),
         F.col("target_uri").alias("url"),
+        *([F.col("warc_date")] if with_date else []),
         body_arrow(F.col("payload")).alias("text"),
     )

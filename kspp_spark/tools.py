@@ -19,6 +19,9 @@ Parity targets (thin CLIs over operators this repo already has):
   train-bpe      (beyond-reference) parquet corpus -> persisted BPE
                  merge table (the tokenizer artifact bpe_encode
                  consumes; chars or words alphabet).
+  warc2docs      (beyond-reference) WARC crawl segments -> curation-
+                 ready parquet documents (record parse, HTTP bodies,
+                 canonical-URL latest-capture dedup, HTML -> text).
   register-schema  tools/kspp_protobuf_register_schema/
                  kspp_protobuf_register_schema.cpp — register a
                  protobuf (or avro/json) schema file under a subject
@@ -228,6 +231,34 @@ def docs2index(
         idx.unpersist()
 
 
+def warc2docs(
+    spark,
+    src: str,
+    dst: str,
+    extract_html: bool = True,
+    latest_only: bool = True,
+) -> None:
+    """WARC crawl segment(s) -> curation-ready parquet documents
+    (beyond-reference — the raw-crawl front door): distributed record
+    parse (sources/warc), HTTP body extraction, optional canonical-URL
+    latest-capture dedup and HTML -> text extraction. The output
+    parquet feeds the text tiers (boilerplate/gopher/dedup/index)
+    directly."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.web import html_to_text, latest_capture_per_url
+    from kspp_spark.sources.warc import read_warc, warc_to_documents
+
+    docs = warc_to_documents(read_warc(spark, src), with_date=True)
+    if latest_only:
+        docs = latest_capture_per_url(
+            docs, url_col="url", date_col="warc_date", tiebreak_col="doc_id"
+        )
+    if extract_html:
+        docs = docs.withColumn("text", html_to_text(F.col("text")))
+    docs.write.mode("overwrite").parquet(dst)
+
+
 def train_bpe(
     spark,
     src: str,
@@ -380,6 +411,17 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--max-df", type=int, default=None)
     d.add_argument("--buckets", type=int, default=32)
 
+    w = sub.add_parser(
+        "warc2docs",
+        help="WARC crawl segments -> curation-ready parquet documents",
+    )
+    w.add_argument("--src", required=True)
+    w.add_argument("--dst", required=True)
+    w.add_argument("--raw-html", action="store_true",
+                   help="keep raw HTML bodies (skip html_to_text)")
+    w.add_argument("--all-captures", action="store_true",
+                   help="keep every capture (skip latest-per-URL dedup)")
+
     t = sub.add_parser(
         "train-bpe", help="parquet corpus -> persisted BPE merge table"
     )
@@ -426,6 +468,15 @@ def main(argv: list[str] | None = None) -> int:
     from kspp_spark.session import get_spark
 
     spark = get_spark(f"kspp_tools_{args.cmd}")
+    if args.cmd == "warc2docs":
+        warc2docs(
+            spark,
+            args.src,
+            args.dst,
+            extract_html=not args.raw_html,
+            latest_only=not args.all_captures,
+        )
+        return 0
     if args.cmd == "docs2index":
         docs2index(
             spark,

@@ -285,3 +285,65 @@ def test_cli_env_fallbacks(monkeypatch, tmp_path, recwarn):
     assert extra["kafka.ssl.truststore.type"] == "PEM"
     assert extra["kafka.ssl.truststore.location"] == str(ca)
     assert extra["kafka.ssl.keystore.certificate.chain"] == "x"
+
+
+def test_warc2docs_cli(spark, tmp_path):
+    """The raw-crawl front door end-to-end via the CLI: WARC segments
+    in, curation-ready parquet out — latest capture per canonical URL
+    wins, HTML stripped to text."""
+    from kspp_spark import tools
+
+    def record(headers, block):
+        h = "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+        return (
+            b"WARC/1.0\r\n" + h.encode()
+            + f"Content-Length: {len(block)}\r\n\r\n".encode()
+            + block + b"\r\n\r\n"
+        )
+
+    def response(uri, date, body):
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + body.encode()
+        return record(
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:uuid:{uri}{date}>",
+                "WARC-Target-URI": uri,
+                "WARC-Date": date,
+                "Content-Type": "application/http;msgtype=response",
+            },
+            http,
+        )
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "seg.warc").write_bytes(
+        response(
+            "http://ex.com/a?x=1&y=2", "2026-01-01T00:00:00Z",
+            "<p>old capture</p>",
+        )
+        + response(
+            "http://EX.com:80/a?y=2&x=1", "2026-02-01T00:00:00Z",
+            "<h1>Title</h1><p>new &amp; shiny</p>",
+        )
+        + response("http://ex.com/b", "2026-01-01T00:00:00Z", "<p>b page</p>")
+    )
+    dst = str(tmp_path / "docs")
+    rc = tools.main(["warc2docs", "--src", str(crawl), "--dst", dst])
+    assert rc == 0
+    out = {r.canon_url: r for r in spark.read.parquet(dst).collect()}
+    assert len(out) == 2
+    a = out["http://ex.com/a?x=1&y=2"]
+    assert a.text == "Title\nnew & shiny" and a.n_captures == 2
+    assert out["http://ex.com/b"].text == "b page"
+    # --raw-html --all-captures: every capture, bodies untouched
+    dst2 = str(tmp_path / "docs2")
+    rc = tools.main(
+        ["warc2docs", "--src", str(crawl), "--dst", dst2,
+         "--raw-html", "--all-captures"]
+    )
+    assert rc == 0
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(dst2)
+    assert raw.count() == 3
+    assert raw.filter(F.col("text").contains("<p>")).count() == 3
