@@ -141,7 +141,7 @@ RECORD_BEST = {
     "dup_spans_removed": 1.219,
     "train_shuffle": 0.2931,
     "shard_assign": 0.449,
-    "perplexity_buckets": 1.2085,
+    "perplexity_buckets": 1.6704,
     "url_canonicalize": 0.2678,
     "html_to_text": 0.5447,
     "local_supplier_volume": 0.6774,

@@ -494,6 +494,18 @@ def test_lm_scores_graded_query_tokenizes_once(spark, queries):
     assert "BatchEvalPython" not in plan
 
 
+def test_perplexity_buckets_tokenizes_once(spark, queries):
+    # same contract as lm_scores: the LM build and scoring both read
+    # the checkpointed pairs; only the (doc_id, lang) projection may
+    # touch the documents parquet — never a second tokenize
+    plan = formatted_plan(spark, queries["perplexity_buckets"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") <= 1 + plan.count("Scan ExistingRDD"), plan
+    # the regex-split tokenizer must appear nowhere (pairs are already
+    # materialized); lang/doc_id projection doesn't tokenize
+    assert "split(text" not in plan, "perplexity_buckets re-tokenizes"
+
+
 def test_zorder_write_clusters_every_column(spark, tmp_path):
     # the multi-column layout contract: after write_zordered on
     # (value, user_id), EVERY file covers only a fraction of BOTH
