@@ -2721,3 +2721,46 @@ def test_crawl_dedup_stream(spark, tmp_path):
         "http://ex.com/a?x=1&y=2": ("new-a", ts(20)),
         "http://ex.com/b": ("only-b", ts(10)),
     }
+
+
+def test_incremental_dedup_srp_seq_mode(spark, tmp_path):
+    """seq mode x embedding family: a stale vector update in a newer
+    epoch is ignored, a fresh tombstone deletes, and the verify stage
+    scores against the WINNING vector's signature."""
+    from kspp_spark.streaming.dedup_incremental import (
+        probe_and_update,
+        srp_banded_signatures,
+        srp_score_fn,
+        srp_sig_fn,
+    )
+
+    state = str(tmp_path / "state")
+    pairs_dir = str(tmp_path / "pairs")
+    schema = "vec_id long, embedding array<float>, seq long"
+    base = [1.0 if d % 3 == 0 else -0.5 for d in range(16)]
+    other = [-1.0 if d % 2 == 0 else 0.75 for d in range(16)]
+
+    def step(rows, epoch):
+        probe_and_update(
+            spark.createDataFrame(rows, schema), epoch, state, pairs_dir,
+            id_col="vec_id", seq_col="seq",
+            banded_fn=lambda df: srp_banded_signatures(df, planes=32, dims=16, bands=4),
+            verify=True, sig_fn=srp_sig_fn(planes=32, dims=16),
+            score_fn=srp_score_fn(32), min_score=0.9,
+        )
+
+    def pairs():
+        return sorted(
+            (r.new_id, r.dup_of, r.score, r.verified)
+            for r in spark.read.parquet(pairs_dir).collect()
+        )
+
+    step([(1, base, 10)], 0)
+    # STALE update: vector 1 -> other at seq 5: ignored
+    step([(1, other, 5)], 1)
+    step([(2, base, 20)], 2)  # pairs with 1's LIVE base vector
+    assert pairs() == [(2, 1, 1.0, True)]
+    # fresh tombstone deletes; a new base vector pairs only with 2
+    step([(1, None, 30)], 3)
+    step([(3, base, 40)], 4)
+    assert pairs() == [(2, 1, 1.0, True), (3, 2, 1.0, True)]
