@@ -1521,6 +1521,51 @@ def q_html_to_text(spark, sf_dir):
     )
 
 
+def q_robots_gate(spark, sf_dir):
+    """robots.txt compliance gate (RFC 9309, functions/robots.py):
+    deterministic per-domain robots bodies (group selection — exact
+    token vs '*' — wildcard, anchor, and precedence rules all
+    exercised) against four URL shapes per document. The oracle is
+    the CLOSED-FORM decision table, so any parser / group-selection /
+    matcher / join bug breaks hash parity; the RFC corner cases are
+    additionally unit-golden-tested."""
+    from kspp_spark.functions.robots import robots_gate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.col("doc_id") % 4
+    url = F.concat(
+        F.when(m == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(
+            m == 0,
+            F.concat(F.lit("/Docs/"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit("/")),
+        )
+        .when(m == 1, F.lit("/a/b"))
+        .when(m == 2, F.lit("/path"))
+        .otherwise(F.lit("/only")),
+    )
+    urls = docs.select("doc_id", "source", url.alias("url"))
+    body_a = (
+        "User-agent: specialbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /Docs/*\nAllow: /Docs/pub\n"
+        "Disallow: /only$\n"
+    )
+    body_b = (
+        "User-agent: mybot\nAllow: /a\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /b\n"
+    )
+    robots = urls.select("source").distinct().select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+        F.when(F.length("source") % 2 == 0, F.lit(body_a))
+        .otherwise(F.lit(body_b))
+        .alias("robots_txt"),
+    )
+    out = robots_gate(urls, robots, agent="MyBot")
+    return out.select("doc_id", "url", "robots_allowed")
+
+
 def q_curate_docs(spark, sf_dir):
     """Composite curation pipeline: quality gate -> language gate ->
     exact dedup -> per-doc stats (the end-to-end training-data shape).
@@ -2755,7 +2800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # localization + removal completion of the Lee et al.
         # exact-substring tier, the training-prep tier (global shuffle
         # rank / LPT sharding / CCNet perplexity partition), and URL
-        # canonicalization + HTML->text — all seven exact-oracled
+        # canonicalization + HTML->text + the RFC 9309 robots gate — all
+        # eight exact-oracled
         "dup_span_intervals": q_dup_span_intervals,
         "dup_spans_removed": q_dup_spans_removed,
         "train_shuffle": q_train_shuffle,
@@ -2766,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "url_canonicalize": q_url_canonicalize,
         "html_to_text": q_html_to_text,
+        "robots_gate": q_robots_gate,
         "quality_classifier": q_quality_classifier,
         "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
@@ -3705,6 +3752,26 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 'view' THEN 2000
                                     WHEN 'click' THEN 1000
                                     ELSE 500 END
+        """,
+        # robots-gate replay: the synthesized bodies' decisions in
+        # CLOSED FORM — even-length sources serve body A ('*' group:
+        # Disallow /Docs/*, Allow /Docs/pub, Disallow /only$ -> only
+        # /a/b and /path pass), odd serve body B (exact mybot group:
+        # Allow /a beats Disallow / -> only /a/b passes). Parser,
+        # group selection, matcher, and join all certified by parity.
+        "robots_gate": """
+            SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN 'https://' ELSE 'http://' END
+                || source || '.example.com'
+                || CASE doc_id % 4
+                     WHEN 0 THEN '/Docs/' || CAST(doc_id % 7 AS VARCHAR) || '/'
+                     WHEN 1 THEN '/a/b'
+                     WHEN 2 THEN '/path'
+                     ELSE '/only' END AS url,
+                CASE WHEN length(source) % 2 = 0
+                     THEN doc_id % 4 IN (1, 2)
+                     ELSE doc_id % 4 = 1 END AS robots_allowed
+            FROM documents
         """,
         # html-to-text replay: the same page-template synthesis, then
         # the identical strip chain — DuckDB regexp_replace needs the

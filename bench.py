@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     # Lee-et-al span-removal completion (localize + cut, exact-oracled)
     "media_decode",
     "dup_spans_removed",
-    # round-7 late additions (49 -> 54): training-prep tier —
+    # round-7 late additions (49 -> 55): training-prep tier —
     # distributed two-pass global shuffle rank, LPT serpentine token
     # sharding, CCNet perplexity partition (all exact-oracled)
     "train_shuffle",
@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "perplexity_buckets",
     "url_canonicalize",
     "html_to_text",
+    "robots_gate",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
@@ -144,6 +145,7 @@ RECORD_BEST = {
     "perplexity_buckets": 1.6704,
     "url_canonicalize": 0.2678,
     "html_to_text": 0.5447,
+    "robots_gate": 1.69,
     "local_supplier_volume": 0.6774,
     "market_share": 0.9109,
     "minhash_lsh_pairs": 2.4254,

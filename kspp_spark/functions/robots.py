@@ -1,0 +1,187 @@
+"""robots.txt (RFC 9309) evaluation — crawl-compliance filtering for
+web-corpus pipelines: given each domain's robots.txt capture (Common
+Crawl ships them per crawl), decide per URL whether the configured
+product token may use it. Beyond-reference capability, written to the
+public RFC only.
+
+Split of labor, scale-shaped:
+  * PARSING (group selection + rule extraction + wildcard->regex
+    translation) runs once per DOMAIN via an Arrow-batched UDF —
+    robots bodies are tiny and the domain table is orders of
+    magnitude smaller than the URL table;
+  * MATCHING runs per URL as a pure JVM SQL expression (filter +
+    RLIKE with per-rule patterns + an aggregate fold picking the
+    winning rule), joined against the per-domain rule arrays —
+    broadcast when the domain table fits, hash join on the host
+    otherwise. No Python anywhere near the URL table.
+
+Semantics implemented (documented choices where the RFC leaves room):
+  * group selection: case-insensitive EXACT product-token match wins;
+    otherwise the '*' groups apply; all selected groups' rules MERGE
+    (RFC 9309 §2.2.1 — multiple groups for the same agent combine);
+  * rule matching: '*' matches any characters, '$' anchors the end,
+    everything else is literal (§2.2.3); match target is the URL
+    PATH (query and fragment excluded — a documented simplification;
+    pass your own path column to include queries);
+  * precedence: the matching rule with the LONGEST path specification
+    wins; on a tie, allow wins (§2.2.2); no matching rule -> allowed;
+    no robots.txt for the domain -> allowed (§2.3.1.2: unavailable
+    means no restrictions);
+  * 'Disallow:' with an empty value matches nothing (ignored).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+RULES_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("rx", T.StringType()),
+            T.StructField("allow", T.BooleanType()),
+            T.StructField("spec", T.IntegerType()),
+        ]
+    )
+)
+
+
+def rule_to_regex(path_spec: str) -> str:
+    """RFC 9309 §2.2.3 path spec -> RE2/Java regex: '*' -> '.*',
+    trailing '$' -> end anchor, the rest literal-escaped."""
+    anchored = path_spec.endswith("$")
+    body = path_spec[:-1] if anchored else path_spec
+    rx = "^" + ".*".join(re.escape(part) for part in body.split("*"))
+    return rx + "$" if anchored else rx
+
+
+def parse_robots_text(body: str, agent: str) -> list[tuple[str, bool, int]]:
+    """One robots.txt body -> the rule list [(regex, allow, spec_len)]
+    applying to `agent` (a product token): exact case-insensitive
+    user-agent match wins; otherwise the '*' groups; all selected
+    groups merge. spec_len = octet length of the raw path spec (the
+    §2.2.2 precedence measure)."""
+    agent_lc = agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_group_header = True
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_group_header:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(value.lower())
+            in_group_header = True
+        elif field in ("allow", "disallow"):
+            if not cur_agents:
+                continue  # rules before any user-agent line: no group
+            in_group_header = False
+            if value == "":
+                continue  # empty path spec matches nothing
+            cur_rules.append((value, field == "allow"))
+        # other fields (crawl-delay, sitemap, ...) don't end a group
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    exact = [g for g in groups if agent_lc in g[0]]
+    selected = exact if exact else [g for g in groups if "*" in g[0]]
+    return [
+        (rule_to_regex(spec), allow, len(spec))
+        for _, rules in selected
+        for spec, allow in rules
+    ]
+
+
+def parse_robots(
+    robots_df: DataFrame,
+    agent: str,
+    domain_col: str = "domain",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, rules): each domain's robots.txt parsed for `agent`.
+    Arrow-batched; one output row per input row."""
+    schema = T.StructType(
+        [robots_df.schema[domain_col], T.StructField("rules", RULES_TYPE)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    domain_col: pdf[domain_col],
+                    "rules": [
+                        parse_robots_text(b, agent) for b in pdf[body_col]
+                    ],
+                }
+            )
+
+    return robots_df.select(domain_col, body_col).mapInPandas(
+        run, schema=schema
+    )
+
+
+def robots_decision(path: Column | str, rules: Column | str) -> Column:
+    """The §2.2.2 per-URL decision as ONE JVM SQL expression over a
+    path and a rule array: filter matching rules (RLIKE against each
+    rule's regex), fold to the longest-spec winner (allow wins ties),
+    allowed when nothing matches or rules are NULL (no robots)."""
+    p = path if isinstance(path, str) else None
+    r = rules if isinstance(rules, str) else None
+    if p is None or r is None:
+        raise ValueError("robots_decision takes COLUMN NAMES (SQL expr)")
+    return F.expr(
+        f"""
+        CASE WHEN {r} IS NULL THEN true ELSE
+          CASE WHEN size(filter({r}, x -> {p} RLIKE x.rx)) = 0 THEN true
+          ELSE aggregate(filter({r}, x -> {p} RLIKE x.rx),
+                CAST(NULL AS struct<rx:string,allow:boolean,spec:int>),
+                (acc, x) -> CASE WHEN acc IS NULL THEN x
+                    WHEN x.spec > acc.spec THEN x
+                    WHEN x.spec = acc.spec AND x.allow AND NOT acc.allow
+                        THEN x
+                    ELSE acc END).allow
+          END
+        END
+        """
+    )
+
+
+def robots_gate(
+    urls_df: DataFrame,
+    robots_df: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """urls_df + (robots_allowed boolean): join each URL's host
+    against its domain's parsed rules and evaluate the RFC decision.
+    The robots side is per-domain (small) — Spark broadcasts it when
+    it fits; URLs never touch Python."""
+    from kspp_spark.functions.web import url_host
+
+    rules = parse_robots(
+        robots_df, agent, domain_col=domain_col, body_col=body_col
+    ).withColumnRenamed(domain_col, "_rb_domain")
+    out = urls_df.withColumn("_rb_host", url_host(url_col)).join(
+        rules, F.col("_rb_host") == F.col("_rb_domain"), "left"
+    )
+    path = F.regexp_extract(F.col(url_col), r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return (
+        out.withColumn("_rb_path", path)
+        .withColumn(
+            "robots_allowed", robots_decision("_rb_path", "rules")
+        )
+        .drop("_rb_host", "_rb_domain", "_rb_path", "rules")
+    )

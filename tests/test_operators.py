@@ -2017,3 +2017,85 @@ def test_html_to_text_extraction(spark):
         "pre text\ntail"
     )
     assert out[2] == "&lt;kept&gt;"
+
+
+def test_robots_parsing_and_rules():
+    """RFC 9309 parsing: group selection (exact token beats '*',
+    multiple groups merge), comments, empty-Disallow ignored,
+    wildcard/anchor translation, case-insensitive fields/tokens."""
+    from kspp_spark.functions.robots import parse_robots_text, rule_to_regex
+
+    body = (
+        "# global rules\n"
+        "User-Agent: *\n"
+        "Disallow: /tmp/*  # trailing comment\n"
+        "\n"
+        "User-agent: GoodBot\n"
+        "User-agent: OtherBot\n"
+        "Allow: /public\n"
+        "Disallow: /\n"
+        "\n"
+        "user-agent: goodbot\n"
+        "Disallow: /also$\n"
+        "\n"
+        "User-agent: Unrelated\n"
+        "Disallow:\n"
+    )
+    # exact token: BOTH goodbot groups merge; '*' group excluded
+    rules = parse_robots_text(body, "GOODBOT")
+    assert rules == [
+        ("^/public", True, 7),
+        ("^/", False, 1),
+        ("^/also$", False, 6),
+    ]
+    # unmatched token falls back to the '*' group
+    assert parse_robots_text(body, "nobody") == [("^/tmp/.*", False, 6)]
+    # empty body / no groups -> no rules
+    assert parse_robots_text("", "x") == []
+    # wildcard/anchor translation incl. regex-special literals
+    assert rule_to_regex("/a*b$") == "^/a.*b$"
+    assert rule_to_regex("/p?x=1") == "^/p\\?x=1"
+
+
+def test_robots_gate_decisions(spark):
+    """§2.2.2 precedence over real URL rows: longest spec wins, allow
+    wins ties, no match / no robots -> allowed; matching is on the
+    path only."""
+    from kspp_spark.functions.robots import robots_gate
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "ex.com",
+                "User-agent: *\nDisallow: /docs/*\nAllow: /docs/pub\n"
+                "Disallow: /exact$\n",
+            ),
+            ("tie.com", "User-agent: *\nDisallow: /a\nAllow: /a\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "http://ex.com/docs/internal"),
+            (2, "http://ex.com/docs/pub/x?q=1"),
+            (3, "http://ex.com/exact"),
+            (4, "http://ex.com/exactly"),
+            (5, "http://ex.com/other"),
+            (6, "http://tie.com/a"),
+            (7, "http://norobots.com/x"),
+        ],
+        "i long, url string",
+    )
+    got = {
+        r.i: r.robots_allowed
+        for r in robots_gate(urls, robots, agent="mybot").collect()
+    }
+    assert got == {
+        1: False,  # /docs/* disallow
+        2: True,   # allow /docs/pub (spec 9) beats disallow /docs/* (7)
+        3: False,  # anchored /exact$
+        4: True,   # '$' anchor does NOT match /exactly
+        5: True,   # nothing matches
+        6: True,   # equal specs: allow wins
+        7: True,   # no robots.txt for the domain
+    }
