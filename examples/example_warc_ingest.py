@@ -1,7 +1,8 @@
 """Raw crawl to curation-ready corpus (beyond-reference): WARC
 segments (ISO 28500, the Common Crawl container) -> distributed
-record parse -> HTTP body extraction -> URL-level dedup (canonical
-form, latest capture wins) -> the text curation tiers' front door.
+record parse -> HTTP body extraction -> robots.txt compliance gate
+(RFC 9309) -> URL-level dedup (canonical form, latest capture wins)
+-> HTML -> text -> the text curation tiers' front door.
 
 The WARC segments here are synthesized in-script (this sandbox has no
 crawl), exercising the real read path: plain + member-per-record gzip
@@ -15,6 +16,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from kspp_spark.functions.text import gopher_counters, gopher_keep
+from kspp_spark.functions.robots import robots_gate
 from kspp_spark.functions.web import html_to_text, latest_capture_per_url
 from kspp_spark.session import get_spark
 from kspp_spark.sources.warc import read_warc, warc_to_documents
@@ -83,20 +85,35 @@ def main() -> None:
             ).distinct(),
             "url",
         )
+        # robots.txt compliance first (RFC 9309): the crawl captured
+        # a policy disallowing /b for everyone
+        robots = spark.createDataFrame(
+            [("site.example.com", "User-agent: *\nDisallow: /b\n")],
+            "domain string, robots_txt string",
+        )
+        permitted = robots_gate(docs, robots, agent="corpusbot").filter(
+            "robots_allowed"
+        )
+        print(
+            f"robots-permitted      : {permitted.count()} of {docs.count()} "
+            "captures (/b disallowed)"
+        )
+
         latest = latest_capture_per_url(
-            docs, url_col="url", date_col="warc_date", tiebreak_col="doc_id"
+            permitted, url_col="url", date_col="warc_date", tiebreak_col="doc_id"
         )
         n_urls = latest.count()
-        print(f"canonical URLs        : {n_urls} (from {docs.count()} captures)")
+        print(f"canonical URLs        : {n_urls}")
         winner = latest.filter(F.col("canon_url").contains("/a?")).first()
         assert winner.n_captures == 2 and "NEW CAPTURE" in winner.text
+        assert latest.filter(F.col("canon_url").contains("/b")).count() == 0
 
         # HTML -> text (JVM regexp chain), then the quality gate
         extracted = latest.withColumn("text", html_to_text(F.col("text")))
         c = gopher_counters("text", stopwords=["the", "a", "of", "and", "to"])
         kept = extracted.filter(gopher_keep(c))
         print(f"pass the quality gate : {kept.count()} (the 'tiny' page drops)")
-        assert kept.count() == 2
+        assert kept.count() == 1  # /a survives; /b robots-blocked, tiny gated
     finally:
         shutil.rmtree(crawl, ignore_errors=True)
     spark.stop()
