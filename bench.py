@@ -142,10 +142,10 @@ RECORD_BEST = {
     "dup_spans_removed": 1.219,
     "train_shuffle": 0.2931,
     "shard_assign": 0.449,
-    "perplexity_buckets": 1.6704,
+    "perplexity_buckets": 1.0714,
     "url_canonicalize": 0.2678,
     "html_to_text": 0.5447,
-    "robots_gate": 1.69,
+    "robots_gate": 0.5625,
     "local_supplier_volume": 0.6774,
     "market_share": 0.9109,
     "minhash_lsh_pairs": 2.4254,
