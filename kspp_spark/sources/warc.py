@@ -128,6 +128,59 @@ def http_response_body(payload: bytes) -> bytes:
     return payload
 
 
+_CHARSET_HEADER_RE = None  # compiled lazily (module import stays cheap)
+
+
+def http_response_text(payload: bytes) -> str:
+    """Charset-aware decoded entity body — the mojibake guard real
+    crawls need (a third of the web is not UTF-8): the charset comes
+    from, in order,
+      1. the HTTP Content-Type header's charset parameter,
+      2. an HTML meta declaration in the body's first 1024 bytes
+         (<meta charset=...> or the http-equiv Content-Type form),
+      3. UTF-8.
+    Unknown charset names fall through to the next source; undecodable
+    bytes are replaced (never dropped — curation gates downstream see
+    the replacement character, a signal, not silence)."""
+    import re as _re
+
+    global _CHARSET_HEADER_RE
+    if _CHARSET_HEADER_RE is None:
+        _CHARSET_HEADER_RE = (
+            _re.compile(
+                rb"(?im)^content-type:[^\r\n]*?charset=[\"']?([A-Za-z0-9_.:-]+)"
+            ),
+            _re.compile(
+                rb"(?i)<meta[^>]{0,200}?charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)"
+            ),
+        )
+    header_rx, meta_rx = _CHARSET_HEADER_RE
+    body = payload or b""
+    headers = b""
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        idx = body.find(sep)
+        if idx >= 0:
+            headers, body = body[:idx], body[idx + len(sep):]
+            break
+    candidates = []
+    m = header_rx.search(headers)
+    if m:
+        candidates.append(m.group(1).decode("ascii", "replace"))
+    m = meta_rx.search(body[:1024])
+    if m:
+        candidates.append(m.group(1).decode("ascii", "replace"))
+    candidates.append("utf-8")
+    import codecs
+
+    for name in candidates:
+        try:
+            codecs.lookup(name)
+        except LookupError:
+            continue
+        return body.decode(name, "replace")
+    return body.decode("utf-8", "replace")
+
+
 def read_warc(
     spark,
     path: str,
@@ -167,14 +220,13 @@ def warc_to_documents(
     straight into the curation tiers (boilerplate -> gopher ->
     dedup); `with_date` carries warc_date through for latest-capture
     URL dedup (functions/web.latest_capture_per_url)."""
-    # Arrow-batched body extraction (a plain Python UDF would be the
-    # row-at-a-time slow path this repo bans from hot paths)
+    # Arrow-batched charset-aware body extraction (a plain Python UDF
+    # would be the row-at-a-time slow path this repo bans from hot
+    # paths)
     @F.pandas_udf(T.StringType())
     def body_arrow(p: pd.Series) -> pd.Series:
         return p.map(
-            lambda b: http_response_body(bytes(b)).decode("utf-8", "replace")
-            if b is not None
-            else None
+            lambda b: http_response_text(bytes(b)) if b is not None else None
         )
 
     did = (

@@ -529,3 +529,48 @@ def test_read_warc_spark(spark, tmp_path):
     assert all("the quick brown fox" in t for t in by_url["http://example.org/a"])
     assert all(t == "second page body" for t in by_url["http://example.org/b"])
     assert len({r.doc_id for r in docs}) == 4  # ids unique across files
+
+
+def test_http_response_text_charset_handling():
+    """Charset resolution order: HTTP header beats HTML meta beats the
+    UTF-8 default; unknown names fall through; bad bytes become
+    replacement characters, never silent drops."""
+    from kspp_spark.sources.warc import http_response_text
+
+    latin = "café münchen".encode("latin-1")
+    # 1. header-declared latin-1 decodes correctly
+    p = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n"
+        b"\r\n" + latin
+    )
+    assert http_response_text(p) == "café münchen"
+    # without the declaration the same bytes mojibake via the UTF-8
+    # fallback (replacement chars present — visible, not dropped)
+    p2 = b"HTTP/1.1 200 OK\r\n\r\n" + latin
+    assert "�" in http_response_text(p2)
+    # 2. meta-declared charset applies when the header has none
+    body = (
+        b'<html><head><meta charset="windows-1252"></head>'
+        b"<body>" + "–dash–".encode("cp1252") + b"</body>"
+    )
+    p3 = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    assert "–dash–" in http_response_text(p3)
+    # header WINS over a conflicting meta
+    p4 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        b'<meta charset="ISO-8859-1">' + "oké".encode("utf-8")
+    )
+    assert http_response_text(p4).endswith("oké")
+    # 3. unknown charset name falls through to utf-8
+    p5 = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=not-a-real-cs\r\n"
+        b"\r\n" + "plain".encode()
+    )
+    assert http_response_text(p5) == "plain"
+    # the http-equiv meta form also resolves
+    p6 = (
+        b"HTTP/1.1 200 OK\r\n\r\n"
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=ISO-8859-1">' + latin
+    )
+    assert "café" in http_response_text(p6)
