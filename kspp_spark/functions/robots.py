@@ -102,6 +102,19 @@ def parse_robots_text(body: str, agent: str) -> list[tuple[str, bool, int]]:
     ]
 
 
+def sitemap_urls(body: str) -> list[str]:
+    """The Sitemap: lines of a robots.txt (RFC 9309 §2.4 treats them
+    as global, group-independent) — crawl seeding companions to the
+    allow/disallow groups."""
+    out = []
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, _, value = line.partition(":")
+        if field.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
 def parse_robots(
     robots_df: DataFrame,
     agent: str,

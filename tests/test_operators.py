@@ -2099,3 +2099,19 @@ def test_robots_gate_decisions(spark):
         6: True,   # equal specs: allow wins
         7: True,   # no robots.txt for the domain
     }
+
+
+def test_robots_sitemap_urls():
+    from kspp_spark.functions.robots import sitemap_urls
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://ex.com/sitemap.xml  # main\n"
+        "sitemap: https://ex.com/news.xml\n"
+        "Sitemap:\n"  # empty value ignored
+    )
+    assert sitemap_urls(body) == [
+        "https://ex.com/sitemap.xml",
+        "https://ex.com/news.xml",
+    ]
+    assert sitemap_urls("") == []

@@ -720,3 +720,53 @@ def test_seq_dedup_fold_probe_equals_batch_over_lww_state(
         )
     )
     assert got == want, (truth, got, want)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    records=st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "metadata", "warcinfo"]),
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz0123456789:/._-",
+                min_size=0, max_size=40,
+            ),
+            st.binary(max_size=200),  # arbitrary payloads — including
+            #                           bytes that LOOK like separators
+        ),
+        min_size=1, max_size=8,
+    ),
+    gz=st.booleans(),
+)
+def test_warc_build_parse_round_trip(records, gz):
+    """PROPERTY: Content-Length framing makes the parser immune to
+    payload contents — any payload bytes (including embedded
+    'WARC/1.0' banners and CRLF runs) round-trip exactly, plain or
+    gzipped."""
+    import gzip as _gzip
+
+    from kspp_spark.sources.warc import parse_warc_stream
+
+    raw = b""
+    for i, (wtype, uri, payload) in enumerate(records):
+        headers = {
+            "WARC-Type": wtype,
+            "WARC-Record-ID": f"<urn:uuid:{i}>",
+        }
+        if uri:
+            headers["WARC-Target-URI"] = uri
+        h = "".join(f"{k}: {v}\r\n" for k, v in headers.items())
+        raw += (
+            b"WARC/1.0\r\n" + h.encode()
+            + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+            + payload + b"\r\n\r\n"
+        )
+    data = _gzip.compress(raw) if gz else raw
+    got = list(parse_warc_stream(data))
+    assert len(got) == len(records)
+    for i, (rec, (wtype, uri, payload)) in enumerate(zip(got, records)):
+        assert rec["record_no"] == i
+        assert rec["warc_type"] == wtype
+        assert rec["target_uri"] == (uri or None)
+        assert rec["payload"] == payload
+        assert rec["content_length"] == len(payload)
