@@ -2525,6 +2525,14 @@ def test_incremental_dedup_verify_scores(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(pairs_dir, "epoch=4")).collect()
     }
     assert (4, 1) not in e4 and e4[(4, 2)] == 1.0
+    # checkpoint-recovery REPLAY of the current epoch with verify on:
+    # identical scored pairs, no duplicates, sigs state still serves
+    step([(4, text_a)], 4)
+    e4b = {
+        (r.new_id, r.dup_of): r.score
+        for r in spark.read.parquet(os.path.join(pairs_dir, "epoch=4")).collect()
+    }
+    assert e4b == e4
 
 
 def test_incremental_dedup_verify_srp_family(spark, tmp_path):
