@@ -97,9 +97,11 @@ BENCH_QUERIES = [
     # Lee-et-al span-removal completion (localize + cut, exact-oracled)
     "media_decode",
     "dup_spans_removed",
-    # round-7 late additions (49 -> 55): training-prep tier —
-    # distributed two-pass global shuffle rank, LPT serpentine token
-    # sharding, CCNet perplexity partition (all exact-oracled)
+    # round-7 late additions (49 -> 55): the training-prep tier
+    # (distributed two-pass global shuffle rank, LPT serpentine token
+    # sharding, CCNet perplexity partition) and the web front door
+    # (URL canonicalization, HTML->text, RFC 9309 robots gate) — all
+    # exact-oracled
     "train_shuffle",
     "shard_assign",
     "perplexity_buckets",
