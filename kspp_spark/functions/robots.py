@@ -42,7 +42,11 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 RULES_TYPE = T.ArrayType(
     T.StructType(
         [
-            T.StructField("rx", T.StringType()),
+            # pat: a literal PREFIX when lit (no '*'/'$' in the spec —
+            # the overwhelmingly common case, matched with startswith,
+            # no regex compile), else the translated regex
+            T.StructField("pat", T.StringType()),
+            T.StructField("lit", T.BooleanType()),
             T.StructField("allow", T.BooleanType()),
             T.StructField("spec", T.IntegerType()),
         ]
@@ -59,12 +63,17 @@ def rule_to_regex(path_spec: str) -> str:
     return rx + "$" if anchored else rx
 
 
-def parse_robots_text(body: str, agent: str) -> list[tuple[str, bool, int]]:
-    """One robots.txt body -> the rule list [(regex, allow, spec_len)]
-    applying to `agent` (a product token): exact case-insensitive
-    user-agent match wins; otherwise the '*' groups; all selected
-    groups merge. spec_len = octet length of the raw path spec (the
-    §2.2.2 precedence measure)."""
+def parse_robots_text(
+    body: str, agent: str
+) -> list[tuple[str, bool, bool, int]]:
+    """One robots.txt body -> the rule list
+    [(pattern, is_literal_prefix, allow, spec_len)] applying to
+    `agent` (a product token): exact case-insensitive user-agent
+    match wins; otherwise the '*' groups; all selected groups merge.
+    Specs without '*'/'$' stay literal prefixes (matched downstream
+    with startswith — no regex compile); the rest translate to
+    regexes. spec_len = octet length of the raw path spec (the §2.2.2
+    precedence measure)."""
     agent_lc = agent.lower()
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []
@@ -95,11 +104,14 @@ def parse_robots_text(body: str, agent: str) -> list[tuple[str, bool, int]]:
         groups.append((cur_agents, cur_rules))
     exact = [g for g in groups if agent_lc in g[0]]
     selected = exact if exact else [g for g in groups if "*" in g[0]]
-    return [
-        (rule_to_regex(spec), allow, len(spec))
-        for _, rules in selected
-        for spec, allow in rules
-    ]
+    out = []
+    for _, rules in selected:
+        for spec, allow in rules:
+            lit = "*" not in spec and not spec.endswith("$")
+            out.append(
+                (spec if lit else rule_to_regex(spec), lit, allow, len(spec))
+            )
+    return out
 
 
 def sitemap_urls(body: str) -> list[str]:
@@ -145,19 +157,26 @@ def parse_robots(
 
 def robots_decision(path: Column | str, rules: Column | str) -> Column:
     """The §2.2.2 per-URL decision as ONE JVM SQL expression over a
-    path and a rule array: filter matching rules (RLIKE against each
-    rule's regex), fold to the longest-spec winner (allow wins ties),
-    allowed when nothing matches or rules are NULL (no robots)."""
+    path and a rule array: filter matching rules — literal-prefix
+    rules via startswith (zero regex compile, the common case),
+    wildcard/anchored rules via RLIKE — then fold to the longest-spec
+    winner (allow wins ties); allowed when nothing matches or rules
+    are NULL (no robots)."""
     p = path if isinstance(path, str) else None
     r = rules if isinstance(rules, str) else None
     if p is None or r is None:
         raise ValueError("robots_decision takes COLUMN NAMES (SQL expr)")
+    match = (
+        f"filter({r}, x -> CASE WHEN x.lit THEN startswith({p}, x.pat) "
+        f"ELSE {p} RLIKE x.pat END)"
+    )
     return F.expr(
         f"""
         CASE WHEN {r} IS NULL THEN true ELSE
-          CASE WHEN size(filter({r}, x -> {p} RLIKE x.rx)) = 0 THEN true
-          ELSE aggregate(filter({r}, x -> {p} RLIKE x.rx),
-                CAST(NULL AS struct<rx:string,allow:boolean,spec:int>),
+          CASE WHEN size({match}) = 0 THEN true
+          ELSE aggregate({match},
+                CAST(NULL AS
+                    struct<pat:string,lit:boolean,allow:boolean,spec:int>),
                 (acc, x) -> CASE WHEN acc IS NULL THEN x
                     WHEN x.spec > acc.spec THEN x
                     WHEN x.spec = acc.spec AND x.allow AND NOT acc.allow

@@ -2041,15 +2041,19 @@ def test_robots_parsing_and_rules():
         "User-agent: Unrelated\n"
         "Disallow:\n"
     )
-    # exact token: BOTH goodbot groups merge; '*' group excluded
+    # exact token: BOTH goodbot groups merge; '*' group excluded.
+    # Prefix-only specs stay LITERAL (startswith path downstream);
+    # wildcard/anchored ones translate to regexes.
     rules = parse_robots_text(body, "GOODBOT")
     assert rules == [
-        ("^/public", True, 7),
-        ("^/", False, 1),
-        ("^/also$", False, 6),
+        ("/public", True, True, 7),
+        ("/", True, False, 1),
+        ("^/also$", False, False, 6),
     ]
     # unmatched token falls back to the '*' group
-    assert parse_robots_text(body, "nobody") == [("^/tmp/.*", False, 6)]
+    assert parse_robots_text(body, "nobody") == [
+        ("^/tmp/.*", False, False, 6)
+    ]
     # empty body / no groups -> no rules
     assert parse_robots_text("", "x") == []
     # wildcard/anchor translation incl. regex-special literals
