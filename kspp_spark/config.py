@@ -228,16 +228,42 @@ class ClusterConfig:
             # certificate.chain + ssl.keystore.key (both official
             # KIP-651 configs, password-protected keys honored via
             # ssl.key.password).
+            # SECURITY: the inline ssl.keystore.key value below is a
+            # private key carried as a plain source OPTION. The Kafka
+            # client treats it as a Password config, but Spark surfaces
+            # source options in plans / the UI / event logs, and the
+            # DEFAULT spark.redaction.regex (secret|password|token|
+            # access.key) does NOT match 'ssl.keystore.key'. Deployers
+            # must either extend spark.redaction.regex to cover
+            # '(?i)ssl.keystore.key|ssl.key.password' or convert the
+            # PEM pair to a PKCS12 keystore file and set
+            # kafka.ssl.keystore.{type=PKCS12,location,password} so key
+            # material stays file-based (both documented in KAFKA.md).
             opts["kafka.ssl.truststore.type"] = "PEM"
             opts["kafka.ssl.truststore.location"] = self.ca_cert_path
             if self.client_cert_path and self.client_key_path:
-                with open(self.client_cert_path, "r") as f:
-                    chain = f.read()
-                with open(self.client_key_path, "r") as f:
-                    key_pem = f.read()
-                opts["kafka.ssl.keystore.type"] = "PEM"
-                opts["kafka.ssl.keystore.certificate.chain"] = chain
-                opts["kafka.ssl.keystore.key"] = key_pem
-                if self.client_key_passphrase:
-                    opts["kafka.ssl.key.password"] = self.client_key_passphrase
+                ext = os.path.splitext(self.client_cert_path)[1].lower()
+                if ext in (".p12", ".pfx", ".jks"):
+                    # File-based alternative: point KSPP_CLIENT_CERT at
+                    # a PKCS12/JKS keystore (KSPP_CLIENT_KEY_PASSPHRASE
+                    # is its password) and key material never enters
+                    # the option map — only the path does.
+                    opts["kafka.ssl.keystore.type"] = (
+                        "JKS" if ext == ".jks" else "PKCS12"
+                    )
+                    opts["kafka.ssl.keystore.location"] = self.client_cert_path
+                    if self.client_key_passphrase:
+                        opts["kafka.ssl.keystore.password"] = (
+                            self.client_key_passphrase
+                        )
+                else:
+                    with open(self.client_cert_path, "r") as f:
+                        chain = f.read()
+                    with open(self.client_key_path, "r") as f:
+                        key_pem = f.read()
+                    opts["kafka.ssl.keystore.type"] = "PEM"
+                    opts["kafka.ssl.keystore.certificate.chain"] = chain
+                    opts["kafka.ssl.keystore.key"] = key_pem
+                    if self.client_key_passphrase:
+                        opts["kafka.ssl.key.password"] = self.client_key_passphrase
         return opts

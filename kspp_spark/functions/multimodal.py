@@ -21,6 +21,7 @@ real decode is requested without a codec library installed.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -158,7 +159,8 @@ def parse_image_header(data: bytes) -> dict:
                 continue
             seg_len = struct.unpack(">H", d[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                if i + 9 > len(d):
+                # d[i + 9] (component count) needs i + 10 bytes present
+                if i + 10 > len(d):
                     raise ValueError("jpeg: truncated SOF")
                 h, w = struct.unpack(">HH", d[i + 5 : i + 9])
                 return {
@@ -285,7 +287,10 @@ def decode_image_headers(
             for b in pdf[media]:
                 try:
                     meta = parse_image_header(b)
-                except ValueError:
+                # IndexError/struct.error guard real-crawl malformed
+                # bytes the spec checks miss — one bad image must yield
+                # a NULL row, never kill the Arrow task
+                except (ValueError, IndexError, struct.error):
                     meta = {
                         "format": None,
                         "width": None,

@@ -9,20 +9,22 @@ Split of labor, scale-shaped:
     translation) runs once per DOMAIN via an Arrow-batched UDF —
     robots bodies are tiny and the domain table is orders of
     magnitude smaller than the URL table;
-  * MATCHING runs per URL as a pure JVM SQL expression (filter +
-    RLIKE with per-rule patterns + an aggregate fold picking the
-    winning rule), joined against the per-domain rule arrays —
-    broadcast when the domain table fits, hash join on the host
-    otherwise. No Python anywhere near the URL table.
+  * MATCHING runs per URL as a pure JVM SQL expression with ZERO
+    regex (startswith for literal prefixes; a locate()-fold over
+    '*'-split parts for wildcard/anchored rules; an aggregate fold
+    picking the winning rule), joined against the per-domain rule
+    arrays — broadcast when the domain table fits, hash join on the
+    host otherwise. No Python and no regex compile anywhere near the
+    URL table.
 
 Semantics implemented (documented choices where the RFC leaves room):
   * group selection: case-insensitive EXACT product-token match wins;
     otherwise the '*' groups apply; all selected groups' rules MERGE
     (RFC 9309 §2.2.1 — multiple groups for the same agent combine);
   * rule matching: '*' matches any characters, '$' anchors the end,
-    everything else is literal (§2.2.3); match target is the URL
-    PATH (query and fragment excluded — a documented simplification;
-    pass your own path column to include queries);
+    everything else is literal (§2.2.3); robots_gate's match target
+    is the URL PATH PLUS OPTIONAL QUERY (fragment excluded, §2.2.2);
+    robots_decision accepts any path column;
   * precedence: the matching rule with the LONGEST path specification
     wins; on a tie, allow wins (§2.2.2); no matching rule -> allowed;
     no robots.txt for the domain -> allowed (§2.3.1.2: unavailable
@@ -43,14 +45,26 @@ RULES_TYPE = T.ArrayType(
     T.StructType(
         [
             # pat: a literal PREFIX when lit (no '*'/'$' in the spec —
-            # the overwhelmingly common case, matched with startswith,
-            # no regex compile), else the translated regex
+            # the overwhelmingly common case, matched with startswith);
+            # for wildcard/anchored rules it keeps the translated regex
+            # for DEBUGGING ONLY — matching uses parts/anchored below,
+            # never a per-row regex compile
             T.StructField("pat", T.StringType()),
             T.StructField("lit", T.BooleanType()),
             T.StructField("allow", T.BooleanType()),
             T.StructField("spec", T.IntegerType()),
+            # the spec body split on '*' (NULL when lit): matched with
+            # startswith/locate/endswith — greedy-leftmost placement is
+            # complete for a pattern language of literals + '*' only
+            T.StructField("parts", T.ArrayType(T.StringType())),
+            T.StructField("anchored", T.BooleanType()),
         ]
     )
+)
+
+_RULE_STRUCT_SQL = (
+    "struct<pat:string,lit:boolean,allow:boolean,spec:int,"
+    "parts:array<string>,anchored:boolean>"
 )
 
 
@@ -65,15 +79,17 @@ def rule_to_regex(path_spec: str) -> str:
 
 def parse_robots_text(
     body: str, agent: str
-) -> list[tuple[str, bool, bool, int]]:
+) -> list[tuple[str, bool, bool, int, list[str] | None, bool]]:
     """One robots.txt body -> the rule list
-    [(pattern, is_literal_prefix, allow, spec_len)] applying to
-    `agent` (a product token): exact case-insensitive user-agent
-    match wins; otherwise the '*' groups; all selected groups merge.
-    Specs without '*'/'$' stay literal prefixes (matched downstream
-    with startswith — no regex compile); the rest translate to
-    regexes. spec_len = octet length of the raw path spec (the §2.2.2
-    precedence measure)."""
+    [(pattern, is_literal_prefix, allow, spec_len, parts, anchored)]
+    applying to `agent` (a product token): exact case-insensitive
+    user-agent match wins; otherwise the '*' groups; all selected
+    groups merge. Specs without '*'/'$' stay literal prefixes
+    (matched downstream with startswith — no regex anywhere); the
+    rest carry their '*'-split parts + end-anchor flag for the
+    regex-free JVM matcher (pattern kept as a translated regex for
+    debugging only). spec_len = octet length of the raw path spec
+    (the §2.2.2 precedence measure)."""
     agent_lc = agent.lower()
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []
@@ -108,9 +124,21 @@ def parse_robots_text(
     for _, rules in selected:
         for spec, allow in rules:
             lit = "*" not in spec and not spec.endswith("$")
-            out.append(
-                (spec if lit else rule_to_regex(spec), lit, allow, len(spec))
-            )
+            if lit:
+                out.append((spec, True, allow, len(spec), None, False))
+            else:
+                anchored = spec.endswith("$")
+                body_spec = spec[:-1] if anchored else spec
+                out.append(
+                    (
+                        rule_to_regex(spec),
+                        False,
+                        allow,
+                        len(spec),
+                        body_spec.split("*"),
+                        anchored,
+                    )
+                )
     return out
 
 
@@ -157,26 +185,54 @@ def parse_robots(
 
 def robots_decision(path: Column | str, rules: Column | str) -> Column:
     """The §2.2.2 per-URL decision as ONE JVM SQL expression over a
-    path and a rule array: filter matching rules — literal-prefix
-    rules via startswith (zero regex compile, the common case),
-    wildcard/anchored rules via RLIKE — then fold to the longest-spec
-    winner (allow wins ties); allowed when nothing matches or rules
-    are NULL (no robots)."""
+    path and a rule array, with ZERO regex anywhere: literal-prefix
+    rules match via startswith (the overwhelmingly common case);
+    wildcard/anchored rules match via their '*'-split parts —
+    startswith on the first part, a greedy-leftmost locate() fold
+    over the middle parts, endswith + a position bound for the '$'
+    anchor. Greedy-leftmost placement is COMPLETE for a pattern
+    language of literals and '*' only (no alternation/backrefs): if
+    any placement of the middle parts matches, placing each at its
+    leftmost feasible position also matches. The previous RLIKE form
+    recompiled each non-literal pattern per evaluation (URL x rule);
+    this fold is plain string search. Then the matches fold to the
+    longest-spec winner (allow wins ties); allowed when nothing
+    matches or rules are NULL (no robots)."""
     p = path if isinstance(path, str) else None
     r = rules if isinstance(rules, str) else None
     if p is None or r is None:
         raise ValueError("robots_decision takes COLUMN NAMES (SQL expr)")
+    # 1-based "next search position" after matching the first part,
+    # folded through the middle parts; -1 = dead. For anchored rules
+    # the LAST part is checked as a suffix whose start must not
+    # overlap the folded position.
+    fold = f"""aggregate(
+        slice(x.parts, 2,
+              size(x.parts) - CASE WHEN x.anchored THEN 2 ELSE 1 END),
+        length(element_at(x.parts, 1)) + 1,
+        (acc, q) -> CASE WHEN acc < 0 THEN -1
+            WHEN q = '' THEN acc
+            WHEN locate(q, {p}, acc) = 0 THEN -1
+            ELSE locate(q, {p}, acc) + length(q) END)"""
+    wild = f"""CASE
+        WHEN x.anchored AND size(x.parts) = 1
+            THEN {p} = element_at(x.parts, 1)
+        WHEN NOT startswith({p}, element_at(x.parts, 1)) THEN false
+        WHEN x.anchored THEN
+            endswith({p}, element_at(x.parts, -1))
+            AND {fold} BETWEEN 0 AND
+                length({p}) - length(element_at(x.parts, -1)) + 1
+        ELSE {fold} >= 0 END"""
     match = (
         f"filter({r}, x -> CASE WHEN x.lit THEN startswith({p}, x.pat) "
-        f"ELSE {p} RLIKE x.pat END)"
+        f"ELSE ({wild}) END)"
     )
     return F.expr(
         f"""
         CASE WHEN {r} IS NULL THEN true ELSE
           CASE WHEN size({match}) = 0 THEN true
           ELSE aggregate({match},
-                CAST(NULL AS
-                    struct<pat:string,lit:boolean,allow:boolean,spec:int>),
+                CAST(NULL AS {_RULE_STRUCT_SQL}),
                 (acc, x) -> CASE WHEN acc IS NULL THEN x
                     WHEN x.spec > acc.spec THEN x
                     WHEN x.spec = acc.spec AND x.allow AND NOT acc.allow
@@ -199,7 +255,12 @@ def robots_gate(
     """urls_df + (robots_allowed boolean): join each URL's host
     against its domain's parsed rules and evaluate the RFC decision.
     The robots side is per-domain (small) — Spark broadcasts it when
-    it fits; URLs never touch Python."""
+    it fits; URLs never touch Python.
+
+    Match target is the PATH PLUS OPTIONAL QUERY (everything after the
+    authority up to any '#'), per RFC 9309 §2.2.2 — so query-targeting
+    rules like 'Disallow: /*?*' and 'Disallow: /search?q=' apply. Only
+    the fragment is excluded."""
     from kspp_spark.functions.web import url_host
 
     rules = parse_robots(
@@ -208,8 +269,13 @@ def robots_gate(
     out = urls_df.withColumn("_rb_host", url_host(url_col)).join(
         rules, F.col("_rb_host") == F.col("_rb_domain"), "left"
     )
-    path = F.regexp_extract(F.col(url_col), r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.regexp_extract(F.col(url_col), r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
+    # empty path -> '/'; query with no path ('host?q=1') -> '/?q=1'
+    path = (
+        F.when(path == "", F.lit("/"))
+        .when(path.startswith("?"), F.concat(F.lit("/"), path))
+        .otherwise(path)
+    )
     return (
         out.withColumn("_rb_path", path)
         .withColumn(

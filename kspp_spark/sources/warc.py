@@ -209,15 +209,28 @@ def read_warc(
 
 
 def warc_to_documents(
-    warc_df: DataFrame, id_offset: int = 0, with_date: bool = False
+    warc_df: DataFrame,
+    id_offset: int = 0,
+    with_date: bool = False,
+    id_mode: str = "packed",
 ) -> DataFrame:
     """Shape WARC response records into this library's `documents`
     table form: (doc_id, url, text) — HTTP headers stripped, body
-    decoded utf-8 (errors replaced), doc_id = stable per-file record
-    numbering offset by the file's hash so ids don't collide across
-    files (2^40 file-hash space x 2^20 records/file — comfortably
-    above any crawl's segment and per-segment record counts). Feed
-    straight into the curation tiers (boilerplate -> gopher ->
+    decoded utf-8 (errors replaced). Two doc_id derivations:
+
+    * ``id_mode='packed'`` (default): file-hash slot (2^40) x
+      record_no (2^20) — ids are MONOTONIC WITHIN A FILE (useful for
+      ordered replay/debugging). A record_no >= 2^20 would silently
+      bleed into the next file-hash slot, so the expression RAISES at
+      evaluation time instead (Common Crawl segments hold ~100k
+      records; 2^20 is ~10x headroom). File-hash birthday collisions
+      run ~0.45% at 100k files — acceptable for one crawl segment
+      fleet, not for a multi-crawl lake: use 'hash64' there.
+    * ``id_mode='hash64'``: xxhash64(warc_file, record_no) — the full
+      64-bit space, birthday-safe at any fleet size (~1e-5 at 2
+      BILLION records), ids not file-ordered.
+
+    Feed straight into the curation tiers (boilerplate -> gopher ->
     dedup); `with_date` carries warc_date through for latest-capture
     URL dedup (functions/web.latest_capture_per_url)."""
     # Arrow-batched charset-aware body extraction (a plain Python UDF
@@ -229,11 +242,28 @@ def warc_to_documents(
             lambda b: http_response_text(bytes(b)) if b is not None else None
         )
 
-    did = (
-        F.pmod(F.xxhash64("warc_file"), F.lit(1 << 40)) * F.lit(1 << 20)
-        + F.col("record_no")
-        + F.lit(id_offset)
-    )
+    if id_mode == "hash64":
+        did = F.xxhash64("warc_file", "record_no") + F.lit(id_offset)
+    elif id_mode == "packed":
+        packed = (
+            F.pmod(F.xxhash64("warc_file"), F.lit(1 << 40)) * F.lit(1 << 20)
+            + F.col("record_no")
+            + F.lit(id_offset)
+        )
+        did = F.when(F.col("record_no") < F.lit(1 << 20), packed).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "warc_to_documents: record_no >= 2^20 overflows the "
+                        "packed doc_id slot in "
+                    ),
+                    F.col("warc_file"),
+                    F.lit(" — use id_mode='hash64'"),
+                )
+            ).cast("long")
+        )
+    else:
+        raise ValueError(f"warc_to_documents: unknown id_mode {id_mode!r}")
     return warc_df.select(
         did.cast("long").alias("doc_id"),
         F.col("target_uri").alias("url"),

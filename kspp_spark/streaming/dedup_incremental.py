@@ -568,9 +568,14 @@ def compact_dedup_state(
     lock-step (its NULL-sig tombstone rows are kept for the same
     reason). Point the stream at the new dirs with a fresh checkpoint
     afterwards."""
-    for src, out, label in [(state_dir, out_dir, "out_dir")] + (
+    # Validate EVERYTHING before writing anything: a mid-loop raise
+    # after the band state was already compacted would leave a
+    # half-written out_dir that then fails the corrected retry's
+    # fresh-directory check.
+    targets = [(state_dir, out_dir, "out_dir")] + (
         [(sigs_dir, sigs_out_dir, "sigs_out_dir")] if sigs_dir is not None else []
-    ):
+    )
+    for _, out, label in targets:
         if out is None:
             raise ValueError("compact_dedup_state: sigs_dir needs sigs_out_dir")
         if _epoch_dirs(spark, out):
@@ -578,5 +583,6 @@ def compact_dedup_state(
                 f"compact_dedup_state: {label} already contains epochs — "
                 "compaction writes a fresh directory"
             )
+    for src, out, _ in targets:
         winners = _winner_rows(spark.read.option("mergeSchema", "true").parquet(src))
         winners.write.mode("overwrite").parquet(os.path.join(out, "epoch=-1"))

@@ -112,6 +112,17 @@ def test_parse_image_header_golden():
     for junk in (b"", b"not an image", b"\xff\xd8\x00\x00"):
         with _pt.raises(ValueError):
             parse_image_header(junk)
+    # EVERY truncation prefix of a valid JPEG either raises ValueError
+    # (never IndexError — the cut exactly at the SOF component-count
+    # byte used to escape and kill the Arrow task) or, once all SOF
+    # fields are present, yields the complete header
+    full = build_image_bytes("jpeg", 10, 10, 3)
+    want = {"format": "jpeg", "width": 10, "height": 10, "channels": 3}
+    for cut in range(len(full)):
+        try:
+            assert parse_image_header(full[:cut]) == want
+        except ValueError:
+            pass
 
 
 def test_decode_image_headers(spark):

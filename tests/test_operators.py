@@ -2046,25 +2046,31 @@ def test_robots_parsing_and_rules():
     # wildcard/anchored ones translate to regexes.
     rules = parse_robots_text(body, "GOODBOT")
     assert rules == [
-        ("/public", True, True, 7),
-        ("/", True, False, 1),
-        ("^/also$", False, False, 6),
+        ("/public", True, True, 7, None, False),
+        ("/", True, False, 1, None, False),
+        ("^/also$", False, False, 6, ["/also"], True),
     ]
     # unmatched token falls back to the '*' group
     assert parse_robots_text(body, "nobody") == [
-        ("^/tmp/.*", False, False, 6)
+        ("^/tmp/.*", False, False, 6, ["/tmp/", ""], False)
     ]
     # empty body / no groups -> no rules
     assert parse_robots_text("", "x") == []
-    # wildcard/anchor translation incl. regex-special literals
+    # wildcard/anchor translation incl. regex-special literals (the
+    # regex is debugging metadata; matching uses parts/anchored)
     assert rule_to_regex("/a*b$") == "^/a.*b$"
     assert rule_to_regex("/p?x=1") == "^/p\\?x=1"
+    # multi-wildcard + anchored parts decomposition
+    (_, lit, _, spec, parts, anchored) = parse_robots_text(
+        "User-agent: *\nDisallow: /a*b*c$\n", "x"
+    )[0]
+    assert (lit, spec, parts, anchored) == (False, 7, ["/a", "b", "c"], True)
 
 
 def test_robots_gate_decisions(spark):
     """§2.2.2 precedence over real URL rows: longest spec wins, allow
-    wins ties, no match / no robots -> allowed; matching is on the
-    path only."""
+    wins ties, no match / no robots -> allowed; matching covers the
+    path PLUS the query (fragment excluded)."""
     from kspp_spark.functions.robots import robots_gate
 
     robots = spark.createDataFrame(
@@ -2075,6 +2081,11 @@ def test_robots_gate_decisions(spark):
                 "Disallow: /exact$\n",
             ),
             ("tie.com", "User-agent: *\nDisallow: /a\nAllow: /a\n"),
+            (
+                "q.com",
+                "User-agent: *\nDisallow: /search?q=\nDisallow: /priv*?*\n"
+                "Disallow: /x*y*z$\n",
+            ),
         ],
         "domain string, robots_txt string",
     )
@@ -2087,6 +2098,17 @@ def test_robots_gate_decisions(spark):
             (5, "http://ex.com/other"),
             (6, "http://tie.com/a"),
             (7, "http://norobots.com/x"),
+            # query-targeting rules (RFC 9309 matches path + query)
+            (8, "http://q.com/search?q=spark"),
+            (9, "http://q.com/search"),
+            (10, "http://q.com/private/page?session=1"),
+            (11, "http://q.com/private/page"),
+            # multi-wildcard anchored /x*y*z$
+            (12, "http://q.com/x--y--z"),
+            (13, "http://q.com/x--y--z-tail"),
+            (14, "http://q.com/xz"),
+            # fragment still excluded from matching
+            (15, "http://q.com/search#q=frag"),
         ],
         "i long, url string",
     )
@@ -2102,6 +2124,14 @@ def test_robots_gate_decisions(spark):
         5: True,   # nothing matches
         6: True,   # equal specs: allow wins
         7: True,   # no robots.txt for the domain
+        8: False,  # /search?q= matches path+query
+        9: True,   # no query -> /search?q= does not match
+        10: False,  # /priv*?* — any query under /priv
+        11: True,  # /priv*?* needs a '?' present
+        12: False,  # /x*y*z$ exact-tail match
+        13: True,  # anchored: trailing text breaks the match
+        14: True,  # middle part 'y' missing
+        15: True,  # fragment stripped -> plain /search, allowed
     }
 
 

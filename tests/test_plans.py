@@ -685,3 +685,17 @@ def test_gopher_repetition_two_shuffles(spark, queries):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) <= 2, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_robots_gate_no_regex_broadcast_join(spark, queries):
+    """Robots-gate scale contract: per-URL matching is pure string
+    search (startswith / locate / endswith over the '*'-split parts)
+    — no RLIKE and therefore no per-row regex compile anywhere in the
+    plan; the per-domain rule side broadcasts; Python (the Arrow
+    parse stage) touches only the tiny robots side, never the URL
+    table."""
+    plan = formatted_plan(spark, queries["robots_gate"](spark, SF))
+    assert "RLIKE" not in plan and "rlike" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -530,6 +530,42 @@ def test_read_warc_spark(spark, tmp_path):
     assert all(t == "second page body" for t in by_url["http://example.org/b"])
     assert len({r.doc_id for r in docs}) == 4  # ids unique across files
 
+    # hash64 id mode: full 64-bit space, still unique, same rows
+    docs64 = warc_to_documents(
+        read_warc(spark, str(p)), id_mode="hash64"
+    ).collect()
+    assert len({r.doc_id for r in docs64}) == 4
+    assert sorted(r.url for r in docs64) == sorted(r.url for r in docs)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown id_mode"):
+        warc_to_documents(read_warc(spark, str(p)), id_mode="bogus")
+
+
+def test_warc_doc_id_overflow_guard(spark):
+    """packed id_mode RAISES instead of silently bleeding record_no
+    into the next file-hash slot at 2^20 records/file; hash64 mode
+    has no such bound."""
+    import pytest as _pt
+    from pyspark.errors import SparkRuntimeException
+
+    from kspp_spark.sources.warc import warc_to_documents
+
+    rows = [("f.warc", (1 << 20) - 1, "x"), ("f.warc", 1 << 20, "y")]
+    df = spark.createDataFrame(
+        rows, "warc_file string, record_no int, payload string"
+    ).select(
+        "warc_file", "record_no",
+        F.encode("payload", "utf-8").alias("payload"),
+        F.lit("u").alias("target_uri"),
+    )
+    ok = df.where(F.col("record_no") < (1 << 20))
+    assert warc_to_documents(ok).count() == 1
+    with _pt.raises(SparkRuntimeException, match="2\\^20"):
+        warc_to_documents(df).collect()
+    assert warc_to_documents(df, id_mode="hash64").count() == 2
+
 
 def test_http_response_text_charset_handling():
     """Charset resolution order: HTTP header beats HTML meta beats the

@@ -2300,6 +2300,14 @@ def test_incremental_dedup_changelog_edge_cases(spark, tmp_path):
     with _pt.raises(ValueError, match="fresh"):
         compact_dedup_state(spark, state, state2)
 
+    # argument validation happens BEFORE any write: sigs_dir without
+    # sigs_out_dir must fail without touching the band out_dir, so the
+    # corrected retry still sees a fresh directory
+    state3 = str(tmp_path / "state3")
+    with _pt.raises(ValueError, match="sigs_out_dir"):
+        compact_dedup_state(spark, state, state3, sigs_dir=state)
+    compact_dedup_state(spark, state, state3)  # retry succeeds
+
 
 def test_incremental_dedup_epoch_guard(spark, tmp_path):
     """A fresh checkpoint pointed at a RETAINED state dir restarts

@@ -168,6 +168,18 @@ def test_cluster_config_kafka_options_translation(tmp_path):
     # ignore them and log 'not a known config')
     assert not [k for k in o if ".location" in k and "store" not in k]
 
+    # PKCS12/JKS keystore FILE alternative: key material stays
+    # file-based (never inlined into the option map, which Spark may
+    # surface unredacted in plans/UI/event logs)
+    p12 = tmp_path / "client.p12"; p12.write_bytes(b"\x00binary keystore")
+    assert cfg.set_private_key_path(str(p12), str(p12), "storepw")
+    o = cfg.kafka_options()
+    assert o["kafka.ssl.keystore.type"] == "PKCS12"
+    assert o["kafka.ssl.keystore.location"] == str(p12)
+    assert o["kafka.ssl.keystore.password"] == "storepw"
+    assert "kafka.ssl.keystore.key" not in o
+    assert cfg.set_private_key_path(str(cert), str(key), "pw")  # restore
+
     cfg.set_brokers("plaintext://a:9092,ssl://b:9093")
     with _pytest.raises(ValueError, match="mixed broker schemes"):
         cfg.kafka_options()
