@@ -1495,6 +1495,96 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_domain_rollup(spark, sf_dir):
+    """Registrable-domain crawl rollup (functions/web.registrable_
+    domain): seven deterministic host shapes per document exercising
+    the full public-suffix-list algorithm — generic TLD, co.uk /
+    com.au multi-label suffixes, the 3-label act.edu.au, the private
+    section (github.io), the *.ck wildcard, the !www.ck exception,
+    the default rule for unknown TLDs, and a host that IS a public
+    suffix (NULL group) — then a per-domain doc count + char rollup.
+    The PSL rules fold into ONE literal map in the plan (no join); the
+    oracle is the CLOSED-FORM registrable-domain of each shape, so a
+    wrong rule, wrong precedence, or wrong label slice breaks hash
+    parity."""
+    from kspp_spark.functions.web import registrable_domain
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 8
+    k = (F.col("doc_id") % 5).cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("a.example"), k, F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("www.shop"), k, F.lit(".co.uk")))
+        .when(m == 2, F.concat(F.lit("x.y.site"), k, F.lit(".com.au")))
+        .when(m == 3, F.concat(F.lit("user"), k, F.lit(".github.io")))
+        .when(m == 4, F.concat(F.lit("deep.w"), k, F.lit(".ck")))
+        .when(m == 5, F.lit("sub.www.ck"))
+        .when(m == 6, F.concat(F.lit("blog.foo"), k, F.lit(".unknowntld1")))
+        .otherwise(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("deep.school.act.edu.au"))
+            .otherwise(F.lit("co.uk"))
+        )
+    )
+    return (
+        docs.select(
+            registrable_domain(host).alias("reg_domain"),
+            F.length("text").alias("_chars"),
+        )
+        .groupBy("reg_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_link_graph(spark, sf_dir):
+    """Outlink graph extraction (functions/web.extract_links /
+    resolve_url / page_links): each document becomes a deterministic
+    page with seven anchor shapes — absolute external href, nested
+    inline tag in the anchor text, root-relative, dot-segment
+    relative (../), same-dir relative (./), protocol-relative, a
+    mailto: (scheme-filtered out) and a fragment-only self-reference
+    — resolved against the page URL per RFC 3986 §5.2, then rolled
+    up per TARGET registrable domain (edge count, distinct source
+    pages, total anchor-text chars). The whole path is map-side JVM
+    regex + one rollup shuffle; the oracle is the CLOSED-FORM
+    resolution of each shape, so a wrong merge rule, dot-segment
+    fold, scheme filter, or anchor tag-strip breaks hash parity."""
+    from kspp_spark.functions.web import page_links, url_registrable_domain
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("string")
+    n = (F.col("doc_id") % 7).cast("string")
+    base = F.concat(
+        F.lit("https://www.site"), n, F.lit(".co.uk/a/b/page.html")
+    )
+    html = F.concat(
+        F.lit('<p>intro</p><a href="https://ext.example'), k,
+        F.lit('.com/x?q=1">Ext <b>anchor</b></a>\n'),
+        F.lit('<a class="m" href="/root/doc'), k,
+        F.lit('.html">Root doc</a>'),
+        F.lit('<a href="../up'), k, F.lit('.html"> up  link </a>'),
+        F.lit('<a href="./same'), k, F.lit('.html">same dir</a>'),
+        F.lit('<a href="//cdn'), k,
+        F.lit('.fastcdn.net/lib.js">cdn</a>'),
+        F.lit('<a href="mailto:x@example.com">mail</a>'),
+        F.lit('<a href="#top">back to top</a>'),
+    )
+    pages = docs.select("doc_id", base.alias("url"), html.alias("html"))
+    links = page_links(pages, html_col="html", base_col="url")
+    return (
+        links.groupBy(
+            url_registrable_domain("link_url").alias("target_domain")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("doc_id").alias("n_pages"),
+            F.sum(F.length("anchor")).alias("anchor_chars"),
+        )
+    )
+
+
 def q_html_to_text(spark, sf_dir):
     """HTML -> text extraction (functions/web.html_to_text): each
     document's text is wrapped into a deterministic page template
@@ -2652,35 +2742,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # LLM-pipeline / as-of / set-op surface; round 3 the portable-hash
     # LSH family + oracle tail (50/50); round 4 re-certified the
     # round-1 core (50/50); round 5 (50/50) graded the 15 round-4
-    # additions, NINE round-5 oracle-backed additions
-    # (positional_index, phrase_search_indexed, bm25_indexed,
-    # scd2_lookup, token_pairs, lm_scores, ngram_counts,
-    # media_metadata, top_terms_per_lang) and 26 re-certs of
-    # changed-module queries; round 6 (50/50) graded its 4 additions,
-    # the stale round-3 tail, the r5-displaced 5, the BPE trainer
-    # trio, and the web-curation trio. ROUND 7 window (this
-    # ordering): media_decode — NEWLY EXACT-ORACLED this round (real
-    # PNG/JPEG/GIF header parsing round-tripped against closed-form
-    # synthesis; previously rows-only), gopher_quality — RE-CERT
-    # after this round's boundary fix (the bullet/ellipsis gates are
-    # now inclusive per Gopher Table A1; code AND oracle changed
-    # together), then the round-4-graded core (filter_lineitem ..
-    # except_keys) whose external grade is three rounds old — exactly
-    # the rotation VERDICT r6 item #3 demanded. Two core queries
-    # yield their slots to the round-7 items and defer to r8:
-    # dup_clusters (its data-shape-independent twin dup_clusters_fixed
-    # was exact-certified r6 on the same CC code path) and
-    # scalar_functions (pure scalar surface, byte-identical since its
-    # r4 green, locally parity-tested every pytest run).
+    # additions + 9 round-5 additions + 26 re-certs; round 6 (50/50)
+    # graded its 4 additions, the stale round-3 tail, the r5-displaced
+    # 5, the BPE trio, and the web-curation trio; round 7 (50/50)
+    # graded the newly-exact media_decode, the boundary-fixed
+    # gopher_quality, and the round-4 core rotation.
+    # ROUND 8 window (this ordering), exactly what VERDICT r7 item #1
+    # demanded: (a) the EIGHT round-7 late additions that have exact
+    # local oracles but no driver row yet (dup_span_intervals,
+    # dup_spans_removed, train_shuffle, shard_assign,
+    # perplexity_buckets, url_canonicalize, html_to_text, robots_gate
+    # — robots_gate's matcher additionally changed this round:
+    # path+query target per RFC 9309 + regex-free wildcard fold), (b)
+    # the NEW round-8 pair: domain_rollup (public-suffix-list
+    # registrable domains) and link_graph (outlink extraction + RFC
+    # 3986 resolution), (c) the two core queries that yielded their r7 slots
+    # (dup_clusters, scalar_functions) and the r7-exact
+    # media_features_knn, (d) re-certs of modules THIS round touched
+    # (media_decode/media_metadata after the JPEG truncation-guard
+    # fix; gopher_quality/gopher_repetition/boilerplate_clean as the
+    # text-tier siblings; positional_index_folded as the
+    # streaming-fold-adjacent graded query), then (e) the stalest
+    # surface: the r5-and-earlier-graded LLM-pipeline tier.
     # NOTE: because the window rotates, per-round driver scores are
     # NOT comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite
     # (tests/test_oracle_parity.py) on every pytest run.
+    # tests/test_registry.py pins this dict against duplicate keys —
+    # the registry is the driver's grading contract.
     return {
-        # -- round-7: newly exact-oracled + changed-gate re-cert --
+        # -- (a) round-7 late additions: first driver grading --
+        "dup_span_intervals": q_dup_span_intervals,
+        "dup_spans_removed": q_dup_spans_removed,
+        "train_shuffle": q_train_shuffle,
+        "shard_assign": q_shard_assign,
+        "perplexity_buckets": q_perplexity_buckets,
+        "url_canonicalize": q_url_canonicalize,
+        "html_to_text": q_html_to_text,
+        "robots_gate": q_robots_gate,
+        # -- (b) round-8 additions: PSL registrable-domain rollup +
+        #    outlink-graph extraction --
+        "domain_rollup": q_domain_rollup,
+        "link_graph": q_link_graph,
+        # -- (c) deferred core pair + r7-exact featurizer --
+        "dup_clusters": q_dup_clusters,
+        "scalar_functions": q_scalar_functions,
+        "media_features_knn": q_media_features_knn,
+        # -- (d) re-certs of round-8-touched modules --
         "media_decode": q_media_decode,
+        "media_metadata": q_media_metadata,
         "gopher_quality": q_gopher_quality,
-        # -- re-certify: the round-4-graded core, last graded 3 rounds ago --
+        "gopher_repetition": q_gopher_repetition,
+        "boilerplate_clean": q_boilerplate_clean,
+        "positional_index_folded": q_positional_index_folded,
+        # -- (e) stalest graded surface: the r5-and-earlier LLM tier --
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
+        "quantize_embeddings": q_quantize_embeddings,
+        "embedding_norms": q_embedding_norms,
+        "bigram_counts": q_bigram_counts,
+        "scd2_history": q_scd2_history,
+        "substring_spans": q_substring_spans,
+        "quality_classifier": q_quality_classifier,
+        "interval_join": q_interval_join,
+        "weighted_sample": q_weighted_sample,
+        "approx_quantiles": q_approx_quantiles,
+        "chunk_tokens": q_chunk_tokens,
+        "dedup_near": q_dedup_near,
+        "quality_metrics": q_quality_metrics,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "chunk_documents": q_chunk_documents,
+        "token_diversity": q_token_diversity,
+        "corpus_stats": q_corpus_stats,
+        "pii_mask": q_pii_mask,
+        "decontaminate": q_decontaminate,
+        "train_split": q_train_split,
+        "stratified_sample": q_stratified_sample,
+        "sample_per_lang": q_sample_per_lang,
+        "corpus_mix": q_corpus_mix,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_pairs_portable": q_minhash_pairs_portable,
+        "simhash_portable": q_simhash_portable,
+        # ---- end of the 50-query grading window ----
+        "curate_docs": q_curate_docs,
+        # round-7-graded core (CORRECTNESS_r07: 50/50 pass) — still
+        # parity-tested locally on every pytest run
         "filter_lineitem": q_filter_lineitem,
         "transform_revenue": q_transform_revenue,
         "flat_map_words": q_flat_map_words,
@@ -2729,14 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_customers": q_idle_customers,
         "except_keys": q_except_keys,
-        # ---- end of the 50-query grading window ----
-        # core slots deferred to r8 (graded green r4; dup_clusters'
-        # CC code path re-certified r6 via dup_clusters_fixed)
-        "dup_clusters": q_dup_clusters,
-        "scalar_functions": q_scalar_functions,
-        # round-6-graded surface (CORRECTNESS_r06: 50/50 pass) —
-        # still parity-tested locally on every pytest run
-        "positional_index_folded": q_positional_index_folded,
+        # round-6-graded surface (CORRECTNESS_r06: 50/50 pass)
         "srp_diverse_sample": q_srp_diverse_sample,
         "srp_bucket_profile": q_srp_bucket_profile,
         "dup_clusters_fixed": q_dup_clusters_fixed,
@@ -2772,8 +2916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "token_pairs": q_token_pairs,
         "ngram_counts": q_ngram_counts,
-        "boilerplate_clean": q_boilerplate_clean,
-        "gopher_repetition": q_gopher_repetition,
         "top_terms_per_lang": q_top_terms_per_lang,
         "knn_cosine": q_knn_cosine,
         "srp_ann": q_srp_ann,
@@ -2785,63 +2927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encoded": q_bpe_encoded,
         "bpe_merges_chars": q_bpe_merges_chars,
         "ivf_exhaustive": q_ivf_exhaustive,
-        # earlier-round surface (r5 and before; every oracle-bearing
-        # query re-verifies against DuckDB on each pytest run)
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "token_count": q_token_count,
-        "bpe_token_count": q_bpe_token_count,
-        "quantize_embeddings": q_quantize_embeddings,
-        "embedding_norms": q_embedding_norms,
-        "bigram_counts": q_bigram_counts,
-        "scd2_history": q_scd2_history,
-        "substring_spans": q_substring_spans,
-        # ROUND-7 LATE ADDITIONS (never graded — ROUND-8 CANDIDATES
-        # alongside the two deferred core queries above): the
-        # localization + removal completion of the Lee et al.
-        # exact-substring tier, the training-prep tier (global shuffle
-        # rank / LPT sharding / CCNet perplexity partition), and URL
-        # canonicalization + HTML->text + the RFC 9309 robots gate — all
-        # eight exact-oracled
-        "dup_span_intervals": q_dup_span_intervals,
-        "dup_spans_removed": q_dup_spans_removed,
-        "train_shuffle": q_train_shuffle,
-        "shard_assign": q_shard_assign,
-        "perplexity_buckets": q_perplexity_buckets,
-        "train_shuffle": q_train_shuffle,
-        "shard_assign": q_shard_assign,
-        "perplexity_buckets": q_perplexity_buckets,
-        "url_canonicalize": q_url_canonicalize,
-        "html_to_text": q_html_to_text,
-        "robots_gate": q_robots_gate,
-        "quality_classifier": q_quality_classifier,
-        "interval_join": q_interval_join,
-        "weighted_sample": q_weighted_sample,
-        "approx_quantiles": q_approx_quantiles,
-        "chunk_tokens": q_chunk_tokens,
-        "dedup_near": q_dedup_near,
-        "media_metadata": q_media_metadata,
-        "quality_metrics": q_quality_metrics,
-        "language_id": q_language_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "repetition_stats": q_repetition_stats,
-        "chunk_documents": q_chunk_documents,
-        "token_diversity": q_token_diversity,
-        "corpus_stats": q_corpus_stats,
-        "pii_mask": q_pii_mask,
-        "decontaminate": q_decontaminate,
-        "train_split": q_train_split,
-        "stratified_sample": q_stratified_sample,
-        "sample_per_lang": q_sample_per_lang,
-        "corpus_mix": q_corpus_mix,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_exact": q_dedup_exact,
-        "jaccard_pairs": q_jaccard_pairs,
-        "minhash_pairs_portable": q_minhash_pairs_portable,
-        "simhash_portable": q_simhash_portable,
-        "curate_docs": q_curate_docs,
-        # exact-oracled since r7 (deterministic-featurizer math is
-        # engine-replayable; the encoder itself stays a stand-in)
-        "media_features_knn": q_media_features_knn,
         # rows-only checks (approximate / production-hash twins /
         # seeded-iterative by design; media_decode AND
         # media_features_knn graduated to exact oracles in r7)
@@ -3772,6 +3857,61 @@ def oracle_sql() -> dict[str, str]:
                      THEN doc_id % 4 IN (1, 2)
                      ELSE doc_id % 4 = 1 END AS robots_allowed
             FROM documents
+        """,
+        # domain-rollup replay: the CLOSED-FORM registrable domain of
+        # each synthesized host shape (generic TLD / co.uk / com.au /
+        # github.io private / *.ck wildcard -> full 3-label host /
+        # !www.ck exception -> www.ck / unknown TLD default rule /
+        # 3-label act.edu.au / public-suffix host -> NULL group), so
+        # any wrong PSL rule, precedence, or label slice breaks parity
+        "domain_rollup": """
+            WITH h AS (
+                SELECT doc_id, length(text) AS chars,
+                    CASE CAST(doc_id % 8 AS INT)
+                      WHEN 0 THEN 'example' || (doc_id % 5) || '.com'
+                      WHEN 1 THEN 'shop' || (doc_id % 5) || '.co.uk'
+                      WHEN 2 THEN 'site' || (doc_id % 5) || '.com.au'
+                      WHEN 3 THEN 'user' || (doc_id % 5) || '.github.io'
+                      WHEN 4 THEN 'deep.w' || (doc_id % 5) || '.ck'
+                      WHEN 5 THEN 'www.ck'
+                      WHEN 6 THEN 'foo' || (doc_id % 5) || '.unknowntld1'
+                      ELSE CASE WHEN doc_id % 2 = 0
+                                THEN 'school.act.edu.au' END
+                    END AS reg_domain
+                FROM documents
+            )
+            SELECT reg_domain, COUNT(*) AS n_docs,
+                   CAST(SUM(chars) AS BIGINT) AS total_chars
+            FROM h GROUP BY reg_domain
+        """,
+        # link-graph replay: the CLOSED-FORM RFC 3986 resolution of
+        # each synthesized anchor shape. Per page the six kept links
+        # resolve to example{k}.com (absolute, anchor 'Ext anchor' =
+        # 10 chars), site{n}.co.uk x4 (root-relative 'Root doc' 8 +
+        # dot-segment '../' 'up link' 7 + './' 'same dir' 8 +
+        # fragment-only self-ref 'back to top' 11 = 34 chars), and
+        # fastcdn.net (protocol-relative, 'cdn' 3); the mailto: link
+        # is scheme-filtered. Any wrong merge rule, dot-segment fold,
+        # scheme filter, tag-strip, or PSL lookup breaks parity.
+        "link_graph": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(doc_id % 5 AS VARCHAR) AS k,
+                       CAST(doc_id % 7 AS VARCHAR) AS n
+                FROM documents
+            ), e AS (
+                SELECT doc_id, 'example' || k || '.com' AS target_domain,
+                       1 AS edges, 10 AS chars FROM d
+                UNION ALL
+                SELECT doc_id, 'site' || n || '.co.uk', 4, 34 FROM d
+                UNION ALL
+                SELECT doc_id, 'fastcdn.net', 1, 3 FROM d
+            )
+            SELECT target_domain,
+                   CAST(SUM(edges) AS BIGINT) AS n_edges,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages,
+                   CAST(SUM(chars) AS BIGINT) AS anchor_chars
+            FROM e GROUP BY target_domain
         """,
         # html-to-text replay: the same page-template synthesis, then
         # the identical strip chain — DuckDB regexp_replace needs the

@@ -108,6 +108,12 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "html_to_text",
     "robots_gate",
+    # round-8 additions (55 -> 57): public-suffix-list registrable
+    # domains (literal-map lookup, no join) + per-domain rollup, and
+    # the outlink-graph extraction (JVM regex anchors + RFC 3986
+    # resolution + per-target-domain rollup)
+    "domain_rollup",
+    "link_graph",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
@@ -243,7 +249,45 @@ def main() -> None:
             out["unnormalized"] = sorted(
                 q for q in timings if q not in RECORD_BEST
             )
-    print(json.dumps(out))
+    # The full record goes to BENCH_LOCAL.json BEFORE stdout: the
+    # driver's stdout capture keeps only the LAST 2000 chars, which
+    # truncated the (long) JSON line two rounds running (BENCH_r06/
+    # r07 parsed: null — the 'tail' field is exactly 2000 chars).
+    # This file is committed per round, so the per-query record +
+    # normalization survive verbatim regardless of stdout limits.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout still carries the record
+    # stdout is EXACTLY one JSON line, and it must fit the driver's
+    # 2000-char tail window or the driver records parsed:null. Emit
+    # the required schema (metric/value/unit/queries/sf) lean — the
+    # normalization detail lives in BENCH_LOCAL.json — and degrade
+    # per-query precision before ever dropping the queries dict.
+    lean = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": out["sf"],
+        "runs": RUNS,
+        "machine_factor": out.get("machine_factor"),
+    }
+    line = json.dumps(lean)
+    for ndigits in (3, 2):
+        if len(line) < 1900:
+            break
+        lean["queries"] = {q: round(t, ndigits) for q, t in timings.items()}
+        line = json.dumps(lean)
+    if len(line) >= 1900:  # last resort: keep the contract keys
+        lean["queries"] = {}
+        line = json.dumps(lean)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,9 @@ has no web surface).
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # query parameters that identify a CLICK, not a page — the common
@@ -40,9 +43,148 @@ def url_domain(url: Column | str) -> Column:
     """Registrable-domain APPROXIMATION: the last two host labels
     (example.com from www.a.example.com). Correct for generic TLDs;
     two-level public suffixes (co.uk) need a public-suffix list —
-    documented approximation, not silently wrong: the column is named
-    for what it is."""
+    use registrable_domain()/url_registrable_domain() for the
+    PSL-correct form; this 2-label fallback stays for list-free
+    contexts."""
     return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+
+
+# --- public-suffix-list registrable domains ---------------------------
+
+# rule-kind bitmask in the PSL lookup map (a suffix can carry several:
+# the real list contains e.g. both 'platform.sh' and '*.platform.sh')
+_PSL_NORMAL, _PSL_WILDCARD, _PSL_EXCEPTION = 1, 2, 4
+
+_PSL_DEFAULT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+
+
+@lru_cache(maxsize=4)
+def load_psl(path: str | None = None) -> dict[str, int]:
+    """Parse a PSL-format file (publicsuffix.org — the bundled file is
+    a documented SUBSET snapshot; drop in the full list for
+    production) into {suffix: kind_bitmask}: '*.foo' stores its BASE
+    'foo' with the WILDCARD bit (one extra label is part of the
+    public suffix), '!foo' stores 'foo' with the EXCEPTION bit
+    (overrides a covering wildcard), plain rules set NORMAL."""
+    rules: dict[str, int] = {}
+    with open(path or _PSL_DEFAULT_PATH, encoding="utf-8") as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line.startswith("//"):
+                continue
+            line = line.split()[0].lower()  # spec: stop at whitespace
+            if line.startswith("!"):
+                rules[line[1:]] = rules.get(line[1:], 0) | _PSL_EXCEPTION
+            elif line.startswith("*."):
+                rules[line[2:]] = rules.get(line[2:], 0) | _PSL_WILDCARD
+            else:
+                rules[line] = rules.get(line, 0) | _PSL_NORMAL
+    return rules
+
+
+def registrable_domain(
+    host: Column | str, psl_path: str | None = None
+) -> Column:
+    """PSL-correct registrable domain (publicsuffix.org algorithm) as
+    a PURE JVM Column expression — no join, no shuffle, no Python per
+    row: the rule table folds into ONE literal map in the plan, and
+    the host side does label-slice lookups against it. Every step
+    lives inside higher-order-function lambdas so the (hundreds-of-
+    entries) map literal appears EXACTLY ONCE in the expression tree
+    — lambda variables are shared references, whereas a plain
+    when-chain would re-embed the map per reference and blow the
+    tree up exponentially (measured 8s of driver-side analysis for a
+    390-rule snapshot before this shape; ~0.2s after).
+
+    Algorithm (https://publicsuffix.org/list/): among rules matching
+    the host, an exception rule prevails (public suffix = the rule
+    minus its leftmost label); otherwise the longest match does, a
+    wildcard '*' consuming exactly one host label; no match -> the
+    default rule '*' (public suffix = the last label). The
+    registrable domain is the public suffix plus one more label —
+    NULL when the host IS a public suffix (nothing is registered
+    'under' it) or has no dot at all.
+
+    Per-row cost: maxl (snapshot: 3) lookups against the folded map
+    literal (array-backed, O(rules) UTF8 equality scan each) — ~1e3
+    short-string compares per host, ~1M hosts/s/core; the full
+    ~10k-rule production list would make a broadcast-join form
+    competitive, but the column form keeps callers shuffle-free."""
+    h = F.lower(F.col(host) if isinstance(host, str) else host)
+    rules = load_psl(psl_path)
+    maxl = max(k.count(".") + 1 for k in rules)
+    # two array literals, not create_map(*780 lits): one F.lit per
+    # ARRAY keeps plan construction at 2 py4j calls (measured 0.8s
+    # of driver time for per-entry lits), and map_from_arrays of
+    # foldable arrays constant-folds to the same map literal
+    items = sorted(rules.items())
+    m = F.map_from_arrays(
+        F.lit([k for k, _ in items]), F.lit([v for _, v in items])
+    )
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    # kind bitmask per suffix length 1..maxl — the ONE place m occurs
+    kinds = F.transform(
+        F.sequence(F.lit(1), F.lit(maxl)),
+        lambda i: F.when(
+            n >= i,
+            F.coalesce(m[F.array_join(F.slice(labels, -i, i), ".")], F.lit(0)),
+        ).otherwise(F.lit(0)),
+    )
+    # fold (kind, level) -> struct(pub = longest normal/wildcard match,
+    # exc = exception override), then finish to the label slice; acc /
+    # x are lambda vars, so nothing below duplicates subtrees
+    lvl = F.zip_with(
+        kinds,
+        F.sequence(F.lit(1), F.lit(maxl)),
+        lambda k, i: F.struct(k.alias("k"), i.cast("int").alias("i")),
+    )
+    def _step(acc: Column, x: Column) -> Column:
+        normal = x["k"].bitwiseAND(F.lit(_PSL_NORMAL)) != 0
+        wild = x["k"].bitwiseAND(F.lit(_PSL_WILDCARD)) != 0
+        exc = x["k"].bitwiseAND(F.lit(_PSL_EXCEPTION)) != 0
+        pub = F.when(normal, F.greatest(acc["pub"], x["i"])).otherwise(
+            acc["pub"]
+        )
+        # a wildcard consumes one more label, which must actually exist
+        pub = F.when(
+            wild & (n > x["i"]), F.greatest(pub, x["i"] + 1)
+        ).otherwise(pub)
+        return F.struct(
+            pub.cast("int").alias("pub"),
+            F.when(exc, x["i"] - 1)
+            .otherwise(acc["exc"])
+            .cast("int")
+            .alias("exc"),
+        )
+
+    def _finish(acc: Column) -> Column:
+        pubk = F.coalesce(acc["exc"], acc["pub"])
+        return F.when(
+            n > pubk,
+            F.array_join(F.slice(labels, -(pubk + 1), pubk + 1), "."),
+        )
+
+    return F.aggregate(
+        lvl,
+        F.struct(
+            F.lit(1).cast("int").alias("pub"),
+            F.lit(None).cast("int").alias("exc"),
+        ),
+        _step,
+        _finish,
+    )
+
+
+def url_registrable_domain(
+    url: Column | str, psl_path: str | None = None
+) -> Column:
+    """registrable_domain over a URL column's host."""
+    return registrable_domain(url_host(url), psl_path)
 
 
 def canonicalize_url(
@@ -159,6 +301,113 @@ def html_to_text(html: Column | str) -> Column:
     c = F.regexp_replace(c, r"\n{2,}", "\n")
     # trim() strips spaces only — edges must lose newlines too
     return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+# --- link extraction (WAT-style outlink records) ----------------------
+
+# <a ...> elements with a double-quoted href; group 1 = href, group 2 =
+# element body (the anchor text, possibly with nested inline tags)
+_HREF_A_RE = r'(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a\s*>'
+
+
+def extract_links(html: Column | str) -> Column:
+    """All `<a href="...">anchor</a>` elements of a page as an
+    `array<struct<href,anchor>>` — the WAT-style outlink record, as a
+    PURE JVM expression (no parser, no Python per row): two
+    `regexp_extract_all` passes over the same pattern (group 1 =
+    href, group 2 = element body) zip positionally, and each body is
+    tag-stripped + whitespace-collapsed into the anchor TEXT.
+
+    Documented bounds (like html_to_text, a stripper not a DOM):
+    single-quoted / unquoted href values are skipped, nested `<a>`
+    elements don't occur in valid HTML and degrade to the outer
+    match. Combine with resolve_url(href, base) for absolute URLs."""
+    c = F.col(html) if isinstance(html, str) else html
+    hrefs = F.regexp_extract_all(c, F.lit(_HREF_A_RE), F.lit(1))
+    bodies = F.regexp_extract_all(c, F.lit(_HREF_A_RE), F.lit(2))
+    clean = lambda b: F.trim(  # noqa: E731 — inline for the zip_with
+        F.regexp_replace(
+            F.regexp_replace(b, r"(?s)<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    return F.zip_with(
+        hrefs,
+        bodies,
+        lambda h, b: F.struct(h.alias("href"), clean(b).alias("anchor")),
+    )
+
+
+def resolve_url(href: Column | str, base: Column | str) -> Column:
+    """RFC 3986 §5.2 reference resolution as engine-portable string
+    algebra — href shapes against an ABSOLUTE base URL:
+
+    - absolute (`scheme:...`) -> unchanged (mailto:/javascript:
+      pass through with their scheme; filter on url_scheme after)
+    - protocol-relative `//authority/...` -> base scheme + `:` + href
+    - root-relative `/path` -> base origin + href
+    - relative `seg...` / `./seg` / `../seg` -> merged onto the base
+      path's directory
+    - empty or fragment-only `#frag` -> the base itself (RFC: a
+      same-document reference)
+
+    then dot-segment removal on the merged path (`/./` and
+    `seg/../` folded, excess `/../` at the root dropped) to a
+    BOUNDED depth of 8 — deeper `../` chains than any real page
+    nests — and the fragment stripped (crawl links are fetch
+    targets; fragments never reach the wire)."""
+    h = F.col(href) if isinstance(href, str) else href
+    b = F.col(base) if isinstance(base, str) else base
+    h = F.regexp_replace(h, r"#.*$", "")  # fragment never survives
+    b_origin = F.regexp_extract(b, r"^([^:/?#]+://[^/?#]*)", 1)
+    base_dir = F.regexp_extract(b, r"^[^:/?#]+://[^/?#]*([^?#]*/)", 1)
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+    merged = (
+        F.when(h == "", F.regexp_replace(b, r"#.*$", ""))
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+        .when(h.startswith("//"), F.concat(url_scheme(b), F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(b_origin, h))
+        .otherwise(F.concat(b_origin, base_dir, h))
+    )
+    # dot-segment removal on the PATH span only (query untouched);
+    # the origin is re-extracted from MERGED (an absolute href keeps
+    # its own authority, not the base's)
+    m_origin = F.regexp_extract(merged, r"^([^:/?#]+://[^/?#]*)", 1)
+    path = F.regexp_extract(merged, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    tail = F.regexp_extract(merged, r"^[^:/?#]+://[^/?#]*[^?#]*(.*)$", 1)
+    for _ in range(8):
+        path = F.regexp_replace(path, r"/\.(/|$)", "/")
+        path = F.regexp_replace(path, r"^/\.\.(/|$)", "/")
+        path = F.regexp_replace(path, r"/[^/]+/\.\.(/|$)", "/")
+    # non-hierarchical absolute refs (mailto:, javascript:, data:)
+    # have no '://' span — they pass through for the caller's scheme
+    # filter rather than being reassembled to garbage
+    return F.when(
+        merged.rlike(r"^[^:/?#]+://"), F.concat(m_origin, path, tail)
+    ).otherwise(merged)
+
+
+def page_links(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The outlink TABLE of a crawl frame: one row per anchor with
+    the href resolved against the page URL, http(s) targets only —
+    (id, link_url, anchor). Map-side explode; no shuffle, no Python.
+    The (page, link) edge list feeds host/domain link-graph rollups
+    downstream."""
+    link = F.explode(extract_links(html_col)).alias("_l")
+    out = df.select(id_col, F.col(base_col).alias("_base"), link)
+    resolved = resolve_url(F.col("_l.href"), F.col("_base"))
+    return (
+        out.select(
+            id_col,
+            resolved.alias("link_url"),
+            F.col("_l.anchor").alias("anchor"),
+        )
+        .filter(url_scheme("link_url").isin("http", "https"))
+    )
 
 
 def latest_capture_per_url(

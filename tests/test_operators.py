@@ -1963,6 +1963,154 @@ def test_url_canonicalization_rules(spark):
         assert got[u] == (c, h, d), u
 
 
+def test_registrable_domain_psl(spark):
+    """PSL algorithm against the bundled snapshot: multi-label public
+    suffixes (co.uk / com.au / 3-label act.edu.au), private-section
+    suffixes (github.io), the wildcard *.ck family and its !www.ck
+    exception, the default rule for unknown TLDs, and NULL when the
+    host IS a public suffix."""
+    from kspp_spark.functions.web import (
+        load_psl,
+        registrable_domain,
+        url_registrable_domain,
+    )
+
+    rules = load_psl()
+    assert rules["co.uk"] == 1 and rules["ck"] == 2 and rules["www.ck"] == 4
+
+    cases = [
+        ("example.com", "example.com"),
+        ("www.a.example.com", "example.com"),
+        ("Example.CO.UK", "example.co.uk"),  # case folds
+        ("www.shop.co.uk", "shop.co.uk"),
+        ("x.y.site.com.au", "site.com.au"),
+        ("school.act.edu.au", "school.act.edu.au"),  # 3-label suffix
+        ("deep.school.act.edu.au", "school.act.edu.au"),
+        ("user.github.io", "user.github.io"),  # private section
+        ("pages.user.github.io", "user.github.io"),
+        ("deep.w.ck", "deep.w.ck"),  # *.ck: w.ck is a public suffix
+        ("www.ck", "www.ck"),  # !www.ck exception beats *.ck
+        ("sub.www.ck", "www.ck"),
+        ("foo.unknowntld1", "foo.unknowntld1"),  # default rule '*'
+        ("a.b.foo.unknowntld1", "foo.unknowntld1"),
+        ("com", None),  # host IS a public suffix
+        ("co.uk", None),
+        ("w.ck", None),  # wildcard-matched suffix itself
+        ("localhost", None),  # no dot
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registrable_domain("host").alias("d")
+        ).collect()
+    }
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
+
+    # URL form + plan shape: pure column expression, no join/shuffle
+    u = spark.createDataFrame(
+        [("https://www.shop.co.uk:443/x?q=1",)], "url string"
+    ).select(url_registrable_domain("url").alias("d"))
+    assert u.collect()[0].d == "shop.co.uk"
+    plan = u._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_resolve_url_rfc3986(spark):
+    """RFC 3986 §5.2 reference resolution shapes: absolute pass-
+    through, protocol-relative, root-relative, relative with ./ and
+    ../ dot-segment folding (incl. excess ../ at root), empty /
+    fragment-only self-reference, fragment stripping, and
+    non-hierarchical (mailto:) pass-through."""
+    from kspp_spark.functions.web import resolve_url
+
+    base = "https://www.ex.co.uk/a/b/page.html?x=1"
+    cases = [
+        ("https://other.com/p?q=2#f", "https://other.com/p?q=2"),
+        ("//cdn.net/lib.js", "https://cdn.net/lib.js"),
+        ("/root.html", "https://www.ex.co.uk/root.html"),
+        ("img.png", "https://www.ex.co.uk/a/b/img.png"),
+        ("./same.html", "https://www.ex.co.uk/a/b/same.html"),
+        ("../up.html", "https://www.ex.co.uk/a/up.html"),
+        ("../../top.html", "https://www.ex.co.uk/top.html"),
+        # excess ../ beyond the root is dropped (RFC 5.4.2)
+        ("../../../over.html", "https://www.ex.co.uk/over.html"),
+        ("", "https://www.ex.co.uk/a/b/page.html?x=1"),
+        ("#frag", "https://www.ex.co.uk/a/b/page.html?x=1"),
+        ("sub/x.html?y=2#z", "https://www.ex.co.uk/a/b/sub/x.html?y=2"),
+        ("mailto:a@b.com", "mailto:a@b.com"),
+        ("javascript:void(0)", "javascript:void(0)"),
+    ]
+    df = spark.createDataFrame(
+        [(h, base) for h, _ in cases], "href string, base string"
+    )
+    got = [
+        r.u
+        for r in df.select(
+            resolve_url("href", "base").alias("u")
+        ).collect()
+    ]
+    for (h, want), g in zip(cases, got):
+        assert g == want, (h, g, want)
+
+
+def test_resolve_url_root_base(spark):
+    """A base with no path directory (https://host) resolves
+    relatives against '/'."""
+    from kspp_spark.functions.web import resolve_url
+
+    df = spark.createDataFrame(
+        [("x.html", "https://ex.com"), ("/y", "https://ex.com/q.html")],
+        "href string, base string",
+    )
+    got = [r.u for r in df.select(resolve_url("href", "base").alias("u")).collect()]
+    assert got == ["https://ex.com/x.html", "https://ex.com/y"]
+
+
+def test_extract_links_and_page_links(spark):
+    """Anchor extraction: href capture with attributes before/after,
+    nested inline tags stripped from the anchor TEXT, whitespace
+    collapsed, multiline bodies, and page_links' scheme filter +
+    resolution end-to-end. Pure JVM plan (no Python, no shuffle)."""
+    from kspp_spark.functions.web import extract_links, page_links
+
+    html = (
+        '<p>x</p><a href="https://a.com/1">One</a>'
+        '<a class="c" href="/two" rel="nofollow">Two <b>bold</b></a>'
+        '<a href="../three">\n  three\n  lines </a>'
+        '<a href="mailto:z@q.net">mail</a>'
+        '<a href="#top">top</a>'
+        "<a href='single.html'>skipped (single quotes)</a>"
+    )
+    df = spark.createDataFrame(
+        [(1, "https://www.ex.com/d/e/p.html", html)],
+        "doc_id long, url string, html string",
+    )
+    links = df.select(F.explode(extract_links("html")).alias("l")).select(
+        "l.href", "l.anchor"
+    )
+    got = [(r.href, r.anchor) for r in links.collect()]
+    assert got == [
+        ("https://a.com/1", "One"),
+        ("/two", "Two bold"),
+        ("../three", "three lines"),
+        ("mailto:z@q.net", "mail"),
+        ("#top", "top"),
+    ]
+
+    out = page_links(df).orderBy("link_url")
+    rows = [(r.link_url, r.anchor) for r in out.collect()]
+    assert rows == [
+        ("https://a.com/1", "One"),
+        ("https://www.ex.com/d/e/p.html", "top"),
+        ("https://www.ex.com/d/three", "three lines"),
+        ("https://www.ex.com/two", "Two bold"),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Join" not in plan
+
+
 def test_latest_capture_per_url(spark):
     """Crawl dedup: permuted params / default port / fragment
     variants collapse to one canonical row, the newest capture wins

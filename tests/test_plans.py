@@ -699,3 +699,28 @@ def test_robots_gate_no_regex_broadcast_join(spark, queries):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_link_graph_jvm_only_bounded_shuffles(spark, queries):
+    """Outlink-graph scale contract: one corpus scan, anchor
+    extraction + RFC 3986 resolution entirely in JVM regex (no
+    Python), no join anywhere, and only the two agg exchanges the
+    distinct-source count inherently needs — shuffle width is
+    (target_domain, doc_id), never the raw HTML."""
+    plan = formatted_plan(spark, queries["link_graph"](spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+
+
+def test_domain_rollup_map_lookup_single_shuffle(spark, queries):
+    """PSL registrable-domain scale contract: the rule table folds
+    into a LITERAL map in the plan (no join, no broadcast, no second
+    scan), the per-domain rollup is the single exchange, and no
+    Python appears anywhere."""
+    plan = formatted_plan(spark, queries["domain_rollup"](spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
