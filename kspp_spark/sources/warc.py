@@ -208,6 +208,153 @@ def read_warc(
     return files.select("path", "content").mapInPandas(run, schema=WARC_SCHEMA)
 
 
+WARC_GZ_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("chunk_no", T.IntegerType()),
+        T.StructField("start", T.LongType()),
+        T.StructField("end", T.LongType()),
+        T.StructField("first_record_no", T.IntegerType()),
+        T.StructField("n_records", T.IntegerType()),
+    ]
+)
+
+
+def _gzip_member_spans(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(start, end, decompressed) for each gzip MEMBER of a multi-
+    member .gz (the Common Crawl .warc.gz convention: one record per
+    member, each independently decompressible). Member boundaries are
+    only discoverable by decompressing — \\x1f\\x8b can occur inside
+    compressed data — so this is inherently ONE sequential pass; the
+    point of the index is to pay it once, without materializing
+    payloads downstream."""
+    import zlib
+
+    pos, total = 0, len(data)
+    while pos < total:
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper, single member
+        out = d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError(
+                f"warc.gz: truncated gzip member at offset {pos}"
+            )
+        end = total - len(d.unused_data)
+        yield pos, end, out
+        pos = end
+
+
+def _count_warc_records(decompressed: bytes) -> int:
+    return sum(1 for _ in parse_warc_stream(decompressed))
+
+
+def index_warc_gz(
+    spark, path: str, target_chunk_bytes: int = 64 << 20
+) -> DataFrame:
+    """Intra-file parallelism index for oversized .warc.gz segments:
+    one sequential pass per file (one task, via binaryFile) walks the
+    gzip MEMBER boundaries and groups consecutive members into chunks
+    of ~``target_chunk_bytes`` COMPRESSED bytes, each independently
+    decompressible — (warc_file, chunk_no, start, end,
+    first_record_no, n_records). Feed to read_warc_indexed for N
+    tasks per file instead of binaryFile's one. record_no numbering
+    matches read_warc exactly (sequential within the file), so packed
+    doc_ids are identical on either path.
+
+    The index is tiny (one row per ~64 MB) — persist it as parquet
+    next to the crawl and re-use it across every downstream run.
+    Plain (non-gzip) WARC files raise: they have no member structure
+    to split on (use read_warc, or gzip the segment)."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] != b"\x1f\x8b":
+                    raise ValueError(
+                        f"index_warc_gz: {fpath} is not gzip — plain WARC "
+                        "has no member boundaries to split on"
+                    )
+                chunk_no, c_start, c_records, rec_no = 0, 0, 0, 0
+                for start, end, out in _gzip_member_spans(data):
+                    c_records += _count_warc_records(out)
+                    if end - c_start >= target_chunk_bytes or end == len(
+                        data
+                    ):
+                        rows.append(
+                            {
+                                "warc_file": fpath,
+                                "chunk_no": chunk_no,
+                                "start": c_start,
+                                "end": end,
+                                "first_record_no": rec_no,
+                                "n_records": c_records,
+                            }
+                        )
+                        chunk_no += 1
+                        rec_no += c_records
+                        c_start, c_records = end, 0
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_GZ_INDEX_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        run, schema=WARC_GZ_INDEX_SCHEMA
+    )
+
+
+def read_warc_indexed(
+    spark,
+    index_df: DataFrame,
+    warc_types: tuple[str, ...] | None = ("response",),
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """The parallel read path over an index_warc_gz index: ONE TASK
+    PER CHUNK (repartitioned to ``num_tasks`` or the chunk count) —
+    each worker range-reads [start, end) of its file, decompresses
+    just those gzip members, and parses records with record_no
+    continuing from first_record_no, so the output is row-identical
+    to read_warc on the same files (property-tested). Workers open
+    the file directly (file:// URIs from binaryFile are unwrapped);
+    an object-store crawl would swap in fsspec here — the range-read
+    contract is the same."""
+    idx = index_df
+    n = num_tasks
+    if n is None:
+        n = idx.count()
+    idx = idx.repartition(max(int(n), 1), "warc_file", "chunk_no")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                fpath = r.warc_file
+                for prefix in ("file://", "file:"):
+                    if fpath.startswith(prefix):
+                        fpath = fpath[len(prefix):]
+                        break
+                with open(fpath, "rb") as f:
+                    f.seek(r.start)
+                    data = f.read(r.end - r.start)
+                rec_no = int(r.first_record_no)
+                for rec in parse_warc_stream(data):
+                    rec["record_no"] = rec_no
+                    rec_no += 1
+                    if (
+                        warc_types is not None
+                        and rec["warc_type"] not in warc_types
+                    ):
+                        continue
+                    rec["warc_file"] = r.warc_file
+                    rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_SCHEMA.fields]
+            )
+
+    return idx.mapInPandas(run, schema=WARC_SCHEMA)
+
+
 def warc_to_documents(
     warc_df: DataFrame,
     id_offset: int = 0,

@@ -543,6 +543,99 @@ def test_read_warc_spark(spark, tmp_path):
         warc_to_documents(read_warc(spark, str(p)), id_mode="bogus")
 
 
+def test_warc_gz_indexed_read_matches_streaming(spark, tmp_path):
+    """Intra-file parallelism (index_warc_gz + read_warc_indexed):
+    member-per-record .warc.gz segments indexed into multiple chunks
+    read back ROW-IDENTICAL to the one-task-per-file read_warc path —
+    same records, same record_no numbering (so packed doc_ids agree),
+    across a tiny chunk target that forces one member per chunk and a
+    large one that degenerates to whole-file."""
+    import gzip as _gzip
+
+    from kspp_spark.sources.warc import (
+        index_warc_gz,
+        read_warc,
+        read_warc_indexed,
+    )
+
+    p = tmp_path / "crawl"
+    p.mkdir()
+    # two files, member-per-record gzip (the Common Crawl convention),
+    # different record mixes so numbering/filters are exercised
+    for fno in range(2):
+        recs = []
+        for i in range(9 + fno):
+            wtype = ["response", "request", "metadata"][i % 3]
+            recs.append(
+                (
+                    {
+                        "WARC-Type": wtype,
+                        "WARC-Record-ID": f"<urn:uuid:{fno}-{i}>",
+                        "WARC-Target-URI": f"http://ex.org/{fno}/{i}",
+                        "WARC-Date": f"2026-08-14T00:00:{i:02d}Z",
+                    },
+                    f"HTTP/1.1 200 OK\r\n\r\nbody {fno}-{i} ".encode()
+                    + b"x" * (50 * i),
+                )
+            )
+        data = b"".join(
+            _gzip.compress(_make_warc([r])) for r in recs
+        )
+        (p / f"seg-{fno:05d}.warc.gz").write_bytes(data)
+
+    def canon(df):
+        return sorted(
+            (
+                r.warc_file.rsplit("/", 1)[-1], r.record_no, r.warc_type,
+                r.record_id, r.target_uri, r.warc_date, r.content_length,
+                bytes(r.payload),
+            )
+            for r in df.collect()
+        )
+
+    for chunk_bytes in (1, 1 << 30):
+        idx = index_warc_gz(spark, str(p), target_chunk_bytes=chunk_bytes)
+        rows = idx.collect()
+        if chunk_bytes == 1:
+            # one member per chunk: chunks per file == record count
+            per_file = {}
+            for r in rows:
+                per_file[r.warc_file] = per_file.get(r.warc_file, 0) + 1
+                assert r.n_records == 1
+            assert sorted(per_file.values()) == [9, 10]
+        else:
+            assert len(rows) == 2 and all(r.chunk_no == 0 for r in rows)
+        # spans tile the file exactly
+        for f in {r.warc_file for r in rows}:
+            spans = sorted((r.start, r.end) for r in rows if r.warc_file == f)
+            assert spans[0][0] == 0
+            assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+        for types in (None, ("response",)):
+            assert canon(
+                read_warc_indexed(spark, idx, warc_types=types)
+            ) == canon(read_warc(spark, str(p), warc_types=types))
+
+    # record_no continuity: first_record_no is the running record count
+    idx1 = index_warc_gz(spark, str(p), target_chunk_bytes=1).collect()
+    for f in {r.warc_file for r in idx1}:
+        chunks = sorted(
+            (r.chunk_no, r.first_record_no, r.n_records)
+            for r in idx1
+            if r.warc_file == f
+        )
+        running = 0
+        for _, first, n in chunks:
+            assert first == running
+            running += n
+
+    # plain (non-gzip) WARC refuses: no member structure to split on
+    (p / "plain.warc").write_bytes(_make_warc([({"WARC-Type": "x"}, b"b")]))
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="not gzip"):
+        index_warc_gz(spark, str(p / "plain.warc")).collect()
+
+
 def test_warc_doc_id_overflow_guard(spark):
     """packed id_mode RAISES instead of silently bleeding record_no
     into the next file-hash slot at 2^20 records/file; hash64 mode
