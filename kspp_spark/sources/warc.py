@@ -181,16 +181,9 @@ def http_response_text(payload: bytes) -> str:
     return body.decode("utf-8", "replace")
 
 
-def read_warc(
-    spark,
-    path: str,
-    warc_types: tuple[str, ...] | None = ("response",),
-) -> DataFrame:
-    """WARC files -> one row per record (WARC_SCHEMA). `warc_types`
-    keeps only those record types ('response' by default — the
-    crawled pages; pass None for all, including warcinfo/request/
-    metadata). One file per task (see module docstring)."""
-    files = spark.read.format("binaryFile").load(path)
+def _warc_records_fn(warc_types: tuple[str, ...] | None):
+    """The (path, content) -> WARC_SCHEMA rows pandas map shared by
+    the batch and streaming readers."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -205,7 +198,59 @@ def read_warc(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields]
             )
 
-    return files.select("path", "content").mapInPandas(run, schema=WARC_SCHEMA)
+    return run
+
+
+def read_warc(
+    spark,
+    path: str,
+    warc_types: tuple[str, ...] | None = ("response",),
+) -> DataFrame:
+    """WARC files -> one row per record (WARC_SCHEMA). `warc_types`
+    keeps only those record types ('response' by default — the
+    crawled pages; pass None for all, including warcinfo/request/
+    metadata). One file per task (see module docstring)."""
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        _warc_records_fn(warc_types), schema=WARC_SCHEMA
+    )
+
+
+# binaryFile's fixed schema, needed explicitly by the STREAMING reader
+# (file-stream sources don't infer)
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def read_warc_stream(
+    spark,
+    path: str,
+    warc_types: tuple[str, ...] | None = ("response",),
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """The STRUCTURED STREAMING face of read_warc: a directory of
+    crawl segments consumed as they land (Spark's file stream source
+    tracks processed files in the checkpoint), each micro-batch
+    holding <= max_files_per_trigger segments' records. Pair with
+    functions/web.crawl_dedup_stream for the canonical-URL LWW
+    changelog and foreachBatch folds downstream — end state is
+    ARRIVAL-ORDER INDEPENDENT because every stage keys on event time
+    (warc_date), not processing order."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+    return files.select("path", "content").mapInPandas(
+        _warc_records_fn(warc_types), schema=WARC_SCHEMA
+    )
 
 
 WARC_GZ_INDEX_SCHEMA = T.StructType(
