@@ -1585,6 +1585,39 @@ def q_link_graph(spark, sf_dir):
     )
 
 
+def q_domain_rank(spark, sf_dir):
+    """Domain-level PageRank (functions/graph.pagerank — the crawl
+    quality prior, cf. Common Crawl's published host/domain ranks):
+    a deterministic 40-node domain graph synthesized from documents
+    (two modular edge families produce hubs, chains, dangling nodes
+    and skewed in-degrees), three fixed iterations, damping 85/100.
+    Ranks are INTEGER-SCALED (parts-per-1e12): bigint multiply /
+    floor-divide / sum only, so the DuckDB oracle's unrolled
+    three-round replay is BIT-IDENTICAL — float PageRank could never
+    hash-match across engines. Plan: per iteration one equi-join on
+    src + one aggregation on dst; node/out-degree frames built once;
+    the 1-row node count rides a broadcast."""
+    from kspp_spark.functions.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    src = F.concat(F.lit("d"), (d % 40).cast("string"))
+    edges = docs.select(
+        src.alias("src"),
+        F.concat(F.lit("d"), ((d * 7 + 3) % 40).cast("string")).alias("dst"),
+    ).unionByName(
+        docs.select(
+            src.alias("src"),
+            F.concat(
+                F.lit("d"), ((d * 13 + 11) % 53 % 40).cast("string")
+            ).alias("dst"),
+        )
+    )
+    return pagerank(edges, iterations=3).select(
+        F.col("node").alias("domain"), F.col("rank").alias("rank_ppt")
+    )
+
+
 def q_html_to_text(spark, sf_dir):
     """HTML -> text extraction (functions/web.html_to_text): each
     document's text is wrapped into a deterministic page template
@@ -2784,6 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    outlink-graph extraction --
         "domain_rollup": q_domain_rollup,
         "link_graph": q_link_graph,
+        "domain_rank": q_domain_rank,
         # -- (c) deferred core pair + r7-exact featurizer --
         "dup_clusters": q_dup_clusters,
         "scalar_functions": q_scalar_functions,
@@ -3912,6 +3946,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages,
                    CAST(SUM(chars) AS BIGINT) AS anchor_chars
             FROM e GROUP BY target_domain
+        """,
+        # domain-rank replay: the same synthesized edge families, then
+        # PageRank's three rounds UNROLLED as CTEs — pure bigint
+        # floor-division arithmetic on both engines, so the ranks are
+        # bit-identical (DuckDB's // is floor division; all values
+        # positive, matching Spark's DIV)
+        "domain_rank": """
+            WITH raw AS (
+                SELECT 'd' || (doc_id % 40) AS src,
+                       'd' || ((doc_id*7+3) % 40) AS dst FROM documents
+                UNION ALL
+                SELECT 'd' || (doc_id % 40),
+                       'd' || ((doc_id*13+11) % 53 % 40) FROM documents
+            ), e AS (SELECT DISTINCT src, dst FROM raw),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            outd AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+            r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes, nn),
+            s1 AS (SELECT e.dst AS node,
+                          CAST(SUM(r0.r // outd.d) AS BIGINT) AS m
+                   FROM e JOIN r0 ON e.src = r0.node
+                          JOIN outd ON e.src = outd.src GROUP BY e.dst),
+            r1 AS (SELECT nodes.node,
+                          (1000000000000 // n) * 15 // 100
+                          + 85 * COALESCE(m, 0) // 100 AS r
+                   FROM nodes CROSS JOIN nn
+                        LEFT JOIN s1 ON nodes.node = s1.node),
+            s2 AS (SELECT e.dst AS node,
+                          CAST(SUM(r1.r // outd.d) AS BIGINT) AS m
+                   FROM e JOIN r1 ON e.src = r1.node
+                          JOIN outd ON e.src = outd.src GROUP BY e.dst),
+            r2 AS (SELECT nodes.node,
+                          (1000000000000 // n) * 15 // 100
+                          + 85 * COALESCE(m, 0) // 100 AS r
+                   FROM nodes CROSS JOIN nn
+                        LEFT JOIN s2 ON nodes.node = s2.node),
+            s3 AS (SELECT e.dst AS node,
+                          CAST(SUM(r2.r // outd.d) AS BIGINT) AS m
+                   FROM e JOIN r2 ON e.src = r2.node
+                          JOIN outd ON e.src = outd.src GROUP BY e.dst),
+            r3 AS (SELECT nodes.node,
+                          (1000000000000 // n) * 15 // 100
+                          + 85 * COALESCE(m, 0) // 100 AS r
+                   FROM nodes CROSS JOIN nn
+                        LEFT JOIN s3 ON nodes.node = s3.node)
+            SELECT node AS domain, CAST(r AS BIGINT) AS rank_ppt FROM r3
         """,
         # html-to-text replay: the same page-template synthesis, then
         # the identical strip chain — DuckDB regexp_replace needs the

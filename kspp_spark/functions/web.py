@@ -410,6 +410,67 @@ def page_links(
     )
 
 
+# --- sitemap parsing (sitemaps.org protocol) --------------------------
+
+_SITEMAP_URL_BLOCK = r"(?is)<url\s*>(.*?)</url\s*>"
+_SITEMAP_INDEX_BLOCK = r"(?is)<sitemap\s*>(.*?)</sitemap\s*>"
+
+
+def _xml_tag_text(block: Column, tag: str) -> Column:
+    """Text content of <tag>...</tag> inside an XML fragment: CDATA
+    unwrapped, surrounding whitespace trimmed, the five predefined XML
+    entities decoded (&amp; LAST so '&amp;lt;' round-trips correctly),
+    NULL when the tag is absent or empty."""
+    v = F.regexp_extract(
+        block,
+        rf"(?is)<{tag}\s*>\s*(?:<!\[CDATA\[)?(.*?)(?:\]\]>)?\s*</{tag}\s*>",
+        1,
+    )
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        v = F.regexp_replace(v, ent, ch)
+    return F.nullif(F.trim(v), F.lit(""))
+
+
+def sitemap_entries(xml: Column | str) -> Column:
+    """A <urlset> sitemap's entries as array<struct<loc, lastmod,
+    priority>> (sitemaps.org protocol) — pure JVM regex, no XML
+    parser library, no Python per row; the same stripper-not-a-DOM
+    bounds as html_to_text. loc handles CDATA and entity-encoded
+    query strings (&amp; is REQUIRED by the protocol inside loc);
+    absent lastmod/priority come back NULL; priority is a double.
+    Feed through canonicalize_url + an anti-join against the seen
+    set for frontier discovery."""
+    x = F.col(xml) if isinstance(xml, str) else xml
+    blocks = F.regexp_extract_all(x, F.lit(_SITEMAP_URL_BLOCK), F.lit(1))
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            _xml_tag_text(b, "loc").alias("loc"),
+            _xml_tag_text(b, "lastmod").alias("lastmod"),
+            _xml_tag_text(b, "priority").cast("double").alias("priority"),
+        ),
+    )
+
+
+def sitemap_index_locs(xml: Column | str) -> Column:
+    """Child sitemap URLs of a <sitemapindex> file as array<string> —
+    the recursion step of sitemap discovery (robots.txt Sitemap: lines
+    -> index files -> leaf sitemaps; functions/robots.sitemap_urls
+    provides the first hop)."""
+    x = F.col(xml) if isinstance(xml, str) else xml
+    blocks = F.regexp_extract_all(x, F.lit(_SITEMAP_INDEX_BLOCK), F.lit(1))
+    return F.filter(
+        F.transform(blocks, lambda b: _xml_tag_text(b, "loc")),
+        lambda v: v.isNotNull(),
+    )
+
+
 def latest_capture_per_url(
     df: DataFrame,
     url_col: str = "url",
