@@ -54,6 +54,7 @@ def test_registry_round8_window():
         "robots_gate",
         "domain_rollup",
         "link_graph",
+        "domain_rank",
         "dup_clusters",
         "scalar_functions",
         "media_features_knn",
