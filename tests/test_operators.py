@@ -2017,6 +2017,104 @@ def test_registrable_domain_psl(spark):
     assert "Exchange" not in plan and "Join" not in plan
 
 
+def test_with_registrable_domain_full_list(spark):
+    """The FULL production PSL (bundled verbatim, 9,506 rules / max 5
+    labels) through the broadcast-join form: long-tail shapes the
+    curated subset can't exercise — the *.kawasaki.jp wildcard + its
+    !city.kawasaki.jp exception, a plain kyoto.jp rule, the 4-label
+    pvt.k12.ma.us suffix — plus the same defaults as the subset.
+    Plan contract: maxl broadcast hash joins (O(1) probe per
+    candidate vs GetMapValue's O(rules) literal scan — the measured
+    crossover in web.py), ZERO shuffles of the host stream, no
+    Python, and the rules side a JVM literal (never ExistingRDD,
+    which would re-run a pickled-RDD pipeline per broadcast)."""
+    from kspp_spark.functions.web import (
+        _PSL_FULL_PATH,
+        load_psl,
+        with_registrable_domain,
+    )
+
+    rules = load_psl(_PSL_FULL_PATH)
+    assert len(rules) > 9000  # genuinely the production list
+    cases = [
+        ("www.example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("kyoto.jp", None),  # plain rule: kyoto.jp IS a public suffix
+        ("test.kyoto.jp", "test.kyoto.jp"),
+        ("kawasaki.jp", "kawasaki.jp"),  # no plain rule -> under jp
+        ("a.b.kawasaki.jp", "a.b.kawasaki.jp"),  # *.kawasaki.jp
+        ("city.kawasaki.jp", "city.kawasaki.jp"),  # exception rule
+        ("x.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("x.pvt.k12.ma.us", "x.pvt.k12.ma.us"),  # 4-label suffix
+        ("pvt.k12.ma.us", None),
+        ("user.github.io", "user.github.io"),  # private section
+        ("foo.unknowntld2", "foo.unknowntld2"),  # default rule
+        ("com", None),
+        ("localhost", None),
+    ]
+    # host side as a JVM literal too, so the no-Python/no-ExistingRDD
+    # assertions below cover the WHOLE plan
+    df = spark.range(1).select(
+        F.explode(F.lit([h for h, _ in cases])).alias("host")
+    )
+    out = with_registrable_domain(df, "host", out_col="d")
+    got = {r.host: r.d for r in out.collect()}
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
+    # after collect() the adaptive plan string carries BOTH the final
+    # and initial plans — count joins in the final section only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 5, final
+    assert "SortMergeJoin" not in plan and "ShuffleExchange" not in plan
+    assert "BatchEvalPython" not in plan and "ExistingRDD" not in plan
+
+
+def test_registrable_domain_forms_agree(spark):
+    """The map-literal Column form and the broadcast-join DataFrame
+    form implement the same publicsuffix.org fold — on the curated
+    subset list (where both are cheap) they must agree host-by-host
+    over a generated mix of known suffixes, wildcard/exception
+    shapes, unknown TLDs, and bare suffixes."""
+    from kspp_spark.functions.web import (
+        _PSL_DEFAULT_PATH,
+        load_psl,
+        registrable_domain,
+        with_registrable_domain,
+    )
+
+    hosts = []
+    for i in range(200):
+        hosts += [
+            f"sub{i}.example{i % 7}.co.uk",
+            f"a{i}.b.site{i % 5}.com",
+            f"deep{i}.w{i % 3}.ck",
+            f"x{i}.unknown{i % 4}",
+        ]
+    hosts += ["com", "co.uk", "ck", "www.ck", "localhost"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    # join form forced onto the SUBSET list: drop the threshold so it
+    # takes the join path with the same rules the Column form reads
+    import kspp_spark.functions.web as web
+
+    old = web._PSL_MAP_LITERAL_MAX_RULES
+    web._PSL_MAP_LITERAL_MAX_RULES = 0
+    try:
+        join_form = with_registrable_domain(
+            df, "host", out_col="dj", psl_path=_PSL_DEFAULT_PATH
+        )
+    finally:
+        web._PSL_MAP_LITERAL_MAX_RULES = old
+    both = join_form.withColumn(
+        "dc", registrable_domain("host", _PSL_DEFAULT_PATH)
+    )
+    mismatches = both.where(
+        ~(F.col("dj").eqNullSafe(F.col("dc")))
+    ).collect()
+    assert mismatches == [], mismatches[:5]
+    assert len(load_psl(_PSL_DEFAULT_PATH)) < 1500  # subset stays small
+
+
 def test_resolve_url_rfc3986(spark):
     """RFC 3986 §5.2 reference resolution shapes: absolute pass-
     through, protocol-relative, root-relative, relative with ./ and
@@ -2109,6 +2207,93 @@ def test_extract_links_and_page_links(spark):
     ]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Join" not in plan
+
+
+def test_sitemap_entries_golden(spark):
+    """Sitemap parsing (sitemaps.org protocol): CDATA-wrapped loc,
+    entity-encoded query string (&amp; is REQUIRED inside loc),
+    absent lastmod/priority -> NULL, priority cast to double,
+    whitespace/newlines inside tags tolerated, case-insensitive
+    tags, and an empty <url/> block yields a NULL-loc struct the
+    caller filters. Pure JVM plan (no Python)."""
+    from kspp_spark.functions.web import sitemap_entries
+
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://ex.com/a?x=1&amp;y=2</loc>"
+        "<lastmod>2026-01-02</lastmod><priority>0.8</priority></url>"
+        "<url>\n  <loc><![CDATA[https://ex.com/cdata?a=1&b=2]]></loc>\n</url>"
+        "<URL><LOC> https://ex.com/upper </LOC><PRIORITY>1</PRIORITY></URL>"
+        "<url><lastmod>2026-01-03</lastmod></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(xml,)], "xml string")
+    out = df.select(F.explode(sitemap_entries("xml")).alias("e")).select(
+        "e.loc", "e.lastmod", "e.priority"
+    )
+    got = [(r.loc, r.lastmod, r.priority) for r in out.collect()]
+    assert got == [
+        ("https://ex.com/a?x=1&y=2", "2026-01-02", 0.8),
+        ("https://ex.com/cdata?a=1&b=2", None, None),
+        ("https://ex.com/upper", None, 1.0),
+        (None, "2026-01-03", None),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_sitemap_index_recursion_hop(spark):
+    """<sitemapindex> -> child sitemap URLs: entity decode, CDATA,
+    loc-less <sitemap> blocks dropped (the NULL filter), and the
+    full discovery chain robots sitemap_urls -> index -> leaf
+    entries composes."""
+    from kspp_spark.functions.robots import sitemap_urls
+    from kspp_spark.functions.web import sitemap_entries, sitemap_index_locs
+
+    robots = "User-agent: *\nDisallow: /x\nSitemap: https://ex.com/si.xml\n"
+    assert sitemap_urls(robots) == ["https://ex.com/si.xml"]
+
+    index_xml = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://ex.com/s1.xml?p=1&amp;q=2</loc>"
+        "<lastmod>2026-02-01</lastmod></sitemap>"
+        "<sitemap><loc><![CDATA[https://ex.com/s2.xml]]></loc></sitemap>"
+        "<sitemap><lastmod>2026-02-02</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    leaf_xml = "<urlset><url><loc>https://ex.com/page</loc></url></urlset>"
+    df = spark.createDataFrame(
+        [(index_xml, leaf_xml)], "idx string, leaf string"
+    )
+    row = df.select(
+        sitemap_index_locs("idx").alias("children"),
+        sitemap_entries("leaf").alias("entries"),
+    ).first()
+    assert row.children == [
+        "https://ex.com/s1.xml?p=1&q=2",
+        "https://ex.com/s2.xml",
+    ]
+    assert [e.loc for e in row.entries] == ["https://ex.com/page"]
+    # a urlset is NOT an index and vice versa — the two extractors
+    # don't cross-match
+    cross = df.select(
+        sitemap_index_locs("leaf").alias("a"),
+        sitemap_entries("idx").alias("b"),
+    ).first()
+    assert cross.a == [] and cross.b == []
+
+
+def test_xml_entity_roundtrip_order(spark):
+    """&amp;lt; must decode to the LITERAL '&lt;' (amp applied last),
+    not to '<' — the double-encoding round-trip the five-entity
+    decode order exists for."""
+    from kspp_spark.functions.web import sitemap_entries
+
+    xml = "<urlset><url><loc>https://ex.com/?v=&amp;lt;tag&amp;gt;</loc></url></urlset>"
+    df = spark.createDataFrame([(xml,)], "xml string")
+    row = df.select(F.explode(sitemap_entries("xml")).alias("e")).first()
+    assert row.e.loc == "https://ex.com/?v=&lt;tag&gt;"
 
 
 def test_latest_capture_per_url(spark):
