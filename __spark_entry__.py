@@ -1538,6 +1538,51 @@ def q_domain_rollup(spark, sf_dir):
     )
 
 
+def q_domain_rollup_full(spark, sf_dir):
+    """Registrable-domain rollup over the FULL production Public
+    Suffix List (functions/web.with_registrable_domain — 9,506 rules,
+    broadcast-join form: one O(1) hash probe per candidate suffix
+    length instead of the map-literal's O(rules) scan; the measured
+    crossover is documented at web.py's _PSL_MAP_LITERAL_MAX_RULES).
+    Host shapes exercise rules the curated subset can't: the plain
+    kyoto.jp rule, the *.kawasaki.jp wildcard, its !city.kawasaki.jp
+    exception, the 4-label pvt.k12.ma.us suffix, plus generic / co.uk
+    / default-rule / bare-suffix shapes shared with domain_rollup.
+    The oracle is the CLOSED-FORM registrable domain of each shape.
+    Plan: 5 broadcast hash joins (rules side a JVM literal) + ONE
+    rollup shuffle; the host stream never shuffles before the agg."""
+    from kspp_spark.functions.web import with_registrable_domain
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 8
+    k = (F.col("doc_id") % 5).cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("a.example"), k, F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("www.shop"), k, F.lit(".co.uk")))
+        .when(m == 2, F.concat(F.lit("test"), k, F.lit(".kyoto.jp")))
+        .when(m == 3, F.concat(F.lit("a"), k, F.lit(".b.kawasaki.jp")))
+        .when(m == 4, F.concat(F.lit("x"), k, F.lit(".city.kawasaki.jp")))
+        .when(m == 5, F.concat(F.lit("h"), k, F.lit(".pvt.k12.ma.us")))
+        .when(m == 6, F.concat(F.lit("blog.foo"), k, F.lit(".unknowntld1")))
+        .otherwise(
+            # doc_id%8==7 is always odd — discriminate on %16
+            F.when(F.col("doc_id") % 16 == 7, F.lit("kyoto.jp"))
+            .otherwise(F.lit("kawasaki.jp"))
+        )
+    )
+    hosts = docs.select(
+        host.alias("host"), F.length("text").alias("_chars")
+    )
+    return (
+        with_registrable_domain(hosts, "host", out_col="reg_domain")
+        .groupBy("reg_domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("total_chars"),
+        )
+    )
+
+
 def q_link_graph(spark, sf_dir):
     """Outlink graph extraction (functions/web.extract_links /
     resolve_url / page_links): each document becomes a deterministic
@@ -1552,8 +1597,11 @@ def q_link_graph(spark, sf_dir):
     resolution of each shape, so a wrong merge rule, dot-segment
     fold, scheme filter, or anchor tag-strip breaks hash parity."""
     from kspp_spark.functions.web import page_links, url_registrable_domain
+    from kspp_spark.io import rebalance_small_scan
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # the whole extract/resolve path is a narrow map stage — spread
+    # the single-row-group local scan (no-op on cluster-sized inputs)
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents").select("doc_id"))
     k = (F.col("doc_id") % 5).cast("string")
     n = (F.col("doc_id") % 7).cast("string")
     base = F.concat(
@@ -1582,6 +1630,71 @@ def q_link_graph(spark, sf_dir):
             F.countDistinct("doc_id").alias("n_pages"),
             F.sum(F.length("anchor")).alias("anchor_chars"),
         )
+    )
+
+
+def q_sitemap_frontier(spark, sf_dir):
+    """Sitemap frontier discovery (functions/web.sitemap_entries +
+    canonicalize_url): each document becomes a deterministic <urlset>
+    exercising the protocol's parse shapes — entity-encoded query
+    (&amp; is REQUIRED inside loc) with a tracking param, lastmod +
+    priority present; a CDATA-wrapped loc with a trailing slash and
+    whitespace/newlines inside the block; UPPER-CASE tags with an
+    https default port and a fragment; and a loc-less <url> that must
+    yield NULL and be filtered. Entries are canonicalized and
+    anti-joined against a (broadcast) seen set — the crawl-frontier
+    step: robots sitemap_urls -> index -> leaf entries -> canonical
+    new URLs. The oracle is the CLOSED-FORM canonical resolution of
+    each shape, so a wrong entity decode order, CDATA unwrap, tag
+    case fold, port/fragment/tracking rule, or NULL filter breaks
+    hash parity. Plan: map-side JVM regex, one broadcast anti-join,
+    one rollup shuffle."""
+    from kspp_spark.functions.web import canonicalize_url, sitemap_entries
+    from kspp_spark.io import rebalance_small_scan
+
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents").select("doc_id"))
+    k = (F.col("doc_id") % 5).cast("string")
+    n = (F.col("doc_id") % 7).cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+        F.lit("<url><loc>https://www.site"), n, F.lit(".co.uk/p/"), k,
+        F.lit("?b=2&amp;a=1&amp;utm_source=x</loc><lastmod>2026-01-0"),
+        ((F.col("doc_id") % 5) + 1).cast("string"),
+        F.lit("</lastmod><priority>0."), k, F.lit("</priority></url>"),
+        F.lit("<url>\n  <loc><![CDATA[https://site"), n,
+        F.lit(".co.uk/cdata/"), k, F.lit("/]]></loc>\n</url>"),
+        F.lit("<URL><LOC> https://site"), n,
+        F.lit(".co.uk:443/upper#frag </LOC></URL>"),
+        F.lit("<url><lastmod>2026-03-01</lastmod></url></urlset>"),
+    )
+    entries = (
+        docs.select("doc_id", xml.alias("xml"))
+        .select("doc_id", F.explode(sitemap_entries("xml")).alias("e"))
+        .where(F.col("e.loc").isNotNull())
+        .select(
+            "doc_id",
+            canonicalize_url(F.col("e.loc")).alias("canon_url"),
+            F.col("e.lastmod").alias("lastmod"),
+            F.col("e.priority").alias("priority"),
+        )
+    )
+    # the already-crawled set: a small dimension in practice (one row
+    # per known canonical URL) — broadcast anti-join, never a shuffle
+    # of the entry stream
+    seen = (
+        docs.where((F.col("doc_id") % 7) < 3)
+        .select(
+            F.concat(
+                F.lit("https://site"), n, F.lit(".co.uk/cdata/"), k
+            ).alias("canon_url")
+        )
+        .distinct()
+    )
+    frontier = entries.join(F.broadcast(seen), "canon_url", "left_anti")
+    return frontier.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_listings"),
+        F.min("lastmod").alias("first_lastmod"),
+        F.max("priority").alias("max_priority"),
     )
 
 
@@ -2780,23 +2893,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 5, the BPE trio, and the web-curation trio; round 7 (50/50)
     # graded the newly-exact media_decode, the boundary-fixed
     # gopher_quality, and the round-4 core rotation.
-    # ROUND 8 window (this ordering), exactly what VERDICT r7 item #1
-    # demanded: (a) the EIGHT round-7 late additions that have exact
-    # local oracles but no driver row yet (dup_span_intervals,
-    # dup_spans_removed, train_shuffle, shard_assign,
-    # perplexity_buckets, url_canonicalize, html_to_text, robots_gate
-    # — robots_gate's matcher additionally changed this round:
-    # path+query target per RFC 9309 + regex-free wildcard fold), (b)
-    # the NEW round-8 pair: domain_rollup (public-suffix-list
-    # registrable domains) and link_graph (outlink extraction + RFC
-    # 3986 resolution), (c) the two core queries that yielded their r7 slots
-    # (dup_clusters, scalar_functions) and the r7-exact
-    # media_features_knn, (d) re-certs of modules THIS round touched
-    # (media_decode/media_metadata after the JPEG truncation-guard
-    # fix; gopher_quality/gopher_repetition/boilerplate_clean as the
-    # text-tier siblings; positional_index_folded as the
-    # streaming-fold-adjacent graded query), then (e) the stalest
-    # surface: the r5-and-earlier-graded LLM-pipeline tier.
+    # Round 8 (50/50) graded the r7 late additions (span/training/web
+    # front door), the new PSL/link-graph pair, and the stalest
+    # r5-and-earlier LLM tier.
+    # ROUND 9 window (this ordering), exactly what VERDICT r8 item #7
+    # demanded: (a) the round-9 additions (sitemap_frontier — the
+    # robots->index->entries->canonicalize->anti-join frontier chain;
+    # domain_rollup_full — registrable domains against the FULL
+    # production PSL via the broadcast-join form), (b) the r8
+    # newcomers kept in (link_graph re-certifies because its
+    # extraction was rewritten this round: single-pass match +
+    # guarded dot-segment fold), (c) the named re-certs: pack_
+    # sequences, rate_limiter, the windowed family, the join
+    # families, then (d) oldest-cert-first: the r6-graded tail with
+    # no driver row in 3 rounds.
     # NOTE: because the window rotates, per-round driver scores are
     # NOT comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite
@@ -2804,7 +2914,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_registry.py pins this dict against duplicate keys —
     # the registry is the driver's grading contract.
     return {
-        # -- (a) round-7 late additions: first driver grading --
+        # -- (a) round-9 additions: sitemap frontier discovery +
+        #    full-production-PSL registrable domains (broadcast-join
+        #    form) --
+        "sitemap_frontier": q_sitemap_frontier,
+        "domain_rollup_full": q_domain_rollup_full,
+        # -- (b) r8 newcomers kept in: link_graph's extraction was
+        #    REWRITTEN this round (single-pass match + guarded
+        #    dot-segment fold) so it must re-certify; domain_rollup /
+        #    domain_rank stay per the rotation policy --
+        "link_graph": q_link_graph,
+        "domain_rollup": q_domain_rollup,
+        "domain_rank": q_domain_rank,
+        # -- (c) VERDICT r8 item 7 re-certs: the stalest streaming +
+        #    join surface (pack_sequences, rate_limiter, the windowed
+        #    family, the kstream/ktable/asof/range/interval/set join
+        #    families) --
+        "pack_sequences": q_pack_sequences,
+        "rate_limiter": q_rate_limiter,
+        "windowed_count": q_windowed_count,
+        "hopping_count": q_hopping_count,
+        "windowed_sum_by_type": q_windowed_sum_by_type,
+        "session_windows": q_session_windows,
+        "windowed_ktable": q_windowed_ktable,
+        "kstream_left_join": q_kstream_left_join,
+        "kstream_inner_join": q_kstream_inner_join,
+        "ktable_left_join": q_ktable_left_join,
+        "ktable_inner_join": q_ktable_inner_join,
+        "ktable_outer_join": q_ktable_outer_join,
+        "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
+        "range_join": q_range_join,
+        "interval_join": q_interval_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        # -- (d) oldest-cert-first: the r6-graded surface with no
+        #    driver row in 3 rounds (the remaining r6 tail --
+        #    srp_ann/quantized_ann/srp_pairs/rollup_cascade/
+        #    scd2_lookup/bpe_* /ivf_exhaustive/token_pairs/
+        #    ngram_counts/top_terms_per_lang -- is next round's
+        #    rotation head) --
+        "srp_diverse_sample": q_srp_diverse_sample,
+        "srp_bucket_profile": q_srp_bucket_profile,
+        "dup_clusters_fixed": q_dup_clusters_fixed,
+        "pricing_summary": q_pricing_summary,
+        "json_extract": q_json_extract,
+        "funnel": q_funnel,
+        "order_keys_agg": q_order_keys_agg,
+        "approx_distinct": q_approx_distinct,
+        "ntile_quartiles": q_ntile_quartiles,
+        "price_histogram": q_price_histogram,
+        "distinct_segments": q_distinct_segments,
+        "intersect_keys": q_intersect_keys,
+        "pivot_status": q_pivot_status,
+        "cube_agg": q_cube_agg,
+        "count_distinct": q_count_distinct,
+        "having": q_having,
+        "lag_lead": q_lag_lead,
+        "simhash_pairs_portable": q_simhash_pairs_portable,
+        "lm_scores": q_lm_scores,
+        "bm25_search": q_bm25_search,
+        "bm25_indexed": q_bm25_indexed,
+        "phrase_search_indexed": q_phrase_search_indexed,
+        "positional_index": q_positional_index,
+        "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
+        "knn_cosine": q_knn_cosine,
+        # ---- end of the 50-query grading window ----
+        # everything below stays registered and is re-verified by
+        # tests/test_oracle_parity.py against DuckDB on every pytest
+        # run; most recently graded: r8 (CORRECTNESS_r08 50/50 green)
         "dup_span_intervals": q_dup_span_intervals,
         "dup_spans_removed": q_dup_spans_removed,
         "train_shuffle": q_train_shuffle,
@@ -2813,23 +2993,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "html_to_text": q_html_to_text,
         "robots_gate": q_robots_gate,
-        # -- (b) round-8 additions: PSL registrable-domain rollup +
-        #    outlink-graph extraction --
-        "domain_rollup": q_domain_rollup,
-        "link_graph": q_link_graph,
-        "domain_rank": q_domain_rank,
-        # -- (c) deferred core pair + r7-exact featurizer --
         "dup_clusters": q_dup_clusters,
         "scalar_functions": q_scalar_functions,
         "media_features_knn": q_media_features_knn,
-        # -- (d) re-certs of round-8-touched modules --
         "media_decode": q_media_decode,
         "media_metadata": q_media_metadata,
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
         "boilerplate_clean": q_boilerplate_clean,
         "positional_index_folded": q_positional_index_folded,
-        # -- (e) stalest graded surface: the r5-and-earlier LLM tier --
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -2839,7 +3011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "substring_spans": q_substring_spans,
         "quality_classifier": q_quality_classifier,
-        "interval_join": q_interval_join,
         "weighted_sample": q_weighted_sample,
         "approx_quantiles": q_approx_quantiles,
         "chunk_tokens": q_chunk_tokens,
@@ -2862,10 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs_portable": q_minhash_pairs_portable,
         "simhash_portable": q_simhash_portable,
-        # ---- end of the 50-query grading window ----
         "curate_docs": q_curate_docs,
-        # round-7-graded core (CORRECTNESS_r07: 50/50 pass) — still
-        # parity-tested locally on every pytest run
         "filter_lineitem": q_filter_lineitem,
         "transform_revenue": q_transform_revenue,
         "flat_map_words": q_flat_map_words,
@@ -2876,24 +3044,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         "count_by_value": q_count_by_value,
         "ktable_latest": q_ktable_latest,
-        "windowed_count": q_windowed_count,
-        "hopping_count": q_hopping_count,
-        "windowed_sum_by_type": q_windowed_sum_by_type,
-        "kstream_left_join": q_kstream_left_join,
-        "kstream_inner_join": q_kstream_inner_join,
-        "ktable_left_join": q_ktable_left_join,
-        "ktable_inner_join": q_ktable_inner_join,
-        "ktable_outer_join": q_ktable_outer_join,
         "revenue_per_nation": q_revenue_per_nation,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "topk_orders": q_topk_orders,
         "window_rank": q_window_rank,
         "rollup_pricing": q_rollup_pricing,
         "percentiles": q_percentiles,
         "grouping_sets": q_grouping_sets,
         "running_sum": q_running_sum,
-        "range_join": q_range_join,
         "shipping_priority": q_shipping_priority,
         "small_qty_revenue": q_small_qty_revenue,
         "promo_revenue": q_promo_revenue,
@@ -2914,44 +3071,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_customers": q_idle_customers,
         "except_keys": q_except_keys,
-        # round-6-graded surface (CORRECTNESS_r06: 50/50 pass)
-        "srp_diverse_sample": q_srp_diverse_sample,
-        "srp_bucket_profile": q_srp_bucket_profile,
-        "dup_clusters_fixed": q_dup_clusters_fixed,
-        "pricing_summary": q_pricing_summary,
-        "session_windows": q_session_windows,
-        "windowed_ktable": q_windowed_ktable,
-        "json_extract": q_json_extract,
-        "funnel": q_funnel,
-        "order_keys_agg": q_order_keys_agg,
-        "rate_limiter": q_rate_limiter,
-        "approx_distinct": q_approx_distinct,
         "local_supplier_volume": q_local_supplier_volume,
-        "ntile_quartiles": q_ntile_quartiles,
-        "price_histogram": q_price_histogram,
-        "distinct_segments": q_distinct_segments,
-        "intersect_keys": q_intersect_keys,
-        "pivot_status": q_pivot_status,
-        "cube_agg": q_cube_agg,
-        "count_distinct": q_count_distinct,
-        "having": q_having,
-        "lag_lead": q_lag_lead,
-        "simhash_pairs_portable": q_simhash_pairs_portable,
-        "pack_sequences": q_pack_sequences,
-        "asof_join": q_asof_join,
-        "asof_forward": q_asof_forward,
-        "asof_nearest": q_asof_nearest,
-        "lm_scores": q_lm_scores,
-        "bm25_search": q_bm25_search,
-        "bm25_indexed": q_bm25_indexed,
-        "phrase_search_indexed": q_phrase_search_indexed,
-        "positional_index": q_positional_index,
-        "inverted_index": q_inverted_index,
-        "phrase_search": q_phrase_search,
         "token_pairs": q_token_pairs,
         "ngram_counts": q_ngram_counts,
         "top_terms_per_lang": q_top_terms_per_lang,
-        "knn_cosine": q_knn_cosine,
         "srp_ann": q_srp_ann,
         "quantized_ann": q_quantized_ann,
         "srp_pairs": q_srp_pairs,
@@ -2962,8 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_chars": q_bpe_merges_chars,
         "ivf_exhaustive": q_ivf_exhaustive,
         # rows-only checks (approximate / production-hash twins /
-        # seeded-iterative by design; media_decode AND
-        # media_features_knn graduated to exact oracles in r7)
+        # seeded-iterative by design)
         "embedding_clusters": q_embedding_clusters,
         "diverse_sample": q_diverse_sample,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3918,6 +4040,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(chars) AS BIGINT) AS total_chars
             FROM h GROUP BY reg_domain
         """,
+        # full-PSL rollup replay: the CLOSED-FORM registrable domain
+        # of each host shape against the production list — kyoto.jp
+        # is a plain rule (bare host -> NULL group), *.kawasaki.jp a
+        # wildcard (one extra label is public), !city.kawasaki.jp the
+        # exception override, pvt.k12.ma.us a 4-label suffix
+        "domain_rollup_full": """
+            WITH h AS (
+                SELECT doc_id, length(text) AS chars,
+                    CASE CAST(doc_id % 8 AS INT)
+                      WHEN 0 THEN 'example' || (doc_id % 5) || '.com'
+                      WHEN 1 THEN 'shop' || (doc_id % 5) || '.co.uk'
+                      WHEN 2 THEN 'test' || (doc_id % 5) || '.kyoto.jp'
+                      WHEN 3 THEN 'a' || (doc_id % 5) || '.b.kawasaki.jp'
+                      WHEN 4 THEN 'city.kawasaki.jp'
+                      WHEN 5 THEN 'h' || (doc_id % 5) || '.pvt.k12.ma.us'
+                      WHEN 6 THEN 'foo' || (doc_id % 5) || '.unknowntld1'
+                      ELSE CASE WHEN doc_id % 16 = 7 THEN NULL
+                                ELSE 'kawasaki.jp' END
+                    END AS reg_domain
+                FROM documents
+            )
+            SELECT reg_domain, COUNT(*) AS n_docs,
+                   CAST(SUM(chars) AS BIGINT) AS total_chars
+            FROM h GROUP BY reg_domain
+        """,
         # link-graph replay: the CLOSED-FORM RFC 3986 resolution of
         # each synthesized anchor shape. Per page the six kept links
         # resolve to example{k}.com (absolute, anchor 'Ext anchor' =
@@ -3946,6 +4093,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages,
                    CAST(SUM(chars) AS BIGINT) AS anchor_chars
             FROM e GROUP BY target_domain
+        """,
+        # sitemap-frontier replay: the CLOSED-FORM canonical form of
+        # each synthesized <urlset> shape (entity decode + tracking
+        # strip + param sort; CDATA + trailing slash; upper-case tags
+        # + default port + fragment; the loc-less block filtered),
+        # minus the seen set (cdata shape where doc_id%7<3)
+        "sitemap_frontier": """
+            WITH d AS (
+                SELECT doc_id, doc_id % 5 AS k, doc_id % 7 AS n
+                FROM documents
+            ), e AS (
+                SELECT doc_id,
+                       'https://site' || n || '.co.uk/p/' || k
+                           || '?a=1&b=2' AS canon_url,
+                       '2026-01-0' || (k + 1) AS lastmod,
+                       CAST('0.' || k AS DOUBLE) AS priority
+                FROM d
+                UNION ALL
+                SELECT doc_id,
+                       'https://site' || n || '.co.uk/cdata/' || k,
+                       NULL, NULL
+                FROM d WHERE n >= 3
+                UNION ALL
+                SELECT doc_id,
+                       'https://site' || n || '.co.uk/upper',
+                       NULL, NULL
+                FROM d
+            )
+            SELECT canon_url,
+                   CAST(COUNT(*) AS BIGINT) AS n_listings,
+                   MIN(lastmod) AS first_lastmod,
+                   MAX(priority) AS max_priority
+            FROM e GROUP BY canon_url
         """,
         # domain-rank replay: the same synthesized edge families, then
         # PageRank's three rounds UNROLLED as CTEs — pure bigint

@@ -114,6 +114,11 @@ BENCH_QUERIES = [
     # resolution + per-target-domain rollup)
     "domain_rollup",
     "link_graph",
+    # round-9 addition (57 -> 58): integer-scaled PageRank over the
+    # outlink domain graph — the only graded ITERATIVE plan (3 rounds
+    # of equi-join + agg), so its wall time needs a tracked record
+    # (VERDICT r8 item #3)
+    "domain_rank",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
