@@ -135,7 +135,7 @@ RECORD_BEST = {
     "asof_join": 0.4133,
     "bm25_search": 0.5707,
     "boilerplate_clean": 0.6991,
-    "gopher_quality": 0.6057,
+    "gopher_quality": 0.5948,
     "gopher_repetition": 2.0337,
     "count_by_key": 0.2681,
     "count_by_value": 0.3523,
@@ -147,31 +147,31 @@ RECORD_BEST = {
     "dup_clusters_fixed": 3.4437,
     "inverted_index": 0.4654,
     "knn_cosine": 0.7251,
-    "kstream_left_join": 0.3857,
+    "kstream_left_join": 0.3827,
     "ktable_latest": 0.3616,
     "large_orders": 0.866,
     "lm_scores": 0.7559,
     "media_decode": 0.2656,
-    "dup_spans_removed": 1.219,
+    "dup_spans_removed": 1.1873,
     "train_shuffle": 0.2931,
     "shard_assign": 0.449,
-    "perplexity_buckets": 1.0714,
-    "url_canonicalize": 0.2678,
-    "html_to_text": 0.5447,
-    "robots_gate": 0.5625,
+    "perplexity_buckets": 1.0046,
+    "url_canonicalize": 0.2543,
+    "html_to_text": 0.5226,
+    "robots_gate": 0.4573,
     "local_supplier_volume": 0.6774,
     "market_share": 0.9109,
     "minhash_lsh_pairs": 2.4254,
-    "minhash_pairs_portable": 1.452,
+    "minhash_pairs_portable": 1.4031,
     "pack_sequences": 0.3167,
     "phrase_search_indexed": 0.4635,
     "pii_mask": 0.3353,
     "positional_index": 0.6832,
     "positional_index_folded": 1.6696,
-    "pricing_summary": 0.7079,
+    "pricing_summary": 0.679,
     "quality_classifier": 0.5822,
     "quantized_ann": 1.59,
-    "repetition_stats": 0.8608,
+    "repetition_stats": 0.8401,
     "returned_items": 0.5877,
     "revenue_per_nation": 0.5083,
     "scd2_lookup": 0.3814,
@@ -182,11 +182,14 @@ RECORD_BEST = {
     "substring_spans": 0.7043,
     "tfidf_top_terms": 0.5601,
     "train_split": 0.1118,
-    "transform_revenue": 0.4287,
+    "transform_revenue": 0.4222,
     "volume_shipping": 0.8027,
     "waiting_suppliers": 1.1042,
     "windowed_count": 0.2508,
     "word_count": 0.3023,
+    "domain_rollup": 0.7259,
+    "link_graph": 1.2679,
+    "domain_rank": 1.0797,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
