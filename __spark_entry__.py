@@ -1698,6 +1698,86 @@ def q_sitemap_frontier(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint profile (functions/dedup.
+    winnow_fingerprints — Schleimer et al. SIGMOD'03, the MOSS
+    algorithm): positional 5-gram md5_long hashes, window w=4,
+    rightmost-min selection, (pos, fp) dedup; per document the
+    fingerprint count, position sum (breaks if the rightmost tie
+    rule or window clipping is wrong), mod-sum of fingerprints
+    (breaks if any hash or selection differs), and min fingerprint.
+    One tokenize, map-only until the per-doc rollup; the oracle
+    replays gram hashing + the rolling window min + rightmost-tie
+    selection in SQL."""
+    from kspp_spark.functions.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints("text", k=5, w=4)).alias("s"),
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum(F.col("s.pos").cast("long")).alias("pos_sum"),
+        F.sum(F.col("s.fp") % 1000000007).alias("fp_modsum"),
+        F.min("s.fp").alias("min_fp"),
+    )
+
+
+def q_surt_index(spark, sf_dir):
+    """SURT-keyed capture index (functions/web.surt_key — the CDX
+    web-archive key: reversed host labels + ')' + canonical
+    path?query): four deterministic URL shapes per document exercise
+    label reversal, www strip, default-port drop vs non-default
+    keep, userinfo drop, trailing-slash fold, tracking-param strip,
+    and param sort; rolled up per SURT host prefix (the prefix a CDX
+    range-scan — or a Spark range partition — clusters on). The
+    oracle is the CLOSED-FORM surt of each shape. Map-only + one
+    rollup shuffle."""
+    from kspp_spark.functions.web import surt_key
+    from kspp_spark.io import rebalance_small_scan
+
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents").select("doc_id"))
+    k = (F.col("doc_id") % 5).cast("string")
+    n = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("https://www.site"), n,
+                F.lit(".co.uk/a/p"), k, F.lit(".html?b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("http://Site"), n, F.lit(".co.uk:80/b/"), k, F.lit("/")
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("https://cdn"), k,
+                F.lit(".example.com:8443/lib.js?utm_source=x&v="), n,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://user:pw@shop"), n, F.lit(".example.com/")
+            )
+        )
+    )
+    out = docs.select("doc_id", surt_key(url).alias("surt"))
+    return out.groupBy(
+        F.substring_index("surt", ")", 1).alias("surt_host")
+    ).agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.countDistinct("surt").alias("n_urls"),
+        F.min("surt").alias("first_key"),
+    )
+
+
 def q_domain_rank(spark, sf_dir):
     """Domain-level PageRank (functions/graph.pagerank — the crawl
     quality prior, cf. Common Crawl's published host/domain ranks):
@@ -2919,6 +2999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    form) --
         "sitemap_frontier": q_sitemap_frontier,
         "domain_rollup_full": q_domain_rollup_full,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "surt_index": q_surt_index,
         # -- (b) r8 newcomers kept in: link_graph's extraction was
         #    REWRITTEN this round (single-pass match + guarded
         #    dot-segment fold) so it must re-certify; domain_rollup /
@@ -2979,9 +3061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed": q_phrase_search_indexed,
         "positional_index": q_positional_index,
         "inverted_index": q_inverted_index,
+        # ---- end of the 50-query grading window ----
         "phrase_search": q_phrase_search,
         "knn_cosine": q_knn_cosine,
-        # ---- end of the 50-query grading window ----
         # everything below stays registered and is re-verified by
         # tests/test_oracle_parity.py against DuckDB on every pytest
         # run; most recently graded: r8 (CORRECTNESS_r08 50/50 green)
@@ -4093,6 +4175,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages,
                    CAST(SUM(chars) AS BIGINT) AS anchor_chars
             FROM e GROUP BY target_domain
+        """,
+        # winnowing replay: positional 5-gram md5_long hashes, the
+        # w=4 rolling window min as a frame function, rightmost-tie
+        # selection as max(i) where h = window min, (pos, fp) dedup —
+        # the full Schleimer et al. selection replayed relationally
+        "winnow_fingerprints": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKENS} AS toks FROM documents
+            ), g AS (
+                SELECT doc_id, CAST(i AS INT) AS i,
+                       array_to_string(toks[i:i+4], ' ') AS gram
+                FROM t, unnest(range(1, len(toks) - 5 + 2)) r(i)
+                WHERE len(toks) >= 5
+                UNION ALL
+                SELECT doc_id, 1, array_to_string(toks, ' ')
+                FROM t WHERE len(toks) BETWEEN 1 AND 4
+            ), h AS (
+                SELECT doc_id, i,
+                       CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+                FROM g
+            ), n AS (
+                SELECT doc_id, max(i) AS nh FROM h GROUP BY doc_id
+            ), win AS (
+                SELECT h.doc_id, h.i AS p,
+                       min(h.h) OVER (
+                           PARTITION BY h.doc_id ORDER BY h.i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                       ) AS m
+                FROM h
+            ), winp AS (
+                SELECT w.doc_id, w.p, w.m
+                FROM win w JOIN n ON n.doc_id = w.doc_id
+                WHERE w.p <= greatest(n.nh - 3, 1)
+            ), sel AS (
+                SELECT wp.doc_id, wp.p, CAST(max(h.i) AS INT) AS pos,
+                       wp.m AS fp
+                FROM winp wp JOIN h ON h.doc_id = wp.doc_id
+                    AND h.i BETWEEN wp.p AND wp.p + 3 AND h.h = wp.m
+                GROUP BY wp.doc_id, wp.p, wp.m
+            ), fps AS (
+                SELECT DISTINCT doc_id, pos, fp FROM sel
+            )
+            SELECT doc_id, COUNT(*) AS n_fps,
+                   CAST(SUM(pos) AS BIGINT) AS pos_sum,
+                   CAST(SUM(fp % 1000000007) AS BIGINT) AS fp_modsum,
+                   MIN(fp) AS min_fp
+            FROM fps GROUP BY doc_id
+        """,
+        # surt replay: the CLOSED-FORM surt key of each URL shape
+        # (label reversal, www strip, default-port drop, :8443 keep,
+        # userinfo drop, trailing-slash fold, tracking strip, param
+        # sort), then the same host-prefix rollup
+        "surt_index": """
+            WITH d AS (
+                SELECT doc_id, doc_id % 5 AS k, doc_id % 7 AS n,
+                       CAST(doc_id % 4 AS INT) AS m
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                    CASE m
+                      WHEN 0 THEN 'uk,co,site' || n || ')/a/p' || k
+                                  || '.html?a=1&b=2'
+                      WHEN 1 THEN 'uk,co,site' || n || ')/b/' || k
+                      WHEN 2 THEN 'com,example,cdn' || k
+                                  || ':8443)/lib.js?v=' || n
+                      ELSE 'com,example,shop' || n || ')/'
+                    END AS surt
+                FROM d
+            )
+            SELECT split_part(surt, ')', 1) AS surt_host,
+                   COUNT(*) AS n_captures,
+                   CAST(COUNT(DISTINCT surt) AS BIGINT) AS n_urls,
+                   MIN(surt) AS first_key
+            FROM s GROUP BY surt_host
         """,
         # sitemap-frontier replay: the CLOSED-FORM canonical form of
         # each synthesized <urlset> shape (entity decode + tracking

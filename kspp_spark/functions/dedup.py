@@ -285,6 +285,78 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
+def winnow_fingerprints(
+    text: Column | str, k: int = 5, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every POSITIONAL token k-gram
+    (duplicates kept — position matters, unlike _shingles), slide a
+    window of `w` consecutive hashes, select each window's MINIMUM
+    (rightmost on ties, the paper's robust-winnowing rule), and
+    dedupe selections by (position, hash). Guarantee: any shared run
+    of >= w + k - 1 tokens between two documents yields at least one
+    shared fingerprint, with expected density 2/(w+1) — a principled
+    local alternative to fixed-stride span fingerprints
+    (substring_dup_spans) for partial-overlap detection.
+
+    Pure JVM Column expression -> array<struct<pos int, fp bigint>>:
+    one tokenize, O(len) array ops, no shuffle, no Python. The hash
+    is the repo-wide engine-portable md5_long (hashing.py), so the
+    whole selection replays bit-exactly in a SQL oracle. Documents
+    shorter than k tokens contribute one whole-text gram; shorter
+    than w+k-1 tokens, one fingerprint (the global rightmost min);
+    empty docs, an empty array.
+    """
+    toks = tokenize(text)
+    nk = F.size(toks) - (k - 1)
+    parts = [F.slice(toks, i + 1, F.greatest(nk, F.lit(0))) for i in range(k)]
+    grams = (
+        F.when(
+            nk > 0,
+            F.transform(
+                F.arrays_zip(*parts),
+                lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]),
+            ),
+        )
+        .when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    hashes = F.transform(grams, lambda g: _md5_long(g, 1, 15))
+    nh = F.size(hashes)
+    wlen = F.least(F.lit(w), nh)
+    nwin = F.when(nh > 0, nh - wlen + 1).otherwise(F.lit(0))
+
+    def _select(p: Column) -> Column:
+        win = F.slice(hashes, p, wlen)
+        # one left-to-right pass; <= keeps later equal hashes, which
+        # IS the rightmost-tie rule
+        acc = F.aggregate(
+            F.zip_with(
+                win,
+                F.sequence(F.lit(1), wlen),
+                lambda h, i: F.struct(h.alias("h"), i.alias("i")),
+            ),
+            F.struct(
+                F.lit(None).cast("long").alias("h"),
+                F.lit(0).cast("int").alias("i"),
+            ),
+            lambda a, x: F.when(
+                a["h"].isNull() | (x["h"] <= a["h"]),
+                F.struct(x["h"].alias("h"), x["i"].cast("int").alias("i")),
+            ).otherwise(a),
+        )
+        return F.struct(
+            (p + acc["i"] - 1).cast("int").alias("pos"),
+            acc["h"].alias("fp"),
+        )
+
+    sels = F.when(
+        nwin >= 1, F.transform(F.sequence(F.lit(1), nwin), _select)
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
+    return F.array_distinct(sels)
+
+
 def substring_dup_spans(
     df: DataFrame,
     text: str = "text",

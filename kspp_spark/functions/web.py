@@ -371,6 +371,55 @@ _BLOCK_TAG_RE = (
 )
 
 
+def surt_key(url: Column | str, strip_www: bool = True) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the
+    web-archive canonical index key (CDX files; public spec:
+    the webarchive-commons / pywb SURT documentation): scheme
+    dropped, host lowercased and its labels REVERSED joined by
+    commas, non-default port kept as ':port', then ')' and the
+    canonical path + sorted query. 'uk,co,example)/a/b?q=1' for
+    'https://www.Example.co.uk/a/b?q=1#f'. Label reversal makes a
+    plain string sort cluster every host under its domain — the
+    property CDX indexes rely on for prefix range-scans, and in
+    Spark the property that makes a sort/range-partition by key
+    co-locate a domain's captures in one partition span.
+
+    Shares canonicalize_url's rules (fragment/userinfo dropped,
+    default ports removed, trailing-slash fold, tracking params out,
+    params sorted) so one URL has ONE surt key. Pure JVM regex —
+    map-only, engine-replayable."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = url_scheme(u)
+    auth = F.regexp_extract(u, _AUTH, 1)
+    no_user = F.regexp_replace(auth, r"^[^@]*@", "")
+    host = F.lower(F.regexp_replace(no_user, r":[0-9]+$", ""))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    port = F.regexp_extract(no_user, r":([0-9]+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != "")
+    params = F.filter(params, lambda p: ~p.rlike(TRACKING_PARAM_RE))
+    qcanon = F.array_join(F.sort_array(params), "&")
+    return F.concat(
+        rev_host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
 def html_to_text(html: Column | str) -> Column:
     """Plain text from an HTML page — the step between WARC HTTP
     bodies and the text-curation tiers, as a PURE JVM regexp chain

@@ -2296,6 +2296,102 @@ def test_xml_entity_roundtrip_order(spark):
     assert row.e.loc == "https://ex.com/?v=&lt;tag&gt;"
 
 
+def test_winnow_fingerprints_golden(spark):
+    """Winnowing (Schleimer et al. SIGMOD'03) against a pure-Python
+    replay: positional k-gram md5_long hashes, w-window rightmost-min
+    selection, (pos, fp) dedup — verified on a normal doc, an all-
+    identical-grams doc (every selection is a rightmost TIE, so this
+    pins the tie rule), a shorter-than-window doc (one global
+    fingerprint), a shorter-than-k doc (whole text as one gram), and
+    an empty doc (empty array)."""
+    import hashlib
+
+    from kspp_spark.functions.dedup import winnow_fingerprints
+
+    k, w = 3, 4
+
+    def py_winnow(text):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return []
+        if len(toks) >= k:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        else:
+            grams = [" ".join(toks)]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        ]
+        wl = min(w, len(hs))
+        sels = []
+        for p in range(len(hs) - wl + 1):
+            win = hs[p : p + wl]
+            m = min(win)
+            # rightmost min
+            pos = p + max(i for i, h in enumerate(win) if h == m)
+            sels.append((pos + 1, m))  # 1-based like the engine
+        out, seen = [], set()
+        for s in sels:
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "x x x x x x x x",  # all grams identical -> all ties
+        "a b c d",  # 2 grams < w -> one global fingerprint
+        "a b",  # shorter than k -> whole-text gram
+        "",  # empty -> empty array
+        "  ",  # whitespace only -> empty array
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r.i: [(s.pos, s.fp) for s in r.fps]
+        for r in df.select(
+            "i", winnow_fingerprints("text", k=k, w=w).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_winnow(t), (i, t, got[i], py_winnow(t))
+    # the winnowing guarantee: two docs sharing a run of >= w+k-1
+    # tokens share at least one fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 tokens
+    a = py_winnow("one two " + shared + " three")
+    b = py_winnow("nine eight seven " + shared)
+    assert {fp for _, fp in a} & {fp for _, fp in b}
+
+
+def test_surt_key_golden(spark):
+    """SURT key shapes: label reversal, www strip, default-port drop
+    (http:80 / https:443), non-default port kept, userinfo drop,
+    fragment drop, trailing-slash fold, tracking-param strip, param
+    sort — one canonical key per logical URL."""
+    from kspp_spark.functions.web import surt_key
+
+    cases = [
+        ("https://www.Example.co.uk/a/b?q=1#f", "uk,co,example)/a/b?q=1"),
+        ("http://site.com:80/x/", "com,site)/x"),
+        ("https://site.com:8443/x", "com,site:8443)/x"),
+        ("http://user:pw@shop.example.com/", "com,example,shop)/"),
+        (
+            "https://h.net/p?b=2&a=1&utm_source=x",
+            "net,h)/p?a=1&b=2",
+        ),
+        ("https://h.net", "net,h)/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r.url: r.k
+        for r in df.select("url", surt_key("url").alias("k")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+    # sort-friendliness: hosts under one domain sort contiguously —
+    # the CDX range-scan property label reversal exists for
+    assert got["http://user:pw@shop.example.com/"].startswith("com,example,")
+    assert got["https://site.com:8443/x"].startswith("com,site")
+
+
 def test_latest_capture_per_url(spark):
     """Crawl dedup: permuted params / default port / fragment
     variants collapse to one canonical row, the newest capture wins

@@ -719,6 +719,58 @@ def test_link_graph_jvm_only_bounded_shuffles(spark, queries):
     assert plan.count("RoundRobinPartitioning") <= 1, plan
 
 
+def test_winnow_fingerprints_jvm_single_shuffle(spark, queries):
+    """Winnowing scale contract: the whole gram-hash + window-min +
+    rightmost-tie selection is JVM higher-order functions over one
+    corpus scan (no Python, no join); the only exchange is the
+    per-doc rollup — and it shuffles (doc_id, pos, fp) longs, never
+    the raw text."""
+    plan = formatted_plan(spark, queries["winnow_fingerprints"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_surt_index_jvm_bounded_shuffles(spark, queries):
+    """SURT index scale contract: key construction is map-side JVM
+    regex; the rollup's countDistinct needs at most the standard
+    two-phase pair of exchanges; a third is tolerated only for the
+    rebalance_small_scan round-robin spread on the narrow local
+    scan."""
+    plan = formatted_plan(spark, queries["surt_index"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 2 + plan.count("RoundRobinPartitioning"), plan
+    assert plan.count("RoundRobinPartitioning") <= 1, plan
+
+
+def test_sitemap_frontier_broadcast_anti_join(spark, queries):
+    """Frontier-discovery scale contract: the seen set joins as a
+    BROADCAST anti-join (the entry stream never shuffles for it), the
+    sitemap parse is JVM regex (no Python), and the rollup is the
+    only wide exchange."""
+    plan = formatted_plan(spark, queries["sitemap_frontier"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_domain_rollup_full_broadcast_probes(spark, queries):
+    """Full-PSL scale contract: 5 broadcast hash probes (one per
+    suffix length), rules side a JVM literal (no ExistingRDD — a
+    python-created rules frame re-runs a pickled-RDD pipeline per
+    broadcast build), no sort-merge join, no Python, one rollup
+    exchange on the host stream."""
+    plan = formatted_plan(spark, queries["domain_rollup_full"](spark, SF))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 5, plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ExistingRDD" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
 def test_domain_rollup_map_lookup_single_shuffle(spark, queries):
     """PSL registrable-domain scale contract: the rule table folds
     into a LITERAL map in the plan (no join, no broadcast, no second
