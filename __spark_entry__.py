@@ -1724,6 +1724,21 @@ def q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q_winnow_dup_pairs(spark, sf_dir):
+    """Winnowing near-dup candidate pairs (functions/dedup.
+    winnow_dup_pairs): documents sharing >= 2 selected fingerprints,
+    ranked by shared count — the partial-overlap dedup tier the
+    winnowing guarantee exists for (any shared >= w+k-1-token run
+    fingerprints both sides). Bucket agg + JVM i<j expansion — never
+    a row-pair self-join; the bucket cap (256) does not bind at test
+    scale (asserted in tests), so the capless SQL self-join oracle
+    replays it exactly."""
+    from kspp_spark.functions.dedup import winnow_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnow_dup_pairs(docs, min_shared=2, max_bucket_ids=256)
+
+
 def q_surt_index(spark, sf_dir):
     """SURT-keyed capture index (functions/web.surt_key — the CDX
     web-archive key: reversed host labels + ')' + canonical
@@ -3000,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": q_sitemap_frontier,
         "domain_rollup_full": q_domain_rollup_full,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_dup_pairs": q_winnow_dup_pairs,
         "surt_index": q_surt_index,
         # -- (b) r8 newcomers kept in: link_graph's extraction was
         #    REWRITTEN this round (single-pass match + guarded
@@ -3060,8 +3076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_indexed": q_bm25_indexed,
         "phrase_search_indexed": q_phrase_search_indexed,
         "positional_index": q_positional_index,
-        "inverted_index": q_inverted_index,
         # ---- end of the 50-query grading window ----
+        "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "knn_cosine": q_knn_cosine,
         # everything below stays registered and is re-verified by
@@ -3272,6 +3288,52 @@ def _srp_planes_sql(planes: int, dims: int, seed: int = 0) -> str:
 
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _winnow_fps_sql(k: int = 5, w: int = 4) -> str:
+    """DuckDB replay of winnow_fingerprints(k, w) as a CTE chain
+    ending in fps(doc_id, pos, fp) — positional k-gram md5_long
+    hashes, the w-window rolling min as a frame function, rightmost
+    tie as max(i) at the window min, (pos, fp) dedup. Shared by the
+    winnow_fingerprints profile oracle and the winnow_dup_pairs
+    oracle so the selection replay lives once."""
+    return f"""
+            t AS (
+                SELECT doc_id, {_TOKENS} AS toks FROM documents
+            ), g AS (
+                SELECT doc_id, CAST(i AS INT) AS i,
+                       array_to_string(toks[i:i+{k - 1}], ' ') AS gram
+                FROM t, unnest(range(1, len(toks) - {k} + 2)) r(i)
+                WHERE len(toks) >= {k}
+                UNION ALL
+                SELECT doc_id, 1, array_to_string(toks, ' ')
+                FROM t WHERE len(toks) BETWEEN 1 AND {k - 1}
+            ), h AS (
+                SELECT doc_id, i,
+                       CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+                FROM g
+            ), n AS (
+                SELECT doc_id, max(i) AS nh FROM h GROUP BY doc_id
+            ), win AS (
+                SELECT h.doc_id, h.i AS p,
+                       min(h.h) OVER (
+                           PARTITION BY h.doc_id ORDER BY h.i
+                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING
+                       ) AS m
+                FROM h
+            ), winp AS (
+                SELECT w.doc_id, w.p, w.m
+                FROM win w JOIN n ON n.doc_id = w.doc_id
+                WHERE w.p <= greatest(n.nh - {w - 1}, 1)
+            ), sel AS (
+                SELECT wp.doc_id, wp.p, CAST(max(h.i) AS INT) AS pos,
+                       wp.m AS fp
+                FROM winp wp JOIN h ON h.doc_id = wp.doc_id
+                    AND h.i BETWEEN wp.p AND wp.p + {w - 1} AND h.h = wp.m
+                GROUP BY wp.doc_id, wp.p, wp.m
+            ), fps AS (
+                SELECT DISTINCT doc_id, pos, fp FROM sel
+            )"""
 _NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
 
@@ -4181,47 +4243,26 @@ def oracle_sql() -> dict[str, str]:
         # selection as max(i) where h = window min, (pos, fp) dedup —
         # the full Schleimer et al. selection replayed relationally
         "winnow_fingerprints": f"""
-            WITH t AS (
-                SELECT doc_id, {_TOKENS} AS toks FROM documents
-            ), g AS (
-                SELECT doc_id, CAST(i AS INT) AS i,
-                       array_to_string(toks[i:i+4], ' ') AS gram
-                FROM t, unnest(range(1, len(toks) - 5 + 2)) r(i)
-                WHERE len(toks) >= 5
-                UNION ALL
-                SELECT doc_id, 1, array_to_string(toks, ' ')
-                FROM t WHERE len(toks) BETWEEN 1 AND 4
-            ), h AS (
-                SELECT doc_id, i,
-                       CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
-                FROM g
-            ), n AS (
-                SELECT doc_id, max(i) AS nh FROM h GROUP BY doc_id
-            ), win AS (
-                SELECT h.doc_id, h.i AS p,
-                       min(h.h) OVER (
-                           PARTITION BY h.doc_id ORDER BY h.i
-                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
-                       ) AS m
-                FROM h
-            ), winp AS (
-                SELECT w.doc_id, w.p, w.m
-                FROM win w JOIN n ON n.doc_id = w.doc_id
-                WHERE w.p <= greatest(n.nh - 3, 1)
-            ), sel AS (
-                SELECT wp.doc_id, wp.p, CAST(max(h.i) AS INT) AS pos,
-                       wp.m AS fp
-                FROM winp wp JOIN h ON h.doc_id = wp.doc_id
-                    AND h.i BETWEEN wp.p AND wp.p + 3 AND h.h = wp.m
-                GROUP BY wp.doc_id, wp.p, wp.m
-            ), fps AS (
-                SELECT DISTINCT doc_id, pos, fp FROM sel
-            )
+            WITH {_winnow_fps_sql(5, 4)}
             SELECT doc_id, COUNT(*) AS n_fps,
                    CAST(SUM(pos) AS BIGINT) AS pos_sum,
                    CAST(SUM(fp % 1000000007) AS BIGINT) AS fp_modsum,
                    MIN(fp) AS min_fp
             FROM fps GROUP BY doc_id
+        """,
+        # winnow-pairs replay: the same fps CTE, doc-level distinct
+        # fingerprint sets, equi-self-join on fp with a < b, shared
+        # count >= 2 (the Spark side's bucket cap does not bind at
+        # test scale — asserted by the bucket-cap headroom test)
+        "winnow_dup_pairs": f"""
+            WITH {_winnow_fps_sql(5, 4)},
+            dfp AS (SELECT DISTINCT doc_id, fp FROM fps)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   COUNT(*) AS n_shared
+            FROM dfp a JOIN dfp b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= 2
         """,
         # surt replay: the CLOSED-FORM surt key of each URL shape
         # (label reversal, www strip, default-port drop, :8443 keep,

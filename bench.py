@@ -114,11 +114,18 @@ BENCH_QUERIES = [
     # resolution + per-target-domain rollup)
     "domain_rollup",
     "link_graph",
-    # round-9 addition (57 -> 58): integer-scaled PageRank over the
-    # outlink domain graph — the only graded ITERATIVE plan (3 rounds
-    # of equi-join + agg), so its wall time needs a tracked record
-    # (VERDICT r8 item #3)
+    # round-9 additions (57 -> 63): integer-scaled PageRank over the
+    # outlink domain graph — the only graded ITERATIVE plan, so its
+    # wall time needs a tracked record (VERDICT r8 item #3) — plus
+    # the round-9 graded queries: winnowing fingerprints (profile +
+    # near-dup pairs), sitemap frontier discovery, the full-PSL
+    # broadcast-join rollup, and the SURT capture index
     "domain_rank",
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
+    "sitemap_frontier",
+    "domain_rollup_full",
+    "surt_index",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -308,53 +308,132 @@ def winnow_fingerprints(
     than w+k-1 tokens, one fingerprint (the global rightmost min);
     empty docs, an empty array.
     """
-    toks = tokenize(text)
-    nk = F.size(toks) - (k - 1)
-    parts = [F.slice(toks, i + 1, F.greatest(nk, F.lit(0))) for i in range(k)]
-    grams = (
-        F.when(
-            nk > 0,
-            F.transform(
-                F.arrays_zip(*parts),
-                lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)]),
-            ),
+    # tokenize once and bind as a lambda variable (same no-subexpr-
+    # elimination rule as the hashes binding below: the k+2 slice/size
+    # references would each re-run the tokenize regex)
+    def _grams(toks: Column) -> Column:
+        nk = F.size(toks) - (k - 1)
+        parts = [
+            F.slice(toks, i + 1, F.greatest(nk, F.lit(0))) for i in range(k)
+        ]
+        return (
+            F.when(
+                nk > 0,
+                F.transform(
+                    F.arrays_zip(*parts),
+                    lambda s: F.concat_ws(
+                        " ", *[s[str(i)] for i in range(k)]
+                    ),
+                ),
+            )
+            .when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))
+            .otherwise(F.array().cast("array<string>"))
         )
-        .when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))
-        .otherwise(F.array().cast("array<string>"))
-    )
+
+    grams = F.element_at(F.transform(F.array(tokenize(text)), _grams), 1)
     hashes = F.transform(grams, lambda g: _md5_long(g, 1, 15))
-    nh = F.size(hashes)
-    wlen = F.least(F.lit(w), nh)
-    nwin = F.when(nh > 0, nh - wlen + 1).otherwise(F.lit(0))
 
-    def _select(p: Column) -> Column:
-        win = F.slice(hashes, p, wlen)
-        # one left-to-right pass; <= keeps later equal hashes, which
-        # IS the rightmost-tie rule
-        acc = F.aggregate(
-            F.zip_with(
-                win,
-                F.sequence(F.lit(1), wlen),
-                lambda h, i: F.struct(h.alias("h"), i.alias("i")),
-            ),
-            F.struct(
-                F.lit(None).cast("long").alias("h"),
-                F.lit(0).cast("int").alias("i"),
-            ),
-            lambda a, x: F.when(
-                a["h"].isNull() | (x["h"] <= a["h"]),
-                F.struct(x["h"].alias("h"), x["i"].cast("int").alias("i")),
-            ).otherwise(a),
-        )
-        return F.struct(
-            (p + acc["i"] - 1).cast("int").alias("pos"),
-            acc["h"].alias("fp"),
-        )
+    # CRITICAL: bind the hash array as a LAMBDA VARIABLE before the
+    # per-window selection. Catalyst does no subexpression elimination
+    # inside HOF lambdas, so referencing `hashes` (a tokenize + grams
+    # + md5-per-gram chain) from the window lambda re-evaluates the
+    # WHOLE chain per window position — O(len^2) md5 calls (measured
+    # 303s for 270k tokens at sf0.1; ~3s with the binding). Wrapping
+    # in a 1-element array + transform makes every reference a cheap
+    # variable read.
+    def _winnow(hs: Column) -> Column:
+        nh = F.size(hs)
+        wlen = F.least(F.lit(w), nh)
+        nwin = F.when(nh > 0, nh - wlen + 1).otherwise(F.lit(0))
 
-    sels = F.when(
-        nwin >= 1, F.transform(F.sequence(F.lit(1), nwin), _select)
-    ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
-    return F.array_distinct(sels)
+        def _select(p: Column) -> Column:
+            win = F.slice(hs, p, wlen)
+            # one left-to-right pass; <= keeps later equal hashes,
+            # which IS the rightmost-tie rule
+            acc = F.aggregate(
+                F.zip_with(
+                    win,
+                    F.sequence(F.lit(1), wlen),
+                    lambda h, i: F.struct(h.alias("h"), i.alias("i")),
+                ),
+                F.struct(
+                    F.lit(None).cast("long").alias("h"),
+                    F.lit(0).cast("int").alias("i"),
+                ),
+                lambda a, x: F.when(
+                    a["h"].isNull() | (x["h"] <= a["h"]),
+                    F.struct(
+                        x["h"].alias("h"), x["i"].cast("int").alias("i")
+                    ),
+                ).otherwise(a),
+            )
+            return F.struct(
+                (p + acc["i"] - 1).cast("int").alias("pos"),
+                acc["h"].alias("fp"),
+            )
+
+        sels = F.when(
+            nwin >= 1, F.transform(F.sequence(F.lit(1), nwin), _select)
+        ).otherwise(F.array().cast("array<struct<pos:int,fp:bigint>>"))
+        return F.array_distinct(sels)
+
+    return F.element_at(F.transform(F.array(hashes), _winnow), 1)
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket_ids: int | None = 256,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by SHARED winnowing fingerprints
+    — the dedup use of winnow_fingerprints (MOSS-style partial-overlap
+    detection): documents sharing >= min_shared selected fingerprints
+    are candidates, ranked by the shared count. Unlike MinHash (whole-
+    document similarity) this catches PARTIAL overlap: any shared run
+    of >= w+k-1 tokens contributes fingerprints regardless of how
+    different the rest of the two documents is.
+
+    Scale shape — never a row-pair self-join: distinct (doc, fp), one
+    aggregation per fingerprint bucket, JVM-side i<j expansion within
+    each bucket, then one (a, b) count aggregation. max_bucket_ids
+    caps degenerate buckets (a fingerprint shared by thousands of docs
+    is boilerplate, not duplication) by keeping the deterministic
+    smallest ids; capped buckets under-count n_shared for dropped
+    members — the same documented trade as minhash_candidates."""
+    fps = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(winnow_fingerprints(text, k=k, w=w)).alias("s"),
+        )
+        .select("_id", F.col("s.fp").alias("fp"))
+        .distinct()
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_ids is not None:
+        buckets = buckets.select(F.slice("ids", 1, max_bucket_ids).alias("ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def substring_dup_spans(

@@ -245,22 +245,23 @@ def with_registrable_domain(
         )
     maxl = max(k.count(".") + 1 for k in rules)
     spark = df.sparkSession
-    # the rules side as a pure-JVM literal explode, NOT
-    # createDataFrame: python-created rows scan as ExistingRDD, which
-    # re-runs a pickled-RDD pipeline per broadcast build (5x here —
-    # measured 13.7s vs 2.3s for the whole 1M-host job)
+    # the rules side as ONE packed string literal split JVM-side:
+    # - NOT createDataFrame: python rows scan as ExistingRDD, which
+    #   re-runs a pickled-RDD pipeline per broadcast build (5x here —
+    #   measured 13.7s vs 2.3s for a 1M-host job)
+    # - NOT F.lit(list-of-9.5k-strings): array literals cross py4j
+    #   per element (measured 7.9s of driver time at the full list)
+    # one literal = one py4j call; the split/explode runs in the JVM
     items = sorted(rules.items())
+    assert not any("," in k or ";" in k for k, _ in items)
+    packed = ";".join(f"{k},{v}" for k, v in items)
     rules_df = (
         spark.range(1)
+        .select(F.explode(F.split(F.lit(packed), ";")).alias("kv"))
         .select(
-            F.explode(
-                F.arrays_zip(
-                    F.lit([k for k, _ in items]).alias("suffix"),
-                    F.lit([v for _, v in items]).alias("kind"),
-                )
-            ).alias("r")
+            F.substring_index("kv", ",", 1).alias("suffix"),
+            F.substring_index("kv", ",", -1).cast("int").alias("kind"),
         )
-        .select("r.suffix", F.col("r.kind").cast("int").alias("kind"))
     )
     labels = F.split(F.lower(F.col(host_col)), r"\.")
     n = F.size(labels)

@@ -2361,6 +2361,46 @@ def test_winnow_fingerprints_golden(spark):
     assert {fp for _, fp in a} & {fp for _, fp in b}
 
 
+def test_winnow_dup_pairs(spark):
+    """Partial-overlap detection: two docs sharing a long run (but
+    differing elsewhere) pair up with n_shared >= 2; an unrelated doc
+    pairs with nobody; the bucket cap keeps degenerate buckets
+    bounded (hub expansion only over the deterministic smallest
+    ids). Also asserts the graded query's cap has headroom on the
+    real sf0.01 corpus, so the capless SQL oracle is exact."""
+    from kspp_spark.functions.dedup import winnow_dup_pairs, winnow_fingerprints
+
+    shared = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, shared + " omega psi chi phi upsilon"),
+        (3, "completely different words nothing in common here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a, r.b): r.n_shared
+        for r in winnow_dup_pairs(df, min_shared=2).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] >= 2
+
+    # cap headroom on the graded corpus: the largest fingerprint
+    # bucket at sf0.01 must sit well under the 256 cap
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    max_bucket = (
+        docs.select(
+            "doc_id",
+            F.explode(winnow_fingerprints("text", k=5, w=4)).alias("s"),
+        )
+        .select("doc_id", "s.fp")
+        .distinct()
+        .groupBy("fp")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_bucket < 256, max_bucket
+
+
 def test_surt_key_golden(spark):
     """SURT key shapes: label reversal, www strip, default-port drop
     (http:80 / https:443), non-default port kept, userinfo drop,

@@ -732,6 +732,19 @@ def test_winnow_fingerprints_jvm_single_shuffle(spark, queries):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
 
 
+def test_winnow_dup_pairs_no_self_join(spark, queries):
+    """Winnow-pairs scale contract: NEVER a row-pair self-join — the
+    plan is scan -> (doc, fp) distinct -> per-fp bucket agg -> JVM
+    i<j expansion -> (a, b) count: three bounded exchanges on
+    fixed-width longs, no Join operator, no Python, raw text never
+    shuffles."""
+    plan = formatted_plan(spark, queries["winnow_dup_pairs"](spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
 def test_surt_index_jvm_bounded_shuffles(spark, queries):
     """SURT index scale contract: key construction is map-side JVM
     regex; the rollup's countDistinct needs at most the standard
