@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from kspp_spark.functions.text import gopher_counters, gopher_keep
 from kspp_spark.functions.robots import robots_gate
-from kspp_spark.functions.web import html_to_text, latest_capture_per_url
+from kspp_spark.functions.web import (
+    cdx_index,
+    html_to_text,
+    latest_capture_per_url,
+)
 from kspp_spark.session import get_spark
 from kspp_spark.sources.warc import read_warc, warc_to_documents
 
@@ -78,6 +82,19 @@ def main() -> None:
 
         records = read_warc(spark, crawl)
         print(f"response records      : {records.count()}")
+
+        # CDX-style capture index: surt-keyed, range-partitioned,
+        # sorted within partitions — the archive lookup layout (a
+        # domain's captures cluster contiguously; at scale this is
+        # the parquet layout per-domain reads prune on)
+        cdx = cdx_index(
+            records.select(F.col("target_uri").alias("url"), "warc_date"),
+            num_partitions=2,
+        )
+        keys = [r.surt for r in cdx.collect()]
+        print(f"cdx index             : {len(keys)} captures, "
+              f"first key {keys[0]}")
+        assert all(k.startswith("com,example,site)") for k in keys)
 
         docs = warc_to_documents(records).join(
             records.select(

@@ -643,6 +643,34 @@ def sitemap_index_locs(xml: Column | str) -> Column:
     )
 
 
+def cdx_index(
+    df: DataFrame,
+    url_col: str = "url",
+    date_col: str = "warc_date",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CDX-style capture index: every capture keyed by surt_key and
+    RANGE-partitioned + sorted by (surt, date) — the layout CDX files
+    and their readers rely on (binary-search / prefix range-scan per
+    domain), and in Spark the layout that (a) clusters a domain's
+    captures into one contiguous partition span and (b) lets a
+    range-partitioned parquet write serve per-domain reads with
+    partition pruning instead of a full scan. The sort is WITHIN
+    range partitions (no global sort barrier beyond the range
+    exchange's sampling pass).
+
+    At 100 TB this is the archive-index build: one range exchange on
+    the (surt, date) key, no join, no Python; skewed mega-domains are
+    bounded by range partitioning on the FULL key (surt includes
+    path, so one domain spreads over adjacent partitions rather than
+    one hot one)."""
+    keyed = df.withColumn("surt", surt_key(F.col(url_col)))
+    parts = num_partitions or keyed.sparkSession.sparkContext.defaultParallelism
+    return keyed.repartitionByRange(
+        parts, F.col("surt"), F.col(date_col)
+    ).sortWithinPartitions("surt", date_col)
+
+
 def latest_capture_per_url(
     df: DataFrame,
     url_col: str = "url",

@@ -2432,6 +2432,38 @@ def test_surt_key_golden(spark):
     assert got["https://site.com:8443/x"].startswith("com,site")
 
 
+def test_cdx_index_layout(spark):
+    """CDX index contract: (surt, date) ordering holds WITHIN every
+    partition, the partitioning is a range exchange on the full key
+    (domain captures cluster contiguously), and the plan is JVM-only
+    with no global-sort barrier beyond the range exchange."""
+    from kspp_spark.functions.web import cdx_index
+
+    rows = [
+        (f"https://{h}.example{i % 3}.com/p{j}", f"2026-01-{d:02d}T00:00:00Z")
+        for i, h in enumerate(["www", "blog", "shop"])
+        for j in range(5)
+        for d in (1, 9, 5)
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_date string")
+    idx = cdx_index(df, num_partitions=4)
+
+    def part_keys(it):
+        yield [(r.surt, r.warc_date) for r in it]
+
+    parts = idx.rdd.mapPartitions(part_keys).collect()
+    for p in parts:
+        assert p == sorted(p), p  # sorted within partition
+    # range partitioning: partition key-ranges don't interleave
+    bounds = [(p[0], p[-1]) for p in parts if p]
+    bounds.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_latest_capture_per_url(spark):
     """Crawl dedup: permuted params / default port / fragment
     variants collapse to one canonical row, the newest capture wins
