@@ -1941,6 +1941,25 @@ def q_decontaminate(spark, sf_dir):
     return ngram_overlap_contamination(train, eval_df, min_shared=3)
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Two-phase decontamination (functions/dedup.contamination_
+    bloom): a distributed-built Bloom filter over the eval shingles
+    ships back as ONE binary literal and prefilters train docs
+    map-side (F.exists over the shingle array, pure JVM byte
+    probes), so bloom-negative docs never explode; survivors run the
+    same exact broadcast shingle join. The Bloom has no false
+    negatives, so results are IDENTICAL to decontaminate — the
+    oracle is literally the same SQL. At 100 TB the prefilter is the
+    difference between exploding every training document and
+    exploding the contaminated sliver."""
+    from kspp_spark.functions.dedup import contamination_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    return contamination_bloom(train, eval_df, min_shared=3)
+
+
 def q_pii_mask(spark, sf_dir):
     """PII scrub: email/phone redaction + per-doc counts — map-only
     regexp_replace, stays in whole-stage codegen."""
@@ -3017,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "surt_index": q_surt_index,
+        "decontaminate_bloom": q_decontaminate_bloom,
         # -- (b) r8 newcomers kept in: link_graph's extraction was
         #    REWRITTEN this round (single-pass match + guarded
         #    dot-segment fold) so it must re-certify; domain_rollup /
@@ -3075,8 +3095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "bm25_indexed": q_bm25_indexed,
         "phrase_search_indexed": q_phrase_search_indexed,
-        "positional_index": q_positional_index,
         # ---- end of the 50-query grading window ----
+        "positional_index": q_positional_index,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "knn_cosine": q_knn_cosine,
@@ -3453,7 +3473,7 @@ def oracle_sql() -> dict[str, str]:
     qn = "list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     cn = "list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
-    return {
+    oracles = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -5898,3 +5918,7 @@ def oracle_sql() -> dict[str, str]:
                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         """,
     }
+    # the bloom prefilter is exact (no false negatives — it only
+    # prunes the join input), so its oracle IS decontaminate's
+    oracles["decontaminate_bloom"] = oracles["decontaminate"]
+    return oracles

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "sitemap_frontier",
     "domain_rollup_full",
     "surt_index",
+    "decontaminate_bloom",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

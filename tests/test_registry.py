@@ -47,12 +47,13 @@ def test_registry_round9_window():
     code-changed queries are position-checked (they must lead)."""
     window = list(entry_mod.queries().keys())[:50]
     # new or rewritten this round — must lead the window
-    assert window[:6] == [
+    assert window[:7] == [
         "sitemap_frontier",
         "domain_rollup_full",
         "winnow_fingerprints",
         "winnow_dup_pairs",
         "surt_index",
+        "decontaminate_bloom",
         "link_graph",
     ]
     must_grade = {
