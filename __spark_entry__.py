@@ -3011,10 +3011,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # front door), the new PSL/link-graph pair, and the stalest
     # r5-and-earlier LLM tier.
     # ROUND 9 window (this ordering), exactly what VERDICT r8 item #7
-    # demanded: (a) the round-9 additions (sitemap_frontier — the
-    # robots->index->entries->canonicalize->anti-join frontier chain;
-    # domain_rollup_full — registrable domains against the FULL
-    # production PSL via the broadcast-join form), (b) the r8
+    # demanded: (a) the SIX round-9 additions — sitemap_frontier (the
+    # robots->index->entries->canonicalize->anti-join frontier chain),
+    # domain_rollup_full (registrable domains against the FULL
+    # production PSL via the broadcast-join form), winnow_fingerprints
+    # + winnow_dup_pairs (Schleimer et al. winnowing: profile + the
+    # partial-overlap near-dup pairs), surt_index (the CDX web-archive
+    # key), decontaminate_bloom (bloom-prefiltered two-phase
+    # decontamination, bit-identical to decontaminate); (b) the r8
     # newcomers kept in (link_graph re-certifies because its
     # extraction was rewritten this round: single-pass match +
     # guarded dot-segment fold), (c) the named re-certs: pack_
@@ -3028,9 +3032,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_registry.py pins this dict against duplicate keys —
     # the registry is the driver's grading contract.
     return {
-        # -- (a) round-9 additions: sitemap frontier discovery +
+        # -- (a) round-9 additions: sitemap frontier discovery,
         #    full-production-PSL registrable domains (broadcast-join
-        #    form) --
+        #    form), winnowing (profile + near-dup pairs), SURT index
+        #    keys, bloom-prefiltered decontamination --
         "sitemap_frontier": q_sitemap_frontier,
         "domain_rollup_full": q_domain_rollup_full,
         "winnow_fingerprints": q_winnow_fingerprints,
