@@ -143,33 +143,33 @@ RECORD_BEST = {
     "asof_join": 0.4133,
     "bm25_search": 0.5707,
     "boilerplate_clean": 0.6991,
-    "gopher_quality": 0.5948,
-    "gopher_repetition": 2.0337,
-    "count_by_key": 0.2681,
+    "gopher_quality": 0.5878,
+    "gopher_repetition": 2.0279,
+    "count_by_key": 0.2487,
     "count_by_value": 0.3523,
-    "curate_docs": 1.7071,
+    "curate_docs": 1.6884,
     "decontaminate": 0.9493,
     "dedup_embedding": 0.5995,
     "dedup_exact": 0.2267,
     "dup_clusters": 4.6178,
     "dup_clusters_fixed": 3.4437,
     "inverted_index": 0.4654,
-    "knn_cosine": 0.7251,
-    "kstream_left_join": 0.3827,
+    "knn_cosine": 0.687,
+    "kstream_left_join": 0.3775,
     "ktable_latest": 0.3616,
     "large_orders": 0.866,
     "lm_scores": 0.7559,
     "media_decode": 0.2656,
-    "dup_spans_removed": 1.1873,
+    "dup_spans_removed": 1.1162,
     "train_shuffle": 0.2931,
     "shard_assign": 0.449,
     "perplexity_buckets": 1.0046,
     "url_canonicalize": 0.2543,
     "html_to_text": 0.5226,
-    "robots_gate": 0.4573,
+    "robots_gate": 0.4522,
     "local_supplier_volume": 0.6774,
     "market_share": 0.9109,
-    "minhash_lsh_pairs": 2.4254,
+    "minhash_lsh_pairs": 2.2608,
     "minhash_pairs_portable": 1.4031,
     "pack_sequences": 0.3167,
     "phrase_search_indexed": 0.4635,
@@ -190,14 +190,20 @@ RECORD_BEST = {
     "substring_spans": 0.7043,
     "tfidf_top_terms": 0.5601,
     "train_split": 0.1118,
-    "transform_revenue": 0.4222,
+    "transform_revenue": 0.4161,
     "volume_shipping": 0.8027,
     "waiting_suppliers": 1.1042,
     "windowed_count": 0.2508,
-    "word_count": 0.3023,
+    "word_count": 0.295,
     "domain_rollup": 0.7259,
     "link_graph": 1.2679,
     "domain_rank": 1.0797,
+    "decontaminate_bloom": 2.624,
+    "domain_rollup_full": 0.7697,
+    "sitemap_frontier": 0.8805,
+    "surt_index": 0.6999,
+    "winnow_dup_pairs": 2.507,
+    "winnow_fingerprints": 2.1316,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
