@@ -770,3 +770,91 @@ def test_warc_build_parse_round_trip(records, gz):
         assert rec["target_uri"] == (uri or None)
         assert rec["payload"] == payload
         assert rec["content_length"] == len(payload)
+
+
+def _py_winnow(text: str, k: int, w: int):
+    """Pure-Python winnowing replay (Schleimer et al.: rightmost-min
+    per w-window over positional k-gram md5_long hashes, (pos, fp)
+    dedup) — the independent oracle for the property test."""
+    import hashlib
+
+    toks = [t for t in text.split() if t]
+    if not toks:
+        return []
+    if len(toks) >= k:
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        grams = [" ".join(toks)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+    wl = min(w, len(hs))
+    out, seen = [], set()
+    for p in range(len(hs) - wl + 1):
+        win = hs[p : p + wl]
+        m = min(win)
+        pos = p + max(i for i, h in enumerate(win) if h == m) + 1
+        if (pos, m) not in seen:
+            seen.add((pos, m))
+            out.append((pos, m))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        # tiny alphabet -> dense hash TIES, exercising the
+        # rightmost-tie rule far harder than real text ever would
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=40).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=2, max_value=5),
+)
+def test_winnow_fingerprints_matches_replay(spark, texts, k, w):
+    """Engine winnowing == the pure-Python replay on adversarial
+    inputs: tiny alphabets force repeated grams (every window a tie),
+    lengths straddle the k and w+k-1 boundaries, and empty texts."""
+    from kspp_spark.functions.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: [(s.pos, s.fp) for s in r.fps]
+        for r in df.select(
+            "i", winnow_fingerprints("text", k=k, w=w).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t, k, w), (t, k, w)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=20).map(" ".join),
+    st.lists(st.sampled_from("pq"), min_size=0, max_size=6).map(" ".join),
+    st.lists(st.sampled_from("xy"), min_size=0, max_size=6).map(" ".join),
+)
+def test_winnow_guarantee_shared_run(spark, shared, pre, post):
+    """The winnowing GUARANTEE (k=3, w=4): two docs sharing a run of
+    >= w+k-1 = 6 tokens share at least one fingerprint, whatever
+    surrounds the run."""
+    a = (pre + " " + shared).strip()
+    b = (shared + " " + post).strip()
+    fa = {fp for _, fp in _py_winnow(a, 3, 4)}
+    fb = {fp for _, fp in _py_winnow(b, 3, 4)}
+    assert fa & fb, (a, b)
+    # and the engine agrees with the replay on both docs
+    from kspp_spark.functions.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(0, a), (1, b)], "i long, text string")
+    got = {
+        r.i: {(s.pos, s.fp) for s in r.fps}
+        for r in df.select(
+            "i", winnow_fingerprints("text", k=3, w=4).alias("fps")
+        ).collect()
+    }
+    assert got[0] == set(_py_winnow(a, 3, 4))
+    assert got[1] == set(_py_winnow(b, 3, 4))
