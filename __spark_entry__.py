@@ -1941,6 +1941,30 @@ def q_decontaminate(spark, sf_dir):
     return ngram_overlap_contamination(train, eval_df, min_shared=3)
 
 
+def q_train_classifier(spark, sf_dir):
+    """Distributed hashed-linear-classifier TRAINING (functions/text.
+    train_linear_classifier — the trainer for hashed_bow_score's
+    serving path): label = (source == src0), 64 hashed buckets, two
+    integer-exact gradient iterations with the hard-sigmoid
+    surrogate. Per iteration: one aggregation for margins, one
+    equi-join + aggregation for the gradient; the weight vector (64
+    ints) is the bounded driver control plane, exactly the BPE/
+    PageRank iterative pattern. The oracle unrolls both iterations
+    as CTE chains with trunc() arithmetic — bit-identical weights or
+    the hash fails. Output: (bucket, weight) after 2 rounds."""
+    from kspp_spark.functions.text import train_linear_classifier
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (F.col("source") == "src0").cast("int").alias("label"),
+    )
+    wdf, _ = train_linear_classifier(
+        docs, "label", buckets=64, iterations=2
+    )
+    return wdf
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Two-phase decontamination (functions/dedup.contamination_
     bloom): a distributed-built Bloom filter over the eval shingles
@@ -3042,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "surt_index": q_surt_index,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "train_classifier": q_train_classifier,
         # -- (b) r8 newcomers kept in: link_graph's extraction was
         #    REWRITTEN this round (single-pass match + guarded
         #    dot-segment fold) so it must re-certify; domain_rollup /
@@ -3099,8 +3124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_scores": q_lm_scores,
         "bm25_search": q_bm25_search,
         "bm25_indexed": q_bm25_indexed,
-        "phrase_search_indexed": q_phrase_search_indexed,
         # ---- end of the 50-query grading window ----
+        "phrase_search_indexed": q_phrase_search_indexed,
         "positional_index": q_positional_index,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
@@ -3313,6 +3338,76 @@ def _srp_planes_sql(planes: int, dims: int, seed: int = 0) -> str:
 
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _train_classifier_oracle_sql(
+    buckets: int = 64, iterations: int = 2, scale: int = 1_000_000
+) -> str:
+    """DuckDB replay of train_linear_classifier's full loop, each
+    iteration unrolled as (margin, error, gradient, weight-update)
+    CTEs. Every division is trunc(x*1.0/y) — truncation toward zero,
+    matching Spark's double-divide + cast(long) and the driver's
+    sign*(abs//) update; DuckDB's CAST(double AS BIGINT) ROUNDS, so
+    bare casts would drift. All intermediates < 2^53 (documented in
+    the trainer), so the double round-trip is exact."""
+    S, half = scale, scale // 2
+    parts = [
+        f"""
+            toks AS (
+                SELECT doc_id,
+                       CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y,
+                       unnest({_TOKENS}) AS tok
+                FROM documents
+            ), base AS (
+                SELECT doc_id, y,
+                       CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                           % {buckets} AS b,
+                       COUNT(*) AS cnt
+                FROM toks GROUP BY doc_id, y, b
+            ), nd AS (
+                SELECT doc_id, SUM(cnt) AS n FROM base GROUP BY doc_id
+            ), bs AS (
+                SELECT base.*, nd.n FROM base JOIN nd USING (doc_id)
+            ), ndocs AS (SELECT COUNT(*) AS c FROM nd),
+            w0 AS (
+                SELECT CAST(b AS INT) AS b, CAST(0 AS BIGINT) AS w
+                FROM range({buckets}) t(b)
+            )"""
+    ]
+    for t in range(iterations):
+        parts.append(
+            f""",
+            m{t} AS (
+                SELECT bs.doc_id, bs.y, bs.n,
+                       CAST(trunc(SUM(w{t}.w * bs.cnt) * 1.0 / bs.n)
+                            AS BIGINT) AS m
+                FROM bs JOIN w{t} USING (b)
+                GROUP BY bs.doc_id, bs.y, bs.n
+            ), e{t} AS (
+                SELECT doc_id,
+                       y * {S} - greatest(0, least({S},
+                           {half} + CAST(trunc(m / 4.0) AS BIGINT))) AS err
+                FROM m{t}
+            ), g{t} AS (
+                SELECT bs.b,
+                       CAST(SUM(CAST(trunc(e{t}.err * bs.cnt * 1.0 / bs.n)
+                                     AS BIGINT)) AS BIGINT) AS g
+                FROM bs JOIN e{t} USING (doc_id) GROUP BY bs.b
+            ), w{t + 1} AS (
+                SELECT w{t}.b,
+                       w{t}.w + CAST(trunc(COALESCE(g{t}.g, 0) * 1.0
+                                           / ndocs.c) AS BIGINT) AS w
+                FROM w{t} CROSS JOIN ndocs
+                     LEFT JOIN g{t} ON w{t}.b = g{t}.b
+            )"""
+        )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+            SELECT b AS bucket, w AS weight FROM w{iterations}
+        """
+    )
 
 
 def _winnow_fps_sql(k: int = 5, w: int = 4) -> str:
@@ -5926,4 +6021,7 @@ def oracle_sql() -> dict[str, str]:
     # the bloom prefilter is exact (no false negatives — it only
     # prunes the join input), so its oracle IS decontaminate's
     oracles["decontaminate_bloom"] = oracles["decontaminate"]
+    oracles["train_classifier"] = _train_classifier_oracle_sql(
+        buckets=64, iterations=2
+    )
     return oracles

@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "domain_rollup_full",
     "surt_index",
     "decontaminate_bloom",
+    "train_classifier",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -344,6 +344,127 @@ def hashed_bow_score(
     )
 
 
+def train_linear_classifier(
+    df,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+):
+    """Distributed TRAINING for the hashed linear classifier
+    (hashed_bow_score serves the result): fastText-style bag of
+    hashed tokens (Joulin et al. 2016), gradient steps with a
+    hard-sigmoid surrogate p = clamp(1/2 + m/4, 0, 1) — all
+    arithmetic INTEGER-scaled (micro-units) with truncation-toward-
+    zero division, so the whole training loop replays bit-exactly in
+    a SQL oracle (the pagerank/BPE pattern for iterative ops; a
+    float sigmoid could never hash-match across engines).
+
+    Per iteration, the distributed work is exactly:
+      1. margin per doc:  m_i = trunc(sum_b w_b*cnt_ib / n_i)
+         (one aggregation over the cached sparse (doc, bucket, cnt)
+         frame; weights ride in as a 64-literal array)
+      2. error per doc:   err_i = y_i*S - clamp(S/2 + trunc(m_i/4),
+                          0, S)
+      3. gradient:        g_b = sum_i trunc(err_i*cnt_ib / n_i)
+         (one equi-join on doc id + one aggregation)
+    and the CONTROL PLANE is the weight vector itself — `buckets`
+    integers folded on the driver per round (bounded, like the BPE
+    trainer's 1-row argmax), updated w_b += trunc(g_b / n_docs).
+
+    All intermediates stay far below 2^53, so Spark's double-divide +
+    cast(long) is exact truncation; the oracle uses trunc() (DuckDB
+    CAST(double) ROUNDS — a documented cross-engine trap).
+
+    Returns (weights_df, weights_list): a (bucket, weight) DataFrame
+    built as a packed JVM literal (no ExistingRDD) and the plain
+    Python list for handing to hashed_bow_score (milli-scale callers
+    should divide by scale/1000).
+    """
+    from kspp_spark.functions.hashing import md5_long
+
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("long").alias("_y"),
+            F.explode(tokenize(F.col(text_col))).alias("tok"),
+        )
+        .select(
+            "_id", "_y", (md5_long(F.col("tok")) % buckets).alias("b")
+        )
+        .groupBy("_id", "_y", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_per = base.groupBy("_id").agg(F.sum("cnt").alias("n"))
+    base = base.join(n_per, "_id").persist()
+    n_docs = n_per.count()
+
+    def _trunc_div(a, b):  # noqa: ANN001 — Columns
+        # exact: |a| < 2^53 by the documented bounds
+        return (a / b).cast("long")
+
+    w = [0] * buckets
+    spark = df.sparkSession
+    for _ in range(iterations):
+        wlit = F.array(*[F.lit(int(x)) for x in w])
+        wc = (
+            F.element_at(wlit, (F.col("b") + 1).cast("int")).cast("long")
+            * F.col("cnt")
+        )
+        m = (
+            base.select("_id", "_y", "n", wc.alias("wc"))
+            .groupBy("_id", "_y", "n")
+            .agg(F.sum("wc").alias("s"))
+            .select(
+                "_id",
+                "_y",
+                "n",
+                _trunc_div(F.col("s"), F.col("n")).alias("m"),
+            )
+        )
+        p = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit(scale).cast("long"),
+                F.lit(scale // 2) + _trunc_div(F.col("m"), F.lit(4)),
+            ),
+        )
+        err = m.select("_id", (F.col("_y") * scale - p).alias("err"))
+        g = (
+            base.join(err, "_id")
+            .select(
+                "b",
+                _trunc_div(F.col("err") * F.col("cnt"), F.col("n")).alias(
+                    "t"
+                ),
+            )
+            .groupBy("b")
+            .agg(F.sum("t").alias("g"))
+        )
+        grows = {r.b: r.g for r in g.collect()}
+        nw = []
+        for b in range(buckets):
+            gv = int(grows.get(b, 0))
+            step = abs(gv) // n_docs
+            nw.append(w[b] + (step if gv >= 0 else -step))
+        w = nw
+    base.unpersist()
+    # weights frame as ONE packed literal (see with_registrable_domain's
+    # ExistingRDD / per-element-lit notes)
+    packed = ";".join(f"{b},{v}" for b, v in enumerate(w))
+    wdf = (
+        spark.range(1)
+        .select(F.explode(F.split(F.lit(packed), ";")).alias("kv"))
+        .select(
+            F.substring_index("kv", ",", 1).cast("int").alias("bucket"),
+            F.substring_index("kv", ",", -1).cast("bigint").alias("weight"),
+        )
+    )
+    return wdf, w
+
+
 def chunk_tokens(
     df,
     chunk_len: int,

@@ -323,6 +323,52 @@ def test_hashed_bow_score_exact_mean_and_determinism(spark):
     assert rows[3].score == ws[bucket("gamma")] / 1000.0
 
 
+def test_train_linear_classifier_learns_separable(spark):
+    """The integer-exact trainer must actually LEARN: on a linearly
+    separable toy corpus (positive docs say 'good excellent', negative
+    docs say 'bad awful'), two hard-sigmoid gradient rounds push
+    the positive-marker buckets positive and the negative-marker
+    buckets negative (markers chosen collision-free in 64 buckets —
+    'terrible' hashes onto 'excellent'), and serving the trained weights through
+    hashed_bow_score separates the classes perfectly. Also pins the
+    DataFrame/list agreement and the packed-literal (no ExistingRDD)
+    weights frame."""
+    import hashlib
+
+    from kspp_spark.functions.text import (
+        hashed_bow_score,
+        train_linear_classifier,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, f"good excellent fine{i % 3}", 1))
+        rows.append((100 + i, f"bad awful poor{i % 3}", 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    wdf, w = train_linear_classifier(
+        df, "label", buckets=64, iterations=2
+    )
+    assert [(r.bucket, r.weight) for r in wdf.orderBy("bucket").collect()] == [
+        (b, v) for b, v in enumerate(w)
+    ]
+    plan = wdf._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "BatchEvalPython" not in plan
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    assert w[bucket("good")] > 0 and w[bucket("excellent")] > 0
+    assert w[bucket("bad")] < 0 and w[bucket("awful")] < 0
+    # serve: micro-weights /1000 -> the milli-units hashed_bow_score
+    # documents; sign decisions are scale-invariant either way
+    served = {
+        r.doc_id: r.keep
+        for r in hashed_bow_score(df, [v // 1000 for v in w]).collect()
+    }
+    for doc_id, _, label in rows:
+        assert served[doc_id] == bool(label), (doc_id, label)
+
+
 def test_cosine_topk_self_best(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

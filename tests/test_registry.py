@@ -47,13 +47,14 @@ def test_registry_round9_window():
     code-changed queries are position-checked (they must lead)."""
     window = list(entry_mod.queries().keys())[:50]
     # new or rewritten this round — must lead the window
-    assert window[:7] == [
+    assert window[:8] == [
         "sitemap_frontier",
         "domain_rollup_full",
         "winnow_fingerprints",
         "winnow_dup_pairs",
         "surt_index",
         "decontaminate_bloom",
+        "train_classifier",
         "link_graph",
     ]
     must_grade = {
