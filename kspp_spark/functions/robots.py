@@ -142,6 +142,54 @@ def parse_robots_text(
     return out
 
 
+def crawl_delay(body: str, agent: str) -> float | None:
+    """The Crawl-delay value (seconds) applying to `agent` — not part
+    of RFC 9309 but honored by most major crawlers (the de-facto
+    extension documented by Yandex/Bing): group selection follows the
+    same rule as allow/disallow (exact case-insensitive product-token
+    match beats the '*' groups; all selected groups merge, the
+    SMALLEST delay wins — the conservative read when groups
+    disagree). None when no selected group sets one or the value
+    doesn't parse.
+
+    Feed the result into the per-key token-bucket rate limiter
+    (streaming/stateful.rate_limit — one bucket per domain, rate =
+    1/delay) to make a crawl polite per domain."""
+    agent_lc = agent.lower()
+    groups: list[tuple[list[str], list[float]]] = []
+    cur_agents: list[str] = []
+    cur_delays: list[float] = []
+    in_group_header = True
+    for raw in (body or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_group_header:
+                groups.append((cur_agents, cur_delays))
+                cur_agents, cur_delays = [], []
+            cur_agents.append(value.lower())
+            in_group_header = True
+        elif field in ("allow", "disallow", "crawl-delay"):
+            if field == "crawl-delay" and cur_agents:
+                try:
+                    d = float(value)
+                    if d >= 0:
+                        cur_delays.append(d)
+                except ValueError:
+                    pass
+            in_group_header = False
+    if cur_agents:
+        groups.append((cur_agents, cur_delays))
+    exact = [g for g in groups if agent_lc in g[0]]
+    selected = exact if exact else [g for g in groups if "*" in g[0]]
+    delays = [d for _, ds in selected for d in ds]
+    return min(delays) if delays else None
+
+
 def sitemap_urls(body: str) -> list[str]:
     """The Sitemap: lines of a robots.txt (RFC 9309 §2.4 treats them
     as global, group-independent) — crawl seeding companions to the

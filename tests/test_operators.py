@@ -2714,6 +2714,27 @@ def test_robots_gate_decisions(spark):
     }
 
 
+def test_robots_crawl_delay():
+    """Crawl-delay group selection mirrors allow/disallow: exact
+    product-token group beats '*', merged groups take the SMALLEST
+    delay, unparseable/negative values are ignored, absent -> None."""
+    from kspp_spark.functions.robots import crawl_delay
+
+    body = (
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n\n"
+        "User-agent: corpusbot\nCrawl-delay: 2.5\nAllow: /\n\n"
+        "User-agent: CORPUSBOT\nCrawl-delay: 4\n"
+    )
+    assert crawl_delay(body, "corpusbot") == 2.5  # exact groups merge, min
+    assert crawl_delay(body, "otherbot") == 10.0  # falls to '*'
+    assert crawl_delay("User-agent: *\nDisallow: /", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: nope", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: -1", "x") is None
+    assert crawl_delay("", "x") is None
+    # a crawl-delay-only group is still a group (no allow/disallow)
+    assert crawl_delay("User-agent: slowbot\nCrawl-delay: 30", "slowbot") == 30.0
+
+
 def test_robots_sitemap_urls():
     from kspp_spark.functions.robots import sitemap_urls
 
