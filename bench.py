@@ -201,10 +201,11 @@ RECORD_BEST = {
     "domain_rank": 1.0797,
     "decontaminate_bloom": 2.624,
     "domain_rollup_full": 0.7697,
-    "sitemap_frontier": 0.8805,
-    "surt_index": 0.6999,
+    "sitemap_frontier": 0.846,
+    "surt_index": 0.6821,
     "winnow_dup_pairs": 2.507,
     "winnow_fingerprints": 2.1316,
+    "train_classifier": 2.1456,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
