@@ -114,12 +114,13 @@ BENCH_QUERIES = [
     # resolution + per-target-domain rollup)
     "domain_rollup",
     "link_graph",
-    # round-9 additions (57 -> 63): integer-scaled PageRank over the
-    # outlink domain graph — the only graded ITERATIVE plan, so its
-    # wall time needs a tracked record (VERDICT r8 item #3) — plus
-    # the round-9 graded queries: winnowing fingerprints (profile +
-    # near-dup pairs), sitemap frontier discovery, the full-PSL
-    # broadcast-join rollup, and the SURT capture index
+    # round-9 additions (57 -> 65): integer-scaled PageRank over the
+    # outlink domain graph (the first graded ITERATIVE plan needed a
+    # tracked record — VERDICT r8 item #3) plus the round-9 graded
+    # queries: winnowing (profile + near-dup pairs), sitemap frontier
+    # discovery, the full-PSL broadcast-join rollup, the SURT capture
+    # index, bloom-prefiltered decontamination, and the integer-exact
+    # classifier trainer (the second iterative plan)
     "domain_rank",
     "winnow_fingerprints",
     "winnow_dup_pairs",
