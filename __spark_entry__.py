@@ -1941,6 +1941,23 @@ def q_decontaminate(spark, sf_dir):
     return ngram_overlap_contamination(train, eval_df, min_shared=3)
 
 
+def q_stupid_backoff(spark, sf_dir):
+    """Stupid Backoff trigram LM self-scoring (functions/text.
+    stupid_backoff_scores — Brants et al. 2007, the web-scale
+    MapReduce LM): three count aggregations (trigram/bigram pruned
+    at min_count=2, unigram full) + five equi-joins + one per-doc
+    rollup; alpha = 0.4 as integer 4/10, scores a trunc-division
+    tower in 1e9 units so the whole model replays bit-exactly in
+    SQL. Count cutoffs make backoff REAL in self-scoring: singleton
+    trigrams fall to the bigram tier, singleton bigrams to the
+    unigram tier — the tier counts in the output prove all three
+    paths execute."""
+    from kspp_spark.functions.text import stupid_backoff_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return stupid_backoff_scores(docs)
+
+
 def q_train_classifier(spark, sf_dir):
     """Distributed hashed-linear-classifier TRAINING (functions/text.
     train_linear_classifier — the trainer for hashed_bow_score's
@@ -3067,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_index": q_surt_index,
         "decontaminate_bloom": q_decontaminate_bloom,
         "train_classifier": q_train_classifier,
+        "stupid_backoff": q_stupid_backoff,
         # -- (b) r8 newcomers kept in: link_graph's extraction was
         #    REWRITTEN this round (single-pass match + guarded
         #    dot-segment fold) so it must re-certify; domain_rollup /
@@ -3123,8 +3141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_portable": q_simhash_pairs_portable,
         "lm_scores": q_lm_scores,
         "bm25_search": q_bm25_search,
-        "bm25_indexed": q_bm25_indexed,
         # ---- end of the 50-query grading window ----
+        "bm25_indexed": q_bm25_indexed,
         "phrase_search_indexed": q_phrase_search_indexed,
         "positional_index": q_positional_index,
         "inverted_index": q_inverted_index,
@@ -3338,6 +3356,79 @@ def _srp_planes_sql(planes: int, dims: int, seed: int = 0) -> str:
 
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+
+
+def _stupid_backoff_oracle_sql(
+    min_count: int = 2,
+    alpha_num: int = 4,
+    alpha_den: int = 10,
+    scale: int = 1_000_000_000,
+) -> str:
+    """DuckDB replay of stupid_backoff_scores: the three count
+    tables (trigram/bigram HAVING >= min_count, unigram full), the
+    per-doc trigram frame with its four context keys, five left
+    joins, and the identical trunc-division score tower (trunc(), not
+    bare casts — DuckDB CAST(double) rounds)."""
+    S, an, ad = scale, alpha_num, alpha_den
+    return f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKENS} AS toks FROM documents
+            ), tf AS (
+                SELECT doc_id, toks FROM t WHERE len(toks) >= 3
+            ), uni AS (
+                SELECT u AS g, COUNT(*) AS c1
+                FROM (SELECT unnest(toks) AS u FROM tf) GROUP BY u
+            ), nn AS (SELECT SUM(c1) AS n FROM uni),
+            big AS (
+                SELECT array_to_string(toks[i:i+1], ' ') AS g,
+                       COUNT(*) AS c2
+                FROM tf, unnest(range(1, len(toks))) r(i)
+                GROUP BY g HAVING COUNT(*) >= {min_count}
+            ), tri AS (
+                SELECT array_to_string(toks[i:i+2], ' ') AS g,
+                       COUNT(*) AS c3
+                FROM tf, unnest(range(1, len(toks) - 1)) r(i)
+                GROUP BY g HAVING COUNT(*) >= {min_count}
+            ), dk AS (
+                SELECT doc_id,
+                       array_to_string(toks[i:i+2], ' ') AS g3,
+                       array_to_string(toks[i:i+1], ' ') AS g12,
+                       array_to_string(toks[i+1:i+2], ' ') AS g23,
+                       toks[i+1] AS u2, toks[i+2] AS u3
+                FROM tf, unnest(range(1, len(toks) - 1)) r(i)
+            ), j AS (
+                SELECT dk.doc_id, tri.c3 AS c123, b1.c2 AS c12,
+                       b2.c2 AS c23, u2t.c1 AS cu2, u3t.c1 AS cu3
+                FROM dk LEFT JOIN tri ON dk.g3 = tri.g
+                        LEFT JOIN big b1 ON dk.g12 = b1.g
+                        LEFT JOIN big b2 ON dk.g23 = b2.g
+                        LEFT JOIN uni u2t ON dk.u2 = u2t.g
+                        LEFT JOIN uni u3t ON dk.u3 = u3t.g
+            ), s AS (
+                SELECT doc_id,
+                  CASE WHEN c123 IS NOT NULL THEN 0
+                       WHEN c23 IS NOT NULL THEN 1 ELSE 2 END AS tier,
+                  CASE WHEN c123 IS NOT NULL
+                       THEN CAST(trunc(c123 * {S}.0 / c12) AS BIGINT)
+                       WHEN c23 IS NOT NULL
+                       THEN CAST(trunc({an} * CAST(trunc(c23 * {S}.0
+                                / cu2) AS BIGINT) / {ad}.0) AS BIGINT)
+                       ELSE CAST(trunc({an} * CAST(trunc({an} *
+                            CAST(trunc(cu3 * {S}.0 / nn.n) AS BIGINT)
+                            / {ad}.0) AS BIGINT) / {ad}.0) AS BIGINT)
+                  END AS score
+                FROM j CROSS JOIN nn
+            )
+            SELECT doc_id, COUNT(*) AS n_trigrams,
+                   CAST(SUM(score) AS BIGINT) AS score_sum,
+                   CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_full,
+                   CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_backoff1,
+                   CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_backoff2
+            FROM s GROUP BY doc_id
+        """
 
 
 def _train_classifier_oracle_sql(
@@ -6024,4 +6115,5 @@ def oracle_sql() -> dict[str, str]:
     oracles["train_classifier"] = _train_classifier_oracle_sql(
         buckets=64, iterations=2
     )
+    oracles["stupid_backoff"] = _stupid_backoff_oracle_sql()
     return oracles

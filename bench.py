@@ -114,13 +114,14 @@ BENCH_QUERIES = [
     # resolution + per-target-domain rollup)
     "domain_rollup",
     "link_graph",
-    # round-9 additions (57 -> 65): integer-scaled PageRank over the
+    # round-9 additions (57 -> 66): integer-scaled PageRank over the
     # outlink domain graph (the first graded ITERATIVE plan needed a
     # tracked record — VERDICT r8 item #3) plus the round-9 graded
     # queries: winnowing (profile + near-dup pairs), sitemap frontier
     # discovery, the full-PSL broadcast-join rollup, the SURT capture
     # index, bloom-prefiltered decontamination, and the integer-exact
-    # classifier trainer (the second iterative plan)
+    # classifier trainer (the second iterative plan), and Stupid
+    # Backoff trigram LM self-scoring (Brants et al. 2007)
     "domain_rank",
     "winnow_fingerprints",
     "winnow_dup_pairs",
@@ -129,6 +130,7 @@ BENCH_QUERIES = [
     "surt_index",
     "decontaminate_bloom",
     "train_classifier",
+    "stupid_backoff",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -344,6 +344,152 @@ def hashed_bow_score(
     )
 
 
+def stupid_backoff_scores(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    alpha_num: int = 4,
+    alpha_den: int = 10,
+    scale: int = 1_000_000_000,
+):
+    """Stupid Backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale
+    MapReduce LM): relative frequencies with a fixed backoff
+    multiplier alpha = alpha_num/alpha_den (the paper's 0.4), no
+    discounting or normalization — the design insight that at corpus
+    scale COUNTING is the whole algorithm, which is exactly why it
+    fits Spark: three n-gram count aggregations + five equi-joins,
+    nothing else.
+
+        S(w3|w1 w2) = c123/c12          if c123 survives the cutoff
+                      a * S(w3|w2)      otherwise
+        S(w3|w2)    = c23/c2            if c23 survives the cutoff
+                      a * S(w3)         otherwise
+        S(w3)       = c3/N
+
+    Count cutoffs (min_count on the trigram/bigram tables, the
+    paper's pruning) are what make backoff real in self-scoring:
+    singleton n-grams fall through the tiers. Monotonicity
+    guarantees the context counts of a surviving n-gram survive too
+    (c12 >= c123, c23 >= c123), so the tier test is a simple null
+    chain; unigrams stay unpruned.
+
+    Integer-exact for the oracle: scores are trunc-division towers
+    in `scale` units (requires max_count * scale < 2^53 — holds to
+    ~9e6-token corpora at the default; at production scale flip the
+    divisions to plain doubles, the plan shape is identical). The
+    corpus tokenizes ONCE (eager localCheckpoint) and feeds the
+    three count aggregations + the scoring frame.
+
+    Output per doc (>= 3 tokens): (id, n_trigrams, score_sum,
+    n_full, n_backoff1, n_backoff2) — score_sum is the BIGINT sum of
+    scaled trigram scores (order-independent; the fluency signal),
+    tier counts are the backoff diagnostics."""
+    toks_df = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            tokenize(F.col(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= 3)
+        .localCheckpoint(eager=True)
+    )
+
+    def grams(n: int):
+        upper = F.size("_toks") - (n - 1)
+        idx = F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice("_toks", i, n))
+        )
+
+    def counts(n: int, name: str, prune: bool):
+        out = (
+            toks_df.select(F.explode(grams(n)).alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+        return out.filter(F.col(name) >= min_count) if prune else out
+
+    uni = counts(1, "c1", False)
+    big = counts(2, "c2", True)
+    tri = counts(3, "c3", True)
+    n_total = int(uni.agg(F.sum("c1")).first()[0])  # bounded scalar
+
+    dt = toks_df.select("_id", F.explode(grams(3)).alias("g3"))
+    w = F.split(F.col("g3"), " ")
+    dt = dt.select(
+        "_id",
+        "g3",
+        F.concat_ws(" ", w[0], w[1]).alias("g12"),
+        F.concat_ws(" ", w[1], w[2]).alias("g23"),
+        w[1].alias("u2"),
+        w[2].alias("u3"),
+    )
+    j = (
+        dt.join(
+            tri.select(F.col("g").alias("g3"), F.col("c3").alias("c123")),
+            "g3",
+            "left",
+        )
+        .join(
+            big.select(F.col("g").alias("g12"), F.col("c2").alias("c12")),
+            "g12",
+            "left",
+        )
+        .join(
+            big.select(F.col("g").alias("g23"), F.col("c2").alias("c23")),
+            "g23",
+            "left",
+        )
+        .join(
+            uni.select(F.col("g").alias("u2"), F.col("c1").alias("cu2")),
+            "u2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("g").alias("u3"), F.col("c1").alias("cu3")),
+            "u3",
+            "left",
+        )
+    )
+
+    def tdiv(a, b):  # noqa: ANN001 — exact: dividends < 2^53 (doc'd)
+        return (a / b).cast("long")
+
+    s_full = tdiv(F.col("c123") * scale, F.col("c12"))
+    s_bo1 = tdiv(
+        F.lit(alpha_num) * tdiv(F.col("c23") * scale, F.col("cu2")),
+        F.lit(alpha_den),
+    )
+    s_uni = tdiv(F.col("cu3") * scale, F.lit(n_total))
+    s_bo2 = tdiv(
+        F.lit(alpha_num) * tdiv(F.lit(alpha_num) * s_uni, F.lit(alpha_den)),
+        F.lit(alpha_den),
+    )
+    tier = (
+        F.when(F.col("c123").isNotNull(), F.lit(0))
+        .when(F.col("c23").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    score = (
+        F.when(tier == 0, s_full).when(tier == 1, s_bo1).otherwise(s_bo2)
+    )
+    return (
+        j.select(F.col("_id"), score.alias("s"), tier.alias("t"))
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("s").alias("score_sum"),
+            F.sum((F.col("t") == 0).cast("long")).alias("n_full"),
+            F.sum((F.col("t") == 1).cast("long")).alias("n_backoff1"),
+            F.sum((F.col("t") == 2).cast("long")).alias("n_backoff2"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def train_linear_classifier(
     df,
     label_col: str,

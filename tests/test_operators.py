@@ -323,6 +323,44 @@ def test_hashed_bow_score_exact_mean_and_determinism(spark):
     assert rows[3].score == ws[bucket("gamma")] / 1000.0
 
 
+def test_stupid_backoff_hand_computed(spark):
+    """Stupid Backoff against a fully hand-computed 3-doc corpus:
+    counts — uni a:4 b:4 c:3 x:2 y:1 z:1 (N=15), pruned bigrams
+    ab:4 bc:3, pruned trigrams 'a b c':3 — and every tier exercised:
+    full hits ('a b c'), bigram backoff ('c a b', 'x a b' via ab),
+    unigram backoff (pruned c23). alpha=0.4 as 4/10, scale 1e9,
+    trunc-division tower."""
+    from kspp_spark.functions.text import stupid_backoff_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),
+            (2, "a b c x y z"),
+            (3, "x a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.n_trigrams, r.score_sum, r.n_full, r.n_backoff1, r.n_backoff2
+        )
+        for r in stupid_backoff_scores(docs).collect()
+    }
+    # d1: 'a b c'x2 full: trunc(3e9/4)=750000000 each;
+    #     'b c a' -> uni(a=4): trunc(4*trunc(4*trunc(4e9/15)/10)/10)
+    #                = 42666666;
+    #     'c a b' -> bigram(ab=4, a=4): trunc(4*trunc(4e9/4)/10)
+    #                = 400000000
+    assert got[1] == (4, 2 * 750000000 + 42666666 + 400000000, 2, 1, 1)
+    # d2: 'a b c' full 750000000; 'b c x' uni(x=2) 21333333;
+    #     'c x y' uni(y=1) 10666666; 'x y z' uni(z=1) 10666666
+    assert got[2] == (
+        4, 750000000 + 21333333 + 2 * 10666666, 1, 0, 3
+    )
+    # d3: 'x a b' bigram backoff via ab -> 400000000
+    assert got[3] == (1, 400000000, 0, 1, 0)
+
+
 def test_train_linear_classifier_learns_separable(spark):
     """The integer-exact trainer must actually LEARN: on a linearly
     separable toy corpus (positive docs say 'good excellent', negative

@@ -47,7 +47,7 @@ def test_registry_round9_window():
     code-changed queries are position-checked (they must lead)."""
     window = list(entry_mod.queries().keys())[:50]
     # new or rewritten this round — must lead the window
-    assert window[:8] == [
+    assert window[:9] == [
         "sitemap_frontier",
         "domain_rollup_full",
         "winnow_fingerprints",
@@ -55,6 +55,7 @@ def test_registry_round9_window():
         "surt_index",
         "decontaminate_bloom",
         "train_classifier",
+        "stupid_backoff",
         "link_graph",
     ]
     must_grade = {
