@@ -732,6 +732,20 @@ def test_winnow_fingerprints_jvm_single_shuffle(spark, queries):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
 
 
+def test_stupid_backoff_single_tokenize_bounded_joins(spark, queries):
+    """Stupid-Backoff scale contract: the corpus tokenizes ONCE (the
+    localCheckpoint RDD scan is the only source — no parquet re-scan
+    of documents inside the scoring plan), the five count joins are
+    plain equi-joins (no cartesian, no Python), and nothing explodes
+    raw text across a shuffle — n-gram strings and counts only."""
+    plan = formatted_plan(spark, queries["stupid_backoff"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the tokenized frame is checkpointed: the scoring plan reads the
+    # RDD scan, never the documents parquet again
+    assert "Scan parquet" not in plan, plan
+
+
 def test_decontaminate_bloom_mapside_prefilter(spark, queries):
     """Bloom-decontamination scale contract: the bloom probe is a
     map-side Filter on the TRAIN scan (before any explode/Generate —
