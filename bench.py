@@ -148,10 +148,10 @@ RECORD_BEST = {
     "bm25_search": 0.5707,
     "boilerplate_clean": 0.6991,
     "gopher_quality": 0.5878,
-    "gopher_repetition": 2.0279,
+    "gopher_repetition": 1.9935,
     "count_by_key": 0.2487,
     "count_by_value": 0.3523,
-    "curate_docs": 1.6884,
+    "curate_docs": 1.6311,
     "decontaminate": 0.9493,
     "dedup_embedding": 0.5995,
     "dedup_exact": 0.2267,
@@ -168,7 +168,7 @@ RECORD_BEST = {
     "train_shuffle": 0.2931,
     "shard_assign": 0.449,
     "perplexity_buckets": 1.0046,
-    "url_canonicalize": 0.2543,
+    "url_canonicalize": 0.2509,
     "html_to_text": 0.5226,
     "robots_gate": 0.4522,
     "local_supplier_volume": 0.6774,
@@ -185,9 +185,9 @@ RECORD_BEST = {
     "quantized_ann": 1.59,
     "repetition_stats": 0.8401,
     "returned_items": 0.5877,
-    "revenue_per_nation": 0.5083,
+    "revenue_per_nation": 0.5076,
     "scd2_lookup": 0.3814,
-    "session_windows": 0.3277,
+    "session_windows": 0.3225,
     "srp_ann": 1.4082,
     "srp_diverse_sample": 0.2418,
     "srp_pairs": 2.3054,
@@ -203,12 +203,13 @@ RECORD_BEST = {
     "link_graph": 1.2679,
     "domain_rank": 1.0797,
     "decontaminate_bloom": 2.624,
-    "domain_rollup_full": 0.7697,
-    "sitemap_frontier": 0.846,
-    "surt_index": 0.6821,
+    "domain_rollup_full": 0.7541,
+    "sitemap_frontier": 0.8396,
+    "surt_index": 0.5932,
     "winnow_dup_pairs": 2.507,
     "winnow_fingerprints": 2.1316,
     "train_classifier": 2.1456,
+    "stupid_backoff": 2.2404,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
