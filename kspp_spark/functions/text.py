@@ -415,7 +415,15 @@ def stupid_backoff_scores(
     uni = counts(1, "c1", False)
     big = counts(2, "c2", True)
     tri = counts(3, "c3", True)
-    n_total = int(uni.agg(F.sum("c1")).first()[0])  # bounded scalar
+    n_row = uni.agg(F.sum("c1")).first()[0]  # bounded scalar
+    if n_row is None:  # no doc has >= 3 tokens: empty, typed result
+        id_type = toks_df.schema["_id"].dataType.simpleString()
+        return toks_df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} {id_type}, n_trigrams long, score_sum long, "
+            "n_full long, n_backoff1 long, n_backoff2 long",
+        )
+    n_total = int(n_row)
 
     dt = toks_df.select("_id", F.explode(grams(3)).alias("g3"))
     w = F.split(F.col("g3"), " ")

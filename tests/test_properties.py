@@ -858,3 +858,70 @@ def test_winnow_guarantee_shared_run(spark, shared, pre, post):
     }
     assert got[0] == set(_py_winnow(a, 3, 4))
     assert got[1] == set(_py_winnow(b, 3, 4))
+
+
+def _py_stupid_backoff(texts, min_count=2, an=4, ad=10, S=10**9):
+    """Pure-Python Stupid Backoff replay (counts with cutoffs, the
+    trunc-division score tower) — the independent oracle."""
+    from collections import Counter
+
+    def trunc(x):
+        return int(x)  # python int() truncates toward zero
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    toks = {i: [w for w in ws if w] for i, ws in toks.items()}
+    toks = {i: ws for i, ws in toks.items() if len(ws) >= 3}
+    uni, big, tri = Counter(), Counter(), Counter()
+    for ws in toks.values():
+        uni.update(ws)
+        big.update(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+        tri.update(" ".join(ws[i : i + 3]) for i in range(len(ws) - 2))
+    N = sum(uni.values())
+    big = {g: c for g, c in big.items() if c >= min_count}
+    tri = {g: c for g, c in tri.items() if c >= min_count}
+    out = {}
+    for i, ws in toks.items():
+        n = s = f = b1 = b2 = 0
+        for p in range(len(ws) - 2):
+            w1, w2, w3 = ws[p : p + 3]
+            g3, g12, g23 = f"{w1} {w2} {w3}", f"{w1} {w2}", f"{w2} {w3}"
+            n += 1
+            if g3 in tri:
+                s += trunc(tri[g3] * S / big[g12]); f += 1
+            elif g23 in big:
+                s += trunc(an * trunc(big[g23] * S / uni[w2]) / ad); b1 += 1
+            else:
+                s += trunc(
+                    an * trunc(an * trunc(uni[w3] * S / N) / ad) / ad
+                ); b2 += 1
+        out[i] = (n, s, f, b1, b2)
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        # tiny alphabet -> many repeated n-grams STRADDLING the
+        # min_count cutoff, so all three tiers fire unpredictably
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=25).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_stupid_backoff_matches_replay(spark, texts):
+    """Engine Stupid Backoff == the pure-Python replay on adversarial
+    corpora: 4-letter alphabets put n-gram counts right at the
+    min_count cutoff, so tier selection, the count-monotonicity
+    assumption, and every trunc in the tower are all load-bearing."""
+    from kspp_spark.functions.text import stupid_backoff_scores
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.score_sum, r.n_full, r.n_backoff1, r.n_backoff2)
+        for r in stupid_backoff_scores(df).collect()
+    }
+    assert got == _py_stupid_backoff(texts), texts
