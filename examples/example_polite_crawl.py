@@ -24,7 +24,7 @@ import datetime
 
 from pyspark.sql import functions as F
 
-from kspp_spark.functions.robots import crawl_delay
+from kspp_spark.functions.robots import parse_robots_meta
 from kspp_spark.functions.web import url_host
 from kspp_spark.session import get_spark
 from kspp_spark.streaming.stateful import rate_limit_batch
@@ -41,11 +41,20 @@ AGENT = "corpusbot"
 def main() -> None:
     spark = get_spark("example_polite_crawl")
 
-    # 1. per-host delay (robots bodies are tiny; the parse is the
-    #    bounded driver part — the URL stream below never collects)
+    # 1. per-host delay via the Arrow parse path (parse_robots_meta
+    #    — the corpus-scale form; robots bodies parse executor-side).
+    #    Only the tiny (host, delay) frame is collected, and only to
+    #    build the delay CLASSES below — a bounded per-domain control
+    #    plane, never the URL stream.
+    robots_df = spark.createDataFrame(
+        list(ROBOTS.items()), "domain string, robots_txt string"
+    )
+    meta = parse_robots_meta(robots_df, AGENT)
     delays = {
-        h: (crawl_delay(body, AGENT) or DEFAULT_DELAY_S)
-        for h, body in ROBOTS.items()
+        r.domain: (
+            r.crawl_delay if r.crawl_delay is not None else DEFAULT_DELAY_S
+        )
+        for r in meta.select("domain", "crawl_delay").collect()
     }
     print(f"crawl delays         : {delays}")
     assert delays["slow.example.com"] == 10.0

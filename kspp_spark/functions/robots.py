@@ -34,8 +34,14 @@ Semantics implemented (documented choices where the RFC leaves room):
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Iterator
+
+# ceiling on an honored Crawl-delay (one day) — Google caps at far
+# less; anything above this is a misconfiguration or an attack on the
+# crawler's scheduler, not a politeness request
+MAX_CRAWL_DELAY_S = 86400.0
 
 import pandas as pd
 
@@ -150,11 +156,15 @@ def crawl_delay(body: str, agent: str) -> float | None:
     match beats the '*' groups; all selected groups merge, the
     SMALLEST delay wins — the conservative read when groups
     disagree). None when no selected group sets one or the value
-    doesn't parse.
+    doesn't parse. Values must be FINITE and are clamped to
+    MAX_CRAWL_DELAY_S — a hostile robots.txt saying
+    'Crawl-delay: inf' (or 1e300) would otherwise propagate inf into
+    int(delay*1000) at the rate-limiter call site and overflow.
 
     Feed the result into the per-key token-bucket rate limiter
-    (streaming/stateful.rate_limit — one bucket per domain, rate =
-    1/delay) to make a crawl polite per domain."""
+    (streaming/stateful.rate_limit_batch for a batch replay,
+    rate_limit_stream for the live form — one bucket per domain,
+    rate = 1/delay) to make a crawl polite per domain."""
     agent_lc = agent.lower()
     groups: list[tuple[list[str], list[float]]] = []
     cur_agents: list[str] = []
@@ -177,8 +187,8 @@ def crawl_delay(body: str, agent: str) -> float | None:
             if field == "crawl-delay" and cur_agents:
                 try:
                     d = float(value)
-                    if d >= 0:
-                        cur_delays.append(d)
+                    if math.isfinite(d) and d >= 0:
+                        cur_delays.append(min(d, MAX_CRAWL_DELAY_S))
                 except ValueError:
                     pass
             in_group_header = False
@@ -223,6 +233,54 @@ def parse_robots(
                     "rules": [
                         parse_robots_text(b, agent) for b in pdf[body_col]
                     ],
+                }
+            )
+
+    return robots_df.select(domain_col, body_col).mapInPandas(
+        run, schema=schema
+    )
+
+
+def parse_robots_meta(
+    robots_df: DataFrame,
+    agent: str,
+    domain_col: str = "domain",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """(domain, rules, crawl_delay, sitemaps): the FULL per-domain
+    politeness record in ONE Arrow-batched pass — the corpus-scale
+    form of the driver-side crawl_delay()/sitemap_urls() helpers
+    (which stay for bounded per-host control planes like
+    examples/example_polite_crawl.py's delay classes). Semantics are
+    THE SAME functions applied per row inside mapInPandas, so the two
+    forms cannot drift; golden tests assert equality.
+
+    crawl_delay is NULL when no selected group sets one (callers
+    coalesce to their default politeness); sitemaps is the possibly-
+    empty Sitemap: list (RFC 9309 §2.4 — global, group-independent).
+    One output row per input row; robots bodies are per-domain, so
+    this frame is orders of magnitude smaller than the URL table and
+    broadcast-joins onto it."""
+    schema = T.StructType(
+        [
+            robots_df.schema[domain_col],
+            T.StructField("rules", RULES_TYPE),
+            T.StructField("crawl_delay", T.DoubleType()),
+            T.StructField("sitemaps", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bodies = pdf[body_col]
+            yield pd.DataFrame(
+                {
+                    domain_col: pdf[domain_col],
+                    "rules": [
+                        parse_robots_text(b, agent) for b in bodies
+                    ],
+                    "crawl_delay": [crawl_delay(b, agent) for b in bodies],
+                    "sitemaps": [sitemap_urls(b) for b in bodies],
                 }
             )
 

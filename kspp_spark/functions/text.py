@@ -554,6 +554,12 @@ def train_linear_classifier(
     n_per = base.groupBy("_id").agg(F.sum("cnt").alias("n"))
     base = base.join(n_per, "_id").persist()
     n_docs = n_per.count()
+    if n_docs == 0:
+        # no document tokenized to anything: zero weights, no
+        # iterations (the gradient fold divides by n_docs — same
+        # empty-corpus guard as stupid_backoff_scores)
+        base.unpersist()
+        iterations = 0
 
     def _trunc_div(a, b):  # noqa: ANN001 — Columns
         # exact: |a| < 2^53 by the documented bounds

@@ -265,6 +265,15 @@ def with_registrable_domain(
     )
     labels = F.split(F.lower(F.col(host_col)), r"\.")
     n = F.size(labels)
+    # the join probes materialize temp columns on the caller's frame;
+    # a caller column with one of these names would be silently
+    # clobbered — refuse loudly (same style as the packed-literal
+    # assert above)
+    temp = {"_psl_labels", "_psl_n"} | {
+        c for i in range(1, maxl + 1) for c in (f"_psl_c{i}", f"_psl_k{i}")
+    }
+    clash = temp & set(df.columns)
+    assert not clash, f"input columns collide with PSL temps: {sorted(clash)}"
     work = df.withColumn("_psl_labels", labels).withColumn("_psl_n", n)
     for i in range(1, maxl + 1):
         cand = F.when(

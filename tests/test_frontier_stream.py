@@ -112,3 +112,74 @@ def test_frontier_stream_matches_batch_anti_join(spark, in_dir):
     assert stream_keys == batch_keys
     # p0..p9 trailing-slash re-discoveries collapsed; q0..q3 new
     assert len(stream_keys) == 14
+
+
+TTL_SCHEMA = "url string, via string, ts timestamp"
+
+
+def _write_ts(spark, path, rows):
+    spark.createDataFrame(rows, TTL_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_frontier_stream_ttl_reemits_after_horizon(spark, tmp_path):
+    """The TTL'd contract: a canonical URL re-emits once the
+    watermark passes its sighting + horizon, and NOT for
+    re-discoveries inside the horizon. 10-minute horizon; four
+    micro-batches:
+      b1  A @ 10:00            -> emits (first seen)
+      b2  A @ 10:05 (+filler)  -> DROPPED (inside horizon)
+      b3  filler @ 10:30       -> max event time now past A's expiry
+      b4  filler @ 10:31       -> wm (10:20) > expiry: A's state evicts
+      b5  A @ 11:00            -> EMITS again (state gone)
+    (b4 exists because the watermark for batch N comes from batch
+    N-1's max event time, and eviction runs at batch completion — so
+    the batch AFTER the advancing one is the first whose eviction
+    pass can drop the key.) The unbounded frontier_stream would emit
+    A exactly once."""
+    import datetime as dt
+
+    from kspp_spark.streaming.frontier import frontier_stream_ttl
+
+    t = lambda m: dt.datetime(2026, 3, 1, 10, 0, 0) + dt.timedelta(minutes=m)
+    in_dir = str(tmp_path / "ttl_in")
+    a = "https://shop.example.com/a"
+    _write_ts(spark, in_dir, [(a, "b1", t(0))])
+    _write_ts(
+        spark,
+        in_dir,
+        [(a + "?", "b2", t(5)), ("https://shop.example.com/f1", "b2", t(5))],
+    )
+    _write_ts(spark, in_dir, [("https://shop.example.com/f2", "b3", t(30))])
+    _write_ts(spark, in_dir, [("https://shop.example.com/f3", "b4", t(31))])
+    _write_ts(spark, in_dir, [(a + "#x", "b5", t(60))])
+    src = (
+        spark.readStream.schema(TTL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        frontier_stream_ttl(src, "10 minutes")
+        .writeStream.format("memory")
+        .queryName("frontier_ttl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 5
+    rows = spark.sql("SELECT * FROM frontier_ttl").collect()
+    a_rows = sorted(
+        (r.via for r in rows if r.canon_url == a)
+    )
+    # emitted at first sight and after expiry; the in-horizon
+    # re-discovery (b2) was deduplicated against state
+    assert a_rows == ["b1", "b5"], rows
+    assert {r.canon_url for r in rows} == {
+        a,
+        "https://shop.example.com/f1",
+        "https://shop.example.com/f2",
+        "https://shop.example.com/f3",
+    }
+    assert all(r.surt.startswith("com,example,shop)") for r in rows)

@@ -2787,3 +2787,102 @@ def test_robots_sitemap_urls():
         "https://ex.com/news.xml",
     ]
     assert sitemap_urls("") == []
+
+
+def test_robots_crawl_delay_hostile_values():
+    """A hostile robots.txt cannot smuggle inf/NaN/astronomic delays
+    into the scheduler: non-finite values are ignored like any other
+    unparseable value; finite-but-huge ones clamp to the one-day
+    ceiling (int(delay*1000) downstream must never overflow)."""
+    from kspp_spark.functions.robots import MAX_CRAWL_DELAY_S, crawl_delay
+
+    assert crawl_delay("User-agent: *\nCrawl-delay: inf", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: -inf", "x") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: nan", "x") is None
+    assert (
+        crawl_delay("User-agent: *\nCrawl-delay: 1e300", "x")
+        == MAX_CRAWL_DELAY_S
+    )
+    # inf in one group must not beat a sane delay in another via min()
+    body = (
+        "User-agent: *\nCrawl-delay: inf\n\n"
+        "User-agent: *\nCrawl-delay: 5\n"
+    )
+    assert crawl_delay(body, "x") == 5.0
+
+
+def test_parse_robots_meta_matches_driver_functions(spark):
+    """The Arrow politeness path (parse_robots_meta) is the SAME
+    semantics as the driver-side helpers, per domain: rules ==
+    parse_robots_text, crawl_delay == crawl_delay(), sitemaps ==
+    sitemap_urls() — including the NULL-delay and empty-sitemap
+    shapes."""
+    from kspp_spark.functions.robots import (
+        crawl_delay,
+        parse_robots_meta,
+        parse_robots_text,
+        sitemap_urls,
+    )
+
+    bodies = {
+        "a.ex.com": (
+            "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"
+            "Sitemap: https://a.ex.com/s.xml\n"
+        ),
+        "b.ex.com": (
+            "User-agent: corpusbot\nCrawl-delay: 2.5\nAllow: /ok\n"
+            "Disallow: /*?sess=*\n\n"
+            "User-agent: *\nCrawl-delay: 99\n"
+        ),
+        "c.ex.com": "User-agent: *\nDisallow: /private\n",
+        "d.ex.com": "",
+    }
+    df = spark.createDataFrame(
+        list(bodies.items()), "domain string, robots_txt string"
+    )
+    got = {
+        r.domain: r
+        for r in parse_robots_meta(df, "corpusbot").collect()
+    }
+    assert set(got) == set(bodies)
+    for dom, body in bodies.items():
+        r = got[dom]
+        want_rules = parse_robots_text(body, "corpusbot")
+        assert [tuple(x) for x in r.rules] == [
+            (p, lit, al, sp, parts, anch)
+            for (p, lit, al, sp, parts, anch) in want_rules
+        ], dom
+        assert r.crawl_delay == crawl_delay(body, "corpusbot"), dom
+        assert list(r.sitemaps) == sitemap_urls(body), dom
+    assert got["c.ex.com"].crawl_delay is None
+    assert list(got["d.ex.com"].sitemaps) == []
+
+
+def test_with_registrable_domain_rejects_temp_column_clash(spark):
+    """An input frame already carrying a _psl_* temp name must fail
+    loudly, not silently corrupt the rollup."""
+    import pytest as _pytest
+
+    from kspp_spark.functions.web import with_registrable_domain
+
+    df = spark.createDataFrame(
+        [("a.example.com", 1)], "host string, _psl_n int"
+    )
+    with _pytest.raises(AssertionError, match="_psl_n"):
+        with_registrable_domain(df, "host")
+
+
+def test_train_classifier_empty_corpus(spark):
+    """No document tokenizes to any token -> zero weights, no
+    ZeroDivisionError (the stupid_backoff empty-corpus guard, applied
+    to the trainer)."""
+    from kspp_spark.functions.text import train_linear_classifier
+
+    df = spark.createDataFrame(
+        [(1, "", 1), (2, "   ", 0)], "doc_id long, text string, label int"
+    )
+    wdf, w = train_linear_classifier(df, "label", buckets=8)
+    assert w == [0] * 8
+    assert {(r.bucket, r.weight) for r in wdf.collect()} == {
+        (b, 0) for b in range(8)
+    }
