@@ -22,7 +22,29 @@ from kspp_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-_LOAD0 = os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0
+# Calm-window guard (VERDICT r9 item #1): a snapshot taken under
+# external load is not comparable to the records, so (a) wait up to
+# SPARK_GRAFT_CALM_WAIT_S for the 1-min load average to fall below
+# 1.0 before starting, and (b) if it never does, STILL run but tag
+# the output "degraded": true so no one mistakes a loaded run for a
+# clean record (refusing outright would hand the driver a parse
+# failure, which is worse than a tagged number).
+CALM_WAIT_S = float(os.environ.get("SPARK_GRAFT_CALM_WAIT_S", "90"))
+
+
+def _load1() -> float:
+    return os.getloadavg()[0] if hasattr(os, "getloadavg") else -1.0
+
+
+def _await_calm() -> float:
+    """Poll until load < 1 or the wait budget runs out; returns the
+    load at start-of-measurement (what load_avg_start records)."""
+    deadline = time.monotonic() + CALM_WAIT_S
+    load = _load1()
+    while load > 1.0 and time.monotonic() < deadline:
+        time.sleep(5)
+        load = _load1()
+    return load
 
 # Headline set from BASELINE.md plus the beyond-reference operators.
 BENCH_QUERIES = [
@@ -226,6 +248,8 @@ NORM_BASKET = [
 
 
 def main() -> None:
+    load0 = _await_calm()
+    degraded = load0 > 1.0
     spark = get_spark("kspp_spark_bench")
     queries = entry_mod.queries()
     # Warmup: run the first query once untimed so JVM/codegen startup
@@ -256,7 +280,12 @@ def main() -> None:
         # run noise straight into the record): sample count + machine
         # load at start, so a regression flag can be adjudicated
         "runs": RUNS,
-        "load_avg_start": round(_LOAD0, 2),
+        "load_avg_start": round(load0, 2),
+        # True when the calm-window guard timed out and the run began
+        # under external load > 1: numbers are NOT record-comparable
+        # (the repo's adjudication protocol, METRICS.md) — compare
+        # normalized ratios only, never fold these into RECORD_BEST.
+        "degraded": degraded,
     }
     # cross-round normalization (VERDICT r5 item #6) — only meaningful
     # against the sf0.1 record the bests were taken at
@@ -305,6 +334,7 @@ def main() -> None:
         "sf": out["sf"],
         "runs": RUNS,
         "machine_factor": out.get("machine_factor"),
+        "degraded": degraded,
     }
     line = json.dumps(lean)
     for ndigits in (3, 2):
