@@ -657,6 +657,7 @@ def cdx_index(
     url_col: str = "url",
     date_col: str = "warc_date",
     num_partitions: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """CDX-style capture index: every capture keyed by surt_key and
     RANGE-partitioned + sorted by (surt, date) — the layout CDX files
@@ -672,12 +673,25 @@ def cdx_index(
     the (surt, date) key, no join, no Python; skewed mega-domains are
     bounded by range partitioning on the FULL key (surt includes
     path, so one domain spreads over adjacent partitions rather than
-    one hot one)."""
+    one hot one) — tests/test_plans.py pins a 90%-one-domain input to
+    a bounded partition-size spread.
+
+    The residual hot spot range partitioning cannot split is IDENTICAL
+    (surt, date) keys — e.g. one URL recaptured millions of times in
+    one crawl second, or date truncated to the day. For that, pass
+    `tiebreak_col` (any high-cardinality record column: WARC offset,
+    digest, record id): it joins the range/sort key as the LAST
+    component, so the (surt, date) layout contract is preserved
+    exactly while equal-key runs split across adjacent partitions."""
     keyed = df.withColumn("surt", surt_key(F.col(url_col)))
     parts = num_partitions or keyed.sparkSession.sparkContext.defaultParallelism
-    return keyed.repartitionByRange(
-        parts, F.col("surt"), F.col(date_col)
-    ).sortWithinPartitions("surt", date_col)
+    range_cols = [F.col("surt"), F.col(date_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    sort_cols = ["surt", date_col] + ([tiebreak_col] if tiebreak_col else [])
+    return keyed.repartitionByRange(parts, *range_cols).sortWithinPartitions(
+        *sort_cols
+    )
 
 
 def latest_capture_per_url(
