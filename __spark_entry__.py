@@ -1826,6 +1826,137 @@ def q_domain_rank(spark, sf_dir):
     )
 
 
+def q_hits_rank(spark, sf_dir):
+    """Domain-level HITS (functions/graph.hits — Kleinberg 1999 hubs
+    & authorities, the discover-vs-keep dual of q_domain_rank's
+    PageRank): a deterministic 40-node domain graph synthesized from
+    documents via two modular edge families (distinct from
+    domain_rank's so the two graphs differ), self-edges dropped, TWO
+    fixed iterations of the integer L1-normalized recurrence
+    (parts-per-1e6). Every step is bigint multiply / floor-divide /
+    sum, so the DuckDB oracle's unrolled two-round replay is
+    BIT-IDENTICAL — float HITS (L2 normalization) could never
+    hash-match across engines. Plan: per iteration two equi-joins +
+    two aggregations; the 1-row L1 totals ride broadcasts."""
+    from kspp_spark.functions.graph import hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    src = F.concat(F.lit("d"), (d % 40).cast("string"))
+    edges = (
+        docs.select(
+            src.alias("src"),
+            F.concat(
+                F.lit("d"), ((d * 11 + 5) % 40).cast("string")
+            ).alias("dst"),
+        )
+        .unionByName(
+            docs.select(
+                src.alias("src"),
+                F.concat(
+                    F.lit("d"), ((d * 17 + 7) % 59 % 40).cast("string")
+                ).alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return hits(edges, iterations=2).select("node", "authority", "hub")
+
+
+def q_anchor_terms(spark, sf_dir):
+    """Anchor-text target profiling (functions/web.anchor_text_terms
+    — Brin & Page 1998 §2.2: anchor text describes the TARGET): each
+    document becomes a page with three anchors (an external pair
+    whose texts overlap on 'review' — nested tag + whitespace runs
+    exercise the anchor cleaner — and a site-relative section link
+    resolved against the page base), then per TARGET registrable
+    domain the top-2 anchor terms by frequency with lexicographic
+    tie-break. The oracle replays the synthesis closed-form, so a
+    wrong tag-strip, tokenization, resolution, or tie-break breaks
+    hash parity. Plan: map-side extract/resolve/tokenize, one
+    (target, term) aggregation, one bounded rank window."""
+    from kspp_spark.functions.web import anchor_text_terms, page_links
+    from kspp_spark.io import rebalance_small_scan
+
+    docs = rebalance_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    )
+    k = (F.col("doc_id") % 5).cast("string")
+    n = (F.col("doc_id") % 7).cast("string")
+    base = F.concat(F.lit("https://www.src"), n, F.lit(".com/p.html"))
+    html = F.concat(
+        F.lit('<a href="https://t.example'), k,
+        F.lit('.com/a">Great <b>Review</b></a>'),
+        F.lit('<a href="https://t.example'), k,
+        F.lit('.com/b">review   guide</a>'),
+        F.lit('<a href="/local/sec'), n, F.lit('">Local section '), n,
+        F.lit("</a>"),
+    )
+    pages = docs.select("doc_id", base.alias("url"), html.alias("html"))
+    return anchor_text_terms(page_links(pages), k=2)
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Per-host crawl budgeting (functions/web.crawl_budget — the
+    count dual of Crawl-delay politeness): a synthetic frontier of
+    distinct URLs over 5 hosts with 3 path-depth classes, budget 25
+    per host, default shallow-first priority (path depth, URL length,
+    lexicographic). The oracle replays the synthesis + the same
+    window closed-form, so the depth extraction (segments of the
+    path, query/fragment excluded) and the full tie-break chain are
+    all hash-load-bearing. Plan: one window partitioned by host."""
+    from kspp_spark.functions.web import crawl_budget
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"), (d % 5).cast("string"), F.lit(".example.com"),
+        F.repeat(F.lit("/s"), (d % 3 + 1).cast("int")),
+        F.lit("/d"), d.cast("string"),
+    )
+    frontier = docs.select(url.alias("url"))
+    return crawl_budget(frontier, per_host=25).select(
+        "url", "host", "priority_rank"
+    )
+
+
+def q_cluster_reps(spark, sf_dir):
+    """Quality-aware duplicate-cluster collapse (functions/dedup.
+    cluster_representatives — RefinedWeb-style keep-the-best-copy,
+    Penedo et al. 2023 §3.3): connected components over the FIXED
+    md5-delimited chain graph (the dup_clusters_fixed synthesis —
+    exact closed-form components), each node carrying an md5-derived
+    integer quality score, then per cluster the argmax-score member
+    (ties to the smallest id) via ONE max_by aggregation. The oracle
+    composes the chain closed-form with the same md5 score + window
+    argmax. Plan: the CC label propagation (pointer halving + lineage
+    resets) + one equi-join + one hash aggregation."""
+    from kspp_spark.functions.dedup import (
+        cluster_representatives,
+        connected_components,
+    )
+    from kspp_spark.functions.hashing import md5_long
+
+    n = 20_000
+    nodes = spark.range(n).select(F.col("id"))
+    is_start = (
+        md5_long(F.concat(F.lit("ccb:"), F.col("id").cast("string"))) % 32
+        == 0
+    ) | (F.col("id") == 0)
+    edges = nodes.filter((F.col("id") > 0) & ~is_start).select(
+        (F.col("id") - 1).alias("a"), F.col("id").alias("b")
+    )
+    clusters = connected_components(edges)
+    scores = spark.range(n).select(
+        F.col("id").alias("node"),
+        (
+            md5_long(F.concat(F.lit("q:"), F.col("id").cast("string")))
+            % 1000
+        ).alias("score"),
+    )
+    return cluster_representatives(clusters, scores)
+
+
 def q_html_to_text(spark, sf_dir):
     """HTML -> text extraction (functions/web.html_to_text): each
     document's text is wrapped into a deterministic page template
@@ -3039,33 +3170,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING POLICY: the external driver grades the FIRST 50 entries.
-    # Round 1 graded the core streaming/TPC-H surface; round 2 the
-    # LLM-pipeline / as-of / set-op surface; round 3 the portable-hash
-    # LSH family + oracle tail (50/50); round 4 re-certified the
-    # round-1 core (50/50); round 5 (50/50) graded the 15 round-4
-    # additions + 9 round-5 additions + 26 re-certs; round 6 (50/50)
-    # graded its 4 additions, the stale round-3 tail, the r5-displaced
-    # 5, the BPE trio, and the web-curation trio; round 7 (50/50)
-    # graded the newly-exact media_decode, the boundary-fixed
-    # gopher_quality, and the round-4 core rotation.
-    # Round 8 (50/50) graded the r7 late additions (span/training/web
-    # front door), the new PSL/link-graph pair, and the stalest
-    # r5-and-earlier LLM tier.
-    # ROUND 9 window (this ordering), exactly what VERDICT r8 item #7
-    # demanded: (a) the SIX round-9 additions — sitemap_frontier (the
-    # robots->index->entries->canonicalize->anti-join frontier chain),
-    # domain_rollup_full (registrable domains against the FULL
-    # production PSL via the broadcast-join form), winnow_fingerprints
-    # + winnow_dup_pairs (Schleimer et al. winnowing: profile + the
-    # partial-overlap near-dup pairs), surt_index (the CDX web-archive
-    # key), decontaminate_bloom (bloom-prefiltered two-phase
-    # decontamination, bit-identical to decontaminate); (b) the r8
-    # newcomers kept in (link_graph re-certifies because its
-    # extraction was rewritten this round: single-pass match +
-    # guarded dot-segment fold), (c) the named re-certs: pack_
-    # sequences, rate_limiter, the windowed family, the join
-    # families, then (d) oldest-cert-first: the r6-graded tail with
-    # no driver row in 3 rounds.
+    # History: r1 core streaming/TPC-H; r2 LLM-pipeline/as-of/set-ops;
+    # r3 portable-hash LSH + oracle tail; r4 re-cert of the r1 core;
+    # r5 the r4/r5 additions + re-certs; r6 its 4 additions + the
+    # stale r3 tail + BPE + web-curation; r7 media/gopher + the r4
+    # core rotation; r8 the r7 late additions + PSL/link-graph + the
+    # stalest LLM tier; r9 the six r9 additions + train_classifier +
+    # stupid_backoff + link_graph re-cert + the named join/windowed
+    # re-certs (50/50 green every round since r3).
+    # ROUND 10 window (this ordering), exactly what VERDICT r9 item
+    # #4 ordered — oldest-cert-first rotation:
+    #   (a) the FOUR round-10 additions lead (position-pinned in
+    #       tests/test_registry.py): hits_rank (integer L1 HITS),
+    #       anchor_terms (per-target anchor-text profiles),
+    #       crawl_budget (per-host frontier budgeting),
+    #       cluster_reps (quality-argmax cluster collapse);
+    #   (b) the eight round-9 additions kept in for a second row;
+    #   (c) the r5-graded stragglers (curate_docs + the portable
+    #       minhash/simhash twins) — stalest certs in the registry;
+    #   (d) the r6-graded tail not re-graded since (BPE trio,
+    #       index/search family, ANN family, rollup_cascade,
+    #       scd2_lookup, token_pairs, ngram_counts,
+    #       top_terms_per_lang, local_supplier_volume);
+    #   (e) fill to 50 from the r7-graded tier, kspp-core operators
+    #       first (count/ktable/filter/transform/flat_map/word_count/
+    #       merge/repartition/salted) then the TPC-H head.
     # NOTE: because the window rotates, per-round driver scores are
     # NOT comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite
@@ -3073,10 +3202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_registry.py pins this dict against duplicate keys —
     # the registry is the driver's grading contract.
     return {
-        # -- (a) round-9 additions: sitemap frontier discovery,
-        #    full-production-PSL registrable domains (broadcast-join
-        #    form), winnowing (profile + near-dup pairs), SURT index
-        #    keys, bloom-prefiltered decontamination --
+        # -- (a) round-10 additions --
+        "hits_rank": q_hits_rank,
+        "anchor_terms": q_anchor_terms,
+        "crawl_budget": q_crawl_budget,
+        "cluster_reps": q_cluster_reps,
+        # -- (b) round-9 additions kept in --
         "sitemap_frontier": q_sitemap_frontier,
         "domain_rollup_full": q_domain_rollup_full,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3085,17 +3216,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "train_classifier": q_train_classifier,
         "stupid_backoff": q_stupid_backoff,
-        # -- (b) r8 newcomers kept in: link_graph's extraction was
-        #    REWRITTEN this round (single-pass match + guarded
-        #    dot-segment fold) so it must re-certify; domain_rollup /
-        #    domain_rank stay per the rotation policy --
+        # -- (c) r5-graded stragglers (stalest certs) --
+        "curate_docs": q_curate_docs,
+        "minhash_pairs_portable": q_minhash_pairs_portable,
+        "simhash_portable": q_simhash_portable,
+        # -- (d) the r6-graded tail, ungraded for 4 rounds --
+        "bm25_indexed": q_bm25_indexed,
+        "bpe_encoded": q_bpe_encoded,
+        "bpe_merges": q_bpe_merges,
+        "bpe_merges_chars": q_bpe_merges_chars,
+        "inverted_index": q_inverted_index,
+        "ivf_exhaustive": q_ivf_exhaustive,
+        "knn_cosine": q_knn_cosine,
+        "local_supplier_volume": q_local_supplier_volume,
+        "ngram_counts": q_ngram_counts,
+        "phrase_search": q_phrase_search,
+        "phrase_search_indexed": q_phrase_search_indexed,
+        "positional_index": q_positional_index,
+        "quantized_ann": q_quantized_ann,
+        "rollup_cascade": q_rollup_cascade,
+        "scd2_lookup": q_scd2_lookup,
+        "srp_ann": q_srp_ann,
+        "srp_pairs": q_srp_pairs,
+        "token_pairs": q_token_pairs,
+        "top_terms_per_lang": q_top_terms_per_lang,
+        # -- (e) r7-graded fill: kspp core, then the TPC-H head --
+        "count_by_key": q_count_by_key,
+        "count_by_value": q_count_by_value,
+        "ktable_latest": q_ktable_latest,
+        "filter_lineitem": q_filter_lineitem,
+        "transform_revenue": q_transform_revenue,
+        "flat_map_words": q_flat_map_words,
+        "word_count": q_word_count,
+        "merge_streams": q_merge_streams,
+        "repartition_by_fk": q_repartition_by_fk,
+        "salted_count": q_salted_count,
+        "revenue_per_nation": q_revenue_per_nation,
+        "topk_orders": q_topk_orders,
+        "window_rank": q_window_rank,
+        "rollup_pricing": q_rollup_pricing,
+        "percentiles": q_percentiles,
+        "grouping_sets": q_grouping_sets,
+        # ---- end of the 50-query grading window ----
+        # everything below stays registered and is re-verified by
+        # tests/test_oracle_parity.py against DuckDB on every pytest
+        # run; most recently graded: r8/r9 driver windows
         "link_graph": q_link_graph,
         "domain_rollup": q_domain_rollup,
         "domain_rank": q_domain_rank,
-        # -- (c) VERDICT r8 item 7 re-certs: the stalest streaming +
-        #    join surface (pack_sequences, rate_limiter, the windowed
-        #    family, the kstream/ktable/asof/range/interval/set join
-        #    families) --
         "pack_sequences": q_pack_sequences,
         "rate_limiter": q_rate_limiter,
         "windowed_count": q_windowed_count,
@@ -3115,12 +3283,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
-        # -- (d) oldest-cert-first: the r6-graded surface with no
-        #    driver row in 3 rounds (the remaining r6 tail --
-        #    srp_ann/quantized_ann/srp_pairs/rollup_cascade/
-        #    scd2_lookup/bpe_* /ivf_exhaustive/token_pairs/
-        #    ngram_counts/top_terms_per_lang -- is next round's
-        #    rotation head) --
         "srp_diverse_sample": q_srp_diverse_sample,
         "srp_bucket_profile": q_srp_bucket_profile,
         "dup_clusters_fixed": q_dup_clusters_fixed,
@@ -3141,16 +3303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_portable": q_simhash_pairs_portable,
         "lm_scores": q_lm_scores,
         "bm25_search": q_bm25_search,
-        # ---- end of the 50-query grading window ----
-        "bm25_indexed": q_bm25_indexed,
-        "phrase_search_indexed": q_phrase_search_indexed,
-        "positional_index": q_positional_index,
-        "inverted_index": q_inverted_index,
-        "phrase_search": q_phrase_search,
-        "knn_cosine": q_knn_cosine,
-        # everything below stays registered and is re-verified by
-        # tests/test_oracle_parity.py against DuckDB on every pytest
-        # run; most recently graded: r8 (CORRECTNESS_r08 50/50 green)
         "dup_span_intervals": q_dup_span_intervals,
         "dup_spans_removed": q_dup_spans_removed,
         "train_shuffle": q_train_shuffle,
@@ -3197,25 +3349,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
-        "minhash_pairs_portable": q_minhash_pairs_portable,
-        "simhash_portable": q_simhash_portable,
-        "curate_docs": q_curate_docs,
-        "filter_lineitem": q_filter_lineitem,
-        "transform_revenue": q_transform_revenue,
-        "flat_map_words": q_flat_map_words,
-        "word_count": q_word_count,
-        "merge_streams": q_merge_streams,
-        "repartition_by_fk": q_repartition_by_fk,
-        "count_by_key": q_count_by_key,
-        "salted_count": q_salted_count,
-        "count_by_value": q_count_by_value,
-        "ktable_latest": q_ktable_latest,
-        "revenue_per_nation": q_revenue_per_nation,
-        "topk_orders": q_topk_orders,
-        "window_rank": q_window_rank,
-        "rollup_pricing": q_rollup_pricing,
-        "percentiles": q_percentiles,
-        "grouping_sets": q_grouping_sets,
         "running_sum": q_running_sum,
         "shipping_priority": q_shipping_priority,
         "small_qty_revenue": q_small_qty_revenue,
@@ -3237,21 +3370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_customers": q_idle_customers,
         "except_keys": q_except_keys,
-        "local_supplier_volume": q_local_supplier_volume,
-        "token_pairs": q_token_pairs,
-        "ngram_counts": q_ngram_counts,
-        "top_terms_per_lang": q_top_terms_per_lang,
-        "srp_ann": q_srp_ann,
-        "quantized_ann": q_quantized_ann,
-        "srp_pairs": q_srp_pairs,
-        "rollup_cascade": q_rollup_cascade,
-        "scd2_lookup": q_scd2_lookup,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encoded": q_bpe_encoded,
-        "bpe_merges_chars": q_bpe_merges_chars,
-        "ivf_exhaustive": q_ivf_exhaustive,
         # rows-only checks (approximate / production-hash twins /
-        # seeded-iterative by design)
+        # seeded-iterative by design) — replay-parity certified
+        # (PARITY.md): bit-identical across independent Spark runs
         "embedding_clusters": q_embedding_clusters,
         "diverse_sample": q_diverse_sample,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -3353,6 +3474,59 @@ def _srp_planes_sql(planes: int, dims: int, seed: int = 0) -> str:
         "AS DOUBLE[]) AS s"
         for p, row in enumerate(rows)
     )
+
+
+def _hits_oracle_sql(iterations: int = 2, scale: int = 10**6) -> str:
+    """DuckDB replay of q_hits_rank: the same two modular edge
+    families (self-edges dropped), then `iterations` rounds of the
+    integer L1-normalized HITS recurrence UNROLLED as CTE chains —
+    pure bigint floor-division on both engines (DuckDB's // equals
+    Spark's DIV on the all-nonnegative values here), so authorities
+    and hubs replay bit-identically."""
+    parts = [
+        f"""
+        WITH raw AS (
+            SELECT 'd' || (doc_id % 40) AS src,
+                   'd' || ((doc_id*11+5) % 40) AS dst FROM documents
+            UNION ALL
+            SELECT 'd' || (doc_id % 40),
+                   'd' || ((doc_id*17+7) % 59 % 40) FROM documents
+        ), e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes)"""
+    ]
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+        a{i}r AS (
+            SELECT nodes.node, COALESCE(s.x, 0) AS x
+            FROM nodes LEFT JOIN (
+                SELECT e.dst AS node, CAST(SUM({prev_h}.v) AS BIGINT) AS x
+                FROM e JOIN {prev_h} ON e.src = {prev_h}.node
+                GROUP BY e.dst) s USING (node)
+        ),
+        a{i}t AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM a{i}r),
+        a{i} AS (SELECT node,
+                   CASE WHEN t > 0 THEN x * {scale} // t ELSE 0 END AS v
+                 FROM a{i}r, a{i}t),
+        h{i}r AS (
+            SELECT nodes.node, COALESCE(s.x, 0) AS x
+            FROM nodes LEFT JOIN (
+                SELECT e.src AS node, CAST(SUM(a{i}.v) AS BIGINT) AS x
+                FROM e JOIN a{i} ON e.dst = a{i}.node
+                GROUP BY e.src) s USING (node)
+        ),
+        h{i}t AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM h{i}r),
+        h{i} AS (SELECT node,
+                   CASE WHEN t > 0 THEN x * {scale} // t ELSE 0 END AS v
+                 FROM h{i}r, h{i}t)""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+        SELECT a{iterations}.node,
+               CAST(a{iterations}.v AS BIGINT) AS authority,
+               CAST(h{iterations}.v AS BIGINT) AS hub
+        FROM a{iterations} JOIN h{iterations} USING (node)""")
+    return "".join(parts)
 
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
@@ -3665,6 +3839,92 @@ def oracle_sql() -> dict[str, str]:
     cn = "list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
     oracles = {
+        # round-10 additions -------------------------------------------
+        "hits_rank": _hits_oracle_sql(),
+        # anchor_terms: closed-form replay of the synthesis — each doc
+        # contributes review(x2)/great/guide to example{k}.com (k =
+        # doc_id%5) and local/section/str(n) to src{n}.com (n =
+        # doc_id%7, via the resolved site-relative link), so per-target
+        # counts are pure modular-class counts; rank = cnt desc, term
+        # lexicographic (digits sort before letters in both engines'
+        # binary collation).
+        "anchor_terms": """
+            WITH d AS (SELECT doc_id % 5 AS k, doc_id % 7 AS n FROM documents),
+            ck AS (SELECT k, COUNT(*) AS c FROM d GROUP BY k),
+            cn AS (SELECT n, COUNT(*) AS c FROM d GROUP BY n),
+            counts AS (
+                SELECT 'example' || k || '.com' AS target, 'review' AS term, 2 * c AS cnt FROM ck
+                UNION ALL SELECT 'example' || k || '.com', 'great', c FROM ck
+                UNION ALL SELECT 'example' || k || '.com', 'guide', c FROM ck
+                UNION ALL SELECT 'src' || n || '.com', 'local', c FROM cn
+                UNION ALL SELECT 'src' || n || '.com', 'section', c FROM cn
+                UNION ALL SELECT 'src' || n || '.com', CAST(n AS VARCHAR), c FROM cn
+            ),
+            ranked AS (
+                SELECT target, term, cnt,
+                       ROW_NUMBER() OVER (PARTITION BY target ORDER BY cnt DESC, term) AS rank
+                FROM counts
+            )
+            SELECT target, term, cnt, rank FROM ranked WHERE rank <= 2
+        """,
+        # crawl_budget: the same synthetic frontier (5 hosts x 3 depth
+        # classes), depth = path-segment count (d%3+1 's' segments +
+        # the leaf), shallow-first then length then lexicographic;
+        # budget 25 per host.
+        "crawl_budget": """
+            WITH f AS (
+                SELECT 'https://h' || (doc_id % 5) || '.example.com'
+                       || repeat('/s', CAST(doc_id % 3 + 1 AS INT))
+                       || '/d' || doc_id AS url,
+                       'h' || (doc_id % 5) || '.example.com' AS host,
+                       doc_id % 3 + 2 AS depth
+                FROM documents
+            ),
+            ranked AS (
+                SELECT url, host,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY host
+                           ORDER BY depth, LENGTH(url), url
+                       ) AS priority_rank
+                FROM f
+            )
+            SELECT url, host, priority_rank FROM ranked
+            WHERE priority_rank <= 25
+        """,
+        # cluster_reps: the dup_clusters_fixed chain components (md5
+        # segment starts, closed-form running-max labels, singletons
+        # excluded) composed with the md5-derived quality score; per
+        # component the argmax-score member with smallest-id tie-break.
+        "cluster_reps": """
+            WITH marked AS (
+                SELECT i, (i = 0 OR
+                           CAST(('0x' || substr(md5('ccb:' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 32 = 0
+                          ) AS is_start
+                FROM range(0, 20000) t(i)
+            ),
+            comp AS (
+                SELECT i, MAX(CASE WHEN is_start THEN i END) OVER (
+                    ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS component
+                FROM marked
+            ),
+            sized AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY component),
+            scored AS (
+                SELECT comp.i AS node, comp.component,
+                       CAST(('0x' || substr(md5('q:' || CAST(comp.i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS score
+                FROM comp JOIN sized USING (component)
+                WHERE sized.n >= 2
+            ),
+            ranked AS (
+                SELECT component, node, score,
+                       ROW_NUMBER() OVER (PARTITION BY component ORDER BY score DESC, node) AS rn,
+                       COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+                       MAX(score) OVER (PARTITION BY component) AS rep_score
+                FROM scored
+            )
+            SELECT component, node AS representative, rep_score, cluster_size
+            FROM ranked WHERE rn = 1
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1348,3 +1348,47 @@ def connected_components(
         labels = reset(labels, "final")
         cleanup(keep=written[-1])
     return labels
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    node_col: str = "node",
+    component_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware duplicate-cluster collapse: given the (node,
+    component) labels from connected_components() and a per-node
+    quality score, pick each cluster's BEST member -> (component,
+    representative, rep_score, cluster_size). The min-id canonical
+    (what dedup_near keeps) is the cheap default; production corpus
+    curation keeps the highest-QUALITY copy instead (e.g. RefinedWeb
+    Penedo et al. 2023 §3.3 dedups toward the best-scoring capture) —
+    duplicates differ in boilerplate, truncation, and encoding
+    damage, and which copy survives measurably moves downstream
+    model quality.
+
+    Deterministic argmax: max score wins, ties broken by SMALLEST
+    node id (max_by on the (score, -node) pair — one struct
+    comparison, no window, no join-back). ONE hash aggregation on
+    component; payload rides the max_by struct. Nodes missing a score
+    rank below every scored node (NULL-last via coalesce to LONG_MIN)
+    so a partially-scored corpus still collapses every cluster."""
+    long_min = -(2**63)
+    joined = clusters.join(
+        scores.select(
+            F.col(node_col).alias("_sn"), F.col(score_col).alias("_sc")
+        ),
+        F.col(node_col) == F.col("_sn"),
+        "left",
+    ).select(
+        F.col(component_col).alias("component"),
+        F.col(node_col).alias("_node"),
+        F.coalesce(F.col("_sc").cast("long"), F.lit(long_min)).alias("_sc"),
+    )
+    order = F.struct(F.col("_sc"), (-F.col("_node")).alias("_neg"))
+    return joined.groupBy("component").agg(
+        F.max_by(F.col("_node"), order).alias("representative"),
+        F.max(F.col("_sc")).alias("rep_score"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )

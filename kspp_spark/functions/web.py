@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # query parameters that identify a CLICK, not a page — the common
 # tracking families stripped by every crawl canonicalizer
@@ -588,6 +588,101 @@ def page_links(
             F.col("_l.anchor").alias("anchor"),
         )
         .filter(url_scheme("link_url").isin("http", "https"))
+    )
+
+
+def anchor_text_terms(
+    links: DataFrame,
+    k: int = 3,
+    target_col: str = "link_url",
+    anchor_col: str = "anchor",
+    by_domain: bool = True,
+) -> DataFrame:
+    """Per-target anchor-text term profile — the classic web-search /
+    corpus-labeling signal (anchor text describes the TARGET better
+    than the target describes itself; Brin & Page 1998 §2.2 made it a
+    first-class index field): for each link target (registrable
+    domain by default, exact URL with by_domain=False) the top-`k`
+    anchor terms by frequency -> (target, term, cnt, rank), rank 1 =
+    most frequent, ties broken lexicographically so the result is
+    deterministic.
+
+    Feed it page_links() output. Plan: tokenize+explode map-side, ONE
+    aggregation on (target, term), one rank window partitioned by
+    target — the window's partition is the per-target term list
+    (bounded by vocabulary, not corpus size), so no skew beyond a
+    genuinely mega-inlinked target, which the aggregation has already
+    reduced to distinct terms."""
+    from kspp_spark.functions.text import tokenize
+
+    target = (
+        url_registrable_domain(target_col)
+        if by_domain
+        else F.col(target_col)
+    )
+    # two projection steps: the PSL fold and tokenize are both
+    # higher-order-function lambda trees, and analyzing them in ONE
+    # projection collides their lambda-variable namespaces (struct
+    # field aliases inside the fold resolve against the wrong
+    # lambda binding — FIELD_NOT_FOUND at analysis). Chained selects
+    # analyze independently; the optimizer still collapses them.
+    terms = links.select(
+        target.alias("target"), F.lower(F.col(anchor_col)).alias("_anchor")
+    ).select(
+        "target", F.explode(tokenize(F.col("_anchor"))).alias("term")
+    )
+    counted = terms.groupBy("target", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("cnt").desc(), F.col("term")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def crawl_budget(
+    df: DataFrame,
+    per_host: int,
+    url_col: str = "url",
+    priority: Column | None = None,
+) -> DataFrame:
+    """Frontier prioritization under a per-host crawl budget: keep at
+    most `per_host` URLs per host, best-first -> input columns +
+    (host, priority_rank). The politeness dual of crawl_delay —
+    delay bounds the RATE per host, budget bounds the COUNT per host
+    (every production crawler applies both; a giant site must not eat
+    the fetch capacity of ten thousand small ones).
+
+    Default priority mirrors the standard frontier heuristic:
+    shallow-first (fewer path segments — hubs and section roots
+    before leaf pages), then shorter URL, then lexicographic for a
+    deterministic total order. Pass `priority` (any Column; SMALLER =
+    sooner) to rank by your own signal — e.g. -hub score from
+    hits(), or a domain_rank join.
+
+    Plan: one window partitioned by HOST. Host partitions are the
+    natural crawl unit and the window input can first be cut to at
+    most per_host rows per partition by any pre-filter the caller
+    applies; skew from a mega-host is bounded because row_number
+    short-circuits nothing — for 100-TB frontiers run it AFTER the
+    frontier's seen-set anti-join, where per-host candidate counts
+    are already crawl-cycle-sized."""
+    host = url_host(url_col)
+    path = F.regexp_extract(F.col(url_col), r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    order = (
+        [priority]
+        if priority is not None
+        else [depth, F.length(url_col), F.col(url_col)]
+    )
+    w = Window.partitionBy("host").orderBy(*order, F.col(url_col))
+    return (
+        df.withColumn("host", host)
+        .withColumn("priority_rank", F.row_number().over(w))
+        .filter(F.col("priority_rank") <= per_host)
     )
 
 

@@ -110,3 +110,67 @@ def test_pagerank_plan_no_python(spark):
     )
     plan = pagerank(e, 2)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hits_hand_computed(spark):
+    """HITS on a->b, a->c, b->c: hand-unrolled two iterations of the
+    integer L1-normalized recurrence (scale 1e6). a is the pure hub
+    (it links both), c the pure authority (everything links it), b is
+    both-ish — and every value matches the exact floor-division
+    arithmetic, so any drift in the normalization order breaks this."""
+    from kspp_spark.functions.graph import hits
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {r.node: (r.authority, r.hub) for r in hits(e, 2).collect()}
+    assert got == {
+        "a": (0, 615384),
+        "b": (375000, 384615),
+        "c": (625000, 0),
+    }
+
+
+def test_hits_parallel_edges_and_dangling(spark):
+    """Parallel edges collapse before scoring (a second a->b copy
+    changes nothing) and an isolated-source node keeps authority 0 /
+    an isolated-sink hub 0 without dropping out of the node set."""
+    from kspp_spark.functions.graph import hits
+
+    base = [("a", "b"), ("a", "c"), ("b", "c")]
+    e1 = spark.createDataFrame(base, "src string, dst string")
+    e2 = spark.createDataFrame(base + [("a", "b")], "src string, dst string")
+    assert sorted(map(tuple, hits(e1, 2).collect())) == sorted(
+        map(tuple, hits(e2, 2).collect())
+    )
+    nodes = {r.node for r in hits(e1, 1).collect()}
+    assert nodes == {"a", "b", "c"}
+
+
+def test_hits_deterministic_across_partitioning(spark):
+    """Bit-identical under a different shuffle layout — the integer
+    claim, same as pagerank's."""
+    from kspp_spark.functions.graph import hits
+
+    rows = [
+        (f"n{i % 17}", f"n{(i * 7 + 3) % 17}") for i in range(200)
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    a = sorted(map(tuple, hits(e, 3).collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try:
+        b = sorted(map(tuple, hits(e.repartition(7), 3).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_hits_plan_no_python(spark):
+    from kspp_spark.functions.graph import hits
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    plan = hits(e, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

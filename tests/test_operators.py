@@ -2967,3 +2967,102 @@ def test_train_classifier_empty_corpus(spark):
     assert {(r.bucket, r.weight) for r in wdf.collect()} == {
         (b, 0) for b in range(8)
     }
+
+
+def test_anchor_text_terms(spark):
+    """Per-target anchor-term profile over page_links output: terms
+    tokenize from tag-stripped lowercased anchors, counts aggregate
+    per registrable target domain, rank 1 = most frequent with
+    lexicographic tie-break, k cuts the tail."""
+    from kspp_spark.functions.web import anchor_text_terms, page_links
+
+    rows = [
+        (1, "https://www.src.com/p1",
+         '<a href="https://t.example.com/a">Great <b>Review</b></a>'
+         '<a href="https://t.example.com/b">review guide</a>'),
+        (2, "https://www.src.com/p2",
+         '<a href="https://t.example.com/c">REVIEW</a>'
+         '<a href="https://other.net/x">zz yy</a>'),
+    ]
+    links = page_links(
+        spark.createDataFrame(rows, "doc_id long, url string, html string")
+    )
+    got = {
+        (r.target, r.rank): (r.term, r.cnt)
+        for r in anchor_text_terms(links, k=2).collect()
+    }
+    # t.example.com: review x3; great/guide x1 -> 'great' wins the tie
+    assert got[("example.com", 1)] == ("review", 3)
+    assert got[("example.com", 2)] == ("great", 1)
+    # other.net: yy/zz tie at 1 -> lexicographic
+    assert got[("other.net", 1)] == ("yy", 1)
+    assert got[("other.net", 2)] == ("zz", 1)
+    assert len(got) == 4
+
+
+def test_crawl_budget_default_priority(spark):
+    """Shallow-first frontier budgeting: per host, fewer path
+    segments rank first, then shorter URL, then lexicographic; rows
+    beyond per_host are cut; hosts are independent."""
+    from kspp_spark.functions.web import crawl_budget
+
+    rows = [
+        ("https://a.com/x/y/z",),      # depth 3
+        ("https://a.com/x",),          # depth 1
+        ("https://a.com/x/y",),        # depth 2
+        ("https://a.com/w",),          # depth 1, longer url? same len; lex after /x? '/w' < '/x'
+        ("https://b.com/only",),
+    ]
+    out = crawl_budget(
+        spark.createDataFrame(rows, "url string"), per_host=3
+    ).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append((r.priority_rank, r.url))
+    a = [u for _, u in sorted(by_host["a.com"])]
+    assert a == [
+        "https://a.com/w",    # depth 1, lex before /x
+        "https://a.com/x",
+        "https://a.com/x/y",  # depth 2
+    ]  # depth-3 URL cut by the budget
+    assert [u for _, u in sorted(by_host["b.com"])] == [
+        "https://b.com/only"
+    ]
+
+
+def test_crawl_budget_custom_priority(spark):
+    """Caller-supplied priority column overrides the heuristic."""
+    from kspp_spark.functions.web import crawl_budget
+
+    rows = [("https://a.com/p1", 5), ("https://a.com/p2", 1),
+            ("https://a.com/p3", 9)]
+    out = crawl_budget(
+        spark.createDataFrame(rows, "url string, cost int"),
+        per_host=2,
+        priority=F.col("cost"),
+    ).collect()
+    got = sorted((r.priority_rank, r.url) for r in out)
+    assert got == [(1, "https://a.com/p2"), (2, "https://a.com/p1")]
+
+
+def test_cluster_representatives(spark):
+    """Quality-argmax cluster collapse: highest score wins, ties go
+    to the smallest node id, unscored nodes lose to any scored one,
+    cluster_size counts every member."""
+    from kspp_spark.functions.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "node long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (11, 4), (21, 7)],  # 10/20 unscored
+        "node long, score long",
+    )
+    got = {
+        r.component: (r.representative, r.rep_score, r.cluster_size)
+        for r in cluster_representatives(clusters, scores).collect()
+    }
+    assert got[1] == (2, 9, 3)     # tie 2 vs 3 -> smaller id
+    assert got[10] == (11, 4, 2)   # scored member beats unscored
+    assert got[20] == (21, 7, 2)

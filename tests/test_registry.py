@@ -39,39 +39,43 @@ def test_registry_no_duplicate_keys():
     assert keys == list(entry_mod.queries().keys())
 
 
-def test_registry_round9_window():
-    """The round-9 grading window (first 50) contains the queries
-    VERDICT r8 item #7 demanded driver rows for. SET containment, not
-    position-pinning — r8's lesson: the position-pinned form rotted
-    when a head insert wasn't mirrored here. Only the round's NEW /
-    code-changed queries are position-checked (they must lead)."""
+def test_registry_round10_window():
+    """The round-10 grading window (first 50) is the VERDICT r9 item
+    #4 rotation: the round's NEW queries lead (position-pinned), the
+    round-9 additions re-certify, and the rest is oldest-cert-first
+    (the r5/r6-graded tail ungraded for 3-4 rounds, then the
+    r7-graded kspp core). SET containment for the rotation body —
+    r8's lesson: the fully position-pinned form rotted when a head
+    insert wasn't mirrored here."""
     window = list(entry_mod.queries().keys())[:50]
-    # new or rewritten this round — must lead the window
-    assert window[:9] == [
-        "sitemap_frontier",
-        "domain_rollup_full",
-        "winnow_fingerprints",
-        "winnow_dup_pairs",
-        "surt_index",
-        "decontaminate_bloom",
-        "train_classifier",
-        "stupid_backoff",
-        "link_graph",
+    # new this round — must lead the window
+    assert window[:4] == [
+        "hits_rank",
+        "anchor_terms",
+        "crawl_budget",
+        "cluster_reps",
     ]
     must_grade = {
-        # r8 newcomers kept in
-        "domain_rollup", "domain_rank",
-        # VERDICT r8 item #7 named re-certs
-        "pack_sequences", "rate_limiter",
-        "windowed_count", "hopping_count", "windowed_sum_by_type",
-        "session_windows", "windowed_ktable",
-        "kstream_left_join", "kstream_inner_join", "ktable_left_join",
-        "ktable_inner_join", "ktable_outer_join",
-        "asof_join", "asof_forward", "asof_nearest",
-        "range_join", "interval_join", "semi_join", "anti_join",
+        # round-9 additions kept in for a second driver row
+        "sitemap_frontier", "domain_rollup_full", "winnow_fingerprints",
+        "winnow_dup_pairs", "surt_index", "decontaminate_bloom",
+        "train_classifier", "stupid_backoff",
+        # stalest certs: r5-graded stragglers
+        "curate_docs", "minhash_pairs_portable", "simhash_portable",
+        # the r6-graded tail, ungraded since round 6
+        "bm25_indexed", "bpe_encoded", "bpe_merges", "bpe_merges_chars",
+        "inverted_index", "ivf_exhaustive", "knn_cosine",
+        "local_supplier_volume", "ngram_counts", "phrase_search",
+        "phrase_search_indexed", "positional_index", "quantized_ann",
+        "rollup_cascade", "scd2_lookup", "srp_ann", "srp_pairs",
+        "token_pairs", "top_terms_per_lang",
+        # r7-graded kspp-core fill
+        "count_by_key", "count_by_value", "ktable_latest",
+        "filter_lineitem", "transform_revenue", "flat_map_words",
+        "word_count", "merge_streams", "repartition_by_fk",
     }
     missing = must_grade - set(window)
-    assert not missing, f"round-9 must-grade queries not in window: {missing}"
+    assert not missing, f"round-10 must-grade queries not in window: {missing}"
     assert len(window) == len(set(window)) == 50
 
 
