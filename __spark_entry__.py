@@ -1957,6 +1957,166 @@ def q_cluster_reps(spark, sf_dir):
     return cluster_representatives(clusters, scores)
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Intra-document unit dedup (functions/dedup.dedup_paragraph_text
+    — MassiveText's within-page repetition filter, Rae et al. 2021
+    §A.1.1; the within-doc dual of remove_boilerplate): each document
+    becomes a 5-unit page (its text, a boilerplate quality line, a
+    doc_id-dependent third unit that DUPLICATES the text on every
+    third doc, the quality line AGAIN, the source tag); the JVM
+    first-occurrence filter keeps 3 or 4 units. Everything —
+    split, lambda-bound first-occurrence probe, rejoin, the two
+    counters — replays in DuckDB's indexed-lambda list_filter, so a
+    wrong keep rule or join order breaks hash parity. Plan: map-only
+    (one split + codegen'd HOF), zero shuffles."""
+    from kspp_spark.functions.dedup import dedup_paragraph_text
+
+    docs = _t(spark, sf_dir, "documents")
+    qline = F.concat(F.lit("quality "), F.col("lang"))
+    third = F.when(
+        F.col("doc_id") % 3 == 0, F.col("text")
+    ).otherwise(F.concat(F.lit("tail "), F.col("lang")))
+    page = F.concat_ws(
+        "\n", F.col("text"), qline, third, qline, F.col("source")
+    )
+    d = dedup_paragraph_text(page, "\n")
+    return docs.select(
+        "doc_id",
+        d["text"].alias("text_dedup"),
+        d["n_units"].alias("n_units"),
+        d["n_kept"].alias("n_kept"),
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-sequence transition matrix (functions/sessions.
+    event_transitions — the first-order Markov / clickstream-bigram
+    model): lag over (user, ts, event_id), one (prev, next)
+    aggregation with transition and distinct-user counts, and the
+    row-conditional probability as one exact double division. The
+    oracle replays the identical lag window — the event_id tiebreak
+    is hash-load-bearing (ts ties exist). Plan: ONE shuffle on
+    user_id, partial-aggregated |types|^2 matrix."""
+    from kspp_spark.functions.sessions import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(
+        ev, user_col="user_id", ts_col="ts", type_col="event_type",
+        tiebreak="event_id",
+    )
+
+
+def q_trending_terms(spark, sf_dir):
+    """Epoch-over-epoch trending vocabulary (functions/text.
+    trending_terms — corpus-drift detection between crawl snapshots):
+    docs split into reference/current epochs by doc_id parity, the
+    current epoch gaining a deterministic ' launch rollout' suffix
+    (the genuinely-trending terms the ranking must surface), add-1
+    lift = (c_curr+1)/(c_prev+1), top-15 by (lift desc, term asc).
+    Counts are BIGINT and the lift one double division, so the oracle
+    replays bitwise. Plan: map-side tokenize+explode, ONE term
+    aggregation (partial agg bounds the shuffle at one row per
+    distinct term per mapper), rank window over the tiny vocabulary."""
+    from kspp_spark.functions.text import trending_terms
+    from kspp_spark.io import rebalance_small_scan
+
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
+    epoch = (F.col("doc_id") % 2).cast("int")
+    txt = F.when(
+        epoch == 1, F.concat(F.col("text"), F.lit(" launch rollout"))
+    ).otherwise(F.col("text"))
+    d = docs.select(epoch.alias("epoch"), txt.alias("text"))
+    return trending_terms(d, k=15)
+
+
+def q_domain_quality(spark, sf_dir):
+    """Confidence-adjusted per-source quality ranking (functions/text.
+    wilson_lower_bound — Wilson 1927 score-interval lower bound, the
+    'sort by adjusted proportion' statistic): per source, docs passing
+    the >= 40-token gate over total docs, then the Wilson lower bound
+    at z=1.96 in PURE double arithmetic with a pinned evaluation
+    order, so the sqrt-bearing expression replays bit-for-bit in
+    DuckDB (IEEE correctly-rounded +,-,*,/,sqrt). Plan: one hash
+    aggregation with conditional sums; the bound is a scalar
+    projection on the 20-row result."""
+    from kspp_spark.functions.text import token_count, wilson_lower_bound
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(token_count("text") >= 40, 1).otherwise(0)
+        ).alias("n_pass"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        wilson_lower_bound(F.col("n_pass"), F.col("n_docs")).alias(
+            "wilson_lb"
+        ),
+    )
+
+
+def q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization (functions/text.normalize_unicode
+    — the pre-dedup normalization pass; decomposed e+U+0301 must hash
+    like precomposed U+00E9): each text gains a suffix of three
+    decomposed combining sequences (acute, diaeresis, ring); the
+    Arrow-batched pandas UDF (unicodedata, the ONLY Python crossing —
+    Spark has no built-in normalizer) composes them, shrinking the
+    codepoint length by exactly 4. DuckDB's utf8proc nfc_normalize
+    replays the composition — both lengths are graded so a pass-
+    through (non-normalizing) implementation cannot hash-match."""
+    from kspp_spark.functions.text import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents")
+    # DECOMPOSED combining marks (acute, diaeresis, ring,
+    # diaeresis) as escapes so no editor/formatter silently
+    # precomposes them; NFC composes all four, so the codepoint
+    # length shrinks by exactly 4
+    suffix = F.lit(
+        " cafe\u0301 u\u0308ber A\u030angstro\u0308m"
+    )
+    raw = F.concat(F.col("text"), suffix)
+    out = normalize_unicode(raw, "NFC")
+    return docs.select(
+        "doc_id",
+        out.alias("text_nfc"),
+        F.length(out).alias("n_chars_nfc"),
+        F.length(raw).alias("n_chars_raw"),
+    )
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (functions/similarity.hard_negative_topk
+    — DPR, Karpukhin et al. 2020 §4.2: per anchor the most-similar
+    OTHER-label items are the informative contrastive negatives):
+    anchors = vec_id < 20, top-5 cosine neighbors with label mismatch
+    filtered BEFORE scoring, deterministic (score desc, id) tiebreak.
+    Same broadcast + sequential-double-arithmetic shape as the
+    certified knn_cosine, so the oracle replays the floats exactly;
+    the label filter is IS DISTINCT FROM on both sides. Plan:
+    broadcast anchors (with labels), stream the corpus, one bounded
+    rank window."""
+    from kspp_spark.functions.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = hard_negative_topk(
+        anchors, emb, k=5, q_id="query_id", c_id="vec_id"
+    )
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("neg_id"),
+        "neg_label",
+        "rank",
+        "score",
+    )
+
+
 def q_html_to_text(spark, sf_dir):
     """HTML -> text extraction (functions/web.html_to_text): each
     document's text is wrapped into a deterministic page template
@@ -3203,6 +3363,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the registry is the driver's grading contract.
     return {
         # -- (a) round-10 additions --
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "event_transitions": q_event_transitions,
+        "trending_terms": q_trending_terms,
+        "domain_quality": q_domain_quality,
+        "nfc_normalize": q_nfc_normalize,
+        "hard_negatives": q_hard_negatives,
         "hits_rank": q_hits_rank,
         "anchor_terms": q_anchor_terms,
         "crawl_budget": q_crawl_budget,
@@ -3838,8 +4004,138 @@ def oracle_sql() -> dict[str, str]:
     qn = "list_sum(list_transform(q.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     cn = "list_sum(list_transform(c.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
 
+    # Wilson lower bound at z=1.96: the SQL spells out the IDENTICAL
+    # expression tree as text.wilson_lower_bound (IEEE +,-,*,/,sqrt
+    # are correctly rounded, so same tree => same bits); z*z is the
+    # Python-computed double so both engines see one literal.
+    _wz = repr(1.96)
+    _wz2 = repr(1.96 * 1.96)
+    _wp = "(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    _wn = "CAST(n_docs AS DOUBLE)"
+    wilson = (
+        f"(({_wp} + {_wz2} / (2.0 * {_wn})"
+        f" - {_wz} * sqrt(({_wp} * (1.0 - {_wp})"
+        f" + {_wz2} / (4.0 * {_wn})) / {_wn}))"
+        f" / (1.0 + {_wz2} / {_wn}))"
+    )
+    # dedup_paragraphs page synthesis + first-occurrence keep (DuckDB
+    # indexed lambda: i is 1-based, list_position returns the FIRST
+    # 1-based index — keep iff first occurrence is itself)
+    _pg = (
+        "string_split(text || chr(10) || 'quality ' || lang || chr(10)"
+        " || (CASE WHEN doc_id % 3 = 0 THEN text"
+        " ELSE 'tail ' || lang END)"
+        " || chr(10) || 'quality ' || lang || chr(10) || source,"
+        " chr(10))"
+    )
+    _pkeep = "list_filter(l, (x, i) -> list_position(l, x) = i)"
+    # nfc_normalize suffix: the same decomposed combining marks
+    _nfx = (
+        "text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber A'"
+        " || chr(778) || 'ngstro' || chr(776) || 'm'"
+    )
+
     oracles = {
         # round-10 additions -------------------------------------------
+        "dedup_paragraphs": f"""
+            WITH s AS (SELECT doc_id, {_pg} AS l FROM documents)
+            SELECT doc_id,
+                   array_to_string({_pkeep}, chr(10)) AS text_dedup,
+                   CAST(len(l) AS INT) AS n_units,
+                   CAST(len({_pkeep}) AS INT) AS n_kept
+            FROM s
+        """,
+        "event_transitions": """
+            WITH p AS (
+                SELECT user_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type,
+                       event_type AS next_type
+                FROM events
+            ), c AS (
+                SELECT prev_type, next_type,
+                       COUNT(*) AS n_transitions,
+                       COUNT(DISTINCT user_id) AS n_users
+                FROM p WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, next_type
+            )
+            SELECT prev_type, next_type, n_transitions, n_users,
+                   CAST(n_transitions AS DOUBLE)
+                   / CAST(SUM(n_transitions) OVER (
+                         PARTITION BY prev_type
+                     ) AS DOUBLE) AS prob
+            FROM c
+        """,
+        "trending_terms": f"""
+            WITH d AS (
+                SELECT CAST(doc_id % 2 AS INT) AS epoch,
+                       CASE WHEN doc_id % 2 = 1
+                            THEN text || ' launch rollout'
+                            ELSE text END AS text
+                FROM documents
+            ), t AS (
+                SELECT epoch, unnest({_TOKENS}) AS term FROM d
+            ), c AS (
+                SELECT term,
+                       SUM(CASE WHEN epoch = 0 THEN 1 ELSE 0 END)
+                           AS c_prev,
+                       SUM(CASE WHEN epoch = 1 THEN 1 ELSE 0 END)
+                           AS c_curr
+                FROM t GROUP BY term
+            )
+            SELECT term, c_prev, c_curr, lift, rank FROM (
+                SELECT term,
+                       CAST(c_prev AS BIGINT) AS c_prev,
+                       CAST(c_curr AS BIGINT) AS c_curr,
+                       CAST(c_curr + 1 AS DOUBLE)
+                       / CAST(c_prev + 1 AS DOUBLE) AS lift,
+                       row_number() OVER (
+                           ORDER BY CAST(c_curr + 1 AS DOUBLE)
+                                    / CAST(c_prev + 1 AS DOUBLE) DESC,
+                                    term
+                       ) AS rank
+                FROM c
+            ) WHERE rank <= 15
+        """,
+        "domain_quality": f"""
+            WITH g AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(CASE WHEN len({_TOKENS}) >= 40
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+                FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_pass, {wilson} AS wilson_lb FROM g
+        """,
+        "nfc_normalize": f"""
+            SELECT doc_id,
+                   nfc_normalize({_nfx}) AS text_nfc,
+                   CAST(length(nfc_normalize({_nfx})) AS INT)
+                       AS n_chars_nfc,
+                   CAST(length({_nfx}) AS INT) AS n_chars_raw
+            FROM documents
+        """,
+        "hard_negatives": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS e, label
+                       FROM embeddings WHERE vec_id < 20),
+                 c AS (SELECT vec_id AS cid, embedding AS e, label
+                       FROM embeddings),
+                 s AS (
+                    SELECT q.qid, c.cid, c.label AS neg_label,
+                           {dot} / sqrt({qn} * {cn}) AS score
+                    FROM q, c
+                    WHERE q.label IS DISTINCT FROM c.label
+                 )
+            SELECT qid AS query_id, cid AS neg_id, neg_label, rank,
+                   score
+            FROM (
+                SELECT qid, cid, neg_label, score,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY score DESC, cid
+                       ) AS rank
+                FROM s
+            ) WHERE rank <= 5
+        """,
         "hits_rank": _hits_oracle_sql(),
         # anchor_terms: closed-form replay of the synthesis — each doc
         # contributes review(x2)/great/guide to example{k}.com (k =

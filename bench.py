@@ -153,6 +153,22 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "train_classifier",
     "stupid_backoff",
+    # round-10 additions (66 -> 76): link-analysis duals (HITS,
+    # anchor-text target profiles), crawl budgeting, quality-argmax
+    # cluster collapse, intra-doc paragraph dedup, the clickstream
+    # transition matrix, epoch-lift trending vocabulary, Wilson-bound
+    # source quality, Arrow-batched NFC normalization, and DPR-style
+    # hard-negative mining
+    "hits_rank",
+    "anchor_terms",
+    "crawl_budget",
+    "cluster_reps",
+    "dedup_paragraphs",
+    "event_transitions",
+    "trending_terms",
+    "domain_quality",
+    "nfc_normalize",
+    "hard_negatives",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
@@ -336,15 +352,19 @@ def main() -> None:
         "machine_factor": out.get("machine_factor"),
         "degraded": degraded,
     }
-    line = json.dumps(lean)
-    for ndigits in (3, 2):
+    # compact separators: default json.dumps spends 2 chars per item
+    # on ", "/": " padding — at 76 queries that alone overflowed the
+    # window and dropped the per-query dict from BENCH_r10's stdout
+    compact = {"separators": (",", ":")}
+    line = json.dumps(lean, **compact)
+    for ndigits in (3, 2, 1):
         if len(line) < 1900:
             break
         lean["queries"] = {q: round(t, ndigits) for q, t in timings.items()}
-        line = json.dumps(lean)
+        line = json.dumps(lean, **compact)
     if len(line) >= 1900:  # last resort: keep the contract keys
         lean["queries"] = {}
-        line = json.dumps(lean)
+        line = json.dumps(lean, **compact)
     print(line, flush=True)
 
 

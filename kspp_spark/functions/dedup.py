@@ -1392,3 +1392,63 @@ def cluster_representatives(
         F.max(F.col("_sc")).alias("rep_score"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
+
+
+def dedup_paragraph_text(
+    text: Column | str, sep: str = "\n"
+) -> Column:
+    """Intra-document unit dedup (the WITHIN-document counterpart of
+    the cross-corpus remove_boilerplate — MassiveText's repetition
+    filter keeps one copy of each repeated line/paragraph inside a
+    page; Rae et al. 2021 §A.1.1, Penedo et al. 2023 §3.2 line-level
+    dedup): split on `sep`, keep the FIRST occurrence of each exact
+    unit, rejoin in original order.
+
+    Returns struct<text string, n_units int, n_kept int>.
+
+    Pure JVM Column expression: one split, then a first-occurrence
+    filter over the LAMBDA-BOUND array (the array is wrapped in a
+    1-element array + transform so every reference inside the filter
+    lambda is a cheap variable read — Catalyst does no subexpression
+    elimination inside HOF lambdas, the winnow_fingerprints lesson).
+    O(units^2) equality probes per document, all in codegen; map-only,
+    no shuffle, no Python — the 100 TB shape. Replays exactly in
+    DuckDB via list_filter((x, i) -> list_position(l, x) = i).
+
+    Mirrors the reference's per-record transform surface
+    (processors/transform.h) — kspp users would write this as a C++
+    lambda; here it is a reusable JVM expression.
+    """
+    import re as _re
+
+    c = F.col(text) if isinstance(text, str) else text
+    units = F.split(c, _re.escape(sep), -1)
+
+    def _dd(us: Column) -> Column:
+        kept = F.filter(
+            us, lambda u, i: F.array_position(us, u) == i + 1
+        )
+        return F.struct(
+            F.array_join(kept, sep).alias("text"),
+            F.size(us).cast("int").alias("n_units"),
+            F.size(kept).cast("int").alias("n_kept"),
+        )
+
+    return F.element_at(F.transform(F.array(units), _dd), 1)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """DataFrame form of dedup_paragraph_text: (id, deduped text,
+    n_units, n_kept). Map-only — safe to fuse into any scan."""
+    s = dedup_paragraph_text(F.col(text_col), sep)
+    return df.select(
+        F.col(id_col),
+        s["text"].alias(text_col),
+        s["n_units"].alias("n_units"),
+        s["n_kept"].alias("n_kept"),
+    )

@@ -557,3 +557,60 @@ def srp_bucket_profile(
         F.min(id_col).alias("min_id"),
         F.max(id_col).alias("max_id"),
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+    q_label: str = "label",
+    c_label: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the dense-
+    retrieval training-data op: DPR, Karpukhin et al. 2020 §4.2 — per
+    anchor, the most-similar corpus items with a DIFFERENT label are
+    the informative negatives; SimCSE, Gao et al. 2021): top-k by
+    cosine among label-mismatched candidates, deterministic tiebreak
+    (score desc, corpus id asc).
+
+    Same distributed shape as cosine_topk: the (small) anchor side
+    broadcasts WITH its labels, the corpus streams, and the label
+    mismatch filters pairs BEFORE the dot product is computed — an
+    anchor never scores its own class. Self-pairs are excluded for
+    free (same label). At 100 TB the anchor set is mined in bounded
+    batches, or candidates come from srp_candidates/ivf cells first —
+    this exact form is the per-batch / per-cell verifier.
+    """
+    q = queries.select(
+        F.col(q_id).alias("_qid"),
+        F.col(q_vec).alias("_qv"),
+        F.col(q_label).alias("_ql"),
+    ).withColumn("_qn", _dot(F.col("_qv"), F.col("_qv"), False))
+    c = corpus.select(
+        F.col(c_id).alias("_cid"),
+        F.col(c_vec).alias("_cv"),
+        F.col(c_label).alias("_cl"),
+    ).withColumn("_cn", _dot(F.col("_cv"), F.col("_cv"), False))
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        ~F.col("_ql").eqNullSafe(F.col("_cl"))
+    )
+    dot = _dot(F.col("_qv"), F.col("_cv"), False)
+    score = dot.cast("double") / F.sqrt(
+        F.col("_qn").cast("double") * F.col("_cn").cast("double")
+    )
+    scored = pairs.select(
+        F.col("_qid").alias(q_id),
+        F.col("_cid").alias(c_id),
+        F.col("_cl").alias("neg_label"),
+        score.alias("score"),
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("score").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "neg_label", "rank", "score")
+    )

@@ -1884,3 +1884,112 @@ def gopher_keep(c: dict[str, Column]) -> Column:
         & (5 * c["n_alpha_words"] >= 4 * c["n_words"])
         & (c["n_stopwords"] >= 2)
     )
+
+
+def wilson_lower_bound(
+    pos: Column, n: Column, z: float = 1.96
+) -> Column:
+    """Wilson score-interval lower bound (Wilson 1927; the ranking
+    statistic behind "sort by confidence-adjusted proportion") for
+    `pos` successes out of `n` trials at normal quantile `z`:
+
+        (p + z2/(2n) - z*sqrt((p(1-p) + z2/(4n))/n)) / (1 + z2/n)
+
+    Used here to rank domains/sources by quality-pass rate without
+    letting a 2/2 domain outrank a 980/1000 one. Pure double
+    arithmetic with a FIXED evaluation order: +,-,*,/ and sqrt are
+    all IEEE-754 correctly-rounded, so an oracle that writes the
+    same expression tree reproduces the value bit-for-bit in any
+    engine. NULL when n = 0.
+    """
+    nn = n.cast("double")
+    p = pos.cast("double") / nn
+    z2 = F.lit(z * z)
+    center = p + z2 / (F.lit(2.0) * nn)
+    rad = F.lit(z) * F.sqrt(
+        (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * nn)) / nn
+    )
+    return F.when(
+        n > 0, (center - rad) / (F.lit(1.0) + z2 / nn)
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def trending_terms(
+    df,
+    epoch_col: str = "epoch",
+    text_col: str = "text",
+    k: int = 20,
+    smoothing: int = 1,
+    min_curr: int = 0,
+):
+    """Epoch-over-epoch term lift (corpus-drift / trending-vocabulary
+    detection — the freshness signal a training-data pipeline uses to
+    spot emerging terms between crawl snapshots): term counts in the
+    reference epoch (epoch_col = 0) vs the current epoch (= 1),
+    add-`smoothing` lift = (c_curr + s) / (c_prev + s), top-k by
+    (lift desc, term asc).
+
+    Scale shape: one tokenize+explode (map-side), ONE (term)
+    aggregation with conditional sums (partial aggregation applies —
+    the shuffle carries one row per distinct term per mapper, never
+    per token), then the top-k window runs over the aggregated
+    vocabulary. At web scale pre-prune with `min_curr` (terms below
+    the support floor can't be meaningfully trending) so the single-
+    partition rank window sees a bounded frame; counts are BIGINT and
+    the lift a single exact double division, so the whole result
+    replays bitwise in SQL.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(epoch_col).alias("_e"),
+        F.explode(tokenize(text_col)).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("_e") == 0, 1).otherwise(0)).alias("c_prev"),
+        F.sum(F.when(F.col("_e") == 1, 1).otherwise(0)).alias("c_curr"),
+    )
+    if min_curr > 0:
+        counts = counts.filter(F.col("c_curr") >= min_curr)
+    s = F.lit(smoothing)
+    lift = (F.col("c_curr") + s).cast("double") / (
+        F.col("c_prev") + s
+    ).cast("double")
+    w = W.orderBy(F.col("lift").desc(), F.col("term"))
+    return (
+        counts.withColumn("lift", lift)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "c_prev", "c_curr", "lift", "rank")
+    )
+
+
+def normalize_unicode(text: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) as an Arrow-batched
+    pandas UDF — the canonicalization step a multilingual corpus needs
+    before exact dedup or tokenization (decomposed 'e'+U+0301 and
+    precomposed U+00E9 must hash identically).
+
+    Python's unicodedata is the normalizer (Spark has no built-in);
+    the crossing is a vectorized Arrow batch, never per-row py4j.
+    Map-only — fuses into any scan. DuckDB's nfc_normalize replays
+    the NFC form for oracle parity (both implement the same Unicode
+    canonical composition).
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+    import pandas as pd  # noqa: F401 — pandas_udf needs the runtime
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize(form, x)
+        )
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _norm(c)

@@ -3066,3 +3066,176 @@ def test_cluster_representatives(spark):
     assert got[1] == (2, 9, 3)     # tie 2 vs 3 -> smaller id
     assert got[10] == (11, 4, 2)   # scored member beats unscored
     assert got[20] == (21, 7, 2)
+
+
+# ---------------------------------------------------------------------------
+# round 10: intra-doc dedup, sessions, trending, Wilson, NFC, hard negatives
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraph_text_golden(spark):
+    from kspp_spark.functions.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb\na"),   # dups everywhere
+            (2, "x"),                   # single unit
+            (3, ""),                    # empty -> one empty unit
+            (4, "p\np"),                # adjacent dup
+            (5, "m\n\nm\n\nn"),        # empty units dedup too
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_units"], r["n_kept"])
+        for r in dedup_paragraphs(df).collect()
+    }
+    assert got[1] == ("a\nb\nc", 6, 3)
+    assert got[2] == ("x", 1, 1)
+    assert got[3] == ("", 1, 1)
+    assert got[4] == ("p", 2, 1)
+    # first empty unit kept, second dropped: m, '', n
+    assert got[5] == ("m\n\nn", 5, 3)
+
+
+def test_dedup_paragraph_custom_sep(spark):
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.dedup import dedup_paragraph_text
+
+    df = spark.createDataFrame([("a||b||a||c",)], "text string")
+    s = dedup_paragraph_text(F.col("text"), "||")
+    row = df.select(
+        s["text"].alias("t"), s["n_units"].alias("u"), s["n_kept"].alias("k")
+    ).collect()[0]
+    # '||' is regex-escaped: 4 units, 'a' deduped
+    assert (row["t"], row["u"], row["k"]) == ("a||b||c", 4, 3)
+
+
+def test_event_transitions_golden(spark):
+    from kspp_spark.functions.sessions import event_transitions
+
+    # user 1: a -> b -> a   (transitions ab, ba)
+    # user 2: a -> b        (transition ab)
+    # user 2 has a ts TIE broken by event_id (eid 4 before eid 5)
+    df = spark.createDataFrame(
+        [
+            (1, 1, 100, "a"),
+            (2, 1, 200, "b"),
+            (3, 1, 300, "a"),
+            (4, 2, 100, "a"),
+            (5, 2, 100, "b"),
+        ],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (
+            r["n_transitions"], r["n_users"], r["prob"]
+        )
+        for r in event_transitions(df, tiebreak="event_id").collect()
+    }
+    assert out[("a", "b")] == (2, 2, 1.0)   # a always followed by b
+    assert out[("b", "a")] == (1, 1, 1.0)   # b -> a only from user 1
+    assert len(out) == 2
+
+
+def test_trending_terms_surfaces_new_vocab(spark):
+    from kspp_spark.functions.text import trending_terms
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta beta"),
+            (0, "alpha gamma"),
+            (1, "alpha beta surge"),
+            (1, "surge surge gamma"),
+        ],
+        "epoch int, text string",
+    )
+    rows = trending_terms(df, k=2).collect()
+    assert [r["term"] for r in rows] == ["surge", "gamma"]
+    top = rows[0]
+    # surge: prev 0, curr 3 -> lift (3+1)/(0+1) = 4
+    assert (top["c_prev"], top["c_curr"], top["lift"]) == (0, 3, 4.0)
+    assert [r["rank"] for r in rows] == [1, 2]
+
+
+def test_wilson_lower_bound_properties(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.text import wilson_lower_bound
+
+    df = spark.createDataFrame(
+        [(2, 2), (980, 1000), (0, 50), (50, 50), (0, 0)],
+        "pos long, n long",
+    )
+    rows = df.select(
+        "pos", "n",
+        wilson_lower_bound(F.col("pos"), F.col("n")).alias("w"),
+    ).collect()
+    by = {(r["pos"], r["n"]): r["w"] for r in rows}
+    # a 2/2 source must NOT outrank a 980/1000 one (the whole point)
+    assert by[(2, 2)] < by[(980, 1000)]
+    # bounds inside [0, 1); 0 successes -> small positive-free bound
+    assert 0.0 <= by[(0, 50)] < 0.05
+    assert 0.0 < by[(50, 50)] < 1.0
+    assert by[(0, 0)] is None
+    # spot value: Wilson LB for 980/1000 at z=1.96 is ~0.9698
+    assert math.isclose(by[(980, 1000)], 0.96976, abs_tol=5e-4)
+
+
+def test_normalize_unicode_nfc(spark):
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.text import normalize_unicode
+
+    composed = "caf\u00e9"
+    decomposed = "cafe\u0301"
+    df = spark.createDataFrame(
+        [(decomposed,), (composed,), (None,), ("plain",)],
+        "text string",
+    )
+    rows = df.select(
+        "text",
+        normalize_unicode(F.col("text")).alias("nfc"),
+        F.length(normalize_unicode(F.col("text"))).alias("n"),
+    ).collect()
+    by = {r["text"]: (r["nfc"], r["n"]) for r in rows}
+    assert by[decomposed] == (composed, 4)   # composes
+    assert by[composed] == (composed, 4)     # already NFC
+    assert by[None] == (None, None)
+    assert by["plain"] == ("plain", 5)
+
+
+def test_normalize_unicode_rejects_bad_form():
+    import pytest as _pytest
+
+    from kspp_spark.functions.text import normalize_unicode
+
+    with _pytest.raises(ValueError):
+        normalize_unicode("text", form="NFX")
+
+
+def test_hard_negative_topk_label_mismatch_only(spark):
+    from kspp_spark.functions.similarity import hard_negative_topk
+
+    # anchor [1,0] label 0; candidates: same-label near-identical
+    # vector MUST be excluded; other-label ranked by cosine.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.01], 0),   # same label — excluded
+            (2, [0.9, 0.1], 1),     # best hard negative
+            (3, [0.0, 1.0], 1),     # orthogonal-ish
+            (4, [0.5, 0.5], 2),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    anchors = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as q_id", "embedding", "label"
+    )
+    rows = hard_negative_topk(anchors, emb, k=3).collect()
+    assert [r["vec_id"] for r in rows] == [2, 4, 3]
+    assert all(r["neg_label"] != 0 for r in rows)
+    assert [r["rank"] for r in rows] == [1, 2, 3]

@@ -827,3 +827,81 @@ def test_domain_rollup_map_lookup_single_shuffle(spark, queries):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_dedup_paragraphs_map_only(spark, queries):
+    """Intra-doc dedup scale contract: pure map — one parquet scan,
+    ZERO exchanges, no join, no Python. The first-occurrence filter
+    is a codegen'd HOF over the lambda-bound split array; fusable
+    into any curation scan at 100 TB."""
+    plan = formatted_plan(spark, queries["dedup_paragraphs"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_event_transitions_single_user_shuffle(spark, queries):
+    """Transition-matrix scale contract: ONE wide shuffle on user_id
+    feeds the lag window; the (prev, next) aggregation and the
+    conditional-probability window operate on the |types|^2 matrix
+    (partial agg bounds their exchanges). No Python, no join."""
+    plan = formatted_plan(spark, queries["event_transitions"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # user_id window shuffle + distinct-expand agg pair + prob window:
+    # every exchange after the first carries matrix-sized data
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 4, plan
+
+
+def test_trending_terms_single_term_agg(spark, queries):
+    """Trending-vocabulary scale contract: tokenize+explode map-side,
+    ONE hash aggregation on term (partial agg: the exchange carries
+    one row per distinct term per mapper, never per token), rank
+    window on the aggregated vocabulary only. No Python, no join."""
+    plan = formatted_plan(spark, queries["trending_terms"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert (
+        len(re.findall(r"\(\d+\) Exchange", plan))
+        <= 3 + plan.count("RoundRobinPartitioning")
+    ), plan
+
+
+def test_domain_quality_single_agg_no_python(spark, queries):
+    """Wilson-ranking scale contract: one hash aggregation over
+    source (conditional sums ride the partial agg); the sqrt-bearing
+    bound is a scalar projection on the 20-row result. Pure JVM."""
+    plan = formatted_plan(spark, queries["domain_quality"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_nfc_normalize_arrow_map_only(spark, queries):
+    """NFC scale contract: the unicodedata crossing is Arrow-batched
+    (ArrowEvalPython), NEVER row-at-a-time BatchEvalPython; map-only
+    — no exchange, no join."""
+    plan = formatted_plan(spark, queries["nfc_normalize"](spark, SF))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_hard_negatives_broadcast_anchors(spark, queries):
+    """Hard-negative-mining scale contract: the anchor side (with its
+    labels) BROADCASTS — the corpus never shuffles for the pairing —
+    and the label-mismatch filter sits in the join condition or
+    directly on the joined stream before scoring. JVM vector math
+    (zip_with/aggregate), no Python."""
+    plan = formatted_plan(spark, queries["hard_negatives"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -49,7 +49,13 @@ def test_registry_round10_window():
     insert wasn't mirrored here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — must lead the window
-    assert window[:4] == [
+    assert window[:10] == [
+        "dedup_paragraphs",
+        "event_transitions",
+        "trending_terms",
+        "domain_quality",
+        "nfc_normalize",
+        "hard_negatives",
         "hits_rank",
         "anchor_terms",
         "crawl_budget",
