@@ -2117,6 +2117,70 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+def q_cms_counts(spark, sf_dir):
+    """Count-Min sketch BUILD (functions/sketch.cms_build — Cormode
+    & Muthukrishnan 2005, the bounded-state distributed counter that
+    replaces the reference's unbounded mem_counter_store at corpus
+    scale): document tokens hashed into a 3×64 sketch via the
+    portable md5 family with per-row salts, ONE aggregation whose
+    map-side combine bounds the shuffle at 192 cells per mapper. The
+    oracle replays the salt -> md5 -> mod bucketing and the cell
+    sums exactly — a deterministic sketch (approximate vs truth,
+    exact vs the algorithm)."""
+    from kspp_spark.functions.sketch import cms_build
+    from kspp_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("term"))
+    return cms_build(toks, col="term", width=64, depth=3)
+
+
+def q_cms_estimates(spark, sf_dir):
+    """Count-Min point estimates vs exact counts (functions/sketch.
+    cms_estimate): every distinct token probed against the 3×64
+    sketch (min over rows, broadcast equi-join on (row, bucket)),
+    joined to its true count — the driver-graded proof of the
+    one-sided guarantee est >= true (the property test asserts it;
+    here the exact VALUES of both columns must hash-match the SQL
+    replay). Plan: sketch + truth are two aggregations over one
+    token explode; the ≤192-row sketch broadcasts."""
+    from kspp_spark.functions.sketch import cms_build, cms_estimate
+    from kspp_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("term"))
+    true = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    sketch = cms_build(toks, col="term", width=64, depth=3)
+    est = cms_estimate(
+        sketch, true.select("term"), col="term", width=64, depth=3
+    )
+    return est.join(true, "term").select("term", "est", "true_cnt")
+
+
+def q_minmax_scaled(spark, sf_dir):
+    """Per-dimension min-max feature scaling (functions/similarity.
+    minmax_scale): embeddings rescaled to [0,1] per dimension, output
+    posexploded as (vec_id, dim, x_scaled) for hashing. min/max are
+    ORDER-INDEPENDENT aggregates, so unlike mean/variance the scaled
+    doubles are bit-exact under any partitioning and replay in
+    DuckDB with the same (x - lo) / (hi - lo) tree. Plan: one
+    partial-aggregated reduction to a single 128-double stats row
+    (element_at projections, no posexplode shuffle), broadcast back,
+    map-side rescale."""
+    from kspp_spark.functions.similarity import minmax_scale
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scaled = minmax_scale(emb, dims=64)
+    out = scaled.select("vec_id", F.posexplode("scaled"))
+    return out.select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("col").alias("x_scaled"),
+    )
+
+
 def q_html_to_text(spark, sf_dir):
     """HTML -> text extraction (functions/web.html_to_text): each
     document's text is wrapped into a deterministic page template
@@ -3363,6 +3427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the registry is the driver's grading contract.
     return {
         # -- (a) round-10 additions --
+        "cms_counts": q_cms_counts,
+        "cms_estimates": q_cms_estimates,
+        "minmax_scaled": q_minmax_scaled,
         "dedup_paragraphs": q_dedup_paragraphs,
         "event_transitions": q_event_transitions,
         "trending_terms": q_trending_terms,
@@ -4035,8 +4102,60 @@ def oracle_sql() -> dict[str, str]:
         " || chr(778) || 'ngstro' || chr(776) || 'm'"
     )
 
+    # Count-Min sketch replay: md5_long with per-row salt, mod 64.
+    # r.row is fanned out via VALUES; the salt concat casts the row
+    # explicitly so both engines hash the identical byte string.
+    _cms_bucket = (
+        "CAST(CAST('0x' || substr(md5('cms' || CAST(r.row AS VARCHAR)"
+        " || ':' || term), 1, 15) AS BIGINT) % 64 AS INT)"
+    )
+    _cms_cells = f"""
+        SELECT CAST(r.row AS INT) AS row, {_cms_bucket} AS bucket,
+               COUNT(*) AS cnt
+        FROM t, (VALUES (0), (1), (2)) r(row)
+        GROUP BY 1, 2
+    """
+
     oracles = {
         # round-10 additions -------------------------------------------
+        "cms_counts": f"""
+            WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents)
+            {_cms_cells}
+        """,
+        "cms_estimates": f"""
+            WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents),
+            cells AS ({_cms_cells}),
+            truth AS (SELECT term, COUNT(*) AS true_cnt FROM t
+                      GROUP BY term),
+            probes AS (
+                SELECT term, CAST(r.row AS INT) AS row,
+                       {_cms_bucket} AS bucket
+                FROM truth, (VALUES (0), (1), (2)) r(row)
+            )
+            SELECT p.term,
+                   MIN(COALESCE(c.cnt, 0)) AS est,
+                   MIN(truth.true_cnt) AS true_cnt
+            FROM probes p
+            LEFT JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+            JOIN truth ON truth.term = p.term
+            GROUP BY p.term
+        """,
+        "minmax_scaled": """
+            WITH e AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ), s AS (
+                SELECT dim, min(v) AS lo, max(v) AS hi
+                FROM e GROUP BY dim
+            )
+            SELECT e.vec_id, CAST(e.dim AS INT) AS dim,
+                   CASE WHEN s.hi > s.lo
+                        THEN (e.v - s.lo) / (s.hi - s.lo)
+                        ELSE 0.0 END AS x_scaled
+            FROM e JOIN s USING (dim)
+        """,
         "dedup_paragraphs": f"""
             WITH s AS (SELECT doc_id, {_pg} AS l FROM documents)
             SELECT doc_id,

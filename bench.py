@@ -169,6 +169,12 @@ BENCH_QUERIES = [
     "domain_quality",
     "nfc_normalize",
     "hard_negatives",
+    # round-10 late additions (76 -> 79): deterministic Count-Min
+    # sketch build + probe (bounded-state distributed counting) and
+    # order-independent per-dimension min-max feature scaling
+    "cms_counts",
+    "cms_estimates",
+    "minmax_scaled",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

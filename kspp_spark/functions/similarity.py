@@ -614,3 +614,51 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "neg_label", "rank", "score")
     )
+
+
+def minmax_scale(
+    df: DataFrame,
+    dims: int,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    out: str = "scaled",
+) -> DataFrame:
+    """Per-dimension min-max feature scaling: x' = (x - min_d) /
+    (max_d - min_d), the normalization pass before distance-based
+    ops when dimensions have different ranges. Constant dimensions
+    (max = min) scale to 0.0.
+
+    min/max are ORDER-INDEPENDENT aggregates — unlike mean/variance,
+    they are bit-exact under any partitioning and replay in any
+    engine, so the scaled doubles hash-match a SQL oracle (the same
+    reason the repo's cross-row float aggregation is otherwise
+    decimal-only). Plan shape: ONE partial-aggregated reduction to a
+    single 2×dims-double stats row (element_at projections — no
+    posexplode shuffle of N×dims rows), broadcast back, map-side
+    rescale."""
+    stats = df.agg(
+        F.array(
+            *[
+                F.min(F.element_at(vec, i + 1).cast("double"))
+                for i in range(dims)
+            ]
+        ).alias("_mins"),
+        F.array(
+            *[
+                F.max(F.element_at(vec, i + 1).cast("double"))
+                for i in range(dims)
+            ]
+        ).alias("_maxs"),
+    )
+    scaled = F.zip_with(
+        F.col(vec).cast("array<double>"),
+        F.zip_with(
+            "_mins", "_maxs", lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi"))
+        ),
+        lambda x, s: F.when(
+            s["hi"] > s["lo"], (x - s["lo"]) / (s["hi"] - s["lo"])
+        ).otherwise(F.lit(0.0)),
+    )
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), F.col(vec), scaled.alias(out)
+    )

@@ -3239,3 +3239,81 @@ def test_hard_negative_topk_label_mismatch_only(spark):
     assert [r["vec_id"] for r in rows] == [2, 4, 3]
     assert all(r["neg_label"] != 0 for r in rows)
     assert [r["rank"] for r in rows] == [1, 2, 3]
+
+
+def test_cms_estimate_one_sided_and_exact_when_sparse(spark):
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sketch import cms_build, cms_estimate
+
+    # zipf-ish corpus: term_i appears i times
+    rows = [(f"t{i}",) for i in range(1, 12) for _ in range(i)]
+    df = spark.createDataFrame(rows, "item string")
+    true = {r["item"]: r["c"] for r in df.groupBy("item").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+
+    # wide sketch: no collisions expected -> estimates EXACT
+    wide = cms_build(df, width=4096, depth=4)
+    est_w = {r["item"]: r["est"] for r in cms_estimate(
+        wide, df.select("item").distinct(), width=4096, depth=4
+    ).collect()}
+    assert est_w == true
+
+    # tiny sketch: collisions certain -> one-sided (never under)
+    tiny = cms_build(df, width=4, depth=2)
+    est_t = {r["item"]: r["est"] for r in cms_estimate(
+        tiny, df.select("item").distinct(), width=4, depth=2
+    ).collect()}
+    assert all(est_t[t] >= c for t, c in true.items())
+    # total mass conserved per sketch row
+    per_row = {r["row"]: r["s"] for r in tiny.groupBy("row").agg(
+        F.sum("cnt").alias("s")).collect()}
+    assert set(per_row.values()) == {len(rows)}
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    from kspp_spark.functions.sketch import cms_build, cms_merge
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "item string")
+    b = spark.createDataFrame([("y",), ("z",)], "item string")
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_merge(
+            cms_build(a, width=32, depth=3), cms_build(b, width=32, depth=3)
+        ).collect()
+    }
+    whole = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(a.unionByName(b), width=32, depth=3).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_weighted_build(spark):
+    from kspp_spark.functions.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [("x", 5), ("x", 2), ("y", 3)], "item string, w int"
+    )
+    sk = cms_build(df, width=64, depth=3, weight="w")
+    est = {r["item"]: r["est"] for r in cms_estimate(
+        sk, df.select("item").distinct(), width=64, depth=3
+    ).collect()}
+    assert est["x"] == 7 and est["y"] == 3
+
+
+def test_minmax_scale_golden(spark):
+    from kspp_spark.functions.similarity import minmax_scale
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 10.0, 7.0]),
+            (2, [5.0, 10.0, 7.0]),   # dim 2 and 3 constant cases
+            (3, [10.0, 20.0, 7.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["scaled"] for r in minmax_scale(df, dims=3).collect()}
+    assert out[1] == [0.0, 0.0, 0.0]
+    assert out[2] == [0.5, 0.0, 0.0]   # constant dim -> 0.0
+    assert out[3] == [1.0, 1.0, 0.0]

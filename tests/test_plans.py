@@ -905,3 +905,40 @@ def test_hard_negatives_broadcast_anchors(spark, queries):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_counts_single_agg_bounded_cells(spark, queries):
+    """Count-Min build scale contract: explode to depth probes is
+    map-side; ONE hash aggregation whose partial combine bounds the
+    shuffle at width x depth cells per mapper. No join, no Python."""
+    plan = formatted_plan(spark, queries["cms_counts"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_cms_estimates_broadcast_sketch(spark, queries):
+    """Count-Min probe scale contract: the <=192-row sketch
+    BROADCASTS to the (row, bucket) equi-join — the probe stream
+    never shuffles for it; no sort-merge, no Python."""
+    plan = formatted_plan(spark, queries["cms_estimates"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_minmax_scaled_single_stats_reduction(spark, queries):
+    """Min-max scaling scale contract: per-dim stats come from ONE
+    partial-aggregated reduction to a single 128-double row
+    (element_at projections — the N x dims posexplode never
+    shuffles), broadcast back for the map-side rescale. The only
+    explode is the OUTPUT projection after scaling."""
+    plan = formatted_plan(spark, queries["minmax_scaled"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row stats ride
+    # stats agg: partial+final pair over a single-row reduce = at most
+    # one single-partition exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
