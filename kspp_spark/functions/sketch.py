@@ -124,3 +124,25 @@ def cms_estimate(
             "est"
         )
     )
+
+
+def cms_stream(
+    stream: DataFrame,
+    col: str = "item",
+    width: int = 1024,
+    depth: int = 4,
+    weight: str | None = None,
+) -> DataFrame:
+    """Streaming Count-Min maintenance: because the sketch is LINEAR
+    (cms_merge is cell-wise sum), the streaming form is just the
+    build aggregation over an unbounded input — Spark's aggregation
+    state IS the sketch, bounded at width × depth cells forever (the
+    whole point: per-key counting state, mem_counter_store.h:8-144,
+    grows with key cardinality; the sketch does not). Run in
+    update/complete mode; no watermark needed — the state cannot
+    grow. Exactly equal to cms_build over the concatenated batches
+    (asserted by tests/test_streaming.py). The plan is literally
+    cms_build's — batch and streaming share one definition."""
+    return cms_build(
+        stream, col=col, width=width, depth=depth, weight=weight
+    )

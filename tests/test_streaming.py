@@ -2863,3 +2863,48 @@ def test_incremental_dedup_srp_seq_mode(spark, tmp_path):
     step([(1, None, 30)], 3)
     step([(3, base, 40)], 4)
     assert pairs() == [(2, 1, 1.0, True), (3, 2, 1.0, True)]
+
+
+def test_cms_stream_equals_batch_build(spark, tmp_path):
+    """Sketch linearity under streaming: the complete-mode streaming
+    aggregation over micro-batched input equals cms_build over the
+    concatenated batches, cell for cell — the bounded-state streaming
+    counter story (state = width x depth cells, never per-key)."""
+    from kspp_spark.functions.sketch import cms_build, cms_stream
+
+    in_dir = str(tmp_path / "cms_in")
+    schema = "item string"
+    b1 = [("x",), ("y",), ("x",), ("z",)]
+    b2 = [("y",), ("x",), ("w",)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)   # force >1 micro-batch
+        .parquet(in_dir)
+    )
+    q = (
+        cms_stream(src, width=16, depth=3)
+        .writeStream.format("memory")
+        .queryName("cms_sk")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.sql("select * from cms_sk").collect()
+    }
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            spark.createDataFrame(b1 + b2, schema), width=16, depth=3
+        ).collect()
+    }
+    assert got == want and len(got) > 0
