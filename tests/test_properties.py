@@ -925,3 +925,87 @@ def test_stupid_backoff_matches_replay(spark, texts):
         for r in stupid_backoff_scores(df).collect()
     }
     assert got == _py_stupid_backoff(texts), texts
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=0, max_size=3),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dedup_paragraph_text_matches_python_replay(spark, unit_lists):
+    """First-occurrence keep over arbitrary unit lists (including
+    empty units and units that EQUAL other docs' units): the JVM HOF
+    matches a pure-Python replay, order preserved, counts exact."""
+    from kspp_spark.functions.dedup import dedup_paragraphs
+
+    rows = [(i, "\n".join(us)) for i, us in enumerate(unit_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_units"], r["n_kept"])
+        for r in dedup_paragraphs(df).collect()
+    }
+    for i, (_, text) in enumerate(rows):
+        units = text.split("\n")
+        seen, kept = set(), []
+        for u in units:
+            if u not in seen:
+                seen.add(u)
+                kept.append(u)
+        assert got[i] == ("\n".join(kept), len(units), len(kept))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # user
+            st.integers(min_value=0, max_value=50),  # ts
+            st.sampled_from(["a", "b", "c"]),        # type
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_event_transitions_matches_python_replay(spark, raw):
+    """Transition counts/users/probabilities match a sequential
+    Python replay under arbitrary interleavings and ts ties (the
+    event_id tiebreak makes the order total)."""
+    from collections import defaultdict
+
+    from kspp_spark.functions.sessions import event_transitions
+
+    rows = [(i, u, t, e) for i, (u, t, e) in enumerate(raw)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (
+            r["n_transitions"], r["n_users"], r["prob"]
+        )
+        for r in event_transitions(df, tiebreak="event_id").collect()
+    }
+
+    byu = defaultdict(list)
+    for eid, u, t, e in rows:
+        byu[u].append((t, eid, e))
+    n = defaultdict(int)
+    users = defaultdict(set)
+    for u, evs in byu.items():
+        evs.sort()
+        for (_, _, p), (_, _, q) in zip(evs, evs[1:]):
+            n[(p, q)] += 1
+            users[(p, q)].add(u)
+    totals = defaultdict(int)
+    for (p, q), c in n.items():
+        totals[p] += c
+    want = {
+        k: (c, len(users[k]), c / totals[k[0]]) for k, c in n.items()
+    }
+    assert got == want
