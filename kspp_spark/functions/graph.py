@@ -147,8 +147,18 @@ def hits(
     cartesian, no Python, no collect."""
     if iterations < 1:
         raise ValueError("hits: iterations must be >= 1")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
-    nodes = graph_nodes(e, "_s", "_d")
+    # The edge and node frames are referenced 2x PER ITERATION (the
+    # authority and hub joins) plus the L1 totals: left lazy, Spark
+    # re-runs the upstream scan + distinct for every reference —
+    # measured 8-10s -> ~3s at sf0.1 with the eager cut (the
+    # stupid_backoff localCheckpoint lesson; results are bit-identical
+    # integer math either way).
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = graph_nodes(e, "_s", "_d").localCheckpoint(eager=True)
     hub = nodes.select("node", F.lit(int(scale)).cast("long").alias("hub"))
 
     def _l1(df: DataFrame, col: str) -> DataFrame:
@@ -185,6 +195,11 @@ def hits(
             ),
             "hub",
         )
+        # cut the per-iteration lineage: auth feeds the hub join above
+        # AND the next iteration / final result — unbounded, the plan
+        # re-derives the whole previous round per reference
+        auth = auth.localCheckpoint(eager=True)
+        hub = hub.localCheckpoint(eager=True)
     return auth.join(hub, "node").select("node", "authority", "hub")
 
 
