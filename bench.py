@@ -195,7 +195,7 @@ RECORD_BEST = {
     "gopher_repetition": 1.9935,
     "count_by_key": 0.2487,
     "count_by_value": 0.3523,
-    "curate_docs": 1.6311,
+    "curate_docs": 1.5449,
     "decontaminate": 0.9493,
     "dedup_embedding": 0.5995,
     "dedup_exact": 0.2267,
@@ -228,7 +228,7 @@ RECORD_BEST = {
     "quality_classifier": 0.5822,
     "quantized_ann": 1.59,
     "repetition_stats": 0.8401,
-    "returned_items": 0.5877,
+    "returned_items": 0.5758,
     "revenue_per_nation": 0.5076,
     "scd2_lookup": 0.3814,
     "session_windows": 0.3225,
@@ -241,12 +241,12 @@ RECORD_BEST = {
     "transform_revenue": 0.4161,
     "volume_shipping": 0.8027,
     "waiting_suppliers": 1.1042,
-    "windowed_count": 0.2508,
+    "windowed_count": 0.2388,
     "word_count": 0.295,
     "domain_rollup": 0.7259,
-    "link_graph": 1.2679,
+    "link_graph": 1.2377,
     "domain_rank": 1.0797,
-    "decontaminate_bloom": 2.624,
+    "decontaminate_bloom": 2.5118,
     "domain_rollup_full": 0.7541,
     "sitemap_frontier": 0.8396,
     "surt_index": 0.5932,
@@ -254,6 +254,19 @@ RECORD_BEST = {
     "winnow_fingerprints": 2.1316,
     "train_classifier": 2.1456,
     "stupid_backoff": 2.2404,
+    "anchor_terms": 1.3909,
+    "cluster_reps": 4.44,
+    "cms_counts": 1.1628,
+    "cms_estimates": 1.3415,
+    "crawl_budget": 0.265,
+    "dedup_paragraphs": 0.2503,
+    "domain_quality": 0.339,
+    "event_transitions": 0.5111,
+    "hard_negatives": 0.6687,
+    "hits_rank": 1.7415,
+    "minmax_scaled": 1.0384,
+    "nfc_normalize": 0.3512,
+    "trending_terms": 0.5507,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
