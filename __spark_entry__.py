@@ -2148,7 +2148,11 @@ def q_cms_estimates(spark, sf_dir):
     from kspp_spark.functions.text import tokenize
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(tokenize("text")).alias("term"))
+    # the token stream feeds THREE consumers (truth counts, the
+    # sketch build, and — via truth — the probe set): tokenize once
+    toks = docs.select(
+        F.explode(tokenize("text")).alias("term")
+    ).localCheckpoint(eager=True)
     true = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("true_cnt")
     )

@@ -1421,6 +1421,11 @@ def dedup_paragraph_text(
     """
     import re as _re
 
+    if not sep:
+        raise ValueError(
+            "dedup_paragraph_text: sep must be non-empty (an empty "
+            "separator would split every character)"
+        )
     c = F.col(text) if isinstance(text, str) else text
     units = F.split(c, _re.escape(sep), -1)
 

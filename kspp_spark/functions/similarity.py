@@ -636,6 +636,8 @@ def minmax_scale(
     single 2×dims-double stats row (element_at projections — no
     posexplode shuffle of N×dims rows), broadcast back, map-side
     rescale."""
+    if dims < 1:
+        raise ValueError("minmax_scale: dims must be >= 1")
     stats = df.agg(
         F.array(
             *[

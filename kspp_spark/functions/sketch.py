@@ -49,6 +49,8 @@ def cms_build(
     built on different slices is cms_merge (cell-wise sum), so at
     100 TB each partition/day/source builds independently and the
     union re-aggregates."""
+    if width < 1 or depth < 1:
+        raise ValueError("cms_build: width and depth must be >= 1")
     item = F.col(col).cast("string")
     probes = F.array(
         *[
