@@ -61,3 +61,80 @@ def event_transitions(
         "n_transitions"
     ).over(wt).cast("double")
     return counts.withColumn("prob", prob)
+
+
+def event_transitions_stream(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming form of event_transitions: emits the TRANSITION
+    stream (user, prev_type, next_type, ts-of-next) with per-user
+    state carrying the last seen event type across micro-batches —
+    so the batch-boundary transition (last event of trigger N ->
+    first of trigger N+1) is emitted, which any per-batch lag window
+    would silently drop.
+
+    Ordering contract mirrors the reference's per-partition
+    processors (kspp.h:335-392 — events are folded in arrival order
+    per key): WITHIN a micro-batch the fold sorts by (ts, tiebreak)
+    for determinism; ACROSS batches it is arrival order. When
+    arrival order respects event time per user (the Kafka
+    per-key-partition case), the aggregated stream equals the batch
+    form exactly (asserted in tests); for fully event-time-correct
+    transitions over disordered history, run the batch form.
+
+    Scale shape: state is ONE fixed-width row (the last type) per
+    user; each micro-batch shuffles once on user_col; downstream
+    counting is the standard streaming aggregation (or cms_stream
+    for bounded-state counting at extreme type cardinalities).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    user_t = df.schema[user_col].dataType.simpleString()
+    ts_t = df.schema[ts_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {user_t}, prev_type string, next_type string, "
+        f"{ts_col} {ts_t}"
+    )
+
+    def fold(key_, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        # buffer all Arrow chunks before sorting (chunk-local sorts
+        # would replay a key's events out of order — the
+        # rate_limit_stream lesson)
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(order, kind="mergesort")
+            types = pdf[type_col].tolist()
+            prevs = [last] + types[:-1]
+            out = pd.DataFrame(
+                {
+                    user_col: pdf[user_col].tolist(),
+                    "prev_type": prevs,
+                    "next_type": types,
+                    ts_col: pdf[ts_col].tolist(),
+                }
+            )
+            out = out[out["prev_type"].notna()]
+            if len(out):
+                yield out
+            last = types[-1]
+        if last is not None:
+            state.update((last,))
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

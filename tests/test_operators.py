@@ -3317,3 +3317,42 @@ def test_minmax_scale_golden(spark):
     assert out[1] == [0.0, 0.0, 0.0]
     assert out[2] == [0.5, 0.0, 0.0]   # constant dim -> 0.0
     assert out[3] == [1.0, 1.0, 0.0]
+
+
+@pytest.mark.slow
+def test_cms_bounded_state_at_2m_rows_1m_keys(spark):
+    """The sketch's whole point, TESTED at scale: 2M rows over 1M
+    distinct keys build into a sketch of AT MOST width x depth cells
+    (4096 here — state bounded regardless of key cardinality, vs the
+    reference's per-key counters at 1M rows), total mass is conserved
+    per row, and point estimates on a sample stay one-sided
+    (est >= true)."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sketch import cms_build, cms_estimate
+
+    width, depth = 1024, 4
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % 1_000_000).cast("string")).alias(
+            "item"
+        )
+    )
+    sketch = cms_build(df, width=width, depth=depth).persist()
+    cells = sketch.count()
+    assert cells <= width * depth
+    per_row = {
+        r["row"]: r["s"]
+        for r in sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert set(per_row.values()) == {n}
+
+    # one-sided estimates on a deterministic sample (every key in the
+    # sample appears exactly twice: id and id + 1M map to the same key)
+    sample = spark.range(50).select(
+        F.concat(F.lit("k"), (F.col("id") * 9973).cast("string")).alias("item")
+    )
+    est = cms_estimate(sketch, sample, width=width, depth=depth).collect()
+    assert len(est) == 50
+    assert all(r["est"] >= 2 for r in est)
+    sketch.unpersist()

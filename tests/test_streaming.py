@@ -2908,3 +2908,66 @@ def test_cms_stream_equals_batch_build(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_event_transitions_stream_matches_batch(spark, tmp_path):
+    """Per-user transition stream across micro-batches equals the
+    batch lag-window form when arrival order respects event time —
+    including the BATCH-BOUNDARY transitions a per-batch window would
+    drop (user 1's c->d and user 2's b->a below cross the trigger)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sessions import (
+        event_transitions,
+        event_transitions_stream,
+    )
+
+    schema = "event_id long, user_id long, ts long, event_type string"
+    b1 = [
+        (1, 1, 100, "a"), (2, 1, 200, "b"), (3, 1, 300, "c"),
+        (4, 2, 100, "a"), (5, 2, 100, "b"),   # ts tie -> event_id order
+    ]
+    b2 = [
+        (6, 1, 400, "d"),                      # boundary: c -> d
+        (7, 2, 500, "a"), (8, 2, 600, "b"),    # boundary: b -> a
+    ]
+    in_dir = str(tmp_path / "tr_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        event_transitions_stream(src, tiebreak="event_id")
+        .writeStream.format("memory")
+        .queryName("tr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("select * from tr_stream").collect()
+    got = {}
+    for r in streamed:
+        k = (r["prev_type"], r["next_type"])
+        got[k] = got.get(k, 0) + 1
+
+    batch = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        (r["prev_type"], r["next_type"]): r["n_transitions"]
+        for r in event_transitions(batch, tiebreak="event_id").collect()
+    }
+    assert got == want
+    # the two boundary transitions are present
+    assert got[("c", "d")] == 1
+    assert ("b", "a") in got
