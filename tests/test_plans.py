@@ -942,3 +942,55 @@ def test_minmax_scaled_single_stats_reduction(spark, queries):
     # stats agg: partial+final pair over a single-row reduce = at most
     # one single-partition exchange
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_hll_registers_single_agg_no_distinct(spark, queries):
+    """HLL scale contract: the build is ONE hash aggregation (max is
+    idempotent, so there is NO pre-distinct shuffle — the operator's
+    whole advantage over exact COUNT DISTINCT); the estimate is a
+    second bounded agg over <= m rows per group. No Python, and the
+    only join is the broadcast of the 5-row exact-truth side."""
+    plan = formatted_plan(spark, queries["hll_cardinality"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    # the register build must not dedupe its input first: exactly one
+    # aggregate pair touches the raw scan per branch (no Expand /
+    # distinct rewrite on the register path)
+    assert "Expand" not in plan, plan
+
+
+def test_hll_merge_no_join_two_aggs(spark, queries):
+    """HLL merge scale contract: slice build + merge are two hash
+    aggregations (both partial-combined map-side), never a join —
+    sketches from independent slices combine by register max."""
+    plan = formatted_plan(spark, queries["hll_merge_slices"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # slice build + merge + estimate: three partial-combined aggs,
+    # every exchange bounded at <= m register rows per mapper group
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+
+
+def test_contamination_scores_broadcast_eval(spark, queries):
+    """Contamination-fraction scale contract: the eval shingle set
+    (benchmarks — tiny) BROADCASTS to the exploded train side; the
+    train corpus never shuffles for the join. No cartesian, no
+    Python."""
+    plan = formatted_plan(spark, queries["contamination_scores"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_one_equi_join(spark, queries):
+    """Snapshot-diff scale contract: exactly ONE equi-join between
+    the two snapshots (full outer on the key), all status/changed_cols
+    logic in JVM expressions above it — no second pass, no Python."""
+    plan = formatted_plan(spark, queries["snapshot_diff"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
+    # snapshot predicates push to the parquet scan
+    assert "LessThan(o_orderdate" in plan, plan
