@@ -306,3 +306,23 @@ def cms_stream(
     return cms_build(
         stream, col=col, width=width, depth=depth, weight=weight
     )
+
+
+def hll_stream(
+    stream: DataFrame,
+    col: str = "key",
+    group_cols: tuple[str, ...] = (),
+    p: int = 9,
+) -> DataFrame:
+    """Streaming HLL maintenance: register max is associative,
+    commutative AND idempotent, so the streaming form is just the
+    build aggregation over an unbounded input — Spark's aggregation
+    state IS the register table, bounded at m = 2^p rows per group
+    forever (the per-key distinct-counting state the reference's
+    counter store grows without bound, mem_counter_store.h:8-144, is
+    never materialized; late and replayed events are FREE — max
+    re-absorbs them). Run in update/complete mode; no watermark
+    needed — the state cannot grow. Exactly equal to hll_registers
+    over the concatenated batches (asserted by tests/
+    test_streaming.py); batch and streaming share one definition."""
+    return hll_registers(stream, col=col, group_cols=group_cols, p=p)

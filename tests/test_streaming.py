@@ -2971,3 +2971,50 @@ def test_event_transitions_stream_matches_batch(spark, tmp_path):
     # the two boundary transitions are present
     assert got[("c", "d")] == 1
     assert ("b", "a") in got
+
+
+def test_hll_stream_equals_batch_registers(spark, tmp_path):
+    """Register-max idempotence under streaming: the complete-mode
+    streaming aggregation over micro-batched input equals
+    hll_registers over the concatenated batches, register for
+    register — including a key REPLAYED across batches, which max
+    absorbs (the bounded-state distinct-counting story: state =
+    2^p registers, never per-key)."""
+    from kspp_spark.functions.sketch import hll_registers, hll_stream
+
+    in_dir = str(tmp_path / "hll_in")
+    schema = "key string"
+    b1 = [("u1",), ("u2",), ("u3",)]
+    b2 = [("u2",), ("u4",), ("u1",)]  # u1/u2 replayed
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        hll_stream(src, col="key", p=4)
+        .writeStream.format("memory")
+        .queryName("hll_reg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["bucket"]: r["r"]
+        for r in spark.sql("select * from hll_reg").collect()
+    }
+    want = {
+        r["bucket"]: r["r"]
+        for r in hll_registers(
+            spark.createDataFrame(b1 + b2, schema), col="key", p=4
+        ).collect()
+    }
+    assert got == want and len(got) > 0
