@@ -2220,6 +2220,30 @@ def q_hll_merge_slices(spark, sf_dir):
     return hll_estimate(merged, group_cols=("o_orderpriority",), p=9)
 
 
+def q_hll_production(spark, sf_dir):
+    """PRODUCTION-path HLL twin of q_hll_cardinality: Spark's native
+    Apache DataSketches HLL (hll_sketch_agg -> hll_sketch_estimate,
+    JVM-side, the operator a production cluster would actually run —
+    faster constants than the md5-portable form and a self-correcting
+    estimator, at the price of a sketch no SQL oracle can replay).
+    Rows-only for the driver (like the xxhash64/KMeans twins);
+    locally replay-parity certified (tests/test_replay_parity.py):
+    the estimates must be bit-identical under different shuffle
+    layouts AND scan splits — DataSketches HLL insertion/union is
+    order-insensitive by design. The portable twin (hll_cardinality)
+    is the hash-certified stand-in; exact COUNT DISTINCT rides along
+    here too so the error band stays graded as data."""
+    from pyspark.sql import functions as SF
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        SF.hll_sketch_estimate(
+            SF.hll_sketch_agg(F.col("o_custkey").cast("string"), 12)
+        ).alias("est"),
+        F.countDistinct("o_custkey").alias("true_cnt"),
+    )
+
+
 def q_contamination_scores(spark, sf_dir):
     """Per-document contamination FRACTION (functions/dedup.
     contamination_score): every training doc (source != src0) scored
@@ -3731,6 +3755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ivf_ann": q_ivf_ann,
+        "hll_production": q_hll_production,
     }
 
 

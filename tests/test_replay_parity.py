@@ -1,8 +1,9 @@
-"""Spark-replay certification for the 5 permanently-rows-only queries
+"""Spark-replay certification for the permanently-rows-only queries
 (VERDICT r9 item #7): minhash_lsh_pairs / simhash ride the production
-xxhash64 family and ivf_ann / embedding_clusters / diverse_sample ride
-seeded KMeans — none replays in DuckDB, so the driver can only check
-row counts. This suite gives them a STRONGER local certification: the
+xxhash64 family, hll_production rides Spark's native DataSketches
+HLL, and ivf_ann / embedding_clusters / diverse_sample ride seeded
+KMeans — none replays in DuckDB, so the driver can only check row
+counts. This suite gives them a STRONGER local certification: the
 full result set must be IDENTICAL across two independent executions
 under different physical plans, which is exactly the class of defect a
 cross-engine oracle would catch here (partition-order dependence,
@@ -30,7 +31,7 @@ from tests.conftest import SF_CORRECTNESS
 
 import __spark_entry__ as entry_mod
 
-HASH_TIER = ["minhash_lsh_pairs", "simhash"]
+HASH_TIER = ["minhash_lsh_pairs", "simhash", "hll_production"]
 KMEANS_TIER = ["ivf_ann", "embedding_clusters", "diverse_sample"]
 
 
