@@ -2244,6 +2244,43 @@ def q_hll_production(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters by two-pass Count-Min prune (functions/
+    sketch.heavy_hitters): hot parts in lineitem (true count >= 40)
+    — pass 1 builds a 4×256 sketch (bounded shuffle), pass 2 prunes
+    MAP-SIDE against the sketch literal (no join, no distinct) and
+    exact-counts only the survivors. CMS never underestimates, so
+    the prune is lossless and the output is IDENTICAL to plain
+    GROUP BY ... HAVING — which is exactly what the oracle asserts
+    (the same identity-certification pattern as decontaminate_bloom:
+    the optimized corpus-scale form must be bit-equal to the naive
+    SQL). The agg key space is the candidate set, not the 200k-part
+    vocabulary a 100-TB corpus would carry."""
+    from kspp_spark.functions.sketch import heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return heavy_hitters(
+        li, col="l_partkey", min_count=40, width=256, depth=4
+    )
+
+
+def q_typo_pairs(spark, sf_dir):
+    """Typo-level near-duplicate pairs (functions/dedup.
+    edit_neighbor_pairs — Garbe's SymSpell symmetric-delete
+    blocking): customer-name pairs at edit distance exactly 1 (ids
+    differing in a single digit — the key-reconciliation shape).
+    Candidates from ONE equi-join on the 1-deletion variant string
+    (each string meets only its true neighborhood, never all
+    pairs), then levenshtein verifies — transposition-style false
+    positives that share a deletion but sit at distance 2 are
+    killed, and the oracle replays variants + join + verify with
+    DuckDB's own levenshtein."""
+    from kspp_spark.functions.dedup import edit_neighbor_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    return edit_neighbor_pairs(cust, col="c_name", min_len=4)
+
+
 def q_contamination_scores(spark, sf_dir):
     """Per-document contamination FRACTION (functions/dedup.
     contamination_score): every training doc (source != src0) scored
@@ -3541,10 +3578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-certs (50/50 green every round since r3).
     # ROUND 10 window (this ordering), exactly what VERDICT r9 item
     # #4 ordered — oldest-cert-first rotation:
-    #   (a) the SEVENTEEN round-10 additions lead (position-pinned
+    #   (a) the NINETEEN round-10 additions lead (position-pinned
     #       in tests/test_registry.py): the HLL pair (portable
     #       HyperLogLog cardinality + lossless merge),
-    #       contamination_scores, snapshot_diff, the CMS pair,
+    #       contamination_scores, snapshot_diff, heavy_hitters
+    #       (two-pass CMS prune), typo_pairs (SymSpell), the CMS
+    #       pair,
     #       minmax_scaled, dedup_paragraphs, event_transitions,
     #       trending_terms, domain_quality, nfc_normalize,
     #       hard_negatives, hits_rank, anchor_terms, crawl_budget,
@@ -3571,6 +3610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_merge_slices": q_hll_merge_slices,
         "contamination_scores": q_contamination_scores,
         "snapshot_diff": q_snapshot_diff,
+        "heavy_hitters": q_heavy_hitters,
+        "typo_pairs": q_typo_pairs,
         "cms_counts": q_cms_counts,
         "cms_estimates": q_cms_estimates,
         "minmax_scaled": q_minmax_scaled,
@@ -4332,6 +4373,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(e.sh) AS DOUBLE) / COUNT(*) AS score
             FROM t LEFT JOIN e ON t.sh = e.sh
             GROUP BY t.doc_id
+        """,
+        # identity certification (the decontaminate_bloom pattern):
+        # the two-pass CMS prune is lossless (no underestimates), so
+        # the optimized form must equal the naive exact SQL
+        "heavy_hitters": """
+            SELECT CAST(l_partkey AS VARCHAR) AS l_partkey,
+                   COUNT(*) AS cnt
+            FROM lineitem
+            GROUP BY 1
+            HAVING COUNT(*) >= 40
+        """,
+        # SymSpell replay: 1-deletion neighborhoods (self + every
+        # single-char deletion), equi-join on the variant, a < b
+        # dedupe, DuckDB's own levenshtein as the verifier
+        "typo_pairs": """
+            WITH terms AS (
+                SELECT DISTINCT c_name AS t FROM customer
+                WHERE length(c_name) >= 4
+            ),
+            ex AS (
+                SELECT t, unnest(list_distinct(list_append(
+                    list_transform(
+                        range(1, length(t) + 1),
+                        i -> substr(t, 1, CAST(i - 1 AS INT))
+                             || substr(t, CAST(i + 1 AS INT), length(t))
+                    ), t))) AS v
+                FROM terms
+            )
+            SELECT DISTINCT l.t AS a, r.t AS b
+            FROM ex l JOIN ex r ON l.v = r.v
+            WHERE l.t < r.t AND levenshtein(l.t, r.t) = 1
         """,
         "snapshot_diff": """
             WITH old AS (

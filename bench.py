@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "hll_merge_slices",
     "contamination_scores",
     "snapshot_diff",
+    "heavy_hitters",
+    "typo_pairs",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -1511,3 +1511,59 @@ def dedup_paragraphs(
         s["n_units"].alias("n_units"),
         s["n_kept"].alias("n_kept"),
     )
+
+
+def edit_neighbor_pairs(
+    df: DataFrame,
+    col: str = "term",
+    min_len: int = 4,
+) -> DataFrame:
+    """Typo-level near-duplicate pairs: all (a, b) with edit distance
+    exactly 1, via SymSpell deletion-neighborhood blocking (Garbe's
+    symmetric-delete algorithm: if lev(a,b) <= 1 then the two
+    1-deletion neighborhoods — each string plus every
+    single-character deletion of it — intersect; substitutions meet
+    at delete-same-position, insert/delete meet at self-vs-delete).
+    Candidates come from ONE equi-join on the variant string, then
+    F.levenshtein verifies (kills transposition-style false
+    positives like "ab"/"ba" that share a deletion but sit at
+    distance 2). The entity-resolution primitive for vocabulary
+    cleanup / OCR noise / key reconciliation.
+
+    Shape: explode ~len+1 variants per string (bounded by string
+    length), equi-join on the variant, distinct pairs, verify — the
+    candidate fan-out is the true neighborhood, NEVER an all-pairs
+    product. `min_len` keeps ultra-short strings (whose deletion
+    neighborhoods are huge hubs — every 2-char string shares a
+    1-char variant bucket with every same-letter sibling) out of
+    the blocking; tune it to the vocabulary. Output (a, b), a < b,
+    each pair once."""
+    if min_len < 2:
+        raise ValueError("edit_neighbor_pairs: min_len must be >= 2")
+    s = F.col(col).cast("string")
+    terms = (
+        df.select(s.alias("t"))
+        .filter(F.length("t") >= min_len)
+        .distinct()
+    )
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("t")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("t")),
+                lambda i: F.concat(
+                    F.substring(F.col("t"), F.lit(1), i - 1),
+                    F.col("t").substr(i + 1, F.length("t")),
+                ),
+            ),
+        )
+    )
+    ex = terms.select("t", F.explode(variants).alias("v"))
+    pairs = (
+        ex.alias("l")
+        .join(ex.alias("r"), "v")
+        .select(F.col("l.t").alias("a"), F.col("r.t").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    return pairs.filter(F.levenshtein("a", "b") == 1)

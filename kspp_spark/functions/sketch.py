@@ -326,3 +326,61 @@ def hll_stream(
     over the concatenated batches (asserted by tests/
     test_streaming.py); batch and streaming share one definition."""
     return hll_registers(stream, col=col, group_cols=group_cols, p=p)
+
+
+def cms_as_literal(sketch: DataFrame, width: int, depth: int) -> Column:
+    """Collect a (row, bucket, cnt) sketch into ONE flat array<long>
+    literal indexed row*width + bucket (missing cells 0) — the same
+    bounded-control-plane move as the bloom filter's binary literal
+    (dedup.contamination_bloom): the collect is bounded at width ×
+    depth longs BY CONSTRUCTION, never by the data, and the literal
+    rides the plan so probes become map-side element_at lookups with
+    no join at all."""
+    cells = [0] * (width * depth)
+    for r in sketch.collect():  # bounded: <= width * depth rows
+        cells[r["row"] * width + r["bucket"]] = r["cnt"]
+    return F.lit(cells)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str = "item",
+    min_count: int = 100,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """EXACT heavy hitters via the classic two-pass sketch-prune:
+    pass 1 builds a Count-Min sketch (bounded shuffle); pass 2
+    re-scans, keeps only rows whose value's sketch estimate reaches
+    `min_count` — a MAP-SIDE filter against the sketch literal, no
+    join, no distinct — and exact-counts the survivors. CMS never
+    underestimates, so the prune has NO false negatives: the output
+    is exactly {(v, true_count) : true_count >= min_count}, while
+    the final aggregation's key space is the candidate set, not the
+    corpus vocabulary.
+
+    This is the 100-TB answer to "top terms over a petabyte": exact
+    COUNT GROUP BY shuffles every distinct key; here the shuffle
+    carries width × depth cells (pass 1) plus the rare candidates
+    (pass 2). The oracle replays both passes in SQL — sketch, prune
+    and exact recount are all integer-deterministic."""
+    sketch = cms_build(df, col=col, width=width, depth=depth)
+    cells = cms_as_literal(sketch, width, depth)
+    item = F.col(col).cast("string")
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(
+                    cells, (F.lit(r * width) + cms_bucket(item, r, width) + 1).cast("int")
+                ),
+                F.lit(0).cast("long"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(est >= min_count)
+        .groupBy(item.alias(col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

@@ -3520,3 +3520,66 @@ def test_snapshot_diff_compare_validation(spark):
     new2 = spark.createDataFrame([(1, "y")], "k int, a string")
     [r] = snapshot_diff(old, new2, keys=["k"]).collect()
     assert (r["status"], r["changed_cols"]) == ("changed", ["a"])
+
+
+def test_heavy_hitters_exact_even_with_tiny_sketch(spark):
+    """The two-pass prune is EXACT regardless of sketch quality: a
+    deliberately tiny (4x2) sketch produces many false candidates —
+    the exact recount kills them all; a wide sketch prunes hard —
+    the result is identical either way, and equal to plain
+    GROUP BY/HAVING."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sketch import heavy_hitters
+
+    rows = [(f"t{i}",) for i in range(1, 30) for _ in range(i)]
+    df = spark.createDataFrame(rows, "item string")
+    want = {f"t{i}": i for i in range(20, 30)}
+    for w, d in [(4, 2), (1024, 4)]:
+        got = {
+            r["item"]: r["cnt"]
+            for r in heavy_hitters(
+                df, min_count=20, width=w, depth=d
+            ).collect()
+        }
+        assert got == want, (w, d)
+
+
+def test_edit_neighbor_pairs_golden(spark):
+    """SymSpell blocking completeness + verifier: substitution,
+    insertion and deletion neighbors all found; transposition
+    ("test"/"tset", shares deletions but lev=2) and distance-2
+    ("hallo"/"helo") correctly excluded; pairs unordered-unique."""
+    from kspp_spark.functions.dedup import edit_neighbor_pairs
+
+    df = spark.createDataFrame(
+        [("hello",), ("helo",), ("hallo",), ("world",), ("word",),
+         ("wordy",), ("test",), ("tset",), ("hello",)],
+        "term string",
+    )
+    got = sorted(
+        (r["a"], r["b"])
+        for r in edit_neighbor_pairs(df, min_len=2).collect()
+    )
+    assert got == [
+        ("hallo", "hello"),   # substitution
+        ("hello", "helo"),    # deletion
+        ("word", "wordy"),    # insertion
+        ("word", "world"),    # deletion
+    ]
+
+
+def test_edit_neighbor_pairs_min_len(spark):
+    import pytest as _pytest
+
+    from kspp_spark.functions.dedup import edit_neighbor_pairs
+
+    df = spark.createDataFrame([("ab",), ("ac",), ("abcd",), ("abce",)], "term string")
+    with _pytest.raises(ValueError):
+        edit_neighbor_pairs(df, min_len=1)
+    # min_len gates the short hub strings out of the blocking
+    got = sorted(
+        (r["a"], r["b"])
+        for r in edit_neighbor_pairs(df, min_len=3).collect()
+    )
+    assert got == [("abcd", "abce")]

@@ -994,3 +994,24 @@ def test_snapshot_diff_one_equi_join(spark, queries):
     assert "CartesianProduct" not in plan
     # snapshot predicates push to the parquet scan
     assert "LessThan(o_orderdate" in plan, plan
+
+
+def test_heavy_hitters_mapside_prune_no_join(spark, queries):
+    """Heavy-hitters scale contract: pass 2 is a MAP-SIDE filter
+    against the sketch literal plus one bounded aggregation — no
+    join, no distinct, no Python; the corpus vocabulary never
+    shuffles."""
+    plan = formatted_plan(spark, queries["heavy_hitters"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+
+def test_typo_pairs_variant_equi_join_only(spark, queries):
+    """SymSpell scale contract: candidates come from ONE equi-join
+    on the deletion-variant string — never a cartesian/nested-loop
+    pairing; the levenshtein verifier runs on candidates only."""
+    plan = formatted_plan(spark, queries["typo_pairs"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
