@@ -1009,3 +1009,124 @@ def test_event_transitions_matches_python_replay(spark, raw):
         k: (c, len(users[k]), c / totals[k[0]]) for k, c in n.items()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=12),
+        min_size=1,
+        max_size=60,
+    ),
+    n_slices=st.integers(min_value=1, max_value=4),
+)
+def test_hll_merge_lossless_and_duplicate_invariant(spark, keys, n_slices):
+    """HLL structural properties on arbitrary inputs: (1) registers
+    of the whole == merge of per-slice registers for ANY slicing;
+    (2) duplicating the input changes nothing (max idempotence);
+    (3) the Python-replayed registers (md5 via hashlib) match Spark's
+    — the cross-engine portability contract without DuckDB."""
+    import hashlib
+
+    from kspp_spark.functions.sketch import hll_merge, hll_registers
+
+    p = 5
+    m = 1 << p
+    rows = [(k, i % n_slices) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k string, sl int")
+
+    direct = {
+        r["bucket"]: r["r"]
+        for r in hll_registers(df, col="k", p=p).collect()
+    }
+    merged = {
+        r["bucket"]: r["r"]
+        for r in hll_merge(
+            hll_registers(df, col="k", group_cols=("sl",), p=p)
+        ).collect()
+    }
+    doubled = {
+        r["bucket"]: r["r"]
+        for r in hll_registers(df.unionByName(df), col="k", p=p).collect()
+    }
+    assert direct == merged == doubled
+
+    # independent replay: pure-Python md5, same word split
+    want: dict[int, int] = {}
+    for k in set(keys):
+        h = hashlib.md5(k.encode()).hexdigest()
+        bucket = int(h[0:15], 16) % m
+        w = int(h[15:23], 16)
+        rank = 33 if w == 0 else 33 - w.bit_length()
+        want[bucket] = max(want.get(bucket, 0), rank)
+    assert direct == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    old_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+        max_size=20,
+    ),
+    new_rows=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+        max_size=20,
+    ),
+)
+def test_snapshot_diff_matches_dict_model(spark, old_rows, new_rows):
+    """snapshot_diff vs the obvious Python dict model, including NULL
+    values on either side (null-safe comparison: None == None is
+    unchanged, None -> value is changed)."""
+    from kspp_spark.functions.pipeline import snapshot_diff
+
+    schema = "k int, v int"
+    old = spark.createDataFrame(list(old_rows.items()), schema)
+    new = spark.createDataFrame(list(new_rows.items()), schema)
+    got = {
+        r["k"]: (r["status"], list(r["changed_cols"]))
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    want = {}
+    for k in set(old_rows) | set(new_rows):
+        if k not in old_rows:
+            want[k] = ("added", [])
+        elif k not in new_rows:
+            want[k] = ("removed", [])
+        elif old_rows[k] != new_rows[k]:
+            want[k] = ("changed", ["v"])
+        else:
+            want[k] = ("unchanged", [])
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    items=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        min_size=1,
+        max_size=80,
+    ),
+    min_count=st.integers(min_value=1, max_value=20),
+    width=st.integers(min_value=2, max_value=64),
+)
+def test_heavy_hitters_always_exact(spark, items, min_count, width):
+    """The two-pass prune equals plain counting for EVERY sketch
+    geometry — collisions only widen the candidate set, never the
+    output (CMS one-sidedness + exact recount)."""
+    from collections import Counter
+
+    from kspp_spark.functions.sketch import heavy_hitters
+
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(
+            df, min_count=min_count, width=width, depth=2
+        ).collect()
+    }
+    want = {
+        k: c for k, c in Counter(items).items() if c >= min_count
+    }
+    assert got == want
