@@ -328,20 +328,6 @@ def hll_stream(
     return hll_registers(stream, col=col, group_cols=group_cols, p=p)
 
 
-def cms_as_literal(sketch: DataFrame, width: int, depth: int) -> Column:
-    """Collect a (row, bucket, cnt) sketch into ONE flat array<long>
-    literal indexed row*width + bucket (missing cells 0) — the same
-    bounded-control-plane move as the bloom filter's binary literal
-    (dedup.contamination_bloom): the collect is bounded at width ×
-    depth longs BY CONSTRUCTION, never by the data, and the literal
-    rides the plan so probes become map-side element_at lookups with
-    no join at all."""
-    cells = [0] * (width * depth)
-    for r in sketch.collect():  # bounded: <= width * depth rows
-        cells[r["row"] * width + r["bucket"]] = r["cnt"]
-    return F.lit(cells)
-
-
 def heavy_hitters(
     df: DataFrame,
     col: str = "item",
@@ -350,33 +336,93 @@ def heavy_hitters(
     depth: int = 4,
 ) -> DataFrame:
     """EXACT heavy hitters via the classic two-pass sketch-prune:
-    pass 1 builds a Count-Min sketch (bounded shuffle); pass 2
+    pass 1 builds a Count-Min-style sketch (bounded shuffle); pass 2
     re-scans, keeps only rows whose value's sketch estimate reaches
     `min_count` — a MAP-SIDE filter against the sketch literal, no
-    join, no distinct — and exact-counts the survivors. CMS never
-    underestimates, so the prune has NO false negatives: the output
-    is exactly {(v, true_count) : true_count >= min_count}, while
-    the final aggregation's key space is the candidate set, not the
-    corpus vocabulary.
+    join, no distinct — and exact-counts the survivors. The sketch
+    never underestimates, so the prune has NO false negatives: the
+    output is exactly {(v, true_count) : true_count >= min_count},
+    while the final aggregation's key space is the candidate set,
+    not the corpus vocabulary.
 
     This is the 100-TB answer to "top terms over a petabyte": exact
     COUNT GROUP BY shuffles every distinct key; here the shuffle
     carries width × depth cells (pass 1) plus the rare candidates
-    (pass 2). The oracle replays both passes in SQL — sketch, prune
-    and exact recount are all integer-deterministic."""
-    sketch = cms_build(df, col=col, width=width, depth=depth)
-    cells = cms_as_literal(sketch, width, depth)
+    (pass 2). Locally (tiny vocabularies) the plain GROUP BY wins —
+    like contamination_bloom, this form's payoff is corpus scale,
+    and its exactness makes the plain SQL its own oracle.
+
+    Constant-factor design (both measured on this repo's known
+    Catalyst traps): the depth buckets come from DISJOINT words of
+    ONE md5 (b_r = (h div width^r) mod width — hence the width^depth
+    <= 2^60 bound) instead of depth salted hashes, and each pass
+    evaluates that md5 ONCE per row by binding it as a 1-element
+    array lambda variable — Spark codegen does NOT common-subexpress
+    the hash chain across the depth probe branches, so the naive
+    spelling re-hashes depth× per row (measured 2.4× slower at
+    sf0.1)."""
+    if width < 2 or depth < 1:
+        raise ValueError("heavy_hitters: width >= 2 and depth >= 1")
+    if width**depth > 1 << 60:
+        raise ValueError(
+            "heavy_hitters: width**depth must fit the 60-bit md5 "
+            "word (width^depth <= 2^60)"
+        )
     item = F.col(col).cast("string")
-    est = F.least(
-        *[
-            F.coalesce(
-                F.element_at(
-                    cells, (F.lit(r * width) + cms_bucket(item, r, width) + 1).cast("int")
-                ),
-                F.lit(0).cast("long"),
-            )
+    h = md5_long(item, 1, 15)
+
+    def _buckets(hh: Column) -> list[Column]:
+        return [
+            ((hh / F.lit(width**r)).cast("long") % width).cast("int")
             for r in range(depth)
         ]
+
+    # pass 1: one md5 per row, bound once; explode depth probes
+    probes = F.element_at(
+        F.transform(
+            F.array(h),
+            lambda hh: F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        b.alias("bucket"),
+                    )
+                    for r, b in enumerate(_buckets(hh))
+                ]
+            ),
+        ),
+        1,
+    )
+    sketch = (
+        df.select(F.explode(probes).alias("_rc"))
+        .groupBy(
+            F.col("_rc.row").alias("row"),
+            F.col("_rc.bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # bounded control plane: width × depth cells BY CONSTRUCTION,
+    # packed as ONE string literal (the PSL packed-literal lesson:
+    # F.lit(list) pays py4j per element)
+    cells = [0] * (width * depth)
+    for r in sketch.collect():
+        cells[r["row"] * width + r["bucket"]] = r["cnt"]
+    arr = F.split(F.lit(",".join(map(str, cells))), ",").cast(
+        "array<long>"
+    )
+    # pass 2: one md5 per row again; all depth lookups ride the
+    # lambda-bound hash
+    est = F.element_at(
+        F.transform(
+            F.array(h),
+            lambda hh: F.least(
+                *[
+                    F.element_at(arr, (F.lit(r * width) + b + 1).cast("int"))
+                    for r, b in enumerate(_buckets(hh))
+                ]
+            ),
+        ),
+        1,
     )
     return (
         df.filter(est >= min_count)
