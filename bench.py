@@ -175,6 +175,10 @@ BENCH_QUERIES = [
     "cms_counts",
     "cms_estimates",
     "minmax_scaled",
+    # round-10 final additions (79 -> 85): integer-exact portable
+    # HyperLogLog (direct + lossless slice merge), per-doc
+    # contamination fraction, keyed snapshot diff, exact heavy
+    # hitters via two-pass CMS prune, SymSpell typo pairs
     "hll_cardinality",
     "hll_merge_slices",
     "contamination_scores",
@@ -260,19 +264,25 @@ RECORD_BEST = {
     "winnow_fingerprints": 2.1316,
     "train_classifier": 2.1456,
     "stupid_backoff": 2.2404,
-    "anchor_terms": 1.3909,
-    "cluster_reps": 4.44,
-    "cms_counts": 1.1628,
-    "cms_estimates": 1.3415,
-    "crawl_budget": 0.265,
-    "dedup_paragraphs": 0.2503,
-    "domain_quality": 0.339,
-    "event_transitions": 0.5111,
-    "hard_negatives": 0.6687,
+    "anchor_terms": 1.1328,
+    "cluster_reps": 4.358,
+    "cms_counts": 0.9449,
+    "cms_estimates": 1.3072,
+    "crawl_budget": 0.2442,
+    "dedup_paragraphs": 0.2145,
+    "domain_quality": 0.252,
+    "event_transitions": 0.4956,
+    "hard_negatives": 0.6548,
     "hits_rank": 1.7415,
     "minmax_scaled": 1.0384,
-    "nfc_normalize": 0.3512,
-    "trending_terms": 0.5507,
+    "nfc_normalize": 0.3001,
+    "trending_terms": 0.5211,
+    "hll_cardinality": 0.6243,
+    "hll_merge_slices": 0.8168,
+    "contamination_scores": 1.1257,
+    "snapshot_diff": 0.5092,
+    "heavy_hitters": 4.5015,
+    "typo_pairs": 5.0176,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
