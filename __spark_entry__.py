@@ -2281,6 +2281,42 @@ def q_typo_pairs(spark, sf_dir):
     return edit_neighbor_pairs(cust, col="c_name", min_len=4)
 
 
+def q_quantile_histogram(spark, sf_dir):
+    """Quantile estimates from the log-linear histogram sketch
+    (functions/sketch.histogram_sketch/_quantiles — HdrHistogram's
+    public log-linear binning): p50/p95/p99 of lineitem price (in
+    integer cents via floor(x*100) — floor, because DuckDB's
+    double->BIGINT CAST rounds while Spark's truncates, the
+    documented r9 trap) per return flag, k=32 sub-bins per octave so
+    every estimate is within 1/32 of truth while per-group state is
+    <= ~63*32 bins — the answer the reference's counter store needs
+    every distinct value for. Build, cumulative walk and midpoint
+    read are ALL integer bit arithmetic, so the sketch replays
+    bit-for-bit in SQL. Plan: one bounded hash agg (map-side
+    combine), then windows over the <= 2k-row sketch — never the
+    data."""
+    from kspp_spark.functions.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    sk = histogram_sketch(
+        li, col="cents", group_cols=("l_returnflag",), k=32
+    )
+    return histogram_quantiles(
+        sk,
+        qs_permille=(500, 950, 990),
+        group_cols=("l_returnflag",),
+        k=32,
+    )
+
+
 def q_contamination_scores(spark, sf_dir):
     """Per-document contamination FRACTION (functions/dedup.
     contamination_score): every training doc (source != src0) scored
@@ -3578,12 +3614,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-certs (50/50 green every round since r3).
     # ROUND 10 window (this ordering), exactly what VERDICT r9 item
     # #4 ordered — oldest-cert-first rotation:
-    #   (a) the NINETEEN round-10 additions lead (position-pinned
+    #   (a) the TWENTY round-10 additions lead (position-pinned
     #       in tests/test_registry.py): the HLL pair (portable
     #       HyperLogLog cardinality + lossless merge),
     #       contamination_scores, snapshot_diff, heavy_hitters
-    #       (two-pass CMS prune), typo_pairs (SymSpell), the CMS
-    #       pair,
+    #       (two-pass CMS prune), typo_pairs (SymSpell),
+    #       quantile_histogram (log-linear bins), the CMS pair,
     #       minmax_scaled, dedup_paragraphs, event_transitions,
     #       trending_terms, domain_quality, nfc_normalize,
     #       hard_negatives, hits_rank, anchor_terms, crawl_budget,
@@ -3612,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "heavy_hitters": q_heavy_hitters,
         "typo_pairs": q_typo_pairs,
+        "quantile_histogram": q_quantile_histogram,
         "cms_counts": q_cms_counts,
         "cms_estimates": q_cms_estimates,
         "minmax_scaled": q_minmax_scaled,
@@ -4373,6 +4410,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(e.sh) AS DOUBLE) / COUNT(*) AS score
             FROM t LEFT JOIN e ON t.sh = e.sh
             GROUP BY t.doc_id
+        """,
+        # log-linear histogram replay: identity bins below k=32,
+        # (length(bin(v))-1)*k + (v >> (e-5)) - k above; rank =
+        # ceil-by-integer (n*q+999)//1000; midpoint read via shifts —
+        # mirrors functions/sketch.histogram_sketch/_quantiles.
+        # floor() before the cents cast: DuckDB's double->BIGINT CAST
+        # rounds, Spark's truncates (the r9 trap)
+        "quantile_histogram": """
+            WITH w AS (
+                SELECT l_returnflag AS grp,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+                FROM lineitem
+                WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) >= 1
+            ),
+            b AS (
+                SELECT grp,
+                       CASE WHEN v < 32 THEN CAST(v AS INT)
+                            ELSE CAST((length(bin(v)) - 1) * 32
+                                 + (v // (CAST(1 AS BIGINT) << (length(bin(v)) - 1 - 5)))
+                                 - 32 AS INT)
+                       END AS bin
+                FROM w
+            ),
+            h AS (SELECT grp, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+            c AS (
+                SELECT grp, bin,
+                       SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+                       SUM(cnt) OVER (PARTITION BY grp) AS n
+                FROM h
+            ),
+            p AS (
+                SELECT grp, bin, n, q
+                FROM c, (VALUES (500), (950), (990)) qs(q)
+                WHERE cum >= (n * q + 999) // 1000
+            ),
+            s AS (
+                SELECT grp, q, MIN(bin) AS bin, CAST(MAX(n) AS BIGINT) AS n
+                FROM p GROUP BY 1, 2
+            )
+            SELECT grp AS l_returnflag, CAST(q AS INT) AS q,
+                   CASE WHEN bin < 32 THEN CAST(bin AS BIGINT)
+                        ELSE ((CAST(32 AS BIGINT) + bin % 32) << (bin // 32 - 5))
+                             + (((CAST(1 AS BIGINT) << (bin // 32 - 5)) - 1) // 2)
+                   END AS est,
+                   n
+            FROM s
         """,
         # identity certification (the decontaminate_bloom pattern):
         # the two-pass CMS prune is lossless (no underestimates), so

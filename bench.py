@@ -175,16 +175,18 @@ BENCH_QUERIES = [
     "cms_counts",
     "cms_estimates",
     "minmax_scaled",
-    # round-10 final additions (79 -> 85): integer-exact portable
+    # round-10 final additions (79 -> 86): integer-exact portable
     # HyperLogLog (direct + lossless slice merge), per-doc
     # contamination fraction, keyed snapshot diff, exact heavy
-    # hitters via two-pass CMS prune, SymSpell typo pairs
+    # hitters via two-pass CMS prune, SymSpell typo pairs, and
+    # log-linear histogram quantiles (the third mergeable sketch)
     "hll_cardinality",
     "hll_merge_slices",
     "contamination_scores",
     "snapshot_diff",
     "heavy_hitters",
     "typo_pairs",
+    "quantile_histogram",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

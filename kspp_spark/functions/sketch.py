@@ -430,3 +430,134 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+# --------------------------------------------------------------------
+# Log-linear histogram quantiles — the third mergeable sketch
+# --------------------------------------------------------------------
+#
+# Frequency (Count-Min), cardinality (HyperLogLog) — and quantiles:
+# HdrHistogram-style log-linear binning (Gil Tene's public
+# High-Dynamic-Range histogram design). Positive values below k map
+# to their own bin (EXACT region); values >= k map to bin e*k + sub
+# with e = bit_length(v)-1 and sub = (v >> (e - log2 k)) - k — k
+# sub-bins per octave, so any quantile estimate's relative error is
+# bounded by 1/k while the state stays <= ~63*k bins per group no
+# matter how many values or how wide their range (the reference
+# would need every distinct value in a counter store to answer the
+# same question exactly). Bins MERGE by cell-wise sum (Count-Min's
+# linearity). Everything is integer bit arithmetic (length(bin(v)),
+# shifts, integer division) — builds, merges and quantile reads
+# replay bit-for-bit in a SQL oracle.
+
+
+def _check_k(k: int) -> int:
+    log2k = k.bit_length() - 1
+    if k < 2 or (1 << log2k) != k or k > 256:
+        raise ValueError(
+            "histogram sketch: k must be a power of two in [2, 256]"
+        )
+    return log2k
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str = "value",
+    group_cols: tuple[str, ...] = (),
+    k: int = 16,
+) -> DataFrame:
+    """Build per-group log-linear histograms over positive-integer
+    `col` -> (*group_cols, bin int, cnt long). Non-positive values
+    are dropped (the log bins are defined on v >= 1; shift/offset
+    negative domains before sketching). One hash aggregation;
+    map-side partial combine bounds the shuffle at <= ~63*k bins per
+    mapper per group — cms_build's contract, for quantiles."""
+    log2k = _check_k(k)
+    v = F.col(col).cast("long")
+    work = df.select(*group_cols, v.alias("_v")).filter(
+        F.col("_v") >= 1
+    )
+    bin_expr = F.when(
+        F.col("_v") < k, F.col("_v").cast("int")
+    ).otherwise(
+        (
+            (F.length(F.bin("_v")) - 1) * k
+            + F.expr(
+                f"cast(_v div shiftleft(cast(1 as bigint), "
+                f"length(bin(_v)) - 1 - {log2k}) as int) - {k}"
+            )
+        ).cast("int")
+    )
+    return (
+        work.select(*group_cols, bin_expr.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge histograms built with the SAME k: cell-wise sum —
+    exactly the histogram of the concatenated inputs, so per-slice
+    sketches (per day / per source) roll up losslessly. Pass fewer
+    group_cols than the inputs carried to re-group."""
+    if not sketches:
+        raise ValueError("histogram_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs_permille: tuple[int, ...] = (500, 950, 990),
+    group_cols: tuple[str, ...] = (),
+    k: int = 16,
+) -> DataFrame:
+    """Quantile estimates from a log-linear histogram ->
+    (*group_cols, q int (per-mille), est long, n long).
+
+    Integer-exact read: rank = ceil(n*q/1000) computed as
+    (n*q + 999) div 1000; the answer bin is the FIRST (ordered) bin
+    whose cumulative count reaches the rank; est = the bin's integer
+    midpoint (exact value below k, relative error <= 1/k above).
+    The per-group cumulative walk is a window over <= ~63*k rows —
+    the sketch, not the data."""
+    log2k = _check_k(k)
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*group_cols)
+    base = sketch.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(wcum).alias("_cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qlit = F.array(*[F.lit(int(q)).cast("int") for q in qs_permille])
+    probed = base.select(
+        *group_cols, "bin", "_cum", "n", F.explode(qlit).alias("q")
+    ).filter(
+        F.col("_cum") >= F.expr("(n * q + 999) div 1000")
+    )
+    sel = probed.groupBy(*group_cols, "q").agg(
+        F.min("bin").alias("_bin"), F.max("n").alias("n")
+    )
+    est = F.when(
+        F.col("_bin") < k, F.col("_bin").cast("long")
+    ).otherwise(
+        F.expr(
+            f"shiftleft(cast({k} as bigint) + _bin % {k}, "
+            f"_bin div {k} - {log2k}) + "
+            f"(shiftleft(cast(1 as bigint), _bin div {k} - {log2k}) - 1) div 2"
+        )
+    )
+    return sel.select(*group_cols, "q", est.alias("est"), "n")

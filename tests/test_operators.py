@@ -3583,3 +3583,79 @@ def test_edit_neighbor_pairs_min_len(spark):
         for r in edit_neighbor_pairs(df, min_len=3).collect()
     )
     assert got == [("abcd", "abce")]
+
+
+def test_histogram_quantiles_error_bound_and_exact_region(spark):
+    """Log-linear histogram contract: estimates within 1/k relative
+    error of the true discrete quantile on a wide random domain;
+    EXACT below k (the identity region); non-positive values
+    dropped."""
+    import math
+    import random
+
+    from kspp_spark.functions.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    rnd = random.Random(7)
+    vals = [rnd.randint(1, 10**9) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "value long")
+    k = 32
+    out = histogram_quantiles(
+        histogram_sketch(df, k=k), qs_permille=(500, 950, 990), k=k
+    ).collect()
+    sv = sorted(vals)
+    assert len(out) == 3
+    for r in out:
+        true = sv[math.ceil(r["q"] / 1000 * len(sv)) - 1]
+        assert abs(r["est"] - true) <= true / k, (r["q"], r["est"], true)
+        assert r["n"] == len(vals)
+
+    small = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 3, 3, 10, 0, -5]], "value long"
+    )
+    got = {
+        r["q"]: (r["est"], r["n"])
+        for r in histogram_quantiles(
+            histogram_sketch(small, k=k), (500, 1000), k=k
+        ).collect()
+    }
+    # 0 and -5 dropped; medians exact in the identity region
+    assert got == {500: (3, 6), 1000: (10, 6)}
+
+
+def test_histogram_merge_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sketch import (
+        histogram_merge,
+        histogram_sketch,
+    )
+
+    df = spark.range(1, 3000).select(
+        (F.col("id") * 7919 % 100000 + 1).alias("value"),
+        (F.col("id") % 3).alias("sl"),
+    )
+    direct = {
+        r["bin"]: r["cnt"]
+        for r in histogram_sketch(df, col="value", k=16).collect()
+    }
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in histogram_merge(
+            histogram_sketch(df, col="value", group_cols=("sl",), k=16)
+        ).collect()
+    }
+    assert direct == merged and len(direct) > 0
+
+
+def test_histogram_k_validation(spark):
+    import pytest as _pytest
+
+    from kspp_spark.functions.sketch import histogram_sketch
+
+    df = spark.range(1, 10).select(F.col("id").alias("value"))
+    for bad in (1, 3, 24, 512):
+        with _pytest.raises(ValueError):
+            histogram_sketch(df, col="value", k=bad)

@@ -1015,3 +1015,15 @@ def test_typo_pairs_variant_equi_join_only(spark, queries):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_quantile_histogram_windows_over_sketch_only(spark, queries):
+    """Histogram-quantile scale contract: ONE bounded hash
+    aggregation over the data (map-side combine, <= ~63*k bins per
+    mapper per group); the cumulative-walk windows and the explode
+    run over the SKETCH rows, never the corpus. No join, no
+    Python."""
+    plan = formatted_plan(spark, queries["quantile_histogram"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
