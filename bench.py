@@ -275,7 +275,7 @@ RECORD_BEST = {
     "domain_quality": 0.252,
     "event_transitions": 0.4956,
     "hard_negatives": 0.6548,
-    "hits_rank": 1.7415,
+    "hits_rank": 1.4189,
     "minmax_scaled": 1.0384,
     "nfc_normalize": 0.3001,
     "trending_terms": 0.5211,
@@ -285,6 +285,7 @@ RECORD_BEST = {
     "snapshot_diff": 0.5092,
     "heavy_hitters": 4.5015,
     "typo_pairs": 5.0176,
+    "quantile_histogram": 0.5861,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
