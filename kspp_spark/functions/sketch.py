@@ -561,3 +561,21 @@ def histogram_quantiles(
         )
     )
     return sel.select(*group_cols, "q", est.alias("est"), "n")
+
+
+def histogram_stream(
+    stream: DataFrame,
+    col: str = "value",
+    group_cols: tuple[str, ...] = (),
+    k: int = 16,
+) -> DataFrame:
+    """Streaming histogram maintenance: bin counts are a plain sum
+    aggregation (linear, like cms_stream), so the streaming form
+    shares the batch definition and Spark's aggregation state IS the
+    histogram — bounded at <= ~63*k bins per group forever, no
+    watermark needed. Exactly equal to histogram_sketch over the
+    concatenated batches (asserted by tests/test_streaming.py);
+    read quantiles from any snapshot with histogram_quantiles."""
+    return histogram_sketch(
+        stream, col=col, group_cols=group_cols, k=k
+    )

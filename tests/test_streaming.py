@@ -3018,3 +3018,52 @@ def test_hll_stream_equals_batch_registers(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_histogram_stream_equals_batch_sketch(spark, tmp_path):
+    """Bin-count linearity under streaming: the complete-mode
+    streaming aggregation over micro-batched input equals
+    histogram_sketch over the concatenated batches, bin for bin
+    (bounded-state quantile story: state = <= ~63*k bins, never
+    per-value)."""
+    from kspp_spark.functions.sketch import (
+        histogram_sketch,
+        histogram_stream,
+    )
+
+    in_dir = str(tmp_path / "hist_in")
+    schema = "value long"
+    b1 = [(1,), (7,), (300,), (5000,)]
+    b2 = [(7,), (250000,), (2,)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        histogram_stream(src, k=8)
+        .writeStream.format("memory")
+        .queryName("hist_sk")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["bin"]: r["cnt"]
+        for r in spark.sql("select * from hist_sk").collect()
+    }
+    want = {
+        r["bin"]: r["cnt"]
+        for r in histogram_sketch(
+            spark.createDataFrame(b1 + b2, schema), k=8
+        ).collect()
+    }
+    assert got == want and len(got) > 0
