@@ -1130,3 +1130,108 @@ def test_heavy_hitters_always_exact(spark, items, min_count, width):
         k: c for k, c in Counter(items).items() if c >= min_count
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    terms=st.lists(
+        st.text(alphabet="ab1", min_size=2, max_size=6),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_edit_neighbor_pairs_complete_vs_bruteforce(spark, terms):
+    """SymSpell blocking COMPLETENESS (the theorem the operator rests
+    on): over a tiny alphabet chosen to force dense edit
+    neighborhoods, the deletion-neighborhood join returns EXACTLY the
+    brute-force set of distance-1 pairs — nothing missed by the
+    blocking, nothing extra surviving the levenshtein verifier."""
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    from kspp_spark.functions.dedup import edit_neighbor_pairs
+
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = sorted(
+        (r["a"], r["b"])
+        for r in edit_neighbor_pairs(df, min_len=2).collect()
+    )
+    uniq = sorted(set(terms))
+    want = sorted(
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+        if lev(a, b) == 1
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    train=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    evals=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_contamination_score_consistent_with_gate(spark, train, evals):
+    """contamination_score vs the binary gate it refines: every
+    train doc appears exactly once with 0 <= matched <= total and
+    score == matched/total, and matched > 0 EXACTLY when
+    ngram_overlap_contamination (min_shared=1) flags the doc."""
+    from kspp_spark.functions.dedup import (
+        contamination_score,
+        ngram_overlap_contamination,
+    )
+
+    tdf = spark.createDataFrame(
+        [(f"t{i}", " ".join(ws)) for i, ws in enumerate(train)],
+        "doc_id string, text string",
+    )
+    edf = spark.createDataFrame(
+        [(f"e{i}", " ".join(ws)) for i, ws in enumerate(evals)],
+        "doc_id string, text string",
+    )
+    scores = {
+        r["doc_id"]: (r["matched"], r["total"], r["score"])
+        for r in contamination_score(tdf, edf).collect()
+    }
+    assert set(scores) == {f"t{i}" for i in range(len(train))}
+    for m, t, s in scores.values():
+        assert 0 <= m <= t and t >= 1
+        assert s == m / t
+    gated = {
+        r["train_id"]
+        for r in ngram_overlap_contamination(
+            tdf, edf, min_shared=1
+        ).collect()
+    }
+    assert gated == {d for d, (m, _, _) in scores.items() if m > 0}
