@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "typo_pairs",
     "quantile_histogram",
+    # rows-only production twin (like minhash_lsh_pairs): the native
+    # DataSketches HLL next to the portable md5 form — the recorded
+    # pair IS the portable-overhead measurement
+    "hll_production",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -44,7 +44,15 @@ def split_assign(
     salt: str = "",
 ) -> DataFrame:
     """Adds a `split` column ('train'/'val'/'test' by default) chosen
-    by the id's hash bucket; weights must sum to 1.0."""
+    by the id's hash bucket; weights must sum to 1.0.
+
+    `id_col` may be ANY column, not just a row id: pass a GROUP key
+    (registrable domain, source, author) and every row of a group
+    lands in the same split — the leakage-free grouped split that
+    keeps near-duplicate pages of one site out of both train and
+    test (asserted by tests/test_operators.py::
+    test_split_assign_grouped_is_leakage_free). Map-only either
+    way: the assignment is a pure function of the column."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     bucket = hash_bucket(id_col, salt)
     expr = None

@@ -3659,3 +3659,29 @@ def test_histogram_k_validation(spark):
     for bad in (1, 3, 24, 512):
         with _pytest.raises(ValueError):
             histogram_sketch(df, col="value", k=bad)
+
+
+def test_split_assign_grouped_is_leakage_free(spark):
+    """split_assign on a GROUP column (here: registrable domain) puts
+    every row of a group in one split — the leakage-free grouped
+    split; no domain may straddle train/test."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sampling import split_assign
+
+    rows = [
+        (f"doc{i}", f"site{i % 17}.example")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, domain string")
+    out = split_assign(df, id_col="domain")
+    spread = (
+        out.groupBy("domain")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert spread == 1
+    # and the split is total: every row got one of the three labels
+    labels = {r["split"] for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"} and "train" in labels
