@@ -269,7 +269,7 @@ RECORD_BEST = {
     "winnow_dup_pairs": 2.507,
     "winnow_fingerprints": 2.1316,
     "train_classifier": 2.1456,
-    "stupid_backoff": 2.2404,
+    "stupid_backoff": 2.1453,
     "anchor_terms": 1.1328,
     "cluster_reps": 4.358,
     "cms_counts": 0.9449,
@@ -287,9 +287,10 @@ RECORD_BEST = {
     "hll_merge_slices": 0.8168,
     "contamination_scores": 1.1257,
     "snapshot_diff": 0.5092,
-    "heavy_hitters": 4.5015,
-    "typo_pairs": 5.0176,
-    "quantile_histogram": 0.5861,
+    "heavy_hitters": 4.1395,
+    "typo_pairs": 4.7288,
+    "quantile_histogram": 0.4514,
+    "hll_production": 0.6013,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
