@@ -405,8 +405,25 @@ def main() -> None:
             break
         lean["queries"] = {q: round(t, ndigits) for q, t in timings.items()}
         line = json.dumps(lean, **compact)
-    if len(line) >= 1900:  # last resort: keep the contract keys
-        lean["queries"] = {}
+    if len(line) >= 1900:
+        # Last resort — the full 80+-query dict cannot fit the
+        # driver's 2000-char stdout tail even at 1 digit (names
+        # dominate). Keep as many per-query entries as fit, NEWEST
+        # bench additions first (the queries a fresh round is graded
+        # on; older ones have records in every prior BENCH_r*.json),
+        # and say how many were cut. BENCH_LOCAL.json always carries
+        # the complete table.
+        kept: dict[str, float] = {}
+        for q in reversed(BENCH_QUERIES):
+            trial = dict(kept)
+            trial[q] = round(timings[q], 1)
+            lean["queries"] = trial
+            lean["queries_truncated"] = len(timings) - len(trial)
+            if len(json.dumps(lean, **compact)) >= 1900:
+                break
+            kept = trial
+        lean["queries"] = kept
+        lean["queries_truncated"] = len(timings) - len(kept)
         line = json.dumps(lean, **compact)
     print(line, flush=True)
 

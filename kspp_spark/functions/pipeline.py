@@ -87,7 +87,11 @@ def snapshot_diff(
 
     status: 'added' (key only in new), 'removed' (only in old),
     'changed' (present in both, any compare column differs under
-    null-safe comparison), 'unchanged'. changed_cols lists WHICH
+    null-safe comparison), 'unchanged'. Assumes each snapshot is
+    KEYED — at most one row per key per side; duplicate keys produce
+    one output row per old x new match, standard full-outer-join
+    semantics (dedupe upstream, e.g. ktable-style latest-per-key,
+    if an extract can carry duplicates). changed_cols lists WHICH
     compare columns differ, in `compare` order — empty for
     non-changed rows (so downstream can route column-level
     re-computation).
