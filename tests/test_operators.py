@@ -3685,3 +3685,45 @@ def test_split_assign_grouped_is_leakage_free(spark):
     # and the split is total: every row got one of the three labels
     labels = {r["split"] for r in out.select("split").distinct().collect()}
     assert labels <= {"train", "val", "test"} and "train" in labels
+
+
+@pytest.mark.slow
+def test_sketch_state_bounded_at_millions_of_keys(spark):
+    """The bounded-state claims as numbers, not prose: 5M distinct
+    keys through each sketch — HLL registers <= 2^p, histogram bins
+    <= ~63*k, CMS cells <= width*depth — while the mass/count
+    invariants hold exactly. This is the whole reason the sketch
+    tier exists instead of the reference's per-key counter rows
+    (mem_counter_store.h:8-144: 5M keys = 5M counters)."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sketch import (
+        cms_build,
+        histogram_sketch,
+        hll_estimate,
+        hll_registers,
+    )
+
+    n = 5_000_000
+    df = spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        (F.col("id") % 997 + 1).alias("v"),
+    )
+
+    reg = hll_registers(df, col="k", p=10).collect()
+    assert len(reg) <= 1 << 10
+    [row] = hll_estimate(
+        spark.createDataFrame(reg), p=10
+    ).collect()
+    assert abs(row["est"] - n) <= 5 * 1.04 / (1 << 5) * n  # 5 sigma
+
+    hist = histogram_sketch(df, col="v", k=16).collect()
+    assert len(hist) <= 63 * 16
+    assert sum(r["cnt"] for r in hist) == n  # every row binned
+
+    cms = cms_build(df, col="v", width=64, depth=3).collect()
+    assert len(cms) <= 64 * 3
+    per_row = {}
+    for r in cms:
+        per_row[r["row"]] = per_row.get(r["row"], 0) + r["cnt"]
+    assert set(per_row.values()) == {n}  # mass conserved per row
