@@ -2317,6 +2317,37 @@ def q_quantile_histogram(spark, sf_dir):
     )
 
 
+def q_outlier_gate(spark, sf_dir):
+    """Sketch-driven outlier trimming — the composition the sketch
+    tier exists for: the p99 document length comes from the
+    log-linear histogram (functions/sketch.histogram_sketch/_
+    quantiles, within 1/32 of truth, NO global sort — trimming by
+    exact percentile at 100 TB would need one), rides back as a
+    1-row broadcast, and gates the corpus map-side. Output: the
+    surviving docs with their token counts plus the threshold that
+    kept them (constant column — proves the estimate itself
+    hash-matches). The whole chain — binning, cumulative walk,
+    midpoint read, gate — is integer arithmetic; the oracle replays
+    it end to end."""
+    from kspp_spark.functions.sketch import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+    from kspp_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    sk = histogram_sketch(docs, col="n_tokens", k=32)
+    thr = (
+        histogram_quantiles(sk, qs_permille=(990,), k=32)
+        .select(F.col("est").alias("p99_tokens"))
+    )
+    return docs.join(F.broadcast(thr)).filter(
+        F.col("n_tokens") <= F.col("p99_tokens")
+    )
+
+
 def q_contamination_scores(spark, sf_dir):
     """Per-document contamination FRACTION (functions/dedup.
     contamination_score): every training doc (source != src0) scored
@@ -3614,12 +3645,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-certs (50/50 green every round since r3).
     # ROUND 10 window (this ordering), exactly what VERDICT r9 item
     # #4 ordered — oldest-cert-first rotation:
-    #   (a) the TWENTY round-10 additions lead (position-pinned
+    #   (a) the TWENTY-ONE round-10 additions lead (position-pinned
     #       in tests/test_registry.py): the HLL pair (portable
     #       HyperLogLog cardinality + lossless merge),
     #       contamination_scores, snapshot_diff, heavy_hitters
     #       (two-pass CMS prune), typo_pairs (SymSpell),
-    #       quantile_histogram (log-linear bins), the CMS pair,
+    #       quantile_histogram (log-linear bins), outlier_gate
+    #       (sketch-driven p99 trim), the CMS pair,
     #       minmax_scaled, dedup_paragraphs, event_transitions,
     #       trending_terms, domain_quality, nfc_normalize,
     #       hard_negatives, hits_rank, anchor_terms, crawl_budget,
@@ -3649,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "typo_pairs": q_typo_pairs,
         "quantile_histogram": q_quantile_histogram,
+        "outlier_gate": q_outlier_gate,
         "cms_counts": q_cms_counts,
         "cms_estimates": q_cms_estimates,
         "minmax_scaled": q_minmax_scaled,
@@ -4456,6 +4489,44 @@ def oracle_sql() -> dict[str, str]:
                    END AS est,
                    n
             FROM s
+        """,
+        # sketch-driven outlier gate: replay the token-count
+        # histogram p99 (k=32 log-linear bins) and filter by it
+        "outlier_gate": f"""
+            WITH w AS (
+                SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS v
+                FROM documents
+            ),
+            pos AS (SELECT doc_id, v FROM w WHERE v >= 1),
+            b AS (
+                SELECT CASE WHEN v < 32 THEN CAST(v AS INT)
+                            ELSE CAST((length(bin(v)) - 1) * 32
+                                 + (v // (CAST(1 AS BIGINT) << (length(bin(v)) - 1 - 5)))
+                                 - 32 AS INT)
+                       END AS bin
+                FROM pos
+            ),
+            h AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY 1),
+            c AS (
+                SELECT bin,
+                       SUM(cnt) OVER (ORDER BY bin) AS cum,
+                       SUM(cnt) OVER () AS n
+                FROM h
+            ),
+            s AS (
+                SELECT MIN(bin) AS bin FROM c
+                WHERE cum >= (n * 990 + 999) // 1000
+            ),
+            thr AS (
+                SELECT CASE WHEN bin < 32 THEN CAST(bin AS BIGINT)
+                            ELSE ((CAST(32 AS BIGINT) + bin % 32) << (bin // 32 - 5))
+                                 + (((CAST(1 AS BIGINT) << (bin // 32 - 5)) - 1) // 2)
+                       END AS p99_tokens
+                FROM s
+            )
+            SELECT w.doc_id, w.v AS n_tokens, thr.p99_tokens
+            FROM w, thr
+            WHERE w.v <= thr.p99_tokens
         """,
         # identity certification (the decontaminate_bloom pattern):
         # the two-pass CMS prune is lossless (no underestimates), so

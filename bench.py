@@ -175,7 +175,7 @@ BENCH_QUERIES = [
     "cms_counts",
     "cms_estimates",
     "minmax_scaled",
-    # round-10 final additions (79 -> 86): integer-exact portable
+    # round-10 final additions (79 -> 87): integer-exact portable
     # HyperLogLog (direct + lossless slice merge), per-doc
     # contamination fraction, keyed snapshot diff, exact heavy
     # hitters via two-pass CMS prune, SymSpell typo pairs, and
@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "typo_pairs",
     "quantile_histogram",
+    "outlier_gate",
     # rows-only production twin (like minhash_lsh_pairs): the native
     # DataSketches HLL next to the portable md5 form — the recorded
     # pair IS the portable-overhead measurement

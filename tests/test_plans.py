@@ -1027,3 +1027,15 @@ def test_quantile_histogram_windows_over_sketch_only(spark, queries):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "Join" not in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_outlier_gate_broadcast_threshold(spark, queries):
+    """Outlier-gate scale contract: the histogram p99 threshold is a
+    1-row frame that BROADCASTS back (nested-loop on one row, like
+    the minmax stats row); the corpus is gated map-side — no global
+    sort, no shuffle of the data for the threshold."""
+    plan = formatted_plan(spark, queries["outlier_gate"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

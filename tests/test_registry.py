@@ -49,7 +49,7 @@ def test_registry_round10_window():
     insert wasn't mirrored here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — must lead the window
-    assert window[:20] == [
+    assert window[:21] == [
         "hll_cardinality",
         "hll_merge_slices",
         "contamination_scores",
@@ -57,6 +57,7 @@ def test_registry_round10_window():
         "heavy_hitters",
         "typo_pairs",
         "quantile_histogram",
+        "outlier_gate",
         "cms_counts",
         "cms_estimates",
         "minmax_scaled",
@@ -84,13 +85,14 @@ def test_registry_round10_window():
         "local_supplier_volume", "ngram_counts", "phrase_search",
         "phrase_search_indexed", "positional_index", "quantized_ann",
         "rollup_cascade", "scd2_lookup", "srp_ann", "srp_pairs",
-        "token_pairs", "top_terms_per_lang",
-        # the r7-graded kspp-core fill (count/ktable/filter/transform/
-        # flat_map/word_count/merge/repartition) rotated out entirely
-        # as the r10 head grew to 20 — every one stays registered,
-        # benched every round, and oracle-parity-tested on every
-        # pytest run; the events/TIMESTAMP(NANOS) load path stays
-        # in-window via event_transitions
+        "token_pairs",
+        # top_terms_per_lang (r6) and the whole r7-graded kspp-core
+        # fill (count/ktable/filter/transform/flat_map/word_count/
+        # merge/repartition) rotated out as the r10 head grew to 21 —
+        # every one stays registered, benched every round, and
+        # oracle-parity-tested on every pytest run; the events/
+        # TIMESTAMP(NANOS) load path stays in-window via
+        # event_transitions
     }
     missing = must_grade - set(window)
     assert not missing, f"round-10 must-grade queries not in window: {missing}"
