@@ -206,22 +206,22 @@ BENCH_QUERIES = [
 # ratios in ONE file: ~1.0 = at the recorded best, >1.2 = look at it.
 RECORD_BEST = {
     "asof_join": 0.4133,
-    "bm25_search": 0.5707,
+    "bm25_search": 0.5597,
     "boilerplate_clean": 0.6991,
     "gopher_quality": 0.5878,
     "gopher_repetition": 1.9935,
     "count_by_key": 0.2487,
     "count_by_value": 0.3523,
-    "curate_docs": 1.5449,
+    "curate_docs": 1.4392,
     "decontaminate": 0.9493,
     "dedup_embedding": 0.5995,
     "dedup_exact": 0.2267,
-    "dup_clusters": 4.6178,
+    "dup_clusters": 4.5352,
     "dup_clusters_fixed": 3.4437,
     "inverted_index": 0.4654,
     "knn_cosine": 0.687,
     "kstream_left_join": 0.3775,
-    "ktable_latest": 0.3616,
+    "ktable_latest": 0.349,
     "large_orders": 0.866,
     "lm_scores": 0.7559,
     "media_decode": 0.2656,
@@ -237,7 +237,7 @@ RECORD_BEST = {
     "minhash_lsh_pairs": 2.2608,
     "minhash_pairs_portable": 1.4031,
     "pack_sequences": 0.3167,
-    "phrase_search_indexed": 0.4635,
+    "phrase_search_indexed": 0.4433,
     "pii_mask": 0.3353,
     "positional_index": 0.6832,
     "positional_index_folded": 1.6696,
@@ -252,7 +252,7 @@ RECORD_BEST = {
     "srp_ann": 1.4082,
     "srp_diverse_sample": 0.2418,
     "srp_pairs": 2.3054,
-    "substring_spans": 0.7043,
+    "substring_spans": 0.6536,
     "tfidf_top_terms": 0.5601,
     "train_split": 0.1118,
     "transform_revenue": 0.4161,
@@ -263,35 +263,36 @@ RECORD_BEST = {
     "domain_rollup": 0.7259,
     "link_graph": 1.2377,
     "domain_rank": 1.0797,
-    "decontaminate_bloom": 2.5118,
-    "domain_rollup_full": 0.7541,
-    "sitemap_frontier": 0.8396,
+    "decontaminate_bloom": 2.5007,
+    "domain_rollup_full": 0.6972,
+    "sitemap_frontier": 0.8298,
     "surt_index": 0.5932,
     "winnow_dup_pairs": 2.507,
-    "winnow_fingerprints": 2.1316,
+    "winnow_fingerprints": 2.1033,
     "train_classifier": 2.1456,
     "stupid_backoff": 2.1453,
     "anchor_terms": 1.1328,
-    "cluster_reps": 4.358,
+    "cluster_reps": 4.1417,
     "cms_counts": 0.9449,
-    "cms_estimates": 1.3072,
-    "crawl_budget": 0.2442,
-    "dedup_paragraphs": 0.2145,
-    "domain_quality": 0.252,
-    "event_transitions": 0.4956,
+    "cms_estimates": 1.1578,
+    "crawl_budget": 0.2211,
+    "dedup_paragraphs": 0.2124,
+    "domain_quality": 0.2285,
+    "event_transitions": 0.4366,
     "hard_negatives": 0.6548,
     "hits_rank": 1.4189,
-    "minmax_scaled": 1.0384,
+    "minmax_scaled": 0.9765,
     "nfc_normalize": 0.3001,
-    "trending_terms": 0.5211,
-    "hll_cardinality": 0.6243,
-    "hll_merge_slices": 0.8168,
-    "contamination_scores": 1.1257,
-    "snapshot_diff": 0.5092,
+    "trending_terms": 0.4883,
+    "hll_cardinality": 0.6038,
+    "hll_merge_slices": 0.7805,
+    "contamination_scores": 1.0586,
+    "snapshot_diff": 0.4056,
     "heavy_hitters": 4.1395,
     "typo_pairs": 4.7288,
     "quantile_histogram": 0.4514,
     "hll_production": 0.6013,
+    "outlier_gate": 0.5757,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
