@@ -579,3 +579,51 @@ def histogram_stream(
     return histogram_sketch(
         stream, col=col, group_cols=group_cols, k=k
     )
+
+
+def hll_intersection(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = 9,
+) -> DataFrame:
+    """Intersection-cardinality estimate from two register tables of
+    the SAME p via inclusion-exclusion: |A ∩ B| ≈ est(A) + est(B) -
+    est(A ∪ B), where the union sketch is hll_merge (exact, lossless)
+    -> (*group_cols, est_a, est_b, est_union, est_intersection, all
+    long). Answers "how many keys appear in BOTH slices" (users
+    active in two months, domains in two crawls) without ever
+    re-reading the data — three integer estimates over <= m rows
+    each.
+
+    Honesty note: inclusion-exclusion inherits the ABSOLUTE error of
+    the union estimate, so small intersections of large sets drown
+    in register noise (est_intersection can even go negative — it is
+    returned un-clamped so callers see the noise rather than a
+    fabricated 0). The estimate is still deterministic integer
+    arithmetic end to end."""
+    est_a = hll_estimate(a, group_cols=group_cols, p=p).select(
+        *group_cols, F.col("est").alias("est_a")
+    )
+    est_b = hll_estimate(b, group_cols=group_cols, p=p).select(
+        *group_cols, F.col("est").alias("est_b")
+    )
+    est_u = hll_estimate(
+        hll_merge(a, b, group_cols=group_cols), group_cols=group_cols, p=p
+    ).select(*group_cols, F.col("est").alias("est_union"))
+    keys = list(group_cols)
+    joined = (
+        est_a.join(est_b, keys) if keys else est_a.crossJoin(est_b)
+    )
+    joined = (
+        joined.join(est_u, keys) if keys else joined.crossJoin(est_u)
+    )
+    return joined.select(
+        *group_cols,
+        "est_a",
+        "est_b",
+        "est_union",
+        (
+            F.col("est_a") + F.col("est_b") - F.col("est_union")
+        ).alias("est_intersection"),
+    )

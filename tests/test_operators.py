@@ -3727,3 +3727,37 @@ def test_sketch_state_bounded_at_millions_of_keys(spark):
     for r in cms:
         per_row[r["row"]] = per_row.get(r["row"], 0) + r["cnt"]
     assert set(per_row.values()) == {n}  # mass conserved per row
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    """Intersection estimate from two sketches: 3000-key sets with a
+    known 1000-key overlap — est within the union's absolute error
+    band (5 sigma of 1.04/sqrt(m) x union); disjoint sets land near
+    zero (possibly negative — un-clamped by contract)."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sketch import (
+        hll_intersection,
+        hll_registers,
+    )
+
+    p, m = 9, 512
+    a = spark.range(0, 3000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k")
+    )
+    b = spark.range(2000, 5000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k")
+    )
+    ra = hll_registers(a, col="k", p=p)
+    rb = hll_registers(b, col="k", p=p)
+    [row] = hll_intersection(ra, rb, p=p).collect()
+    band = 5 * 1.04 / (m**0.5) * 5000  # union-sized absolute error
+    assert abs(row["est_intersection"] - 1000) <= band
+    assert abs(row["est_union"] - 5000) <= band
+    assert row["est_a"] + row["est_b"] - row["est_union"] == row["est_intersection"]
+
+    c = spark.range(9000, 12000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k")
+    )
+    [dz] = hll_intersection(ra, hll_registers(c, col="k", p=p), p=p).collect()
+    assert abs(dz["est_intersection"]) <= band
