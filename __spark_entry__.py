@@ -3622,6 +3622,90 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def _stopword_scored(spark, sf_dir):
+    """Shared input for the evaluation-metric queries: every document
+    scored by integer-scaled English-stopword density (score =
+    1e6 * |stopword tokens| DIV |tokens|, the exact-DIV idiom) and
+    labeled by the corpus ground truth lang == 'en'. The score IS a
+    crude English classifier — exactly the thing AUC/calibration are
+    for — and stays integer so every metric replays in SQL."""
+    from kspp_spark.functions.text import GOPHER_STOPWORDS, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    n_stop = F.size(
+        F.filter(toks, lambda w: F.lower(w).isin(GOPHER_STOPWORDS))
+    )
+    return (
+        docs.withColumn("_n", F.size(toks))
+        .where(F.col("_n") > 0)
+        .withColumn("_ns", n_stop)
+        .select(
+            "doc_id",
+            "source",
+            (F.col("lang") == "en").cast("int").alias("label"),
+            F.expr("(1000000 * _ns) DIV _n").alias("score"),
+        )
+    )
+
+
+def q_auc_eval(spark, sf_dir):
+    """Distributed ROC-AUC (functions/evaluation.roc_auc — Mann-
+    Whitney U with tie correction, Hanley & McNeil 1982) of the
+    stopword-density English detector, per source: the evaluation a
+    quality-classifier gate needs before choosing its threshold. The
+    100-TB shape is the histogram formulation: ONE map-side-combined
+    (source, score) aggregation bounds everything downstream by
+    |distinct scores| (<= the 1e6 scale constant), the cumulative
+    window walks that sketch per source — never a global rank of raw
+    rows. auc_num/auc_den are exact integers (2U and 2PN); auc is the
+    one IEEE division, bit-identical in DuckDB."""
+    from kspp_spark.functions.evaluation import roc_auc
+
+    return roc_auc(
+        _stopword_scored(spark, sf_dir),
+        "score",
+        "label",
+        group_cols=("source",),
+    )
+
+
+def q_score_calibration(spark, sf_dir):
+    """Reliability-diagram bins (functions/evaluation.
+    calibration_bins) for the same stopword-density score: 20 equal
+    bins over [0, 100000] (densities above 10% clamp into the top
+    bin — both engines use the same LEAST), each with n / n_pos /
+    score_sum as exact integers (predicted-vs-observed rates are the
+    caller's division). ONE hash aggregation over <= 20 keys — the
+    shuffle is 20 rows per mapper at any corpus size."""
+    from kspp_spark.functions.evaluation import calibration_bins
+
+    return calibration_bins(
+        _stopword_scored(spark, sf_dir),
+        "score",
+        "label",
+        n_bins=20,
+        score_max=100_000,
+    )
+
+
+def q_classifier_confusion(spark, sf_dir):
+    """Confusion-matrix counts (functions/evaluation.confusion_at) at
+    keep-threshold score >= 30000 (3% stopword density), per source:
+    the operating-point report that pairs with q_auc_eval's
+    threshold-free ranking view. One map-side-combined aggregation;
+    tp/fp/fn/tn are exact integers the driver hash-certifies."""
+    from kspp_spark.functions.evaluation import confusion_at
+
+    return confusion_at(
+        _stopword_scored(spark, sf_dir),
+        "score",
+        "label",
+        threshold=30000,
+        group_cols=("source",),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -3749,6 +3833,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # everything below stays registered and is re-verified by
         # tests/test_oracle_parity.py against DuckDB on every pytest
         # run; most recently graded: r8/r9 driver windows
+        # -- round-10 second-session additions (the window was already
+        #    locked at 21+29 when these landed): full oracles + local
+        #    parity from day one; they are the round-11 head candidates
+        "auc_eval": q_auc_eval,
+        "score_calibration": q_score_calibration,
+        "classifier_confusion": q_classifier_confusion,
         "link_graph": q_link_graph,
         "domain_rollup": q_domain_rollup,
         "domain_rank": q_domain_rank,
@@ -7251,6 +7341,67 @@ def oracle_sql() -> dict[str, str]:
                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         """,
     }
+    # shared scored-documents CTE for the evaluation-metric oracles:
+    # integer-scaled stopword density + lang=='en' label, mirroring
+    # _stopword_scored (same tokenizer macro, same DIV)
+    _SCORED = f"""
+            scored AS (
+                SELECT doc_id, source,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+                       (1000000 * len(list_filter(toks, x -> lower(x) IN
+                         ('the','be','to','of','and','that','have','with')
+                       ))) // len(toks) AS score
+                FROM (SELECT doc_id, source, lang, {_TOKENS} AS toks
+                      FROM documents)
+                WHERE len(toks) > 0
+            )"""
+    oracles["auc_eval"] = f"""
+            WITH {_SCORED},
+            hist AS (
+                SELECT source, score,
+                       SUM(label) AS np_, SUM(1 - label) AS nn_
+                FROM scored GROUP BY source, score
+            ),
+            c AS (
+                SELECT source, np_, nn_,
+                       COALESCE(SUM(nn_) OVER (
+                           PARTITION BY source ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_nn
+                FROM hist
+            )
+            SELECT source,
+                   CAST(SUM(np_) AS BIGINT) AS n_pos,
+                   CAST(SUM(nn_) AS BIGINT) AS n_neg,
+                   CAST(SUM(np_ * (2 * cum_nn + nn_)) AS BIGINT) AS auc_num,
+                   CAST(2 * SUM(np_) * SUM(nn_) AS BIGINT) AS auc_den,
+                   CASE WHEN SUM(np_) * SUM(nn_) > 0
+                        THEN CAST(SUM(np_ * (2 * cum_nn + nn_)) AS DOUBLE)
+                             / CAST(2 * SUM(np_) * SUM(nn_) AS DOUBLE)
+                   END AS auc
+            FROM c GROUP BY source
+        """
+    oracles["score_calibration"] = f"""
+            WITH {_SCORED}
+            SELECT LEAST((score * 20) // 100000, 19) AS bin,
+                   COUNT(*) AS n,
+                   CAST(SUM(label) AS BIGINT) AS n_pos,
+                   CAST(SUM(score) AS BIGINT) AS score_sum
+            FROM scored GROUP BY 1
+        """
+    oracles["classifier_confusion"] = f"""
+            WITH {_SCORED}
+            SELECT source,
+                   CAST(SUM(CASE WHEN score >= 30000 AND label = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN score >= 30000 AND label = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN score < 30000 AND label = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN score < 30000 AND label = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+            FROM scored GROUP BY source
+        """
     # the bloom prefilter is exact (no false negatives — it only
     # prunes the join input), so its oracle IS decontaminate's
     oracles["decontaminate_bloom"] = oracles["decontaminate"]

@@ -1,0 +1,92 @@
+"""functions/evaluation.py — distributed classifier-evaluation
+metrics. The load-bearing claims: roc_auc's histogram/window
+formulation equals the O(P*N) pairwise Mann-Whitney definition
+(including tie credit), degenerate groups yield NULL (not 0.5), and
+the bin/threshold counters are exact."""
+
+import random
+
+from kspp_spark.functions.evaluation import (
+    calibration_bins,
+    confusion_at,
+    roc_auc,
+)
+
+
+def _brute_auc(pairs):
+    """O(P*N) Mann-Whitney: 2U = #(pos>neg)*2 + #(pos==neg)."""
+    pos = [s for s, lab in pairs if lab]
+    neg = [s for s, lab in pairs if not lab]
+    num = sum(
+        2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+    )
+    return num, 2 * len(pos) * len(neg)
+
+
+def test_roc_auc_matches_pairwise_definition(spark):
+    rng = random.Random(7)
+    rows = [
+        (
+            f"g{i % 3}",
+            # positives shifted up but overlapping, with heavy ties
+            rng.randint(0, 12) + (3 if rng.random() < 0.4 else 0),
+            1 if rng.random() < 0.45 else 0,
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, score long, label int")
+    out = {
+        r["grp"]: r
+        for r in roc_auc(df, "score", "label", ("grp",)).collect()
+    }
+    assert set(out) == {"g0", "g1", "g2"}
+    for g in out:
+        pairs = [(s, lab) for gg, s, lab in rows if gg == g]
+        num, den = _brute_auc(pairs)
+        r = out[g]
+        assert (r["auc_num"], r["auc_den"]) == (num, den)
+        assert r["n_pos"] == sum(lab for _, lab in pairs)
+        assert r["n_neg"] == len(pairs) - r["n_pos"]
+        assert abs(r["auc"] - num / den) < 1e-15
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    rows = [(i, 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "score long, label int")
+    assert roc_auc(df, "score", "label").collect()[0]["auc"] == 1.0
+    inv = spark.createDataFrame(
+        [(s, 1 - lab) for s, lab in rows], "score long, label int"
+    )
+    assert roc_auc(inv, "score", "label").collect()[0]["auc"] == 0.0
+
+
+def test_roc_auc_degenerate_group_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("b", 2, 1), ("b", 1, 0)],
+        "grp string, score long, label int",
+    )
+    out = {r["grp"]: r for r in roc_auc(df, "score", "label", ("grp",)).collect()}
+    assert out["a"]["auc"] is None and out["a"]["auc_den"] == 0
+    assert out["b"]["auc"] == 1.0
+
+
+def test_calibration_bins_totals_and_clamp(spark):
+    rows = [(i * 100, i % 2) for i in range(100)] + [(10**6, 1)]
+    df = spark.createDataFrame(rows, "score long, label int")
+    out = calibration_bins(df, "score", "label", n_bins=10, score_max=10_000)
+    got = {r["bin"]: (r["n"], r["n_pos"], r["score_sum"]) for r in out.collect()}
+    # rows 0..99 spread evenly over bins 0..9; the 10^6 outlier clamps to 9
+    assert sum(n for n, _, _ in got.values()) == 101
+    assert got[0] == (10, 5, sum(i * 100 for i in range(10)))
+    assert got[9][0] == 11 and got[9][2] == sum(
+        i * 100 for i in range(90, 100)
+    ) + 10**6
+
+
+def test_confusion_at_counts(spark):
+    df = spark.createDataFrame(
+        [(10, 1), (10, 0), (3, 1), (3, 0), (7, 0)],
+        "score long, label int",
+    )
+    r = confusion_at(df, "score", "label", threshold=7).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 2, 1, 1)
