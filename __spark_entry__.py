@@ -3649,6 +3649,28 @@ def _stopword_scored(spark, sf_dir):
     )
 
 
+def q_ppjoin_pairs(spark, sf_dir):
+    """LOSSLESS near-dup similarity self-join by prefix filtering
+    (functions/dedup.prefix_filter_pairs — Bayardo et al. WWW'07 /
+    Xiao et al. WWW'08): every document pair with 3-shingle Jaccard
+    >= 1/2, found from an equi-join on rarest-first set prefixes —
+    the third scale path beside MinHash-LSH (probabilistic) and
+    winnowing (positional), and the only one with NO false negatives.
+    Because the filter is exact, the oracle is the brute-force
+    threshold join itself: the optimized plan must emit bit-equal
+    results (the heavy_hitters/decontaminate_bloom identity-
+    certification pattern). Plan: one document-frequency shuffle, a
+    ~(1-t)-fraction prefix explode, equi-join with the integer
+    length filter inside the condition, candidate-only verify —
+    plan-pinned no-cartesian, no Python."""
+    from kspp_spark.functions.dedup import prefix_filter_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_pairs(
+        docs, threshold_num=1, threshold_den=2
+    )
+
+
 def q_auc_eval(spark, sf_dir):
     """Distributed ROC-AUC (functions/evaluation.roc_auc — Mann-
     Whitney U with tie correction, Hanley & McNeil 1982) of the
@@ -3836,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-10 second-session additions (the window was already
         #    locked at 21+29 when these landed): full oracles + local
         #    parity from day one; they are the round-11 head candidates
+        "ppjoin_pairs": q_ppjoin_pairs,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
         "classifier_confusion": q_classifier_confusion,
@@ -7341,6 +7364,30 @@ def oracle_sql() -> dict[str, str]:
                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         """,
     }
+    # prefix filtering is lossless, so the oracle is the brute-force
+    # threshold join over the same distinct 3-shingle sets — the
+    # identity-certification pattern; integer cross-multiplied keep
+    oracles["ppjoin_pairs"] = f"""
+            WITH t AS (
+                SELECT doc_id, {shingles} AS sh FROM (
+                    SELECT doc_id, {_TOKENS} AS toks FROM documents)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                     AS n_inter,
+                   CAST(len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                     AS n_union,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / CAST(len(a.sh) + len(b.sh)
+                            - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     AS jaccard
+            FROM t a, t b
+            WHERE a.doc_id < b.doc_id
+              AND len(a.sh) > 0 AND len(b.sh) > 0
+              AND 2 * len(list_intersect(a.sh, b.sh))
+                  >= len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+        """
     # shared scored-documents CTE for the evaluation-metric oracles:
     # integer-scaled stopword density + lang=='en' label, mirroring
     # _stopword_scored (same tokenizer macro, same DIV)

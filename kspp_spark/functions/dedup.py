@@ -1567,3 +1567,124 @@ def edit_neighbor_pairs(
         .distinct()
     )
     return pairs.filter(F.levenshtein("a", "b") == 1)
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join by prefix filtering — the
+    AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07; Xiao et
+    al. WWW'08), the third distinct near-dup scale path beside
+    MinHash-LSH (probabilistic, minhash_candidates) and winnowing
+    (positional, winnow_dup_pairs). Unlike both, this one is LOSSLESS:
+    it returns exactly the pairs with shingle-set Jaccard >=
+    threshold_num/threshold_den — no false negatives to tune away —
+    which is why its oracle can be the brute-force threshold join
+    itself (identity certification, the heavy_hitters pattern).
+
+    The theorem: order every set by one global token order and take
+    each set's first |x| - ceil(t*|x|) + 1 tokens (its PREFIX). Two
+    sets with Jaccard >= t must share at least one prefix token —
+    if all shared tokens sat outside both prefixes, the overlap would
+    be too small. So an equi-join on prefix tokens finds every
+    qualifying pair. The global order is ASCENDING document frequency
+    (rarest first, ties by token text): prefixes then hold each
+    set's RAREST tokens, so the join's hash buckets are the small
+    ones — frequency ordering is simultaneously the correctness
+    order and the skew mitigation (a stop-shingle shared by half the
+    corpus lands in prefixes only for sets that are nearly all stop
+    shingles). The length filter t*|y| <= |x| (Jaccard <= min/max)
+    prunes cross-size candidates inside the join condition.
+
+    Threshold is an exact rational (num/den) and every comparison is
+    integer cross-multiplied — ceil(t*n) = (num*n + den - 1) DIV den
+    — so the keep decision replays bit-for-bit in SQL. Output
+    (a, b, n_inter, n_union, jaccard), a < b; jaccard is the one
+    IEEE int/int division.
+
+    100-TB shape: one corpus-size shuffle (the document-frequency
+    equi-join back onto exploded shingles), one bounded hash agg per
+    doc to re-pack ordered arrays, a prefix explode of ~(1-t) of all
+    shingle occurrences, the prefix equi-join, then verification on
+    candidates only (array_intersect on the two packed arrays,
+    JVM-side). Never an all-pairs product; no Python anywhere."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("prefix_filter_pairs: need 0 < num <= den")
+    num, den = threshold_num, threshold_den
+    sets_ = df.select(
+        F.col(id_col).alias("id"),
+        _shingles(F.col(text), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    freq = (
+        sets_.select(F.explode("sh").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_"))
+    )
+    ordered = (
+        sets_.select("id", F.explode("sh").alias("g"))
+        .join(freq, "g")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df_"), F.col("g")))
+            ).alias("os")
+        )
+        .select(
+            "id",
+            F.transform("os", lambda s: s["g"]).alias("sh"),
+            F.size("os").alias("n"),
+        )
+    )
+    # prefix length: n - ceil(t*n) + 1, all-integer
+    pre = ordered.withColumn(
+        "plen",
+        (
+            F.col("n")
+            - F.expr(f"({num} * n + {den - 1}) DIV {den}")
+            + F.lit(1)
+        ).cast("int"),
+    )
+    ptok = pre.select(
+        "id", "n", F.explode(F.slice("sh", F.lit(1), F.col("plen"))).alias("g")
+    )
+    la = ptok.select("g", F.col("id").alias("a"), F.col("n").alias("na"))
+    lb = ptok.select("g", F.col("id").alias("b"), F.col("n").alias("nb"))
+    cand = (
+        la.join(lb, "g")
+        .where(
+            (F.col("a") < F.col("b"))
+            & (
+                F.least("na", "nb") * den
+                >= F.greatest("na", "nb") * num
+            )
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    left = ordered.select(
+        F.col("id").alias("a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
+    )
+    right = ordered.select(
+        F.col("id").alias("b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
+    )
+    verified = (
+        cand.join(left, "a")
+        .join(right, "b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .where(F.col("n_inter") * den >= F.col("n_union") * num)
+    )
+    return verified.select(
+        "a",
+        "b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        (F.col("n_inter").cast("double") / F.col("n_union").cast("double")).alias(
+            "jaccard"
+        ),
+    )

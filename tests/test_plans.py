@@ -1039,3 +1039,28 @@ def test_outlier_gate_broadcast_threshold(spark, queries):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ppjoin_pairs_equi_joins_only(spark, queries):
+    """Prefix-filter join scale contract: every Join in the plan is
+    an equi-join (the prefix-token join, the frequency join, the two
+    verify joins) — NEVER a cartesian/broadcast-nested-loop pair
+    enumeration — and no Python appears anywhere. The length filter
+    rides inside the join condition, not as a post-product filter."""
+    plan = formatted_plan(spark, queries["ppjoin_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_evaluation_metrics_bounded_shuffles(spark, queries):
+    """roc_auc scale contract: the corpus is compressed by ONE
+    map-side-combined hash aggregation before any window — the
+    cumulative walk runs over the (group, score) histogram, never a
+    global sort of raw rows — and calibration/confusion are single
+    aggregations. No Python, no join anywhere in the three plans."""
+    for name in ("auc_eval", "score_calibration", "classifier_confusion"):
+        plan = formatted_plan(spark, queries[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "Join" not in plan, name
+        assert "HashAggregate" in plan, name

@@ -1235,3 +1235,57 @@ def test_contamination_score_consistent_with_gate(spark, train, evals):
         ).collect()
     }
     assert gated == {d for d, (m, _, _) in scores.items() if m > 0}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=20,
+    ),
+    num_den=st.sampled_from([(1, 2), (3, 10), (7, 10), (1, 1)]),
+)
+def test_prefix_filter_pairs_equals_bruteforce(spark, texts, num_den):
+    """AllPairs/PPJoin prefix-filter LOSSLESSNESS (the theorem the
+    operator rests on): over a 4-token vocabulary chosen to force
+    massive shingle-frequency ties, degenerate short docs (< n tokens
+    fall back to the whole-text shingle), empty docs, and duplicate
+    documents, the prefix-filtered join returns EXACTLY the
+    brute-force set of pairs with Jaccard >= num/den — including the
+    exact n_inter/n_union integers."""
+    from kspp_spark.functions.dedup import prefix_filter_pairs
+
+    num, den = num_den
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["a"], r["b"], r["n_inter"], r["n_union"])
+        for r in prefix_filter_pairs(
+            df, threshold_num=num, threshold_den=den
+        ).collect()
+    )
+
+    def sh(t):
+        toks = [w for w in t.split() if w]
+        # the _shingles fallback: < n tokens -> the whole text as one
+        # shingle, INCLUDING the empty document ("" is a real shingle,
+        # so all-empty docs are Jaccard-1 duplicates of each other)
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets_ = {i: sh(t) for i, t in enumerate(texts)}
+    want = []
+    ids = sorted(sets_)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets_[a] & sets_[b])
+            union = len(sets_[a] | sets_[b])
+            if inter * den >= union * num:
+                want.append((a, b, inter, union))
+    assert got == sorted(want)
