@@ -3649,6 +3649,93 @@ def _stopword_scored(spark, sf_dir):
     )
 
 
+def _daily_cents(spark, sf_dir, sparse: bool):
+    """Per-(event_type, day) value sums in integer cents —
+    floor(value*100), the r9-documented floor idiom (DuckDB's
+    double->BIGINT CAST rounds, Spark's truncates; floor agrees).
+    sparse=True keeps only user_id % 7 == 0 so real calendar gaps
+    exist at every SF."""
+    ev = _t(spark, sf_dir, "events")
+    if sparse:
+        ev = ev.where(F.col("user_id") % 7 == 0)
+    return ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+    )
+
+
+def q_gap_fill_locf(spark, sf_dir):
+    """Calendar densification + last-observation-carried-forward
+    (functions/timeseries.fill_gaps_locf): the sparse daily series is
+    expanded to EVERY day between each key's first and last
+    observation (F.sequence explode — calendar-bounded, never
+    corpus-bounded), gaps flagged, values carried forward by ONE
+    last(ignoreNulls) running window per key. The dense-grid
+    primitive the reference's windowed stores leave to consumers
+    (mem_windowed_store.h:8-285 keeps empty slots absent). Dates are
+    emitted as yyyy-MM-dd text (the portable form)."""
+    from kspp_spark.functions.timeseries import fill_gaps_locf
+
+    out = fill_gaps_locf(
+        _daily_cents(spark, sf_dir, sparse=True), "event_type", "d", "cents"
+    )
+    return out.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "cents",
+        F.col("is_gap").cast("long").alias("is_gap"),
+    )
+
+
+def q_rolling_window_sum(spark, sf_dir):
+    """Trailing 7-day rolling sum per event type (functions/
+    timeseries.rolling_sum_days): a RANGE window over epoch days, so
+    sparse series are handled correctly WITHOUT densification — a
+    missing day contributes nothing and costs nothing. One shuffle on
+    the key, one range window; integer cents keep it exact."""
+    from kspp_spark.functions.timeseries import rolling_sum_days
+
+    out = rolling_sum_days(
+        _daily_cents(spark, sf_dir, sparse=False),
+        "event_type",
+        "d",
+        "cents",
+        window_days=7,
+    )
+    return out.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "cents",
+        "rolling_sum",
+    )
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort-retention matrix (functions/sessions.
+    cohort_retention): users grouped by first-active week, distinct
+    active users per (cohort, weeks-since) cell, retention as both
+    the exact per-million integer (DIV) and the one IEEE division.
+    THE product-analytics rollup the reference would hand-build as a
+    ktable-of-ktables. Plan: min-period agg, one co-partitioned user
+    join, one distinct agg per cell — matrix size is bounded by
+    time, not corpus. The cohort date is emitted as yyyy-MM-dd text
+    (pandas date/timestamp conversions differ across engines; the
+    string is the portable form)."""
+    from kspp_spark.functions.sessions import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts", "week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "period_offset",
+        "n_users",
+        "cohort_size",
+        "retention_ppm",
+        "retention",
+    )
+
+
 def q_ppjoin_pairs(spark, sf_dir):
     """LOSSLESS near-dup similarity self-join by prefix filtering
     (functions/dedup.prefix_filter_pairs — Bayardo et al. WWW'07 /
@@ -3858,6 +3945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-10 second-session additions (the window was already
         #    locked at 21+29 when these landed): full oracles + local
         #    parity from day one; they are the round-11 head candidates
+        "cohort_retention": q_cohort_retention,
+        "gap_fill_locf": q_gap_fill_locf,
+        "rolling_window_sum": q_rolling_window_sum,
         "ppjoin_pairs": q_ppjoin_pairs,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
@@ -7364,6 +7454,78 @@ def oracle_sql() -> dict[str, str]:
                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         """,
     }
+    # shared daily-cents reductions for the timeseries oracles
+    _DAILY = """
+                SELECT event_type, CAST(ts AS DATE) AS d,
+                       CAST(SUM(CAST(floor(value * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM events {where} GROUP BY 1, 2"""
+    oracles["gap_fill_locf"] = f"""
+            WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),
+            bounds AS (
+                SELECT event_type, MIN(d) AS lo, MAX(d) AS hi
+                FROM daily GROUP BY 1
+            ),
+            cal AS (
+                SELECT event_type,
+                       CAST(unnest(generate_series(lo, hi,
+                            INTERVAL 1 DAY)) AS DATE) AS d
+                FROM bounds
+            ),
+            j AS (
+                SELECT c.event_type, c.d, dd.cents,
+                       CASE WHEN dd.cents IS NULL THEN 1 ELSE 0 END
+                         AS is_gap
+                FROM cal c LEFT JOIN daily dd
+                  ON c.event_type = dd.event_type AND c.d = dd.d
+            )
+            SELECT event_type, strftime(d, '%Y-%m-%d') AS d,
+                   LAST_VALUE(cents IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cents,
+                   CAST(is_gap AS BIGINT) AS is_gap
+            FROM j
+        """
+    oracles["rolling_window_sum"] = f"""
+            WITH daily AS ({_DAILY.format(where="")})
+            SELECT event_type, strftime(d, '%Y-%m-%d') AS d, cents,
+                   CAST(SUM(cents) OVER (
+                       PARTITION BY event_type
+                       ORDER BY (d - DATE '1970-01-01')
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS rolling_sum
+            FROM daily
+        """
+    oracles["cohort_retention"] = """
+            WITH acts AS (
+                SELECT user_id AS u,
+                       CAST(date_trunc('week', ts) AS DATE) AS p
+                FROM events
+            ),
+            firsts AS (
+                SELECT u, MIN(p) AS cohort FROM acts GROUP BY u
+            ),
+            mat AS (
+                SELECT f.cohort,
+                       (a.p - f.cohort) // 7 AS period_offset,
+                       COUNT(DISTINCT a.u) AS n_users
+                FROM acts a JOIN firsts f ON a.u = f.u
+                GROUP BY 1, 2
+            ),
+            sz AS (
+                SELECT cohort, n_users AS cohort_size
+                FROM mat WHERE period_offset = 0
+            )
+            SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort,
+                   CAST(m.period_offset AS BIGINT) AS period_offset,
+                   CAST(m.n_users AS BIGINT) AS n_users,
+                   CAST(s.cohort_size AS BIGINT) AS cohort_size,
+                   (1000000 * m.n_users) // s.cohort_size AS retention_ppm,
+                   CAST(m.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+                     AS retention
+            FROM mat m JOIN sz s ON m.cohort = s.cohort
+        """
     # prefix filtering is lossless, so the oracle is the brute-force
     # threshold join over the same distinct 3-shingle sets — the
     # identity-certification pattern; integer cross-multiplied keep

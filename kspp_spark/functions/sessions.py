@@ -138,3 +138,69 @@ def event_transitions_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix — THE product-analytics rollup: group
+    users by the period of their FIRST event (their cohort), then for
+    every (cohort, periods-since-cohort) cell count the distinct
+    users still active. Output one row per populated cell:
+    (cohort, period_offset, n_users, cohort_size, retention_num/_den
+    as the exact per-million integer pair, retention as the one IEEE
+    division). period_offset 0 is the cohort itself, so its
+    retention is 1 by construction — kept as the oracle-checkable
+    anchor row.
+
+    `granularity` is any date_trunc unit ('week' starts Monday in
+    both Spark and ANSI SQL; 'day'/'month' likewise portable).
+    period_offset counts granularity units between cohort and
+    activity period — computed on DATE arithmetic (datediff DIV 7
+    for weeks), never timestamp subtraction, so DST/leap handling
+    can't skew the bucket.
+
+    Scale shape: one map-side-combined (user -> min period) hash
+    aggregation, one shuffle join back onto events keyed by user
+    (both sides hash on user_col — co-partitioned), then one
+    distinct-users aggregation per cell. The matrix is
+    |cohorts| x |offsets| rows — bounded by time, not corpus. The
+    countDistinct is exact; at extreme cardinality callers can swap
+    approx_count_distinct or feed sketch.hll_registers per cell.
+    """
+    unit_days = {"day": 1, "week": 7}
+    per = F.date_trunc(granularity, F.col(ts_col)).cast("date")
+    acts = df.select(F.col(user_col).alias("_u"), per.alias("_p"))
+    firsts = acts.groupBy("_u").agg(F.min("_p").alias("cohort"))
+    joined = acts.join(firsts, "_u")
+    if granularity in unit_days:
+        # dates are already truncated to the unit, so datediff is an
+        # exact multiple — integer DIV keeps it the repo-wide idiom
+        off = F.expr(
+            f"datediff(_p, cohort) DIV {unit_days[granularity]}"
+        ).cast("long")
+    elif granularity == "month":
+        off = (
+            (F.year("_p") - F.year("cohort")) * 12
+            + (F.month("_p") - F.month("cohort"))
+        ).cast("long")
+    else:
+        raise ValueError(f"cohort_retention: unsupported {granularity!r}")
+    cells = joined.select("cohort", off.alias("period_offset"), "_u")
+    mat = cells.groupBy("cohort", "period_offset").agg(
+        F.countDistinct("_u").alias("n_users")
+    )
+    size = mat.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_users").alias("cohort_size")
+    )
+    out = mat.join(size, "cohort").withColumn(
+        "retention_ppm",
+        F.expr("(1000000 * n_users) DIV cohort_size"),
+    )
+    return out.withColumn(
+        "retention",
+        F.col("n_users").cast("double") / F.col("cohort_size").cast("double"),
+    )

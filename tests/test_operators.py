@@ -3761,3 +3761,123 @@ def test_hll_intersection_inclusion_exclusion(spark):
     )
     [dz] = hll_intersection(ra, hll_registers(c, col="k", p=p), p=p).collect()
     assert abs(dz["est_intersection"]) <= band
+
+
+def test_cohort_retention_weekly_semantics(spark):
+    """cohort_retention: cohorts are first-active weeks, offsets are
+    whole weeks, offset-0 retention is exactly 1, users count once
+    per cell however many events they emit, and a user returning
+    after a gap fills only the weeks they were actually active."""
+    import datetime
+
+    from kspp_spark.functions.sessions import cohort_retention
+
+    d = datetime.datetime
+    rows = [
+        # u1: cohort week of Mon 2024-01-01, active weeks 0 and 2
+        (1, d(2024, 1, 3, 10)), (1, d(2024, 1, 4, 11)),
+        (1, d(2024, 1, 17, 9)),
+        # u2: same cohort, active week 0 only
+        (2, d(2024, 1, 7, 23)),
+        # u3: cohort the next week (Mon 2024-01-08), active weeks 0, 1
+        (3, d(2024, 1, 8, 0)), (3, d(2024, 1, 16, 12)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"].isoformat(), r["period_offset"]): (
+            r["n_users"], r["cohort_size"], r["retention_ppm"], r["retention"]
+        )
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1_000_000, 1.0),
+        ("2024-01-01", 2): (1, 2, 500_000, 0.5),
+        ("2024-01-08", 0): (1, 1, 1_000_000, 1.0),
+        ("2024-01-08", 1): (1, 1, 1_000_000, 1.0),
+    }
+
+
+def test_cohort_retention_monthly_and_bad_granularity(spark):
+    import datetime
+
+    import pytest
+
+    from kspp_spark.functions.sessions import cohort_retention
+
+    d = datetime.datetime
+    df = spark.createDataFrame(
+        [(1, d(2024, 1, 31, 12)), (1, d(2024, 3, 1, 0)), (2, d(2024, 3, 5, 5))],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (r["cohort"].isoformat(), r["period_offset"]): r["n_users"]
+        for r in cohort_retention(df, granularity="month").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-03-01", 0): 1,
+    }
+    with pytest.raises(ValueError):
+        cohort_retention(df, granularity="fortnight")
+
+
+def test_fill_gaps_locf_semantics(spark):
+    """fill_gaps_locf: every day between per-key bounds appears
+    exactly once, gaps carry the previous value, the first day is an
+    observation by construction, and keys don't bleed into each
+    other."""
+    import datetime
+
+    from kspp_spark.functions.timeseries import fill_gaps_locf
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [
+            ("a", d(2024, 1, 1), 10),
+            ("a", d(2024, 1, 4), 40),
+            ("b", d(2024, 2, 1), 7),
+        ],
+        "k string, d date, v long",
+    )
+    got = sorted(
+        (r["k"], r["d"].isoformat(), r["v"], r["is_gap"])
+        for r in fill_gaps_locf(df, "k", "d", "v").collect()
+    )
+    assert got == [
+        ("a", "2024-01-01", 10, 0),
+        ("a", "2024-01-02", 10, 1),
+        ("a", "2024-01-03", 10, 1),
+        ("a", "2024-01-04", 40, 0),
+        ("b", "2024-02-01", 7, 0),
+    ]
+
+
+def test_rolling_sum_days_sparse_range(spark):
+    """rolling_sum_days: the RANGE frame counts calendar days, not
+    rows — a sparse series' gap days age observations out of the
+    window even though no row exists for them."""
+    import datetime
+
+    from kspp_spark.functions.timeseries import rolling_sum_days
+
+    d = datetime.date
+    df = spark.createDataFrame(
+        [
+            ("a", d(2024, 1, 1), 1),
+            ("a", d(2024, 1, 3), 2),
+            ("a", d(2024, 1, 10), 4),   # 1 and 3 aged out of a 7-day window
+            ("b", d(2024, 1, 2), 100),
+        ],
+        "k string, d date, v long",
+    )
+    got = {
+        (r["k"], r["d"].isoformat()): r["rolling_sum"]
+        for r in rolling_sum_days(df, "k", "d", "v", window_days=7).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01"): 1,
+        ("a", "2024-01-03"): 3,
+        ("a", "2024-01-10"): 4,
+        ("b", "2024-01-02"): 100,
+    }
