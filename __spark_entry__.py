@@ -3649,6 +3649,62 @@ def _stopword_scored(spark, sf_dir):
     )
 
 
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts + clustering coefficient (functions/
+    graph.triangle_counts — Schank & Wagner 2005 degree-ordered
+    wedges; Suri & Vassilvitskii WWW'11 for the shuffle analysis) on
+    the co-purchase graph: parts are linked when some order contains
+    both. The orientation trick is the 100-TB point — every triangle
+    is counted at its LOWEST-degree corner, so hub nodes fan out
+    O(sqrt(m)) wedges instead of deg^2 (the "curse of the last
+    reducer"). The oracle replays the textbook a<b<c three-way
+    edge join — the oriented plan must match it exactly, integer
+    counts and the one IEEE clustering division."""
+    from kspp_spark.functions.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("l")
+        .join(li.alias("r"), "l_orderkey")
+        .where(F.col("l.l_partkey") < F.col("r.l_partkey"))
+        .select(
+            F.col("l.l_partkey").alias("src"),
+            F.col("r.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_counts(pairs)
+
+
+def q_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) layout statistics (functions/layout.
+    zorder_buckets/zorder_key — the OPTIMIZE ZORDER primitive):
+    lineitem bucketed 32x32 on (l_partkey, l_suppkey) from global
+    min/max, bit-interleaved, grouped into 64 contiguous z-ranges
+    (the would-be files), and each range reports count + min/max of
+    BOTH raw dimensions — the exact min/max stats a parquet footer
+    would carry, certifying as DATA that every z-range is a tight
+    hyper-rectangle in both dims at once (a single-column sort gives
+    tight stats on one dim only). All integer bit arithmetic —
+    buckets, interleave, range split — so the whole layout replays
+    bit-for-bit in SQL. Plan: one tiny min/max agg broadcast onto
+    the scan, map-side key build, one hash agg on 64 keys."""
+    from kspp_spark.functions.layout import zorder_buckets
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    keyed = zorder_buckets(li, ["l_partkey", "l_suppkey"], bits=5)
+    return (
+        keyed.withColumn("prange", F.shiftright("zkey", 4))
+        .groupBy("prange")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
 def _daily_cents(spark, sf_dir, sparse: bool):
     """Per-(event_type, day) value sums in integer cents —
     floor(value*100), the r9-documented floor idiom (DuckDB's
@@ -3946,6 +4002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    locked at 21+29 when these landed): full oracles + local
         #    parity from day one; they are the round-11 head candidates
         "cohort_retention": q_cohort_retention,
+        "triangle_counts": q_triangle_counts,
+        "zorder_stats": q_zorder_stats,
         "gap_fill_locf": q_gap_fill_locf,
         "rolling_window_sum": q_rolling_window_sum,
         "ppjoin_pairs": q_ppjoin_pairs,
@@ -7454,6 +7512,71 @@ def oracle_sql() -> dict[str, str]:
                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
         """,
     }
+    # triangle replay: the textbook a<b<c three-way edge join over
+    # the distinct co-purchase edge set — the degree-oriented Spark
+    # plan must produce identical per-node counts
+    oracles["triangle_counts"] = """
+            WITH pairs AS (
+                SELECT DISTINCT l.l_partkey AS u, r.l_partkey AS v
+                FROM lineitem l JOIN lineitem r
+                  ON l.l_orderkey = r.l_orderkey
+                 AND l.l_partkey < r.l_partkey
+            ),
+            deg AS (
+                SELECT node, COUNT(*) AS degree FROM (
+                    SELECT u AS node FROM pairs
+                    UNION ALL SELECT v FROM pairs
+                ) GROUP BY node
+            ),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM pairs e1
+                JOIN pairs e2 ON e1.v = e2.u
+                JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            corners AS (
+                SELECT node, COUNT(*) AS n_triangles FROM (
+                    SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY node
+            )
+            SELECT d.node,
+                   CAST(d.degree AS BIGINT) AS degree,
+                   CAST(COALESCE(c.n_triangles, 0) AS BIGINT)
+                     AS n_triangles,
+                   CASE WHEN d.degree >= 2
+                        THEN CAST(2 * COALESCE(c.n_triangles, 0) AS DOUBLE)
+                             / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                        ELSE 0.0 END AS clustering
+            FROM deg d LEFT JOIN corners c USING (node)
+        """
+    # z-order replay: equal-width buckets from global min/max, the
+    # 5-bit Morton interleave spelled out per bit, 64 contiguous
+    # ranges via >> 4 — all BIGINT bit arithmetic
+    _ZBITS = 5
+    _zk = " + ".join(
+        f"(((ba >> {i}) & 1) << {2 * i}) + (((bb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_ZBITS)
+    )
+    oracles["zorder_stats"] = f"""
+            WITH bounds AS (
+                SELECT MIN(l_partkey) AS lop, MAX(l_partkey) AS hip,
+                       MIN(l_suppkey) AS los, MAX(l_suppkey) AS his
+                FROM lineitem
+            ),
+            keyed AS (
+                SELECT l_partkey, l_suppkey,
+                       ((l_partkey - lop) * 32) // (hip - lop + 1) AS ba,
+                       ((l_suppkey - los) * 32) // (his - los + 1) AS bb
+                FROM lineitem CROSS JOIN bounds
+            )
+            SELECT ({_zk}) >> 4 AS prange,
+                   COUNT(*) AS n,
+                   MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+                   MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+            FROM keyed GROUP BY 1
+        """
     # shared daily-cents reductions for the timeseries oracles
     _DAILY = """
                 SELECT event_type, CAST(ts AS DATE) AS d,

@@ -221,3 +221,87 @@ def domain_edges(
         )
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient on an
+    undirected graph, by the degree-ordered wedge join (Schank &
+    Wagner 2005; the MapReduce form is Suri & Vassilvitskii WWW'11
+    — "Counting triangles and the curse of the last reducer").
+
+    Input edges may be directed/duplicated/self-looped — they are
+    canonicalized (least/greatest, distinct, loops dropped) first.
+    Every edge is ORIENTED from its lower-(degree, id) endpoint to
+    the higher one; each triangle then has exactly ONE vertex with
+    two outgoing oriented edges (its lowest-degree corner), so
+    counting (wedge a->b, a->c, plus closing edge {b,c}) sees every
+    triangle exactly once — and the wedge fan-out per node is the
+    oriented OUT-degree, which the orientation bounds by O(sqrt(m))
+    on any graph (the arboricity bound): the curse-of-the-last-
+    reducer hub explosion cannot happen, because a hub's edges
+    orient INTO it.
+
+    Plan: two degree joins to orient, one self-equi-join on the
+    wedge apex, one equi-join onto the canonical edge set to close,
+    explode the 3 corners, one count agg, one degree join back.
+    All equi-joins on fixed-width keys; never an all-pairs product.
+    Output: (node, degree, n_triangles, clustering) where clustering
+    = 2T / (deg*(deg-1)) as one IEEE division (0 for deg < 2)."""
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    wedges = (
+        o.alias("x")
+        .join(o.alias("y"), F.col("x.a") == F.col("y.a"))
+        .where(F.col("x.b") < F.col("y.b"))
+        .select(
+            F.col("x.a").alias("a"),
+            F.col("x.b").alias("u"),
+            F.col("y.b").alias("v"),
+        )
+    )
+    tris = wedges.join(e, ["u", "v"])
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("u").alias("node")))
+        .unionAll(tris.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = deg.join(corners, "node", "left").withColumn(
+        "n_triangles", F.coalesce("n_triangles", F.lit(0)).cast("long")
+    )
+    return out.select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            (2 * F.col("n_triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

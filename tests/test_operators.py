@@ -3881,3 +3881,101 @@ def test_rolling_sum_days_sparse_range(spark):
         ("a", "2024-01-10"): 4,
         ("b", "2024-01-02"): 100,
     }
+
+
+def test_zorder_key_known_bit_values(spark):
+    """Morton interleave, pinned bit-by-bit: column 0 owns the even
+    result bits, column 1 the odd ones; masking clips inputs to
+    `bits`."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 5), (31, 31), (32, 0)], "a long, b long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            zorder_key(["a", "b"], bits=5).alias("z")
+        ).collect()
+    ]
+    # (3,5): a bits {0,1} -> result bits {0,2} = 5; b bits {0,2} ->
+    # result bits {1,5} = 34 -> 39. (32,0): 32 masked to 5 bits -> 0.
+    assert got == [1, 2, 39, 1023, 0]
+
+
+def test_zorder_ranges_are_square_tiles(spark):
+    """The locality theorem the layout rests on: over the full 32x32
+    grid, each of the 64 contiguous 16-key z-ranges is EXACTLY a 4x4
+    tile — min/max spread 3 in BOTH dimensions (a linear layout
+    gives spread 0 in one and 31 in the other). This is the file-
+    stats tightness OPTIMIZE ZORDER buys, asserted exactly."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.layout import zorder_buckets
+
+    grid = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+    )
+    keyed = zorder_buckets(grid, ["x", "y"], bits=5)
+    stats = (
+        keyed.withColumn("pr", F.shiftright("zkey", 4))
+        .groupBy("pr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert len(stats) == 64
+    assert all(r["n"] == 16 and r["sx"] == 3 and r["sy"] == 3 for r in stats)
+
+
+def test_zorder_buckets_validates_inputs(spark):
+    import pytest
+
+    from kspp_spark.functions.layout import zorder_buckets, zorder_key
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        zorder_buckets(df, ["a", "missing"])
+    with pytest.raises(ValueError):
+        zorder_key(["a"], bits=5)
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b"], bits=32)
+
+
+def test_write_zordered_round_trip(spark, tmp_path):
+    """write_zordered materializes a readable parquet layout without
+    the helper columns, and the per-file min/max of both dims stay
+    tile-tight (the stats a footer would expose for pruning)."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.layout import write_zordered
+
+    grid = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(grid, path, ["x", "y"], bits=5, num_files=16)
+    back = spark.read.parquet(path)
+    assert sorted(back.columns) == ["x", "y"]
+    assert back.count() == 1024
+    # per-file spread: ~64 consecutive z-keys per range partition is
+    # an 8x8 tile when block-aligned; range boundaries come from
+    # SAMPLING, so a file may straddle two tiles — bound by the
+    # two-tile bounding box (15), still far under the global 31
+    stats = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    assert all(r["sx"] <= 15 and r["sy"] <= 15 for r in stats)

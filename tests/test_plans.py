@@ -1064,3 +1064,27 @@ def test_evaluation_metrics_bounded_shuffles(spark, queries):
         assert "BatchEvalPython" not in plan, name
         assert "Join" not in plan, name
         assert "HashAggregate" in plan, name
+
+
+def test_triangle_counts_equi_joins_only(spark, queries):
+    """Triangle-count scale contract: wedge generation and closure
+    are equi-joins (apex key, closing-edge key) — never a cartesian
+    or nested-loop pair enumeration — and no Python appears."""
+    plan = formatted_plan(spark, queries["triangle_counts"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_zorder_stats_single_wide_shuffle(spark, queries):
+    """Z-order layout scale contract: the global min/max bounds ride
+    a 1-row BROADCAST onto the scan (never a collect, never a wide
+    join), the Morton key is map-side codegen, and the only wide
+    exchange is the 64-key final aggregation."""
+    plan = formatted_plan(spark, queries["zorder_stats"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds frame
+    assert "SortMergeJoin" not in plan
+    # exchanges: the bounds agg's own singleton exchange + the final
+    # 64-key hash agg pair — never one keyed by raw rows
+    assert "CartesianProduct" not in plan

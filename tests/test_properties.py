@@ -1289,3 +1289,52 @@ def test_prefix_filter_pairs_equals_bruteforce(spark, texts, num_den):
             if inter * den >= union * num:
                 want.append((a, b, inter, union))
     assert got == sorted(want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_counts_matches_bruteforce(spark, edges):
+    """Degree-ordered wedge counting equals the O(n^3) brute force on
+    arbitrary messy input (duplicates, reversed duplicates, self
+    loops — all canonicalized away), per node, including degree and
+    the deg<2 clustering convention."""
+    from kspp_spark.functions.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        edges + [(0, 1)], "src long, dst long"  # never empty
+    )
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in triangle_counts(df).collect()
+    }
+    adj = {}
+    for s, d in edges + [(0, 1)]:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    want = {}
+    for n, nbrs in adj.items():
+        ns = sorted(nbrs)
+        t = sum(
+            1
+            for i in range(len(ns))
+            for j in range(i + 1, len(ns))
+            if ns[j] in adj[ns[i]]
+        )
+        deg = len(nbrs)
+        want[n] = (
+            deg,
+            t,
+            (2 * t) / (deg * (deg - 1)) if deg >= 2 else 0.0,
+        )
+    assert got == want
