@@ -3767,6 +3767,52 @@ def q_rolling_window_sum(spark, sf_dir):
     )
 
 
+def q_daily_trend(spark, sf_dir):
+    """Per-key OLS trend (functions/timeseries.linear_trend): the
+    slope/intercept of daily spend-in-cents vs epoch day for every
+    event type, from the five exact integer sums (n, Sx, Sy, Sxx,
+    Sxy) — ONE map-side-combinable hash aggregation fits a
+    regression per key over any corpus; only the final divisions are
+    IEEE doubles. The sums ride along in the output so the driver
+    hash-certifies the integer core, not just the rounded line."""
+    from kspp_spark.functions.timeseries import linear_trend
+
+    daily = _daily_cents(spark, sf_dir, sparse=False).withColumn(
+        "x", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    )
+    return linear_trend(daily, "event_type", "x", "cents")
+
+
+def q_rolling_outliers(spark, sf_dir):
+    """Rolling z-score anomaly flags WITHOUT floats (functions/
+    timeseries.rolling_outliers): |x - mean| > 2*sd against the
+    trailing 7-day baseline (current day excluded from its own
+    statistics), cross-multiplied into exact int64 products — the
+    float-fragile analytic made hash-certifiable. Two RANGE-frame
+    running sums per key, map-side integer comparison; sparse-safe
+    (gap days age the baseline out on the calendar, not the row
+    count)."""
+    from kspp_spark.functions.timeseries import rolling_outliers
+
+    out = rolling_outliers(
+        _daily_cents(spark, sf_dir, sparse=True),
+        "event_type",
+        "d",
+        "cents",
+        window_days=7,
+        k_num=2,
+        k_den=1,
+    )
+    return out.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "cents",
+        "n_baseline",
+        "baseline_sum",
+        "is_outlier",
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort-retention matrix (functions/sessions.
     cohort_retention): users grouped by first-active week, distinct
@@ -4006,6 +4052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_stats": q_zorder_stats,
         "gap_fill_locf": q_gap_fill_locf,
         "rolling_window_sum": q_rolling_window_sum,
+        "daily_trend": q_daily_trend,
+        "rolling_outliers": q_rolling_outliers,
         "ppjoin_pairs": q_ppjoin_pairs,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
@@ -7619,6 +7667,60 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS rolling_sum
             FROM daily
+        """
+    oracles["daily_trend"] = f"""
+            WITH daily AS ({_DAILY.format(where="")}),
+            xy AS (
+                SELECT event_type,
+                       CAST(d - DATE '1970-01-01' AS BIGINT) AS x,
+                       cents AS y
+                FROM daily
+            ),
+            agg AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM xy GROUP BY event_type
+            )
+            SELECT event_type, n, sx, sy, sxx, sxy,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS slope,
+                   CASE WHEN n * sxx - sx * sx <> 0
+                        THEN (CAST(sy AS DOUBLE)
+                              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                                * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                   END AS intercept
+            FROM agg
+        """
+    oracles["rolling_outliers"] = f"""
+            WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),
+            b AS (
+                SELECT event_type, d, cents,
+                       COUNT(*) OVER wf AS n,
+                       COALESCE(SUM(cents) OVER wf, 0) AS s1,
+                       COALESCE(SUM(cents * cents) OVER wf, 0) AS s2
+                FROM daily
+                WINDOW wf AS (
+                    PARTITION BY event_type
+                    ORDER BY (d - DATE '1970-01-01')
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, strftime(d, '%Y-%m-%d') AS d, cents,
+                   CAST(n AS BIGINT) AS n_baseline,
+                   CAST(s1 AS BIGINT) AS baseline_sum,
+                   CAST(CASE WHEN n >= 2
+                             AND (cents * n - s1) * (cents * n - s1)
+                                 * (n - 1)
+                                 > 4 * n * (n * s2 - s1 * s1)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM b
         """
     oracles["cohort_retention"] = """
             WITH acts AS (

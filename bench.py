@@ -192,6 +192,23 @@ BENCH_QUERIES = [
     # DataSketches HLL next to the portable md5 form — the recorded
     # pair IS the portable-overhead measurement
     "hll_production",
+    # round-10 second-session additions (88 -> 99): classifier
+    # evaluation (histogram ROC-AUC / calibration / confusion),
+    # lossless PPJoin prefix-filtered similarity join, weekly cohort
+    # retention, calendar gap-fill LOCF + RANGE rolling sums, Morton
+    # z-order layout stats, degree-ordered triangle counting, per-key
+    # OLS trends and integer rolling z-score outliers
+    "auc_eval",
+    "score_calibration",
+    "classifier_confusion",
+    "ppjoin_pairs",
+    "cohort_retention",
+    "gap_fill_locf",
+    "rolling_window_sum",
+    "daily_trend",
+    "rolling_outliers",
+    "zorder_stats",
+    "triangle_counts",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -15,6 +15,16 @@ longs inside codegen), so the keys and the per-partition stats replay
 bit-for-bit in a SQL oracle. The reference has no layout surface at
 all — its stores are hash-partitioned by key only (SURVEY.md §2.8) —
 this module is pure scale infrastructure.
+
+Relationship to kspp_spark.io: io.write_zordered/zorder_value are the
+WRITE path (float-normalized quantization against driver-collected
+domain bounds — fine for laying out files, where the key only needs
+to cluster, not replay). This module is the ANALYTIC form: all-integer
+equal-width buckets joined from a broadcast 1-row bounds frame, no
+collect, no float anywhere — so layout quality itself is a graded,
+hash-certified query (zorder_stats). Use io.write_zordered to
+materialize; use zorder_buckets/zorder_key when the key or the
+resulting layout statistics must be exact/auditable.
 """
 
 from __future__ import annotations
@@ -92,28 +102,6 @@ def zorder_buckets(
     )
 
 
-def write_zordered(
-    df: DataFrame,
-    path: str,
-    cols: Sequence[str],
-    bits: int = 8,
-    num_files: int | None = None,
-) -> None:
-    """Materialize a z-ordered parquet layout: bucket + Morton key,
-    range-partition on the key (contiguous z-ranges per file = small
-    hyper-rectangles), sort within partitions so row groups inherit
-    the locality, drop the helper columns, write. After this, min/max
-    file stats are tight on EVERY col in `cols` — the zorder_stats
-    graded query measures exactly that tightness."""
-    keyed = zorder_buckets(df, cols, bits=bits)
-    part = (
-        keyed.repartitionByRange(num_files, "zkey")
-        if num_files
-        else keyed.repartitionByRange("zkey")
-    )
-    (
-        part.sortWithinPartitions("zkey")
-        .drop("zkey", *[f"_zb_{c}" for c in cols])
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+# Materializing a z-ordered layout lives in kspp_spark.io
+# (write_zordered) — one z-order write path, two key builders with
+# documented trade-offs (see the module docstring).

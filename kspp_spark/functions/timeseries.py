@@ -91,3 +91,125 @@ def rolling_sum_days(
     return df.select(
         k, d, F.col(v), F.sum(v).over(w).alias(out)
     )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend line from the FIVE
+    closed-form sums (n, Sx, Sy, Sxx, Sxy):
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy - slope*Sx) / n
+
+    Feed INTEGER x/y (epoch days, cents) and the five sums stay
+    exact integers — order-independent, so the distributed
+    aggregation is deterministic — and only the final two divisions
+    are IEEE doubles (replayable bit-for-bit in any engine). This is
+    the map-side-combinable regression: one hash aggregation total,
+    the classic "fit a trend per key over 100 TB of telemetry"
+    shape. Degenerate keys (n < 2 or zero x-variance) get NULL
+    slope/intercept. Keep |x|,|y| within ~2^31 hygiene so the
+    products fit int64 (epoch days and cents do)."""
+    k = key_col
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = df.groupBy(k).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    det = agg.withColumn(
+        "_den", F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).withColumn(
+        "_num", F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    slope = F.col("_num").cast("double") / F.col("_den").cast("double")
+    out = det.withColumn(
+        "slope", F.when(F.col("_den") != 0, slope)
+    ).withColumn(
+        "intercept",
+        F.when(
+            F.col("_den") != 0,
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+        ),
+    )
+    return out.select(
+        k, "n", "sx", "sy", "sxx", "sxy", "slope", "intercept"
+    )
+
+
+def rolling_outliers(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+    window_days: int = 7,
+    k_num: int = 2,
+    k_den: int = 1,
+) -> DataFrame:
+    """Flag days whose value sits more than k = k_num/k_den sample
+    standard deviations from the trailing window_days-day mean —
+    WITHOUT ever computing a standard deviation: the test
+    |x - mean| > k*sd is cross-multiplied into pure integers,
+
+        (x*n - S1)^2 * k_den^2 * (n-1)  >  k_num^2 * n * (n*S2 - S1^2)
+
+    (S1/S2 = trailing sum / sum of squares, sample variance). Every
+    side is an exact int64 product, so the flag — normally the most
+    float-fragile analytic there is — replays bit-for-bit in SQL.
+    The current day is EXCLUDED from its own baseline (frame ends at
+    -1 day): an outlier must not dilute the statistics that judge
+    it. Days with fewer than 2 baseline observations are unflagged
+    (is_outlier 0, the honest default). Keep values in ~10^7-scale
+    integers (daily cents) so the squared products fit int64.
+
+    Plan: one shuffle on the key, two RANGE-frame running sums over
+    date order, map-side integer comparison. Sparse-safe like
+    rolling_sum_days — gap days simply age observations out."""
+    if k_num <= 0 or k_den <= 0:
+        raise ValueError("rolling_outliers: k must be positive")
+    k, d, v = key_col, date_col, value_col
+    days = F.datediff(F.col(d), F.lit("1970-01-01").cast("date"))
+    w = (
+        W.partitionBy(k)
+        .orderBy(days)
+        .rangeBetween(-window_days, -1)
+    )
+    x = F.col(v).cast("long")
+    base = df.select(
+        k,
+        d,
+        x.alias("_x"),
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias("_n"),
+        F.coalesce(F.sum(x).over(w), F.lit(0)).alias("_s1"),
+        F.coalesce(F.sum(x * x).over(w), F.lit(0)).alias("_s2"),
+    )
+    dev2 = (
+        (F.col("_x") * F.col("_n") - F.col("_s1"))
+        * (F.col("_x") * F.col("_n") - F.col("_s1"))
+        * F.lit(k_den * k_den)
+        * (F.col("_n") - 1)
+    )
+    bound = (
+        F.lit(k_num * k_num)
+        * F.col("_n")
+        * (F.col("_n") * F.col("_s2") - F.col("_s1") * F.col("_s1"))
+    )
+    flag = F.when(
+        (F.col("_n") >= 2) & (dev2 > bound), F.lit(1)
+    ).otherwise(F.lit(0))
+    return base.select(
+        k,
+        d,
+        F.col("_x").alias(v),
+        F.col("_n").cast("long").alias("n_baseline"),
+        F.col("_s1").cast("long").alias("baseline_sum"),
+        flag.cast("long").alias("is_outlier"),
+    )

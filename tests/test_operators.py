@@ -3949,12 +3949,13 @@ def test_zorder_buckets_validates_inputs(spark):
 
 
 def test_write_zordered_round_trip(spark, tmp_path):
-    """write_zordered materializes a readable parquet layout without
-    the helper columns, and the per-file min/max of both dims stay
-    tile-tight (the stats a footer would expose for pruning)."""
+    """io.write_zordered (the write path; functions/layout holds the
+    integer-exact key algebra) materializes a readable parquet layout
+    without helper columns, and the per-file min/max of both dims
+    stay tile-tight (the stats a footer would expose for pruning)."""
     from pyspark.sql import functions as F
 
-    from kspp_spark.functions.layout import write_zordered
+    from kspp_spark.io import write_zordered
 
     grid = spark.range(0, 1024).select(
         (F.col("id") % 32).alias("x"),
@@ -3979,3 +3980,56 @@ def test_write_zordered_round_trip(spark, tmp_path):
         .collect()
     )
     assert all(r["sx"] <= 15 and r["sy"] <= 15 for r in stats)
+
+
+def test_linear_trend_exact_fit_and_degenerates(spark):
+    """linear_trend recovers an exact line (y = 3x + 10) with
+    bit-exact slope/intercept, and returns NULL fits for n == 1 and
+    zero-x-variance keys instead of dividing by zero."""
+    from kspp_spark.functions.timeseries import linear_trend
+
+    rows = (
+        [("line", x, 3 * x + 10) for x in range(5)]
+        + [("single", 4, 7)]
+        + [("flatx", 2, 1), ("flatx", 2, 9)]
+    )
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {r["k"]: r for r in linear_trend(df, "k", "x", "y").collect()}
+    assert got["line"]["slope"] == 3.0 and got["line"]["intercept"] == 10.0
+    assert got["line"]["n"] == 5 and got["line"]["sxy"] == sum(
+        x * (3 * x + 10) for x in range(5)
+    )
+    assert got["single"]["slope"] is None
+    assert got["flatx"]["slope"] is None and got["flatx"]["intercept"] is None
+
+
+def test_rolling_outliers_flags_and_self_exclusion(spark):
+    """rolling_outliers: a spike against a flat baseline flags; the
+    spike is EXCLUDED from its own baseline (n_baseline counts only
+    prior days); warm-up days (n < 2) never flag; and a constant
+    series never flags (zero variance, strict >)."""
+    import datetime
+
+    from kspp_spark.functions.timeseries import rolling_outliers
+
+    d = datetime.date
+    rows = [("a", d(2024, 1, i), 100) for i in range(1, 8)] + [
+        ("a", d(2024, 1, 8), 100000),
+        ("a", d(2024, 1, 9), 100),
+        ("b", d(2024, 1, 1), 5),
+        ("b", d(2024, 1, 2), 500),
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, v long")
+    got = {
+        (r["k"], r["d"].isoformat()): (r["n_baseline"], r["is_outlier"])
+        for r in rolling_outliers(df, "k", "d", "v", window_days=7).collect()
+    }
+    assert got[("a", "2024-01-08")] == (7, 1)      # the spike flags
+    assert got[("a", "2024-01-01")] == (0, 0)      # warm-up
+    assert got[("a", "2024-01-02")] == (1, 0)      # n < 2 never flags
+    assert got[("a", "2024-01-05")][1] == 0        # flat baseline, no flag
+    # day 9's baseline INCLUDES the spike (days 2..8) yet day 9
+    # doesn't flag — the huge variance the spike left behind absorbs
+    # the return to normal; and n_baseline counts 7 prior days
+    assert got[("a", "2024-01-09")] == (7, 0)
+    assert got[("b", "2024-01-02")] == (1, 0)      # single-point baseline
