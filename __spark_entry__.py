@@ -3767,6 +3767,25 @@ def q_rolling_window_sum(spark, sf_dir):
     )
 
 
+def q_session_ids(spark, sf_dir):
+    """ID-bearing sessionization (functions/sessions.sessionize /
+    session_stats): explicit (user, session_seq) keys by 30-minute
+    inactivity gap — lag + running-sum-of-boundaries, the construction
+    the reference's windowed store can't give you an id from
+    (mem_windowed_store.h:8-285 aggregates, it doesn't label). The
+    boundary test compares exact epoch microseconds (event_id
+    tiebreak pins tied timestamps), so ids and per-session stats
+    replay bit-for-bit in SQL. Plan: ONE user shuffle serving both
+    windows in a single Window stage + one map-side-combined
+    rollup."""
+    from kspp_spark.functions.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(
+        ev, "user_id", "ts", gap="30 minutes", tiebreak="event_id"
+    )
+
+
 def q_daily_trend(spark, sf_dir):
     """Per-key OLS trend (functions/timeseries.linear_trend): the
     slope/intercept of daily spend-in-cents vs epoch day for every
@@ -4054,6 +4073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window_sum": q_rolling_window_sum,
         "daily_trend": q_daily_trend,
         "rolling_outliers": q_rolling_outliers,
+        "session_ids": q_session_ids,
         "ppjoin_pairs": q_ppjoin_pairs,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
@@ -7667,6 +7687,34 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS rolling_sum
             FROM daily
+        """
+    oracles["session_ids"] = """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+            ),
+            s AS (
+                SELECT user_id, event_id, us,
+                       CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS newf
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+            ),
+            sid AS (
+                SELECT user_id, us,
+                       CAST(SUM(newf) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+                         AS session_seq
+                FROM s
+            )
+            SELECT user_id, session_seq,
+                   COUNT(*) AS n_events,
+                   CAST(MIN(us) AS BIGINT) AS start_us,
+                   CAST(MAX(us) AS BIGINT) AS end_us,
+                   CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+            FROM sid GROUP BY user_id, session_seq
         """
     oracles["daily_trend"] = f"""
             WITH daily AS ({_DAILY.format(where="")}),

@@ -192,7 +192,7 @@ BENCH_QUERIES = [
     # DataSketches HLL next to the portable md5 form — the recorded
     # pair IS the portable-overhead measurement
     "hll_production",
-    # round-10 second-session additions (88 -> 99): classifier
+    # round-10 second-session additions (88 -> 100): classifier
     # evaluation (histogram ROC-AUC / calibration / confusion),
     # lossless PPJoin prefix-filtered similarity join, weekly cohort
     # retention, calendar gap-fill LOCF + RANGE rolling sums, Morton
@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "rolling_outliers",
     "zorder_stats",
     "triangle_counts",
+    "session_ids",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

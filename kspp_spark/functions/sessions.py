@@ -204,3 +204,79 @@ def cohort_retention(
         "retention",
         F.col("n_users").cast("double") / F.col("cohort_size").cast("double"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign explicit session ids by inactivity gap — the classic
+    lag + running-sum-of-boundaries construction: an event starts a
+    new session when it is the user's first OR arrives more than
+    `gap` after the previous event; session_seq is the per-user
+    running count of boundaries (1-based), so (user, session_seq) is
+    a stable key downstream joins/aggregations can use. This is the
+    ID-BEARING complement of the windowed session AGGREGATES
+    (operators/aggregates.session_window_count gives per-session
+    counts, but no id to join events back to — the reference's
+    windowed store has the same gap, mem_windowed_store.h:8-285).
+
+    `gap` is any Spark interval string; the boundary test compares
+    microsecond integers (unix_micros), so it replays exactly in SQL.
+    Pass `tiebreak` when timestamps can tie (total order, same as
+    event_transitions).
+
+    Scale shape: ONE shuffle on user_col; both windows (lag, running
+    sum) share the same (user) partitioning and (ts, tiebreak) order,
+    so Catalyst runs them in a single Window stage — per-user
+    partitions are user-history-sized, the standard sessionization
+    layout."""
+    order = [F.col(ts_col)]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    w = W.partitionBy(user_col).orderBy(*order)
+    # interval -> exact microseconds via a literal timestamp diff
+    # (no float parsing): INTERVAL arithmetic on a fixed epoch
+    gap_us = F.unix_micros(
+        F.expr(f"timestamp'1970-01-01 00:00:00' + interval {gap}")
+    )
+    # cast("timestamp") is a no-op on TIMESTAMP and adopts the session
+    # zone on TIMESTAMP_NTZ inputs (io.load turns NTZ inference off,
+    # but callers reading parquet directly may still carry it) —
+    # the gap DIFFERENCE is zone-invariant either way
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = (prev_us.isNull() | (us - prev_us > gap_us)).cast("long")
+    return df.withColumn("_new", is_new).withColumn(
+        "session_seq",
+        F.sum("_new").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    ).drop("_new")
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session rollup over sessionize's ids: event count, start /
+    end (exact epoch microseconds), and duration_us — one additional
+    hash aggregation on (user, session_seq), which partial-aggregates
+    map-side on the already-correct partitioning."""
+    s = sessionize(df, user_col, ts_col, gap, tiebreak)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        s.groupBy(user_col, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )

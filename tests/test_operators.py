@@ -4033,3 +4033,36 @@ def test_rolling_outliers_flags_and_self_exclusion(spark):
     # the return to normal; and n_baseline counts 7 prior days
     assert got[("a", "2024-01-09")] == (7, 0)
     assert got[("b", "2024-01-02")] == (1, 0)      # single-point baseline
+
+
+def test_sessionize_gap_semantics(spark):
+    """sessionize: first event opens session 1; an event exactly AT
+    the gap stays in-session (strict >); one past it opens a new one;
+    users are independent; session_stats rolls up count/start/end/
+    duration in epoch micros."""
+    import datetime
+
+    from kspp_spark.functions.sessions import session_stats, sessionize
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1, 10, 0, 0), 1),
+        (1, d(2024, 1, 1, 10, 30, 0), 2),   # exactly 30m -> same session
+        (1, d(2024, 1, 1, 11, 0, 1), 3),    # 30m+1s -> new session
+        (2, d(2024, 1, 1, 10, 0, 0), 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    ids = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, gap="30 minutes", tiebreak="event_id").collect()
+    }
+    assert ids == {1: 1, 2: 1, 3: 2, 4: 1}
+    stats = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_us"])
+        for r in session_stats(df, gap="30 minutes", tiebreak="event_id").collect()
+    }
+    assert stats == {
+        (1, 1): (2, 30 * 60 * 1_000_000),
+        (1, 2): (1, 0),
+        (2, 1): (1, 0),
+    }
