@@ -3653,16 +3653,24 @@ def q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts + clustering coefficient (functions/
     graph.triangle_counts — Schank & Wagner 2005 degree-ordered
     wedges; Suri & Vassilvitskii WWW'11 for the shuffle analysis) on
-    the co-purchase graph: parts are linked when some order contains
-    both. The orientation trick is the 100-TB point — every triangle
-    is counted at its LOWEST-degree corner, so hub nodes fan out
-    O(sqrt(m)) wedges instead of deg^2 (the "curse of the last
-    reducer"). The oracle replays the textbook a<b<c three-way
-    edge join — the oriented plan must match it exactly, integer
-    counts and the one IEEE clustering division."""
+    the 1995 co-purchase graph: parts are linked when some 1995-
+    shipped order contains both (the time scoping any production
+    co-occurrence analysis applies — an unbounded-history graph
+    densifies toward a clique and triangle counts stop meaning
+    anything; the filter also pushes to the scan). The orientation
+    trick is the 100-TB point — every triangle is counted at its
+    LOWEST-degree corner, so hub nodes fan out O(sqrt(m)) wedges
+    instead of deg^2 (the "curse of the last reducer"). The oracle
+    replays the textbook a<b<c three-way edge join — the oriented
+    plan must match it exactly, integer counts and the one IEEE
+    clustering division."""
     from kspp_spark.functions.graph import triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate").between("1995-01-01", "1995-12-31"))
+        .select("l_orderkey", "l_partkey")
+    )
     pairs = (
         li.alias("l")
         .join(li.alias("r"), "l_orderkey")
@@ -7584,9 +7592,14 @@ def oracle_sql() -> dict[str, str]:
     # the distinct co-purchase edge set — the degree-oriented Spark
     # plan must produce identical per-node counts
     oracles["triangle_counts"] = """
-            WITH pairs AS (
+            WITH li AS (
+                SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_shipdate BETWEEN DATE '1995-01-01'
+                                     AND DATE '1995-12-31'
+            ),
+            pairs AS (
                 SELECT DISTINCT l.l_partkey AS u, r.l_partkey AS v
-                FROM lineitem l JOIN lineitem r
+                FROM li l JOIN li r
                   ON l.l_orderkey = r.l_orderkey
                  AND l.l_partkey < r.l_partkey
             ),

@@ -1639,6 +1639,15 @@ def prefix_filter_pairs(
             F.transform("os", lambda s: s["g"]).alias("sh"),
             F.size("os").alias("n"),
         )
+        # NO eager lineage cut here, deliberately: `ordered` feeds
+        # three consumers, but localCheckpoint was MEASURED 60% SLOWER
+        # at sf0.1 (5.9s -> 9.3s) — materializing the wide shingle
+        # arrays costs more than re-running the cheap map-side
+        # tokenize, and the checkpoint boundary stops Catalyst from
+        # pruning `sh` out of the prefix branch (which needs only the
+        # slice) — the inverse of the hits/stupid_backoff lesson,
+        # which pays only when the recomputed subtree is shuffle-heavy
+        # and its rows are NARROW
     )
     # prefix length: n - ceil(t*n) + 1, all-integer
     pre = ordered.withColumn(

@@ -250,6 +250,13 @@ def triangle_counts(
     Output: (node, degree, n_triangles, clustering) where clustering
     = 2T / (deg*(deg-1)) as one IEEE division (0 for deg < 2)."""
     u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    # NO eager lineage cut, deliberately: e and o each feed several
+    # consumers, but localCheckpoint was MEASURED slightly SLOWER at
+    # sf0.1 on the dense co-purchase graph (15.0s -> 16.6s) — the
+    # recomputed subtrees are narrow-row but cheap relative to the
+    # materialization barrier, and wedge-join time dominates either
+    # way (contrast hits/stupid_backoff, where the cut won 3x because
+    # the re-run subtree was shuffle-heavy)
     e = (
         edges.select(u.alias("u"), v.alias("v"))
         .where(F.col("u") != F.col("v"))
