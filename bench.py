@@ -288,29 +288,42 @@ RECORD_BEST = {
     "winnow_dup_pairs": 2.507,
     "winnow_fingerprints": 2.1033,
     "train_classifier": 2.1456,
-    "stupid_backoff": 2.1453,
-    "anchor_terms": 1.1328,
+    "stupid_backoff": 2.0952,
+    "anchor_terms": 1.0674,
     "cluster_reps": 4.1417,
     "cms_counts": 0.9449,
-    "cms_estimates": 1.1578,
-    "crawl_budget": 0.2211,
-    "dedup_paragraphs": 0.2124,
+    "cms_estimates": 1.141,
+    "crawl_budget": 0.1862,
+    "dedup_paragraphs": 0.1849,
     "domain_quality": 0.2285,
     "event_transitions": 0.4366,
     "hard_negatives": 0.6548,
-    "hits_rank": 1.4189,
-    "minmax_scaled": 0.9765,
+    "hits_rank": 1.2791,
+    "minmax_scaled": 0.8241,
     "nfc_normalize": 0.3001,
     "trending_terms": 0.4883,
-    "hll_cardinality": 0.6038,
-    "hll_merge_slices": 0.7805,
-    "contamination_scores": 1.0586,
+    "hll_cardinality": 0.486,
+    "hll_merge_slices": 0.6963,
+    "contamination_scores": 0.9433,
     "snapshot_diff": 0.4056,
-    "heavy_hitters": 4.1395,
-    "typo_pairs": 4.7288,
+    "heavy_hitters": 3.9397,
+    "typo_pairs": 4.7253,
     "quantile_histogram": 0.4514,
-    "hll_production": 0.6013,
-    "outlier_gate": 0.5757,
+    "hll_production": 0.5849,
+    "outlier_gate": 0.5179,
+    # round-10 third-session first records (calm runs G/H, mf 1.11-1.15)
+    "auc_eval": 0.4502,
+    "classifier_confusion": 0.3896,
+    "cohort_retention": 0.3995,
+    "daily_trend": 0.2738,
+    "gap_fill_locf": 0.2547,
+    "ppjoin_pairs": 5.9875,
+    "rolling_outliers": 0.2673,
+    "rolling_window_sum": 0.2054,
+    "score_calibration": 0.3764,
+    "session_ids": 0.3025,
+    "triangle_counts": 1.2742,
+    "zorder_stats": 0.4168,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
