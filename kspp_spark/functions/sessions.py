@@ -280,3 +280,111 @@ def session_stats(
         )
         .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
     )
+
+
+def sessionize_stream(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming twin of session_stats: emits each session's rollup
+    row (user, session_seq, n_events, start_us, end_us, duration_us)
+    exactly ONCE — when the session CLOSES, i.e. when the event-time
+    watermark passes last_event + gap and no in-session event can
+    arrive anymore (the watermark guarantee; an event arriving later
+    than that is > gap away and would open a NEW session anyway, so
+    closure is safe, not heuristic). Session numbering matches the
+    batch sessionize/session_stats on in-order arrival — asserted by
+    test — so a backfill (batch) and the live stream agree on ids.
+
+    State per user: ONE fixed-width open-session tuple (seq,
+    start_us, last_us, n). Closed history is emitted and forgotten —
+    state size tracks concurrently-open sessions, not stream length.
+    Sessions with no further traffic close via EventTimeTimeout (the
+    delay_stream arming trick: fire strictly-after semantics aligned
+    with the inclusive close test), so an idle user's last session
+    still closes as the watermark advances on other keys — and the
+    query terminates under availableNow (a processing-time design
+    would not). `watermark_delay` defaults to `gap` (disorder up to
+    the gap survives; size it to your stream's real disorder bound).
+
+    The reference's windowed store (mem_windowed_store.h:8-285) +
+    punctuate is exactly this shape — slot state, watermark-driven
+    emission — but keyed to fixed slots; the gap session is the
+    data-driven window it cannot express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    if watermark_delay is None:
+        watermark_delay = gap
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    user_t = df.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {user_t}, session_seq long, n_events long, "
+        f"start_us long, end_us long, duration_us long"
+    )
+
+    def fold(key_, pdf_iter, state: GroupState):
+        seq, start, last, n = (
+            state.get if state.exists else (0, None, None, 0)
+        )
+        chunks = list(pdf_iter)
+        closed = []
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(order, kind="mergesort")
+            for t in (pdf[ts_col].astype("int64") // 1000).tolist():
+                if start is None:
+                    seq, start, last, n = seq + 1, t, t, 1
+                elif t - last > gap_us:
+                    closed.append((seq, start, last, n))
+                    seq, start, last, n = seq + 1, t, t, 1
+                else:
+                    last, n = max(last, t), n + 1
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if start is not None and (
+            state.hasTimedOut or wm_us > last + gap_us
+        ):
+            closed.append((seq, start, last, n))
+            start = None
+        if start is not None:
+            state.update((seq, start, last, n))
+            # fire once wm_ms*1000 > last+gap (strictly-after, floor
+            # keeps it ahead of the current watermark)
+            state.setTimeoutTimestamp(
+                max((last + gap_us) // 1000, wm_us // 1000 + 1)
+            )
+        elif state.exists:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [key_[0]] * len(closed),
+                    "session_seq": [c[0] for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "start_us": [c[1] for c in closed],
+                    "end_us": [c[2] for c in closed],
+                    "duration_us": [c[2] - c[1] for c in closed],
+                }
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark_delay)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=(
+                "seq long, start_us long, last_us long, n long"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

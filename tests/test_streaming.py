@@ -3067,3 +3067,76 @@ def test_histogram_stream_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Streaming gap sessions equal the batch session_stats rows for
+    every session the watermark has CLOSED — including a session
+    spanning the micro-batch boundary (user 1 extends in batch 2) and
+    a session closed purely by EventTimeTimeout (user 2 never appears
+    again; the watermark advances on other users' traffic). Sessions
+    still open at availableNow termination (user 1's second, user 3's
+    only) are NOT emitted — closure is the emission contract."""
+    import datetime
+    import time as _time
+
+    from kspp_spark.functions.sessions import (
+        session_stats,
+        sessionize_stream,
+    )
+
+    d = datetime.datetime
+    schema = "event_id long, user_id long, ts timestamp"
+    b1 = [
+        (1, 1, d(2024, 1, 1, 10, 0, 0)),
+        (2, 1, d(2024, 1, 1, 10, 10, 0)),
+        (3, 2, d(2024, 1, 1, 10, 0, 0)),
+    ]
+    b2 = [
+        (4, 1, d(2024, 1, 1, 10, 25, 0)),   # extends session 1 across the trigger
+        (5, 1, d(2024, 1, 1, 12, 0, 0)),    # > gap -> opens session 2
+        (6, 3, d(2024, 1, 1, 12, 0, 0)),    # advances the watermark for user 2
+    ]
+    in_dir = str(tmp_path / "sess_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(src, gap="30 minutes", tiebreak="event_id")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["start_us"], r["end_us"], r["duration_us"]
+        )
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+
+    batch = session_stats(
+        spark.createDataFrame(b1 + b2, schema),
+        gap="30 minutes",
+        tiebreak="event_id",
+    )
+    want_all = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["start_us"], r["end_us"], r["duration_us"]
+        )
+        for r in batch.collect()
+    }
+    # the watermark (12:00 - 30m = 11:30) closed user 1's first
+    # session (armed 10:55) and user 2's (armed 10:30); user 1's
+    # 12:00 session and user 3's are still open -> unemitted
+    closed = {(1, 1), (2, 1)}
+    assert got == {k: v for k, v in want_all.items() if k in closed}
+    assert set(want_all) == closed | {(1, 2), (3, 1)}
