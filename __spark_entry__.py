@@ -3775,6 +3775,28 @@ def q_rolling_window_sum(spark, sf_dir):
     )
 
 
+def q_length_percentile(spark, sf_dir):
+    """Per-document length-percentile WITHIN its language (functions/
+    sketch.histogram_percentile_rank — the CDF probe, inverse of
+    histogram_quantiles): mid-rank parts-per-million of each doc's
+    token count against the per-lang log-linear histogram (k=32).
+    The length-percentile feature a curation pipeline attaches to
+    every document — computed from ONE bounded sketch aggregation
+    broadcast back onto the scan (two JVM folds per row over the
+    packed <= 2k-element bin array), where the exact-rank form needs
+    a per-group rank window over ALL rows. Every integer replays in
+    SQL: bins, mid-rank cross-multiplication, DIV."""
+    from kspp_spark.functions.sketch import histogram_percentile_rank
+    from kspp_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    ).where(F.col("n_tokens") >= 1)
+    return histogram_percentile_rank(
+        docs, "n_tokens", ("lang",), k=32
+    )
+
+
 def q_session_ids(spark, sf_dir):
     """ID-bearing sessionization (functions/sessions.sessionize /
     session_stats): explicit (user, session_seq) keys by 30-minute
@@ -4082,6 +4104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_trend": q_daily_trend,
         "rolling_outliers": q_rolling_outliers,
         "session_ids": q_session_ids,
+        "length_percentile": q_length_percentile,
         "ppjoin_pairs": q_ppjoin_pairs,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
@@ -7700,6 +7723,41 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS rolling_sum
             FROM daily
+        """
+    # CDF-probe replay: same k=32 log-linear bins as the
+    # quantile_histogram oracle, per-(lang, bin) cumulative table,
+    # row joins its own bin, mid-rank cross-multiplied in integers
+    oracles["length_percentile"] = f"""
+            WITH w AS (
+                SELECT doc_id, lang,
+                       CAST(len({_TOKENS}) AS BIGINT) AS v
+                FROM documents
+            ),
+            pos AS (SELECT * FROM w WHERE v >= 1),
+            b AS (
+                SELECT doc_id, lang, v,
+                       CASE WHEN v < 32 THEN CAST(v AS INT)
+                            ELSE CAST((length(bin(v)) - 1) * 32
+                                 + (v // (CAST(1 AS BIGINT)
+                                    << (length(bin(v)) - 1 - 5)))
+                                 - 32 AS INT)
+                       END AS bin
+                FROM pos
+            ),
+            h AS (
+                SELECT lang, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT lang, bin, cnt,
+                       SUM(cnt) OVER (PARTITION BY lang
+                                      ORDER BY bin) AS cum,
+                       SUM(cnt) OVER (PARTITION BY lang) AS n
+                FROM h
+            )
+            SELECT b.doc_id, b.lang, b.v AS n_tokens,
+                   CAST((1000000 * (2 * (c.cum - c.cnt) + c.cnt))
+                       // (2 * c.n) AS BIGINT) AS rank_ppm
+            FROM b JOIN c ON b.lang = c.lang AND b.bin = c.bin
         """
     oracles["session_ids"] = """
             WITH e AS (

@@ -460,6 +460,24 @@ def _check_k(k: int) -> int:
     return log2k
 
 
+def _hist_bin(name: str, k: int, log2k: int):
+    """Log-linear bin id of positive-long column `name` (identity
+    below k, k sub-bins per octave above) — the shared bin algebra
+    behind build (histogram_sketch) and probe
+    (histogram_percentile_rank); SQL-string form because the octave
+    shift amount is itself a column."""
+    c = F.col(name)
+    return F.when(c < k, c.cast("int")).otherwise(
+        (
+            (F.length(F.bin(name)) - 1) * k
+            + F.expr(
+                f"cast({name} div shiftleft(cast(1 as bigint), "
+                f"length(bin({name})) - 1 - {log2k}) as int) - {k}"
+            )
+        ).cast("int")
+    )
+
+
 def histogram_sketch(
     df: DataFrame,
     col: str = "value",
@@ -477,19 +495,8 @@ def histogram_sketch(
     work = df.select(*group_cols, v.alias("_v")).filter(
         F.col("_v") >= 1
     )
-    bin_expr = F.when(
-        F.col("_v") < k, F.col("_v").cast("int")
-    ).otherwise(
-        (
-            (F.length(F.bin("_v")) - 1) * k
-            + F.expr(
-                f"cast(_v div shiftleft(cast(1 as bigint), "
-                f"length(bin(_v)) - 1 - {log2k}) as int) - {k}"
-            )
-        ).cast("int")
-    )
     return (
-        work.select(*group_cols, bin_expr.alias("bin"))
+        work.select(*group_cols, _hist_bin("_v", k, log2k).alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -626,4 +633,80 @@ def hll_intersection(
         (
             F.col("est_a") + F.col("est_b") - F.col("est_union")
         ).alias("est_intersection"),
+    )
+
+
+def histogram_percentile_rank(
+    df: DataFrame,
+    col: str = "value",
+    group_cols: tuple[str, ...] = (),
+    k: int = 16,
+    out: str = "rank_ppm",
+) -> DataFrame:
+    """CDF probe — the inverse of histogram_quantiles: the MID-RANK
+    percentile (parts-per-million, exact integer) of every row's
+    value within its group, read from the bounded log-linear
+    histogram instead of a global sort:
+
+        rank_ppm = 1e6 * (2*count_below_bin + count_at_bin)
+                   DIV (2*n)
+
+    Mid-rank credits half of the row's own bin (ties split evenly),
+    so min-heavy and max-heavy distributions rank sanely; values
+    sharing a bin share a rank (the sketch's 1/k resolution — exact
+    below k). Non-positive values (outside the sketch domain) get
+    rank 0; a group with NO in-domain values has no histogram at all
+    and its rows are dropped by the group join (rank against an
+    empty distribution is undefined — pinned by the property test). The percentile-of-x dual of "what value is p99": the
+    length-percentile / quality-percentile feature a curation
+    pipeline attaches to every document.
+
+    Plan: ONE bounded histogram aggregation, re-packed to one row
+    per group (sorted (bin, cnt) array + total — <= ~63*k elements,
+    the sketch), BROADCAST back onto the scan; the per-row probe is
+    two JVM higher-order folds over the packed array. The corpus
+    never shuffles — the exact-rank alternative is a global sort (or
+    a per-group rank window over ALL rows). Same pattern as
+    outlier_gate's broadcast threshold, generalized to the full CDF.
+    """
+    log2k = _check_k(k)
+    g = list(group_cols)
+    temps = {"_hb", "_hn", "_v", "_b", "_below", "_at"}
+    clash = temps & set(df.columns)
+    assert not clash, f"histogram_percentile_rank temp collision: {clash}"
+    sketch = histogram_sketch(df, col, group_cols, k)
+    packed = sketch.groupBy(*g).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bin"), F.col("cnt")))
+        ).alias("_hb"),
+        F.sum("cnt").alias("_hn"),
+    )
+    joined = (
+        df.join(F.broadcast(packed), g)
+        if g
+        else df.crossJoin(F.broadcast(packed))
+    )
+    work = joined.withColumn("_v", F.col(col).cast("long")).withColumn(
+        "_b",
+        F.when(F.col("_v") >= 1, _hist_bin("_v", k, log2k)),
+    )
+    zero = F.lit(0).cast("long")
+    below = F.aggregate(
+        F.filter("_hb", lambda s: s["bin"] < F.col("_b")),
+        zero,
+        lambda acc, s: acc + s["cnt"],
+    )
+    at = F.aggregate(
+        F.filter("_hb", lambda s: s["bin"] == F.col("_b")),
+        zero,
+        lambda acc, s: acc + s["cnt"],
+    )
+    return (
+        work.withColumn("_below", F.coalesce(below, zero))
+        .withColumn("_at", F.coalesce(at, zero))
+        .withColumn(
+            out,
+            F.expr("(1000000 * (2 * _below + _at)) DIV (2 * _hn)"),
+        )
+        .drop("_hb", "_hn", "_v", "_b", "_below", "_at")
     )

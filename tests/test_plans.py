@@ -1088,3 +1088,15 @@ def test_zorder_stats_single_wide_shuffle(spark, queries):
     # exchanges: the bounds agg's own singleton exchange + the final
     # 64-key hash agg pair — never one keyed by raw rows
     assert "CartesianProduct" not in plan
+
+
+def test_length_percentile_broadcast_sketch_no_window(spark, queries):
+    """CDF-probe scale contract: the per-group histogram comes back
+    as a BROADCAST (never a per-row rank window — the exact form's
+    global sort), the probe is JVM higher-order folds (no Python),
+    and no Window operator touches corpus rows."""
+    plan = formatted_plan(spark, queries["length_percentile"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

@@ -1338,3 +1338,66 @@ def test_triangle_counts_matches_bruteforce(spark, edges):
             (2 * t) / (deg * (deg - 1)) if deg >= 2 else 0.0,
         )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-3, max_value=5000),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.sampled_from([4, 16, 32]),
+)
+def test_histogram_percentile_rank_matches_replay(spark, vals, k):
+    """CDF probe == pure-Python replay of the shared bin algebra +
+    mid-rank cross-multiplication, over values spanning the identity
+    region, the log region (collapsed bins share a rank), non-positive
+    out-of-domain values (rank 0), and groups of 1."""
+    from kspp_spark.functions.sketch import histogram_percentile_rank
+
+    rows = [(i, g, v) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid long, g string, v long")
+    got = {
+        r["rid"]: r["rank_ppm"]
+        for r in histogram_percentile_rank(df, "v", ("g",), k=k).collect()
+    }
+
+    log2k = k.bit_length() - 1
+
+    def hbin(v):
+        if v < k:
+            return v
+        e = v.bit_length() - 1
+        return e * k + (v >> (e - log2k)) - k
+
+    hist = {}
+    for _, g, v in rows:
+        if v >= 1:
+            hist.setdefault(g, {})
+            b = hbin(v)
+            hist[g][b] = hist[g].get(b, 0) + 1
+    want = {}
+    for rid, g, v in rows:
+        bins = hist.get(g, {})
+        n = sum(bins.values())
+        if v < 1 or n == 0:
+            below = at = 0
+        else:
+            b = hbin(v)
+            below = sum(c for bb, c in bins.items() if bb < b)
+            at = bins.get(b, 0)
+        want[rid] = (
+            (1_000_000 * (2 * below + at)) // (2 * n) if n else 0
+        )
+    # groups where EVERY value is non-positive produce no sketch row
+    # -> the inner group join drops those rows entirely; mirror that
+    want = {
+        rid: r
+        for rid, r in want.items()
+        if hist.get(rows[rid][1])
+    }
+    assert got == want
