@@ -3775,6 +3775,57 @@ def q_rolling_window_sum(spark, sf_dir):
     )
 
 
+def q_table_checksum(spark, sf_dir):
+    """Order-independent table fingerprint (functions/pipeline.
+    table_checksum): per return flag, the (n_rows, split 30-bit hash
+    sums, bit_xor) tuple that certifies multiset row equality of a
+    copy WITHOUT sorting either side — the 100-TB migration-
+    verification primitive (an anti-join shuffles everything twice;
+    this is one map-side-combinable agg per side). Columns chosen
+    integer/string/date so the row serialization is engine-portable;
+    sum and xor accumulate commutatively, so ANY partitioning of the
+    same rows hashes identically — which is exactly what the driver
+    re-certifies by replaying it in DuckDB."""
+    from kspp_spark.functions.pipeline import table_checksum
+
+    li = _t(spark, sf_dir, "lineitem")
+    return table_checksum(
+        li,
+        cols=[
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ],
+        group_cols=("l_returnflag",),
+    )
+
+
+def q_profile_columns(spark, sf_dir):
+    """One-pass column profile (functions/pipeline.profile_columns):
+    per-column nulls / exact distincts / native-order min-max over
+    orders — the schema-drift audit an ingest runs first. ONE
+    aggregation (the multi-distinct EXPAND cost is documented on the
+    function); float columns excluded so min/max strings render
+    identically in both engines."""
+    from kspp_spark.functions.pipeline import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        cols=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
 def q_length_percentile(spark, sf_dir):
     """Per-document length-percentile WITHIN its language (functions/
     sketch.histogram_percentile_rank — the CDF probe, inverse of
@@ -4105,6 +4156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_outliers": q_rolling_outliers,
         "session_ids": q_session_ids,
         "length_percentile": q_length_percentile,
+        "table_checksum": q_table_checksum,
+        "profile_columns": q_profile_columns,
         "ppjoin_pairs": q_ppjoin_pairs,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
@@ -7724,6 +7777,48 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS rolling_sum
             FROM daily
         """
+    # checksum replay: identical row serialization (unit separator +
+    # NULL sentinel), 60-bit md5, split 30-bit sums, bit_xor
+    _CK_ROW = (
+        "concat_ws(chr(31), "
+        + ", ".join(
+            f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'NULL')"
+            for c in [
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            ]
+        )
+        + ")"
+    )
+    oracles["table_checksum"] = f"""
+            WITH h AS (
+                SELECT l_returnflag,
+                       CAST('0x' || substr(md5({_CK_ROW}), 1, 15)
+                            AS BIGINT) AS h
+                FROM lineitem
+            )
+            SELECT l_returnflag,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(h & 1073741823) AS BIGINT) AS sum_hash_lo,
+                   CAST(SUM(h >> 30) AS BIGINT) AS sum_hash_hi,
+                   CAST(bit_xor(h) AS BIGINT) AS xor_hash
+            FROM h GROUP BY l_returnflag
+        """
+    _PROF_COLS = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority",
+    ]
+    oracles["profile_columns"] = "\nUNION ALL\n".join(
+        f"""
+            SELECT '{c}' AS column, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({c}) AS n_nulls,
+                   COUNT(DISTINCT {c}) AS n_distinct,
+                   CAST(MIN({c}) AS VARCHAR) AS min_str,
+                   CAST(MAX({c}) AS VARCHAR) AS max_str
+            FROM orders
+        """
+        for c in _PROF_COLS
+    )
     # CDF-probe replay: same k=32 log-linear bins as the
     # quantile_histogram oracle, per-(lang, bin) cumulative table,
     # row joins its own bin, mid-rank cross-multiplied in integers

@@ -150,3 +150,121 @@ def snapshot_diff(
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_cols"),
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Order-independent table fingerprint — verify that a copy /
+    migration / re-partition of a 100-TB table is row-identical
+    WITHOUT sorting either side: per group (or globally),
+
+        n_rows        exact count
+        sum_hash_lo/  SUM of each row's 60-bit md5, split into its
+        sum_hash_hi   two 30-bit words summed separately (each
+                      summand < 2^30, so the int64 sums never
+                      overflow under ANSI for < 2^33 rows per group)
+        xor_hash      bit_xor of the row hashes
+
+    Equal (n_rows, sum_hash_lo, sum_hash_hi, xor_hash) on both sides
+    certifies multiset equality of the hashed rows with collision
+    probability ~n^2/2^60 per word pair; sum and xor fail
+    INDEPENDENTLY (sum catches balanced swaps xor misses, xor
+    catches duplicate-pair insertions sum misses). Both accumulators
+    are commutative/associative, so the aggregation is map-side
+    combinable and partitioning-invariant — any layout of the same
+    rows produces the same fingerprint, which is the whole point.
+
+    Rows are serialized as concat_ws over the chosen columns with a
+    non-printing unit separator plus an explicit NULL sentinel
+    (concat_ws SKIPS nulls — ('a', NULL) and (NULL, 'a') must not
+    collide). Column ORDER matters (it is part of the row identity);
+    pass an explicit list to compare tables with different layouts.
+
+    The reference has nothing like this; its stores trust Kafka
+    offsets. At copy-verification scale this replaces a full
+    anti-join (two shuffles of everything) with one bounded agg per
+    side."""
+    from kspp_spark.functions.hashing import md5_long
+
+    use = list(cols) if cols is not None else list(df.columns)
+    row = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in use
+        ],
+    )
+    h = md5_long(row)  # 60-bit non-negative
+    # split into two 30-bit words summed separately: each summand
+    # < 2^30, so the int64 sums are overflow-safe up to 2^33 rows
+    # per group (document the bound instead of wrapping)
+    g = list(group_cols)
+    work = df.select(
+        *g,
+        h.bitwiseAND(F.lit((1 << 30) - 1)).alias("_lo"),
+        F.shiftright(h, 30).alias("_hi"),
+        h.alias("_h"),
+    )
+    return work.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_lo").alias("sum_hash_lo"),
+        F.sum("_hi").alias("sum_hash_hi"),
+        F.expr("bit_xor(_h)").alias("xor_hash"),
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """One-pass column profile — the schema-drift / data-quality
+    audit row a 100-TB ingest runs before anything else: one output
+    row per column with
+
+        n_rows      table count (same every row — the join anchor)
+        n_nulls     NULL count
+        n_distinct  exact distinct count
+        min_str     minimum in the column's NATIVE order, cast to
+        max_str     string after (so numeric columns don't sort
+                    lexicographically)
+
+    ONE aggregation over the scan. Exactness note: multiple exact
+    COUNT(DISTINCT) in one agg makes Catalyst EXPAND the input
+    (one replica per distinct aggregate) — profile the columns you
+    care about, not SELECT *; at extreme width swap in
+    approx_count_distinct per column (single pass, no expand) and
+    give up the oracle-exact distinct. Doubles profile fine but
+    their min/max STRING rendering is engine-specific — keep float
+    columns out when the profile must replay in a SQL oracle."""
+    use = list(cols) if cols is not None else list(df.columns)
+    for c in use:
+        if c not in df.columns:
+            raise ValueError(f"profile_columns: missing column {c!r}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in use:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    row = df.agg(*aggs)
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").cast("long").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).cast("long").alias(
+                    "n_nulls"
+                ),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_str"),
+                F.col(f"_mx_{c}").alias("max_str"),
+            )
+            for c in use
+        ]
+    )
+    return row.select(F.explode(packed).alias("p")).select("p.*")

@@ -4066,3 +4066,55 @@ def test_sessionize_gap_semantics(spark):
         (1, 2): (1, 0),
         (2, 1): (1, 0),
     }
+
+
+def test_table_checksum_partitioning_invariant_and_sensitive(spark):
+    """table_checksum: identical multisets fingerprint identically
+    under ANY partitioning/row order; changing one value, dropping a
+    row, or swapping NULL position across columns all change it; the
+    NULL sentinel keeps ('a', NULL) != (NULL, 'a')."""
+    from kspp_spark.functions.pipeline import table_checksum
+
+    rows = [("a", 1), ("b", 2), ("c", None), (None, 3)]
+    df = spark.createDataFrame(rows, "s string, v long")
+
+    def fp(d):
+        [r] = table_checksum(d, cols=["s", "v"]).collect()
+        return (r["n_rows"], r["sum_hash_lo"], r["sum_hash_hi"], r["xor_hash"])
+
+    base = fp(df)
+    shuffled = spark.createDataFrame(list(reversed(rows)), "s string, v long")
+    assert fp(shuffled.repartition(7)) == base
+    assert fp(spark.createDataFrame(rows[:3], "s string, v long")) != base
+    assert fp(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", None), ("3", None)],
+            "s string, v long",
+        )
+    ) != base  # NULL moved columns -> different row identity
+    # column order is part of the identity
+    assert fp(df) != tuple(
+        (r["n_rows"], r["sum_hash_lo"], r["sum_hash_hi"], r["xor_hash"])
+        for r in [table_checksum(df, cols=["v", "s"]).collect()[0]]
+    )[0]
+
+
+def test_profile_columns_nulls_distincts_native_order(spark):
+    """profile_columns: exact null/distinct counters and NATIVE-order
+    min/max (numeric 9 < 10 even though '9' > '10' as strings)."""
+    import pytest
+
+    from kspp_spark.functions.pipeline import profile_columns
+
+    df = spark.createDataFrame(
+        [(9, "x"), (10, "x"), (100, None), (9, "y")],
+        "n long, s string",
+    )
+    got = {r["column"]: r for r in profile_columns(df).collect()}
+    assert got["n"]["n_rows"] == 4 and got["n"]["n_nulls"] == 0
+    assert got["n"]["n_distinct"] == 3
+    assert (got["n"]["min_str"], got["n"]["max_str"]) == ("9", "100")
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_str"], got["s"]["max_str"]) == ("x", "y")
+    with pytest.raises(ValueError):
+        profile_columns(df, cols=["n", "missing"])
