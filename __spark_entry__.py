@@ -3775,6 +3775,36 @@ def q_rolling_window_sum(spark, sf_dir):
     )
 
 
+def q_join_size_estimate(spark, sf_dir):
+    """Pre-flight equi-join output-size estimate (functions/sketch.
+    cms_join_size — the Count-Min inner-product estimator, Cormode &
+    Muthukrishnan 2005 §4.2): the self-join size of lineitem on
+    l_partkey — THE skew/blow-up question a planner asks before
+    running a join — estimated from one 4x256 sketch, one-sided
+    (never under). The exact answer (sum of per-key count squares)
+    rides along so the error band is graded as data, the
+    hll_cardinality pattern. At 100 TB the sketches are bounded aggs
+    you already built for monitoring; the estimate itself joins two
+    <= 1024-row frames."""
+    from kspp_spark.functions.sketch import cms_build, cms_join_size
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    sk = cms_build(li, "k", width=256, depth=4)
+    est = cms_join_size(sk, sk, depth=4)
+    true = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("long").alias(
+                "true_join_size"
+            )
+        )
+    )
+    return est.crossJoin(true)
+
+
 def q_table_checksum(spark, sf_dir):
     """Order-independent table fingerprint (functions/pipeline.
     table_checksum): per return flag, the (n_rows, split 30-bit hash
@@ -4158,6 +4188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_percentile": q_length_percentile,
         "table_checksum": q_table_checksum,
         "profile_columns": q_profile_columns,
+        "join_size_estimate": q_join_size_estimate,
         "ppjoin_pairs": q_ppjoin_pairs,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
@@ -7776,6 +7807,35 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS rolling_sum
             FROM daily
+        """
+    # CMS inner-product replay: same per-row-salted md5 family as
+    # cms_counts, width 256 / depth 4; est = MIN over rows of the
+    # cell-wise dot; the exact self-join size rides along
+    oracles["join_size_estimate"] = """
+            WITH t AS (
+                SELECT CAST(l_partkey AS VARCHAR) AS term FROM lineitem
+            ),
+            cells AS (
+                SELECT CAST(r.row AS INT) AS row,
+                       CAST(CAST('0x' || substr(md5('cms'
+                            || CAST(r.row AS VARCHAR) || ':' || term),
+                            1, 15) AS BIGINT) % 256 AS INT) AS bucket,
+                       COUNT(*) AS cnt
+                FROM t, (VALUES (0), (1), (2), (3)) r(row)
+                GROUP BY 1, 2
+            ),
+            dots AS (
+                SELECT row, SUM(cnt * cnt) AS dot FROM cells GROUP BY row
+            ),
+            est AS (
+                SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM dots
+            ),
+            tr AS (
+                SELECT CAST(SUM(c * c) AS BIGINT) AS true_join_size
+                FROM (SELECT COUNT(*) AS c FROM lineitem
+                      GROUP BY l_partkey)
+            )
+            SELECT est.est_join_size, tr.true_join_size FROM est, tr
         """
     # checksum replay: identical row serialization (unit separator +
     # NULL sentinel), 60-bit md5, split 30-bit sums, bit_xor

@@ -268,3 +268,24 @@ def profile_columns(
         ]
     )
     return row.select(F.explode(packed).alias("p")).select("p.*")
+
+
+def checksum_stream(
+    stream: DataFrame,
+    cols: list[str] | None = None,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming table-fingerprint maintenance: count, the split
+    30-bit hash sums and bit_xor are all commutative/associative
+    accumulators, so the streaming form is just the batch aggregation
+    over an unbounded input — Spark's aggregation state IS the
+    fingerprint, one row per group forever (cms_stream's linearity
+    argument, applied to multiset identity). Run in update/complete
+    mode; no watermark needed. Continuously certifies that a
+    replicated stream (e.g. a Kafka topic mirrored to a second
+    cluster) has delivered the identical multiset — compare the two
+    sides' fingerprints at any checkpoint. Exactly equal to
+    table_checksum over the concatenated batches (asserted by
+    tests/test_streaming.py); batch and streaming share one
+    definition."""
+    return table_checksum(stream, cols=cols, group_cols=group_cols)

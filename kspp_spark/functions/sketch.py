@@ -710,3 +710,47 @@ def histogram_percentile_rank(
         )
         .drop("_hb", "_hn", "_v", "_b", "_below", "_at")
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int = 4,
+) -> DataFrame:
+    """Equi-join OUTPUT-SIZE estimate from two Count-Min sketches —
+    the inner-product estimator of Cormode & Muthukrishnan 2005
+    §4.2: for each sketch row r, sum over buckets of
+    cnt_a[r][b] * cnt_b[r][b]; report the MIN over rows. Like the
+    point estimate it is ONE-SIDED (never under the true
+    |A JOIN B on key|, since colliding keys only add), with
+    overestimate bounded by e*N_a*N_b/width w.h.p.
+
+    The pre-flight join planner's question — "can I afford this
+    join / must I salt it?" — answered from two bounded sketches
+    WITHOUT running the join: at 100 TB each side's sketch is one
+    bounded agg (probably already built for frequency monitoring),
+    and this estimate is a join of two <= width*depth-row frames.
+    Both sketches must share (width, depth) and the cms_build hash
+    family; missing cells are zero, so the inner join over non-zero
+    cells is exact."""
+    a = sketch_a.select(
+        "row", "bucket", F.col("cnt").alias("_ca")
+    )
+    b = sketch_b.select(
+        "row", "bucket", F.col("cnt").alias("_cb")
+    )
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    # a sketch row with NO overlapping non-zero cells has dot 0 and
+    # simply doesn't appear in per_row — zero-fill against a literal
+    # depth-row frame (lazy; no driver action) so the min sees it
+    all_rows = sketch_a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("row")
+    )
+    dots = all_rows.join(per_row, "row", "left").select(
+        F.coalesce(F.col("_dot"), F.lit(0).cast("long")).alias("_dot")
+    )
+    return dots.agg(F.min("_dot").cast("long").alias("est_join_size"))

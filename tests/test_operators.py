@@ -4118,3 +4118,36 @@ def test_profile_columns_nulls_distincts_native_order(spark):
     assert (got["s"]["min_str"], got["s"]["max_str"]) == ("x", "y")
     with pytest.raises(ValueError):
         profile_columns(df, cols=["n", "missing"])
+
+
+def test_cms_join_size_one_sided_and_exact_when_wide(spark):
+    """cms_join_size: never under the true equi-join output size;
+    exact when the sketch is wide enough that no keys collide; zero
+    for disjoint key sets (the absent-row zero-fill path at tiny
+    width)."""
+    from pyspark.sql import functions as F
+
+    from kspp_spark.functions.sketch import cms_build, cms_join_size
+
+    a = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [("k3",)], "k string"
+    )
+    b = spark.createDataFrame(
+        [("k1",)] * 4 + [("k3",)] * 5 + [("k9",)], "k string"
+    )
+    true = 3 * 4 + 1 * 5  # k1: 3x4, k3: 1x5
+    wide_a = cms_build(a, "k", width=4096, depth=4)
+    wide_b = cms_build(b, "k", width=4096, depth=4)
+    [r] = cms_join_size(wide_a, wide_b, depth=4).collect()
+    assert r["est_join_size"] == true
+    tiny_a = cms_build(a, "k", width=2, depth=4)
+    tiny_b = cms_build(b, "k", width=2, depth=4)
+    [r2] = cms_join_size(tiny_a, tiny_b, depth=4).collect()
+    assert r2["est_join_size"] >= true  # one-sided, collisions only add
+    c = spark.createDataFrame([("z1",), ("z2",)], "k string")
+    [r3] = cms_join_size(
+        cms_build(a, "k", width=4096, depth=4),
+        cms_build(c, "k", width=4096, depth=4),
+        depth=4,
+    ).collect()
+    assert r3["est_join_size"] == 0

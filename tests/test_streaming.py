@@ -3140,3 +3140,52 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     closed = {(1, 1), (2, 1)}
     assert got == {k: v for k, v in want_all.items() if k in closed}
     assert set(want_all) == closed | {(1, 2), (3, 1)}
+
+
+def test_checksum_stream_equals_batch_fingerprint(spark, tmp_path):
+    """The streaming fingerprint fold over two micro-batches equals
+    table_checksum over the concatenated input — the accumulators are
+    commutative, so arrival order and batch boundaries are
+    invisible."""
+    import time as _time
+
+    from kspp_spark.functions.pipeline import (
+        checksum_stream,
+        table_checksum,
+    )
+
+    schema = "g string, s string, v long"
+    b1 = [("a", "x", 1), ("a", "y", 2), ("b", None, 3)]
+    b2 = [("a", "z", None), ("b", "w", 4)]
+    in_dir = str(tmp_path / "ck_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        checksum_stream(src, cols=["s", "v"], group_cols=("g",))
+        .writeStream.format("memory")
+        .queryName("ck_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["g"]: (r["n_rows"], r["sum_hash_lo"], r["sum_hash_hi"], r["xor_hash"])
+        for r in spark.sql("select * from ck_stream").collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], r["sum_hash_lo"], r["sum_hash_hi"], r["xor_hash"])
+        for r in table_checksum(
+            spark.createDataFrame(b1 + b2, schema),
+            cols=["s", "v"],
+            group_cols=("g",),
+        ).collect()
+    }
+    assert got == want
