@@ -242,7 +242,7 @@ RECORD_BEST = {
     "dup_clusters_fixed": 3.4437,
     "inverted_index": 0.4654,
     "knn_cosine": 0.687,
-    "kstream_left_join": 0.3775,
+    "kstream_left_join": 0.3644,
     "ktable_latest": 0.349,
     "large_orders": 0.866,
     "lm_scores": 0.7559,
@@ -309,7 +309,7 @@ RECORD_BEST = {
     "hll_cardinality": 0.486,
     "hll_merge_slices": 0.6963,
     "contamination_scores": 0.9433,
-    "snapshot_diff": 0.4056,
+    "snapshot_diff": 0.3762,
     "heavy_hitters": 3.9397,
     "typo_pairs": 4.7253,
     "quantile_histogram": 0.4514,
@@ -324,10 +324,15 @@ RECORD_BEST = {
     "ppjoin_pairs": 5.9875,
     "rolling_outliers": 0.2673,
     "rolling_window_sum": 0.2054,
-    "score_calibration": 0.3764,
+    "score_calibration": 0.3712,
     "session_ids": 0.3025,
     "triangle_counts": 1.2742,
     "zorder_stats": 0.4168,
+    # round-10 close first records (run I, load 0.99, mf 1.282)
+    "join_size_estimate": 2.8,
+    "length_percentile": 0.7645,
+    "profile_columns": 2.6035,
+    "table_checksum": 1.6073,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
