@@ -3775,6 +3775,25 @@ def q_rolling_window_sum(spark, sf_dir):
     )
 
 
+def q_item_associations(spark, sf_dir):
+    """Basket co-occurrence associations (functions/cooccurrence.
+    cooccurrence_scores — PMI per Church & Hanks 1990, plus cosine
+    affinity) over parts co-ordered in the same order: both scores
+    emitted as exact integer-scaled ratios (PMI is monotone in
+    n_ab*N/(n_a*n_b), cosine in n_ab^2/(n_a*n_b) — ranking never
+    touches log/sqrt), min_pairs=2 kills the hapax-pair PMI failure
+    mode, and mega-baskets are capped before the quadratic pair
+    expansion (the LSH bucket-cap discipline). Plan: pairs expand
+    JVM-side inside packed basket arrays — never a basket self-join
+    at scale — one (a, b) count agg, broadcast marginals."""
+    from kspp_spark.functions.cooccurrence import cooccurrence_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_scores(
+        li, "l_orderkey", "l_partkey", min_pairs=2, max_basket=100
+    )
+
+
 def q_join_size_estimate(spark, sf_dir):
     """Pre-flight equi-join output-size estimate (functions/sketch.
     cms_join_size — the Count-Min inner-product estimator, Cormode &
@@ -4189,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": q_table_checksum,
         "profile_columns": q_profile_columns,
         "join_size_estimate": q_join_size_estimate,
+        "item_associations": q_item_associations,
         "ppjoin_pairs": q_ppjoin_pairs,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
@@ -7807,6 +7827,39 @@ def oracle_sql() -> dict[str, str]:
                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS rolling_sum
             FROM daily
+        """
+    # co-occurrence replay: the pair expansion as a plain basket
+    # self-join (the small-SF form the JVM in-array expansion must
+    # equal), qualifying-basket marginals, integer-scaled ratios
+    oracles["item_associations"] = """
+            WITH di AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+            ),
+            q AS (
+                SELECT bk, COUNT(*) AS sz FROM di GROUP BY bk
+                HAVING COUNT(*) BETWEEN 2 AND 100
+            ),
+            nb AS (SELECT COUNT(*) AS n FROM q),
+            dq AS (SELECT di.bk, di.it FROM di JOIN q USING (bk)),
+            marg AS (SELECT it, COUNT(*) AS n FROM dq GROUP BY it),
+            pairs AS (
+                SELECT l.it AS a, r.it AS b, COUNT(*) AS n_ab
+                FROM dq l JOIN dq r
+                  ON l.bk = r.bk AND l.it < r.it
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            SELECT p.a, p.b, CAST(p.n_ab AS BIGINT) AS n_ab,
+                   CAST(ma.n AS BIGINT) AS n_a,
+                   CAST(mb.n AS BIGINT) AS n_b,
+                   CAST((1000000 * p.n_ab * nb.n) // (ma.n * mb.n)
+                        AS BIGINT) AS pmi_ratio_ppm,
+                   CAST((1000000 * p.n_ab * p.n_ab) // (ma.n * mb.n)
+                        AS BIGINT) AS cosine2_ppm
+            FROM pairs p
+            JOIN marg ma ON p.a = ma.it
+            JOIN marg mb ON p.b = mb.it
+            CROSS JOIN nb
         """
     # CMS inner-product replay: same per-row-salted md5 family as
     # cms_counts, width 256 / depth 4; est = MIN over rows of the

@@ -192,7 +192,7 @@ BENCH_QUERIES = [
     # DataSketches HLL next to the portable md5 form — the recorded
     # pair IS the portable-overhead measurement
     "hll_production",
-    # round-10 second-session additions (88 -> 104): classifier
+    # round-10 second-session additions (88 -> 105): classifier
     # evaluation (histogram ROC-AUC / calibration / confusion),
     # lossless PPJoin prefix-filtered similarity join, weekly cohort
     # retention, calendar gap-fill LOCF + RANGE rolling sums, Morton
@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "table_checksum",
     "profile_columns",
     "join_size_estimate",
+    "item_associations",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -1,0 +1,138 @@
+"""Basket co-occurrence associations: PMI and cosine item-item
+affinity from grouped transactions — the "what goes with what"
+operator behind market-basket analysis, related-item widgets, and
+corpus collocation mining (Church & Hanks 1990 introduced PMI for
+exactly this).
+
+Everything ranks WITHOUT transcendentals: PMI = log(n_ab*N /
+(n_a*n_b)) is monotone in the exact rational n_ab*N/(n_a*n_b), and
+cosine = n_ab/sqrt(n_a*n_b) is monotone in n_ab^2/(n_a*n_b) — so both
+scores are emitted as integer-scaled exact ratios (DIV), hash-stable
+in any engine, and a caller who wants the float takes log/sqrt of the
+ratio at the very end. The same trick the repo uses everywhere:
+ordering decisions never touch floats.
+
+Scale shape: baskets aggregate to per-basket item arrays (one
+shuffle), pairs expand JVM-side inside each basket (bounded by basket
+size squared — cap wide baskets upstream, exactly like the LSH bucket
+caps), then ONE (a, b) count aggregation with map-side combine. Item
+marginals ride a second small aggregation joined back on the pair —
+|items| rows, broadcastable. Never an item-item matrix materialized
+beyond observed pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SCALE = 1_000_000
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 100,
+) -> DataFrame:
+    """Distinct co-occurring item pairs per basket -> one row per
+    (basket, a, b) with a < b. Pairs expand INSIDE the packed basket
+    array via a JVM flatten-of-transforms (never a basket self-join),
+    and `max_basket` drops degenerate mega-baskets before the
+    quadratic step (the boilerplate-page analogue: a 10k-item basket
+    is 50M pairs of noise)."""
+    items = (
+        df.select(F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it"))
+        .distinct()
+        .groupBy("_bk")
+        .agg(F.array_sort(F.collect_list("_it")).alias("_items"))
+        .where(F.size("_items").between(2, max_basket))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_items"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("_items"),
+                    i + 2,
+                    F.greatest(F.size("_items") - i - 1, F.lit(0)),
+                ),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    return items.select(
+        F.col("_bk").alias(basket_col), F.explode(pairs).alias("_p")
+    ).select(basket_col, F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+
+
+def cooccurrence_scores(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pairs: int = 2,
+    max_basket: int = 100,
+) -> DataFrame:
+    """Item-item association scores from basket co-occurrence:
+    (a, b, n_ab, n_a, n_b, pmi_ratio_ppm, cosine2_ppm) for every pair
+    appearing in >= min_pairs baskets, where
+
+        pmi_ratio_ppm = 1e6 * n_ab * N   DIV (n_a * n_b)
+        cosine2_ppm   = 1e6 * n_ab^2     DIV (n_a * n_b)
+
+    N = number of qualifying baskets; n_x = baskets containing x.
+    PMI > 0 iff pmi_ratio_ppm > 1e6 (independence point); both
+    columns are exact integers — rank on them directly, take
+    log/sqrt only for display. min_pairs kills the long tail of
+    single-sighting pairs (PMI's classic failure mode: two hapaxes
+    that met once look maximally associated).
+
+    Plan: basket_pairs' two bounded aggs, one (a, b) count, a small
+    marginal aggregation joined twice (broadcast at dimension scale),
+    and a 1-row basket-count literal via cross join. Int64 bound:
+    n_ab * N <= N^2 — fine through ~3e9 baskets; shard the ppm scale
+    down if you exceed it."""
+    pairs = basket_pairs(df, basket_col, item_col, max_basket)
+    qualifying = (
+        df.select(F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it"))
+        .distinct()
+        .groupBy("_bk")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .where(F.col("_sz").between(2, max_basket))
+    )
+    n_baskets = qualifying.agg(
+        F.count(F.lit(1)).cast("long").alias("_nb")
+    )
+    marg = (
+        df.select(F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it"))
+        .distinct()
+        .join(qualifying.select("_bk"), "_bk")
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    counts = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    ).where(F.col("n_ab") >= min_pairs)
+    out = (
+        counts.join(
+            F.broadcast(marg.select(F.col("_it").alias("a"), F.col("_n").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("_it").alias("b"), F.col("_n").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return out.select(
+        "a",
+        "b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr(f"({SCALE} * n_ab * _nb) DIV (n_a * n_b)").alias(
+            "pmi_ratio_ppm"
+        ),
+        F.expr(f"({SCALE} * n_ab * n_ab) DIV (n_a * n_b)").alias(
+            "cosine2_ppm"
+        ),
+    )

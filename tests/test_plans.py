@@ -1100,3 +1100,15 @@ def test_length_percentile_broadcast_sketch_no_window(spark, queries):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_item_associations_no_basket_self_join(spark, queries):
+    """Co-occurrence scale contract: pairs expand INSIDE packed
+    basket arrays (Generate over the JVM flatten), marginals ride
+    broadcasts — the only SortMergeJoin-eligible shape, the basket
+    self-join, must not appear; no Python anywhere."""
+    plan = formatted_plan(spark, queries["item_associations"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the in-array pair explode

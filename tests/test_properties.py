@@ -1401,3 +1401,58 @@ def test_histogram_percentile_rank_matches_replay(spark, vals, k):
         if hist.get(rows[rid][1])
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # basket
+            st.sampled_from(list("pqrs")),           # item
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    min_pairs=st.sampled_from([1, 2]),
+)
+def test_cooccurrence_scores_match_bruteforce(spark, rows, min_pairs):
+    """The JVM in-array pair expansion + broadcast marginals equal a
+    pure-Python model over messy baskets (duplicate memberships,
+    singleton baskets excluded, hapax pairs cut by min_pairs), with
+    the exact integer ratio scores."""
+    from kspp_spark.functions.cooccurrence import cooccurrence_scores
+
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {
+        (r["a"], r["b"]): (
+            r["n_ab"], r["n_a"], r["n_b"],
+            r["pmi_ratio_ppm"], r["cosine2_ppm"],
+        )
+        for r in cooccurrence_scores(
+            df, "bk", "it", min_pairs=min_pairs, max_basket=100
+        ).collect()
+    }
+    baskets = {}
+    for bk, it in rows:
+        baskets.setdefault(bk, set()).add(it)
+    qual = {bk: its for bk, its in baskets.items() if 2 <= len(its) <= 100}
+    nb = len(qual)
+    marg = {}
+    pair_n = {}
+    for its in qual.values():
+        s = sorted(its)
+        for x in s:
+            marg[x] = marg.get(x, 0) + 1
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_n[(s[i], s[j])] = pair_n.get((s[i], s[j]), 0) + 1
+    want = {
+        p: (
+            n, marg[p[0]], marg[p[1]],
+            (1_000_000 * n * nb) // (marg[p[0]] * marg[p[1]]),
+            (1_000_000 * n * n) // (marg[p[0]] * marg[p[1]]),
+        )
+        for p, n in pair_n.items()
+        if n >= min_pairs
+    }
+    assert got == want
