@@ -3775,6 +3775,24 @@ def q_rolling_window_sum(spark, sf_dir):
     )
 
 
+def q_rate_ztest(spark, sf_dir):
+    """Per-source significance test (functions/evaluation.
+    two_proportion_ztest — the pooled two-proportion z, computed as
+    the algebraically-identical 2x2 chi-square): does this source
+    produce English-looking text (stopword score >= 30000) at a rate
+    SIGNIFICANTLY different from the pool? The entire decision is
+    integer cross-multiplication — z=1.96 enters as the exact
+    rational 196/100 squared — so the significant flag hash-replays
+    in SQL; chi2 itself is the one IEEE division. One group agg, a
+    1-row pooled broadcast, map-side algebra."""
+    from kspp_spark.functions.evaluation import two_proportion_ztest
+
+    flagged = _stopword_scored(spark, sf_dir).withColumn(
+        "flag", (F.col("score") >= 30000).cast("int")
+    )
+    return two_proportion_ztest(flagged, "source", "flag")
+
+
 def q_item_associations(spark, sf_dir):
     """Basket co-occurrence associations (functions/cooccurrence.
     cooccurrence_scores — PMI per Church & Hanks 1990, plus cosine
@@ -4209,6 +4227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": q_profile_columns,
         "join_size_estimate": q_join_size_estimate,
         "item_associations": q_item_associations,
+        "rate_ztest": q_rate_ztest,
         "ppjoin_pairs": q_ppjoin_pairs,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
@@ -8162,6 +8181,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN score < 30000 AND label = 0
                         THEN 1 ELSE 0 END) AS BIGINT) AS tn
             FROM scored GROUP BY source
+        """
+    # 2x2 chi-square replay over the shared scored CTE: same integer
+    # algebra, same cross-multiplied significance
+    oracles["rate_ztest"] = f"""
+            WITH {_SCORED},
+            fl AS (
+                SELECT source,
+                       CASE WHEN score >= 30000 THEN 1 ELSE 0 END AS flag
+                FROM scored
+            ),
+            g AS (
+                SELECT source, COUNT(*) AS n,
+                       CAST(SUM(flag) AS BIGINT) AS k
+                FROM fl GROUP BY source
+            ),
+            tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                       CAST(SUM(k) AS BIGINT) AS k_total
+                FROM g
+            ),
+            x AS (
+                SELECT g.source, g.n, g.k, tot.n_total, tot.k_total,
+                       g.k AS a, g.n - g.k AS b,
+                       tot.k_total - g.k AS c,
+                       (tot.n_total - g.n) - (tot.k_total - g.k) AS d
+                FROM g CROSS JOIN tot
+            )
+            SELECT source, n, k, n_total, k_total,
+                   CAST(n_total * (a*d - b*c) * (a*d - b*c) AS BIGINT)
+                     AS chi2_num,
+                   CAST((a+b) * (c+d) * (a+c) * (b+d) AS BIGINT)
+                     AS chi2_den,
+                   CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
+                        THEN CAST(n_total * (a*d - b*c) * (a*d - b*c)
+                                  AS DOUBLE)
+                             / CAST((a+b) * (c+d) * (a+c) * (b+d)
+                                    AS DOUBLE)
+                   END AS chi2,
+                   CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
+                             AND n_total * (a*d - b*c) * (a*d - b*c) * 10000
+                                 > 38416 * (a+b) * (c+d) * (a+c) * (b+d)
+                        THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM x
         """
     # the bloom prefilter is exact (no false negatives — it only
     # prunes the join input), so its oracle IS decontaminate's

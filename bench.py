@@ -192,7 +192,7 @@ BENCH_QUERIES = [
     # DataSketches HLL next to the portable md5 form — the recorded
     # pair IS the portable-overhead measurement
     "hll_production",
-    # round-10 second-session additions (88 -> 105): classifier
+    # round-10 second-session additions (88 -> 106): classifier
     # evaluation (histogram ROC-AUC / calibration / confusion),
     # lossless PPJoin prefix-filtered similarity join, weekly cohort
     # retention, calendar gap-fill LOCF + RANGE rolling sums, Morton
@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "profile_columns",
     "join_size_estimate",
     "item_associations",
+    "rate_ztest",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -143,3 +143,78 @@ def confusion_at(
         F.sum((1 - pred) * lab).cast("long").alias("fn"),
         F.sum((1 - pred) * (1 - lab)).cast("long").alias("tn"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    z_num: int = 196,
+    z_den: int = 100,
+) -> DataFrame:
+    """Per-group two-proportion z-test against the POOLED rate — "is
+    this group's success rate significantly different from everyone
+    else's?" — with the entire decision in exact integers.
+
+    Group g contributes (k successes, n trials); its complement is
+    (K-k, N-n). The pooled two-proportion z statistic squared is
+    algebraically identical to the 2x2-table chi-square with 1 df
+    (the standard identity z^2 == X^2), so the test uses the
+    chi-square form directly:
+
+        X^2 = N * (a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    with a=k, b=n-k, c=K-k, d=(N-n)-(K-k). Every term is an int64
+    product; the significance decision X^2 > (z_num/z_den)^2 cross-
+    multiplies to
+
+        N * (ad - bc)^2 * z_den^2  >  z_num^2 * (row/col products)
+
+    so `significant` is a pure integer comparison — no sqrt, no
+    float, bit-identical in any engine. Default threshold z = 1.96
+    (95% two-sided). Output per group: n, k, the pooled totals as
+    n_total/k_total (Spark resolves column names case-insensitively,
+    so N beside n would be ambiguous), chi2_num, chi2_den (exact),
+    chi2 (the one IEEE division), and significant.
+    Degenerate margins (all-success / all-failure pools) yield
+    chi2_den = 0, NULL chi2, significant = 0 — the honest default.
+
+    Plan: ONE hash aggregation to per-group (n, k), a 1-row pooled
+    total broadcast back, map-side integer algebra. Int64 bound:
+    N * (ad-bc)^2 needs N^3 <~ 2^63 — fine to ~2M trials; beyond
+    that, pre-scale counts (divide all cells by a common factor) or
+    lift to DecimalType.
+    """
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(flag_col).cast("long")).cast("long").alias("k"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("k").cast("long").alias("k_total"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    a = F.col("k")
+    b = F.col("n") - F.col("k")
+    c = F.col("k_total") - F.col("k")
+    d = (F.col("n_total") - F.col("n")) - c
+    det = a * d - b * c
+    num = F.col("n_total") * det * det
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    sig = F.when(
+        den > 0,
+        (num * (z_den * z_den) > den * (z_num * z_num)).cast("long"),
+    ).otherwise(F.lit(0))
+    return j.select(
+        group_col,
+        "n",
+        "k",
+        "n_total",
+        "k_total",
+        num.cast("long").alias("chi2_num"),
+        den.cast("long").alias("chi2_den"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "chi2"
+        ),
+        sig.alias("significant"),
+    )

@@ -90,3 +90,39 @@ def test_confusion_at_counts(spark):
     )
     r = confusion_at(df, "score", "label", threshold=7).collect()[0]
     assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 2, 1, 1)
+
+
+def test_two_proportion_ztest_hand_computed(spark):
+    """2x2 chi-square against hand-computed cells: group A converts
+    30/100 vs the complement's 10/100 — chi2 = 200*(30*90-70*10)^2 /
+    (100*100*40*160) = 12.5, significant at z=1.96 (chi2 > 3.8416);
+    a tiny difference is not; a degenerate all-success pool yields
+    NULL chi2 and significant 0."""
+    from kspp_spark.functions.evaluation import two_proportion_ztest
+
+    rows = [("A", 1)] * 30 + [("A", 0)] * 70 + [("B", 1)] * 10 + [("B", 0)] * 90
+    df = spark.createDataFrame(rows, "g string, f int")
+    got = {r["g"]: r for r in two_proportion_ztest(df, "g", "f").collect()}
+    a = got["A"]
+    assert (a["n"], a["k"], a["n_total"], a["k_total"]) == (100, 30, 200, 40)
+    assert a["chi2_num"] == 200 * (30 * 90 - 70 * 10) ** 2
+    assert a["chi2_den"] == 100 * 100 * 40 * 160
+    assert abs(a["chi2"] - 12.5) < 1e-12
+    assert a["significant"] == 1
+    # symmetric: B's test against its complement is the same table
+    assert got["B"]["chi2"] == a["chi2"] and got["B"]["significant"] == 1
+
+    close = spark.createDataFrame(
+        [("A", 1)] * 50 + [("A", 0)] * 50 + [("B", 1)] * 52 + [("B", 0)] * 48,
+        "g string, f int",
+    )
+    assert all(
+        r["significant"] == 0
+        for r in two_proportion_ztest(close, "g", "f").collect()
+    )
+
+    degen = spark.createDataFrame(
+        [("A", 1)] * 5 + [("B", 1)] * 5, "g string, f int"
+    )
+    for r in two_proportion_ztest(degen, "g", "f").collect():
+        assert r["chi2"] is None and r["significant"] == 0
