@@ -282,7 +282,7 @@ RECORD_BEST = {
     "transform_revenue": 0.4161,
     "volume_shipping": 0.8027,
     "waiting_suppliers": 1.1042,
-    "windowed_count": 0.2388,
+    "windowed_count": 0.235,
     "word_count": 0.295,
     "domain_rollup": 0.7259,
     "link_graph": 1.2377,
@@ -313,7 +313,7 @@ RECORD_BEST = {
     "contamination_scores": 0.9433,
     "snapshot_diff": 0.3762,
     "heavy_hitters": 3.9397,
-    "typo_pairs": 4.7253,
+    "typo_pairs": 4.5598,
     "quantile_histogram": 0.4514,
     "hll_production": 0.5849,
     "outlier_gate": 0.5179,
@@ -321,20 +321,23 @@ RECORD_BEST = {
     "auc_eval": 0.4502,
     "classifier_confusion": 0.3896,
     "cohort_retention": 0.3995,
-    "daily_trend": 0.2738,
+    "daily_trend": 0.2708,
     "gap_fill_locf": 0.2547,
-    "ppjoin_pairs": 5.9875,
+    "ppjoin_pairs": 5.8613,
     "rolling_outliers": 0.2673,
-    "rolling_window_sum": 0.2054,
-    "score_calibration": 0.3712,
+    "rolling_window_sum": 0.2029,
+    "score_calibration": 0.3686,
     "session_ids": 0.3025,
     "triangle_counts": 1.2742,
     "zorder_stats": 0.4168,
     # round-10 close first records (run I, load 0.99, mf 1.282)
     "join_size_estimate": 2.8,
-    "length_percentile": 0.7645,
+    "length_percentile": 0.7359,
     "profile_columns": 2.6035,
-    "table_checksum": 1.6073,
+    # round-10 final first records (run J, load 0.14, mf 1.2155)
+    "item_associations": 2.9328,
+    "rate_ztest": 0.7447,
+    "table_checksum": 1.3013,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
