@@ -2376,7 +2376,15 @@ def q_snapshot_diff(spark, sf_dir):
     changed_cols) — the change stream an SCD2 fold or incremental
     re-process consumes instead of re-reading the corpus. ONE
     full-outer equi-join, all-JVM column comparison, changed_cols
-    names WHICH compare columns differ (null-safe)."""
+    names WHICH compare columns differ (null-safe).
+
+    GRADING SHAPE: the API returns changed_cols as array<string>
+    (functions/pipeline.snapshot_diff keeps it for programmatic
+    callers), but the driver's canonicalizer sorts columns with
+    pandas sort_values, which raises `unhashable type: 'list'` on
+    array columns under a vanilla Arrow-less session (the r10 red
+    row). Grade a canonical scalar projection instead:
+    array_join(array_sort(changed_cols), ',')."""
     from kspp_spark.functions.pipeline import snapshot_diff
 
     orders = _t(spark, sf_dir, "orders")
@@ -2397,6 +2405,9 @@ def q_snapshot_diff(spark, sf_dir):
         new,
         keys=["o_orderkey"],
         compare=["o_orderstatus", "o_totalprice"],
+    ).withColumn(
+        "changed_cols",
+        F.array_join(F.array_sort(F.col("changed_cols")), ","),
     )
 
 
@@ -5061,11 +5072,11 @@ def oracle_sql() -> dict[str, str]:
                              OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
                         ELSE 'unchanged' END AS status,
                    CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL
-                        THEN CAST([] AS VARCHAR[])
-                        ELSE list_filter([
+                        THEN ''
+                        ELSE COALESCE(array_to_string(list_sort(list_filter([
                             CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END,
                             CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'o_totalprice' END
-                        ], x -> x IS NOT NULL) END AS changed_cols
+                        ], x -> x IS NOT NULL)), ','), '') END AS changed_cols
             FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
         """,
         "cms_counts": f"""
@@ -7909,12 +7920,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT est.est_join_size, tr.true_join_size FROM est, tr
         """
-    # checksum replay: identical row serialization (unit separator +
-    # NULL sentinel), 60-bit md5, split 30-bit sums, bit_xor
+    # checksum replay: identical INJECTIVE row serialization
+    # (N/V null marker + ESC-escape of separator, pipeline.py
+    # table_checksum), 60-bit md5, split 30-bit sums, bit_xor
     _CK_ROW = (
         "concat_ws(chr(31), "
         + ", ".join(
-            f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'NULL')"
+            f"CASE WHEN {c} IS NULL THEN 'N' ELSE 'V' || "
+            f"replace(replace(CAST({c} AS VARCHAR), chr(27), "
+            f"chr(27) || 'e'), chr(31), chr(27) || 's') END"
             for c in [
                 "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                 "l_returnflag", "l_linestatus", "l_shipdate",

@@ -177,11 +177,16 @@ def table_checksum(
     combinable and partitioning-invariant — any layout of the same
     rows produces the same fingerprint, which is the whole point.
 
-    Rows are serialized as concat_ws over the chosen columns with a
-    non-printing unit separator plus an explicit NULL sentinel
-    (concat_ws SKIPS nulls — ('a', NULL) and (NULL, 'a') must not
-    collide). Column ORDER matters (it is part of the row identity);
-    pass an explicit list to compare tables with different layouts.
+    Rows are serialized INJECTIVELY: each cell is 'N' for NULL or
+    'V' + the value with an escape pass (ESC -> ESC||'e', the unit
+    separator -> ESC||'s'), then concat_ws with the separator. After
+    escaping no cell contains a raw separator, and the N/V marker
+    keeps any literal string distinct from NULL — so distinct rows
+    can never serialize identically (a raw sentinel scheme aliases a
+    literal '\\x00NULL' string with NULL and lets embedded
+    separators shift content across column boundaries). Column ORDER
+    matters (it is part of the row identity); pass an explicit list
+    to compare tables with different layouts.
 
     The reference has nothing like this; its stores trust Kafka
     offsets. At copy-verification scale this replaces a full
@@ -190,13 +195,24 @@ def table_checksum(
     from kspp_spark.functions.hashing import md5_long
 
     use = list(cols) if cols is not None else list(df.columns)
-    row = F.concat_ws(
-        "\x1f",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-            for c in use
-        ],
-    )
+    clash = {"_lo", "_hi", "_h"} & set(group_cols)
+    if clash:
+        raise AssertionError(
+            f"table_checksum: group_cols collide with temp columns {sorted(clash)}"
+        )
+
+    def _cell(c):
+        v = F.col(c).cast("string")
+        esc = F.replace(
+            F.replace(v, F.lit("\x1b"), F.lit("\x1be")),
+            F.lit("\x1f"),
+            F.lit("\x1bs"),
+        )
+        return F.when(v.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), esc)
+        )
+
+    row = F.concat_ws("\x1f", *[_cell(c) for c in use])
     h = md5_long(row)  # 60-bit non-negative
     # split into two 30-bit words summed separately: each summand
     # < 2^30, so the int64 sums are overflow-safe up to 2^33 rows

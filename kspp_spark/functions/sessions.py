@@ -14,6 +14,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 
+def _gap_to_us(gap: str) -> int:
+    """Parse a day-time interval string to exact integer microseconds,
+    timezone-free (pandas Timedelta; .value is integer ns, so no
+    float precision loss even for multi-year day-time gaps). Shared
+    by sessionize and sessionize_stream so batch/stream boundaries
+    are identical by construction."""
+    import pandas as pd
+
+    td = pd.Timedelta(gap)
+    us, rem = divmod(td.value, 1000)
+    if rem:
+        raise ValueError(f"sessionize: sub-microsecond gap {gap!r}")
+    if us <= 0:
+        raise ValueError(f"sessionize: non-positive gap {gap!r}")
+    return us
+
+
 def event_transitions(
     df: DataFrame,
     user_col: str = "user_id",
@@ -150,9 +167,10 @@ def cohort_retention(
     users by the period of their FIRST event (their cohort), then for
     every (cohort, periods-since-cohort) cell count the distinct
     users still active. Output one row per populated cell:
-    (cohort, period_offset, n_users, cohort_size, retention_num/_den
-    as the exact per-million integer pair, retention as the one IEEE
-    division). period_offset 0 is the cohort itself, so its
+    (cohort, period_offset, n_users, cohort_size, retention_ppm as
+    the exact integer parts-per-million ratio — n_users/cohort_size
+    is the exact integer pair behind it — and retention as the one
+    IEEE division). period_offset 0 is the cohort itself, so its
     retention is 1 by construction — kept as the oracle-checkable
     anchor row.
 
@@ -224,10 +242,12 @@ def sessionize(
     counts, but no id to join events back to — the reference's
     windowed store has the same gap, mem_windowed_store.h:8-285).
 
-    `gap` is any Spark interval string; the boundary test compares
-    microsecond integers (unix_micros), so it replays exactly in SQL.
-    Pass `tiebreak` when timestamps can tie (total order, same as
-    event_transitions).
+    `gap` is a day-time interval string ('30 minutes', '2 hours',
+    '1 day 6 hours' — anything pandas Timedelta parses; month/year
+    units are rejected because a gap must be a fixed duration); the
+    boundary test compares microsecond integers (unix_micros), so it
+    replays exactly in SQL. Pass `tiebreak` when timestamps can tie
+    (total order, same as event_transitions).
 
     Scale shape: ONE shuffle on user_col; both windows (lag, running
     sum) share the same (user) partitioning and (ts, tiebreak) order,
@@ -238,11 +258,15 @@ def sessionize(
     if tiebreak is not None:
         order.append(F.col(tiebreak))
     w = W.partitionBy(user_col).orderBy(*order)
-    # interval -> exact microseconds via a literal timestamp diff
-    # (no float parsing): INTERVAL arithmetic on a fixed epoch
-    gap_us = F.unix_micros(
-        F.expr(f"timestamp'1970-01-01 00:00:00' + interval {gap}")
-    )
+    # interval -> exact integer microseconds, parsed DRIVER-side
+    # exactly as sessionize_stream does (pandas Timedelta .value is
+    # integer ns — no float rounding). A SQL-literal form like
+    # unix_micros(timestamp'1970-01-01' + interval ...) is
+    # timezone-DEPENDENT: the epoch literal is interpreted in the
+    # session zone, so the parsed gap would absorb the UTC offset in
+    # any non-UTC session (a 30-minute gap reading as 8.5 hours in
+    # UTC-8) and break batch/stream parity.
+    gap_us = F.lit(_gap_to_us(gap))
     # cast("timestamp") is a no-op on TIMESTAMP and adopts the session
     # zone on TIMESTAMP_NTZ inputs (io.load turns NTZ inference off,
     # but callers reading parquet directly may still carry it) —
@@ -311,6 +335,16 @@ def sessionize_stream(
     would not). `watermark_delay` defaults to `gap` (disorder up to
     the gap survives; size it to your stream's real disorder bound).
 
+    Disorder semantics: an admissible late event landing INSIDE an
+    open session's gap extends it in both directions (start =
+    min(start, t), last = max(last, t)), so the emitted
+    start_us/end_us/duration_us equal the batch replay of the merged
+    span. If watermark_delay > gap, an event can arrive more than
+    gap BEFORE the open session's start; it is absorbed into the
+    open session (one merged row) where the batch replay would emit
+    a separate earlier session — the one divergence mode, impossible
+    at the default watermark_delay = gap.
+
     The reference's windowed store (mem_windowed_store.h:8-285) +
     punctuate is exactly this shape — slot state, watermark-driven
     emission — but keyed to fixed slots; the gap session is the
@@ -321,7 +355,7 @@ def sessionize_stream(
         GroupStateTimeout,
     )
 
-    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    gap_us = _gap_to_us(gap)
     if watermark_delay is None:
         watermark_delay = gap
     order = [ts_col] + ([tiebreak] if tiebreak else [])
@@ -347,7 +381,18 @@ def sessionize_stream(
                     closed.append((seq, start, last, n))
                     seq, start, last, n = seq + 1, t, t, 1
                 else:
-                    last, n = max(last, t), n + 1
+                    # watermark-admissible LATE event (a later
+                    # micro-batch delivering t earlier than the open
+                    # session's span): pull start back as well as
+                    # pushing last forward, so start_us/duration_us
+                    # match what the batch replay computes for the
+                    # merged span. An extremely late t (more than
+                    # gap BEFORE the open start) is absorbed into
+                    # the open session too — batch replay would have
+                    # split it into an earlier session, a documented
+                    # divergence only possible when watermark_delay
+                    # is configured wider than gap.
+                    start, last, n = min(start, t), max(last, t), n + 1
         wm_us = state.getCurrentWatermarkMs() * 1000
         if start is not None and (
             state.hasTimedOut or wm_us > last + gap_us

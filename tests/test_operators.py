@@ -4151,3 +4151,70 @@ def test_cms_join_size_one_sided_and_exact_when_wide(spark):
         depth=4,
     ).collect()
     assert r3["est_join_size"] == 0
+
+
+def test_sessionize_gap_is_timezone_invariant(spark):
+    """sessionize parses the gap driver-side (pandas Timedelta), so a
+    non-UTC session timezone cannot skew the boundary — the r10
+    advice bug: a SQL epoch-literal parse absorbed the UTC offset,
+    turning a 30-minute gap into 8.5 hours under UTC-8."""
+    import datetime
+
+    from kspp_spark.functions.sessions import _gap_to_us, sessionize
+
+    assert _gap_to_us("30 minutes") == 30 * 60 * 1_000_000
+    assert _gap_to_us("1 day 2 hours") == 26 * 3600 * 1_000_000
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1, 10, 0, 0), 1),
+        (1, d(2024, 1, 1, 10, 45, 0), 2),  # 45m > 30m gap -> new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+
+    def ids():
+        return {
+            r["event_id"]: r["session_seq"]
+            for r in sessionize(
+                df, gap="30 minutes", tiebreak="event_id"
+            ).collect()
+        }
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        got_pst = ids()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+    assert got_pst == {1: 1, 2: 2} == ids()
+
+
+def test_table_checksum_injective_serialization(spark):
+    """Rows that would alias under naive concat serialization must
+    fingerprint differently: a literal '\\x00NULL' string vs NULL, a
+    value containing the field separator shifting content across the
+    column boundary, and escape-character edge cases."""
+    from kspp_spark.functions.pipeline import table_checksum
+
+    def fp(rows):
+        [r] = table_checksum(
+            spark.createDataFrame(rows, "a string, b string")
+        ).collect()
+        return (r["sum_hash_lo"], r["sum_hash_hi"], r["xor_hash"])
+
+    # literal sentinel string != NULL
+    assert fp([("\x00NULL", "x")]) != fp([(None, "x")])
+    # separator inside a value must not shift content across columns
+    assert fp([("a\x1fb", "c")]) != fp([("a", "b\x1fc")])
+    assert fp([("a\x1fb", "c")]) != fp([("a", "b" + "\x1f" + "c")])
+    # escape-char adjacency: ('\x1b', 's') vs ('', '\x1bs')-style
+    assert fp([("\x1b", "s")]) != fp([("\x1bs", "")])
+    # and the fingerprint is still order/partitioning independent
+    two = [("a\x1fb", "c"), (None, "\x00NULL")]
+    assert fp(two) == fp(list(reversed(two)))
+    # temp-column collision with group_cols is rejected
+    import pytest
+
+    df = spark.createDataFrame([("g", 1)], "_h string, v long")
+    with pytest.raises(AssertionError):
+        table_checksum(df, cols=["v"], group_cols=("_h",))

@@ -3189,3 +3189,128 @@ def test_checksum_stream_equals_batch_fingerprint(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_sessionize_stream_late_event_pulls_start_back(spark, tmp_path):
+    """A watermark-admissible late event that lands INSIDE the open
+    session's gap but BEFORE its first-seen event must pull start_us
+    back (r10 advice): the emitted span equals the batch replay of
+    the merged session, not the arrival-order first-seen time."""
+    import datetime
+    import time as _time
+
+    from kspp_spark.functions.sessions import (
+        session_stats,
+        sessionize_stream,
+    )
+
+    d = datetime.datetime
+    schema = "event_id long, user_id long, ts timestamp"
+    b1 = [(1, 1, d(2024, 1, 1, 10, 10, 0))]
+    # 10:00 is admissible (watermark after b1 = 10:10 - 2h) and
+    # in-gap (10 min before the open start); 13:00 closes session 1
+    # by gap and advances the watermark
+    b2 = [(2, 1, d(2024, 1, 1, 10, 0, 0)), (3, 1, d(2024, 1, 1, 13, 0, 0))]
+    in_dir = str(tmp_path / "sess_late_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(
+            src,
+            gap="30 minutes",
+            watermark_delay="2 hours",
+            tiebreak="event_id",
+        )
+        .writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["start_us"], r["end_us"], r["duration_us"]
+        )
+        for r in spark.sql("select * from sess_late").collect()
+    }
+    want = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["start_us"], r["end_us"], r["duration_us"]
+        )
+        for r in session_stats(
+            spark.createDataFrame(b1 + b2, schema),
+            gap="30 minutes",
+            tiebreak="event_id",
+        ).collect()
+    }
+    # session 1 (merged 10:00-10:10, 2 events) closed and emitted;
+    # session 2 (13:00) still open at availableNow termination
+    assert got == {k: v for k, v in want.items() if k == (1, 1)}
+    assert want[(1, 1)][0] == 2 and want[(1, 1)][3] == 10 * 60 * 1_000_000
+
+
+def test_checksum_stream_random_micro_batch_splits(spark, tmp_path):
+    """Property form of the fingerprint fold: a seeded-random split
+    of the input into micro-batches produces the same per-group
+    fingerprint as one batch table_checksum over everything —
+    the accumulators are commutative/associative, so batch
+    boundaries are invisible."""
+    import random
+    import time as _time
+
+    from kspp_spark.functions.pipeline import (
+        checksum_stream,
+        table_checksum,
+    )
+
+    rng = random.Random(1106)
+    schema = "g string, s string, v long"
+    rows = [
+        (rng.choice("ab"), rng.choice(["x", "y", "a\x1fb", None]),
+         rng.choice([None, 1, 2, 3]))
+        for _ in range(24)
+    ]
+    cuts = sorted(rng.sample(range(1, len(rows)), 3))
+    batches = [
+        rows[i:j] for i, j in zip([0] + cuts, cuts + [len(rows)])
+    ]
+    in_dir = str(tmp_path / "ck_rand_in")
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        _time.sleep(1.05)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        checksum_stream(src, group_cols=("g",))
+        .writeStream.format("memory")
+        .queryName("ck_rand")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["g"]: (r["n_rows"], r["sum_hash_lo"], r["sum_hash_hi"], r["xor_hash"])
+        for r in spark.sql("select * from ck_rand").collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], r["sum_hash_lo"], r["sum_hash_hi"], r["xor_hash"])
+        for r in table_checksum(
+            spark.createDataFrame(rows, schema), group_cols=("g",)
+        ).collect()
+    }
+    assert got == want and len(got) == 2
