@@ -2264,6 +2264,30 @@ def q_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_heavy_hitters_production(spark, sf_dir):
+    """PRODUCTION-family twin of q_heavy_hitters (VERDICT r10 item
+    #3): the same two-pass CMS prune with xxhash64 bit-slice buckets
+    ((h >>> r*8) & 255 — shift/AND only, ANSI-safe) instead of the
+    md5 chain, the kernel a real cluster would run. The output is
+    provably IDENTICAL regardless of hash family — the sketch only
+    prunes and never underestimates — so unlike the other
+    production-hash twins this one KEEPS the full plain
+    GROUP BY/HAVING oracle: the driver certifies the xxhash64 path
+    itself, and the bench pair (this vs heavy_hitters) is the md5
+    kernel-cost measurement."""
+    from kspp_spark.functions.sketch import heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return heavy_hitters(
+        li,
+        col="l_partkey",
+        min_count=40,
+        width=256,
+        depth=4,
+        family="production",
+    )
+
+
 def q_typo_pairs(spark, sf_dir):
     """Typo-level near-duplicate pairs (functions/dedup.
     edit_neighbor_pairs — Garbe's SymSpell symmetric-delete
@@ -4361,6 +4385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ivf_ann": q_ivf_ann,
         "hll_production": q_hll_production,
+        "heavy_hitters_production": q_heavy_hitters_production,
     }
 
 
@@ -5026,6 +5051,17 @@ def oracle_sql() -> dict[str, str]:
         # the two-pass CMS prune is lossless (no underestimates), so
         # the optimized form must equal the naive exact SQL
         "heavy_hitters": """
+            SELECT CAST(l_partkey AS VARCHAR) AS l_partkey,
+                   COUNT(*) AS cnt
+            FROM lineitem
+            GROUP BY 1
+            HAVING COUNT(*) >= 40
+        """,
+        # same plain-SQL truth for the xxhash64 family: the sketch
+        # only PRUNES (never underestimates), so exactness is
+        # hash-family-independent — the one production twin that
+        # keeps a full oracle
+        "heavy_hitters_production": """
             SELECT CAST(l_partkey AS VARCHAR) AS l_partkey,
                    COUNT(*) AS cnt
             FROM lineitem

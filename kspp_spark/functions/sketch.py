@@ -334,6 +334,7 @@ def heavy_hitters(
     min_count: int = 100,
     width: int = 1024,
     depth: int = 4,
+    family: str = "portable",
 ) -> DataFrame:
     """EXACT heavy hitters via the classic two-pass sketch-prune:
     pass 1 builds a Count-Min-style sketch (bounded shuffle); pass 2
@@ -360,22 +361,54 @@ def heavy_hitters(
     array lambda variable — Spark codegen does NOT common-subexpress
     the hash chain across the depth probe branches, so the naive
     spelling re-hashes depth× per row (measured 2.4× slower at
-    sf0.1)."""
+    sf0.1).
+
+    `family` picks the row-hash kernel (the minhash/simhash twin
+    pattern, dedup.py): 'portable' = md5_long, bit-replayable in a
+    SQL oracle; 'production' = xxhash64 with bit-slice buckets
+    (b_r = (h >>> r*log2(width)) & (width-1) — shift/AND only, no
+    arithmetic that could overflow under ANSI), severalfold cheaper
+    per row on a real cluster. Both produce the IDENTICAL output —
+    the sketch only prunes and CMS never underestimates regardless
+    of hash family, so exactness is family-independent (asserted by
+    tests). 'production' requires width a power of two with
+    depth*log2(width) <= 64."""
     if width < 2 or depth < 1:
         raise ValueError("heavy_hitters: width >= 2 and depth >= 1")
-    if width**depth > 1 << 60:
-        raise ValueError(
-            "heavy_hitters: width**depth must fit the 60-bit md5 "
-            "word (width^depth <= 2^60)"
-        )
     item = F.col(col).cast("string")
-    h = md5_long(item, 1, 15)
+    if family == "portable":
+        if width**depth > 1 << 60:
+            raise ValueError(
+                "heavy_hitters: width**depth must fit the 60-bit md5 "
+                "word (width^depth <= 2^60)"
+            )
+        h = md5_long(item, 1, 15)
 
-    def _buckets(hh: Column) -> list[Column]:
-        return [
-            ((hh / F.lit(width**r)).cast("long") % width).cast("int")
-            for r in range(depth)
-        ]
+        def _buckets(hh: Column) -> list[Column]:
+            return [
+                ((hh / F.lit(width**r)).cast("long") % width).cast("int")
+                for r in range(depth)
+            ]
+
+    elif family == "production":
+        log2w = width.bit_length() - 1
+        if (1 << log2w) != width or depth * log2w > 64:
+            raise ValueError(
+                "heavy_hitters: production family needs width a power "
+                "of two with depth*log2(width) <= 64"
+            )
+        h = F.xxhash64(item)
+
+        def _buckets(hh: Column) -> list[Column]:
+            return [
+                F.shiftrightunsigned(hh, r * log2w)
+                .bitwiseAND(F.lit(width - 1))
+                .cast("int")
+                for r in range(depth)
+            ]
+
+    else:
+        raise ValueError(f"heavy_hitters: unknown family {family!r}")
 
     # pass 1: one md5 per row, bound once; explode depth probes
     probes = F.element_at(

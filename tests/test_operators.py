@@ -3535,14 +3535,30 @@ def test_heavy_hitters_exact_even_with_tiny_sketch(spark):
     rows = [(f"t{i}",) for i in range(1, 30) for _ in range(i)]
     df = spark.createDataFrame(rows, "item string")
     want = {f"t{i}": i for i in range(20, 30)}
-    for w, d in [(4, 2), (1024, 4)]:
-        got = {
-            r["item"]: r["cnt"]
-            for r in heavy_hitters(
-                df, min_count=20, width=w, depth=d
-            ).collect()
-        }
-        assert got == want, (w, d)
+    for fam in ("portable", "production"):
+        for w, d in [(4, 2), (1024, 4)]:
+            got = {
+                r["item"]: r["cnt"]
+                for r in heavy_hitters(
+                    df, min_count=20, width=w, depth=d, family=fam
+                ).collect()
+            }
+            assert got == want, (fam, w, d)
+
+
+def test_heavy_hitters_family_validation():
+    """production family rejects non-power-of-two width and >64 total
+    slice bits; unknown family rejected."""
+    import pytest
+
+    from kspp_spark.functions.sketch import heavy_hitters
+
+    with pytest.raises(ValueError, match="power"):
+        heavy_hitters(None, width=100, depth=2, family="production")
+    with pytest.raises(ValueError, match="64"):
+        heavy_hitters(None, width=1024, depth=7, family="production")
+    with pytest.raises(ValueError, match="unknown family"):
+        heavy_hitters(None, family="nope")
 
 
 def test_edit_neighbor_pairs_golden(spark):

@@ -1262,12 +1262,17 @@ def test_prefix_filter_pairs_equals_bruteforce(spark, texts, num_den):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    got = sorted(
-        (r["a"], r["b"], r["n_inter"], r["n_union"])
-        for r in prefix_filter_pairs(
-            df, threshold_num=num, threshold_den=den
-        ).collect()
-    )
+    by_mode = {
+        mode: sorted(
+            (r["a"], r["b"], r["n_inter"], r["n_union"])
+            for r in prefix_filter_pairs(
+                df, threshold_num=num, threshold_den=den, df_mode=mode
+            ).collect()
+        )
+        for mode in ("window", "join")
+    }
+    assert by_mode["window"] == by_mode["join"]
+    got = by_mode["window"]
 
     def sh(t):
         toks = [w for w in t.split() if w]
