@@ -2288,6 +2288,99 @@ def q_heavy_hitters_production(spark, sf_dir):
     )
 
 
+def q_range_bucket_join(spark, sf_dir):
+    """Point-in-interval join by grid bucketing (operators/joins.
+    interval_join — round 11): every customer balance matched to the
+    supplier account-balance bands [s_acctbal-100, s_acctbal+100]
+    that contain it. Catalyst would execute the naive BETWEEN join
+    as a BroadcastNestedLoopJoin (|P| x |I| — the banned scale
+    shape); bucketing intervals onto a 500-unit grid restores an
+    EQUI-key, each qualifying pair meets in exactly the point's one
+    cell (no post-distinct), and floor-monotonicity makes the
+    bucketing provably lossless — so the plain BETWEEN join IS the
+    oracle (the heavy_hitters identity-certification pattern), while
+    the plan stays hash-join-only (pinned in test_plans.py)."""
+    from kspp_spark.operators.joins import interval_join
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 100).alias("lo"),
+        (F.col("s_acctbal") + 100).alias("hi"),
+    )
+    return interval_join(
+        cust, supp, point_col="c_acctbal", lo_col="lo", hi_col="hi",
+        cell=500.0,
+    )
+
+
+def q_funnel_stages(spark, sf_dir):
+    """Per-user ordered-funnel progress (functions/sessions.
+    funnel_stages — round 11): view -> click -> purchase with a
+    48-hour horizon from the first view. Greedy-earliest matching
+    (stage k completes at the first step-k event STRICTLY after
+    stage k-1) folds in ONE packed-array aggregate() walk per user —
+    one shuffle, no per-stage join chain — and provably equals the
+    classic min-after-min SQL chain, which is exactly how the
+    oracle replays it (exact epoch-microsecond comparisons
+    throughout)."""
+    from kspp_spark.functions.sessions import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(
+        ev, steps=["view", "click", "purchase"], horizon="48 hours"
+    )
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Funnel conversion table (functions/sessions.funnel_counts —
+    round 11): users reaching AT LEAST stage k of view -> click ->
+    purchase within the 48-hour horizon, with conv_ppm as the exact
+    integer parts-per-million of the stage-1 population. The
+    cumulative >=-stage count runs over the 3-row stage frame, never
+    the corpus."""
+    from kspp_spark.functions.sessions import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, steps=["view", "click", "purchase"], horizon="48 hours"
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (functions/pipeline.k_anonymity_audit —
+    round 11): customer quasi-identifier classes (nation, market
+    segment) with population and the at_risk = n < 5 flag — the
+    privacy pre-flight before a dataset release (Sweeney 2002's
+    public model). ONE map-side-combinable aggregation; the risk
+    decision is an integer comparison, bit-replayable in SQL."""
+    from kspp_spark.functions.pipeline import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_audit(
+        cust, quasi_cols=["c_nationkey", "c_mktsegment"], k=5
+    )
+
+
+def q_category_drift(spark, sf_dir):
+    """Categorical distribution drift (functions/pipeline.
+    categorical_drift — round 11): order-priority mix, pre-1996
+    extract vs 1996+ extract — exact per-category counts, the exact
+    integer TVD contribution in ppm, and the Pearson X^2 term as one
+    order-fixed double over exact counts. TVD/X^2 instead of PSI
+    deliberately: no ln(), so the whole audit hash-replays in SQL.
+    Two bounded count aggs + ONE full-outer category join + a 1-row
+    broadcast totals frame."""
+    from kspp_spark.functions.pipeline import categorical_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    return categorical_drift(
+        orders.filter(F.col("o_orderdate") < F.lit("1996-01-01")),
+        orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01")),
+        col="o_orderpriority",
+    )
+
+
 def q_typo_pairs(spark, sf_dir):
     """Typo-level near-duplicate pairs (functions/dedup.
     edit_neighbor_pairs — Garbe's SymSpell symmetric-delete
@@ -4386,6 +4479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "hll_production": q_hll_production,
         "heavy_hitters_production": q_heavy_hitters_production,
+        "range_bucket_join": q_range_bucket_join,
+        "funnel_stages": q_funnel_stages,
+        "funnel_conversion": q_funnel_conversion,
+        "k_anonymity": q_k_anonymity,
+        "category_drift": q_category_drift,
     }
 
 
@@ -8282,4 +8380,123 @@ def oracle_sql() -> dict[str, str]:
         buckets=64, iterations=2
     )
     oracles["stupid_backoff"] = _stupid_backoff_oracle_sql()
+    # round-11 additions ----------------------------------------------
+    # grid bucketing is provably lossless (floor monotone), so the
+    # plain BETWEEN join is the interval_join oracle — identity
+    # certification, the heavy_hitters pattern
+    oracles["range_bucket_join"] = """
+            SELECT c.c_custkey, c.c_acctbal, s.s_suppkey, s.lo, s.hi
+            FROM (SELECT c_custkey, c_acctbal FROM customer) c
+            JOIN (SELECT s_suppkey,
+                         s_acctbal - 100 AS lo,
+                         s_acctbal + 100 AS hi
+                  FROM supplier) s
+              ON c.c_acctbal >= s.lo AND c.c_acctbal <= s.hi
+        """
+    # greedy-earliest == min-after-min chain (proved by induction);
+    # 48h horizon = 172800000000 us from the first view
+    _FUNNEL_STAGES = """
+            u AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s1 AS (
+                SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click'
+                  AND epoch_us(e.ts) > s1.t1
+                  AND epoch_us(e.ts) <= s1.t1 + 172800000000
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+                FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'purchase'
+                  AND epoch_us(e.ts) > s2.t2
+                  AND epoch_us(e.ts) <= s1.t1 + 172800000000
+                GROUP BY e.user_id
+            ),
+            stg AS (
+                SELECT u.user_id,
+                       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                                 WHEN s2.t2 IS NOT NULL THEN 2
+                                 WHEN s1.t1 IS NOT NULL THEN 1
+                                 ELSE 0 END AS BIGINT) AS stages,
+                       CAST(s1.t1 AS BIGINT) AS t_first_us,
+                       CAST(COALESCE(s3.t3, s2.t2, s1.t1) AS BIGINT)
+                         AS t_last_us
+                FROM u
+                LEFT JOIN s1 ON u.user_id = s1.user_id
+                LEFT JOIN s2 ON u.user_id = s2.user_id
+                LEFT JOIN s3 ON u.user_id = s3.user_id
+            )
+        """
+    oracles["funnel_stages"] = f"""
+            WITH {_FUNNEL_STAGES}
+            SELECT user_id, stages, t_first_us, t_last_us FROM stg
+        """
+    oracles["funnel_conversion"] = f"""
+            WITH {_FUNNEL_STAGES},
+            per AS (
+                SELECT CAST(v.stage AS BIGINT) AS stage,
+                       CASE v.stage WHEN 1 THEN 'view'
+                                    WHEN 2 THEN 'click'
+                                    ELSE 'purchase' END AS step,
+                       (SELECT COUNT(*) FROM stg
+                        WHERE stg.stages >= v.stage) AS n_users
+                FROM (VALUES (1), (2), (3)) v(stage)
+            ),
+            n1 AS (SELECT n_users AS n1 FROM per WHERE stage = 1)
+            SELECT stage, step, CAST(n_users AS BIGINT) AS n_users,
+                   CASE WHEN n1.n1 > 0
+                        THEN CAST((1000000 * n_users) // n1.n1 AS BIGINT)
+                   END AS conv_ppm,
+                   CASE WHEN n1.n1 > 0
+                        THEN CAST(n_users AS DOUBLE) / CAST(n1.n1 AS DOUBLE)
+                   END AS conv
+            FROM per, n1
+        """
+    oracles["k_anonymity"] = """
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(*) AS n,
+                   COUNT(*) < 5 AS at_risk
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+        """
+    oracles["category_drift"] = """
+            WITH o AS (
+                SELECT o_orderpriority AS category, COUNT(*) AS n_old
+                FROM orders WHERE o_orderdate < DATE '1996-01-01'
+                GROUP BY 1
+            ),
+            n AS (
+                SELECT o_orderpriority AS category, COUNT(*) AS n_new
+                FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+                GROUP BY 1
+            ),
+            j AS (
+                SELECT COALESCE(o.category, n.category) AS category,
+                       COALESCE(o.n_old, 0) AS n_old,
+                       COALESCE(n.n_new, 0) AS n_new
+                FROM o FULL OUTER JOIN n ON o.category = n.category
+            ),
+            t AS (SELECT SUM(n_old) AS No, SUM(n_new) AS Nn FROM j)
+            SELECT category, n_old, n_new,
+                   CAST((1000000 * abs(n_old * Nn - n_new * No))
+                        // (No * Nn) AS BIGINT) AS tvd_num_ppm,
+                   (CAST(n_old AS DOUBLE) * CAST(Nn AS DOUBLE)
+                    - CAST(n_new AS DOUBLE) * CAST(No AS DOUBLE))
+                   * (CAST(n_old AS DOUBLE) * CAST(Nn AS DOUBLE)
+                      - CAST(n_new AS DOUBLE) * CAST(No AS DOUBLE))
+                   * CAST(No + Nn AS DOUBLE)
+                   / (CAST(No AS DOUBLE) * CAST(Nn AS DOUBLE)
+                      * CAST(n_old + n_new AS DOUBLE)) AS chi2_term
+            FROM j, t
+        """
     return oracles

@@ -219,8 +219,15 @@ BENCH_QUERIES = [
     # round-11 additions: the xxhash64-family heavy hitters (VERDICT
     # r10 item #3 — the bench pair vs heavy_hitters IS the md5
     # kernel-cost measurement; full plain-SQL oracle since CMS-prune
-    # exactness is hash-family-independent)
+    # exactness is hash-family-independent), the grid-bucketed pure-
+    # range join (the BNLJ killer), the ordered funnel pair, and the
+    # governance tier (k-anonymity audit, categorical drift)
     "heavy_hitters_production",
+    "range_bucket_join",
+    "funnel_stages",
+    "funnel_conversion",
+    "k_anonymity",
+    "category_drift",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -433,3 +433,147 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel progress per user — THE conversion query
+    (view -> click -> purchase): for each user, how far through the
+    step sequence did they get, matching greedily at the EARLIEST
+    opportunity: stage k completes at the first step-k event
+    STRICTLY after stage k-1's completion time (strict >, so a tied
+    timestamp never satisfies two stages — the deterministic,
+    SQL-replayable reading). `horizon` (optional interval string)
+    additionally requires every later stage to complete within
+    horizon of stage 1 — the "converted within 7 days" form.
+
+    Returns one row per user having at least one step event:
+    (user_col, stages BIGINT in [0, len(steps)], t_first_us,
+    t_last_us — epoch micros of the stage-1 / latest-stage
+    completions, NULL at stage 0).
+
+    Greedy-earliest equals the classic SQL formulation t_k = MIN(ts
+    of step-k events with ts > t_{k-1}) — proved by induction on k —
+    which is exactly how the DuckDB oracle replays it.
+
+    Scale shape: the step filter prunes the scan to funnel event
+    types; ONE hash aggregation packs each user's (ts, type) pairs
+    (map-side combinable, user-history-bounded like sessionize's
+    partitions); the stage walk is a JVM array_sort + aggregate()
+    fold over that packed array — no window, no per-stage join
+    chain (the k-CTE spelling costs k shuffles; this costs one), no
+    Python. Event-type ties at the same microsecond order by type
+    string inside the sort — deterministic, and irrelevant to the
+    result under strict-> advancement.
+    """
+    if not steps:
+        raise ValueError("funnel_stages: steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_stages: steps must be distinct")
+    k = len(steps)
+    hor_us = _gap_to_us(horizon) if horizon is not None else None
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    evs = df.where(F.col(type_col).isin(*steps)).select(
+        F.col(user_col),
+        F.struct(us.alias("t"), F.col(type_col).alias("y")).alias("e"),
+    )
+    packed = evs.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("e")).alias("es")
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast("long").alias("t0"),
+        F.lit(None).cast("long").alias("tl"),
+    )
+
+    def advance(acc, e):
+        # least() keeps element_at's index in bounds at stage == k
+        # (ANSI mode errors on out-of-range indexes; the stage < k
+        # conjunct makes the clamped probe unreachable anyway)
+        want = F.element_at(
+            steps_arr, F.least(acc["stage"] + 1, F.lit(k)).cast("int")
+        )
+        ok = (acc["stage"] < k) & (e["y"] == want) & (
+            acc["stage"].eqNullSafe(0) | (e["t"] > acc["tl"])
+        )
+        if hor_us is not None:
+            ok = ok & (
+                (acc["stage"] == 0) | (e["t"] <= acc["t0"] + F.lit(hor_us))
+            )
+        return F.when(
+            ok,
+            F.struct(
+                (acc["stage"] + 1).cast("int").alias("stage"),
+                F.coalesce(acc["t0"], e["t"]).cast("long").alias("t0"),
+                e["t"].cast("long").alias("tl"),
+            ),
+        ).otherwise(acc)
+
+    out = packed.select(
+        F.col(user_col),
+        F.aggregate("es", init, advance).alias("acc"),
+    )
+    return out.select(
+        user_col,
+        F.col("acc.stage").cast("long").alias("stages"),
+        F.col("acc.t0").alias("t_first_us"),
+        F.when(F.col("acc.stage") > 0, F.col("acc.tl")).alias("t_last_us"),
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon: str | None = None,
+) -> DataFrame:
+    """Funnel conversion table from funnel_stages: one row per stage
+    (stage 1..len(steps), step name, n_users reaching AT LEAST that
+    stage, conv_ppm = exact integer parts-per-million of stage 1's
+    population, conv as the one IEEE division). The cumulative
+    >=-stage counting runs over the <= len(steps)-row aggregate, not
+    the corpus."""
+    st = funnel_stages(
+        df, steps, user_col=user_col, ts_col=ts_col,
+        type_col=type_col, horizon=horizon,
+    )
+    per = st.groupBy("stages").agg(F.count(F.lit(1)).alias("n"))
+    k = len(steps)
+    stages_df = per.sparkSession.range(1, k + 1).select(
+        F.col("id").cast("long").alias("stage")
+    )
+    cum = stages_df.join(
+        per, per["stages"] >= stages_df["stage"], "left"
+    ).groupBy("stage").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_users")
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    base = W.partitionBy()
+    return (
+        cum.withColumn("step", F.element_at(steps_arr, F.col("stage").cast("int")))
+        .withColumn("_n1", F.max(F.when(F.col("stage") == 1, F.col("n_users"))).over(base))
+        .withColumn(
+            "conv_ppm",
+            F.when(
+                F.col("_n1") > 0,
+                F.expr("(1000000 * n_users) DIV _n1"),
+            ).otherwise(F.lit(None).cast("long")),
+        )
+        .withColumn(
+            "conv",
+            F.when(
+                F.col("_n1") > 0,
+                F.col("n_users").cast("double") / F.col("_n1").cast("double"),
+            ),
+        )
+        .select("stage", "step", "n_users", "conv_ppm", "conv")
+    )

@@ -4234,3 +4234,169 @@ def test_table_checksum_injective_serialization(spark):
     df = spark.createDataFrame([("g", 1)], "_h string, v long")
     with pytest.raises(AssertionError):
         table_checksum(df, cols=["v"], group_cols=("_h",))
+
+
+def test_interval_join_golden_and_guards(spark):
+    """Grid-bucketed point-in-interval join: inclusive bounds both
+    ends, intervals spanning multiple cells, a point exactly on a
+    cell boundary, output multiplicity == SQL BETWEEN semantics (no
+    dedup artifacts), degenerate lo>hi intervals match nothing, and
+    the column-collision / reserved-name / bad-cell guards raise."""
+    import pytest
+
+    from kspp_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 25.0), (4, 99.9), (5, -5.0)],
+        "p_id long, x double",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (100, 0.0, 10.0),    # inclusive both ends: hits 1, 2
+            (101, 9.0, 26.0),    # spans cells: hits 2, 3
+            (102, 50.0, 40.0),   # degenerate lo > hi: hits nothing
+            (103, -10.0, -1.0),  # negative domain: hits 5
+            (104, 10.0, 10.0),   # point interval on a cell boundary
+        ],
+        "i_id long, lo double, hi double",
+    )
+    got = sorted(
+        (r["p_id"], r["i_id"])
+        for r in interval_join(
+            pts, ivs, point_col="x", lo_col="lo", hi_col="hi", cell=10.0
+        ).collect()
+    )
+    assert got == [(1, 100), (2, 100), (2, 101), (2, 104), (3, 101), (5, 103)]
+    with pytest.raises(ValueError, match="collision"):
+        interval_join(
+            pts.withColumnRenamed("p_id", "i_id"), ivs,
+            point_col="x", lo_col="lo", hi_col="hi", cell=10.0,
+        )
+    with pytest.raises(ValueError, match="cell"):
+        interval_join(pts, ivs, point_col="x", lo_col="lo", hi_col="hi", cell=0)
+    # fan-out guard: a mis-sized cell on a wide interval fails loudly
+    wide = spark.createDataFrame(
+        [(1, 0.0, 1e9)], "i_id long, lo double, hi double"
+    )
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="cells"):
+        interval_join(
+            pts, wide, point_col="x", lo_col="lo", hi_col="hi",
+            cell=10.0, max_cells=64,
+        ).collect()
+
+
+def test_funnel_stages_golden(spark):
+    """Greedy-earliest ordered funnel: strict-> advancement (a tied
+    timestamp never satisfies the next stage), out-of-order later
+    steps are skipped until their stage opens, the horizon cuts
+    stage-2+ completions, users with step events but no step-1 sit
+    at stage 0, and funnel_counts folds >=-stage populations with
+    exact ppm."""
+    import datetime
+
+    from kspp_spark.functions.sessions import funnel_counts, funnel_stages
+
+    d = datetime.datetime
+    rows = [
+        # u1: full conversion view(10:00) -> click(10:05) -> purchase(10:10)
+        (1, d(2024, 1, 1, 10, 0), "view"),
+        (1, d(2024, 1, 1, 10, 5), "click"),
+        (1, d(2024, 1, 1, 10, 10), "purchase"),
+        # u2: purchase BEFORE the click -> stops at stage 2
+        (2, d(2024, 1, 1, 9, 0), "purchase"),
+        (2, d(2024, 1, 1, 10, 0), "view"),
+        (2, d(2024, 1, 1, 10, 30), "click"),
+        # u3: click tied with view at the same microsecond -> strict >
+        # rejects it; a later click advances, no purchase
+        (3, d(2024, 1, 1, 8, 0), "view"),
+        (3, d(2024, 1, 1, 8, 0), "click"),
+        (3, d(2024, 1, 1, 8, 1), "click"),
+        # u4: click only -> stage 0 (no view anywhere)
+        (4, d(2024, 1, 1, 7, 0), "click"),
+        # u5: converts but outside the 2-hour horizon
+        (5, d(2024, 1, 1, 0, 0), "view"),
+        (5, d(2024, 1, 1, 1, 0), "click"),
+        (5, d(2024, 1, 1, 3, 30), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: (r["stages"], r["t_first_us"] is not None, r["t_last_us"])
+        for r in funnel_stages(
+            df, ["view", "click", "purchase"], horizon="2 hours"
+        ).collect()
+    }
+    us = lambda *a: int(datetime.datetime(*a).timestamp() * 1_000_000)
+    assert got[1] == (3, True, us(2024, 1, 1, 10, 10))
+    assert got[2] == (2, True, us(2024, 1, 1, 10, 30))
+    assert got[3] == (2, True, us(2024, 1, 1, 8, 1))
+    assert got[4] == (0, False, None)
+    assert got[5] == (2, True, us(2024, 1, 1, 1, 0))
+    counts = {
+        r["stage"]: (r["n_users"], r["conv_ppm"])
+        for r in funnel_counts(
+            df, ["view", "click", "purchase"], horizon="2 hours"
+        ).collect()
+    }
+    assert counts == {1: (4, 1000000), 2: (4, 1000000), 3: (1, 250000)}
+
+
+def test_k_anonymity_audit_golden(spark):
+    """Risk classes: n < k flags, null quasi values form their own
+    class, validation raises on empty/missing columns and k < 2."""
+    import pytest
+
+    from kspp_spark.functions.pipeline import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2), (None, 2), (None, 2)],
+        "seg string, zone long",
+    )
+    got = {
+        (r["seg"], r["zone"]): (r["n"], r["at_risk"])
+        for r in k_anonymity_audit(df, ["seg", "zone"], k=3).collect()
+    }
+    assert got == {
+        ("a", 1): (3, False),
+        ("b", 2): (1, True),
+        (None, 2): (2, True),
+    }
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, [], k=3)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["seg"], k=1)
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["nope"], k=3)
+
+
+def test_categorical_drift_exact_values(spark):
+    """TVD ppm terms are exact integers (hand-checked), categories
+    missing from one side 0-fill through the full outer join, equal
+    distributions drift zero, and sum(tvd_num_ppm)/(2*scale)
+    recovers total variation distance."""
+    from kspp_spark.functions.pipeline import categorical_drift
+
+    old = spark.createDataFrame(
+        [("x",)] * 6 + [("y",)] * 2, "c string"
+    )
+    new = spark.createDataFrame(
+        [("x",)] * 2 + [("y",)] * 4 + [("z",)] * 2, "c string"
+    )
+    got = {
+        r["category"]: (r["n_old"], r["n_new"], r["tvd_num_ppm"])
+        for r in categorical_drift(old, new, "c").collect()
+    }
+    # shares: old (.75, .25, 0) new (.25, .5, .25)
+    assert got == {
+        "x": (6, 2, 500000),
+        "y": (2, 4, 250000),
+        "z": (0, 2, 250000),
+    }
+    tvd = sum(t for _, _, t in got.values()) / 2e6
+    assert tvd == 0.5
+    same = {
+        r["category"]: r["tvd_num_ppm"]
+        for r in categorical_drift(old, old, "c").collect()
+    }
+    assert same == {"x": 0, "y": 0}

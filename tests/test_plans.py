@@ -1112,3 +1112,56 @@ def test_item_associations_no_basket_self_join(spark, queries):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the in-array pair explode
+
+
+def test_range_bucket_join_no_nested_loop(spark, queries):
+    """The whole point of grid bucketing: a pure range predicate
+    would plan as BroadcastNestedLoopJoin (|P| x |I|); the bucketed
+    form must be a hash EQUI-join on the cell id with the exact
+    BETWEEN re-check inside the join, no cartesian, no Python."""
+    plan = formatted_plan(spark, queries["range_bucket_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "HashJoin" in plan  # the cell-id equi-join
+
+
+def test_funnel_stages_single_shuffle_no_window(spark, queries):
+    """The funnel fold is ONE packed-array aggregation + a JVM
+    aggregate() walk: no Window over corpus rows, no per-stage join
+    chain (zero joins in the plan), no Python, and the step filter
+    is pushed into the scan."""
+    plan = formatted_plan(spark, queries["funnel_stages"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 2  # the one user_id agg exchange (+AQE read)
+    assert "ObjectHashAggregate" in plan  # the collect_list pack
+
+
+def test_k_anonymity_single_agg(spark, queries):
+    """One map-side-combinable hash aggregation over the scan —
+    no join, no window, no Python."""
+    plan = formatted_plan(spark, queries["k_anonymity"](spark, SF))
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_category_drift_categories_sized(spark, queries):
+    """Two bounded count aggs + ONE full-outer category join + the
+    1-row broadcast totals frame (the only nested-loop join, same as
+    zorder's bounds) — corpus rows never joined or windowed."""
+    plan = formatted_plan(spark, queries["category_drift"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # the ONLY joins are the full-outer on the two aggregated
+    # category frames (full outer cannot broadcast -> SMJ, but it
+    # joins |categories| rows, not the corpus: both inputs are
+    # HashAggregate+Exchange reductions; the totals branch recomputes
+    # that tiny join, hence 2 occurrences in the tree) and the 1-row
+    # broadcast totals frame (BroadcastNestedLoopJoin, zorder's
+    # bounds shape)
+    assert plan.count("SortMergeJoin FullOuter") == 2
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1
