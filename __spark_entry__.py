@@ -2381,6 +2381,64 @@ def q_category_drift(spark, sf_dir):
     )
 
 
+def q_numeric_drift(spark, sf_dir):
+    """Numeric distribution drift (functions/pipeline.numeric_drift
+    — round 11): lineitem extended price in integer cents
+    (floor(x*100), the documented cast trap), pre-1998 shipments vs
+    1998+, bucketed by the log-linear histogram bins
+    (quantile_histogram's certified algebra, k=32) and drifted with
+    the exact TVD/X^2 machinery of category_drift. Values < 1 and
+    NULLs land in bin -1 so missingness drift is visible. All-integer
+    bucketing => the whole audit hash-replays in SQL."""
+    from kspp_spark.functions.pipeline import numeric_drift
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "cents", F.floor(F.col("l_extendedprice") * 100).cast("long")
+    )
+    return numeric_drift(
+        li.filter(F.col("l_shipdate") < F.lit("1998-01-01")),
+        li.filter(F.col("l_shipdate") >= F.lit("1998-01-01")),
+        col="cents",
+        k=32,
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal Rank Fusion (functions/similarity.rrf_fuse —
+    round 11, Cormack et al. SIGIR'09): fuse two per-language
+    document rankings — longest-by-tokens and longest-by-chars —
+    with the published 1/(k+rank) formula as EXACT integers
+    (1e9 DIV (60+rank)), the hybrid-retrieval combiner that needs no
+    score calibration because it only reads ranks. Top-10 per list,
+    fused top-5 per language with doc-id tie-breaks. The rankings
+    here are deliberately simple certified window ranks so the
+    oracle replays the END-TO-END fusion exactly; production fusions
+    plug bm25_search / srp_ann / quantized_ann lists straight in
+    (same schema)."""
+    from kspp_spark.functions.similarity import rrf_fuse
+    from kspp_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tok"),
+        F.length("text").alias("n_chr"),
+    )
+    wa = W.partitionBy("lang").orderBy(F.col("n_tok").desc(), "doc_id")
+    wb = W.partitionBy("lang").orderBy(F.col("n_chr").desc(), "doc_id")
+    ra = docs.select(
+        F.col("lang").alias("query_id"),
+        F.col("doc_id"),
+        F.row_number().over(wa).alias("rank"),
+    ).where(F.col("rank") <= 10)
+    rb = docs.select(
+        F.col("lang").alias("query_id"),
+        F.col("doc_id"),
+        F.row_number().over(wb).alias("rank"),
+    ).where(F.col("rank") <= 10)
+    return rrf_fuse([ra, rb], top_n=5)
+
+
 def q_typo_pairs(spark, sf_dir):
     """Typo-level near-duplicate pairs (functions/dedup.
     edit_neighbor_pairs — Garbe's SymSpell symmetric-delete
@@ -4484,6 +4542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "k_anonymity": q_k_anonymity,
         "category_drift": q_category_drift,
+        "numeric_drift": q_numeric_drift,
+        "rrf_fusion": q_rrf_fusion,
     }
 
 
@@ -8468,6 +8528,94 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) < 5 AS at_risk
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
+        """
+    # numeric drift: same bin algebra as the quantile_histogram
+    # oracle (k=32, log2k=5), underflow/null -> bin -1, then the
+    # category_drift arithmetic over bin ids
+    oracles["numeric_drift"] = """
+            WITH w AS (
+                SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+                       l_shipdate
+                FROM lineitem
+            ),
+            bins AS (
+                SELECT CASE WHEN v IS NULL OR v < 1 THEN -1
+                            WHEN v < 32 THEN CAST(v AS INT)
+                            ELSE CAST((length(bin(v)) - 1) * 32
+                                 + (v // (CAST(1 AS BIGINT)
+                                    << (length(bin(v)) - 1 - 5)))
+                                 - 32 AS INT) END AS bin,
+                       l_shipdate
+                FROM w
+            ),
+            o AS (
+                SELECT bin AS category, COUNT(*) AS n_old FROM bins
+                WHERE l_shipdate < DATE '1998-01-01' GROUP BY 1
+            ),
+            n AS (
+                SELECT bin AS category, COUNT(*) AS n_new FROM bins
+                WHERE l_shipdate >= DATE '1998-01-01' GROUP BY 1
+            ),
+            j AS (
+                SELECT COALESCE(o.category, n.category) AS category,
+                       COALESCE(o.n_old, 0) AS n_old,
+                       COALESCE(n.n_new, 0) AS n_new
+                FROM o FULL OUTER JOIN n ON o.category = n.category
+            ),
+            t AS (SELECT SUM(n_old) AS No, SUM(n_new) AS Nn FROM j)
+            SELECT category, n_old, n_new,
+                   CAST((1000000 * abs(n_old * Nn - n_new * No))
+                        // (No * Nn) AS BIGINT) AS tvd_num_ppm,
+                   (CAST(n_old AS DOUBLE) * CAST(Nn AS DOUBLE)
+                    - CAST(n_new AS DOUBLE) * CAST(No AS DOUBLE))
+                   * (CAST(n_old AS DOUBLE) * CAST(Nn AS DOUBLE)
+                      - CAST(n_new AS DOUBLE) * CAST(No AS DOUBLE))
+                   * CAST(No + Nn AS DOUBLE)
+                   / (CAST(No AS DOUBLE) * CAST(Nn AS DOUBLE)
+                      * CAST(n_old + n_new AS DOUBLE)) AS chi2_term
+            FROM j, t
+        """
+    oracles["rrf_fusion"] = f"""
+            WITH d AS (
+                SELECT doc_id, lang,
+                       len({_TOKENS}) AS n_tok,
+                       length(text) AS n_chr
+                FROM documents
+            ),
+            ra AS (
+                SELECT lang AS query_id, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_tok DESC, doc_id) AS rank
+                FROM d QUALIFY rank <= 10
+            ),
+            rb AS (
+                SELECT lang AS query_id, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chr DESC, doc_id) AS rank
+                FROM d QUALIFY rank <= 10
+            ),
+            u AS (
+                SELECT * FROM ra UNION ALL SELECT * FROM rb
+            ),
+            f AS (
+                SELECT query_id, doc_id,
+                       SUM(1000000000 // (60 + rank)) AS rrf_score,
+                       COUNT(*) AS n_lists,
+                       MIN(rank) AS best_rank
+                FROM u GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id,
+                   CAST(rrf_score AS BIGINT) AS rrf_score,
+                   CAST(n_lists AS BIGINT) AS n_lists,
+                   CAST(best_rank AS BIGINT) AS best_rank,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+                     AS fused_rank
+            FROM f
+            QUALIFY fused_rank <= 5
         """
     oracles["category_drift"] = """
             WITH o AS (

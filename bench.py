@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "funnel_conversion",
     "k_anonymity",
     "category_drift",
+    "numeric_drift",
+    "rrf_fusion",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

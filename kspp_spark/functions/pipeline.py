@@ -393,8 +393,12 @@ def categorical_drift(
         F.sum("n_old").alias("_No"), F.sum("n_new").alias("_Nn")
     )
     j = j.crossJoin(F.broadcast(tot))  # 1-row totals frame
+    # an empty side (No or Nn == 0) yields NULL ppm terms instead of
+    # an ANSI DIVIDE_BY_ZERO — the counts still carry the exact story
     tvd = F.expr(
-        f"({scale} * abs(n_old * _Nn - n_new * _No)) DIV (_No * _Nn)"
+        f"CASE WHEN _No > 0 AND _Nn > 0 THEN "
+        f"({scale} * abs(n_old * _Nn - n_new * _No)) DIV (_No * _Nn) "
+        f"END"
     )
     # X^2 term vs pooled expectation, algebraically reduced to
     # d^2*(No+Nn) / (No*Nn*(n_old+n_new)) with d = n_old*Nn-n_new*No;
@@ -415,10 +419,44 @@ def categorical_drift(
             * (F.col("n_old") + F.col("n_new")).cast("double")
         )
     )
+    nonempty = (F.col("_No") > 0) & (F.col("_Nn") > 0)
     return j.select(
         "category",
         "n_old",
         "n_new",
         tvd.cast("long").alias("tvd_num_ppm"),
-        chi2.alias("chi2_term"),
+        F.when(nonempty, chi2).alias("chi2_term"),
     )
+
+
+def numeric_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    k: int = 32,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distribution drift for a NUMERIC column: bucket both snapshots
+    with the log-linear histogram bins (sketch._hist_bin — the same
+    k-sub-bins-per-octave algebra quantile_histogram certifies, so
+    relative bucket resolution is 1/k at any magnitude), then run
+    categorical_drift over the bin ids. Values < 1 and NULLs land in
+    bin -1 (the underflow/missing class) rather than being silently
+    dropped — a drift monitor must see missingness drift too.
+    Integer bit arithmetic end to end, so the bucketing replays
+    bit-for-bit in the SQL oracle; cast/scale continuous columns to
+    integers first (cents, micros) like every sketch consumer."""
+    from kspp_spark.functions.sketch import _check_k, _hist_bin
+
+    log2k = _check_k(k)
+
+    def bucket(df: DataFrame) -> DataFrame:
+        v = F.col(col).cast("long")
+        return df.select(v.alias("_v")).select(
+            F.when(F.col("_v") >= 1, _hist_bin("_v", k, log2k))
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("bin")
+        )
+
+    return categorical_drift(bucket(old), bucket(new), "bin", scale=scale)

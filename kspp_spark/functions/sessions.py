@@ -577,3 +577,99 @@ def funnel_counts(
         )
         .select("stage", "step", "n_users", "conv_ppm", "conv")
     )
+
+
+def funnel_stages_stream(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon: str | None = None,
+) -> DataFrame:
+    """Streaming twin of funnel_stages: emits one row per STAGE
+    ADVANCEMENT (user, stages-after, t_first_us, t_stage_us) as it
+    happens — the live conversion feed — with per-user state carrying
+    exactly the batch fold's accumulator (stage, t0, tl) across
+    micro-batches, so an advancement spanning a trigger boundary
+    (view in batch 1, click in batch 2) is detected, which any
+    per-batch fold would miss.
+
+    Ordering contract mirrors event_transitions_stream: WITHIN a
+    micro-batch events sort by (ts, type) — the batch fold's order —
+    and ACROSS batches it is arrival order. When arrival order
+    respects event time per user, the FINAL stage per user equals
+    the batch funnel_stages exactly (asserted in tests); for
+    disordered history run the batch form. A late event that would
+    have advanced an earlier stage is simply skipped (the fold is
+    monotone — stages never retract), matching the reference's
+    arrival-order processor semantics (kspp.h:335-392).
+
+    Scale shape: state is ONE fixed-width tuple per user; each
+    micro-batch shuffles once on user_col; emitted rows are
+    advancement-sized, not event-sized."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if not steps:
+        raise ValueError("funnel_stages_stream: steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_stages_stream: steps must be distinct")
+    k = len(steps)
+    hor_us = _gap_to_us(horizon) if horizon is not None else None
+    user_t = df.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {user_t}, stages long, t_first_us long, "
+        f"t_stage_us long"
+    )
+
+    def fold(key_, pdf_iter, state: GroupState):
+        stage, t0, tl = state.get if state.exists else (0, None, None)
+        chunks = list(pdf_iter)
+        adv = []
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf[pdf[type_col].isin(steps)]
+            if len(pdf):
+                pdf = pdf.sort_values(
+                    [ts_col, type_col], kind="mergesort"
+                )
+                ts_us = (pdf[ts_col].astype("int64") // 1000).tolist()
+                tys = pdf[type_col].tolist()
+                for t, y in zip(ts_us, tys):
+                    if stage >= k or y != steps[stage]:
+                        continue
+                    if stage > 0 and t <= tl:
+                        continue
+                    if (
+                        hor_us is not None
+                        and stage > 0
+                        and t > t0 + hor_us
+                    ):
+                        continue
+                    stage += 1
+                    t0 = t0 if t0 is not None else t
+                    tl = t
+                    adv.append((stage, t0, tl))
+        if stage > 0:
+            state.update((stage, t0, tl))
+        if adv:
+            yield pd.DataFrame(
+                {
+                    user_col: [key_[0]] * len(adv),
+                    "stages": [a[0] for a in adv],
+                    "t_first_us": [a[1] for a in adv],
+                    "t_stage_us": [a[2] for a in adv],
+                }
+            )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="stage long, t0 long, tl long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -664,3 +664,73 @@ def minmax_scale(
     return df.crossJoin(F.broadcast(stats)).select(
         F.col(id_col), F.col(vec), scaled.alias(out)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    scale: int = 1_000_000_000,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR'09
+    — the public RRF formula) over any number of per-query rankings:
+    each list contributes scale DIV (k + rank) to every (query, doc)
+    it ranks, fused score = the SUM. Contributions are EXACT INTEGERS
+    (the published 1/(k+r) scaled by 1e9 and floor-divided), so the
+    fusion replays bit-for-bit in SQL — the float spelling would
+    depend on engine summation order. k=60 is the paper's constant;
+    integer scaling preserves the paper's ordering whenever score
+    gaps exceed 1/scale (guaranteed here: distinct (k+r) <= ~1e5
+    yield distinct scale DIV terms at scale 1e9).
+
+    The standard hybrid-retrieval combiner: fuse BM25 (bm25_search),
+    dense ANN (srp_ann / quantized_ann) and any business ranking
+    without score calibration — RRF only reads RANKS, so the lists'
+    score scales never meet. Output: (query, doc, rrf_score, n_lists,
+    best_rank) [+ fused_rank when top_n is set, keeping ties broken
+    by doc id for determinism].
+
+    Scale shape: one union of the (already small, top-k-sized)
+    ranking lists + ONE hash aggregation on (query, doc) + an
+    optional rank window partitioned per query over fused rows —
+    candidate-sized everywhere, map-side combinable."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 1 or scale < 1:
+        raise ValueError("rrf_fuse: k and scale must be >= 1")
+    parts = [
+        r.select(
+            F.col(query_col).alias("q"),
+            F.col(doc_col).alias("d"),
+            F.col(rank_col).cast("long").alias("r"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("q", "d").agg(
+        F.sum(F.expr(f"{scale} DIV ({k} + r)")).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+        F.min("r").alias("best_rank"),
+    )
+    out = fused.select(
+        F.col("q").alias(query_col),
+        F.col("d").alias(doc_col),
+        F.col("rrf_score").cast("long").alias("rrf_score"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+        F.col("best_rank").cast("long").alias("best_rank"),
+    )
+    if top_n is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(query_col).orderBy(
+            F.col("rrf_score").desc(), F.col(doc_col)
+        )
+        out = out.withColumn(
+            "fused_rank", F.row_number().over(w).cast("long")
+        ).where(F.col("fused_rank") <= top_n)
+    return out

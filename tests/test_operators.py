@@ -4400,3 +4400,67 @@ def test_categorical_drift_exact_values(spark):
         for r in categorical_drift(old, old, "c").collect()
     }
     assert same == {"x": 0, "y": 0}
+
+
+def test_rrf_fuse_exact_integers_and_topn(spark):
+    """RRF: contributions are exact scale DIV (k+rank) integers,
+    docs in both lists sum both terms, n_lists/best_rank correct,
+    top_n rank window breaks score ties by doc id, and validation
+    raises on empty input."""
+    import pytest
+
+    from kspp_spark.functions.similarity import rrf_fuse
+
+    ra = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "b", 2), ("q2", "z", 1)],
+        "query_id string, doc_id string, rank long",
+    )
+    rb = spark.createDataFrame(
+        [("q1", "b", 1), ("q1", "c", 2)],
+        "query_id string, doc_id string, rank long",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (
+            r["rrf_score"], r["n_lists"], r["best_rank"]
+        )
+        for r in rrf_fuse([ra, rb]).collect()
+    }
+    s = lambda r: 1_000_000_000 // (60 + r)
+    assert got == {
+        ("q1", "a"): (s(1), 1, 1),
+        ("q1", "b"): (s(2) + s(1), 2, 1),
+        ("q1", "c"): (s(2), 1, 2),
+        ("q2", "z"): (s(1), 1, 1),
+    }
+    top = {
+        (r["query_id"], r["doc_id"]): r["fused_rank"]
+        for r in rrf_fuse([ra, rb], top_n=2).collect()
+    }
+    # b (both lists) outranks a; a and c tie at s(1) vs s(2)? no:
+    # a = s(1) > c = s(2), so top-2 for q1 = [b, a]
+    assert top == {("q1", "b"): 1, ("q1", "a"): 2, ("q2", "z"): 1}
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_numeric_drift_underflow_bin_and_empty_side(spark):
+    """numeric_drift: values < 1 and NULLs drift as bin -1 (the
+    missingness class), and an EMPTY side yields NULL ppm terms
+    instead of an ANSI divide-by-zero crash while the exact counts
+    still tell the story."""
+    from kspp_spark.functions.pipeline import numeric_drift
+
+    old = spark.createDataFrame([(5,), (5,), (0,), (None,)], "v long")
+    new = spark.createDataFrame([(5,), (200,)], "v long")
+    got = {
+        r["category"]: (r["n_old"], r["n_new"], r["tvd_num_ppm"])
+        for r in numeric_drift(old, new, "v", k=32).collect()
+    }
+    assert got[5] == (2, 1, 0)          # 2/4 vs 1/2: shares equal
+    assert got[-1] == (2, 0, 500000)    # 0 and NULL -> underflow bin
+    # 200: e=7, sub=(200>>2)-32=18 -> bin 7*32+18 = 242
+    assert set(got) == {5, -1, 242}
+    empty = spark.createDataFrame([], "v long")
+    rows = numeric_drift(empty, new, "v", k=32).collect()
+    assert all(r["tvd_num_ppm"] is None for r in rows)
+    assert {r["category"]: r["n_new"] for r in rows} == {5: 1, 242: 1}

@@ -1165,3 +1165,24 @@ def test_category_drift_categories_sized(spark, queries):
     # bounds shape)
     assert plan.count("SortMergeJoin FullOuter") == 2
     assert plan.count("BroadcastNestedLoopJoin Cross") == 1
+
+
+def test_rrf_fusion_candidate_sized(spark, queries):
+    """RRF fusion never touches corpus rows after the ranking
+    windows: the union/agg/top-n window all run on top-k-sized
+    lists; no Python, no cartesian."""
+    plan = formatted_plan(spark, queries["rrf_fusion"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_numeric_drift_same_contract_as_categorical(spark, queries):
+    """numeric_drift composes the histogram bin (map-side JVM bit
+    arithmetic) with the categorical drift plan: aggregates before
+    the category join, no Python, no corpus window."""
+    plan = formatted_plan(spark, queries["numeric_drift"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert plan.count("SortMergeJoin FullOuter") == 2
+    assert plan.count("BroadcastNestedLoopJoin Cross") == 1

@@ -3314,3 +3314,72 @@ def test_checksum_stream_random_micro_batch_splits(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_funnel_stream_matches_batch_final_stages(spark, tmp_path):
+    """Streaming funnel advancement feed: per-user state carries the
+    batch fold's accumulator across micro-batches, so an advancement
+    spanning the trigger boundary (u1's click arrives in batch 2) is
+    emitted — and the FINAL stage per user equals batch
+    funnel_stages on in-order arrival. Emitted rows are one per
+    advancement with the running (t_first_us, t_stage_us)."""
+    import datetime
+    import time as _time
+
+    from kspp_spark.functions.sessions import (
+        funnel_stages,
+        funnel_stages_stream,
+    )
+
+    d = datetime.datetime
+    schema = "user_id long, ts timestamp, event_type string"
+    b1 = [
+        (1, d(2024, 1, 1, 10, 0), "view"),
+        (2, d(2024, 1, 1, 10, 0), "click"),   # no view -> never advances
+        (3, d(2024, 1, 1, 10, 0), "view"),
+    ]
+    b2 = [
+        (1, d(2024, 1, 1, 10, 5), "click"),   # cross-batch advancement
+        (1, d(2024, 1, 1, 10, 9), "purchase"),
+        (3, d(2024, 1, 2, 12, 0), "click"),   # outside 2h horizon
+    ]
+    in_dir = str(tmp_path / "funnel_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        funnel_stages_stream(
+            src, ["view", "click", "purchase"], horizon="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from funnel_stream").collect()
+    # advancement feed: u1 reaches 1, 2, 3; u3 reaches 1 only
+    feed = sorted((r["user_id"], r["stages"]) for r in rows)
+    assert feed == [(1, 1), (1, 2), (1, 3), (3, 1)]
+    final_stream = {}
+    for r in rows:
+        u = r["user_id"]
+        if u not in final_stream or r["stages"] > final_stream[u][0]:
+            final_stream[u] = (r["stages"], r["t_first_us"], r["t_stage_us"])
+    batch = {
+        r["user_id"]: (r["stages"], r["t_first_us"], r["t_last_us"])
+        for r in funnel_stages(
+            spark.createDataFrame(b1 + b2, schema),
+            ["view", "click", "purchase"],
+            horizon="2 hours",
+        ).collect()
+        if r["stages"] > 0
+    }
+    assert final_stream == batch
