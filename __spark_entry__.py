@@ -4314,6 +4314,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (e) fill to 50 from the r7-graded tier, kspp-core operators
     #       first (count/ktable/filter/transform/flat_map/word_count/
     #       merge/repartition/salted) then the TPC-H head.
+    # ROUND 11 window (this ordering): (a) the EIGHT round-11
+    # additions lead (heavy_hitters_production, range_bucket_join,
+    # funnel_stages, funnel_conversion, k_anonymity, category_drift,
+    # numeric_drift, rrf_fusion); (b) snapshot_diff regrades (the
+    # single r10 red row — a harness canonicalization crash on the
+    # array column, now graded as a sorted comma-joined scalar);
+    # (c) the SURVEY 2 core re-cert band VERDICT r10 item #2 ordered
+    # (five join flavors, ktable, rate_limiter, the windowed
+    # family); (d) the four queries whose CODE changed this round
+    # (heavy_hitters family refactor, ppjoin_pairs exploded-stream
+    # rewrite, table_checksum injective serialization, session_ids
+    # tz-invariant gap parse) — a changed query must never coast on
+    # a stale green; (e) oldest-cert fill: the r7-graded kspp core +
+    # TPC-H head + relational tail that sat just below the r10
+    # boundary.
     # NOTE: because the window rotates, per-round driver scores are
     # NOT comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite
@@ -4321,12 +4336,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_registry.py pins this dict against duplicate keys —
     # the registry is the driver's grading contract.
     return {
-        # -- (a) round-10 additions --
+        # -- (a) round-11 additions (first driver row) --
+        "heavy_hitters_production": q_heavy_hitters_production,
+        "range_bucket_join": q_range_bucket_join,
+        "funnel_stages": q_funnel_stages,
+        "funnel_conversion": q_funnel_conversion,
+        "k_anonymity": q_k_anonymity,
+        "category_drift": q_category_drift,
+        "numeric_drift": q_numeric_drift,
+        "rrf_fusion": q_rrf_fusion,
+        # -- (b) snapshot_diff regrade (the r10 red row, now scalar-graded) --
+        "snapshot_diff": q_snapshot_diff,
+        # -- (c) SURVEY 2 core re-cert band (joins/ktable/rate_limiter/windowed) --
+        "kstream_left_join": q_kstream_left_join,
+        "kstream_inner_join": q_kstream_inner_join,
+        "ktable_left_join": q_ktable_left_join,
+        "ktable_inner_join": q_ktable_inner_join,
+        "ktable_outer_join": q_ktable_outer_join,
+        "ktable_latest": q_ktable_latest,
+        "rate_limiter": q_rate_limiter,
+        "windowed_count": q_windowed_count,
+        "hopping_count": q_hopping_count,
+        "windowed_sum_by_type": q_windowed_sum_by_type,
+        "session_windows": q_session_windows,
+        "windowed_ktable": q_windowed_ktable,
+        # -- (d) round-11 changed-code regrades (family refactor, ppjoin rewrite, checksum serialization, gap parse) --
+        "heavy_hitters": q_heavy_hitters,
+        "ppjoin_pairs": q_ppjoin_pairs,
+        "table_checksum": q_table_checksum,
+        "session_ids": q_session_ids,
+        # -- (e) oldest-cert rotation: the r7-graded kspp core + TPC-H head + relational tail just below the r10 boundary --
+        "top_terms_per_lang": q_top_terms_per_lang,
+        "count_by_key": q_count_by_key,
+        "count_by_value": q_count_by_value,
+        "filter_lineitem": q_filter_lineitem,
+        "transform_revenue": q_transform_revenue,
+        "flat_map_words": q_flat_map_words,
+        "word_count": q_word_count,
+        "merge_streams": q_merge_streams,
+        "repartition_by_fk": q_repartition_by_fk,
+        "salted_count": q_salted_count,
+        "revenue_per_nation": q_revenue_per_nation,
+        "topk_orders": q_topk_orders,
+        "window_rank": q_window_rank,
+        "rollup_pricing": q_rollup_pricing,
+        "percentiles": q_percentiles,
+        "grouping_sets": q_grouping_sets,
+        "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
+        "range_join": q_range_join,
+        "interval_join": q_interval_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "pricing_summary": q_pricing_summary,
+        "json_extract": q_json_extract,
+        # ---- below the grading window: previously graded, every
+        # ---- oracle re-verified locally by tests/test_oracle_parity.py
+        # ---- on every pytest run
         "hll_cardinality": q_hll_cardinality,
         "hll_merge_slices": q_hll_merge_slices,
         "contamination_scores": q_contamination_scores,
-        "snapshot_diff": q_snapshot_diff,
-        "heavy_hitters": q_heavy_hitters,
         "typo_pairs": q_typo_pairs,
         "quantile_histogram": q_quantile_histogram,
         "outlier_gate": q_outlier_gate,
@@ -4343,7 +4413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "crawl_budget": q_crawl_budget,
         "cluster_reps": q_cluster_reps,
-        # -- (b) round-9 additions kept in --
         "sitemap_frontier": q_sitemap_frontier,
         "domain_rollup_full": q_domain_rollup_full,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4352,11 +4421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom": q_decontaminate_bloom,
         "train_classifier": q_train_classifier,
         "stupid_backoff": q_stupid_backoff,
-        # -- (c) r5-graded stragglers (stalest certs) --
         "curate_docs": q_curate_docs,
         "minhash_pairs_portable": q_minhash_pairs_portable,
         "simhash_portable": q_simhash_portable,
-        # -- (d) the r6-graded tail, ungraded for 4 rounds --
         "bm25_indexed": q_bm25_indexed,
         "bpe_encoded": q_bpe_encoded,
         "bpe_merges": q_bpe_merges,
@@ -4375,31 +4442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann": q_srp_ann,
         "srp_pairs": q_srp_pairs,
         "token_pairs": q_token_pairs,
-        "top_terms_per_lang": q_top_terms_per_lang,
-        # -- (e) r7-graded fill: kspp core, then the TPC-H head --
-        "count_by_key": q_count_by_key,
-        "count_by_value": q_count_by_value,
-        "ktable_latest": q_ktable_latest,
-        "filter_lineitem": q_filter_lineitem,
-        "transform_revenue": q_transform_revenue,
-        "flat_map_words": q_flat_map_words,
-        "word_count": q_word_count,
-        "merge_streams": q_merge_streams,
-        "repartition_by_fk": q_repartition_by_fk,
-        "salted_count": q_salted_count,
-        "revenue_per_nation": q_revenue_per_nation,
-        "topk_orders": q_topk_orders,
-        "window_rank": q_window_rank,
-        "rollup_pricing": q_rollup_pricing,
-        "percentiles": q_percentiles,
-        "grouping_sets": q_grouping_sets,
-        # ---- end of the 50-query grading window ----
-        # everything below stays registered and is re-verified by
-        # tests/test_oracle_parity.py against DuckDB on every pytest
-        # run; most recently graded: r8/r9 driver windows
-        # -- round-10 second-session additions (the window was already
-        #    locked at 21+29 when these landed): full oracles + local
-        #    parity from day one; they are the round-11 head candidates
         "cohort_retention": q_cohort_retention,
         "triangle_counts": q_triangle_counts,
         "zorder_stats": q_zorder_stats,
@@ -4407,14 +4449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window_sum": q_rolling_window_sum,
         "daily_trend": q_daily_trend,
         "rolling_outliers": q_rolling_outliers,
-        "session_ids": q_session_ids,
         "length_percentile": q_length_percentile,
-        "table_checksum": q_table_checksum,
         "profile_columns": q_profile_columns,
         "join_size_estimate": q_join_size_estimate,
         "item_associations": q_item_associations,
         "rate_ztest": q_rate_ztest,
-        "ppjoin_pairs": q_ppjoin_pairs,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
         "classifier_confusion": q_classifier_confusion,
@@ -4422,29 +4461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "domain_rank": q_domain_rank,
         "pack_sequences": q_pack_sequences,
-        "rate_limiter": q_rate_limiter,
-        "windowed_count": q_windowed_count,
-        "hopping_count": q_hopping_count,
-        "windowed_sum_by_type": q_windowed_sum_by_type,
-        "session_windows": q_session_windows,
-        "windowed_ktable": q_windowed_ktable,
-        "kstream_left_join": q_kstream_left_join,
-        "kstream_inner_join": q_kstream_inner_join,
-        "ktable_left_join": q_ktable_left_join,
-        "ktable_inner_join": q_ktable_inner_join,
-        "ktable_outer_join": q_ktable_outer_join,
-        "asof_join": q_asof_join,
-        "asof_forward": q_asof_forward,
-        "asof_nearest": q_asof_nearest,
-        "range_join": q_range_join,
-        "interval_join": q_interval_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "srp_diverse_sample": q_srp_diverse_sample,
         "srp_bucket_profile": q_srp_bucket_profile,
         "dup_clusters_fixed": q_dup_clusters_fixed,
-        "pricing_summary": q_pricing_summary,
-        "json_extract": q_json_extract,
         "funnel": q_funnel,
         "order_keys_agg": q_order_keys_agg,
         "approx_distinct": q_approx_distinct,
@@ -4527,23 +4546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "idle_customers": q_idle_customers,
         "except_keys": q_except_keys,
-        # rows-only checks (approximate / production-hash twins /
-        # seeded-iterative by design) — replay-parity certified
-        # (PARITY.md): bit-identical across independent Spark runs
         "embedding_clusters": q_embedding_clusters,
         "diverse_sample": q_diverse_sample,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ivf_ann": q_ivf_ann,
         "hll_production": q_hll_production,
-        "heavy_hitters_production": q_heavy_hitters_production,
-        "range_bucket_join": q_range_bucket_join,
-        "funnel_stages": q_funnel_stages,
-        "funnel_conversion": q_funnel_conversion,
-        "k_anonymity": q_k_anonymity,
-        "category_drift": q_category_drift,
-        "numeric_drift": q_numeric_drift,
-        "rrf_fusion": q_rrf_fusion,
     }
 
 

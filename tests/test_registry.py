@@ -39,63 +39,54 @@ def test_registry_no_duplicate_keys():
     assert keys == list(entry_mod.queries().keys())
 
 
-def test_registry_round10_window():
-    """The round-10 grading window (first 50) is the VERDICT r9 item
-    #4 rotation: the round's NEW queries lead (position-pinned), the
-    round-9 additions re-certify, and the rest is oldest-cert-first
-    (the r5/r6-graded tail ungraded for 3-4 rounds, then the
-    r7-graded kspp core). SET containment for the rotation body —
-    r8's lesson: the fully position-pinned form rotted when a head
-    insert wasn't mirrored here."""
+def test_registry_round11_window():
+    """The round-11 grading window (first 50) is the VERDICT r10
+    item #2 rotation: the round's NEW queries lead (position-pinned),
+    snapshot_diff regrades (the r10 red row), the SURVEY 2 core
+    re-cert band covers the five join flavors / ktable /
+    rate_limiter / windowed family, every query whose CODE changed
+    this round regrades (a changed query must never coast on a stale
+    green), and the rest is oldest-cert-first (the r7-graded kspp
+    core + TPC-H head + relational tail that sat just below the r10
+    boundary). SET containment for the rotation body — r8's lesson:
+    the fully position-pinned form rotted when a head insert wasn't
+    mirrored here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — must lead the window
-    assert window[:21] == [
-        "hll_cardinality",
-        "hll_merge_slices",
-        "contamination_scores",
-        "snapshot_diff",
-        "heavy_hitters",
-        "typo_pairs",
-        "quantile_histogram",
-        "outlier_gate",
-        "cms_counts",
-        "cms_estimates",
-        "minmax_scaled",
-        "dedup_paragraphs",
-        "event_transitions",
-        "trending_terms",
-        "domain_quality",
-        "nfc_normalize",
-        "hard_negatives",
-        "hits_rank",
-        "anchor_terms",
-        "crawl_budget",
-        "cluster_reps",
+    assert window[:8] == [
+        "heavy_hitters_production",
+        "range_bucket_join",
+        "funnel_stages",
+        "funnel_conversion",
+        "k_anonymity",
+        "category_drift",
+        "numeric_drift",
+        "rrf_fusion",
     ]
+    assert window[8] == "snapshot_diff"  # the r10 red row regrades
     must_grade = {
-        # round-9 additions kept in for a second driver row
-        "sitemap_frontier", "domain_rollup_full", "winnow_fingerprints",
-        "winnow_dup_pairs", "surt_index", "decontaminate_bloom",
-        "train_classifier", "stupid_backoff",
-        # stalest certs: r5-graded stragglers
-        "curate_docs", "minhash_pairs_portable", "simhash_portable",
-        # the r6-graded tail, ungraded since round 6
-        "bm25_indexed", "bpe_encoded", "bpe_merges", "bpe_merges_chars",
-        "inverted_index", "ivf_exhaustive", "knn_cosine",
-        "local_supplier_volume", "ngram_counts", "phrase_search",
-        "phrase_search_indexed", "positional_index", "quantized_ann",
-        "rollup_cascade", "scd2_lookup", "srp_ann", "srp_pairs",
-        "token_pairs",
-        # top_terms_per_lang (r6) and the whole r7-graded kspp-core
-        # fill (count/ktable/filter/transform/flat_map/word_count/
-        # merge/repartition) rotated out as the r10 head grew to 21 —
-        # every one stays registered, benched every round, and
-        # oracle-parity-tested on every pytest run; the events/
-        # TIMESTAMP(NANOS) load path stays in-window via
-        # event_transitions
+        # SURVEY 2 core re-cert band (VERDICT r10 item #2)
+        "kstream_left_join", "kstream_inner_join", "ktable_left_join",
+        "ktable_inner_join", "ktable_outer_join", "ktable_latest",
+        "rate_limiter", "windowed_count", "hopping_count",
+        "windowed_sum_by_type", "session_windows", "windowed_ktable",
+        # round-11 changed-code regrades
+        "heavy_hitters",    # hash-family refactor (sketch.py)
+        "ppjoin_pairs",     # exploded-stream rewrite (dedup.py)
+        "table_checksum",   # injective serialization (pipeline.py)
+        "session_ids",      # tz-invariant gap parse (sessions.py)
+        # oldest-cert rotation: last graded r7
+        "count_by_key", "count_by_value", "word_count",
+        "filter_lineitem", "transform_revenue", "flat_map_words",
+        "merge_streams", "repartition_by_fk", "salted_count",
+        "revenue_per_nation", "pricing_summary", "asof_join",
+        "range_join", "interval_join", "semi_join", "anti_join",
     }
     missing = must_grade - set(window)
-    assert not missing, f"round-10 must-grade queries not in window: {missing}"
+    assert not missing, f"round-11 must-grade queries not in window: {missing}"
+    # events/TIMESTAMP(NANOS) load path stays in-window (verify-skill
+    # contract): these read the events table
+    assert {"windowed_count", "session_ids", "funnel_stages"} <= set(window)
     assert len(window) == len(set(window)) == 50
 
 
