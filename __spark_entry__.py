@@ -4322,11 +4322,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # array column, now graded as a sorted comma-joined scalar);
     # (c) the SURVEY 2 core re-cert band VERDICT r10 item #2 ordered
     # (five join flavors, ktable, rate_limiter, the windowed
-    # family); (d) the four queries whose CODE changed this round
+    # family); (d) the SEVEN queries whose CODE changed this round
     # (heavy_hitters family refactor, ppjoin_pairs exploded-stream
     # rewrite, table_checksum injective serialization, session_ids
-    # tz-invariant gap parse) — a changed query must never coast on
-    # a stale green; (e) oldest-cert fill: the r7-graded kspp core +
+    # tz-invariant gap parse, and the CMS trio whose bucket family
+    # repacked to single-md5 word slices) — a changed query must
+    # never coast on a stale green; (e) oldest-cert fill: the r7-graded kspp core +
     # TPC-H head + relational tail that sat just below the r10
     # boundary.
     # NOTE: because the window rotates, per-round driver scores are
@@ -4365,6 +4366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_pairs": q_ppjoin_pairs,
         "table_checksum": q_table_checksum,
         "session_ids": q_session_ids,
+        "cms_counts": q_cms_counts,
+        "cms_estimates": q_cms_estimates,
+        "join_size_estimate": q_join_size_estimate,
         # -- (e) oldest-cert rotation: the r7-graded kspp core + TPC-H head + relational tail just below the r10 boundary --
         "top_terms_per_lang": q_top_terms_per_lang,
         "count_by_key": q_count_by_key,
@@ -4387,21 +4391,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "range_join": q_range_join,
         "interval_join": q_interval_join,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "pricing_summary": q_pricing_summary,
-        "json_extract": q_json_extract,
         # ---- below the grading window: previously graded, every
         # ---- oracle re-verified locally by tests/test_oracle_parity.py
         # ---- on every pytest run
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "json_extract": q_json_extract,
         "hll_cardinality": q_hll_cardinality,
         "hll_merge_slices": q_hll_merge_slices,
         "contamination_scores": q_contamination_scores,
         "typo_pairs": q_typo_pairs,
         "quantile_histogram": q_quantile_histogram,
         "outlier_gate": q_outlier_gate,
-        "cms_counts": q_cms_counts,
-        "cms_estimates": q_cms_estimates,
         "minmax_scaled": q_minmax_scaled,
         "dedup_paragraphs": q_dedup_paragraphs,
         "event_transitions": q_event_transitions,
@@ -4451,7 +4453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_outliers": q_rolling_outliers,
         "length_percentile": q_length_percentile,
         "profile_columns": q_profile_columns,
-        "join_size_estimate": q_join_size_estimate,
         "item_associations": q_item_associations,
         "rate_ztest": q_rate_ztest,
         "auc_eval": q_auc_eval,
@@ -5043,12 +5044,12 @@ def oracle_sql() -> dict[str, str]:
         " || chr(778) || 'ngstro' || chr(776) || 'm'"
     )
 
-    # Count-Min sketch replay: md5_long with per-row salt, mod 64.
-    # r.row is fanned out via VALUES; the salt concat casts the row
-    # explicitly so both engines hash the identical byte string.
+    # Count-Min sketch replay (packed family, sketch.py _cms_probes):
+    # depth bucket words sliced from ONE 60-bit md5 — bucket_r =
+    # (h >> 6r) & 63 for width 64. r.row fans out via VALUES.
     _cms_bucket = (
-        "CAST(CAST('0x' || substr(md5('cms' || CAST(r.row AS VARCHAR)"
-        " || ':' || term), 1, 15) AS BIGINT) % 64 AS INT)"
+        "CAST((CAST('0x' || substr(md5(term), 1, 15) AS BIGINT)"
+        " >> (6 * r.row)) & 63 AS INT)"
     )
     _cms_cells = f"""
         SELECT CAST(r.row AS INT) AS row, {_cms_bucket} AS bucket,
@@ -8102,9 +8103,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             cells AS (
                 SELECT CAST(r.row AS INT) AS row,
-                       CAST(CAST('0x' || substr(md5('cms'
-                            || CAST(r.row AS VARCHAR) || ':' || term),
-                            1, 15) AS BIGINT) % 256 AS INT) AS bucket,
+                       CAST((CAST('0x' || substr(md5(term), 1, 15)
+                            AS BIGINT) >> (8 * r.row)) & 255 AS INT)
+                         AS bucket,
                        COUNT(*) AS cnt
                 FROM t, (VALUES (0), (1), (2), (3)) r(row)
                 GROUP BY 1, 2

@@ -1558,15 +1558,29 @@ def edit_neighbor_pairs(
             ),
         )
     )
-    ex = terms.select("t", F.explode(variants).alias("v"))
+    # join on the 64-bit hash of the variant, not the string: the
+    # shuffle carries 8-byte keys instead of ~len-byte strings, and a
+    # hash collision can only ADD candidates (equal variants always
+    # hash equal) which the levenshtein verify kills — provably the
+    # same output. Verify BEFORE distinct so the dedup shuffle
+    # carries only true pairs (candidates outnumber pairs ~50x on
+    # structured-key vocabularies). array_distinct above is
+    # load-bearing: without it, repeated-character deletions emit
+    # the same variant several times and the bucket fan-out
+    # multiplies (measured 1.35x slower without). Net: 4.95s ->
+    # 4.49s at sf0.1.
+    ex = terms.select("t", F.explode(variants).alias("v")).select(
+        "t", F.xxhash64("v").alias("h")
+    )
     pairs = (
         ex.alias("l")
-        .join(ex.alias("r"), "v")
+        .join(ex.alias("r"), "h")
         .select(F.col("l.t").alias("a"), F.col("r.t").alias("b"))
         .filter(F.col("a") < F.col("b"))
+        .filter(F.levenshtein("a", "b") == 1)
         .distinct()
     )
-    return pairs.filter(F.levenshtein("a", "b") == 1)
+    return pairs
 
 
 def prefix_filter_pairs(

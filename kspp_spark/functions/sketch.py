@@ -12,9 +12,11 @@ addition — the property that makes it the distributed/streaming
 counting structure: every partition builds its own sketch map-side and
 the shuffle carries at most width × depth rows per mapper.
 
-The hash family is the repo-wide engine-portable md5_long with a
-per-row salt, so builds and estimates replay bit-exactly in a SQL
-oracle — a DETERMINISTIC sketch: approximate with respect to truth,
+The hash family is the repo-wide engine-portable md5_long — depth
+bucket words sliced from ONE md5 per item for power-of-two widths
+(one hash kernel per row instead of depth; the salted per-row form
+remains for other widths) — so builds and estimates replay
+bit-exactly in a SQL oracle — a DETERMINISTIC sketch: approximate with respect to truth,
 exact with respect to the algorithm.
 """
 
@@ -28,10 +30,59 @@ from kspp_spark.functions.hashing import md5_long
 def cms_bucket(item: Column, row: int, width: int) -> Column:
     """Bucket of `item` in sketch row `row`: md5_long("cms{row}:" ||
     item) % width. md5_long is 60-bit non-negative, so % is the
-    mathematical mod in Spark and DuckDB alike."""
+    mathematical mod in Spark and DuckDB alike.
+
+    This SALTED family costs one md5 per (row, item); the packed
+    family below (_cms_probes) slices all depth buckets out of ONE
+    md5 and is what cms_build/cms_estimate use whenever width is a
+    power of two fitting the 60-bit word — kept for non-pow2 widths
+    and as the documented replay form."""
     return (
         md5_long(F.concat(F.lit(f"cms{row}:"), item)) % width
     ).cast("int")
+
+
+def _cms_probes(item: Column, width: int, depth: int) -> Column:
+    """The depth (row, bucket) probes for one item as an array
+    column. Packed family (power-of-two width, depth*log2(width) <=
+    60): bucket_r = (h >> r*log2(width)) & (width-1) over ONE
+    md5_long, evaluated once per row by binding it as a 1-element
+    array lambda variable (codegen does NOT common-subexpress the
+    md5 chain across rows — the heavy_hitters lesson, measured 2.4x
+    there). Shifts, not division: Column `/` is DOUBLE division and
+    would round 60-bit words above 2^53 — fine for a private prune
+    family, NOT fine for graded sketch cells that must replay in
+    SQL. Falls back to the salted per-row md5 family otherwise."""
+    log2w = width.bit_length() - 1
+    if (1 << log2w) == width and depth * log2w <= 60:
+        h = md5_long(item)
+        return F.element_at(
+            F.transform(
+                F.array(h),
+                lambda hh: F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("row"),
+                            F.shiftright(hh, r * log2w)
+                            .bitwiseAND(F.lit(width - 1))
+                            .cast("int")
+                            .alias("bucket"),
+                        )
+                        for r in range(depth)
+                    ]
+                ),
+            ),
+            1,
+        )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("row"),
+                cms_bucket(item, r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
 
 
 def cms_build(
@@ -54,15 +105,7 @@ def cms_build(
     if width < 1 or depth < 1:
         raise ValueError("cms_build: width and depth must be >= 1")
     item = F.col(col).cast("string")
-    probes = F.array(
-        *[
-            F.struct(
-                F.lit(r).cast("int").alias("row"),
-                cms_bucket(item, r, width).alias("bucket"),
-            )
-            for r in range(depth)
-        ]
-    )
+    probes = _cms_probes(item, width, depth)
     w = (
         F.lit(1).cast("long")
         if weight is None
@@ -108,15 +151,7 @@ def cms_estimate(
     depth rows — tiny) BROADCASTS to an equi-join on (row, bucket),
     then one min-aggregation per item."""
     item = F.col(col).cast("string")
-    probes = F.array(
-        *[
-            F.struct(
-                F.lit(r).cast("int").alias("row"),
-                cms_bucket(item, r, width).alias("bucket"),
-            )
-            for r in range(depth)
-        ]
-    )
+    probes = _cms_probes(item, width, depth)
     probed = items.select(
         F.col(col), F.explode(probes).alias("_rc")
     ).select(col, F.col("_rc.row").alias("row"), F.col("_rc.bucket").alias("bucket"))

@@ -80,7 +80,10 @@ def test_registry_round11_window():
         "filter_lineitem", "transform_revenue", "flat_map_words",
         "merge_streams", "repartition_by_fk", "salted_count",
         "revenue_per_nation", "pricing_summary", "asof_join",
-        "range_join", "interval_join", "semi_join", "anti_join",
+        "range_join", "interval_join",
+        # CMS family repack (round-11 packed single-md5 buckets):
+        # the sketch CELLS changed, so these regrade too
+        "cms_counts", "cms_estimates", "join_size_estimate",
     }
     missing = must_grade - set(window)
     assert not missing, f"round-11 must-grade queries not in window: {missing}"
