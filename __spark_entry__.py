@@ -4369,6 +4369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "cms_estimates": q_cms_estimates,
         "join_size_estimate": q_join_size_estimate,
+        "profile_columns": q_profile_columns,
+        "item_associations": q_item_associations,
         # -- (e) oldest-cert rotation: the r7-graded kspp core + TPC-H head + relational tail just below the r10 boundary --
         "top_terms_per_lang": q_top_terms_per_lang,
         "count_by_key": q_count_by_key,
@@ -4384,8 +4386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "window_rank": q_window_rank,
         "rollup_pricing": q_rollup_pricing,
-        "percentiles": q_percentiles,
-        "grouping_sets": q_grouping_sets,
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
@@ -4398,6 +4398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "json_extract": q_json_extract,
+        "percentiles": q_percentiles,
+        "grouping_sets": q_grouping_sets,
         "hll_cardinality": q_hll_cardinality,
         "hll_merge_slices": q_hll_merge_slices,
         "contamination_scores": q_contamination_scores,
@@ -4452,8 +4454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_trend": q_daily_trend,
         "rolling_outliers": q_rolling_outliers,
         "length_percentile": q_length_percentile,
-        "profile_columns": q_profile_columns,
-        "item_associations": q_item_associations,
         "rate_ztest": q_rate_ztest,
         "auc_eval": q_auc_eval,
         "score_calibration": q_score_calibration,
@@ -8641,7 +8641,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT COALESCE(o.category, n.category) AS category,
                        COALESCE(o.n_old, 0) AS n_old,
                        COALESCE(n.n_new, 0) AS n_new
-                FROM o FULL OUTER JOIN n ON o.category = n.category
+                FROM o FULL OUTER JOIN n
+                  ON o.category IS NOT DISTINCT FROM n.category
             ),
             t AS (SELECT SUM(n_old) AS No, SUM(n_new) AS Nn FROM j)
             SELECT category, n_old, n_new,

@@ -86,32 +86,52 @@ def cooccurrence_scores(
     single-sighting pairs (PMI's classic failure mode: two hapaxes
     that met once look maximally associated).
 
-    Plan: basket_pairs' two bounded aggs, one (a, b) count, a small
-    marginal aggregation joined twice (broadcast at dimension scale),
-    and a 1-row basket-count literal via cross join. Int64 bound:
+    Plan: ONE distinct + pack pipeline (shared by the pair
+    expansion, the marginals and the basket count — marginals over
+    qualifying baskets are exactly the explode of the packed
+    arrays), one (a, b) count, broadcast marginal joins, and a 1-row
+    basket-count frame. Int64 bound:
     n_ab * N <= N^2 — fine through ~3e9 baskets; shard the ppm scale
     down if you exceed it."""
-    pairs = basket_pairs(df, basket_col, item_col, max_basket)
-    qualifying = (
+    # ONE distinct+pack pipeline feeds everything (round-11 rewrite,
+    # measured 1.6x — 2.6s -> 1.6s at sf0.1): marginals and N derive
+    # from the size-filtered packed relation itself instead of three
+    # more distinct shuffles over the raw rows + a qualifying join
+    # (n_x over qualifying baskets == explode of the packed arrays,
+    # by construction)
+    items = (
         df.select(F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it"))
         .distinct()
         .groupBy("_bk")
-        .agg(F.count(F.lit(1)).alias("_sz"))
-        .where(F.col("_sz").between(2, max_basket))
+        .agg(F.array_sort(F.collect_list("_it")).alias("_items"))
+        .where(F.size("_items").between(2, max_basket))
     )
-    n_baskets = qualifying.agg(
-        F.count(F.lit(1)).cast("long").alias("_nb")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("_items"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("_items"),
+                    i + 2,
+                    F.greatest(F.size("_items") - i - 1, F.lit(0)),
+                ),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    counts = (
+        items.select(F.explode(pair_arr).alias("_p"))
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
     )
     marg = (
-        df.select(F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it"))
-        .distinct()
-        .join(qualifying.select("_bk"), "_bk")
+        items.select(F.explode("_items").alias("_it"))
         .groupBy("_it")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
     )
-    counts = pairs.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_ab")
-    ).where(F.col("n_ab") >= min_pairs)
+    n_baskets = items.agg(F.count(F.lit(1)).cast("long").alias("_nb"))
     out = (
         counts.join(
             F.broadcast(marg.select(F.col("_it").alias("a"), F.col("_n").alias("n_a"))),

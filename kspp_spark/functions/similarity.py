@@ -712,6 +712,10 @@ def rrf_fuse(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    # a NULL rank carries no position information: drop the row
+    # entirely (otherwise it would inflate n_lists while adding
+    # nothing to the score)
+    u = u.where(F.col("r").isNotNull())
     fused = u.groupBy("q", "d").agg(
         F.sum(F.expr(f"{scale} DIV ({k} + r)")).alias("rrf_score"),
         F.count(F.lit(1)).alias("n_lists"),

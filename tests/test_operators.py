@@ -4464,3 +4464,34 @@ def test_numeric_drift_underflow_bin_and_empty_side(spark):
     rows = numeric_drift(empty, new, "v", k=32).collect()
     assert all(r["tvd_num_ppm"] is None for r in rows)
     assert {r["category"]: r["n_new"] for r in rows} == {5: 1, 242: 1}
+
+
+def test_categorical_drift_null_category_is_one_class(spark):
+    """A NULL category is ONE equivalence class: the full-outer join
+    is null-safe, so missingness drifts as a single row with both
+    sides' counts instead of splitting into two 0-filled rows."""
+    from kspp_spark.functions.pipeline import categorical_drift
+
+    old = spark.createDataFrame([("x",), (None,), (None,)], "c string")
+    new = spark.createDataFrame([("x",), ("x",), (None,)], "c string")
+    got = {
+        r["category"]: (r["n_old"], r["n_new"])
+        for r in categorical_drift(old, new, "c").collect()
+    }
+    assert got == {"x": (1, 2), None: (2, 1)}
+
+
+def test_rrf_fuse_null_rank_dropped(spark):
+    """A NULL rank carries no position: the row is dropped entirely
+    — it must not inflate n_lists."""
+    from kspp_spark.functions.similarity import rrf_fuse
+
+    ra = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", None)],
+        "query_id string, doc_id string, rank long",
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse([ra]).collect()
+    }
+    assert got == {"a": (1_000_000_000 // 61, 1)}

@@ -84,6 +84,9 @@ def test_registry_round11_window():
         # CMS family repack (round-11 packed single-md5 buckets):
         # the sketch CELLS changed, so these regrade too
         "cms_counts", "cms_estimates", "join_size_estimate",
+        # melt-based profile rewrite + shared-pipeline cooccurrence
+        # rewrite (same outputs, new plans) regrade too
+        "profile_columns", "item_associations",
     }
     missing = must_grade - set(window)
     assert not missing, f"round-11 must-grade queries not in window: {missing}"
