@@ -8124,20 +8124,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT est.est_join_size, tr.true_join_size FROM est, tr
         """
     # checksum replay: identical INJECTIVE row serialization
-    # (N/V null marker + ESC-escape of separator, pipeline.py
+    # (N/V null marker + char-length prefix, pipeline.py
     # table_checksum), 60-bit md5, split 30-bit sums, bit_xor
     _CK_ROW = (
-        "concat_ws(chr(31), "
-        + ", ".join(
+        " || ".join(
             f"CASE WHEN {c} IS NULL THEN 'N' ELSE 'V' || "
-            f"replace(replace(CAST({c} AS VARCHAR), chr(27), "
-            f"chr(27) || 'e'), chr(31), chr(27) || 's') END"
+            f"CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' || "
+            f"CAST({c} AS VARCHAR) END"
             for c in [
                 "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                 "l_returnflag", "l_linestatus", "l_shipdate",
             ]
         )
-        + ")"
     )
     oracles["table_checksum"] = f"""
             WITH h AS (

@@ -258,7 +258,7 @@ RECORD_BEST = {
     "dup_clusters_fixed": 3.4437,
     "inverted_index": 0.4654,
     "knn_cosine": 0.687,
-    "kstream_left_join": 0.3644,
+    "kstream_left_join": 0.3455,
     "ktable_latest": 0.349,
     "large_orders": 0.866,
     "lm_scores": 0.7559,
@@ -284,7 +284,7 @@ RECORD_BEST = {
     "quantized_ann": 1.59,
     "repetition_stats": 0.8401,
     "returned_items": 0.5758,
-    "revenue_per_nation": 0.5076,
+    "revenue_per_nation": 0.498,
     "scd2_lookup": 0.3814,
     "session_windows": 0.3225,
     "srp_ann": 1.4082,
@@ -293,11 +293,11 @@ RECORD_BEST = {
     "substring_spans": 0.6536,
     "tfidf_top_terms": 0.5601,
     "train_split": 0.1118,
-    "transform_revenue": 0.4161,
+    "transform_revenue": 0.4025,
     "volume_shipping": 0.8027,
     "waiting_suppliers": 1.1042,
     "windowed_count": 0.235,
-    "word_count": 0.295,
+    "word_count": 0.2896,
     "domain_rollup": 0.7259,
     "link_graph": 1.2377,
     "domain_rank": 1.0797,
@@ -337,7 +337,7 @@ RECORD_BEST = {
     "cohort_retention": 0.3995,
     "daily_trend": 0.2708,
     "gap_fill_locf": 0.2547,
-    "ppjoin_pairs": 5.8613,
+    "ppjoin_pairs": 3.8156,
     "rolling_outliers": 0.2673,
     "rolling_window_sum": 0.2029,
     "score_calibration": 0.3686,
@@ -347,11 +347,24 @@ RECORD_BEST = {
     # round-10 close first records (run I, load 0.99, mf 1.282)
     "join_size_estimate": 2.8,
     "length_percentile": 0.7359,
-    "profile_columns": 2.6035,
+    "profile_columns": 1.0277,
     # round-10 final first records (run J, load 0.14, mf 1.2155)
-    "item_associations": 2.9328,
-    "rate_ztest": 0.7447,
+    "item_associations": 1.9524,
+    "rate_ztest": 0.4599,
     "table_checksum": 1.3013,
+    # round-11 first records (calm run, load 0.92, mf 1.144) — the
+    # eight round-11 queries; improved bests folded in place above
+    # (ppjoin_pairs 3.8156, profile_columns 1.0277,
+    # item_associations 1.9524, rate_ztest 0.4599 and four basket
+    # queries updated in their original entries)
+    "category_drift": 0.3902,
+    "funnel_conversion": 0.6311,
+    "funnel_stages": 0.393,
+    "heavy_hitters_production": 3.2028,
+    "k_anonymity": 0.1371,
+    "numeric_drift": 0.639,
+    "range_bucket_join": 0.4037,
+    "rrf_fusion": 0.4854,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no

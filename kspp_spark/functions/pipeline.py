@@ -203,16 +203,16 @@ def table_checksum(
 
     def _cell(c):
         v = F.col(c).cast("string")
-        esc = F.replace(
-            F.replace(v, F.lit("\x1b"), F.lit("\x1be")),
-            F.lit("\x1f"),
-            F.lit("\x1bs"),
-        )
         return F.when(v.isNull(), F.lit("N")).otherwise(
-            F.concat(F.lit("V"), esc)
+            F.concat(
+                F.lit("V"),
+                F.length(v).cast("string"),
+                F.lit(":"),
+                v,
+            )
         )
 
-    row = F.concat_ws("\x1f", *[_cell(c) for c in use])
+    row = F.concat(*[_cell(c) for c in use])
     h = md5_long(row)  # 60-bit non-negative
     # split into two 30-bit words summed separately: each summand
     # < 2^30, so the int64 sums are overflow-safe up to 2^33 rows
@@ -413,6 +413,8 @@ def categorical_drift(
     frame — categories-sized, not corpus-sized. Numeric columns:
     bucket first (histogram_sketch / zorder_buckets / width_bucket)
     and drift the bucket id."""
+    if scale < 1:
+        raise ValueError("categorical_drift: scale must be >= 1")
     cnt_o = old.groupBy(F.col(col).alias("category")).agg(
         F.count(F.lit(1)).alias("n_old")
     )

@@ -689,7 +689,10 @@ def rrf_fuse(
     The standard hybrid-retrieval combiner: fuse BM25 (bm25_search),
     dense ANN (srp_ann / quantized_ann) and any business ranking
     without score calibration — RRF only reads RANKS, so the lists'
-    score scales never meet. Output: (query, doc, rrf_score, n_lists,
+    score scales never meet. Each input list must carry at most one
+    rank per (query, doc) — the row_number contract every ranker
+    here satisfies; duplicate rows would double-count their list.
+    NULL ranks are dropped (no position information). Output: (query, doc, rrf_score, n_lists,
     best_rank) [+ fused_rank when top_n is set, keeping ties broken
     by doc id for determinism].
 

@@ -4220,11 +4220,13 @@ def test_table_checksum_injective_serialization(spark):
 
     # literal sentinel string != NULL
     assert fp([("\x00NULL", "x")]) != fp([(None, "x")])
-    # separator inside a value must not shift content across columns
+    # content shifting across column boundaries must change the hash
     assert fp([("a\x1fb", "c")]) != fp([("a", "b\x1fc")])
-    assert fp([("a\x1fb", "c")]) != fp([("a", "b" + "\x1f" + "c")])
-    # escape-char adjacency: ('\x1b', 's') vs ('', '\x1bs')-style
-    assert fp([("\x1b", "s")]) != fp([("\x1bs", "")])
+    assert fp([("ab", "c")]) != fp([("a", "bc")])
+    # a value that IMITATES the length-prefix encoding of its
+    # neighbor must not alias ('V1:aV1:b' forged inside one cell)
+    assert fp([("aV1:b", "")]) != fp([("a", "b")])
+    assert fp([("N", "x")]) != fp([(None, "x")])  # literal 'N' != NULL
     # and the fingerprint is still order/partitioning independent
     two = [("a\x1fb", "c"), (None, "\x00NULL")]
     assert fp(two) == fp(list(reversed(two)))
