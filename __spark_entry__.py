@@ -8124,18 +8124,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT est.est_join_size, tr.true_join_size FROM est, tr
         """
     # checksum replay: identical INJECTIVE row serialization
-    # (N/V null marker + char-length prefix, pipeline.py
+    # (conditional escape + NUL+'N' null marker, pipeline.py
     # table_checksum), 60-bit md5, split 30-bit sums, bit_xor
+    _ck_cell = (
+        "CASE WHEN {c} IS NULL THEN chr(0) || 'N' "
+        "WHEN contains(CAST({c} AS VARCHAR), chr(27)) "
+        "  OR contains(CAST({c} AS VARCHAR), chr(31)) "
+        "  OR contains(CAST({c} AS VARCHAR), chr(0)) "
+        "THEN replace(replace(replace(CAST({c} AS VARCHAR), "
+        "chr(27), chr(27) || 'e'), chr(31), chr(27) || 's'), "
+        "chr(0), chr(27) || 'n') "
+        "ELSE CAST({c} AS VARCHAR) END"
+    )
     _CK_ROW = (
-        " || ".join(
-            f"CASE WHEN {c} IS NULL THEN 'N' ELSE 'V' || "
-            f"CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' || "
-            f"CAST({c} AS VARCHAR) END"
+        "concat_ws(chr(31), "
+        + ", ".join(
+            _ck_cell.format(c=c)
             for c in [
                 "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                 "l_returnflag", "l_linestatus", "l_shipdate",
             ]
         )
+        + ")"
     )
     oracles["table_checksum"] = f"""
             WITH h AS (

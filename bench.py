@@ -345,13 +345,14 @@ RECORD_BEST = {
     "triangle_counts": 1.2742,
     "zorder_stats": 0.4168,
     # round-10 close first records (run I, load 0.99, mf 1.282)
-    "join_size_estimate": 2.8,
+    "join_size_estimate": 2.34,
     "length_percentile": 0.7359,
     "profile_columns": 1.0277,
     # round-10 final first records (run J, load 0.14, mf 1.2155)
     "item_associations": 1.9524,
     "rate_ztest": 0.4599,
-    "table_checksum": 1.3013,
+    "table_checksum": 1.668,  # injective serialization (the 1.3013
+    # record belonged to the retired non-injective sentinel form)
     # round-11 first records (calm run, load 0.92, mf 1.144) — the
     # eight round-11 queries; improved bests folded in place above
     # (ppjoin_pairs 3.8156, profile_columns 1.0277,

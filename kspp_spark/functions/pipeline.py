@@ -201,18 +201,25 @@ def table_checksum(
             f"table_checksum: group_cols collide with temp columns {sorted(clash)}"
         )
 
+    ESC, SEP, NUL = "\x1b", "\x1f", "\x00"
+
     def _cell(c):
         v = F.col(c).cast("string")
-        return F.when(v.isNull(), F.lit("N")).otherwise(
-            F.concat(
-                F.lit("V"),
-                F.length(v).cast("string"),
-                F.lit(":"),
-                v,
-            )
+        dirty = v.contains(ESC) | v.contains(SEP) | v.contains(NUL)
+        esc = F.replace(
+            F.replace(
+                F.replace(v, F.lit(ESC), F.lit(ESC + "e")),
+                F.lit(SEP),
+                F.lit(ESC + "s"),
+            ),
+            F.lit(NUL),
+            F.lit(ESC + "n"),
+        )
+        return F.coalesce(
+            F.when(dirty, esc).otherwise(v), F.lit(NUL + "N")
         )
 
-    row = F.concat(*[_cell(c) for c in use])
+    row = F.concat_ws(SEP, *[_cell(c) for c in use])
     h = md5_long(row)  # 60-bit non-negative
     # split into two 30-bit words summed separately: each summand
     # < 2^30, so the int64 sums are overflow-safe up to 2^33 rows

@@ -800,18 +800,31 @@ def cms_join_size(
     and this estimate is a join of two <= width*depth-row frames.
     Both sketches must share (width, depth) and the cms_build hash
     family; missing cells are zero, so the inner join over non-zero
-    cells is exact."""
-    a = sketch_a.select(
-        "row", "bucket", F.col("cnt").alias("_ca")
-    )
-    b = sketch_b.select(
-        "row", "bucket", F.col("cnt").alias("_cb")
-    )
-    per_row = (
-        a.join(b, ["row", "bucket"])
-        .groupBy("row")
-        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
-    )
+    cells is exact.
+
+    SELF-join sizes (pass the SAME DataFrame object twice) skip the
+    join entirely: the inner product of a sketch with itself is
+    sum(cnt^2) per row — algebraically identical to the join of two
+    copies, and it avoids Catalyst recomputing the whole build
+    pipeline for the second side (aliased branches do not reuse
+    exchanges — the ppjoin lesson; measured one full input pass
+    saved on q_join_size_estimate)."""
+    if sketch_b is sketch_a:
+        per_row = sketch_a.groupBy("row").agg(
+            F.sum(F.col("cnt") * F.col("cnt")).alias("_dot")
+        )
+    else:
+        a = sketch_a.select(
+            "row", "bucket", F.col("cnt").alias("_ca")
+        )
+        b = sketch_b.select(
+            "row", "bucket", F.col("cnt").alias("_cb")
+        )
+        per_row = (
+            a.join(b, ["row", "bucket"])
+            .groupBy("row")
+            .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+        )
     # a sketch row with NO overlapping non-zero cells has dot 0 and
     # simply doesn't appear in per_row — zero-fill against a literal
     # depth-row frame (lazy; no driver action) so the min sees it

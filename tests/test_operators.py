@@ -4218,15 +4218,17 @@ def test_table_checksum_injective_serialization(spark):
         ).collect()
         return (r["sum_hash_lo"], r["sum_hash_hi"], r["xor_hash"])
 
-    # literal sentinel string != NULL
+    # literal sentinel string != NULL (and the bare marker chars)
     assert fp([("\x00NULL", "x")]) != fp([(None, "x")])
+    assert fp([("\x00N", "x")]) != fp([(None, "x")])
+    assert fp([("N", "x")]) != fp([(None, "x")])
     # content shifting across column boundaries must change the hash
     assert fp([("a\x1fb", "c")]) != fp([("a", "b\x1fc")])
     assert fp([("ab", "c")]) != fp([("a", "bc")])
-    # a value that IMITATES the length-prefix encoding of its
-    # neighbor must not alias ('V1:aV1:b' forged inside one cell)
-    assert fp([("aV1:b", "")]) != fp([("a", "b")])
-    assert fp([("N", "x")]) != fp([(None, "x")])  # literal 'N' != NULL
+    # escape adjacency: a clean value equal to another value's
+    # ESCAPED form must not alias it
+    assert fp([("a\x1bsb", "c")]) != fp([("a\x1fb", "c")])
+    assert fp([("\x1b", "s")]) != fp([("\x1bs", "")])
     # and the fingerprint is still order/partitioning independent
     two = [("a\x1fb", "c"), (None, "\x00NULL")]
     assert fp(two) == fp(list(reversed(two)))
@@ -4497,3 +4499,19 @@ def test_rrf_fuse_null_rank_dropped(spark):
         for r in rrf_fuse([ra]).collect()
     }
     assert got == {"a": (1_000_000_000 // 61, 1)}
+
+
+def test_cms_join_size_self_shortcut_identical(spark):
+    """Passing the SAME DataFrame object twice takes the sum(cnt^2)
+    shortcut — the result must equal the two-copy join path
+    (algebraically the same inner product)."""
+    from kspp_spark.functions.sketch import cms_build, cms_join_size
+
+    df = spark.createDataFrame(
+        [(k % 7,) for k in range(200)], "k long"
+    )
+    sk = cms_build(df, "k", width=64, depth=3)
+    sk2 = cms_build(df, "k", width=64, depth=3)  # distinct object
+    [a] = cms_join_size(sk, sk, depth=3).collect()
+    [b] = cms_join_size(sk, sk2, depth=3).collect()
+    assert a["est_join_size"] == b["est_join_size"]
