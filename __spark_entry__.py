@@ -2439,6 +2439,27 @@ def q_rrf_fusion(spark, sf_dir):
     return rrf_fuse([ra, rb], top_n=5)
 
 
+def q_event_pattern(spark, sf_dir):
+    """Event-sequence regex matching (functions/sessions.
+    event_pattern_matches — round 11, the MATCH_RECOGNIZE-lite
+    generalization of the funnel): per user, does 'vc*p' occur in
+    the (ts, event_id)-ordered view/click/purchase sequence — a
+    purchase following a view with ONLY clicks between, the
+    contiguity question funnel_stages deliberately ignores. One
+    packed aggregation + JVM regex; the oracle replays with
+    string_agg + RE2 (identical non-overlapping semantics in the
+    portable regex subset)."""
+    from kspp_spark.functions.sessions import event_pattern_matches
+
+    ev = _t(spark, sf_dir, "events")
+    return event_pattern_matches(
+        ev,
+        pattern="vc*p",
+        type_map={"view": "v", "click": "c", "purchase": "p"},
+        tiebreak="event_id",
+    )
+
+
 def q_typo_pairs(spark, sf_dir):
     """Typo-level near-duplicate pairs (functions/dedup.
     edit_neighbor_pairs — Garbe's SymSpell symmetric-delete
@@ -4346,6 +4367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_drift": q_category_drift,
         "numeric_drift": q_numeric_drift,
         "rrf_fusion": q_rrf_fusion,
+        "event_pattern": q_event_pattern,
         # -- (b) snapshot_diff regrade (the r10 red row, now scalar-graded) --
         "snapshot_diff": q_snapshot_diff,
         # -- (c) SURVEY 2 core re-cert band (joins/ktable/rate_limiter/windowed) --
@@ -4384,7 +4406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_count": q_salted_count,
         "revenue_per_nation": q_revenue_per_nation,
         "topk_orders": q_topk_orders,
-        "window_rank": q_window_rank,
         "rollup_pricing": q_rollup_pricing,
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
@@ -4400,6 +4421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "percentiles": q_percentiles,
         "grouping_sets": q_grouping_sets,
+        "window_rank": q_window_rank,
         "hll_cardinality": q_hll_cardinality,
         "hll_merge_slices": q_hll_merge_slices,
         "contamination_scores": q_contamination_scores,
@@ -8538,6 +8560,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(n_users AS DOUBLE) / CAST(n1.n1 AS DOUBLE)
                    END AS conv
             FROM per, n1
+        """
+    oracles["event_pattern"] = """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t, event_id,
+                       CASE event_type WHEN 'view' THEN 'v'
+                                       WHEN 'click' THEN 'c'
+                                       WHEN 'purchase' THEN 'p' END AS c
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s AS (
+                SELECT user_id,
+                       string_agg(c, '' ORDER BY t, event_id) AS seq
+                FROM e GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(length(seq) AS BIGINT) AS seq_len,
+                   CAST(len(regexp_extract_all(seq, 'vc*p'))
+                        AS BIGINT) AS n_matches,
+                   regexp_extract(seq, 'vc*p', 0) AS first_match
+            FROM s
         """
     oracles["k_anonymity"] = """
             SELECT c_nationkey, c_mktsegment,

@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "category_drift",
     "numeric_drift",
     "rrf_fusion",
+    "event_pattern",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

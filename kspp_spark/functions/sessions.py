@@ -673,3 +673,77 @@ def funnel_stages_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def event_pattern_matches(
+    df: DataFrame,
+    pattern: str,
+    type_map: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Regex over each user's ORDERED event-type sequence — the
+    MATCH_RECOGNIZE-lite generalization of the funnel: map every
+    event type to one character (`type_map`, e.g. {'view': 'v',
+    'click': 'c', 'purchase': 'p'}), concatenate each user's events
+    in (ts, tiebreak) order into a sequence string, and match
+    `pattern` against it. Where funnel_stages answers "how far
+    through THESE steps, skipping noise", a pattern like 'vc*p'
+    answers "did a purchase follow a view with only clicks between"
+    — contiguity, alternation, and repetition become expressible.
+
+    Returns (user_col, seq_len, n_matches, first_match): the
+    left-to-right NON-OVERLAPPING match count and the first matched
+    substring ('' when none) — both semantics identical in Java
+    regex (Spark) and RE2 (DuckDB) for the portable subset (keep to
+    literals, classes, ?, *, +, {n,m}, alternation; no lookaround,
+    which RE2 lacks). Events with types outside `type_map` are
+    EXCLUDED from the sequence (they would otherwise need a
+    guaranteed non-colliding filler char); include them explicitly
+    with their own letter when gaps matter.
+
+    Scale shape: one map-side filter + ONE hash aggregation packing
+    each user's (t, char) structs (user-history-bounded, the
+    funnel_stages contract), then array_sort + transform +
+    concat + the regex — all JVM, no window, no join, no Python."""
+    if not type_map:
+        raise ValueError("event_pattern_matches: type_map is empty")
+    chars = list(type_map.values())
+    if any(len(c) != 1 for c in chars) or len(set(chars)) != len(chars):
+        raise ValueError(
+            "event_pattern_matches: type_map values must be distinct "
+            "single characters"
+        )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tb = (
+        F.col(tiebreak)
+        if tiebreak is not None
+        else F.lit(0).cast("long")
+    )
+    ch = F.col(type_col)
+    for t, c in type_map.items():
+        ch = F.when(F.col(type_col) == t, F.lit(c)).otherwise(ch)
+    evs = df.where(F.col(type_col).isin(*type_map)).select(
+        F.col(user_col),
+        F.struct(
+            us.alias("t"), tb.alias("tb"), ch.alias("c")
+        ).alias("e"),
+    )
+    packed = evs.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda e: e["c"]
+            ),
+            "",
+        ).alias("seq")
+    )
+    return packed.select(
+        user_col,
+        F.length("seq").cast("long").alias("seq_len"),
+        F.regexp_count("seq", F.lit(pattern)).cast("long").alias(
+            "n_matches"
+        ),
+        F.regexp_extract("seq", pattern, 0).alias("first_match"),
+    )

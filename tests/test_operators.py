@@ -4515,3 +4515,56 @@ def test_cms_join_size_self_shortcut_identical(spark):
     [a] = cms_join_size(sk, sk, depth=3).collect()
     [b] = cms_join_size(sk, sk2, depth=3).collect()
     assert a["est_join_size"] == b["est_join_size"]
+
+
+def test_event_pattern_matches_golden(spark):
+    """Sequence regex: contiguity matters ('vc*p' rejects a signup
+    between view and purchase unless mapped out of the sequence),
+    non-overlapping left-to-right counting, unmapped types excluded,
+    first_match '' for non-matchers, tiebreak orders tied
+    timestamps, and type_map validation raises."""
+    import datetime
+
+    import pytest
+
+    from kspp_spark.functions.sessions import event_pattern_matches
+
+    d = datetime.datetime
+    rows = [
+        # u1: v c p v p -> 'vc*p' matches twice (vcp, vp)
+        (1, d(2024, 1, 1, 1, 0), "view", 1),
+        (1, d(2024, 1, 1, 2, 0), "click", 2),
+        (1, d(2024, 1, 1, 3, 0), "purchase", 3),
+        (1, d(2024, 1, 1, 4, 0), "view", 4),
+        (1, d(2024, 1, 1, 5, 0), "purchase", 5),
+        # u2: v [signup unmapped -> excluded] p -> matches once
+        (2, d(2024, 1, 1, 1, 0), "view", 6),
+        (2, d(2024, 1, 1, 2, 0), "signup", 7),
+        (2, d(2024, 1, 1, 3, 0), "purchase", 8),
+        # u3: p v -> no match; tied ts ordered by event_id
+        (3, d(2024, 1, 1, 1, 0), "purchase", 9),
+        (3, d(2024, 1, 1, 1, 0), "view", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        r["user_id"]: (r["seq_len"], r["n_matches"], r["first_match"])
+        for r in event_pattern_matches(
+            df,
+            pattern="vc*p",
+            type_map={"view": "v", "click": "c", "purchase": "p"},
+            tiebreak="event_id",
+        ).collect()
+    }
+    assert got == {
+        1: (5, 2, "vcp"),
+        2: (2, 1, "vp"),
+        3: (2, 0, ""),
+    }
+    with pytest.raises(ValueError):
+        event_pattern_matches(df, "x", {})
+    with pytest.raises(ValueError):
+        event_pattern_matches(df, "x", {"view": "v", "click": "v"})
+    with pytest.raises(ValueError):
+        event_pattern_matches(df, "x", {"view": "vv"})

@@ -1186,3 +1186,14 @@ def test_numeric_drift_same_contract_as_categorical(spark, queries):
     assert "Window" not in plan
     assert plan.count("SortMergeJoin FullOuter") == 2
     assert plan.count("BroadcastNestedLoopJoin Cross") == 1
+
+
+def test_event_pattern_single_shuffle_no_window(spark, queries):
+    """Sequence-regex contract mirrors funnel_stages: one packed
+    aggregation per user, the regex runs JVM-side over the packed
+    string — no Window over corpus rows, no join, no Python."""
+    plan = formatted_plan(spark, queries["event_pattern"](spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "ObjectHashAggregate" in plan

@@ -53,7 +53,7 @@ def test_registry_round11_window():
     mirrored here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — must lead the window
-    assert window[:8] == [
+    assert window[:9] == [
         "heavy_hitters_production",
         "range_bucket_join",
         "funnel_stages",
@@ -62,8 +62,9 @@ def test_registry_round11_window():
         "category_drift",
         "numeric_drift",
         "rrf_fusion",
+        "event_pattern",
     ]
-    assert window[8] == "snapshot_diff"  # the r10 red row regrades
+    assert window[9] == "snapshot_diff"  # the r10 red row regrades
     must_grade = {
         # SURVEY 2 core re-cert band (VERDICT r10 item #2)
         "kstream_left_join", "kstream_inner_join", "ktable_left_join",
