@@ -280,13 +280,13 @@ RECORD_BEST = {
     "pii_mask": 0.3353,
     "positional_index": 0.6832,
     "positional_index_folded": 1.6696,
-    "pricing_summary": 0.679,
+    "pricing_summary": 0.6758,
     "quality_classifier": 0.5822,
     "quantized_ann": 1.59,
     "repetition_stats": 0.8401,
     "returned_items": 0.5758,
     "revenue_per_nation": 0.498,
-    "scd2_lookup": 0.3814,
+    "scd2_lookup": 0.3619,
     "session_windows": 0.3225,
     "srp_ann": 1.4082,
     "srp_diverse_sample": 0.2418,
@@ -297,12 +297,12 @@ RECORD_BEST = {
     "transform_revenue": 0.4025,
     "volume_shipping": 0.8027,
     "waiting_suppliers": 1.1042,
-    "windowed_count": 0.235,
+    "windowed_count": 0.2333,
     "word_count": 0.2896,
     "domain_rollup": 0.7259,
     "link_graph": 1.2377,
     "domain_rank": 1.0797,
-    "decontaminate_bloom": 2.5007,
+    "decontaminate_bloom": 2.4882,
     "domain_rollup_full": 0.6972,
     "sitemap_frontier": 0.8298,
     "surt_index": 0.5932,
@@ -318,7 +318,7 @@ RECORD_BEST = {
     "dedup_paragraphs": 0.1849,
     "domain_quality": 0.2285,
     "event_transitions": 0.4366,
-    "hard_negatives": 0.6548,
+    "hard_negatives": 0.6433,
     "hits_rank": 1.2791,
     "minmax_scaled": 0.8241,
     "nfc_normalize": 0.3001,
@@ -344,13 +344,13 @@ RECORD_BEST = {
     "score_calibration": 0.3686,
     "session_ids": 0.3025,
     "triangle_counts": 1.2742,
-    "zorder_stats": 0.4168,
+    "zorder_stats": 0.3994,
     # round-10 close first records (run I, load 0.99, mf 1.282)
     "join_size_estimate": 2.34,
     "length_percentile": 0.7359,
-    "profile_columns": 1.0277,
+    "profile_columns": 0.9489,
     # round-10 final first records (run J, load 0.14, mf 1.2155)
-    "item_associations": 1.9524,
+    "item_associations": 1.8981,
     "rate_ztest": 0.4599,
     "table_checksum": 1.668,  # injective serialization (the 1.3013
     # record belonged to the retired non-injective sentinel form)
@@ -360,13 +360,13 @@ RECORD_BEST = {
     # item_associations 1.9524, rate_ztest 0.4599 and four basket
     # queries updated in their original entries)
     "category_drift": 0.3902,
-    "funnel_conversion": 0.6311,
-    "funnel_stages": 0.393,
+    "funnel_conversion": 0.5545,
+    "funnel_stages": 0.3176,
     "heavy_hitters_production": 3.2028,
-    "k_anonymity": 0.1371,
-    "numeric_drift": 0.639,
-    "range_bucket_join": 0.4037,
-    "rrf_fusion": 0.4854,
+    "k_anonymity": 0.1354,
+    "numeric_drift": 0.6014,
+    "range_bucket_join": 0.3714,
+    "rrf_fusion": 0.4539,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
