@@ -2460,6 +2460,48 @@ def q_event_pattern(spark, sf_dir):
     )
 
 
+def q_weighted_median(spark, sf_dir):
+    """Exact weighted quantiles (functions/timeseries.
+    weighted_quantiles — round 11): p50/p90/p99 of lineitem price in
+    integer cents, weighted by quantity, per return flag — the
+    lower-weighted-quantile pick decided by integer
+    cross-multiplication (1000*cum >= q*W), the EXACT complement of
+    the histogram sketch (bounded-state, 1/k-error) for
+    moderate-cardinality domains. Corpus compresses through ONE
+    (group, value) weight agg; the cumulative window walks the
+    distinct-value table, never raw rows."""
+    from kspp_spark.functions.timeseries import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_quantiles(
+        li,
+        value_col="cents",
+        weight_col="qty",
+        group_cols=("l_returnflag",),
+        qs_permille=(500, 900, 990),
+    )
+
+
+def q_benford(spark, sf_dir):
+    """Benford first-digit audit (functions/pipeline.benford_audit —
+    round 11; Newcomb 1881 / Benford 1938, Nigrini's forensic
+    screen): the first-significant-digit distribution of lineitem
+    prices vs the log10(1+1/d) expectation — digit extracted WITHOUT
+    floats (first char of the integer magnitude's string), shares as
+    exact ppm, the expectation as Python-computed literals so no
+    engine log() runs, chi-square terms as one order-fixed double.
+    TPC-H prices are uniform-ish, NOT Benford — the audit flagging
+    that loudly is the demonstration. One hash agg; 9 rows out."""
+    from kspp_spark.functions.pipeline import benford_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_audit(li, col="l_extendedprice")
+
+
 def q_typo_pairs(spark, sf_dir):
     """Typo-level near-duplicate pairs (functions/dedup.
     edit_neighbor_pairs — Garbe's SymSpell symmetric-delete
@@ -4368,6 +4410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_drift": q_numeric_drift,
         "rrf_fusion": q_rrf_fusion,
         "event_pattern": q_event_pattern,
+        "weighted_median": q_weighted_median,
+        "benford": q_benford,
         # -- (b) snapshot_diff regrade (the r10 red row, now scalar-graded) --
         "snapshot_diff": q_snapshot_diff,
         # -- (c) SURVEY 2 core re-cert band (joins/ktable/rate_limiter/windowed) --
@@ -4408,8 +4452,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "rollup_pricing": q_rollup_pricing,
         "asof_join": q_asof_join,
-        "asof_forward": q_asof_forward,
-        "asof_nearest": q_asof_nearest,
         "range_join": q_range_join,
         "interval_join": q_interval_join,
         "pricing_summary": q_pricing_summary,
@@ -4422,6 +4464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "grouping_sets": q_grouping_sets,
         "window_rank": q_window_rank,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "hll_cardinality": q_hll_cardinality,
         "hll_merge_slices": q_hll_merge_slices,
         "contamination_scores": q_contamination_scores,
@@ -8707,5 +8751,57 @@ def oracle_sql() -> dict[str, str]:
                    / (CAST(No AS DOUBLE) * CAST(Nn AS DOUBLE)
                       * CAST(n_old + n_new AS DOUBLE)) AS chi2_term
             FROM j, t
+        """
+    oracles["weighted_median"] = """
+            WITH v AS (
+                SELECT l_returnflag,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND CAST(l_quantity AS BIGINT) > 0
+            ),
+            a AS (
+                SELECT l_returnflag, v, SUM(w) AS wv
+                FROM v GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT l_returnflag, v,
+                       SUM(wv) OVER (PARTITION BY l_returnflag
+                                     ORDER BY v) AS cum,
+                       SUM(wv) OVER (PARTITION BY l_returnflag) AS tot
+                FROM a
+            ),
+            q AS (SELECT * FROM (VALUES (500), (900), (990)) t(qp))
+            SELECT c.l_returnflag,
+                   CAST(q.qp AS INT) AS q_permille,
+                   CAST(MIN(c.v) AS BIGINT) AS value,
+                   CAST(MAX(c.tot) AS BIGINT) AS total_weight
+            FROM c, q
+            WHERE 1000 * c.cum >= q.qp * c.tot
+            GROUP BY 1, 2
+        """
+    oracles["benford"] = """
+            WITH d AS (
+                SELECT CAST(substr(CAST(CAST(floor(abs(
+                           l_extendedprice)) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND abs(l_extendedprice) >= 1
+            ),
+            g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+            t AS (SELECT SUM(n) AS tot FROM g)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   CAST((1000000 * n) // tot AS BIGINT) AS share_ppm,
+                   CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END AS BIGINT)
+                     AS expected_ppm,
+                   (CAST(n AS DOUBLE)
+                    - (CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END) * CAST(tot AS DOUBLE))
+                   * (CAST(n AS DOUBLE)
+                    - (CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END) * CAST(tot AS DOUBLE))
+                   / ((CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124 WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642 WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322 WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129 WHEN 9 THEN 0.04575749056067514 END) * CAST(tot AS DOUBLE))
+                     AS chi2_term
+            FROM g, t
         """
     return oracles

@@ -231,6 +231,8 @@ BENCH_QUERIES = [
     "numeric_drift",
     "rrf_fusion",
     "event_pattern",
+    "weighted_median",
+    "benford",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -516,3 +516,67 @@ def numeric_drift(
         )
 
     return categorical_drift(bucket(old), bucket(new), "bin", scale=scale)
+
+
+def benford_audit(
+    df: DataFrame,
+    col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Benford first-digit audit — the classic fabricated-numbers /
+    data-quality screen (Newcomb 1881, Benford 1938; Nigrini's
+    public forensic-accounting application): per group, the count of
+    values whose first significant digit is d for d in 1..9, the
+    exact per-million observed share, and the chi-square term
+    against the Benford expectation log10(1 + 1/d) — the expected
+    shares enter as PYTHON-COMPUTED literal constants, so no engine
+    log() is evaluated and the whole audit hash-replays in SQL.
+
+    First digit extracted WITHOUT floats: the first character of
+    the value's integer magnitude rendered as a string (values are
+    taken by absolute value; zero/NULL rows are excluded — they
+    carry no leading digit). Chi-square term = (obs - exp)^2 / exp
+    with exp = p_d * n, evaluated as one order-fixed double over the
+    exact integer count. Columns: (*group_cols, digit, n, share_ppm,
+    expected_ppm, chi2_term).
+
+    Scale shape: one map-side-combinable hash aggregation; output is
+    9 rows per group."""
+    import math
+
+    probs = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    g = list(group_cols)
+    mag = F.abs(F.col(col).cast("double"))
+    first = F.substring(
+        F.floor(mag).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    digits = (
+        df.where(F.col(col).isNotNull() & (mag >= 1))
+        .select(*g, first.alias("digit"))
+        .groupBy(*g, "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = digits.groupBy(*g).agg(F.sum("n").alias("_tot"))
+    j = digits.join(F.broadcast(tot), g) if g else digits.crossJoin(
+        F.broadcast(tot)
+    )
+    exp_ppm = F.element_at(
+        F.array(
+            *[F.lit(int(round(probs[d] * 1_000_000))) for d in range(1, 10)]
+        ),
+        F.col("digit"),
+    )
+    expd = F.element_at(
+        F.array(*[F.lit(probs[d]) for d in range(1, 10)]), F.col("digit")
+    ) * F.col("_tot").cast("double")
+    chi2 = (F.col("n").cast("double") - expd) * (
+        F.col("n").cast("double") - expd
+    ) / expd
+    return j.select(
+        *g,
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(1000000 * n) DIV _tot").cast("long").alias("share_ppm"),
+        exp_ppm.cast("long").alias("expected_ppm"),
+        chi2.alias("chi2_term"),
+    )

@@ -213,3 +213,78 @@ def rolling_outliers(
         F.col("_s1").cast("long").alias("baseline_sum"),
         flag.cast("long").alias("is_outlier"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str | None = None,
+    group_cols: tuple[str, ...] = (),
+    qs_permille: tuple[int, ...] = (500,),
+) -> DataFrame:
+    """EXACT weighted quantiles per group — the lower-weighted-
+    quantile convention: q_permille's answer is the smallest value v
+    whose cumulative weight w(<= v) satisfies 1000 * cum >= q * W
+    (W = total group weight), decided in INTEGER cross-
+    multiplication, so the pick replays bit-for-bit in SQL. weight
+    NULL/<= 0 rows are excluded (a zero-weight observation cannot
+    carry a quantile). With weight_col=None every row weighs 1 and
+    this is the exact unweighted quantile.
+
+    The exact complement of the histogram sketch (histogram_
+    quantiles: bounded state, 1/k relative error, any cardinality):
+    use THIS form when the per-group distinct-value count is
+    moderate (prices in cents, latencies in ms buckets, counts) and
+    the sketch when values are unbounded-cardinality.
+
+    Scale shape: ONE map-side-combinable (group, value) weight
+    aggregation compresses the corpus to the distinct-value table,
+    then the cumulative window and the per-quantile pick run over
+    THAT table (|distinct values| rows per group, never raw rows),
+    one quantile row per (group, q) out."""
+    if not qs_permille:
+        raise ValueError("weighted_quantiles: qs_permille is empty")
+    if any(not (0 < q <= 1000) for q in qs_permille):
+        raise ValueError(
+            "weighted_quantiles: q_permille must be in (0, 1000]"
+        )
+    g = list(group_cols)
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    vals = (
+        df.select(*g, F.col(value_col).alias("_v"), w.alias("_w"))
+        .where(F.col("_v").isNotNull() & (F.col("_w") > 0))
+        .groupBy(*g, "_v")
+        .agg(F.sum("_w").alias("_wv"))
+    )
+    win = W.partitionBy(*g).orderBy("_v") if g else W.partitionBy().orderBy("_v")
+    cum = vals.select(
+        *g,
+        "_v",
+        F.sum("_wv").over(
+            win.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("_cum"),
+        F.sum("_wv").over(
+            (W.partitionBy(*g) if g else W.partitionBy()).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("_tot"),
+    )
+    qarr = F.explode(
+        F.array(*[F.lit(q).cast("int") for q in qs_permille])
+    )
+    probed = cum.select(*g, "_v", "_cum", "_tot", qarr.alias("q_permille"))
+    hit = probed.where(
+        F.lit(1000) * F.col("_cum") >= F.col("q_permille") * F.col("_tot")
+    )
+    return (
+        hit.groupBy(*g, "q_permille")
+        .agg(
+            F.min("_v").alias("value"),
+            F.max("_tot").alias("total_weight"),
+        )
+        .select(*g, "q_permille", "value", "total_weight")
+    )

@@ -4568,3 +4568,62 @@ def test_event_pattern_matches_golden(spark):
         event_pattern_matches(df, "x", {"view": "v", "click": "v"})
     with pytest.raises(ValueError):
         event_pattern_matches(df, "x", {"view": "vv"})
+
+
+def test_weighted_quantiles_exact(spark):
+    """Lower-weighted-quantile convention on a hand-checked set:
+    weights repeat values, the p50 boundary lands exactly on a
+    cumulative tie (1000*cum == q*W picks that value), zero/NULL
+    weights are excluded, unweighted form equals weight=1, and
+    validation raises."""
+    import pytest
+
+    from kspp_spark.functions.timeseries import weighted_quantiles
+
+    rows = [("a", 10, 1), ("a", 20, 3), ("a", 30, 4),
+            ("a", 40, 2), ("b", 7, 5), ("b", 9, 0), ("b", 8, None)]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        (r["g"], r["q_permille"]): (r["value"], r["total_weight"])
+        for r in weighted_quantiles(
+            df, "v", "w", group_cols=("g",), qs_permille=(400, 500, 800, 1000)
+        ).collect()
+    }
+    # group a: W=10, cum: 10->1, 20->4, 30->8, 40->10
+    assert got[("a", 400)] == (20, 10)   # 1000*4 >= 400*10 exactly
+    assert got[("a", 500)] == (30, 10)   # 4/10 < .5 -> 30
+    assert got[("a", 800)] == (30, 10)   # 8/10 == .8 tie -> 30
+    assert got[("a", 1000)] == (40, 10)
+    # group b: only the w=5 row survives (0 and NULL weights dropped)
+    assert got[("b", 500)] == (7, 5)
+    un = {
+        r["q_permille"]: r["value"]
+        for r in weighted_quantiles(
+            df.where("g = 'a'"), "v", None, qs_permille=(500,)
+        ).collect()
+    }
+    assert un == {500: 20}  # 4 rows unweighted: cum 2/4 at v=20
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "v", qs_permille=())
+    with pytest.raises(ValueError):
+        weighted_quantiles(df, "v", qs_permille=(0,))
+
+
+def test_benford_audit_exact_counts(spark):
+    """First digits extracted without floats (negatives by absolute
+    value, sub-1 and NULL excluded), ppm shares exact, expected ppm
+    are the Benford constants, and a perfectly Benford-ish
+    single-digit set chi2-terms to the algebraic value."""
+    from kspp_spark.functions.pipeline import benford_audit
+
+    rows = [(100.0,), (19.5,), (1.0,), (-250.0,), (0.5,), (None,), (9.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = {
+        r["digit"]: (r["n"], r["share_ppm"], r["expected_ppm"])
+        for r in benford_audit(df, "x").collect()
+    }
+    # digits: 1 (100), 1 (19.5), 1 (1.0), 2 (250), 9 (9.0) -> n=5
+    assert got[1] == (3, 600000, 301030)
+    assert got[2] == (1, 200000, 176091)
+    assert got[9] == (1, 200000, 45757)
+    assert set(got) == {1, 2, 9}

@@ -1197,3 +1197,24 @@ def test_event_pattern_single_shuffle_no_window(spark, queries):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "ObjectHashAggregate" in plan
+
+
+def test_weighted_quantiles_window_on_aggregated_values(spark, queries):
+    """The cumulative window must run over the (group, value) weight
+    AGGREGATE, never raw rows: a HashAggregate (map-side combinable)
+    sits below the Window; no Python, no join beyond none."""
+    plan = formatted_plan(spark, queries["weighted_median"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan and "Window" in plan
+    # the Window's input is the aggregate, so the plan has the agg
+    # exchange (value table) + the window exchange on the group only
+    assert "Join" not in plan
+
+
+def test_benford_single_agg(spark, queries):
+    """One hash aggregation + a 1-row broadcast total — 9 rows out,
+    no Python, no corpus window."""
+    plan = formatted_plan(spark, queries["benford"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

@@ -53,7 +53,7 @@ def test_registry_round11_window():
     mirrored here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — must lead the window
-    assert window[:9] == [
+    assert window[:11] == [
         "heavy_hitters_production",
         "range_bucket_join",
         "funnel_stages",
@@ -63,8 +63,10 @@ def test_registry_round11_window():
         "numeric_drift",
         "rrf_fusion",
         "event_pattern",
+        "weighted_median",
+        "benford",
     ]
-    assert window[9] == "snapshot_diff"  # the r10 red row regrades
+    assert window[11] == "snapshot_diff"  # the r10 red row regrades
     must_grade = {
         # SURVEY 2 core re-cert band (VERDICT r10 item #2)
         "kstream_left_join", "kstream_inner_join", "ktable_left_join",
@@ -81,7 +83,7 @@ def test_registry_round11_window():
         "filter_lineitem", "transform_revenue", "flat_map_words",
         "merge_streams", "repartition_by_fk", "salted_count",
         "revenue_per_nation", "pricing_summary", "asof_join",
-        "range_join", "interval_join",
+        "range_join", "interval_join", "topk_orders",
         # CMS family repack (round-11 packed single-md5 buckets):
         # the sketch CELLS changed, so these regrade too
         "cms_counts", "cms_estimates", "join_size_estimate",
