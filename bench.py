@@ -369,6 +369,11 @@ RECORD_BEST = {
     "numeric_drift": 0.6014,
     "range_bucket_join": 0.3714,
     "rrf_fusion": 0.4539,
+    # round-11 close first records (run 3, load 0.08, mf 1.4508 — the
+    # documented ~1.45x-slow VM window; slack by construction)
+    "event_pattern": 0.5299,
+    "weighted_median": 1.716,
+    "benford": 0.5485,
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
