@@ -580,3 +580,22 @@ def benford_audit(
         exp_ppm.cast("long").alias("expected_ppm"),
         chi2.alias("chi2_term"),
     )
+
+
+def k_anonymity_stream(
+    stream: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Streaming k-anonymity maintenance: the audit is one
+    commutative count aggregation, so the streaming form is the
+    batch definition over an unbounded input — Spark's aggregation
+    state IS the class-population table (one row per quasi
+    combination, bounded by class cardinality). Run in
+    update/complete mode; no watermark needed. The live release
+    gate: a class's at_risk flag flips to False the moment its
+    population reaches k, and anything still True cannot ship.
+    Exactly equal to k_anonymity_audit over the concatenated batches
+    (asserted by tests/test_streaming.py); batch and streaming share
+    one definition — the checksum_stream/cms_stream pattern."""
+    return k_anonymity_audit(stream, quasi_cols=quasi_cols, k=k)

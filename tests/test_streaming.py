@@ -3383,3 +3383,51 @@ def test_funnel_stream_matches_batch_final_stages(spark, tmp_path):
         if r["stages"] > 0
     }
     assert final_stream == batch
+
+
+def test_k_anonymity_stream_equals_batch(spark, tmp_path):
+    """The streaming k-anonymity fold over two micro-batches equals
+    the batch audit over the concatenated input — count is
+    commutative, so batch boundaries are invisible and a class's
+    at_risk flag flips exactly when its population reaches k."""
+    import time as _time
+
+    from kspp_spark.functions.pipeline import (
+        k_anonymity_audit,
+        k_anonymity_stream,
+    )
+
+    schema = "seg string, zone long"
+    b1 = [("a", 1), ("a", 1), ("b", 2)]
+    b2 = [("a", 1), ("b", 2), (None, 3)]
+    in_dir = str(tmp_path / "kanon_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        k_anonymity_stream(src, ["seg", "zone"], k=3)
+        .writeStream.format("memory")
+        .queryName("kanon_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["seg"], r["zone"]): (r["n"], r["at_risk"])
+        for r in spark.sql("select * from kanon_stream").collect()
+    }
+    want = {
+        (r["seg"], r["zone"]): (r["n"], r["at_risk"])
+        for r in k_anonymity_audit(
+            spark.createDataFrame(b1 + b2, schema), ["seg", "zone"], k=3
+        ).collect()
+    }
+    assert got == want
+    assert got[("a", 1)] == (3, False) and got[(None, 3)] == (1, True)
