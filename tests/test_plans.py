@@ -1218,3 +1218,17 @@ def test_benford_single_agg(spark, queries):
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_funnel_conversion_cumulative_join_is_bounded(spark, queries):
+    """funnel_counts' >=-stage cumulative join is a nested-loop over
+    TWO frames bounded by len(steps) (the 3-row stage frame x the
+    <=k+1-row per-stage aggregate) — deliberate and corpus-free; the
+    corpus-sized work is funnel_stages' single packed aggregation
+    below it. No Python anywhere."""
+    plan = formatted_plan(spark, queries["funnel_conversion"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    # the one ObjectHashAggregate is the per-user pack; everything
+    # above it operates on stage-count-sized frames
+    assert "ObjectHashAggregate" in plan
