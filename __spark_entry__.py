@@ -8783,12 +8783,12 @@ def oracle_sql() -> dict[str, str]:
         """
     oracles["benford"] = """
             WITH d AS (
-                SELECT CAST(substr(CAST(CAST(floor(abs(
-                           l_extendedprice)) AS BIGINT) AS VARCHAR),
-                           1, 1) AS INT) AS digit
+                SELECT CAST(regexp_extract(
+                           CAST(l_extendedprice AS VARCHAR),
+                           '[1-9]') AS INT) AS digit
                 FROM lineitem
                 WHERE l_extendedprice IS NOT NULL
-                  AND abs(l_extendedprice) >= 1
+                  AND (l_extendedprice >= 1 OR l_extendedprice <= -1)
             ),
             g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
             t AS (SELECT SUM(n) AS tot FROM g)

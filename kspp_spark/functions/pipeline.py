@@ -177,16 +177,22 @@ def table_checksum(
     combinable and partitioning-invariant — any layout of the same
     rows produces the same fingerprint, which is the whole point.
 
-    Rows are serialized INJECTIVELY: each cell is 'N' for NULL or
-    'V' + the value with an escape pass (ESC -> ESC||'e', the unit
-    separator -> ESC||'s'), then concat_ws with the separator. After
-    escaping no cell contains a raw separator, and the N/V marker
-    keeps any literal string distinct from NULL — so distinct rows
-    can never serialize identically (a raw sentinel scheme aliases a
-    literal '\\x00NULL' string with NULL and lets embedded
-    separators shift content across column boundaries). Column ORDER
-    matters (it is part of the row identity); pass an explicit list
-    to compare tables with different layouts.
+    Rows are serialized INJECTIVELY with a conditional-escape +
+    NUL-sentinel scheme: a NULL cell becomes the two-byte sentinel
+    '\\x00' || 'N'; a non-NULL cell is passed through unchanged when
+    clean (contains none of ESC \\x1b, the unit separator \\x1f, or
+    NUL \\x00 — the overwhelmingly common path, so no per-row string
+    rebuild) and otherwise escaped as ESC -> ESC||'e', separator ->
+    ESC||'s', NUL -> ESC||'n'; cells are then concat_ws'd with the
+    separator. After the pass no non-NULL cell contains a raw
+    separator (no content shifts across column boundaries) or a raw
+    NUL, so the only cell containing raw NUL is the null sentinel —
+    a literal string '\\x00N' escapes to ESC||'n' + 'N' and stays
+    distinct from NULL. Distinct rows can therefore never serialize
+    identically. (The escape is CONDITIONAL, benchmarked 1.19x the
+    no-escape strawman vs 2.0-2.2x for always-escape — METRICS.md
+    r11.) Column ORDER matters (it is part of the row identity);
+    pass an explicit list to compare tables with different layouts.
 
     The reference has nothing like this; its stores trust Kafka
     offsets. At copy-verification scale this replaces a full
@@ -532,10 +538,17 @@ def benford_audit(
     shares enter as PYTHON-COMPUTED literal constants, so no engine
     log() is evaluated and the whole audit hash-replays in SQL.
 
-    First digit extracted WITHOUT floats: the first character of
-    the value's integer magnitude rendered as a string (values are
-    taken by absolute value; zero/NULL rows are excluded — they
-    carry no leading digit). Chi-square term = (obs - exp)^2 / exp
+    First digit extracted WITHOUT floats: the first [1-9] character
+    of the value rendered as a string IN ITS OWN TYPE — no cast
+    through double anywhere, so a bigint or decimal(38) value above
+    2^53 keeps its exact leading digit (999999999999999999 stays 9;
+    the old floor(cast-to-double) path rounded it to 1e18 → 1, and
+    floor().cast('long') threw under ANSI past int64). Rows with
+    |value| < 1 or NULL are excluded — they carry no leading integer
+    digit; for such rows a value >= 1 has a nonzero integer part, so
+    the first nonzero character of any faithful rendering (plain or
+    scientific) IS the leading digit, in Spark and DuckDB alike.
+    Chi-square term = (obs - exp)^2 / exp
     with exp = p_d * n, evaluated as one order-fixed double over the
     exact integer count. Columns: (*group_cols, digit, n, share_ppm,
     expected_ppm, chi2_term).
@@ -546,12 +559,13 @@ def benford_audit(
 
     probs = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
     g = list(group_cols)
-    mag = F.abs(F.col(col).cast("double"))
-    first = F.substring(
-        F.floor(mag).cast("long").cast("string"), 1, 1
+    # |value| >= 1 without abs(): abs(min-int64) overflows under ANSI
+    mag_ok = (F.col(col) >= 1) | (F.col(col) <= -1)
+    first = F.regexp_extract(
+        F.col(col).cast("string"), "[1-9]", 0
     ).cast("int")
     digits = (
-        df.where(F.col(col).isNotNull() & (mag >= 1))
+        df.where(F.col(col).isNotNull() & mag_ok)
         .select(*g, first.alias("digit"))
         .groupBy(*g, "digit")
         .agg(F.count(F.lit(1)).alias("n"))

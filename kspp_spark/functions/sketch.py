@@ -18,6 +18,18 @@ bucket words sliced from ONE md5 per item for power-of-two widths
 remains for other widths) — so builds and estimates replay
 bit-exactly in a SQL oracle — a DETERMINISTIC sketch: approximate with respect to truth,
 exact with respect to the algorithm.
+
+FORMAT BREAK (round 11, ADVICE r11): the packed word-slice family
+above REPLACED the salted-per-row bucket mapping for power-of-two
+widths. The two families are incompatible cell layouts: a CMS table
+persisted to parquet under the old salted family (rounds <= 10) will
+yield WRONG estimates if probed or merged by current code, and the
+(row, bucket, cnt) schema carries no family marker to catch it.
+All in-repo builders/consumers/oracles moved together, so nothing
+inside this repo can mix families; anything that persists sketches
+externally must stamp rows with CMS_FAMILY (below) and assert it on
+load — `cms_family_tag()`/`cms_assert_family()` do exactly that, so
+a stale sketch fails loudly instead of estimating incorrectly.
 """
 
 from __future__ import annotations
@@ -25,6 +37,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from kspp_spark.functions.hashing import md5_long
+
+#: Hash-family identifier for PERSISTED sketches. Bump whenever the
+#: bucket mapping changes (see FORMAT BREAK in the module doc).
+#: "md5-packed-v2": pow2 widths slice depth buckets from ONE md5;
+#: other widths use the salted per-row family ("cms{row}:" prefix).
+CMS_FAMILY = "md5-packed-v2"
+
+
+def cms_family_tag(sketch: DataFrame) -> DataFrame:
+    """Stamp a sketch frame with the builder's hash family — write
+    THIS to parquet, not the bare cells, whenever a sketch outlives
+    the job that built it."""
+    return sketch.withColumn("family", F.lit(CMS_FAMILY))
+
+
+def cms_assert_family(sketch: DataFrame) -> DataFrame:
+    """Loud-fail gate for persisted sketches: verify every row's
+    family tag matches the running code's CMS_FAMILY, then drop the
+    tag so the frame is again probe/merge-shaped. One tiny agg over
+    a <= width x depth frame; raises ValueError on mismatch (the
+    alternative is silently wrong estimates — the ADVICE r11 trap)."""
+    if "family" not in sketch.columns:
+        raise ValueError(
+            "cms_assert_family: sketch has no 'family' column — "
+            "persist sketches via cms_family_tag()"
+        )
+    bad = (
+        sketch.where(F.col("family") != CMS_FAMILY)
+        .select("family")
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"cms_assert_family: sketch family {bad[0]['family']!r} "
+            f"!= running code {CMS_FAMILY!r} — rebuild the sketch"
+        )
+    return sketch.drop("family")
 
 
 def cms_bucket(item: Column, row: int, width: int) -> Column:

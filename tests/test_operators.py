@@ -3289,6 +3289,39 @@ def test_cms_merge_equals_build_on_union(spark):
     assert merged == whole
 
 
+def test_cms_family_tag_loud_fail(spark):
+    """ADVICE r11: persisted sketches carry a hash-family tag so a
+    sketch built under an older bucket mapping fails loudly on
+    probe/merge instead of estimating incorrectly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from kspp_spark.functions.sketch import (
+        CMS_FAMILY,
+        cms_assert_family,
+        cms_build,
+        cms_family_tag,
+    )
+
+    sk = cms_build(
+        spark.createDataFrame([("x",), ("y",)], "item string"),
+        width=32,
+        depth=3,
+    )
+    tagged = cms_family_tag(sk)
+    assert tagged.columns == ["row", "bucket", "cnt", "family"]
+    back = cms_assert_family(tagged)
+    assert back.columns == ["row", "bucket", "cnt"]
+    assert back.count() == sk.count()
+    # untagged frame -> refuse
+    with _pytest.raises(ValueError, match="no 'family' column"):
+        cms_assert_family(sk)
+    # stale family -> loud fail naming both families
+    stale = tagged.withColumn("family", F.lit("md5-salted-v1"))
+    with _pytest.raises(ValueError, match="md5-salted-v1"):
+        cms_assert_family(stale)
+    assert CMS_FAMILY == "md5-packed-v2"
+
+
 def test_cms_weighted_build(spark):
     from kspp_spark.functions.sketch import cms_build, cms_estimate
 
@@ -4627,3 +4660,20 @@ def test_benford_audit_exact_counts(spark):
     assert got[2] == (1, 200000, 176091)
     assert got[9] == (1, 200000, 45757)
     assert set(got) == {1, 2, 9}
+
+
+def test_benford_audit_exact_above_2pow53(spark):
+    """ADVICE r11: bigint values above 2^53 keep their true leading
+    digit — the old cast-through-double path rounded
+    999999999999999999 to 1e18 (digit 9 -> 1). Also pins that
+    int64 min does not overflow (no abs() in the filter)."""
+    from kspp_spark.functions.pipeline import benford_audit
+
+    rows = [
+        (999999999999999999,),   # digit 9; double would say 1
+        (-987654321098765432,),  # digit 9
+        (-(2**63),),             # int64 min: abs() would ANSI-throw
+    ]
+    df = spark.createDataFrame(rows, "x long")
+    got = {r["digit"]: r["n"] for r in benford_audit(df, "x").collect()}
+    assert got == {9: 3}
