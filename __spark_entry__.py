@@ -2460,6 +2460,52 @@ def q_event_pattern(spark, sf_dir):
     )
 
 
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert quantiles per funnel stage (functions/
+    sessions.funnel_latency — round 12, VERDICT r11 item #5): p50/p90
+    of view -> click and view -> purchase latency within the 48-hour
+    horizon, floor-bucketed to 1 minute BEFORE the quantile — the
+    bucketing is what bounds the quantile input (<= 2880 distinct
+    values per stage at this horizon, regardless of user count), so
+    weighted_quantiles' cumulative window runs over a bounded
+    aggregate, never raw rows. Composes the two certified halves:
+    the funnel_stages greedy-earliest fold (generalized to keep every
+    stage time) and the integer cross-multiplication quantile pick;
+    the oracle replays min-after-min CTEs + the identical pick."""
+    from kspp_spark.functions.sessions import funnel_latency
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_latency(
+        ev,
+        steps=["view", "click", "purchase"],
+        qs_permille=(500, 900),
+        bucket="1 minute",
+        horizon="48 hours",
+    )
+
+
+def q_event_pattern_spans(spark, sf_dir):
+    """Per-match spans for the event-sequence regex (functions/
+    sessions.event_pattern_spans — round 12, VERDICT r11 item #6):
+    every non-overlapping 'vc*p' match per user with its 1-based
+    sequence positions AND first/last event timestamps — the WHEN an
+    alerting pipeline needs on top of event_pattern's count. Match
+    positions are recovered engine-portably by fencing matches with
+    a marker (whole-match backreference), splitting, and replaying
+    segment lengths — one packed aggregation + a JVM fold, no
+    window, no Python; DuckDB replays the identical split-and-scan
+    with string_split + one window."""
+    from kspp_spark.functions.sessions import event_pattern_spans
+
+    ev = _t(spark, sf_dir, "events")
+    return event_pattern_spans(
+        ev,
+        pattern="vc*p",
+        type_map={"view": "v", "click": "c", "purchase": "p"},
+        tiebreak="event_id",
+    )
+
+
 def q_weighted_median(spark, sf_dir):
     """Exact weighted quantiles (functions/timeseries.
     weighted_quantiles — round 11): p50/p90/p99 of lineitem price in
@@ -4400,7 +4446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_registry.py pins this dict against duplicate keys —
     # the registry is the driver's grading contract.
     return {
-        # -- (a) round-11 additions (first driver row) --
+        # -- (a) round-12 additions (first driver rows) --
+        "funnel_latency": q_funnel_latency,
+        "event_pattern_spans": q_event_pattern_spans,
+        # -- round-11 additions (re-cert band) --
         "heavy_hitters_production": q_heavy_hitters_production,
         "range_bucket_join": q_range_bucket_join,
         "funnel_stages": q_funnel_stages,
@@ -8604,6 +8653,89 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(n_users AS DOUBLE) / CAST(n1.n1 AS DOUBLE)
                    END AS conv
             FROM per, n1
+        """
+    oracles["funnel_latency"] = f"""
+            WITH {_FUNNEL_STAGES},
+            lat AS (
+                SELECT 2 AS stage,
+                       ((s2.t2 - s1.t1) // 60000000) * 60000000 AS lat
+                FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+                UNION ALL
+                SELECT 3 AS stage,
+                       ((s3.t3 - s1.t1) // 60000000) * 60000000 AS lat
+                FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+            ),
+            v AS (SELECT stage, lat, COUNT(*) AS w FROM lat GROUP BY 1, 2),
+            c AS (
+                SELECT stage, lat,
+                       SUM(w) OVER (PARTITION BY stage ORDER BY lat
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+                       SUM(w) OVER (PARTITION BY stage) AS tot
+                FROM v
+            ),
+            q AS (SELECT unnest([500, 900]) AS qp)
+            SELECT CAST(c.stage AS BIGINT) AS stage,
+                   CASE c.stage WHEN 2 THEN 'click'
+                                ELSE 'purchase' END AS step,
+                   CAST(q.qp AS INTEGER) AS q_permille,
+                   CAST(MIN(c.lat) AS BIGINT) AS latency_us,
+                   CAST(MAX(c.tot) AS BIGINT) AS n_users
+            FROM c, q
+            WHERE 1000 * c.cum >= q.qp * c.tot
+            GROUP BY 1, 2, 3
+        """
+    oracles["event_pattern_spans"] = """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t, event_id,
+                       CASE event_type WHEN 'view' THEN 'v'
+                                       WHEN 'click' THEN 'c'
+                                       WHEN 'purchase' THEN 'p' END AS c
+                FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ),
+            s AS (
+                SELECT user_id,
+                       string_agg(c, '' ORDER BY t, event_id) AS seq
+                FROM e GROUP BY user_id
+            ),
+            m AS (
+                SELECT user_id,
+                       string_split(regexp_replace(
+                           seq, 'vc*p', '#\\0#', 'g'), '#') AS l
+                FROM s
+            ),
+            seg AS (
+                SELECT user_id, u.i AS i, l[u.i] AS sg
+                FROM m, unnest(range(1, len(l) + 1)) u(i)
+            ),
+            pos AS (
+                SELECT user_id, i, sg,
+                       SUM(length(sg)) OVER (PARTITION BY user_id
+                           ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - length(sg) AS pre
+                FROM seg
+            ),
+            sp AS (
+                SELECT user_id, CAST(i // 2 AS BIGINT) AS match_no,
+                       CAST(pre + 1 AS BIGINT) AS start_idx,
+                       CAST(pre + length(sg) AS BIGINT) AS end_idx
+                FROM pos WHERE i % 2 = 0
+            ),
+            rk AS (
+                SELECT user_id, t,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY t, event_id) AS rn
+                FROM e
+            )
+            SELECT sp.user_id, sp.match_no, sp.start_idx, sp.end_idx,
+                   CAST(r1.t AS BIGINT) AS start_us,
+                   CAST(r2.t AS BIGINT) AS end_us
+            FROM sp
+            JOIN rk r1 ON r1.user_id = sp.user_id
+                      AND r1.rn = sp.start_idx
+            JOIN rk r2 ON r2.user_id = sp.user_id
+                      AND r2.rn = sp.end_idx
         """
     oracles["event_pattern"] = """
             WITH e AS (

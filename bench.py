@@ -233,6 +233,11 @@ BENCH_QUERIES = [
     "event_pattern",
     "weighted_median",
     "benford",
+    # round-12 additions: funnel stage-latency quantiles (VERDICT r11
+    # item #5 — the bounded-bucket quantile compose) and per-match
+    # spans for the event-sequence regex (item #6)
+    "funnel_latency",
+    "event_pattern_spans",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

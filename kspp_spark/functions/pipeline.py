@@ -428,12 +428,28 @@ def categorical_drift(
     and drift the bucket id."""
     if scale < 1:
         raise ValueError("categorical_drift: scale must be >= 1")
-    cnt_o = old.groupBy(F.col(col).alias("category")).agg(
-        F.count(F.lit(1)).alias("n_old")
+    return _drift_from_counts(
+        _cat_counts(old, col, "n_old"),
+        _cat_counts(new, col, "n_new"),
+        scale,
     )
-    cnt_n = new.groupBy(F.col(col).alias("category")).agg(
-        F.count(F.lit(1)).alias("n_new")
+
+
+def _cat_counts(df: DataFrame, col: str, alias: str) -> DataFrame:
+    """(category, count) — ONE map-side-combinable aggregation; the
+    sole corpus-sized step of every drift form, batch or streaming."""
+    return df.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).alias(alias)
     )
+
+
+def _drift_from_counts(
+    cnt_o: DataFrame, cnt_n: DataFrame, scale: int
+) -> DataFrame:
+    """categorical_drift's terms over two pre-aggregated count
+    frames (category, n_old) x (category, n_new) — categories-sized,
+    shared verbatim by the batch form and the per-trigger streaming
+    finalize so the two can never diverge."""
     # NULL-SAFE category equality: a NULL category is one class
     # (missingness must drift as one row, not split into two
     # 0-filled rows on either side of a never-matching join key)
@@ -508,20 +524,106 @@ def numeric_drift(
     Integer bit arithmetic end to end, so the bucketing replays
     bit-for-bit in the SQL oracle; cast/scale continuous columns to
     integers first (cents, micros) like every sketch consumer."""
+    return categorical_drift(
+        _num_bins(old, col, k), _num_bins(new, col, k), "bin", scale=scale
+    )
+
+
+def _num_bins(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Map numeric `col` to its log-linear histogram bin id
+    (stateless map-side projection; bin -1 = underflow/missing) —
+    shared by numeric_drift and its streaming twin so the bucketing
+    can never diverge between them."""
     from kspp_spark.functions.sketch import _check_k, _hist_bin
 
     log2k = _check_k(k)
+    v = F.col(col).cast("long")
+    return df.select(v.alias("_v")).select(
+        F.when(F.col("_v") >= 1, _hist_bin("_v", k, log2k))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("bin")
+    )
 
-    def bucket(df: DataFrame) -> DataFrame:
-        v = F.col(col).cast("long")
-        return df.select(v.alias("_v")).select(
-            F.when(F.col("_v") >= 1, _hist_bin("_v", k, log2k))
-            .otherwise(F.lit(-1))
-            .cast("int")
-            .alias("bin")
-        )
 
-    return categorical_drift(bucket(old), bucket(new), "bin", scale=scale)
+def categorical_drift_ref(reference: DataFrame, col: str) -> DataFrame:
+    """Freeze the reference side of a streaming drift monitor: the
+    (category, n_old) count table of the reference snapshot —
+    compute once (or read from the training-set manifest), cache or
+    persist; it is categories-sized and broadcast-joins into every
+    trigger's finalize for free."""
+    return _cat_counts(reference, col, "n_old")
+
+
+def categorical_drift_stream(stream: DataFrame, col: str) -> DataFrame:
+    """Streaming categorical drift, live side — the two-sided
+    extension of the k_anonymity_stream trivial-fold pattern
+    (VERDICT r11 item #3): the live distribution is ONE commutative
+    count aggregation, so Spark's aggregation state IS the live
+    (category, n_new) table, bounded by category cardinality
+    forever; no watermark needed — the state cannot grow. Run in
+    update/complete mode.
+
+    Structured Streaming forbids joining downstream of a streaming
+    aggregation, so the reference comparison runs per trigger in the
+    foreachBatch finalize — categorical_drift_emit(ref_counts,
+    live_counts) — over two categories-sized frames (broadcast
+    territory at any corpus size):
+
+        ref = categorical_drift_ref(reference_df, "lang")
+        live = categorical_drift_stream(events, "lang")
+        live.writeStream.outputMode("complete").foreachBatch(
+            lambda counts, _id:
+                sink(categorical_drift_emit(ref, counts))
+        ).start()
+
+    Exactly equal to categorical_drift(reference, concatenated
+    batches) — asserted by tests/test_streaming.py — because emit
+    shares _drift_from_counts verbatim with the batch form and count
+    is commutative across micro-batches."""
+    return _cat_counts(stream, col, "n_new")
+
+
+def categorical_drift_emit(
+    ref_counts: DataFrame,
+    live_counts: DataFrame,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-trigger finalize for the streaming drift monitors: the
+    exact categorical_drift output (category, n_old, n_new,
+    tvd_num_ppm, chi2_term) from the frozen reference counts and the
+    current live counts — batch-land inside foreachBatch, so the
+    full-outer 0-fill and 1-row broadcast totals frame are legal and
+    categories-sized. Shares _drift_from_counts with the batch form;
+    the two cannot diverge."""
+    if scale < 1:
+        raise ValueError("categorical_drift_emit: scale must be >= 1")
+    return _drift_from_counts(ref_counts, live_counts, scale)
+
+
+def numeric_drift_ref(
+    reference: DataFrame, col: str, k: int = 32
+) -> DataFrame:
+    """Frozen reference counts for a streaming NUMERIC drift
+    monitor: log-linear-bin the reference (numeric_drift's exact
+    bucketing) and count per bin — at most a-few-hundred rows at any
+    corpus size."""
+    return _cat_counts(_num_bins(reference, col, k), "bin", "n_old")
+
+
+def numeric_drift_stream(
+    stream: DataFrame, col: str, k: int = 32
+) -> DataFrame:
+    """Streaming numeric drift, live side: the log-linear bucketing
+    is a stateless map-side projection (shared _num_bins, so batch
+    and stream bucket identically), after which the monitor IS
+    categorical_drift_stream over bin ids — aggregation state
+    bounded by the bin count (~64 per decade octave band at k=32),
+    finalized per trigger by categorical_drift_emit against
+    numeric_drift_ref's frozen counts. Equal to numeric_drift(
+    reference, concatenated batches) by construction; asserted by
+    tests/test_streaming.py."""
+    return _cat_counts(_num_bins(stream, col, k), "bin", "n_new")
 
 
 def benford_audit(

@@ -747,3 +747,254 @@ def event_pattern_matches(
         ),
         F.regexp_extract("seq", pattern, 0).alias("first_match"),
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    steps: list[str],
+    qs_permille: tuple[int, ...] = (500, 900),
+    bucket: str = "1 second",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon: str | None = None,
+) -> DataFrame:
+    """Time-to-convert percentiles per funnel stage — the question
+    product analytics asks right after funnel_counts' "how many":
+    how LONG from funnel entry (stage-1 completion) to each later
+    stage, as exact quantiles. Composes the two certified halves:
+    funnel_stages' greedy-earliest walk (generalized here to keep
+    EVERY stage's completion time, not just first/last — same
+    advancement rule, proved equal to the min-after-min SQL) and
+    weighted_quantiles' integer cross-multiplication pick.
+
+    Latencies are floor-bucketed to `bucket` (interval string)
+    BEFORE the quantile: the reported value is the bucket's lower
+    bound in micros. That is what bounds the quantile input — with a
+    `horizon` of H the per-stage distinct-value count is at most
+    H/bucket regardless of user count (2 days @ 1 minute = 2880
+    rows), which keeps weighted_quantiles inside its documented
+    moderate-cardinality scope at any corpus size.
+
+    Returns one row per (stage 2..len(steps), q_permille):
+    (stage, step, q_permille, latency_us, n_users) — n_users = users
+    reaching at least that stage, the quantile population.
+
+    Scale shape: ONE packed hash aggregation per user (the
+    funnel_stages fold, accumulator now the array of stage times),
+    a <= (k-1)-row explode per converting user, one
+    (stage, bucket) weight agg, and the cumulative window over THAT
+    bounded table. No window over raw rows, no per-stage join chain."""
+    from kspp_spark.functions.timeseries import weighted_quantiles
+
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("funnel_latency: steps must be distinct, non-empty")
+    if len(steps) < 2:
+        raise ValueError("funnel_latency: need >= 2 steps for a latency")
+    k = len(steps)
+    bucket_us = _gap_to_us(bucket)
+    hor_us = _gap_to_us(horizon) if horizon is not None else None
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    evs = df.where(F.col(type_col).isin(*steps)).select(
+        F.col(user_col),
+        F.struct(us.alias("t"), F.col(type_col).alias("y")).alias("e"),
+    )
+    packed = evs.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("e")).alias("es")
+    )
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    init = F.array().cast("array<long>")
+
+    def advance(acc, e):
+        n = F.size(acc)
+        # least() keeps the steps probe in bounds at n == k (ANSI);
+        # when() guards the acc probes so they never evaluate on an
+        # empty accumulator
+        want = F.element_at(
+            steps_arr, F.least(n + 1, F.lit(k)).cast("int")
+        )
+        ok = (
+            (n < k)
+            & (e["y"] == want)
+            & ((n == 0) | (e["t"] > F.when(n > 0, F.element_at(acc, n))))
+        )
+        if hor_us is not None:
+            ok = ok & (
+                (n == 0)
+                | (
+                    e["t"]
+                    <= F.when(n > 0, F.element_at(acc, 1)) + F.lit(hor_us)
+                )
+            )
+        return F.when(ok, F.concat(acc, F.array(e["t"]))).otherwise(acc)
+
+    times = packed.select(
+        F.col(user_col), F.aggregate("es", init, advance).alias("ts")
+    )
+    lat = (
+        # size >= 2 BEFORE the element_at probe: a never-entered
+        # user's empty array would ANSI-throw on index 1
+        times.where(F.size("ts") >= 2)
+        .select(
+            F.element_at("ts", 1).alias("_t1"),
+            F.posexplode("ts").alias("_pos", "_t"),
+        )
+        .where(F.col("_pos") >= 1)
+        .select(
+            (F.col("_pos") + 1).cast("long").alias("stage"),
+            (
+                F.expr(f"((_t - _t1) DIV {bucket_us}) * {bucket_us}")
+            ).cast("long").alias("_lat"),
+        )
+    )
+    q = weighted_quantiles(
+        lat,
+        value_col="_lat",
+        weight_col=None,
+        group_cols=("stage",),
+        qs_permille=qs_permille,
+    )
+    return q.select(
+        F.col("stage"),
+        F.element_at(steps_arr, F.col("stage").cast("int")).alias("step"),
+        F.col("q_permille"),
+        F.col("value").alias("latency_us"),
+        F.col("total_weight").alias("n_users"),
+    )
+
+
+def event_pattern_spans(
+    df: DataFrame,
+    pattern: str,
+    type_map: dict[str, str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+    marker: str = "#",
+) -> DataFrame:
+    """event_pattern_matches with WHERE: one row per non-overlapping
+    match carrying its position in the user's sequence AND its event
+    timestamps — what an alerting pipeline needs (matches alone say
+    "it happened"; spans say WHEN, so the alert can point at the
+    offending events). Same portable regex subset (Java regex ==
+    RE2 on literals/classes/?/*/+/{n,m}/alternation, no lookaround),
+    same (ts, tiebreak) ordering contract, same non-overlapping
+    left-to-right semantics.
+
+    Positions are recovered WITHOUT any position-returning regex
+    primitive (neither engine has one): the matched sequence is
+    rewritten with `marker` fencing every match (regexp_replace with
+    the whole-match backreference), split on the marker, and the
+    split segments' cumulative lengths replay each match's 1-based
+    (start_idx, end_idx) — segments alternate non-match/match, so
+    the even segments ARE the matches, in order. The identical
+    split-and-scan replays in DuckDB (string_split + one window over
+    the per-user segment list), which is what makes the span
+    positions hash-gradable.
+
+    `marker` must be a single character outside type_map's alphabet
+    (asserted); `pattern` must not match the empty string (asserted
+    — a zero-width match has no span).
+
+    Returns (user_col, match_no, start_idx, end_idx, start_us,
+    end_us): 1-based character positions in the user's packed
+    sequence and the epoch-micro timestamps of the first/last event
+    of the match. Users with no match emit nothing.
+
+    Scale shape: the event_pattern_matches plan (ONE packed
+    aggregation per user, all JVM) + a per-user fold over the split
+    segments and an element_at probe back into the packed (t, char)
+    array — still no window, no join, no Python, output bounded by
+    match count."""
+    import re as _re
+
+    if not type_map:
+        raise ValueError("event_pattern_spans: type_map is empty")
+    chars = list(type_map.values())
+    if any(len(c) != 1 for c in chars) or len(set(chars)) != len(chars):
+        raise ValueError(
+            "event_pattern_spans: type_map values must be distinct "
+            "single characters"
+        )
+    if len(marker) != 1 or marker in chars:
+        raise ValueError(
+            "event_pattern_spans: marker must be a single character "
+            "outside the type_map alphabet"
+        )
+    if _re.fullmatch(pattern, ""):
+        raise ValueError(
+            "event_pattern_spans: pattern matches the empty string — "
+            "zero-width matches have no span"
+        )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tb = (
+        F.col(tiebreak)
+        if tiebreak is not None
+        else F.lit(0).cast("long")
+    )
+    ch = F.col(type_col)
+    for t, c in type_map.items():
+        ch = F.when(F.col(type_col) == t, F.lit(c)).otherwise(ch)
+    evs = df.where(F.col(type_col).isin(*type_map)).select(
+        F.col(user_col),
+        F.struct(
+            us.alias("t"), tb.alias("tb"), ch.alias("c")
+        ).alias("e"),
+    )
+    packed = evs.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("e")).alias("es")
+    )
+    seq = F.array_join(F.transform("es", lambda e: e["c"]), "")
+    marked = F.regexp_replace(
+        seq, pattern, marker + "$0" + marker
+    )
+    segs = F.split(marked, _re.escape(marker), -1)
+    # fold the segments: acc = (segment index, chars consumed,
+    # spans); even (1-based) segments are the matches, in order
+    init = F.struct(
+        F.lit(0).cast("int").alias("i"),
+        F.lit(0).cast("long").alias("pos"),
+        F.array()
+        .cast("array<struct<s:long,e:long>>")
+        .alias("spans"),
+    )
+
+    def fold(acc, x):
+        i2 = (acc["i"] + 1).cast("int")
+        ln = F.length(x).cast("long")
+        span = F.struct(
+            (acc["pos"] + 1).alias("s"), (acc["pos"] + ln).alias("e")
+        )
+        return F.struct(
+            i2.alias("i"),
+            (acc["pos"] + ln).alias("pos"),
+            F.when(
+                i2 % 2 == 0, F.concat(acc["spans"], F.array(span))
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    spans = packed.select(
+        F.col(user_col),
+        F.col("es"),
+        F.aggregate(segs, init, fold)["spans"].alias("spans"),
+    )
+    out = spans.select(
+        F.col(user_col),
+        F.col("es"),
+        F.posexplode("spans").alias("_m", "sp"),
+    )
+    return out.select(
+        F.col(user_col),
+        (F.col("_m") + 1).cast("long").alias("match_no"),
+        F.col("sp.s").alias("start_idx"),
+        F.col("sp.e").alias("end_idx"),
+        F.element_at("es", F.col("sp.s").cast("int"))["t"].alias(
+            "start_us"
+        ),
+        F.element_at("es", F.col("sp.e").cast("int"))["t"].alias(
+            "end_us"
+        ),
+    )

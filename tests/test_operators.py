@@ -4677,3 +4677,125 @@ def test_benford_audit_exact_above_2pow53(spark):
     df = spark.createDataFrame(rows, "x long")
     got = {r["digit"]: r["n"] for r in benford_audit(df, "x").collect()}
     assert got == {9: 3}
+
+
+def test_funnel_latency_exact_small(spark):
+    """Two converting users: p50 of {0s, 60s}-bucketed stage-2
+    latency is the lower pick 0; p1000 is 60s; stage 3 has one user
+    at floor(3700s / 60s)*60s = 3660s. A stage-0 user (empty stage
+    array) must not ANSI-throw the t1 probe."""
+    from kspp_spark.functions.sessions import funnel_latency
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", "view"),
+        ("a", "2024-01-01 00:01:00", "click"),
+        ("a", "2024-01-01 01:01:40", "purchase"),
+        ("b", "2024-01-01 00:00:00", "view"),
+        ("c", "2024-01-01 00:00:00", "click"),  # never enters
+        ("c", "2024-01-01 00:00:10", "view"),
+        ("c", "2024-01-01 00:00:40", "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, event_type string")
+    got = {
+        (r["stage"], r["q_permille"]): (
+            r["step"], r["latency_us"], r["n_users"]
+        )
+        for r in funnel_latency(
+            df, ["view", "click", "purchase"],
+            qs_permille=(500, 1000), bucket="1 minute",
+        ).collect()
+    }
+    assert got[(2, 500)] == ("click", 0, 2)
+    assert got[(2, 1000)] == ("click", 60_000_000, 2)
+    assert got[(3, 500)] == ("purchase", 3_660_000_000, 1)
+    assert got[(3, 1000)] == ("purchase", 3_660_000_000, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_latency(df, ["view"])  # need >= 2 steps
+    with _pytest.raises(ValueError):
+        funnel_latency(df, ["view", "view"])
+
+
+def test_funnel_latency_horizon_excludes_late_stages(spark):
+    """A stage-2 event beyond the horizon of stage 1 must not count
+    — same horizon contract as funnel_stages."""
+    from kspp_spark.functions.sessions import funnel_latency
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", "view"),
+        ("a", "2024-01-03 00:00:01", "click"),  # 48h + 1s -> out
+        ("b", "2024-01-01 00:00:00", "view"),
+        ("b", "2024-01-01 12:00:00", "click"),  # inside
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, event_type string")
+    got = funnel_latency(
+        df, ["view", "click"], qs_permille=(1000,),
+        bucket="1 hour", horizon="48 hours",
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["n_users"] == 1
+    assert got[0]["latency_us"] == 12 * 3600 * 1_000_000
+
+
+def test_event_pattern_spans_positions_and_times(spark):
+    """Non-overlapping matches carry exact 1-based positions and the
+    first/last event timestamps; validation: bad marker, empty-match
+    pattern."""
+    import pytest as _pytest
+    from kspp_spark.functions.sessions import event_pattern_spans
+
+    tm = {"view": "v", "click": "c", "purchase": "p"}
+    rows = [
+        ("u", f"2024-01-01 00:00:{i:02d}", t, i)
+        for i, t in enumerate(
+            ["view", "click", "purchase", "view", "purchase", "view"]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_type string, event_id long"
+    )
+    got = sorted(
+        (r["match_no"], r["start_idx"], r["end_idx"], r["start_us"], r["end_us"])
+        for r in event_pattern_spans(
+            df, "vc*p", tm, tiebreak="event_id"
+        ).collect()
+    )
+    base = 1704067200_000000
+    assert got == [
+        (1, 1, 3, base, base + 2_000_000),
+        (2, 4, 5, base + 3_000_000, base + 4_000_000),
+    ]
+    with _pytest.raises(ValueError, match="marker"):
+        event_pattern_spans(df, "vc*p", tm, marker="v")
+    with _pytest.raises(ValueError, match="empty"):
+        event_pattern_spans(df, "c*", tm)
+
+
+def test_event_pattern_spans_count_matches_event_pattern(spark):
+    """Span rows per user == event_pattern_matches' n_matches on the
+    real events table — the two spellings must agree."""
+    from kspp_spark.functions.sessions import (
+        event_pattern_matches,
+        event_pattern_spans,
+    )
+    from kspp_spark.io import load
+
+    ev = load(spark, "events", "/root/testdata/sf0.001")
+    tm = {"view": "v", "click": "c", "purchase": "p"}
+    n_spans = {
+        r["user_id"]: r["n"]
+        for r in event_pattern_spans(ev, "vc*p", tm, tiebreak="event_id")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    n_matches = {
+        r["user_id"]: r["n_matches"]
+        for r in event_pattern_matches(
+            ev, "vc*p", tm, tiebreak="event_id"
+        ).collect()
+        if r["n_matches"] > 0
+    }
+    assert n_spans == n_matches and len(n_spans) > 0

@@ -1232,3 +1232,32 @@ def test_funnel_conversion_cumulative_join_is_bounded(spark, queries):
     # the one ObjectHashAggregate is the per-user pack; everything
     # above it operates on stage-count-sized frames
     assert "ObjectHashAggregate" in plan
+
+
+def test_funnel_latency_quantile_over_bounded_aggregate(spark, queries):
+    """funnel_latency's cumulative window must run over the
+    (stage, bucketed-latency) weight AGGREGATE — bounded by
+    horizon/bucket rows per stage — never raw rows; the corpus-sized
+    work is the one packed per-user aggregation below. No Python, no
+    join (the quantile pick is window + filter + agg), no corpus
+    window."""
+    plan = formatted_plan(spark, queries["funnel_latency"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    # per-user pack (collect_list) + the bucket weight agg
+    assert "ObjectHashAggregate" in plan
+    assert "HashAggregate" in plan and "Window" in plan
+    assert "Join" not in plan
+
+
+def test_event_pattern_spans_single_pack_no_python(spark, queries):
+    """event_pattern_spans keeps event_pattern's plan shape: ONE
+    packed per-user aggregation; the fence-split-scan fold and the
+    element_at time probes are JVM expressions over the packed
+    arrays — no window, no join, no Python, no cartesian."""
+    plan = formatted_plan(spark, queries["event_pattern_spans"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "ObjectHashAggregate" in plan

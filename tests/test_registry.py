@@ -39,63 +39,36 @@ def test_registry_no_duplicate_keys():
     assert keys == list(entry_mod.queries().keys())
 
 
-def test_registry_round11_window():
-    """The round-11 grading window (first 50) is the VERDICT r10
-    item #2 rotation: the round's NEW queries lead (position-pinned),
-    snapshot_diff regrades (the r10 red row), the SURVEY 2 core
-    re-cert band covers the five join flavors / ktable /
-    rate_limiter / windowed family, every query whose CODE changed
-    this round regrades (a changed query must never coast on a stale
-    green), and the rest is oldest-cert-first (the r7-graded kspp
-    core + TPC-H head + relational tail that sat just below the r10
-    boundary). SET containment for the rotation body — r8's lesson:
-    the fully position-pinned form rotted when a head insert wasn't
-    mirrored here."""
+def test_registry_round12_window():
+    """The round-12 grading window (first 50), VERDICT r11 item #2
+    rotation: the round's NEW queries lead (position-pinned), every
+    query whose CODE changed this round regrades (a changed query
+    must never coast on a stale green), and a SURVEY 2 core re-cert
+    band stays in (five join flavors, ktable, rate_limiter, windowed
+    family — the composition VERDICT r11 called exactly right). SET
+    containment for the rotation body — r8's lesson: the fully
+    position-pinned form rotted when a head insert wasn't mirrored
+    here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — must lead the window
-    assert window[:11] == [
-        "heavy_hitters_production",
-        "range_bucket_join",
-        "funnel_stages",
-        "funnel_conversion",
-        "k_anonymity",
-        "category_drift",
-        "numeric_drift",
-        "rrf_fusion",
-        "event_pattern",
-        "weighted_median",
-        "benford",
+    assert window[:2] == [
+        "funnel_latency",
+        "event_pattern_spans",
     ]
-    assert window[11] == "snapshot_diff"  # the r10 red row regrades
     must_grade = {
-        # SURVEY 2 core re-cert band (VERDICT r10 item #2)
+        # SURVEY 2 core re-cert band (kept per VERDICT r11 item #2)
         "kstream_left_join", "kstream_inner_join", "ktable_left_join",
         "ktable_inner_join", "ktable_outer_join", "ktable_latest",
         "rate_limiter", "windowed_count", "hopping_count",
         "windowed_sum_by_type", "session_windows", "windowed_ktable",
-        # round-11 changed-code regrades
-        "heavy_hitters",    # hash-family refactor (sketch.py)
-        "ppjoin_pairs",     # exploded-stream rewrite (dedup.py)
-        "table_checksum",   # injective serialization (pipeline.py)
-        "session_ids",      # tz-invariant gap parse (sessions.py)
-        # oldest-cert rotation: last graded r7
-        "count_by_key", "count_by_value", "word_count",
-        "filter_lineitem", "transform_revenue", "flat_map_words",
-        "merge_streams", "repartition_by_fk", "salted_count",
-        "revenue_per_nation", "pricing_summary", "asof_join",
-        "range_join", "interval_join", "topk_orders",
-        # CMS family repack (round-11 packed single-md5 buckets):
-        # the sketch CELLS changed, so these regrade too
-        "cms_counts", "cms_estimates", "join_size_estimate",
-        # melt-based profile rewrite + shared-pipeline cooccurrence
-        # rewrite (same outputs, new plans) regrade too
-        "profile_columns", "item_associations",
+        # round-12 changed-code regrades
+        "benford",          # string-rendered digit extraction (ADVICE r11)
     }
     missing = must_grade - set(window)
-    assert not missing, f"round-11 must-grade queries not in window: {missing}"
+    assert not missing, f"round-12 must-grade queries not in window: {missing}"
     # events/TIMESTAMP(NANOS) load path stays in-window (verify-skill
     # contract): these read the events table
-    assert {"windowed_count", "session_ids", "funnel_stages"} <= set(window)
+    assert {"windowed_count", "funnel_latency"} <= set(window)
     assert len(window) == len(set(window)) == 50
 
 

@@ -3431,3 +3431,149 @@ def test_k_anonymity_stream_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert got[("a", 1)] == (3, False) and got[(None, 3)] == (1, True)
+
+
+def test_categorical_drift_stream_equals_batch(spark, tmp_path):
+    """The per-trigger foreachBatch finalize over the streaming live
+    counts equals batch categorical_drift(reference, concatenated
+    batches) — count is commutative, emit shares _drift_from_counts
+    with the batch form, so trigger boundaries are invisible. Also
+    pins the two-sided shape: an intermediate trigger emits drift
+    for the prefix (the live monitor really emits per trigger)."""
+    import time as _time
+
+    from kspp_spark.functions.pipeline import (
+        categorical_drift,
+        categorical_drift_emit,
+        categorical_drift_ref,
+        categorical_drift_stream,
+    )
+
+    schema = "lang string"
+    ref_rows = [("en",)] * 6 + [("de",)] * 3 + [(None,)]
+    b1 = [("en",), ("en",), ("fr",)]
+    b2 = [("en",), ("de",), (None,), (None,)]
+    ref = spark.createDataFrame(ref_rows, schema)
+    in_dir = str(tmp_path / "drift_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    ref_counts = categorical_drift_ref(ref, "lang")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    emissions = []
+
+    def finalize(counts, _batch_id):
+        emissions.append(
+            {
+                r["category"]: (
+                    r["n_old"], r["n_new"], r["tvd_num_ppm"], r["chi2_term"]
+                )
+                for r in categorical_drift_emit(ref_counts, counts).collect()
+            }
+        )
+
+    q = (
+        categorical_drift_stream(src, "lang")
+        .writeStream.outputMode("complete")
+        .foreachBatch(finalize)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(emissions) >= 2  # one drift table per trigger
+    want_final = {
+        r["category"]: (
+            r["n_old"], r["n_new"], r["tvd_num_ppm"], r["chi2_term"]
+        )
+        for r in categorical_drift(
+            ref, spark.createDataFrame(b1 + b2, schema), "lang"
+        ).collect()
+    }
+    assert emissions[-1] == want_final
+    want_prefix = {
+        r["category"]: (
+            r["n_old"], r["n_new"], r["tvd_num_ppm"], r["chi2_term"]
+        )
+        for r in categorical_drift(
+            ref, spark.createDataFrame(b1, schema), "lang"
+        ).collect()
+    }
+    assert emissions[0] == want_prefix
+    # the missingness class drifted and is visible as its own row
+    assert want_final[None][1] == 2
+
+
+def test_numeric_drift_stream_equals_batch(spark, tmp_path):
+    """Streaming numeric drift: the stateless shared bucketing +
+    streaming count state + per-trigger emit equals batch
+    numeric_drift over the concatenated input, bin -1 (missing /
+    underflow) included."""
+    import time as _time
+
+    from kspp_spark.functions.pipeline import (
+        categorical_drift_emit,
+        numeric_drift,
+        numeric_drift_ref,
+        numeric_drift_stream,
+    )
+
+    schema = "v long"
+    ref_rows = [(1,), (2,), (100,), (10_000,), (None,)]
+    b1 = [(1,), (3,), (150,)]
+    b2 = [(90_000,), (0,), (None,)]
+    ref = spark.createDataFrame(ref_rows, schema)
+    in_dir = str(tmp_path / "ndrift_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    ref_counts = numeric_drift_ref(ref, "v", k=8)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    emissions = []
+
+    def finalize(counts, _batch_id):
+        emissions.append(
+            {
+                r["category"]: (
+                    r["n_old"], r["n_new"], r["tvd_num_ppm"], r["chi2_term"]
+                )
+                for r in categorical_drift_emit(ref_counts, counts).collect()
+            }
+        )
+
+    q = (
+        numeric_drift_stream(src, "v", k=8)
+        .writeStream.outputMode("complete")
+        .foreachBatch(finalize)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {
+        r["category"]: (
+            r["n_old"], r["n_new"], r["tvd_num_ppm"], r["chi2_term"]
+        )
+        for r in numeric_drift(
+            ref, spark.createDataFrame(b1 + b2, schema), "v", k=8
+        ).collect()
+    }
+    assert emissions[-1] == want
+    # underflow/missing class present on the live side (0 and NULL)
+    assert want[-1][1] == 2
