@@ -2506,6 +2506,101 @@ def q_event_pattern_spans(spark, sf_dir):
     )
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (functions/sessions.rfm_segments —
+    round 12): recency/frequency/monetary quartile scores over the
+    orders table as of 1998-12-31. Scores are THRESHOLD-based (exact
+    lower-quantile boundaries from weighted_quantiles over the
+    per-customer AGGREGATE, monetary bucketed to whole dollars for
+    the threshold table) rather than ntile-based — ntile(4) needs a
+    corpus-wide single-partition window; all nine thresholds pivot
+    into ONE 1-row broadcast frame + map-side comparisons, the shape
+    that survives 100M customers."""
+    from kspp_spark.functions.sessions import rfm_segments
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(
+        o,
+        asof="1998-12-31",
+        user_col="o_custkey",
+        ts_col="o_orderdate",
+        amount_col="o_totalprice",
+    )
+
+
+def q_attribution(spark, sf_dir):
+    """Multi-touch attribution (functions/sessions.attribution —
+    round 12): first-touch / last-touch / linear credit per channel
+    for purchase conversions, touches = view/click/signup since the
+    user's previous purchase. Credits are EXACT integer ppm of one
+    conversion (linear = 1e6 DIV n each + remainder to the last
+    touch, so each conversion sums to exactly 1e6 — IEEE 1/n shares
+    would not hash-replay). One per-user ordering window
+    (user-history-bounded) + per-window aggregations; min_by/max_by
+    pick first/last channels without re-sorting."""
+    from kspp_spark.functions.sessions import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution(
+        ev,
+        touch_types=["view", "click", "signup"],
+        conversion_type="purchase",
+        tiebreak="event_id",
+    )
+
+
+def q_referential_integrity(spark, sf_dir):
+    """Star-schema referential-integrity audit (functions/pipeline.
+    referential_integrity — round 12, the Deequ-style FK constraint
+    check): five relations — the four TPC-H FKs (expected clean) and
+    the deliberately cross-domain events.user_id -> customer probe
+    (expected orphaned) so both the zero and non-zero paths grade.
+    Each check is one left_anti join against the parent's distinct
+    pk column + bounded aggregations; orphan_ppm is the exact
+    integer ratio."""
+    from kspp_spark.functions.pipeline import referential_integrity
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    ev = _t(spark, sf_dir, "events")
+    checks = [
+        referential_integrity(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        referential_integrity(li, p, "l_partkey", "p_partkey", "lineitem->part"),
+        referential_integrity(li, s, "l_suppkey", "s_suppkey", "lineitem->supplier"),
+        referential_integrity(o, c, "o_custkey", "c_custkey", "orders->customer"),
+        referential_integrity(ev, c, "user_id", "c_custkey", "events->customer"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+def q_correlation_matrix(spark, sf_dir):
+    """Exact-moment Pearson correlation matrix (functions/pipeline.
+    correlation_matrix — round 12): pairwise r over lineitem
+    quantity / price-cents / discount-pct / tax-pct. ONE map-side-
+    combinable aggregation computes every moment in DECIMAL(38,0)
+    (int64 products would ANSI-overflow at corpus scale), then r is
+    an order-fixed double expression over the exact moments — IEEE
+    sqrt is correctly rounded, so the values hash-replay in SQL.
+    Listwise NULL deletion keeps every pair on the same n."""
+    from kspp_spark.functions.pipeline import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("discount_pct"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
+    )
+    return correlation_matrix(
+        li, ["quantity", "price_cents", "discount_pct", "tax_pct"]
+    )
+
+
 def q_weighted_median(spark, sf_dir):
     """Exact weighted quantiles (functions/timeseries.
     weighted_quantiles — round 11): p50/p90/p99 of lineitem price in
@@ -4439,6 +4534,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never coast on a stale green; (e) oldest-cert fill: the r7-graded kspp core +
     # TPC-H head + relational tail that sat just below the r10
     # boundary.
+    # ROUND 12 window (this ordering), per VERDICT r11 item #2:
+    #   (a) the round-12 additions lead (position-pinned in
+    #       tests/test_registry.py): funnel_latency (stage-latency
+    #       quantiles over the bounded bucket aggregate),
+    #       event_pattern_spans (per-match positions + timestamps);
+    #   (b) queries whose CODE changed this round regrade: benford
+    #       (ADVICE r11 string-rendered digit extraction),
+    #       category_drift + numeric_drift (shared-counts refactor
+    #       for the streaming twins — same semantics, new call
+    #       graph), dup_clusters + dup_clusters_fixed + cluster_reps
+    #       (CC rewrite attempted and REVERTED same-session —
+    #       METRICS.md r12; kept in-window as safety re-certs);
+    #   (c) the SURVEY 2 core re-cert band stays in (five join
+    #       flavors, ktable, rate_limiter, windowed family — the
+    #       composition VERDICT r11 called exactly right);
+    #   (d) the round-11 additions hold their certs for a second
+    #       driver row; (e) oldest-cert fill to 50.
     # NOTE: because the window rotates, per-round driver scores are
     # NOT comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite
@@ -4449,6 +4561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (a) round-12 additions (first driver rows) --
         "funnel_latency": q_funnel_latency,
         "event_pattern_spans": q_event_pattern_spans,
+        "rfm_segments": q_rfm_segments,
+        "attribution": q_attribution,
+        "referential_integrity": q_referential_integrity,
+        "correlation_matrix": q_correlation_matrix,
         # -- round-11 additions (re-cert band) --
         "heavy_hitters_production": q_heavy_hitters_production,
         "range_bucket_join": q_range_bucket_join,
@@ -4463,6 +4579,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         # -- (b) snapshot_diff regrade (the r10 red row, now scalar-graded) --
         "snapshot_diff": q_snapshot_diff,
+        # -- (b) round-12 CC safety re-certs: an iteration-engine
+        #    rewrite was attempted and reverted this round (METRICS.md
+        #    r12); these re-grade to prove the revert is clean --
+        "dup_clusters": q_dup_clusters,
+        "dup_clusters_fixed": q_dup_clusters_fixed,
+        "cluster_reps": q_cluster_reps,
         # -- (c) SURVEY 2 core re-cert band (joins/ktable/rate_limiter/windowed) --
         "kstream_left_join": q_kstream_left_join,
         "kstream_inner_join": q_kstream_inner_join,
@@ -4531,7 +4653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_rank": q_hits_rank,
         "anchor_terms": q_anchor_terms,
         "crawl_budget": q_crawl_budget,
-        "cluster_reps": q_cluster_reps,
         "sitemap_frontier": q_sitemap_frontier,
         "domain_rollup_full": q_domain_rollup_full,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -4579,7 +4700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "srp_diverse_sample": q_srp_diverse_sample,
         "srp_bucket_profile": q_srp_bucket_profile,
-        "dup_clusters_fixed": q_dup_clusters_fixed,
         "funnel": q_funnel,
         "order_keys_agg": q_order_keys_agg,
         "approx_distinct": q_approx_distinct,
@@ -4603,7 +4723,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "html_to_text": q_html_to_text,
         "robots_gate": q_robots_gate,
-        "dup_clusters": q_dup_clusters,
         "scalar_functions": q_scalar_functions,
         "media_features_knn": q_media_features_knn,
         "media_decode": q_media_decode,
@@ -8653,6 +8772,232 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(n_users AS DOUBLE) / CAST(n1.n1 AS DOUBLE)
                    END AS conv
             FROM per, n1
+        """
+    oracles["rfm_segments"] = """
+            WITH pu AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day',
+                            MAX(CAST(o_orderdate AS DATE)),
+                            DATE '1998-12-31') AS BIGINT) AS recency_days,
+                       COUNT(*) AS frequency,
+                       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS monetary_cents
+                FROM orders GROUP BY 1
+            ),
+            pu2 AS (SELECT *, monetary_cents // 100 AS md FROM pu),
+            rv AS (SELECT recency_days AS v, COUNT(*) AS w FROM pu2 GROUP BY 1),
+            rc AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(w) OVER () AS tot FROM rv),
+            rth AS (SELECT
+                MIN(CASE WHEN 1000 * cum >= 250 * tot THEN v END) AS r250,
+                MIN(CASE WHEN 1000 * cum >= 500 * tot THEN v END) AS r500,
+                MIN(CASE WHEN 1000 * cum >= 750 * tot THEN v END) AS r750
+                FROM rc),
+            fv AS (SELECT frequency AS v, COUNT(*) AS w FROM pu2 GROUP BY 1),
+            fc AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(w) OVER () AS tot FROM fv),
+            fth AS (SELECT
+                MIN(CASE WHEN 1000 * cum >= 250 * tot THEN v END) AS f250,
+                MIN(CASE WHEN 1000 * cum >= 500 * tot THEN v END) AS f500,
+                MIN(CASE WHEN 1000 * cum >= 750 * tot THEN v END) AS f750
+                FROM fc),
+            mv AS (SELECT md AS v, COUNT(*) AS w FROM pu2 GROUP BY 1),
+            mc AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(w) OVER () AS tot FROM mv),
+            mth AS (SELECT
+                MIN(CASE WHEN 1000 * cum >= 250 * tot THEN v END) AS m250,
+                MIN(CASE WHEN 1000 * cum >= 500 * tot THEN v END) AS m500,
+                MIN(CASE WHEN 1000 * cum >= 750 * tot THEN v END) AS m750
+                FROM mc),
+            sc AS (
+                SELECT pu2.*,
+                    1 + CASE WHEN recency_days <= r250 THEN 1 ELSE 0 END
+                      + CASE WHEN recency_days <= r500 THEN 1 ELSE 0 END
+                      + CASE WHEN recency_days <= r750 THEN 1 ELSE 0 END AS r,
+                    1 + CASE WHEN frequency > f250 THEN 1 ELSE 0 END
+                      + CASE WHEN frequency > f500 THEN 1 ELSE 0 END
+                      + CASE WHEN frequency > f750 THEN 1 ELSE 0 END AS f,
+                    1 + CASE WHEN md > m250 THEN 1 ELSE 0 END
+                      + CASE WHEN md > m500 THEN 1 ELSE 0 END
+                      + CASE WHEN md > m750 THEN 1 ELSE 0 END AS m
+                FROM pu2, rth, fth, mth
+            )
+            SELECT o_custkey, recency_days,
+                   CAST(frequency AS BIGINT) AS frequency, monetary_cents,
+                   CAST(r AS INTEGER) AS r_score,
+                   CAST(f AS INTEGER) AS f_score,
+                   CAST(m AS INTEGER) AS m_score,
+                   CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+                       || CAST(m AS VARCHAR) AS segment
+            FROM sc
+        """
+    oracles["attribution"] = """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t, event_id AS tb,
+                       event_type AS ch,
+                       event_type = 'purchase' AS conv
+                FROM events
+                WHERE event_type IN ('view','click','signup','purchase')
+            ),
+            mk AS (
+                SELECT *, SUM(CASE WHEN conv THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY t, tb
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS cum FROM e
+            ),
+            tch AS (SELECT user_id, t, tb, ch, cum AS win
+                    FROM mk WHERE NOT conv),
+            nc AS (SELECT user_id, MAX(cum) AS nconv
+                   FROM mk WHERE conv GROUP BY 1),
+            att AS (
+                SELECT tch.* FROM tch JOIN nc
+                ON tch.user_id = nc.user_id AND tch.win < nc.nconv
+            ),
+            pc AS (SELECT user_id, win, ch, COUNT(*) AS ncc
+                   FROM att GROUP BY 1, 2, 3),
+            fw AS (
+                SELECT user_id, win, ch,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, win
+                           ORDER BY t, tb) AS rn_a,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, win
+                           ORDER BY t DESC, tb DESC) AS rn_d
+                FROM att
+            ),
+            pw AS (
+                SELECT user_id, win, COUNT(*) AS n,
+                       MAX(CASE WHEN rn_a = 1 THEN ch END) AS first_ch,
+                       MAX(CASE WHEN rn_d = 1 THEN ch END) AS last_ch
+                FROM fw GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT pc.ch, pc.ncc, pw.n, pw.first_ch, pw.last_ch
+                FROM pc JOIN pw
+                ON pc.user_id = pw.user_id AND pc.win = pw.win
+            ),
+            m AS (
+                SELECT 'first_touch' AS model, ch AS channel,
+                       CASE WHEN ch = first_ch THEN 1000000 ELSE 0 END AS credit,
+                       ncc FROM j
+                UNION ALL
+                SELECT 'last_touch', ch,
+                       CASE WHEN ch = last_ch THEN 1000000 ELSE 0 END, ncc FROM j
+                UNION ALL
+                SELECT 'linear', ch,
+                       ncc * (1000000 // n)
+                       + CASE WHEN ch = last_ch
+                              THEN 1000000 - (1000000 // n) * n
+                              ELSE 0 END, ncc FROM j
+            )
+            SELECT model, channel,
+                   CAST(SUM(credit) AS BIGINT) AS credit_ppm,
+                   CAST(SUM(ncc) AS BIGINT) AS n_touches
+            FROM m GROUP BY 1, 2
+        """
+    oracles["referential_integrity"] = """
+            WITH checks(relation, n_child, n_null_fk, n_orphan_rows,
+                        n_orphan_keys) AS (
+                SELECT 'lineitem->orders',
+                    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+                    (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL),
+                    (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = l.l_orderkey)),
+                    (SELECT COUNT(DISTINCT l.l_orderkey) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = l.l_orderkey))
+                UNION ALL
+                SELECT 'lineitem->part',
+                    (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL),
+                    (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+                    (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+                    (SELECT COUNT(DISTINCT l.l_partkey) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+                UNION ALL
+                SELECT 'lineitem->supplier',
+                    (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NOT NULL),
+                    (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+                    (SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = l.l_suppkey)),
+                    (SELECT COUNT(DISTINCT l.l_suppkey) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = l.l_suppkey))
+                UNION ALL
+                SELECT 'orders->customer',
+                    (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL),
+                    (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+                    (SELECT COUNT(*) FROM orders l WHERE l.o_custkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = l.o_custkey)),
+                    (SELECT COUNT(DISTINCT l.o_custkey) FROM orders l WHERE l.o_custkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = l.o_custkey))
+                UNION ALL
+                SELECT 'events->customer',
+                    (SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL),
+                    (SELECT COUNT(*) FROM events WHERE user_id IS NULL),
+                    (SELECT COUNT(*) FROM events l WHERE l.user_id IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = l.user_id)),
+                    (SELECT COUNT(DISTINCT l.user_id) FROM events l WHERE l.user_id IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = l.user_id))
+            )
+            SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+                   CAST(n_null_fk AS BIGINT) AS n_null_fk,
+                   CAST(n_orphan_rows AS BIGINT) AS n_orphan_rows,
+                   CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+                   CAST(CASE WHEN n_child > 0
+                        THEN (1000000 * n_orphan_rows) // n_child END
+                        AS BIGINT) AS orphan_ppm
+            FROM checks
+        """
+    oracles["correlation_matrix"] = """
+            WITH c AS (
+                SELECT CAST(l_quantity AS BIGINT) AS v0,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS v1,
+                       CAST(floor(l_discount * 100) AS BIGINT) AS v2,
+                       CAST(floor(l_tax * 100) AS BIGINT) AS v3
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+            ),
+            m AS (
+                SELECT COUNT(*) AS n,
+                    SUM(CAST(v0 AS DECIMAL(38,0))) AS s0,
+                    SUM(CAST(v1 AS DECIMAL(38,0))) AS s1,
+                    SUM(CAST(v2 AS DECIMAL(38,0))) AS s2,
+                    SUM(CAST(v3 AS DECIMAL(38,0))) AS s3,
+                    SUM(CAST(v0 AS DECIMAL(38,0)) * CAST(v0 AS DECIMAL(38,0))) AS p00,
+                    SUM(CAST(v0 AS DECIMAL(38,0)) * CAST(v1 AS DECIMAL(38,0))) AS p01,
+                    SUM(CAST(v0 AS DECIMAL(38,0)) * CAST(v2 AS DECIMAL(38,0))) AS p02,
+                    SUM(CAST(v0 AS DECIMAL(38,0)) * CAST(v3 AS DECIMAL(38,0))) AS p03,
+                    SUM(CAST(v1 AS DECIMAL(38,0)) * CAST(v1 AS DECIMAL(38,0))) AS p11,
+                    SUM(CAST(v1 AS DECIMAL(38,0)) * CAST(v2 AS DECIMAL(38,0))) AS p12,
+                    SUM(CAST(v1 AS DECIMAL(38,0)) * CAST(v3 AS DECIMAL(38,0))) AS p13,
+                    SUM(CAST(v2 AS DECIMAL(38,0)) * CAST(v2 AS DECIMAL(38,0))) AS p22,
+                    SUM(CAST(v2 AS DECIMAL(38,0)) * CAST(v3 AS DECIMAL(38,0))) AS p23,
+                    SUM(CAST(v3 AS DECIMAL(38,0)) * CAST(v3 AS DECIMAL(38,0))) AS p33
+                FROM c
+            ),
+            pairs AS (
+                SELECT 'quantity' AS col_x, 'price_cents' AS col_y, n,
+                       s0 AS sx, s1 AS sy, p01 AS sxy, p00 AS sxx, p11 AS syy FROM m
+                UNION ALL SELECT 'quantity', 'discount_pct', n, s0, s2, p02, p00, p22 FROM m
+                UNION ALL SELECT 'quantity', 'tax_pct', n, s0, s3, p03, p00, p33 FROM m
+                UNION ALL SELECT 'price_cents', 'discount_pct', n, s1, s2, p12, p11, p22 FROM m
+                UNION ALL SELECT 'price_cents', 'tax_pct', n, s1, s3, p13, p11, p33 FROM m
+                UNION ALL SELECT 'discount_pct', 'tax_pct', n, s2, s3, p23, p22, p33 FROM m
+            )
+            SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+                CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                END AS r
+            FROM pairs
         """
     oracles["funnel_latency"] = f"""
             WITH {_FUNNEL_STAGES},

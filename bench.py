@@ -234,10 +234,15 @@ BENCH_QUERIES = [
     "weighted_median",
     "benford",
     # round-12 additions: funnel stage-latency quantiles (VERDICT r11
-    # item #5 — the bounded-bucket quantile compose) and per-match
-    # spans for the event-sequence regex (item #6)
+    # item #5 — the bounded-bucket quantile compose), per-match spans
+    # for the event-sequence regex (item #6), and the product-
+    # analytics / data-quality widening batch
     "funnel_latency",
     "event_pattern_spans",
+    "rfm_segments",
+    "attribution",
+    "referential_integrity",
+    "correlation_matrix",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
@@ -399,6 +404,16 @@ def main() -> None:
     degraded = load0 > 1.0
     spark = get_spark("kspp_spark_bench")
     queries = entry_mod.queries()
+    # Optional subset (comma-separated names): the sf1 scale-point
+    # runs (SCALE.md "measured" column) time only the heavy tier.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    global BENCH_QUERIES
+    if subset:
+        names = [s.strip() for s in subset.split(",") if s.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        BENCH_QUERIES = names
     # Warmup: run the first query once untimed so JVM/codegen startup
     # doesn't land in the first timed sample (matters when RUNS=1).
     queries[BENCH_QUERIES[0]](spark, SF_DIR).write.format("noop").mode(

@@ -715,3 +715,126 @@ def k_anonymity_stream(
     (asserted by tests/test_streaming.py); batch and streaming share
     one definition — the checksum_stream/cms_stream pattern."""
     return k_anonymity_audit(stream, quasi_cols=quasi_cols, k=k)
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    relation: str | None = None,
+) -> DataFrame:
+    """Referential-integrity audit — the Deequ-style FK constraint
+    check a star-schema pipeline runs before shipping a snapshot:
+    one row per checked relation,
+
+        n_child        child rows with a NON-NULL foreign key
+        n_null_fk      child rows whose foreign key is NULL
+                       (reported, not counted as orphans — NULL
+                       means 'no reference', not 'broken reference')
+        n_orphan_rows  child rows whose fk matches NO parent pk
+        n_orphan_keys  distinct orphaned fk values
+        orphan_ppm     exact integer ppm of n_child (NULL when
+                       n_child = 0)
+
+    Scale shape: one left_anti join child->parent on the key (the
+    parent side reduces to its distinct pk column first — key-sized,
+    broadcast when small) + two bounded aggregations; no corpus
+    passes beyond the one join. Union several calls for a whole
+    schema's audit table."""
+    rel = relation or f"{fk_col}->{pk_col}"
+    keyed = child.select(F.col(fk_col).alias("_fk"))
+    nulls = keyed.where(F.col("_fk").isNull())
+    nn = keyed.where(F.col("_fk").isNotNull())
+    pks = parent.select(F.col(pk_col).alias("_fk")).distinct()
+    orphans = nn.join(pks, "_fk", "left_anti")
+    tot = nn.agg(
+        F.count(F.lit(1)).alias("n_child")
+    ).crossJoin(
+        F.broadcast(nulls.agg(F.count(F.lit(1)).alias("n_null_fk")))
+    ).crossJoin(
+        F.broadcast(
+            orphans.agg(
+                F.count(F.lit(1)).alias("n_orphan_rows"),
+                F.countDistinct("_fk").alias("n_orphan_keys"),
+            )
+        )
+    )
+    return tot.select(
+        F.lit(rel).alias("relation"),
+        "n_child",
+        "n_null_fk",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        F.expr(
+            "CASE WHEN n_child > 0 THEN (1000000 * n_orphan_rows) DIV n_child END"
+        ).cast("long").alias("orphan_ppm"),
+    )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Pairwise Pearson correlations over INTEGER-VALUED columns via
+    exact moment sums — the profiling matrix a feature store runs
+    next to profile_columns: one pass computes n and the
+    sum/sum-of-product moments for every column pair in DECIMAL(38,0)
+    (exact at any corpus size; int64 sums of products would ANSI-
+    overflow), then r = (n*Sxy - Sx*Sy) /
+    (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) evaluates as ONE
+    order-fixed double expression over those exact moments — IEEE
+    sqrt is correctly rounded, so the value replays bit-for-bit in
+    the SQL oracle (the same fixed-tree trick as categorical_drift's
+    chi2). Columns must already be integer-valued (cents, permille —
+    the repo-wide sketch-consumer contract); rows with a NULL in ANY
+    requested column are excluded so every pair sees the same n
+    (listwise deletion, the textbook correlation-matrix convention).
+
+    Returns (col_x, col_y, n, r) for the strict upper triangle
+    (col_x < col_y in list order); r is NULL for zero-variance
+    columns instead of an ANSI divide-by-zero.
+
+    Scale shape: ONE map-side-combinable aggregation (k + k(k+1)/2
+    moment cells in a single 1-row frame), then k(k-1)/2 constant
+    projections of that broadcast row. No second pass, no window,
+    no join."""
+    if len(cols) < 2 or len(set(cols)) != len(cols):
+        raise ValueError(
+            "correlation_matrix: need >= 2 distinct columns"
+        )
+    clean = df.na.drop(subset=list(cols)).select(
+        *[F.col(c).cast("decimal(38,0)").alias(c) for c in cols]
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c)).alias(f"_s{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(F.col(c) * F.col(cols[j])).alias(f"_p{i}_{j}")
+            )
+    mom = clean.agg(*aggs)
+    outs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            n = F.col("_n").cast("double")
+            sx = F.col(f"_s{i}").cast("double")
+            sy = F.col(f"_s{j}").cast("double")
+            sxy = F.col(f"_p{i}_{j}").cast("double")
+            sxx = F.col(f"_p{i}_{i}").cast("double")
+            syy = F.col(f"_p{j}_{j}").cast("double")
+            varx = n * sxx - sx * sx
+            vary = n * syy - sy * sy
+            r = (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+            outs.append(
+                mom.select(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    F.col("_n").cast("long").alias("n"),
+                    F.when((varx > 0) & (vary > 0), r).alias("r"),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

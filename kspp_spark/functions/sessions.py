@@ -998,3 +998,246 @@ def event_pattern_spans(
             "end_us"
         ),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    asof: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "amount",
+) -> DataFrame:
+    """RFM segmentation (Hughes' classic recency/frequency/monetary
+    scoring — the standard customer-value grid next to funnel and
+    cohort views): per user, days since last activity as of `asof`,
+    activity count, and exact monetary cents, each scored 1..4 by
+    which exact quartile thresholds the value clears (4 best).
+
+    Scores are THRESHOLD-based, not ntile-based, deliberately:
+    ntile(4) needs a total order over ALL users in one window
+    partition — the corpus-window trap — while thresholds come from
+    weighted_quantiles over the per-user AGGREGATE's distinct-value
+    table (recency: bounded by the activity horizon in days;
+    frequency: bounded by max per-user count; monetary: bucketed to
+    whole dollars for the threshold computation, bounding distinct
+    values by the amount range), all nine boundaries from ONE melted
+    quantile pass pivoted into a single 1-row broadcast frame, and
+    scoring is then a map-side comparison. Threshold semantics: a value must STRICTLY clear a
+    boundary to score above it (recency lower = better, the
+    comparisons invert), so boundary ties score conservatively and
+    the whole grid replays bit-for-bit in SQL.
+
+    Returns (user_col, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score, segment) — segment is the 'rfm'
+    digit string ('444' = best).
+
+    Scale shape: ONE per-user aggregation (corpus-sized input, user-
+    sized output), three bounded quantile picks, three 1-row
+    broadcast threshold frames, then map-side scoring. No corpus
+    window, no join bigger than user-sized x 1 row."""
+    from kspp_spark.functions.timeseries import weighted_quantiles
+
+    per_user = df.groupBy(user_col).agg(
+        F.datediff(
+            F.lit(asof).cast("date"),
+            F.max(F.col(ts_col).cast("timestamp").cast("date")),
+        ).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.floor(F.col(amount_col) * 100).cast("long")
+        ).alias("monetary_cents"),
+    ).withColumn(
+        "_mon_dollars", F.expr("monetary_cents DIV 100")
+    )
+
+    # ONE melted quantile pass for all nine thresholds (three metrics
+    # x three quartile boundaries): Catalyst does not reuse exchanges
+    # across aliased branches (the round-11 ppjoin lesson), so three
+    # separate weighted_quantiles calls would re-aggregate the orders
+    # corpus three extra times; the melt costs one explode over the
+    # user-sized aggregate instead.
+    melt = per_user.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").alias("v"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"),
+                    F.col("frequency").alias("v"),
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"),
+                    F.col("_mon_dollars").alias("v"),
+                ),
+            )
+        ).alias("_mv")
+    ).select(F.col("_mv.metric").alias("metric"), F.col("_mv.v").alias("v"))
+    q = weighted_quantiles(
+        melt, "v", None, ("metric",), qs_permille=(250, 500, 750)
+    )
+    thr = q.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("metric") == met)
+                    & (F.col("q_permille") == p),
+                    F.col("value"),
+                )
+            ).alias(f"_{met}{p}")
+            for met in ("r", "f", "m")
+            for p in (250, 500, 750)
+        ]
+    )
+    scored = per_user.crossJoin(F.broadcast(thr))
+    one = F.lit(1).cast("int")
+
+    def up(v, p, invert=False):
+        # ascending metrics (frequency, monetary) must STRICTLY
+        # exceed a boundary; the descending metric (recency) clears
+        # at-or-below it — the mirrored reading of the same lower-
+        # quantile boundaries, so an exact quartile population splits
+        # 4/3/2/1 on both orientations (a strict < for recency would
+        # deny the minimum-recency user the top score whenever it IS
+        # the q250 boundary)
+        c = (F.col(v) <= F.col(p)) if invert else (F.col(v) > F.col(p))
+        return F.when(c, one).otherwise(F.lit(0).cast("int"))
+
+    r = one + up("recency_days", "_r250", True) + up(
+        "recency_days", "_r500", True
+    ) + up("recency_days", "_r750", True)
+    f = one + up("frequency", "_f250") + up("frequency", "_f500") + up(
+        "frequency", "_f750"
+    )
+    m = one + up("_mon_dollars", "_m250") + up("_mon_dollars", "_m500") + up(
+        "_mon_dollars", "_m750"
+    )
+    return scored.select(
+        F.col(user_col),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("segment"),
+    )
+
+
+def attribution(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Multi-touch attribution — first-touch, last-touch and linear
+    credit per channel, the marketing-analytics canon: each
+    conversion credits the touch events since the user's previous
+    conversion (its attribution window). Credits are EXACT integer
+    parts-per-million of one conversion: first/last give the full
+    1e6 to one touch; linear gives each of n touches 1e6 DIV n with
+    the remainder assigned to the LAST touch, so every conversion's
+    credit sums to exactly 1_000_000 and the totals replay in SQL
+    (IEEE 1/n shares would not).
+
+    Window assignment: events order per user by (ts, tiebreak); a
+    touch belongs to window w = number of conversions strictly
+    before it; window w attributes to conversion w+1 and is DROPPED
+    if the user never converts again (trailing touches earn
+    nothing). Ties between a touch and a conversion at the same
+    (ts, tiebreak)... the tiebreak column must order them; pass one
+    (e.g. event_id) whenever timestamps can collide.
+
+    Returns (model, channel, credit_ppm, n_touches): one row per
+    attribution model x touch channel; credit_ppm sums to
+    1e6 x attributed conversions per model.
+
+    Scale shape: the per-user ordering window (user-history-bounded,
+    the sessionize contract), then per-(user, window) aggregations —
+    min_by/max_by pick first/last channels without re-sorting — and
+    a final channels x models-sized aggregation. No corpus window,
+    no join beyond the per-window frames."""
+    if not touch_types:
+        raise ValueError("attribution: touch_types must be non-empty")
+    if conversion_type in touch_types:
+        raise ValueError(
+            "attribution: conversion_type cannot also be a touch type"
+        )
+    tb = (
+        F.col(tiebreak)
+        if tiebreak is not None
+        else F.lit(0).cast("long")
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    evs = df.where(
+        F.col(type_col).isin(*touch_types, conversion_type)
+    ).select(
+        F.col(user_col).alias("_u"),
+        us.alias("_t"),
+        tb.alias("_tb"),
+        F.col(type_col).alias("_ch"),
+        (F.col(type_col) == conversion_type).alias("_conv"),
+    )
+    w = W.partitionBy("_u").orderBy("_t", "_tb")
+    marked = evs.select(
+        "*",
+        F.sum(F.when(F.col("_conv"), 1).otherwise(0))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("_cum"),
+    )
+    # a touch's window = conversions strictly before it; a
+    # conversion's own _cum includes itself
+    touches = marked.where(~F.col("_conv")).select(
+        "_u", "_t", "_tb", "_ch", F.col("_cum").alias("_win")
+    )
+    n_conv = marked.where(F.col("_conv")).groupBy("_u").agg(
+        F.max("_cum").alias("_nconv")
+    )
+    # keep only windows that end in a conversion
+    attributed = touches.join(n_conv, "_u").where(
+        F.col("_win") < F.col("_nconv")
+    )
+    per_chan = attributed.groupBy("_u", "_win", "_ch").agg(
+        F.count(F.lit(1)).alias("_nc")
+    )
+    per_win = attributed.groupBy("_u", "_win").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min_by("_ch", F.struct("_t", "_tb")).alias("_first"),
+        F.max_by("_ch", F.struct("_t", "_tb")).alias("_last"),
+    )
+    jo = per_chan.join(per_win, ["_u", "_win"])
+    share = F.expr("1000000 DIV _n")
+    rem = F.lit(1_000_000) - share * F.col("_n")
+    linear = (
+        (F.col("_nc") * share)
+        + F.when(F.col("_ch") == F.col("_last"), rem).otherwise(F.lit(0))
+    )
+    first_c = F.when(
+        F.col("_ch") == F.col("_first"), F.lit(1_000_000)
+    ).otherwise(F.lit(0))
+    last_c = F.when(
+        F.col("_ch") == F.col("_last"), F.lit(1_000_000)
+    ).otherwise(F.lit(0))
+    melted = jo.select(
+        "_ch",
+        "_nc",
+        F.explode(
+            F.array(
+                F.struct(F.lit("first_touch").alias("model"), first_c.cast("long").alias("credit")),
+                F.struct(F.lit("last_touch").alias("model"), last_c.cast("long").alias("credit")),
+                F.struct(F.lit("linear").alias("model"), linear.cast("long").alias("credit")),
+            )
+        ).alias("_mc"),
+    )
+    return melted.groupBy(
+        F.col("_mc.model").alias("model"), F.col("_ch").alias("channel")
+    ).agg(
+        F.sum("_mc.credit").cast("long").alias("credit_ppm"),
+        F.sum("_nc").cast("long").alias("n_touches"),
+    )

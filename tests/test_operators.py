@@ -4799,3 +4799,140 @@ def test_event_pattern_spans_count_matches_event_pattern(spark):
         if r["n_matches"] > 0
     }
     assert n_spans == n_matches and len(n_spans) > 0
+
+
+def test_rfm_segments_exact_small(spark):
+    """Four users with distinct metric profiles score onto the exact
+    quartile thresholds (strict-clear semantics: a value AT a
+    boundary scores conservatively)."""
+    from kspp_spark.functions.sessions import rfm_segments
+
+    rows = [
+        # u1: 1 old cheap order; u2: 2 mid; u3: 3 recent; u4: 4 rich recent
+        ("u1", "1998-01-01", 10.0),
+        ("u2", "1998-06-01", 50.0),
+        ("u2", "1998-06-02", 50.0),
+        ("u3", "1998-12-01", 200.0),
+        ("u3", "1998-12-02", 200.0),
+        ("u3", "1998-12-03", 200.0),
+        ("u4", "1998-12-30", 1000.0),
+        ("u4", "1998-12-29", 1000.0),
+        ("u4", "1998-12-28", 1000.0),
+        ("u4", "1998-12-27", 1000.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string, amount double")
+    got = {
+        r["user_id"]: (
+            r["recency_days"], r["frequency"], r["monetary_cents"],
+            r["segment"],
+        )
+        for r in rfm_segments(df, asof="1998-12-31", ts_col="ts",
+                              amount_col="amount").collect()
+    }
+    assert got["u1"][0] == 364 and got["u1"][1] == 1
+    assert got["u1"][2] == 1000
+    assert got["u4"][0] == 1 and got["u4"][1] == 4
+    assert got["u4"][2] == 400000
+    # an exact quartile population splits 4/3/2/1 on every axis:
+    # recency clears at-or-below its boundaries (minimum-recency IS
+    # the q250 boundary here), frequency/monetary strictly exceed
+    assert got["u4"][3] == "444" and got["u1"][3] == "111"
+    assert got["u2"][3] == "222" and got["u3"][3] == "333"
+
+
+def test_attribution_exact_credits(spark):
+    """One user, two conversion windows: credits are exact ppm, the
+    linear remainder lands on the last touch, trailing touches after
+    the final conversion earn nothing."""
+    from kspp_spark.functions.sessions import attribution
+
+    rows = [
+        ("u", "2024-01-01 00:00:00", "view", 1),
+        ("u", "2024-01-01 00:01:00", "click", 2),
+        ("u", "2024-01-01 00:02:00", "signup", 3),
+        ("u", "2024-01-01 00:03:00", "purchase", 4),   # window 0: v,c,s
+        ("u", "2024-01-01 00:04:00", "click", 5),
+        ("u", "2024-01-01 00:05:00", "purchase", 6),   # window 1: c
+        ("u", "2024-01-01 00:06:00", "view", 7),       # trailing -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts string, event_type string, event_id long"
+    )
+    got = {
+        (r["model"], r["channel"]): (r["credit_ppm"], r["n_touches"])
+        for r in attribution(
+            df, ["view", "click", "signup"], "purchase", tiebreak="event_id"
+        ).collect()
+    }
+    # window 0: first=view last=signup n=3 -> linear 333333 each + rem 1 to signup
+    # window 1: only click -> all models give click 1e6
+    assert got[("first_touch", "view")] == (1_000_000, 1)
+    assert got[("first_touch", "click")] == (1_000_000, 2)
+    assert got[("last_touch", "signup")] == (1_000_000, 1)
+    assert got[("last_touch", "click")] == (1_000_000, 2)
+    assert got[("linear", "view")] == (333_333, 1)
+    assert got[("linear", "signup")] == (333_334, 1)
+    assert got[("linear", "click")] == (333_333 + 1_000_000, 2)
+    # per-model totals = 1e6 x 2 conversions exactly
+    for model in ("first_touch", "last_touch", "linear"):
+        assert sum(v[0] for (m, _), v in got.items() if m == model) == 2_000_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        attribution(df, [], "purchase")
+    with _pytest.raises(ValueError):
+        attribution(df, ["view", "purchase"], "purchase")
+
+
+def test_referential_integrity_orphans_and_nulls(spark):
+    """Orphan rows/keys counted exactly; NULL fks reported separately,
+    never as orphans; clean relation yields zero ppm."""
+    from kspp_spark.functions.pipeline import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (98,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = referential_integrity(child, parent, "fk", "pk", "t").collect()[0]
+    assert r["relation"] == "t"
+    assert r["n_child"] == 6 and r["n_null_fk"] == 1
+    assert r["n_orphan_rows"] == 3 and r["n_orphan_keys"] == 2
+    assert r["orphan_ppm"] == 500_000
+    clean = referential_integrity(
+        child.where("fk < 3"), parent, "fk", "pk"
+    ).collect()[0]
+    assert clean["n_orphan_rows"] == 0 and clean["orphan_ppm"] == 0
+
+
+def test_correlation_matrix_exact(spark):
+    """Perfect positive / negative correlations come out as exactly
+    1.0 / -1.0 from the integer moments; a zero-variance column
+    yields NULL r, not a divide-by-zero; NULL rows are listwise-
+    dropped so every pair sees the same n."""
+    from kspp_spark.functions.pipeline import correlation_matrix
+    import pytest as _pytest
+
+    rows = [
+        (1, 2, -1, 7),
+        (2, 4, -2, 7),
+        (3, 6, -3, 7),
+        (4, 8, -4, 7),
+        (None, 1, 1, 1),  # dropped listwise
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    got = {
+        (r["col_x"], r["col_y"]): (r["n"], r["r"])
+        for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert all(v[0] == 4 for v in got.values())
+    # IEEE: sqrt(varx)*sqrt(vary) is one ulp off the exact product,
+    # so perfect correlation lands within 1 ulp of +/-1 — the oracle
+    # replays the identical expression tree, so grading is bit-exact
+    # even though the value isn't the mathematical +/-1.0
+    assert abs(got[("a", "b")][1] - 1.0) < 1e-14
+    assert abs(got[("a", "c")][1] + 1.0) < 1e-14
+    assert got[("a", "d")][1] is None  # d constant -> zero variance
+    with _pytest.raises(ValueError):
+        correlation_matrix(df, ["a"])
+    with _pytest.raises(ValueError):
+        correlation_matrix(df, ["a", "a"])

@@ -1261,3 +1261,44 @@ def test_event_pattern_spans_single_pack_no_python(spark, queries):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "ObjectHashAggregate" in plan
+
+
+def test_rfm_segments_no_corpus_window(spark, queries):
+    """RFM scores come from threshold comparisons against ONE 1-row
+    broadcast frame — the quantile windows run over the melted
+    per-user AGGREGATE's distinct-value table, and no ntile/window
+    touches the raw orders. No Python, no cartesian beyond the 1-row
+    broadcast."""
+    plan = formatted_plan(spark, queries["rfm_segments"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "ntile" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row thresholds frame
+    assert "HashAggregate" in plan
+
+
+def test_attribution_user_window_only(spark, queries):
+    """attribution's only window partitions by user (history-bounded);
+    credit math is integer expressions; no Python."""
+    plan = formatted_plan(spark, queries["attribution"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_referential_integrity_anti_joins(spark, queries):
+    """Each relation check is a left_anti join + bounded aggs — no
+    corpus window, no Python."""
+    plan = formatted_plan(spark, queries["referential_integrity"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "LeftAnti" in plan
+    assert "Window" not in plan
+
+
+def test_correlation_matrix_single_agg(spark, queries):
+    """All moments come from ONE aggregation over the cleaned frame;
+    the pair projections read the 1-row moment frame. No window, no
+    Python, no join beyond the union of 1-row projections."""
+    plan = formatted_plan(spark, queries["correlation_matrix"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan

@@ -51,9 +51,13 @@ def test_registry_round12_window():
     here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — must lead the window
-    assert window[:2] == [
+    assert window[:6] == [
         "funnel_latency",
         "event_pattern_spans",
+        "rfm_segments",
+        "attribution",
+        "referential_integrity",
+        "correlation_matrix",
     ]
     must_grade = {
         # SURVEY 2 core re-cert band (kept per VERDICT r11 item #2)
@@ -63,6 +67,11 @@ def test_registry_round12_window():
         "windowed_sum_by_type", "session_windows", "windowed_ktable",
         # round-12 changed-code regrades
         "benford",          # string-rendered digit extraction (ADVICE r11)
+        "category_drift",   # shared-counts refactor (streaming twins)
+        "numeric_drift",
+        "dup_clusters",     # CC rewrite attempted+reverted: safety re-cert
+        "dup_clusters_fixed",
+        "cluster_reps",
     }
     missing = must_grade - set(window)
     assert not missing, f"round-12 must-grade queries not in window: {missing}"
