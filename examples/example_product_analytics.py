@@ -9,17 +9,29 @@ C++ processors — here each is one declarative operator:
                         (per-key OLS from five exact integer sums)
   what's anomalous?     rolling_outliers (|x-mean| > 2sd as pure
                         int64 cross-multiplication — no floats)
+  how far do they get?  funnel_latency (time-to-convert quantiles
+                        per stage over the bounded bucket aggregate)
+  who's worth keeping?  rfm_segments (quartile threshold grid, no
+                        corpus-window ntile)
+  which channel earns?  attribution (first/last/linear credit as
+                        exact integer ppm)
 
 Everything is integer-exact (epoch micros, cents, num/den pairs), so
 the same computations run as graded, hash-certified driver queries
 (session_ids, cohort_retention, gap_fill_locf, daily_trend,
-rolling_outliers)."""
+rolling_outliers, funnel_latency, rfm_segments, attribution)."""
 
 import os
 
 from pyspark.sql import functions as F
 
-from kspp_spark.functions.sessions import cohort_retention, session_stats
+from kspp_spark.functions.sessions import (
+    attribution,
+    cohort_retention,
+    funnel_latency,
+    rfm_segments,
+    session_stats,
+)
 from kspp_spark.functions.timeseries import (
     fill_gaps_locf,
     linear_trend,
@@ -69,6 +81,24 @@ def main() -> None:
     flagged = rolling_outliers(daily, "event_type", "d", "cents")
     print("=== anomalous days (2 sigma vs trailing week) ===")
     flagged.where(F.col("is_outlier") == 1).orderBy("d").show(10)
+
+    # -- round-12 tier: conversion speed, value grid, channel credit --
+    print("=== time-to-convert quantiles per funnel stage ===")
+    funnel_latency(
+        ev, ["view", "click", "purchase"],
+        qs_permille=(500, 900), bucket="1 minute", horizon="48 hours",
+    ).orderBy("stage", "q_permille").show()
+
+    print("=== RFM segments (top value customers) ===")
+    rfm_segments(
+        ev.where(F.col("event_type") == "purchase"),
+        asof="2024-03-01", amount_col="value",
+    ).orderBy(F.desc("segment")).show(5)
+
+    print("=== channel credit per attribution model ===")
+    attribution(
+        ev, ["view", "click", "signup"], "purchase", tiebreak="event_id"
+    ).orderBy("model", "channel").show()
 
     spark.stop()
 

@@ -112,6 +112,18 @@ def _replicate(table: str, i: int, strides: dict[str, int]) -> pa.Table:
         if grp is not None and i > 0:
             col = pc.add(col, i * strides[grp])
         cols[name] = col
+    if table == "customer" and i > 0:
+        # replica-tag names with a DOUBLED letter: any two tags (and
+        # tag vs no-tag) differ by >= 2 edits, so replication creates
+        # no artificial cross-replica distance-1 name pairs, while
+        # within-replica pairwise edit distances are exactly sf0.1's
+        # — typo_pairs' distinct-name workload scales linearly
+        tag = chr(ord("a") + (i - 1) % 26) * 2
+        names = cols["c_name"].to_pylist()
+        cols["c_name"] = pa.array(
+            [n + tag if n is not None else None for n in names],
+            type=pa.string(),
+        )
     if table == "documents" and i > 0:
         texts = cols["text"].to_pylist()
         new_texts = [
