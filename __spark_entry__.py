@@ -2601,6 +2601,67 @@ def q_correlation_matrix(spark, sf_dir):
     )
 
 
+def q_ewma_smooth(spark, sf_dir):
+    """EWMA smoothing of the daily spend series per event type
+    (functions/timeseries.ewma — round 12): alpha=0.3 over the last
+    8 points, the monitoring smoother. The truncated, renormalized
+    form is what makes it gradable: weights are Python double
+    literals and the sum is ONE fixed-order expression over lag()
+    columns, so the smoothed values replay bit-for-bit in DuckDB
+    (the textbook recursion would accumulate engine-specific
+    rounding). One per-key window pass, no joins."""
+    from kspp_spark.functions.timeseries import ewma
+
+    out = ewma(
+        _daily_cents(spark, sf_dir, sparse=False),
+        ("event_type",),
+        "d",
+        "cents",
+        alpha=0.3,
+        window=8,
+    )
+    return out.withColumn("d", F.date_format("d", "yyyy-MM-dd"))
+
+
+def q_cusum_alarms(spark, sf_dir):
+    """Two-sided CUSUM changepoint monitor on daily spend
+    (functions/timeseries.cusum_changepoints — round 12, Page 1954):
+    integer-exact via the reflection identity S_t = C_t - min(0,
+    running_min(C)) — cumsum + running min replace the
+    non-window-expressible recursion, so the alarm statistic is pure
+    int64 and hash-replays. Target self-calibrates to the per-key
+    integer mean; slack 500 cents, alarm threshold 50_000 cents of
+    accumulated drift."""
+    from kspp_spark.functions.timeseries import cusum_changepoints
+
+    out = cusum_changepoints(
+        _daily_cents(spark, sf_dir, sparse=False),
+        ("event_type",),
+        "d",
+        "cents",
+        slack=500,
+        threshold=50_000,
+    )
+    return out.withColumn("d", F.date_format("d", "yyyy-MM-dd"))
+
+
+def q_acf_daily(spark, sf_dir):
+    """Sample autocorrelation at lags 1..7 of daily spend per event
+    type (functions/timeseries.acf_lags — round 12): the seasonality
+    screen. Lag pairs from ONE window pass, then the
+    correlation_matrix recipe — exact DECIMAL(38,0) moments, r as an
+    order-fixed double — so all 7x|keys| correlations hash-replay."""
+    from kspp_spark.functions.timeseries import acf_lags
+
+    return acf_lags(
+        _daily_cents(spark, sf_dir, sparse=False),
+        ("event_type",),
+        "d",
+        "cents",
+        max_lag=7,
+    )
+
+
 def q_weighted_median(spark, sf_dir):
     """Exact weighted quantiles (functions/timeseries.
     weighted_quantiles — round 11): p50/p90/p99 of lineitem price in
@@ -4565,6 +4626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "referential_integrity": q_referential_integrity,
         "correlation_matrix": q_correlation_matrix,
+        "ewma_smooth": q_ewma_smooth,
+        "cusum_alarms": q_cusum_alarms,
+        "acf_daily": q_acf_daily,
         # -- round-11 additions (re-cert band) --
         "heavy_hitters_production": q_heavy_hitters_production,
         "range_bucket_join": q_range_bucket_join,
@@ -8503,6 +8567,110 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n AS DOUBLE)
                    END AS intercept
             FROM agg
+        """
+    # EWMA weights: the SAME Python doubles the Spark side embeds as
+    # literals (repr round-trips, so both engines parse the same bits)
+    _EWMA_W = [0.3 * 0.7**k for k in range(8)]
+    # weights CAST to DOUBLE explicitly: DuckDB parses bare numeric
+    # literals as DECIMAL, and a decimal accumulation chain rounds
+    # differently from the double chain Spark evaluates (measured: the
+    # denominator came back DECIMAL(0.942351989999999874) and shifted
+    # the quotient one ulp)
+    _ewma_num = "CAST(0.0 AS DOUBLE)" + "".join(
+        f" + CASE WHEN {('cents' if k == 0 else f'l{k}')} IS NOT NULL"
+        f" THEN CAST({w!r} AS DOUBLE)"
+        f" * CAST({('cents' if k == 0 else f'l{k}')} AS DOUBLE)"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    _ewma_den = "CAST(0.0 AS DOUBLE)" + "".join(
+        f" + CASE WHEN {('cents' if k == 0 else f'l{k}')} IS NOT NULL"
+        f" THEN CAST({w!r} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        for k, w in enumerate(_EWMA_W)
+    )
+    oracles["ewma_smooth"] = f"""
+            WITH daily AS ({_DAILY.format(where="")}),
+            lagd AS (
+                SELECT event_type, d, cents,
+                       {", ".join(f"LAG(cents, {k}) OVER w AS l{k}" for k in range(1, 8))}
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY d)
+            )
+            SELECT event_type, strftime(d, '%Y-%m-%d') AS d, cents,
+                   CASE WHEN ({_ewma_den}) > 0.0
+                        THEN ({_ewma_num}) / ({_ewma_den}) END AS ewma
+            FROM lagd
+        """
+    oracles["cusum_alarms"] = f"""
+            WITH daily AS ({_DAILY.format(where="")}),
+            t AS (
+                SELECT event_type, SUM(cents) // COUNT(*) AS tgt
+                FROM daily GROUP BY 1
+            ),
+            c AS (
+                SELECT daily.event_type, d, cents,
+                       SUM(cents - tgt - 500) OVER w AS cp,
+                       SUM(tgt - 500 - cents) OVER w AS cn
+                FROM daily JOIN t ON daily.event_type = t.event_type
+                WINDOW w AS (PARTITION BY daily.event_type ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            s AS (
+                SELECT event_type, d, cents,
+                       cp - LEAST(0, MIN(cp) OVER w) AS s_pos,
+                       cn - LEAST(0, MIN(cn) OVER w) AS s_neg
+                FROM c
+                WINDOW w AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_type, strftime(d, '%Y-%m-%d') AS d, cents,
+                   CAST(s_pos AS BIGINT) AS s_pos,
+                   CAST(s_neg AS BIGINT) AS s_neg,
+                   (s_pos > 50000 OR s_neg > 50000) AS alarm
+            FROM s
+        """
+    _ACF_MELT = "\n                UNION ALL\n".join(
+        f"""                SELECT event_type, {k} AS lag, cents AS x,
+                       LAG(cents, {k}) OVER (PARTITION BY event_type
+                           ORDER BY d) AS y
+                FROM daily"""
+        for k in range(1, 8)
+    )
+    oracles["acf_daily"] = f"""
+            WITH daily AS ({_DAILY.format(where="")}),
+            pairs AS (
+{_ACF_MELT}
+            ),
+            keep AS (
+                SELECT * FROM pairs
+                WHERE y IS NOT NULL AND x IS NOT NULL
+            ),
+            mom AS (
+                SELECT event_type, lag, COUNT(*) AS n,
+                       SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                       SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                       SUM(CAST(x AS DECIMAL(38,0))
+                           * CAST(y AS DECIMAL(38,0))) AS sxy,
+                       SUM(CAST(x AS DECIMAL(38,0))
+                           * CAST(x AS DECIMAL(38,0))) AS sxx,
+                       SUM(CAST(y AS DECIMAL(38,0))
+                           * CAST(y AS DECIMAL(38,0))) AS syy
+                FROM keep GROUP BY 1, 2
+            )
+            SELECT event_type, CAST(lag AS INTEGER) AS lag,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                   THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   END AS r
+            FROM mom
         """
     oracles["rolling_outliers"] = f"""
             WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),

@@ -243,6 +243,9 @@ BENCH_QUERIES = [
     "attribution",
     "referential_integrity",
     "correlation_matrix",
+    "ewma_smooth",
+    "cusum_alarms",
+    "acf_daily",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

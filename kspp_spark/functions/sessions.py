@@ -1035,20 +1035,68 @@ def rfm_segments(
     sized output), three bounded quantile picks, three 1-row
     broadcast threshold frames, then map-side scoring. No corpus
     window, no join bigger than user-sized x 1 row."""
-    from kspp_spark.functions.timeseries import weighted_quantiles
+    return rfm_emit(
+        _rfm_aggregate(df, user_col, ts_col, amount_col), asof, user_col
+    )
 
-    per_user = df.groupBy(user_col).agg(
-        F.datediff(
-            F.lit(asof).cast("date"),
-            F.max(F.col(ts_col).cast("timestamp").cast("date")),
-        ).cast("long").alias("recency_days"),
+
+def _rfm_aggregate(
+    df: DataFrame, user_col: str, ts_col: str, amount_col: str
+) -> DataFrame:
+    """The corpus-sized half of RFM: per user (last activity date,
+    count, exact cents) — max/count/sum are all commutative, so this
+    one aggregation IS the streaming form's state (the
+    k_anonymity_stream/cms_stream fold contract)."""
+    return df.groupBy(user_col).agg(
+        F.max(F.col(ts_col).cast("timestamp").cast("date")).alias(
+            "last_date"
+        ),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(
             F.floor(F.col(amount_col) * 100).cast("long")
         ).alias("monetary_cents"),
-    ).withColumn(
-        "_mon_dollars", F.expr("monetary_cents DIV 100")
     )
+
+
+def rfm_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "amount",
+) -> DataFrame:
+    """Streaming RFM, live side: the per-user (last_date, frequency,
+    monetary_cents) aggregation over an unbounded input — state is
+    one fixed-width row per user, maintained by commutative
+    max/count/sum, so trigger boundaries are invisible. Run in
+    update/complete mode; finalize per trigger with rfm_emit(counts,
+    asof=today) inside foreachBatch (the quartile thresholds need
+    the full user population, which complete mode provides and
+    Structured Streaming's no-join-after-aggregation rule pushes
+    into batch-land — the categorical_drift_stream pattern). Exactly
+    equal to rfm_segments over the concatenated batches — asserted
+    by tests/test_streaming.py — because rfm_emit IS the batch
+    form's second half."""
+    return _rfm_aggregate(stream, user_col, ts_col, amount_col)
+
+
+def rfm_emit(
+    per_user: DataFrame, asof: str, user_col: str = "user_id"
+) -> DataFrame:
+    """Scoring half of RFM over the (user, last_date, frequency,
+    monetary_cents) aggregate: recency as of `asof`, the single
+    melted quantile pass for all nine thresholds, map-side scores.
+    Shared verbatim by rfm_segments and the per-trigger streaming
+    finalize, so batch and stream cannot diverge."""
+    from kspp_spark.functions.timeseries import weighted_quantiles
+
+    per_user = per_user.select(
+        F.col(user_col),
+        F.datediff(F.lit(asof).cast("date"), F.col("last_date"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    ).withColumn("_mon_dollars", F.expr("monetary_cents DIV 100"))
 
     # ONE melted quantile pass for all nine thresholds (three metrics
     # x three quartile boundaries): Catalyst does not reuse exchanges

@@ -288,3 +288,208 @@ def weighted_quantiles(
         )
         .select(*g, "q_permille", "value", "total_weight")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    window: int = 8,
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the classic
+    smoother a monitoring pipeline runs before thresholding. The
+    textbook recursion s_t = a*x_t + (1-a)*s_{t-1} is equivalent to
+    an exponentially-weighted sum over ALL history; this form
+    truncates it to the last `window` points and renormalizes over
+    the weights actually present:
+
+        ewma_t = sum_k w_k * x_{t-k} / sum_k w_k   (k = 0..window-1,
+                 w_k = a*(1-a)^k, missing lags skipped)
+
+    The truncation is what makes it ENGINE-PORTABLE and bounded: the
+    weights enter as Python-computed double literals and the sum is
+    ONE fixed-order expression over `window` lag() columns, so the
+    value replays bit-for-bit in the SQL oracle (a recursive form
+    would accumulate engine-specific rounding); the dropped tail
+    carries weight (1-a)^window (~6% at the defaults) and shrinks
+    geometrically. Output: input keys + order + value + ewma.
+
+    Scale shape: ONE per-key window pass (the lag chain shares one
+    sort), no joins, no self-reference — series-per-key bounded like
+    every window op here."""
+    if not 0 < alpha < 1:
+        raise ValueError("ewma: alpha must be in (0, 1)")
+    if window < 1:
+        raise ValueError("ewma: window must be >= 1")
+    g = list(key_cols)
+    w = W.partitionBy(*g).orderBy(order_col)
+    x = F.col(value_col).cast("double")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(window):
+        wk = alpha * (1 - alpha) ** k
+        xk = x if k == 0 else F.lag(x, k).over(w)
+        num = num + F.when(xk.isNotNull(), F.lit(wk) * xk).otherwise(
+            F.lit(0.0)
+        )
+        den = den + F.when(xk.isNotNull(), F.lit(wk)).otherwise(
+            F.lit(0.0)
+        )
+    # den == 0 (value and every lag NULL) -> NULL, not a 0/0 NaN
+    return df.select(
+        *g,
+        order_col,
+        value_col,
+        F.when(den > F.lit(0.0), num / den).alias("ewma"),
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    value_col: str,
+    slack: int = 0,
+    threshold: int = 0,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint statistic per key (Page 1954) —
+    integer-exact via the reflection identity. The textbook
+    recursion S+_t = max(0, S+_{t-1} + (x_t - target - slack)) is
+    not window-expressible, but its closed form is:
+
+        S+_t = C_t - min(0, min_{j<=t} C_j),  C = cumsum(x - target
+                                                         - slack)
+
+    (and mirrored with y = target - slack - x for the low side) — so
+    the whole statistic is two window passes of integer cumsum +
+    running min, no recursion, no floats, bit-replayable in SQL.
+    `target` is the per-key integer mean sum(x) DIV n (exact), so
+    the monitor is self-calibrating; values must be integer-scaled
+    (cents — the repo-wide contract). alarm = either side above
+    `threshold`.
+
+    Returns input keys + order + value + (s_pos, s_neg BIGINT,
+    alarm BOOLEAN).
+
+    Scale shape: one bounded per-key aggregate for the target
+    (broadcast back by key join), then ONE per-key ordered window
+    pass computing both cumsums and running mins — series-per-key
+    bounded."""
+    if slack < 0 or threshold < 0:
+        raise ValueError("cusum_changepoints: slack/threshold >= 0")
+    g = list(key_cols)
+    x = F.col(value_col).cast("long")
+    tgt = df.groupBy(*g).agg(
+        F.expr(f"sum(cast({value_col} as bigint)) DIV count(1)").alias(
+            "_tgt"
+        )
+    )
+    j = df.join(tgt, g) if g else df.crossJoin(F.broadcast(tgt))
+    w = (
+        W.partitionBy(*g).orderBy(order_col)
+        if g
+        else W.partitionBy().orderBy(order_col)
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    y_pos = x - F.col("_tgt") - F.lit(slack)
+    y_neg = F.col("_tgt") - F.lit(slack) - x
+    # two selects: a window function cannot nest inside another, so
+    # the cumsums materialize as columns before the running mins
+    cum = j.select(
+        *g,
+        order_col,
+        value_col,
+        F.sum(y_pos).over(w).alias("_cp"),
+        F.sum(y_neg).over(w).alias("_cn"),
+    )
+    s_pos = F.col("_cp") - F.least(
+        F.lit(0).cast("long"), F.min("_cp").over(w)
+    )
+    s_neg = F.col("_cn") - F.least(
+        F.lit(0).cast("long"), F.min("_cn").over(w)
+    )
+    return cum.select(
+        *g,
+        order_col,
+        value_col,
+        s_pos.cast("long").alias("s_pos"),
+        s_neg.cast("long").alias("s_neg"),
+        (
+            (s_pos > F.lit(threshold)) | (s_neg > F.lit(threshold))
+        ).alias("alarm"),
+    )
+
+
+def acf_lags(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation at lags 1..max_lag per key — the
+    seasonality screen (a weekly cycle shows as a spike at lag 7).
+    Computed as the exact Pearson r over the (x_t, x_{t-k}) pairs of
+    each lag: lag columns from ONE window pass, one melt, then the
+    correlation_matrix recipe — moments summed exactly in
+    DECIMAL(38,0), r as one order-fixed double over them, so every
+    value hash-replays in SQL. Values must be integer-scaled
+    (cents). Pairs where either side is NULL (series head) are
+    excluded per lag, the standard sample-ACF convention.
+
+    Returns (key_cols..., lag, n, r) — r NULL when a side has zero
+    variance or n < 2.
+
+    Scale shape: one per-key window pass + one (key, lag) bounded
+    aggregation; output |keys| x max_lag rows."""
+    if max_lag < 1:
+        raise ValueError("acf_lags: max_lag must be >= 1")
+    g = list(key_cols)
+    w = W.partitionBy(*g).orderBy(order_col)
+    x = F.col(value_col).cast("long")
+    lagged = df.select(
+        *g,
+        x.alias("_x"),
+        *[F.lag(x, k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    melted = lagged.select(
+        *g,
+        "_x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"), F.col(f"_l{k}").alias("_y")
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("_kv"),
+    ).select(
+        *g, F.col("_kv.lag").alias("lag"), "_x", F.col("_kv._y").alias("_y")
+    ).where(F.col("_y").isNotNull() & F.col("_x").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    mom = melted.groupBy(*g, "lag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec("_x")).alias("_sx"),
+        F.sum(dec("_y")).alias("_sy"),
+        F.sum(dec("_x") * dec("_y")).alias("_sxy"),
+        F.sum(dec("_x") * dec("_x")).alias("_sxx"),
+        F.sum(dec("_y") * dec("_y")).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    r = (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+    return mom.select(
+        *g,
+        "lag",
+        F.col("_n").cast("long").alias("n"),
+        F.when((varx > 0) & (vary > 0), r).alias("r"),
+    )

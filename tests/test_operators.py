@@ -4936,3 +4936,89 @@ def test_correlation_matrix_exact(spark):
         correlation_matrix(df, ["a"])
     with _pytest.raises(ValueError):
         correlation_matrix(df, ["a", "a"])
+
+
+def test_ewma_matches_python_fold(spark):
+    """EWMA equals the Python left-assoc weighted sum bit-for-bit
+    (the fixed-order contract), renormalizes over present lags at
+    the series head, and yields NULL (not NaN) when value and every
+    lag are NULL."""
+    from kspp_spark.functions.timeseries import ewma
+    import pytest as _pytest
+
+    vals = [100, 200, 400, 800]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    got = {
+        r["t"]: r["ewma"]
+        for r in ewma(df, ("k",), "t", "v", alpha=0.5, window=3).collect()
+    }
+    ws = [0.5 * 0.5**k for k in range(3)]
+
+    def expect(idx):
+        num, den = 0.0, 0.0
+        for k in range(3):
+            j = idx - k
+            if j >= 0:
+                num = num + ws[k] * float(vals[j])
+                den = den + ws[k]
+        return num / den
+
+    for i in range(4):
+        assert got[i] == expect(i)
+    # head renormalization: t=0 is exactly v0
+    assert got[0] == 100.0
+    nulls = spark.createDataFrame([("k", 0, None)], "k string, t int, v long")
+    assert ewma(nulls, ("k",), "t", "v").collect()[0]["ewma"] is None
+    with _pytest.raises(ValueError):
+        ewma(df, ("k",), "t", "v", alpha=1.0)
+    with _pytest.raises(ValueError):
+        ewma(df, ("k",), "t", "v", window=0)
+
+
+def test_cusum_equals_recursion(spark):
+    """The reflection identity S_t = C_t - min(0, running_min(C))
+    equals the textbook max(0, S_{t-1} + y_t) recursion exactly, on
+    both sides, including the alarm flags."""
+    from kspp_spark.functions.timeseries import cusum_changepoints
+
+    vals = [10, 10, 10, 30, 35, 40, 10, 10, 2, 1, 10]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    slack, thr = 2, 20
+    got = {
+        r["t"]: (r["s_pos"], r["s_neg"], r["alarm"])
+        for r in cusum_changepoints(
+            df, ("k",), "t", "v", slack=slack, threshold=thr
+        ).collect()
+    }
+    tgt = sum(vals) // len(vals)
+    sp = sn = 0
+    for i, v in enumerate(vals):
+        sp = max(0, sp + (v - tgt - slack))
+        sn = max(0, sn + (tgt - slack - v))
+        assert got[i] == (sp, sn, sp > thr or sn > thr), f"t={i}"
+    assert any(a for (_, _, a) in got.values())  # scenario alarms
+
+
+def test_acf_perfect_alternation(spark):
+    """A perfectly alternating series has r = -1 at lag 1 and r = +1
+    at lag 2 (within one ulp); constant series yields NULL r."""
+    from kspp_spark.functions.timeseries import acf_lags
+
+    rows = [("k", i, 10 if i % 2 == 0 else 20) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    got = {
+        r["lag"]: r["r"]
+        for r in acf_lags(df, ("k",), "t", "v", max_lag=2).collect()
+    }
+    assert abs(got[1] + 1.0) < 1e-14
+    assert abs(got[2] - 1.0) < 1e-14
+    flat = spark.createDataFrame(
+        [("k", i, 7) for i in range(6)], "k string, t int, v long"
+    )
+    rs = {
+        r["lag"]: r["r"]
+        for r in acf_lags(flat, ("k",), "t", "v", max_lag=2).collect()
+    }
+    assert rs[1] is None and rs[2] is None

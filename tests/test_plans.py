@@ -1302,3 +1302,31 @@ def test_correlation_matrix_single_agg(spark, queries):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ewma_single_window_pass_no_python(spark, queries):
+    """The whole lag chain shares ONE per-key window sort; no joins,
+    no Python."""
+    plan = formatted_plan(spark, queries["ewma_smooth"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert plan.count("Window") <= 2  # agg + the single lag window
+
+
+def test_cusum_windows_over_daily_aggregate(spark, queries):
+    """Integer cumsum + running-min windows run over the daily
+    AGGREGATE (the per-key series), never raw events; the target is
+    a bounded per-key agg joined back."""
+    plan = formatted_plan(spark, queries["cusum_alarms"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_acf_bounded_output_no_python(spark, queries):
+    """One window pass + one (key, lag) aggregation; output is
+    |keys| x max_lag rows; no Python."""
+    plan = formatted_plan(spark, queries["acf_daily"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan

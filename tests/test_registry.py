@@ -51,13 +51,16 @@ def test_registry_round12_window():
     here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — must lead the window
-    assert window[:6] == [
+    assert window[:9] == [
         "funnel_latency",
         "event_pattern_spans",
         "rfm_segments",
         "attribution",
         "referential_integrity",
         "correlation_matrix",
+        "ewma_smooth",
+        "cusum_alarms",
+        "acf_daily",
     ]
     must_grade = {
         # SURVEY 2 core re-cert band (kept per VERDICT r11 item #2)

@@ -3577,3 +3577,88 @@ def test_numeric_drift_stream_equals_batch(spark, tmp_path):
     assert emissions[-1] == want
     # underflow/missing class present on the live side (0 and NULL)
     assert want[-1][1] == 2
+
+
+def test_rfm_stream_equals_batch(spark, tmp_path):
+    """Streaming RFM: per-user max/count/sum state + the shared
+    rfm_emit finalize per trigger equals batch rfm_segments over the
+    concatenated input — including the population-dependent quartile
+    thresholds, which is why the finalize runs in foreachBatch over
+    the complete-mode state."""
+    import time as _time
+
+    from kspp_spark.functions.sessions import (
+        rfm_emit,
+        rfm_segments,
+        rfm_stream,
+    )
+
+    schema = "user_id string, ts string, amount double"
+    b1 = [
+        ("u1", "1998-01-01", 10.0),
+        ("u2", "1998-06-01", 50.0),
+        ("u3", "1998-12-01", 200.0),
+    ]
+    b2 = [
+        ("u2", "1998-06-02", 50.0),
+        ("u3", "1998-12-02", 200.0),
+        ("u3", "1998-12-03", 200.0),
+        ("u4", "1998-12-30", 1000.0),
+    ]
+    in_dir = str(tmp_path / "rfm_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    emissions = []
+
+    def finalize(counts, _bid):
+        emissions.append(
+            {
+                r["user_id"]: (
+                    r["recency_days"], r["frequency"],
+                    r["monetary_cents"], r["segment"],
+                )
+                for r in rfm_emit(counts, asof="1998-12-31").collect()
+            }
+        )
+
+    q = (
+        rfm_stream(src)
+        .writeStream.outputMode("complete")
+        .foreachBatch(finalize)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(emissions) >= 2
+    want = {
+        r["user_id"]: (
+            r["recency_days"], r["frequency"],
+            r["monetary_cents"], r["segment"],
+        )
+        for r in rfm_segments(
+            spark.createDataFrame(b1 + b2, schema), asof="1998-12-31"
+        ).collect()
+    }
+    assert emissions[-1] == want
+    # prefix emission equals batch over b1 alone (thresholds shift
+    # with the population — the live grid really is per-trigger)
+    want1 = {
+        r["user_id"]: (
+            r["recency_days"], r["frequency"],
+            r["monetary_cents"], r["segment"],
+        )
+        for r in rfm_segments(
+            spark.createDataFrame(b1, schema), asof="1998-12-31"
+        ).collect()
+    }
+    assert emissions[0] == want1
