@@ -2662,6 +2662,37 @@ def q_acf_daily(spark, sf_dir):
     )
 
 
+def q_bfs_hops(spark, sf_dir):
+    """Bounded multi-source BFS (functions/graph.bfs_hops — round
+    12): minimum hop distance from the 5 seed nodes over a
+    DATA-STABLE synthetic directed graph derived arithmetically from
+    doc ids (node i = doc_id % 600, edge i -> (31*i + 7) % 600 plus
+    the reverse-direction echo (i*17+5)%600 -> i — pure integer
+    arithmetic, so the edge list replays closed-form in SQL, the
+    dup_clusters_fixed pattern). 4 hops: fixed iteration count, no
+    convergence probe; the oracle unrolls four min-combine levels,
+    provably equal to frontier BFS by induction."""
+    from kspp_spark.functions.graph import bfs_hops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 600).cast("long")
+    edges = docs.select(
+        a.alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 600).cast("long").alias("dst"),
+    ).unionByName(
+        docs.select(
+            ((F.col("doc_id") * 17 + 5) % 600).cast("long").alias("src"),
+            a.alias("dst"),
+        )
+    ).distinct()
+    sources = spark.range(5).select(F.col("id").alias("node"))
+    out = bfs_hops(edges, sources, max_hops=4)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 def q_weighted_median(spark, sf_dir):
     """Exact weighted quantiles (functions/timeseries.
     weighted_quantiles — round 11): p50/p90/p99 of lineitem price in
@@ -4629,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_smooth": q_ewma_smooth,
         "cusum_alarms": q_cusum_alarms,
         "acf_daily": q_acf_daily,
+        "bfs_hops": q_bfs_hops,
         # -- round-11 additions (re-cert band) --
         "heavy_hitters_production": q_heavy_hitters_production,
         "range_bucket_join": q_range_bucket_join,
@@ -8671,6 +8703,44 @@ def oracle_sql() -> dict[str, str]:
                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                    END AS r
             FROM mom
+        """
+    oracles["bfs_hops"] = """
+            WITH e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id % 600 AS src,
+                           (doc_id * 31 + 7) % 600 AS dst
+                    FROM documents
+                    UNION ALL
+                    SELECT (doc_id * 17 + 5) % 600 AS src,
+                           doc_id % 600 AS dst
+                    FROM documents
+                )
+            ),
+            l0 AS (SELECT * FROM (VALUES (0, 0), (1, 0), (2, 0),
+                                         (3, 0), (4, 0)) v(node, dist)),
+            l1 AS (SELECT node, MIN(dist) AS dist FROM (
+                SELECT * FROM l0
+                UNION ALL
+                SELECT e.dst, l0.dist + 1 FROM e JOIN l0 ON e.src = l0.node
+            ) GROUP BY 1),
+            l2 AS (SELECT node, MIN(dist) AS dist FROM (
+                SELECT * FROM l1
+                UNION ALL
+                SELECT e.dst, l1.dist + 1 FROM e JOIN l1 ON e.src = l1.node
+            ) GROUP BY 1),
+            l3 AS (SELECT node, MIN(dist) AS dist FROM (
+                SELECT * FROM l2
+                UNION ALL
+                SELECT e.dst, l2.dist + 1 FROM e JOIN l2 ON e.src = l2.node
+            ) GROUP BY 1),
+            l4 AS (SELECT node, MIN(dist) AS dist FROM (
+                SELECT * FROM l3
+                UNION ALL
+                SELECT e.dst, l3.dist + 1 FROM e JOIN l3 ON e.src = l3.node
+            ) GROUP BY 1)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(dist AS INTEGER) AS dist
+            FROM l4
         """
     oracles["rolling_outliers"] = f"""
             WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),

@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "ewma_smooth",
     "cusum_alarms",
     "acf_daily",
+    "bfs_hops",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

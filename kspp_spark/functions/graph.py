@@ -312,3 +312,57 @@ def triangle_counts(
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded multi-source BFS: minimum hop distance from any source
+    node, following DIRECTED edges, up to `max_hops` — the crawl-
+    depth / blast-radius / feature-propagation primitive (pass both
+    edge directions for an undirected reading). Returns (node, dist)
+    for every node reached within the bound; unreached nodes emit
+    nothing.
+
+    The hop bound is the CONTRACT, not a cop-out: it makes the
+    iteration count fixed and data-independent (no convergence
+    action per round), bounds wall-clock at any graph size, and is
+    what lets the result replay exactly in SQL — the oracle unrolls
+    max_hops min-combine levels, provably equal to frontier BFS by
+    induction (level k holds min(dist, k) for every node within k
+    hops). Unbounded reachability is connected_components' job.
+
+    Scale shape: max_hops rounds of (frontier equi-join edges on the
+    source key + min-combine aggregation), frontier materialized per
+    round (localCheckpoint — the chain is <= max_hops deep, far
+    under the lineage knee documented in dedup.connected_components).
+    Each round shuffles the FRONTIER adjacency, not the graph; no
+    driver-side graph state; no convergence probes."""
+    if max_hops < 0:
+        raise ValueError("bfs_hops: max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    dist = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("int"))
+        .localCheckpoint()
+    )
+    for h in range(1, max_hops + 1):
+        frontier = dist.where(F.col("dist") == h - 1)
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .withColumn("dist", F.lit(h).cast("int"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -5022,3 +5022,35 @@ def test_acf_perfect_alternation(spark):
         for r in acf_lags(flat, ("k",), "t", "v", max_lag=2).collect()
     }
     assert rs[1] is None and rs[2] is None
+
+
+def test_bfs_hops_exact_distances(spark):
+    """Frontier BFS returns exact min hop distances, respects edge
+    direction, takes the min across sources, and stops at the bound
+    (nodes beyond max_hops absent)."""
+    from kspp_spark.functions.graph import bfs_hops
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    # 0->1->2->3->4 chain, plus 10->2 shortcut, plus unreachable 99
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 2), (99, 98)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(0,), (10,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, sources, max_hops=2).collect()
+    }
+    # 2 via 10 is 1 hop (min across sources); 4 is 3 hops -> absent
+    assert got == {0: 0, 10: 0, 1: 1, 2: 1, 3: 2}
+    # direction respected: nothing reaches 99/98 from the seeds
+    assert 98 not in got and 99 not in got
+    # max_hops=0 -> sources only
+    got0 = {
+        r["node"]: r["dist"]
+        for r in bfs_hops(edges, sources, max_hops=0).collect()
+    }
+    assert got0 == {0: 0, 10: 0}
+    with _pytest.raises(ValueError):
+        bfs_hops(edges, sources, max_hops=-1)

@@ -1330,3 +1330,13 @@ def test_acf_bounded_output_no_python(spark, queries):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bfs_hops_no_python_no_cartesian(spark, queries):
+    """Each BFS round is a frontier equi-join + min-combine over
+    materialized frontiers; fixed iteration count, no Python, no
+    cartesian, no window."""
+    plan = formatted_plan(spark, queries["bfs_hops"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
