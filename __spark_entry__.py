@@ -2693,6 +2693,47 @@ def q_bfs_hops(spark, sf_dir):
     )
 
 
+def q_spearman(spark, sf_dir):
+    """Spearman rank correlation of quantity vs price per return
+    flag (functions/pipeline.spearman_corr — round 12): Pearson over
+    integer DOUBLE-RANKS (2*rank = 2*cum_before + ties + 1 — average
+    ranks without half-values; scaling both sides by 2 leaves r
+    unchanged), moments exact in DECIMAL(38,0), one order-fixed
+    double division — so the monotone-association screen
+    hash-replays in SQL next to correlation_matrix's linear form."""
+    from kspp_spark.functions.pipeline import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return spearman_corr(li, "qty", "cents", ("l_returnflag",))
+
+
+def q_kcore(spark, sf_dir):
+    """Bounded k-core peeling (functions/graph.kcore_peel — round
+    12): 4 peel rounds at k=3 over the same data-stable arithmetic
+    graph bfs_hops grades on — the cohesion/spam-farm detector.
+    Fixed round count (the bfs_hops contract: data-independent
+    iterations, no convergence probe) and an oracle that unrolls the
+    four rounds — equal by construction at every peel depth."""
+    from kspp_spark.functions.graph import kcore_peel
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 600).cast("long")
+    edges = docs.select(
+        a.alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 600).cast("long").alias("dst"),
+    ).unionByName(
+        docs.select(
+            ((F.col("doc_id") * 17 + 5) % 600).cast("long").alias("src"),
+            a.alias("dst"),
+        )
+    )
+    return kcore_peel(edges, k=3, rounds=4)
+
+
 def q_weighted_median(spark, sf_dir):
     """Exact weighted quantiles (functions/timeseries.
     weighted_quantiles — round 11): p50/p90/p99 of lineitem price in
@@ -4661,6 +4702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_alarms": q_cusum_alarms,
         "acf_daily": q_acf_daily,
         "bfs_hops": q_bfs_hops,
+        "spearman": q_spearman,
+        "kcore": q_kcore,
         # -- round-11 additions (re-cert band) --
         "heavy_hitters_production": q_heavy_hitters_production,
         "range_bucket_join": q_range_bucket_join,
@@ -8741,6 +8784,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(dist AS INTEGER) AS dist
             FROM l4
+        """
+    oracles["spearman"] = """
+            WITH rws AS (
+                SELECT l_returnflag AS g,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ),
+            vx AS (SELECT g, x, COUNT(*) AS c FROM rws GROUP BY 1, 2),
+            rx AS (
+                SELECT g, x,
+                       2 * (SUM(c) OVER (PARTITION BY g ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND
+                            CURRENT ROW) - c) + c + 1 AS drx
+                FROM vx
+            ),
+            vy AS (SELECT g, y, COUNT(*) AS c FROM rws GROUP BY 1, 2),
+            ry AS (
+                SELECT g, y,
+                       2 * (SUM(c) OVER (PARTITION BY g ORDER BY y
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND
+                            CURRENT ROW) - c) + c + 1 AS dry
+                FROM vy
+            ),
+            j AS (
+                SELECT rws.g, rx.drx, ry.dry
+                FROM rws
+                JOIN rx ON rws.g = rx.g AND rws.x = rx.x
+                JOIN ry ON rws.g = ry.g AND rws.y = ry.y
+            ),
+            mom AS (
+                SELECT g, COUNT(*) AS n,
+                       SUM(CAST(drx AS DECIMAL(38,0))) AS sx,
+                       SUM(CAST(dry AS DECIMAL(38,0))) AS sy,
+                       SUM(CAST(drx AS DECIMAL(38,0))
+                           * CAST(dry AS DECIMAL(38,0))) AS sxy,
+                       SUM(CAST(drx AS DECIMAL(38,0))
+                           * CAST(drx AS DECIMAL(38,0))) AS sxx,
+                       SUM(CAST(dry AS DECIMAL(38,0))
+                           * CAST(dry AS DECIMAL(38,0))) AS syy
+                FROM j GROUP BY 1
+            )
+            SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+                   CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                   THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   END AS r
+            FROM mom
+        """
+    oracles["kcore"] = """
+            WITH raw AS (
+                SELECT doc_id % 600 AS a, (doc_id * 31 + 7) % 600 AS b
+                FROM documents
+                UNION ALL
+                SELECT (doc_id * 17 + 5) % 600 AS a, doc_id % 600 AS b
+                FROM documents
+            ),
+            e0 AS (
+                SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+                FROM raw WHERE a <> b
+            ),
+            s0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+            k1 AS (SELECT u FROM s0 GROUP BY u HAVING COUNT(*) >= 3),
+            s1 AS (SELECT s0.u, s0.v FROM s0
+                   JOIN k1 a ON s0.u = a.u JOIN k1 b ON s0.v = b.u),
+            k2 AS (SELECT u FROM s1 GROUP BY u HAVING COUNT(*) >= 3),
+            s2 AS (SELECT s1.u, s1.v FROM s1
+                   JOIN k2 a ON s1.u = a.u JOIN k2 b ON s1.v = b.u),
+            k3 AS (SELECT u FROM s2 GROUP BY u HAVING COUNT(*) >= 3),
+            s3 AS (SELECT s2.u, s2.v FROM s2
+                   JOIN k3 a ON s2.u = a.u JOIN k3 b ON s2.v = b.u),
+            k4 AS (SELECT u FROM s3 GROUP BY u HAVING COUNT(*) >= 3),
+            s4 AS (SELECT s3.u, s3.v FROM s3
+                   JOIN k4 a ON s3.u = a.u JOIN k4 b ON s3.v = b.u)
+            SELECT CAST(u AS BIGINT) AS node,
+                   CAST(COUNT(*) AS BIGINT) AS degree
+            FROM s4 GROUP BY 1
         """
     oracles["rolling_outliers"] = f"""
             WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),

@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "cusum_alarms",
     "acf_daily",
     "bfs_hops",
+    "spearman",
+    "kcore",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -366,3 +366,57 @@ def bfs_hops(
             .localCheckpoint()
         )
     return dist
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: repeatedly remove nodes of degree < k
+    (undirected reading — edges are symmetrized and de-duplicated,
+    self-loops dropped) for a FIXED number of rounds, then emit the
+    surviving (node, degree) table. With rounds >= the graph's peel
+    depth this is exactly the k-core (every survivor has degree >= k
+    within the survivor set — the classic cohesion/spam-farm
+    detector); a smaller bound is a deterministic partial peel. The
+    fixed bound is the same contract as bfs_hops: data-independent
+    iteration count, no convergence probes, and an oracle that
+    unrolls the rounds — equal by construction at every depth.
+
+    Scale shape: per round, ONE degree aggregation + two semi-joins
+    of the edge list against the (node-count-sized) survivor set,
+    materialized per round (<= rounds-deep lineage). The edge set
+    only shrinks; no driver-side graph state."""
+    if k < 1:
+        raise ValueError("kcore_peel: k must be >= 1")
+    if rounds < 0:
+        raise ValueError("kcore_peel: rounds must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .where(F.col("_deg") >= k)
+            .select("u")
+        )
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+    return sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

@@ -838,3 +838,77 @@ def correlation_matrix(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Spearman rank correlation per group — Pearson over AVERAGE
+    ranks, the monotone-association screen that is robust to the
+    marginal distributions (use correlation_matrix for the linear
+    form). Exactness trick: the average rank of a tied block is
+    cum_before + (ties + 1)/2 — a HALF-integer — so both ranks are
+    computed as integer DOUBLE-RANKS 2*rank = 2*cum_before + ties +
+    1; scaling both variables by 2 leaves Pearson r unchanged, and
+    every moment stays an exact integer (summed in DECIMAL(38,0))
+    until the one order-fixed double division — the
+    correlation_matrix recipe, so r hash-replays in SQL. Rows with a
+    NULL in either column are excluded (both rankings see the same
+    rows).
+
+    Returns (*group_cols, n, r); r NULL when either side is
+    constant.
+
+    Scale shape: per column, ONE (group, value) count aggregation +
+    a cumulative window over THAT bounded value table + one equi-
+    join back onto the rows; then one moment aggregation. No corpus
+    window, no Python."""
+    g = list(group_cols)
+    rows = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*g, F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+
+    def dranks(col: str, out: str) -> DataFrame:
+        vals = rows.groupBy(*g, col).agg(F.count(F.lit(1)).alias("_c"))
+        w = (
+            W.partitionBy(*g) if g else W.partitionBy()
+        ).orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        return vals.select(
+            *g,
+            col,
+            (
+                F.lit(2) * (F.sum("_c").over(w) - F.col("_c"))
+                + F.col("_c")
+                + F.lit(1)
+            ).cast("long").alias(out),
+        )
+
+    rx = dranks("_x", "_rx")
+    ry = dranks("_y", "_ry")
+    ranked = rows.join(rx, g + ["_x"]).join(ry, g + ["_y"])
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    mom = ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec("_rx")).alias("_sx"),
+        F.sum(dec("_ry")).alias("_sy"),
+        F.sum(dec("_rx") * dec("_ry")).alias("_sxy"),
+        F.sum(dec("_rx") * dec("_rx")).alias("_sxx"),
+        F.sum(dec("_ry") * dec("_ry")).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    r = (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+    return mom.select(
+        *g,
+        F.col("_n").cast("long").alias("n"),
+        F.when((varx > 0) & (vary > 0), r).alias("r"),
+    )

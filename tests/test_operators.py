@@ -5054,3 +5054,74 @@ def test_bfs_hops_exact_distances(spark):
     assert got0 == {0: 0, 10: 0}
     with _pytest.raises(ValueError):
         bfs_hops(edges, sources, max_hops=-1)
+
+
+def test_spearman_exact_monotone_and_ties(spark):
+    """A strictly monotone (nonlinear) relationship scores exactly
+    +1 within one ulp (Spearman sees ranks, not values); reversing
+    one side gives -1; tied blocks use average ranks (the
+    double-rank integers); constant side -> NULL."""
+    from kspp_spark.functions.pipeline import spearman_corr
+
+    rows = [("g", x, x * x * x) for x in range(1, 9)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = spearman_corr(df, "x", "y", ("g",)).collect()[0]
+    assert r["n"] == 8 and abs(r["r"] - 1.0) < 1e-14
+    rev = spark.createDataFrame(
+        [("g", x, -(x * x * x)) for x in range(1, 9)],
+        "g string, x long, y long",
+    )
+    r2 = spearman_corr(rev, "x", "y", ("g",)).collect()[0]
+    assert abs(r2["r"] + 1.0) < 1e-14
+    # ties: y has a tied block; hand-check via scipy-free known case
+    # x = 1,2,3,4; y = 10,20,20,30 -> ranks y: 1, 2.5, 2.5, 4
+    # spearman r = 0.9486832980505138 (computed by hand from ranks)
+    tied = spark.createDataFrame(
+        [("g", 1, 10), ("g", 2, 20), ("g", 3, 20), ("g", 4, 30)],
+        "g string, x long, y long",
+    )
+    r3 = spearman_corr(tied, "x", "y", ("g",)).collect()[0]["r"]
+    import math
+    rx = [1, 2, 3, 4]
+    ry = [1, 2.5, 2.5, 4]
+    n = 4
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert abs(r3 - want) < 1e-12
+    flat = spark.createDataFrame(
+        [("g", i, 5) for i in range(4)], "g string, x long, y long"
+    )
+    assert spearman_corr(flat, "x", "y", ("g",)).collect()[0]["r"] is None
+
+
+def test_kcore_peel_exact(spark):
+    """A 4-clique with pendant nodes: at k=3 the pendants peel away
+    and the clique survives with degree 3 each; rounds=0 returns the
+    raw symmetrized degrees; validation errors."""
+    from kspp_spark.functions.graph import kcore_peel
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # 4-clique
+         (4, 5), (5, 6)],                                  # pendant tail
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(edges, k=3, rounds=3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    raw = {
+        r["node"]: r["degree"]
+        for r in kcore_peel(edges, k=3, rounds=0).collect()
+    }
+    assert raw[4] == 4 and raw[6] == 1
+    with _pytest.raises(ValueError):
+        kcore_peel(edges, k=0, rounds=1)
+    with _pytest.raises(ValueError):
+        kcore_peel(edges, k=3, rounds=-1)

@@ -1340,3 +1340,20 @@ def test_bfs_hops_no_python_no_cartesian(spark, queries):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_spearman_windows_over_value_tables(spark, queries):
+    """Rank windows run over the (group, value) COUNT aggregates,
+    never raw rows (the weighted_quantiles contract); no Python."""
+    plan = formatted_plan(spark, queries["spearman"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan and "Window" in plan
+
+
+def test_kcore_semi_joins_no_python(spark, queries):
+    """Peel rounds are degree aggs + LeftSemi prunes over a
+    shrinking edge list; no Python, no cartesian."""
+    plan = formatted_plan(spark, queries["kcore"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan

@@ -51,7 +51,7 @@ def test_registry_round12_window():
     here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — must lead the window
-    assert window[:10] == [
+    assert window[:12] == [
         "funnel_latency",
         "event_pattern_spans",
         "rfm_segments",
@@ -62,6 +62,8 @@ def test_registry_round12_window():
         "cusum_alarms",
         "acf_daily",
         "bfs_hops",
+        "spearman",
+        "kcore",
     ]
     must_grade = {
         # SURVEY 2 core re-cert band (kept per VERDICT r11 item #2)
