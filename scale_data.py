@@ -33,11 +33,17 @@ Replication with key remapping gives exactly that, by construction:
   statistics, which is how a 10x corpus actually grows. Vocabulary,
   duplicate pairs, and candidate volumes all scale linearly by
   construction. n_chars is recomputed from the rebuilt text.
-- embeddings: vec_id offsets; for i>0 the vector is cyclically
-  shifted by i components — norm and component distribution exactly
-  preserved, cosine similarity to the source destroyed, so ANN
-  candidate rates scale naturally instead of every vector gaining
-  R-1 perfect neighbors.
+- embeddings: vec_id offsets; for i>0 a deterministic per-replica
+  SIGN-FLIP pattern multiplies ~half the components by -1. A sign
+  flip is an orthogonal transform, so every within-replica distance,
+  norm, and cosine is EXACTLY sf0.1's, while cross-replica cosine
+  collapses toward 0 for balanced patterns. (The first cut used a
+  cyclic shift — WRONG for these embeddings: neighboring components
+  are correlated, so shift-by-i is nearly the identity and every
+  vector gained R-1 near-perfect cross-replica neighbors; measured
+  as dup_clusters collapsing to ONE 20k-node component at sf1. The
+  flip fix restores R independent shards: components x10, all
+  cluster structure per replica identical to sf0.1.)
 - events: event_id/user_id offset; timestamps unchanged (10x users
   over the same wall-clock span = 10x traffic density, which is how
   event volume actually grows; windowed/session state scales with
@@ -137,11 +143,28 @@ def _replicate(table: str, i: int, strides: dict[str, int]) -> pa.Table:
         )
     if table == "embeddings" and i > 0:
         vecs = cols["embedding"].to_pylist()
-        shifted = [
-            (v[i % len(v):] + v[: i % len(v)]) if v else v for v in vecs
+        # deterministic balanced sign pattern per replica (md5 bit
+        # per (replica, component): distinct ~half-flips for every
+        # replica AND every replica PAIR, so no two replicas share a
+        # pattern) — an isometry, so within-replica geometry is
+        # exactly sf0.1's
+        import hashlib
+
+        dim = next(len(v) for v in vecs if v)
+        sign = [
+            -1.0
+            if hashlib.md5(f"emb:{i}:{k}".encode()).digest()[0] & 1
+            else 1.0
+            for k in range(dim)
         ]
+        flipped = []
+        for v in vecs:
+            if not v:
+                flipped.append(v)
+                continue
+            flipped.append([s * x for s, x in zip(sign, v)])
         cols["embedding"] = pa.array(
-            shifted, type=t.schema.field("embedding").type
+            flipped, type=t.schema.field("embedding").type
         )
     arrays, fields = [], []
     for f in t.schema:
