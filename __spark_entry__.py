@@ -2734,6 +2734,28 @@ def q_kcore(spark, sf_dir):
     return kcore_peel(edges, k=3, rounds=4)
 
 
+def q_radius_join(spark, sf_dir):
+    """Planar radius join (operators/joins.radius_join — round 12,
+    ST_DWithin on integer projected coordinates): all point pairs
+    within r=5000 units over a data-stable synthetic point cloud
+    derived arithmetically from customer keys (Knuth-hash x/y in a
+    1e6 x 1e6 grid — closed-form in SQL). Grid-cell equi-join (3x3
+    neighbor explode of one side, home cell on the other — a
+    provable candidate superset) + exact integer dx^2+dy^2 <= r^2
+    check; trig stays OUT of the operator (project first), which is
+    what makes the join exact and engine-portable. The oracle is the
+    brute-force a<b cross join — identity certification, the
+    range_bucket_join pattern."""
+    from kspp_spark.operators.joins import radius_join
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 2654435761) % 1000000).cast("long").alias("x"),
+        ((F.col("c_custkey") * 40503 + 7) % 1000000).cast("long").alias("y"),
+    )
+    return radius_join(pts, None, radius=5000)
+
+
 def q_weighted_median(spark, sf_dir):
     """Exact weighted quantiles (functions/timeseries.
     weighted_quantiles — round 11): p50/p90/p99 of lineitem price in
@@ -4704,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "spearman": q_spearman,
         "kcore": q_kcore,
+        "radius_join": q_radius_join,
         # -- round-11 additions (re-cert band) --
         "heavy_hitters_production": q_heavy_hitters_production,
         "range_bucket_join": q_range_bucket_join,
@@ -8870,6 +8893,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(u AS BIGINT) AS node,
                    CAST(COUNT(*) AS BIGINT) AS degree
             FROM s4 GROUP BY 1
+        """
+    oracles["radius_join"] = """
+            WITH p AS (
+                SELECT c_custkey AS id,
+                       (c_custkey * 2654435761) % 1000000 AS x,
+                       (c_custkey * 40503 + 7) % 1000000 AS y
+                FROM customer
+            )
+            SELECT a.id AS a, b.id AS b,
+                   CAST((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+            FROM p a JOIN p b ON a.id < b.id
+            WHERE (a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y) <= 25000000
         """
     oracles["rolling_outliers"] = f"""
             WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),

@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "bfs_hops",
     "spearman",
     "kcore",
+    "radius_join",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

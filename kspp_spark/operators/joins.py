@@ -385,3 +385,101 @@ def interval_join(
         *[pt[c] for c in points.columns],
         *[iv[c] for c in intervals.columns],
     )
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame | None,
+    radius: int,
+    x: str = "x",
+    y: str = "y",
+    id_col: str = "id",
+    max_cells: int = 1 << 40,
+) -> DataFrame:
+    """Planar radius join (ST_DWithin on projected/integer
+    coordinates): every pair of points within Euclidean distance
+    `radius`, found from a grid-cell equi-join — the 2D
+    generalization of the grid-bucketed range join, and the spatial
+    primitive behind proximity dedup, store-catchment joins, and
+    neighbor feature aggregation once coordinates are projected to
+    integer units (micro-degrees on an equirectangular projection,
+    meters on a national grid — the caller picks the projection;
+    keeping trig OUT of the operator is what makes it exact and
+    engine-portable, the PSI/log() lesson applied to geo).
+
+    Correctness: cell side d = radius, cell = (x DIV d, y DIV d)
+    with FLOOR division toward -infinity for negative coordinates.
+    Any pair within distance r has |dx| <= r and |dy| <= r, so the
+    right point's cell is one of the left point's 3x3 neighbor
+    cells — exploding the LEFT side to its 9 neighbors and
+    equi-joining on the home cell of the RIGHT side is a provable
+    candidate superset; the exact integer check dx^2 + dy^2 <= r^2
+    keeps true pairs only (candidates share neighbor cells so
+    |dx|,|dy| < 2d and the int64 squares cannot overflow for
+    radius < 2^30). Self-join form (right=None) emits each pair once
+    as (a < b).
+
+    Scale shape: one 9x explode of the smaller side + ONE hash
+    equi-join on the cell id + a map-side exact check — never a
+    cross product (plan-pinned); skew from dense cells is ordinary
+    equi-join skew (AQE-splittable). `max_cells` loud-fails
+    degenerate radii (a radius so small the grid id space overflows
+    sanity) rather than silently exploding."""
+    if radius < 1:
+        raise ValueError("radius_join: radius must be >= 1")
+    if radius >= (1 << 30):
+        raise ValueError("radius_join: radius must be < 2^30")
+    d = radius
+    selfjoin = right is None
+    r = left if selfjoin else right
+
+    def cell(col):
+        # DIV truncates toward zero; shift negatives so the cell id
+        # floors toward -infinity (a point at x=-1 must not share
+        # cell 0 with x=+1 yet still be its neighbor)
+        return F.expr(
+            f"CASE WHEN {col} >= 0 THEN {col} DIV {d} "
+            f"ELSE -(((-{col}) + {d} - 1) DIV {d}) END"
+        )
+
+    la = left.select(
+        F.col(id_col).alias("_a"),
+        F.col(x).alias("_ax"),
+        F.col(y).alias("_ay"),
+        cell(x).alias("_cx"),
+        cell(y).alias("_cy"),
+    )
+    # explode left to its 3x3 neighborhood
+    off = F.explode(
+        F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    )
+    la = la.select("*", off.alias("_ox")).select(
+        "*", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_oy")
+    ).select(
+        "_a",
+        "_ax",
+        "_ay",
+        (F.col("_cx") + F.col("_ox")).alias("_jx"),
+        (F.col("_cy") + F.col("_oy")).alias("_jy"),
+    )
+    rb = r.select(
+        F.col(id_col).alias("_b"),
+        F.col(x).alias("_bx"),
+        F.col(y).alias("_by"),
+        cell(x).alias("_jx"),
+        cell(y).alias("_jy"),
+    )
+    j = la.join(rb, ["_jx", "_jy"])
+    if selfjoin:
+        j = j.where(F.col("_a") < F.col("_b"))
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    d2 = dx * dx + dy * dy
+    # no distinct needed: the right side joins on its HOME cell only,
+    # which appears exactly once among the left point's 9 neighbor
+    # cells — every qualifying pair is emitted exactly once
+    return j.where(d2 <= F.lit(radius) * F.lit(radius)).select(
+        F.col("_a").alias("a"),
+        F.col("_b").alias("b"),
+        d2.cast("long").alias("dist2"),
+    )

@@ -5125,3 +5125,39 @@ def test_kcore_peel_exact(spark):
         kcore_peel(edges, k=0, rounds=1)
     with _pytest.raises(ValueError):
         kcore_peel(edges, k=3, rounds=-1)
+
+
+def test_radius_join_exact_including_negative_coords(spark):
+    """Grid-cell candidates + exact integer check equal the brute
+    force — including points with negative coordinates (cell ids
+    must floor toward -infinity: x=-1 and x=+1 are NEIGHBOR cells,
+    not the same cell) and the two-table form; validation errors."""
+    import itertools
+    import pytest as _pytest
+    from kspp_spark.operators.joins import radius_join
+
+    pts = [
+        (1, 0, 0), (2, 3, 4),        # dist 5 == r -> in
+        (3, -1, 0), (4, -7, -7),     # 3 near 1; 4 off alone
+        (5, 10, 0), (6, 100, 100),
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    r = 5
+    got = sorted(
+        (row["a"], row["b"], row["dist2"])
+        for row in radius_join(df, None, radius=r).collect()
+    )
+    want = sorted(
+        (a[0], b[0], (a[1]-b[1])**2 + (a[2]-b[2])**2)
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1]-b[1])**2 + (a[2]-b[2])**2 <= r*r
+    )
+    assert got == want and len(got) == 2
+    # two-table form: every (left, right) pair within r, no a<b cut
+    left = spark.createDataFrame([(10, 0, 0)], "id long, x long, y long")
+    two = radius_join(left, df, radius=2).collect()
+    assert sorted(r_["b"] for r_ in two) == [1, 3]
+    with _pytest.raises(ValueError):
+        radius_join(df, None, radius=0)
+    with _pytest.raises(ValueError):
+        radius_join(df, None, radius=1 << 30)

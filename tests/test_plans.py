@@ -1357,3 +1357,13 @@ def test_kcore_semi_joins_no_python(spark, queries):
     plan = formatted_plan(spark, queries["kcore"](spark, SF))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_radius_join_no_cartesian(spark, queries):
+    """The spatial join must plan the 3x3-cell equi-join, never the
+    cross product the naive distance predicate would produce; exact
+    check is map-side integer algebra, no Python."""
+    plan = formatted_plan(spark, queries["radius_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

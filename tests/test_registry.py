@@ -51,7 +51,7 @@ def test_registry_round12_window():
     here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — must lead the window
-    assert window[:12] == [
+    assert window[:13] == [
         "funnel_latency",
         "event_pattern_spans",
         "rfm_segments",
@@ -64,6 +64,7 @@ def test_registry_round12_window():
         "bfs_hops",
         "spearman",
         "kcore",
+        "radius_join",
     ]
     must_grade = {
         # SURVEY 2 core re-cert band (kept per VERDICT r11 item #2)
