@@ -2737,7 +2737,7 @@ def q_kcore(spark, sf_dir):
 def q_radius_join(spark, sf_dir):
     """Planar radius join (operators/joins.radius_join — round 12,
     ST_DWithin on integer projected coordinates): all point pairs
-    within r=5000 units over a data-stable synthetic point cloud
+    within r=50000 units over a data-stable synthetic point cloud
     derived arithmetically from customer keys (Knuth-hash x/y in a
     1e6 x 1e6 grid — closed-form in SQL). Grid-cell equi-join (3x3
     neighbor explode of one side, home cell on the other — a
@@ -2753,7 +2753,7 @@ def q_radius_join(spark, sf_dir):
         ((F.col("c_custkey") * 2654435761) % 1000000).cast("long").alias("x"),
         ((F.col("c_custkey") * 40503 + 7) % 1000000).cast("long").alias("y"),
     )
-    return radius_join(pts, None, radius=5000)
+    return radius_join(pts, None, radius=50000)
 
 
 def q_weighted_median(spark, sf_dir):
@@ -8906,7 +8906,7 @@ def oracle_sql() -> dict[str, str]:
                         + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
             FROM p a JOIN p b ON a.id < b.id
             WHERE (a.x - b.x) * (a.x - b.x)
-                  + (a.y - b.y) * (a.y - b.y) <= 25000000
+                  + (a.y - b.y) * (a.y - b.y) <= 2500000000
         """
     oracles["rolling_outliers"] = f"""
             WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),

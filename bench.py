@@ -406,6 +406,7 @@ RECORD_BEST = {
     "bfs_hops": 0.7817,
     "spearman": 2.5876,
     "kcore": 0.6666,
+    "radius_join": 1.3004,  # r12 late addition (r=50000, 845k pairs)
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no

@@ -478,7 +478,9 @@ def radius_join(
     # no distinct needed: the right side joins on its HOME cell only,
     # which appears exactly once among the left point's 9 neighbor
     # cells — every qualifying pair is emitted exactly once
-    return j.where(d2 <= F.lit(radius) * F.lit(radius)).select(
+    # r^2 as a PYTHON long literal: F.lit(radius) * F.lit(radius)
+    # is int32 * int32 and ANSI-overflows past radius ~46341
+    return j.where(d2 <= F.lit(radius * radius).cast("long")).select(
         F.col("_a").alias("a"),
         F.col("_b").alias("b"),
         d2.cast("long").alias("dist2"),
