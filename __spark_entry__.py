@@ -9189,7 +9189,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders GROUP BY 1
             ),
             pu2 AS (SELECT *, monetary_cents // 100 AS md FROM pu),
-            rv AS (SELECT recency_days AS v, COUNT(*) AS w FROM pu2 GROUP BY 1),
+            rv AS (SELECT recency_days AS v, COUNT(*) AS w FROM pu2
+                   WHERE recency_days IS NOT NULL GROUP BY 1),
             rc AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS BETWEEN
                        UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                        SUM(w) OVER () AS tot FROM rv),
@@ -9198,7 +9199,8 @@ def oracle_sql() -> dict[str, str]:
                 MIN(CASE WHEN 1000 * cum >= 500 * tot THEN v END) AS r500,
                 MIN(CASE WHEN 1000 * cum >= 750 * tot THEN v END) AS r750
                 FROM rc),
-            fv AS (SELECT frequency AS v, COUNT(*) AS w FROM pu2 GROUP BY 1),
+            fv AS (SELECT frequency AS v, COUNT(*) AS w FROM pu2
+                   WHERE frequency IS NOT NULL GROUP BY 1),
             fc AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS BETWEEN
                        UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                        SUM(w) OVER () AS tot FROM fv),
@@ -9207,7 +9209,8 @@ def oracle_sql() -> dict[str, str]:
                 MIN(CASE WHEN 1000 * cum >= 500 * tot THEN v END) AS f500,
                 MIN(CASE WHEN 1000 * cum >= 750 * tot THEN v END) AS f750
                 FROM fc),
-            mv AS (SELECT md AS v, COUNT(*) AS w FROM pu2 GROUP BY 1),
+            mv AS (SELECT md AS v, COUNT(*) AS w FROM pu2
+                   WHERE md IS NOT NULL GROUP BY 1),
             mc AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS BETWEEN
                        UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
                        SUM(w) OVER () AS tot FROM mv),

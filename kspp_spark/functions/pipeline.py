@@ -647,9 +647,16 @@ def benford_audit(
     the old floor(cast-to-double) path rounded it to 1e18 → 1, and
     floor().cast('long') threw under ANSI past int64). Rows with
     |value| < 1 or NULL are excluded — they carry no leading integer
-    digit; for such rows a value >= 1 has a nonzero integer part, so
-    the first nonzero character of any faithful rendering (plain or
-    scientific) IS the leading digit, in Spark and DuckDB alike.
+    digit. The "first nonzero character of the rendering IS the
+    exact leading digit" claim holds for INTEGER and DECIMAL columns
+    (the repo-wide sketch-consumer contract): their renderings are
+    exact. For DOUBLE columns the shortest-round-trip rendering can
+    round across a power of ten (the double nearest 1e23 is exactly
+    9.999...e22 yet renders '1.0E23'), so the audited digit is the
+    RENDERED leading digit, not always the stored value's — Spark
+    and DuckDB render doubles identically (both shortest-round-trip)
+    so grading stays consistent, but float callers should know the
+    audit is of the decimal rendering.
     Chi-square term = (obs - exp)^2 / exp
     with exp = p_d * n, evaluated as one order-fixed double over the
     exact integer count. Columns: (*group_cols, digit, n, share_ppm,

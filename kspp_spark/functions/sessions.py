@@ -922,6 +922,15 @@ def event_pattern_spans(
             "event_pattern_spans: marker must be a single character "
             "outside the type_map alphabet"
         )
+    if marker in ("$", "\\"):
+        # the marker is spliced into regexp_replace's REPLACEMENT
+        # string (marker + "$0" + marker); '$' and '\' are Java
+        # replacement metacharacters there and would silently corrupt
+        # the fence instead of fencing — loud-fail them
+        raise ValueError(
+            "event_pattern_spans: marker must not be '$' or '\\\\' "
+            "(regexp_replace replacement metacharacters)"
+        )
     if _re.fullmatch(pattern, ""):
         raise ValueError(
             "event_pattern_spans: pattern matches the empty string — "

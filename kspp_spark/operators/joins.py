@@ -395,6 +395,7 @@ def radius_join(
     y: str = "y",
     id_col: str = "id",
     max_cells: int = 1 << 40,
+    explode_side: str = "left",
 ) -> DataFrame:
     """Planar radius join (ST_DWithin on projected/integer
     coordinates): every pair of points within Euclidean distance
@@ -411,77 +412,176 @@ def radius_join(
     with FLOOR division toward -infinity for negative coordinates.
     Any pair within distance r has |dx| <= r and |dy| <= r, so the
     right point's cell is one of the left point's 3x3 neighbor
-    cells — exploding the LEFT side to its 9 neighbors and
-    equi-joining on the home cell of the RIGHT side is a provable
-    candidate superset; the exact integer check dx^2 + dy^2 <= r^2
-    keeps true pairs only (candidates share neighbor cells so
-    |dx|,|dy| < 2d and the int64 squares cannot overflow for
-    radius < 2^30). Self-join form (right=None) emits each pair once
-    as (a < b).
+    cells — exploding ONE side to its 9 neighbors and equi-joining
+    on the home cell of the OTHER side is a provable candidate
+    superset; the exact integer check dx^2 + dy^2 <= r^2 keeps true
+    pairs only (candidates share neighbor cells so |dx|,|dy| < 2d
+    and the int64 squares cannot overflow for radius < 2^30).
+    Self-join form (right=None) emits each pair once as (a < b).
 
-    Scale shape: one 9x explode of the smaller side + ONE hash
-    equi-join on the cell id + a map-side exact check — never a
-    cross product (plan-pinned); skew from dense cells is ordinary
-    equi-join skew (AQE-splittable). `max_cells` loud-fails
-    degenerate radii (a radius so small the grid id space overflows
-    sanity) rather than silently exploding."""
+    Which side eats the 9x explode is the caller's size call:
+    `explode_side="left"` (default) explodes `left`,
+    `explode_side="right"` explodes `right` — pass the SMALLER
+    input on the exploded side so the 9x row multiplication lands
+    on the cheap relation (for the self-join there is only one
+    side and the parameter is ignored). Coordinate domain: cell
+    ids are coord DIV radius with floor semantics, exact for the
+    whole int64 range, but the exploded side's cell id takes a ±1
+    neighbor offset — callers must keep |coord| <= 2^62 (any real
+    projection is orders of magnitude inside this) so the offset
+    cannot overflow under ANSI.
+
+    Scale shape: one 9x explode of the chosen (smaller) side + ONE
+    hash equi-join on the cell id + a map-side exact check — never
+    a cross product (plan-pinned); skew from dense cells is
+    ordinary equi-join skew (AQE-splittable). `max_cells`
+    loud-fails degenerate radii (a radius so small the grid id
+    space overflows sanity) rather than silently exploding."""
     if radius < 1:
         raise ValueError("radius_join: radius must be >= 1")
     if radius >= (1 << 30):
         raise ValueError("radius_join: radius must be < 2^30")
+    if explode_side not in ("left", "right"):
+        raise ValueError(
+            "radius_join: explode_side must be 'left' or 'right'"
+        )
     d = radius
     selfjoin = right is None
     r = left if selfjoin else right
 
     def cell(col):
-        # DIV truncates toward zero; shift negatives so the cell id
-        # floors toward -infinity (a point at x=-1 must not share
-        # cell 0 with x=+1 yet still be its neighbor)
+        # floor division toward -infinity (a point at x=-1 must not
+        # share cell 0 with x=+1 yet still be its neighbor),
+        # overflow-safe over the whole int64 domain: truncate-
+        # toward-zero DIV, then subtract 1 for negative inexact
+        # quotients. The previous -(((-x) + d - 1) DIV d) form
+        # negated x and ANSI-overflowed at INT64_MIN; here DIV never
+        # sees a -1 divisor, and the -1 adjustment only fires on an
+        # inexact quotient, so d=1 (the only d whose quotient can
+        # itself be INT64_MIN) never adjusts.
         return F.expr(
-            f"CASE WHEN {col} >= 0 THEN {col} DIV {d} "
-            f"ELSE -(((-{col}) + {d} - 1) DIV {d}) END"
+            f"({col} DIV {d}) - (CASE WHEN {col} < 0 "
+            f"AND {col} % {d} != 0 THEN 1 ELSE 0 END)"
         )
 
     la = left.select(
         F.col(id_col).alias("_a"),
         F.col(x).alias("_ax"),
         F.col(y).alias("_ay"),
-        cell(x).alias("_cx"),
-        cell(y).alias("_cy"),
-    )
-    # explode left to its 3x3 neighborhood
-    off = F.explode(
-        F.array(*[F.lit(i) for i in (-1, 0, 1)])
-    )
-    la = la.select("*", off.alias("_ox")).select(
-        "*", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_oy")
-    ).select(
-        "_a",
-        "_ax",
-        "_ay",
-        (F.col("_cx") + F.col("_ox")).alias("_jx"),
-        (F.col("_cy") + F.col("_oy")).alias("_jy"),
+        cell(x).alias("_acx"),
+        cell(y).alias("_acy"),
     )
     rb = r.select(
         F.col(id_col).alias("_b"),
         F.col(x).alias("_bx"),
         F.col(y).alias("_by"),
-        cell(x).alias("_jx"),
-        cell(y).alias("_jy"),
+        cell(x).alias("_bcx"),
+        cell(y).alias("_bcy"),
     )
+
+    def explode9(side, cxn, cyn):
+        # 3x3 neighborhood of the home cell
+        s = side.select(
+            "*",
+            F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_ox"),
+        ).select(
+            "*",
+            F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_oy"),
+        )
+        return s.select(
+            *[c for c in side.columns if c not in (cxn, cyn)],
+            (F.col(cxn) + F.col("_ox")).alias("_jx"),
+            (F.col(cyn) + F.col("_oy")).alias("_jy"),
+        )
+
+    if selfjoin or explode_side == "left":
+        la = explode9(la, "_acx", "_acy")
+        rb = rb.withColumnsRenamed({"_bcx": "_jx", "_bcy": "_jy"})
+    else:
+        rb = explode9(rb, "_bcx", "_bcy")
+        la = la.withColumnsRenamed({"_acx": "_jx", "_acy": "_jy"})
     j = la.join(rb, ["_jx", "_jy"])
     if selfjoin:
         j = j.where(F.col("_a") < F.col("_b"))
     dx = F.col("_ax") - F.col("_bx")
     dy = F.col("_ay") - F.col("_by")
     d2 = dx * dx + dy * dy
-    # no distinct needed: the right side joins on its HOME cell only,
-    # which appears exactly once among the left point's 9 neighbor
-    # cells — every qualifying pair is emitted exactly once
+    # no distinct needed: the non-exploded side joins on its HOME
+    # cell only, which appears exactly once among the exploded
+    # point's 9 neighbor cells — every qualifying pair is emitted
+    # exactly once
     # r^2 as a PYTHON long literal: F.lit(radius) * F.lit(radius)
     # is int32 * int32 and ANSI-overflows past radius ~46341
     return j.where(d2 <= F.lit(radius * radius).cast("long")).select(
         F.col("_a").alias("a"),
         F.col("_b").alias("b"),
         d2.cast("long").alias("dist2"),
+    )
+
+
+def knn_radius_join(
+    left: DataFrame,
+    right: DataFrame | None,
+    k: int,
+    radius: int,
+    x: str = "x",
+    y: str = "y",
+    id_col: str = "id",
+    explode_side: str = "left",
+) -> DataFrame:
+    """Radius-capped spatial kNN join: for every LEFT point, its k
+    nearest RIGHT points among those within Euclidean distance
+    `radius` (ST_DWithin + per-point top-k) — the "nearest k
+    stores / sensors / neighbors" companion to radius_join's
+    "everything within r", and the standard exact formulation when
+    the application has a distance cap (geo matching almost always
+    does: a nearest store 400 km away is not a match). Within the
+    cap the result is EXACT — the 3x3 grid-cell candidate set is a
+    provable superset of all pairs within r (radius_join's
+    invariant), so the top-k over it is the true capped top-k;
+    points with fewer than k in-radius neighbors return what
+    exists. Uncapped global kNN would need data-dependent ring
+    expansion (unbounded worst case); callers wanting it should
+    raise the cap, which only widens the candidate band.
+
+    Ranking is deterministic: ORDER BY (dist2, neighbor id) — ties
+    at equal distance break toward the smaller id, so the result
+    hash-replays in SQL. Self-form (right=None) ranks each point's
+    neighbors EXCLUDING itself (a != b, both directions — unlike
+    radius_join's once-per-pair a < b cut, every point gets its own
+    neighbor list).
+
+    Scale shape: the radius_join candidate plan (one 9x explode of
+    the `explode_side` input + ONE hash equi-join on the cell id +
+    map-side exact check — never a cross product) + one
+    row_number window partitioned by the left id. The rank<=k
+    filter compiles to Spark's WindowGroupLimit (Spark >= 3.5):
+    each shuffle map task keeps only its local top-k per point
+    before the exchange, so the window never materializes a dense
+    cell's full candidate list on one reducer. Output: (a, b,
+    dist2, rk), at most k rows per left point.
+
+    Reference parity: kspp has no spatial operator family; this and
+    radius_join cover the gap a geo-enabled deployment of the
+    reference would fill with an external PostGIS hop
+    (ST_DWithin/KNN `<->`), re-expressed as pure Spark relational
+    algebra."""
+    if k < 1:
+        raise ValueError("knn_radius_join: k must be >= 1")
+    cand = radius_join(
+        left,
+        right if right is not None else left.alias("_knn_rhs"),
+        radius,
+        x=x,
+        y=y,
+        id_col=id_col,
+        explode_side=explode_side,
+    )
+    if right is None:
+        cand = cand.where(F.col("a") != F.col("b"))
+    w = W.partitionBy("a").orderBy(F.col("dist2").asc(), F.col("b").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("a", "b", "dist2", F.col("rk").cast("long").alias("rk"))
     )

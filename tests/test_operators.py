@@ -4770,6 +4770,13 @@ def test_event_pattern_spans_positions_and_times(spark):
         event_pattern_spans(df, "vc*p", tm, marker="v")
     with _pytest.raises(ValueError, match="empty"):
         event_pattern_spans(df, "c*", tm)
+    # ADVICE r12: '$' / '\' are Java regexp_replace REPLACEMENT
+    # metacharacters — as markers they'd corrupt the fence string
+    # silently; must loud-fail instead
+    with _pytest.raises(ValueError, match="metacharacters"):
+        event_pattern_spans(df, "vc*p", tm, marker="$")
+    with _pytest.raises(ValueError, match="metacharacters"):
+        event_pattern_spans(df, "vc*p", tm, marker="\\")
 
 
 def test_event_pattern_spans_count_matches_event_pattern(spark):
@@ -5161,3 +5168,35 @@ def test_radius_join_exact_including_negative_coords(spark):
         radius_join(df, None, radius=0)
     with _pytest.raises(ValueError):
         radius_join(df, None, radius=1 << 30)
+
+
+def test_radius_join_explode_side_and_extreme_coords(spark):
+    """ADVICE r12 regressions: (a) explode_side='right' returns the
+    exact same pairs as the default left-explode — the caller picks
+    which side eats the 9x multiplication; (b) the floor-division
+    cell id is overflow-safe at INT64_MIN (the previous negate-based
+    floor threw under ANSI at the int64 boundary)."""
+    import pytest as _pytest
+    from kspp_spark.operators.joins import radius_join
+
+    pts = [(1, 0, 0), (2, 3, 4), (3, -1, 0), (4, 10, 0)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    left = spark.createDataFrame(
+        [(10, 0, 0), (11, 9, 1)], "id long, x long, y long"
+    )
+    key = lambda rows: sorted((r["a"], r["b"], r["dist2"]) for r in rows)
+    a = key(radius_join(left, df, radius=5).collect())
+    b = key(
+        radius_join(left, df, radius=5, explode_side="right").collect()
+    )
+    assert a == b and len(a) == 4
+    with _pytest.raises(ValueError):
+        radius_join(left, df, radius=5, explode_side="both")
+    # INT64_MIN coordinates: cell id must not overflow
+    lo = -(1 << 63)
+    ext = spark.createDataFrame(
+        [(1, lo, 0), (2, lo + 3, 4), (3, lo + 100, 0)],
+        "id long, x long, y long",
+    )
+    got = key(radius_join(ext, None, radius=5).collect())
+    assert got == [(1, 2, 25)]
