@@ -2756,6 +2756,27 @@ def q_radius_join(spark, sf_dir):
     return radius_join(pts, None, radius=50000)
 
 
+def q_knn_radius(spark, sf_dir):
+    """Radius-capped spatial kNN join (operators/joins.
+    knn_radius_join — round 13): each point's 3 nearest neighbors
+    within r=50000 units over the same data-stable Knuth-hash point
+    cloud radius_join grades on — the "nearest k stores" primitive.
+    Grid-cell candidate superset (exact within the cap) + one
+    row_number window with deterministic (dist2, id) tie-break, so
+    the capped top-k hash-replays in SQL; the rank<=k filter
+    compiles to WindowGroupLimit (map-side per-point top-k before
+    the shuffle). Oracle = bounded brute-force ROW_NUMBER pick —
+    identity certification, the radius_join pattern."""
+    from kspp_spark.operators.joins import knn_radius_join
+
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 2654435761) % 1000000).cast("long").alias("x"),
+        ((F.col("c_custkey") * 40503 + 7) % 1000000).cast("long").alias("y"),
+    )
+    return knn_radius_join(pts, None, k=3, radius=50000)
+
+
 def q_weighted_median(spark, sf_dir):
     """Exact weighted quantiles (functions/timeseries.
     weighted_quantiles — round 11): p50/p90/p99 of lineitem price in
@@ -4727,6 +4748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "kcore": q_kcore,
         "radius_join": q_radius_join,
+        "knn_radius": q_knn_radius,
         # -- round-11 additions (re-cert band) --
         "heavy_hitters_production": q_heavy_hitters_production,
         "range_bucket_join": q_range_bucket_join,
@@ -8907,6 +8929,31 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b ON a.id < b.id
             WHERE (a.x - b.x) * (a.x - b.x)
                   + (a.y - b.y) * (a.y - b.y) <= 2500000000
+        """
+    oracles["knn_radius"] = """
+            WITH p AS (
+                SELECT c_custkey AS id,
+                       (c_custkey * 2654435761) % 1000000 AS x,
+                       (c_custkey * 40503 + 7) % 1000000 AS y
+                FROM customer
+            ),
+            pairs AS (
+                SELECT a.id AS a, b.id AS b,
+                       (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS dist2
+                FROM p a JOIN p b ON a.id <> b.id
+                WHERE (a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y) <= 2500000000
+            ),
+            ranked AS (
+                SELECT a, b, dist2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a ORDER BY dist2, b) AS rk
+                FROM pairs
+            )
+            SELECT a, b, CAST(dist2 AS BIGINT) AS dist2,
+                   CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3
         """
     oracles["rolling_outliers"] = f"""
             WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),

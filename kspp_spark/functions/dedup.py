@@ -1229,26 +1229,271 @@ def srp_signatures(
     return df.select(F.col(id_col), F.expr(sig_expr).alias("srp"))
 
 
+def _cc_halving_rounds(edges, labels, max_iter, reset_every, reset):
+    """Min-label propagation with one fused pointer shortcut per
+    materialized round (connected_components engine='halving')."""
+    for i in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        prop = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.col("component").alias("_orig"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("_c1"),
+        )
+        # pointer halving fused into the round's plan: component <-
+        # component's component. Safe for min-labels on an undirected
+        # graph (a node's label is always a node in its own component,
+        # so the label's label is too). prop appears twice in the plan
+        # (probe + pointer side) — 2x the hook computation, cheaper
+        # than a second materialization per round.
+        ptr = prop.select(F.col("node").alias("_pn"), F.col("_c1").alias("_pc"))
+        final = F.least(F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1")))
+        updated = prop.join(ptr, F.col("_c1") == F.col("_pn"), "left").select(
+            "node",
+            final.alias("component"),
+            (final < F.col("_orig")).alias("_chg"),
+        )
+        if (i + 1) % reset_every == 0:
+            # unique path per reset: never overwrite a parquet path a
+            # still-live plan (the previous reset's read) could reference
+            updated = reset(updated, f"labels_r{i + 1}")
+        else:
+            updated = updated.localCheckpoint()
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def _cc_compress_rounds(edges, labels, max_iter, reset_every, reset):
+    """Hook + full path compression (connected_components
+    engine='compress'): each HOOK round pulls the neighborhood min
+    (one edges-join round, exactly halving's hook), then PURE
+    SHORTCUT rounds (label <- label's label, a labels-only
+    self-join — no edges join, no groupBy) run to their fixpoint
+    before the next hook. Labels collapse pointer chains
+    geometrically between hooks, so the number of EDGE-JOIN rounds
+    drops to O(log diameter-ish) while the extra rounds are the
+    cheap kind — at corpus scale the edges join (E rows) dominates a
+    labels pass (N rows), which is precisely what this trades away.
+    This is the iterate-then-MATERIALIZE form of the r12
+    double-shortcut experiment that exploded: each materialized step
+    holds exactly ONE self-referencing fragment, so plan size stays
+    constant (METRICS.md r12 mechanism note).
+
+    The step counter drives the shared parquet-reset cadence across
+    BOTH round kinds — the r12 geometric-lineage knee counts chained
+    materializations, not hooks."""
+    step = 0
+
+    def settle(df, name):
+        nonlocal step
+        step += 1
+        if step % reset_every == 0:
+            return reset(df, f"{name}_{step}")
+        return df.localCheckpoint()
+
+    for i in range(max_iter):
+        nm = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        upd = labels.join(nm, labels.node == nm.src, "left").select(
+            "node",
+            F.col("component").alias("_orig"),
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_min"), F.col("component")),
+            ).alias("component"),
+        ).select(
+            "node",
+            "component",
+            (F.col("component") < F.col("_orig")).alias("_chg"),
+        )
+        upd = settle(upd, "hook")
+        changed = upd.filter(F.col("_chg")).limit(1).count()
+        labels = upd.drop("_chg")
+        if changed == 0:
+            break
+        # compress to fixpoint: monotone (least) and bounded by
+        # log2(longest pointer chain); the cap is a safety net only
+        for _s in range(60):
+            ptr = labels.select(
+                F.col("node").alias("_pn"), F.col("component").alias("_pc")
+            )
+            nxt = labels.join(
+                ptr, labels.component == F.col("_pn"), "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_pc"), F.col("component")),
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("_pc"), F.col("component"))
+                    < F.col("component")
+                ).alias("_chg"),
+            )
+            nxt = settle(nxt, "short")
+            ch = nxt.filter(F.col("_chg")).limit(1).count()
+            labels = nxt.drop("_chg")
+            if ch == 0:
+                break
+    return labels
+
+
+def _cc_star_rounds(edges, labels, max_iter, reset_every, reset):
+    """Alternating large-star/small-star edge contraction (Kiveris
+    et al. 2014; connected_components engine='star').
+
+    State is the EDGE SET as canonical larger->smaller pairs (x, y),
+    x > y, distinct. One composite round:
+
+    * large-star — over the symmetrized adjacency, every node u
+      hooks each LARGER neighbor v to m = min(N(u) + {u}):
+      emit (v, m). Output keeps x > y canonical form (m <= u < v),
+      never self-loops.
+    * small-star — every node x hooks its smaller neighborhood plus
+      itself onto m = min of its smaller neighbors: emit (v, m) for
+      v in N(x) + {x}, v != m.
+
+    Both steps preserve connectivity and the node set; the edge set
+    monotonically contracts toward min-rooted stars (the paper's
+    potential argument), so the fixed point of the composite round
+    — detected by a stability anti-join + count — IS the star
+    forest, and each node's single outgoing edge points at its
+    component min. Final labels = original node list left-joined to
+    the converged edges (isolated-by-contraction impossible, the
+    coalesce is defensive).
+
+    Per round: 2 distinct shuffles + 2 aggs + the stability probe —
+    MORE per-round work than halving, paid for only when the graph
+    is dense enough to contract (the engine='auto' dispatch)."""
+    cur = (
+        edges.where(F.col("src") > F.col("dst"))
+        .select(F.col("src").alias("x"), F.col("dst").alias("y"))
+        .localCheckpoint()
+    )
+    cur_n = cur.count()
+    for i in range(max_iter):
+        sym = cur.select(F.col("x").alias("u"), F.col("y").alias("v")).union(
+            cur.select(F.col("y").alias("u"), F.col("x").alias("v"))
+        )
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("_mn", F.col("u")).alias("m"))
+        )
+        # large-star output feeds BOTH small-star consumers below —
+        # materialize so its shuffles run once (the aliased-branch
+        # no-exchange-reuse mechanism, METRICS.md r11/r12)
+        ls = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(lmin, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .distinct()
+            .localCheckpoint()
+        )
+        smin = ls.groupBy("x").agg(F.min("y").alias("m"))
+        nxt = (
+            ls.join(smin, "x")
+            .where(F.col("y") != F.col("m"))
+            .select(F.col("y").alias("x"), F.col("m").alias("y"))
+            .union(smin.select(F.col("x"), F.col("m").alias("y")))
+            .distinct()
+        )
+        if (i + 1) % reset_every == 0:
+            nxt = reset(nxt, f"star_r{i + 1}")
+        else:
+            nxt = nxt.localCheckpoint()
+        nxt_n = nxt.count()
+        # stability: nxt ⊆ cur (anti-join) + equal counts => equal sets
+        grew = nxt.join(cur, ["x", "y"], "left_anti").limit(1).count()
+        stable = grew == 0 and nxt_n == cur_n
+        cur, cur_n = nxt, nxt_n
+        if stable:
+            break
+    # min-agg rather than raw left join: at the fixed point each x
+    # holds exactly one edge (identical result), but a max_iter
+    # exhaustion mid-contraction could leave several — keep the
+    # labels one-row-per-node in that case too (halving's contract)
+    comp = cur.groupBy(F.col("x").alias("node")).agg(
+        F.min("y").alias("_c")
+    )
+    return labels.select("node").join(comp, "node", "left").select(
+        "node", F.coalesce(F.col("_c"), F.col("node")).alias("component")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "a",
     b: str = "b",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (node, component),
     component = smallest node id reachable. This is the step that turns
     PAIRS into duplicate CLUSTERS so one canonical doc survives per
     group (pairwise dedup alone under-removes transitive duplicates).
 
-    Iterative min-label propagation WITH pointer halving: each round
-    every node takes (a) the min of its label and its neighbors'
-    labels (hooking), then (b) its label's label (shortcutting, fused
-    into the same round's plan) — labels travel 2 hops per round, so a
-    chain-shaped cluster converges in about half the rounds of plain
-    propagation (measured 17 -> 9 on the sf0.1 embedding dup graph's
-    16-hop chain). Converges when a round changes nothing. No
-    driver-side graph state; every step is a plain hash join.
+    THREE engines, dispatched by measured graph density (`engine=`
+    "auto" | "halving" | "star" | "compress"):
+
+    * "halving" — iterative min-label propagation WITH pointer
+      halving: each round every node takes (a) the min of its label
+      and its neighbors' labels (hooking), then (b) its label's
+      label (shortcutting, fused into the same round's plan) —
+      labels travel 2 hops per round, so a chain-shaped cluster
+      converges in about half the rounds of plain propagation
+      (measured 17 -> 9 on the sf0.1 embedding dup graph's 16-hop
+      chain). Converges when a round changes nothing.
+    * "star" — alternating large-star/small-star contraction
+      (Kiveris et al. 2014, "Connected Components in MapReduce and
+      Beyond"): large-star hooks every larger neighbor to the
+      list-min, small-star collapses each node's smaller
+      neighborhood onto its min; the EDGE SET itself contracts
+      toward min-rooted stars, so dense clustered graphs converge
+      in fewer, cheaper rounds. Converges when a composite round
+      leaves the edge set unchanged (= min-rooted star forest).
+    * "compress" — halving's hook round + PURE pointer-shortcut
+      rounds (labels-only self-joins, no edges join) run to fixpoint
+      between hooks: edge-join rounds drop to ~O(log diameter) and
+      the extra rounds avoid the E-row join entirely — the shape
+      that wins when per-round cost is edge-dominated (always true
+      at corpus scale) or components are long chains.
+
+    "auto" = halving. The round-13 3-engine interleaved A/B
+    (METRICS.md r13; yardstick-bracketed, n=3 medians per shape)
+    showed the density-dispatch threshold VERDICT r12 hypothesized
+    does not exist: on the real dup graph (mean degree 1.56) star
+    4.15s ~ halving 4.46s (parity, not r12's one-off 1.37x) with
+    compress 7.37s; on planted 32-chains compress wins (2.21 vs
+    halving 2.59, star 3.84); on 100 12-cliques (mean degree 11 —
+    the densest realistic dup shape) halving WINS outright (1.29 vs
+    star 1.77): small dense components converge in 1-2 halving
+    rounds, so star's extra distinct-shuffles + stability anti-join
+    are pure overhead precisely where its contraction argument
+    sounded strongest. No cheap statistic (degree, component count)
+    separates the shapes, so auto stays on the engine that never
+    lost. Callers who KNOW their graph pick manually: 'compress'
+    for long-chain topologies (and for corpus-scale runs where the
+    E-row hook join dominates an N-row label pass — the asymptotic
+    argument local fixed-cost benchmarks cannot see), 'star' for
+    huge dense components (the Kiveris regime). All engines emit
+    BIT-IDENTICAL labels (component = min reachable id;
+    equality-tested on chains, cliques, random graphs, self-loops).
+    No driver-side graph state; every step is a plain hash join.
 
     LINEAGE NOTE: rounds run on localCheckpoint (cheap), with a HARD
     parquet round-trip reset every few rounds. Reset dir resolution:
@@ -1268,6 +1513,11 @@ def connected_components(
     """
     RESET_EVERY = 6  # parquet reset cadence; knee is ~15 chained rounds
 
+    if engine not in ("auto", "halving", "star", "compress"):
+        raise ValueError(
+            "connected_components: engine must be 'auto', 'halving', "
+            "'star' or 'compress'"
+        )
     spark = pairs.sparkSession
     local_tmpdir = None
     if checkpoint_dir is None:
@@ -1341,44 +1591,22 @@ def connected_components(
             .withColumn("component", F.col("node"))
             .localCheckpoint()
         )
-        for i in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges.dst == labels.node)
-                .groupBy("src")
-                .agg(F.min("component").alias("nbr_min"))
+        # auto = halving: the r13 three-engine A/B found no cheap
+        # dispatch statistic — halving never lost across real /
+        # chain / clique shapes (docstring + METRICS.md r13)
+        eng = "halving" if engine == "auto" else engine
+        if eng == "star":
+            labels = _cc_star_rounds(
+                edges, labels, max_iter, RESET_EVERY, reset
             )
-            prop = labels.join(
-                neighbor_min, labels.node == neighbor_min.src, "left"
-            ).select(
-                "node",
-                F.col("component").alias("_orig"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("_c1"),
+        elif eng == "compress":
+            labels = _cc_compress_rounds(
+                edges, labels, max_iter, RESET_EVERY, reset
             )
-            # pointer halving fused into the round's plan: component <-
-            # component's component. Safe for min-labels on an undirected
-            # graph (a node's label is always a node in its own component,
-            # so the label's label is too). prop appears twice in the plan
-            # (probe + pointer side) — 2x the hook computation, cheaper
-            # than a second materialization per round.
-            ptr = prop.select(F.col("node").alias("_pn"), F.col("_c1").alias("_pc"))
-            final = F.least(F.col("_c1"), F.coalesce(F.col("_pc"), F.col("_c1")))
-            updated = prop.join(ptr, F.col("_c1") == F.col("_pn"), "left").select(
-                "node",
-                final.alias("component"),
-                (final < F.col("_orig")).alias("_chg"),
+        else:
+            labels = _cc_halving_rounds(
+                edges, labels, max_iter, RESET_EVERY, reset
             )
-            if (i + 1) % RESET_EVERY == 0:
-                # unique path per reset: never overwrite a parquet path a
-                # still-live plan (the previous reset's read) could reference
-                updated = reset(updated, f"labels_r{i + 1}")
-            else:
-                updated = updated.localCheckpoint()
-            changed = updated.filter(F.col("_chg")).limit(1).count()
-            labels = updated.drop("_chg")
-            if changed == 0:
-                break
     except BaseException:
         cleanup()  # failed run: remove the whole run dir, nothing leaks
         raise

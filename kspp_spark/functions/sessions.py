@@ -847,8 +847,26 @@ def funnel_latency(
             ).cast("long").alias("_lat"),
         )
     )
+    return funnel_latency_emit(lat, steps, qs_permille)
+
+
+def funnel_latency_emit(
+    latencies: DataFrame,
+    steps: list[str],
+    qs_permille: tuple[int, ...] = (500, 900),
+) -> DataFrame:
+    """Quantile finalize over a (stage, _lat) latency feed — the
+    second half of funnel_latency, shared VERBATIM with the
+    streaming twin's per-trigger foreachBatch finalize so the two
+    cannot diverge. `latencies` rows are one per user x reached
+    stage >= 2, _lat already floor-bucketed (the bucketing is what
+    bounds this input: <= horizon/bucket distinct values per stage
+    at any corpus size — weighted_quantiles' documented scope)."""
+    from kspp_spark.functions.timeseries import weighted_quantiles
+
+    steps_arr = F.array(*[F.lit(s) for s in steps])
     q = weighted_quantiles(
-        lat,
+        latencies,
         value_col="_lat",
         weight_col=None,
         group_cols=("stage",),
@@ -860,6 +878,109 @@ def funnel_latency(
         F.col("q_permille"),
         F.col("value").alias("latency_us"),
         F.col("total_weight").alias("n_users"),
+    )
+
+
+def funnel_latency_stream(
+    df: DataFrame,
+    steps: list[str],
+    bucket: str = "1 second",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    horizon: str | None = None,
+) -> DataFrame:
+    """Streaming twin of funnel_latency, live side: emits one
+    (user_col, stage, _lat) row per stage-advancement past stage 1
+    as it happens — the live time-to-convert feed — with per-user
+    state carrying the batch fold's accumulator (the array of stage
+    completion times) across micro-batches, so an advancement
+    spanning a trigger boundary is timed correctly against the
+    stage-1 entry from an earlier batch.
+
+    The fold IS funnel_latency's F.aggregate advance rule (same
+    accept test: next wanted step, strictly-later timestamp,
+    optional horizon from the stage-1 time; same floor-bucketing),
+    applied in arrival order with within-batch (ts, type) sort —
+    the funnel_stages_stream ordering contract: equal to the batch
+    form whenever arrival order respects event time per user; for
+    disordered history run the batch form. Stage times never
+    retract, so emitting at append time equals the batch's
+    emit-at-end.
+
+    Finalize per trigger (or per dashboard refresh) with
+    funnel_latency_emit(collected_feed, steps, qs) — shared
+    verbatim with batch; asserted equal in tests/test_streaming.py.
+
+    Scale shape: state is one <= k-long int64 array per user; each
+    micro-batch shuffles once on user_col; emissions are
+    advancement-sized."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError(
+            "funnel_latency_stream: steps must be distinct, non-empty"
+        )
+    if len(steps) < 2:
+        raise ValueError(
+            "funnel_latency_stream: need >= 2 steps for a latency"
+        )
+    k = len(steps)
+    bucket_us = _gap_to_us(bucket)
+    hor_us = _gap_to_us(horizon) if horizon is not None else None
+    user_t = df.schema[user_col].dataType.simpleString()
+    out_schema = f"{user_col} {user_t}, stage long, _lat long"
+
+    def fold(key_, pdf_iter, state: GroupState):
+        times = list(state.get[0]) if state.exists else []
+        chunks = list(pdf_iter)
+        out = []
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf[pdf[type_col].isin(steps)]
+            if len(pdf):
+                pdf = pdf.sort_values(
+                    [ts_col, type_col], kind="mergesort"
+                )
+                ts_us = (pdf[ts_col].astype("int64") // 1000).tolist()
+                tys = pdf[type_col].tolist()
+                for t, y in zip(ts_us, tys):
+                    n = len(times)
+                    if n >= k or y != steps[n]:
+                        continue
+                    if n > 0 and t <= times[-1]:
+                        continue
+                    if (
+                        hor_us is not None
+                        and n > 0
+                        and t > times[0] + hor_us
+                    ):
+                        continue
+                    times.append(t)
+                    if len(times) >= 2:
+                        lat = ((t - times[0]) // bucket_us) * bucket_us
+                        out.append((len(times), lat))
+        if times:
+            state.update((times,))
+        if out:
+            yield pd.DataFrame(
+                {
+                    user_col: [key_[0]] * len(out),
+                    "stage": [o[0] for o in out],
+                    "_lat": [o[1] for o in out],
+                }
+            )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="times array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
@@ -1219,7 +1340,9 @@ def attribution(
     the sessionize contract), then per-(user, window) aggregations —
     min_by/max_by pick first/last channels without re-sorting — and
     a final channels x models-sized aggregation. No corpus window,
-    no join beyond the per-window frames."""
+    no join beyond the per-window frames. The aggregation half
+    (credit rows -> model x channel totals) is _attribution_finalize,
+    shared verbatim with attribution_stream's per-trigger emit."""
     if not touch_types:
         raise ValueError("attribution: touch_types must be non-empty")
     if conversion_type in touch_types:
@@ -1268,20 +1391,34 @@ def attribution(
         F.min_by("_ch", F.struct("_t", "_tb")).alias("_first"),
         F.max_by("_ch", F.struct("_t", "_tb")).alias("_last"),
     )
-    jo = per_chan.join(per_win, ["_u", "_win"])
+    credits = per_chan.join(per_win, ["_u", "_win"]).select(
+        "_ch",
+        "_nc",
+        (F.col("_ch") == F.col("_first")).alias("_isf"),
+        (F.col("_ch") == F.col("_last")).alias("_isl"),
+        "_n",
+    )
+    return _attribution_finalize(credits)
+
+
+def _attribution_finalize(credits: DataFrame) -> DataFrame:
+    """Credit-row aggregation half of attribution: rows of
+    (_ch channel, _nc its touch count in the window, _isf/_isl
+    first/last flags, _n window touch total) — one per conversion x
+    touched channel — to the (model, channel, credit_ppm, n_touches)
+    table. The exact-ppm algebra lives here (1e6 DIV n with the
+    remainder on the LAST touch, so every conversion sums to exactly
+    1_000_000). Shared VERBATIM by batch attribution and the
+    streaming twin's per-trigger finalize; the two cannot diverge."""
     share = F.expr("1000000 DIV _n")
     rem = F.lit(1_000_000) - share * F.col("_n")
     linear = (
         (F.col("_nc") * share)
-        + F.when(F.col("_ch") == F.col("_last"), rem).otherwise(F.lit(0))
+        + F.when(F.col("_isl"), rem).otherwise(F.lit(0))
     )
-    first_c = F.when(
-        F.col("_ch") == F.col("_first"), F.lit(1_000_000)
-    ).otherwise(F.lit(0))
-    last_c = F.when(
-        F.col("_ch") == F.col("_last"), F.lit(1_000_000)
-    ).otherwise(F.lit(0))
-    melted = jo.select(
+    first_c = F.when(F.col("_isf"), F.lit(1_000_000)).otherwise(F.lit(0))
+    last_c = F.when(F.col("_isl"), F.lit(1_000_000)).otherwise(F.lit(0))
+    melted = credits.select(
         "_ch",
         "_nc",
         F.explode(
@@ -1298,3 +1435,118 @@ def attribution(
         F.sum("_mc.credit").cast("long").alias("credit_ppm"),
         F.sum("_nc").cast("long").alias("n_touches"),
     )
+
+
+def attribution_stream(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming twin of attribution, live side: emits the credit
+    rows (_ch, _nc, _isf, _isl, _n) the moment a conversion closes
+    its window — per-user state carries the OPEN window's per-channel
+    touch counts plus its first/last channel across micro-batches, so
+    a conversion in trigger N credits touches from trigger 1. A
+    never-closed trailing window just sits in state and earns
+    nothing — exactly the batch form's drop-trailing semantics.
+
+    Ordering contract (funnel_stages_stream's): within a micro-batch
+    events sort by (ts, tiebreak) — the batch window's order — and
+    across batches it is arrival order; equal to batch attribution
+    whenever arrival order respects event time per user.
+
+    Finalize per trigger with attribution_emit(collected credit
+    feed) = _attribution_finalize, shared verbatim with batch;
+    asserted equal in tests/test_streaming.py. Credit rows are
+    conversion-sized, and per-user state is channels-sized — both
+    bounded.
+
+    Output columns: (user_col, _ch, _nc, _isf, _isl, _n)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if not touch_types:
+        raise ValueError("attribution_stream: touch_types non-empty")
+    if conversion_type in touch_types:
+        raise ValueError(
+            "attribution_stream: conversion_type cannot also be a "
+            "touch type"
+        )
+    user_t = df.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {user_t}, _ch string, _nc long, _isf boolean, "
+        f"_isl boolean, _n long"
+    )
+    wanted = set(touch_types) | {conversion_type}
+    sort_cols = [ts_col] + ([tiebreak] if tiebreak is not None else [])
+
+    def fold(key_, pdf_iter, state: GroupState):
+        if state.exists:
+            chs, cnts, first_ch, last_ch = state.get
+            counts = dict(zip(list(chs), list(cnts)))
+        else:
+            counts, first_ch, last_ch = {}, None, None
+        chunks = list(pdf_iter)
+        out = []
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf[pdf[type_col].isin(wanted)]
+            if len(pdf):
+                pdf = pdf.sort_values(sort_cols, kind="mergesort")
+                for y in pdf[type_col].tolist():
+                    if y == conversion_type:
+                        n = sum(counts.values())
+                        if n:
+                            for ch, nc in counts.items():
+                                out.append(
+                                    (ch, nc, ch == first_ch,
+                                     ch == last_ch, n)
+                                )
+                        counts, first_ch, last_ch = {}, None, None
+                    else:
+                        counts[y] = counts.get(y, 0) + 1
+                        first_ch = first_ch if first_ch is not None else y
+                        last_ch = y
+        state.update(
+            (list(counts.keys()), list(counts.values()),
+             first_ch, last_ch)
+        )
+        if out:
+            yield pd.DataFrame(
+                {
+                    user_col: [key_[0]] * len(out),
+                    "_ch": [o[0] for o in out],
+                    "_nc": [o[1] for o in out],
+                    "_isf": [o[2] for o in out],
+                    "_isl": [o[3] for o in out],
+                    "_n": [o[4] for o in out],
+                }
+            )
+
+    return df.groupBy(user_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=(
+            "chs array<string>, cnts array<long>, "
+            "first_ch string, last_ch string"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def attribution_emit(credits: DataFrame) -> DataFrame:
+    """Per-trigger finalize for attribution_stream: the exact
+    (model, channel, credit_ppm, n_touches) table from the collected
+    credit feed — _attribution_finalize, shared verbatim with batch
+    attribution."""
+    return _attribution_finalize(credits.select(
+        "_ch", "_nc", "_isf", "_isl", "_n"
+    ))

@@ -493,3 +493,102 @@ def acf_lags(
         F.col("_n").cast("long").alias("n"),
         F.when((varx > 0) & (vary > 0), r).alias("r"),
     )
+
+
+# ------------------------------------------------------- streaming twins
+#
+# The monitoring statistics above are exactly what a production
+# pipeline runs CONTINUOUSLY (that is their whole point), and they
+# split on the established twin seam (categorical_drift_stream /
+# rfm_stream, functions/pipeline.py / sessions.py): the corpus-sized
+# step is ONE commutative aggregation (streaming state = the
+# per-(key, day) sum table, one fixed-width row per key x day), and
+# the statistic itself runs per trigger inside foreachBatch over that
+# bounded table, sharing the BATCH function verbatim so the two forms
+# cannot diverge.
+
+
+def daily_sums_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Live side shared by ewma_stream / cusum_stream / acf
+    monitoring: per-(key, day) integer sums over an unbounded input.
+    SUM of an integer-scaled value (cents — the repo-wide sketch-
+    consumer contract; floor-scale BEFORE this, exactly like the
+    batch queries' _daily_cents) is commutative, so trigger
+    boundaries are invisible and the aggregation state is one
+    fixed-width row per key x observed day. Run in update/complete
+    mode; days grow with wall time, not corpus size — a deployment
+    that must bound them adds a watermark + window retention policy
+    on top. Output columns: (*key_cols, d DATE, value_col)."""
+    return stream.groupBy(
+        *key_cols, F.col(ts_col).cast("timestamp").cast("date").alias("d")
+    ).agg(F.sum(F.col(value_col).cast("long")).alias(value_col))
+
+
+def ewma_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming EWMA monitor, live side — the per-(key, day) sum
+    state (daily_sums_stream). Finalize per trigger inside
+    foreachBatch with ewma_emit(daily, ...): the lag-chain window
+    pass needs the ordered series, which Structured Streaming's
+    no-window-after-aggregation rule pushes into batch-land (the
+    rfm_stream argument — here the whole SERIES is the population).
+    Exactly equal to ewma() over the concatenated batches — asserted
+    by tests/test_streaming.py — because ewma_emit IS the batch
+    function."""
+    return daily_sums_stream(stream, key_cols, ts_col, value_col)
+
+
+def ewma_emit(
+    daily: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    alpha: float = 0.3,
+    window: int = 8,
+) -> DataFrame:
+    """Per-trigger finalize for ewma_stream: the batch ewma() over
+    the live daily-sum table (keys x days-sized — batch-land inside
+    foreachBatch). Shared verbatim; the twins cannot diverge."""
+    return ewma(daily, key_cols, "d", value_col, alpha=alpha, window=window)
+
+
+def cusum_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming CUSUM changepoint monitor, live side — the same
+    per-(key, day) sum state. The self-calibrating target (per-key
+    integer mean over the WHOLE series) is population-dependent
+    exactly like rfm_stream's quartile thresholds, which is why the
+    statistic runs per trigger in foreachBatch over complete-mode
+    state rather than incrementally: each trigger re-reads the
+    bounded daily table and re-derives the target, so a drifting
+    baseline self-corrects. Exactly equal to cusum_changepoints()
+    over the concatenated batches — asserted by
+    tests/test_streaming.py."""
+    return daily_sums_stream(stream, key_cols, ts_col, value_col)
+
+
+def cusum_emit(
+    daily: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    slack: int = 0,
+    threshold: int = 0,
+) -> DataFrame:
+    """Per-trigger finalize for cusum_stream: the batch
+    cusum_changepoints() over the live daily-sum table. Shared
+    verbatim; the twins cannot diverge."""
+    return cusum_changepoints(
+        daily, key_cols, "d", value_col, slack=slack, threshold=threshold
+    )

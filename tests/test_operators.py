@@ -735,6 +735,48 @@ def test_connected_components_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_engines_bit_identical(spark):
+    """The star engine (Kiveris alternating large/small-star, the
+    density-dispatched fast path for clustered graphs) must emit
+    BIT-IDENTICAL labels to the halving engine on every graph shape:
+    chains (star's worst case), cliques (its best), a seeded random
+    graph, self-loops, and a singleton edge. 'auto' must agree too,
+    and unknown engines loud-fail."""
+    import random
+    import pytest as _pytest
+    from kspp_spark.functions.dedup import connected_components
+
+    rng = random.Random(13)
+    shapes = {
+        "chain": [(i, i + 1) for i in range(1, 24)],
+        "cliques": [
+            (a, b)
+            for base in (100, 200, 300)
+            for a in range(base, base + 6)
+            for b in range(a + 1, base + 6)
+        ],
+        "random": [
+            (rng.randrange(400, 460), rng.randrange(400, 460))
+            for _ in range(80)
+        ],
+        "selfloop_and_pair": [(7, 7), (8, 9)],
+    }
+    for name, edges in shapes.items():
+        pairs = spark.createDataFrame(edges, ["a", "b"])
+        lab = lambda eng: {
+            r.node: r.component
+            for r in connected_components(pairs, engine=eng).collect()
+        }
+        h, s, c, auto = (
+            lab("halving"), lab("star"), lab("compress"), lab("auto")
+        )
+        assert h == s == c == auto, f"engine divergence on {name}"
+    with _pytest.raises(ValueError, match="engine"):
+        connected_components(
+            spark.createDataFrame([(1, 2)], ["a", "b"]), engine="bogus"
+        )
+
+
 def test_connected_components_checkpoint_dir_resolution(spark, tmp_path):
     """Reset-dir fallback order: param > session checkpoint dir >
     (local master only) owned temp dir that is cleaned up after. On a
@@ -5200,3 +5242,54 @@ def test_radius_join_explode_side_and_extreme_coords(spark):
     )
     got = key(radius_join(ext, None, radius=5).collect())
     assert got == [(1, 2, 25)]
+
+
+def test_knn_radius_join_matches_brute_force(spark):
+    """Radius-capped kNN == brute-force top-k within the cap:
+    deterministic (dist2, id) tie-break, self-exclusion in both
+    directions (unlike radius_join's a<b cut), fewer-than-k points
+    return what exists, two-table form, k validation."""
+    import itertools
+    import pytest as _pytest
+    from kspp_spark.operators.joins import knn_radius_join
+
+    pts = [
+        (1, 0, 0), (2, 3, 4), (3, -3, -4),   # 2,3 tie at dist2=25 from 1
+        (4, 1, 0), (5, 40, 40), (6, 41, 40), # 5-6 isolated pair
+        (7, 1000, 1000),                     # no in-radius neighbor
+    ]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    r, k = 10, 2
+    brute = []
+    for a in pts:
+        cand = sorted(
+            ((a[1]-b[1])**2 + (a[2]-b[2])**2, b[0])
+            for b in pts
+            if b[0] != a[0]
+            and (a[1]-b[1])**2 + (a[2]-b[2])**2 <= r*r
+        )
+        brute += [
+            (a[0], b, d2, i + 1) for i, (d2, b) in enumerate(cand[:k])
+        ]
+    got = sorted(
+        (q["a"], q["b"], q["dist2"], q["rk"])
+        for q in knn_radius_join(df, None, k=k, radius=r).collect()
+    )
+    assert got == sorted(brute)
+    # node 7 emits nothing; node 4 ranks 1 (dist2 1) ahead of ties
+    assert not any(t[0] == 7 for t in got)
+    assert (4, 1, 1, 1) in got
+    # node 1's slot-2 is a 2-vs-3 tie at dist2=25: breaks toward the
+    # smaller id (3 is cut entirely at k=2)
+    one = sorted(t for t in got if t[0] == 1)
+    assert one == [(1, 2, 25, 2), (1, 4, 1, 1)]
+    # two-table form: left points rank right neighbors, no exclusion
+    left = spark.createDataFrame([(10, 0, 0)], "id long, x long, y long")
+    two = sorted(
+        (q["b"], q["rk"])
+        for q in knn_radius_join(left, df, k=3, radius=5).collect()
+    )
+    # candidates of (0,0) within r=5: 1@0, 4@1, 2@25, 3@25 -> top-3
+    assert two == [(1, 1), (2, 3), (4, 2)]
+    with _pytest.raises(ValueError):
+        knn_radius_join(df, None, k=0, radius=5)

@@ -1367,3 +1367,16 @@ def test_radius_join_no_cartesian(spark, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_knn_radius_window_group_limit(spark, queries):
+    """Capped kNN rides the same 3x3-cell equi-join (no cross
+    product, no Python) and its rank<=k filter must compile to
+    WindowGroupLimit — map-side per-point top-k before the window's
+    shuffle, the property that keeps a dense cell's candidate list
+    off a single reducer."""
+    plan = formatted_plan(spark, queries["knn_radius"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "WindowGroupLimit" in plan

@@ -3662,3 +3662,311 @@ def test_rfm_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert emissions[0] == want1
+
+
+def test_ewma_stream_equals_batch(spark, tmp_path):
+    """Streaming EWMA monitor: the per-(key, day) sum state +
+    per-trigger ewma_emit equals batch ewma() over the concatenated
+    input — SUM is commutative and the finalize IS the batch
+    function, so trigger boundaries are invisible. The prefix
+    emission equals batch over batch-1 alone (the monitor really
+    emits per trigger)."""
+    import time as _time
+
+    from kspp_spark.functions.timeseries import (
+        daily_sums_stream,
+        ewma,
+        ewma_emit,
+        ewma_stream,
+    )
+
+    schema = "event_type string, ts string, cents long"
+    b1 = [
+        ("view", "2024-01-01 10:00:00", 100),
+        ("view", "2024-01-01 11:00:00", 40),
+        ("view", "2024-01-02 09:00:00", 300),
+        ("click", "2024-01-01 12:00:00", 7),
+    ]
+    b2 = [
+        ("view", "2024-01-02 23:00:00", 60),   # same day, new trigger
+        ("view", "2024-01-04 08:00:00", 500),  # gap day
+        ("click", "2024-01-03 10:00:00", 21),
+    ]
+    in_dir = str(tmp_path / "ewma_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def snap(df):
+        return {
+            (r["event_type"], str(r["d"])): (r["cents"], r["ewma"])
+            for r in df.collect()
+        }
+
+    emissions = []
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        ewma_stream(src, ("event_type",), "ts", "cents")
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda daily, _id: emissions.append(
+                snap(ewma_emit(daily, ("event_type",), "cents",
+                               alpha=0.3, window=4))
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(emissions) >= 2
+    batch = lambda rows: ewma(
+        daily_sums_stream(
+            spark.createDataFrame(rows, schema), ("event_type",),
+            "ts", "cents",
+        ),
+        ("event_type",), "d", "cents", alpha=0.3, window=4,
+    )
+    assert emissions[-1] == snap(batch(b1 + b2))
+    assert emissions[0] == snap(batch(b1))
+    # the cross-trigger day merged: 2024-01-02 view = 300 + 60
+    assert emissions[-1][("view", "2024-01-02")][0] == 360
+
+
+def test_cusum_stream_equals_batch(spark, tmp_path):
+    """Streaming CUSUM: same per-(key, day) sum state, per-trigger
+    cusum_emit — the self-calibrating target re-derives from the
+    full live series each trigger (the rfm_stream population
+    argument), so the alarm statistic equals the batch
+    cusum_changepoints over the concatenated input exactly."""
+    import time as _time
+
+    from kspp_spark.functions.timeseries import (
+        cusum_changepoints,
+        cusum_emit,
+        cusum_stream,
+        daily_sums_stream,
+    )
+
+    schema = "event_type string, ts string, cents long"
+    b1 = [
+        ("view", f"2024-01-0{d} 10:00:00", 100) for d in range(1, 5)
+    ]
+    b2 = [
+        ("view", "2024-01-05 10:00:00", 5000),  # level shift -> alarm
+        ("view", "2024-01-06 10:00:00", 5000),
+        ("view", "2024-01-04 22:00:00", 50),    # merges into day 4
+    ]
+    in_dir = str(tmp_path / "cusum_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def snap(df):
+        return {
+            (r["event_type"], str(r["d"])): (
+                r["cents"], r["s_pos"], r["s_neg"], r["alarm"]
+            )
+            for r in df.collect()
+        }
+
+    emissions = []
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        cusum_stream(src, ("event_type",), "ts", "cents")
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda daily, _id: emissions.append(
+                snap(cusum_emit(daily, ("event_type",), "cents",
+                                slack=10, threshold=1000))
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(emissions) >= 2
+    batch = lambda rows: cusum_changepoints(
+        daily_sums_stream(
+            spark.createDataFrame(rows, schema), ("event_type",),
+            "ts", "cents",
+        ),
+        ("event_type",), "d", "cents", slack=10, threshold=1000,
+    )
+    assert emissions[-1] == snap(batch(b1 + b2))
+    assert emissions[0] == snap(batch(b1))
+    # the level shift alarms in the final state but not the prefix
+    assert any(v[3] for v in emissions[-1].values())
+    assert not any(v[3] for v in emissions[0].values())
+
+
+def test_funnel_latency_stream_equals_batch(spark, tmp_path):
+    """The streaming latency feed (per-user stage-times state,
+    batch advance rule, emit-at-append) + the shared
+    funnel_latency_emit equals batch funnel_latency over the
+    concatenated input — including an advancement whose stage-1
+    entry landed in an earlier trigger."""
+    import time as _time
+
+    from kspp_spark.functions.sessions import (
+        funnel_latency,
+        funnel_latency_emit,
+        funnel_latency_stream,
+    )
+
+    schema = "user_id string, ts timestamp, event_type string"
+    mk = lambda rows: [
+        (u, __import__("datetime").datetime(2024, 1, 1, 0, 0, s), y)
+        for u, s, y in rows
+    ]
+    b1 = mk([
+        ("u1", 0, "view"), ("u1", 5, "click"),
+        ("u2", 1, "view"),
+        ("u3", 2, "click"),          # skipped: not at stage 1
+    ])
+    b2 = mk([
+        ("u1", 30, "purchase"),      # closes in trigger 2
+        ("u2", 11, "click"),         # stage-2 across the boundary
+        ("u3", 3, "view"), ("u3", 4, "click"), ("u3", 6, "purchase"),
+    ])
+    in_dir = str(tmp_path / "flat_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    steps = ["view", "click", "purchase"]
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    feed = []
+    q = (
+        funnel_latency_stream(src, steps, bucket="2 seconds")
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda b, _id: feed.extend(
+                (r["user_id"], r["stage"], r["_lat"]) for r in b.collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    lat_df = spark.createDataFrame(
+        [(s, l) for _, s, l in feed], "stage long, _lat long"
+    )
+    got = {
+        (r["stage"], r["step"], r["q_permille"]): (
+            r["latency_us"], r["n_users"]
+        )
+        for r in funnel_latency_emit(lat_df, steps, (500, 900)).collect()
+    }
+    want = {
+        (r["stage"], r["step"], r["q_permille"]): (
+            r["latency_us"], r["n_users"]
+        )
+        for r in funnel_latency(
+            spark.createDataFrame(b1 + b2, schema),
+            steps,
+            qs_permille=(500, 900),
+            bucket="2 seconds",
+        ).collect()
+    }
+    assert got == want
+    # the cross-trigger advancements really happened
+    assert ("u1", 3, 30_000_000) in feed    # 30s, 2s buckets
+    assert ("u2", 2, 10_000_000) in feed
+
+
+def test_attribution_stream_equals_batch(spark, tmp_path):
+    """The streaming credit feed (open-window per-channel state,
+    emit on conversion) + the shared _attribution_finalize equals
+    batch attribution over the concatenated input — a conversion in
+    trigger 2 credits touches from trigger 1, and trailing touches
+    earn nothing in both forms."""
+    import time as _time
+
+    from kspp_spark.functions.sessions import (
+        attribution,
+        attribution_emit,
+        attribution_stream,
+    )
+
+    schema = "user_id string, ts timestamp, event_type string"
+    mk = lambda rows: [
+        (u, __import__("datetime").datetime(2024, 1, 1, 0, 0, s), y)
+        for u, s, y in rows
+    ]
+    b1 = mk([
+        ("u1", 0, "email"), ("u1", 2, "ad"), ("u1", 4, "ad"),
+        ("u2", 1, "ad"), ("u2", 3, "buy"),   # closes inside trigger 1
+        ("u3", 5, "email"),                  # trailing forever
+    ])
+    b2 = mk([
+        ("u1", 10, "buy"),                   # credits trigger-1 touches
+        ("u2", 6, "email"), ("u2", 8, "buy"),  # second window
+        ("u4", 7, "buy"),                    # zero-touch conversion
+    ])
+    in_dir = str(tmp_path / "attr_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    feed = []
+    q = (
+        attribution_stream(src, ["email", "ad"], "buy")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, _id: feed.extend(b.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    feed_df = spark.createDataFrame(
+        feed,
+        "user_id string, _ch string, _nc long, _isf boolean, "
+        "_isl boolean, _n long",
+    )
+    key = lambda df: {
+        (r["model"], r["channel"]): (r["credit_ppm"], r["n_touches"])
+        for r in df.collect()
+    }
+    got = key(attribution_emit(feed_df))
+    want = key(
+        attribution(
+            spark.createDataFrame(b1 + b2, schema), ["email", "ad"], "buy"
+        )
+    )
+    assert got == want
+    # linear email: u1's window 333333 (1 of 3) + u2's window2 1e6
+    assert want[("linear", "email")][0] == 1_333_333
+    # exactly three attributed conversions (u4's has no touches)
+    assert sum(v[0] for k, v in got.items() if k[0] == "linear") == 3_000_000
