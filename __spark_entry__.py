@@ -4727,6 +4727,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       composition VERDICT r11 called exactly right);
     #   (d) the round-11 additions hold their certs for a second
     #       driver row; (e) oldest-cert fill to 50.
+    # ROUND 13 window (this ordering), per VERDICT r12 item #1:
+    #   (a) knn_radius leads (the round's one new graded operator —
+    #       radius-capped spatial kNN);
+    #   (b) the FIFTEEN never-driver-graded queries (the only
+    #       registry entries with zero driver-green rows across 12
+    #       rounds of rotation — closing them makes driver coverage
+    #       total; all pass local oracle parity);
+    #   (c) changed-code regrades: radius_join (explode-side +
+    #       int64-safe floor cell rewrite), event_pattern_spans
+    #       (marker metacharacter guard), rfm_segments (oracle NULL
+    #       contract), attribution + funnel_latency (finalize split
+    #       shared with the new streaming twins), the dup-cluster CC
+    #       family (three-engine restructure; auto = halving after
+    #       the measured no-dispatch-threshold resolution);
+    #   (d) the SURVEY 2 core re-cert band stays in;
+    #   (e) oldest-cert fill: the r7-graded TPC-H/relational tier
+    #       not regraded since r7.
     # NOTE: because the window rotates, per-round driver scores are
     # NOT comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite
@@ -4734,42 +4751,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_registry.py pins this dict against duplicate keys —
     # the registry is the driver's grading contract.
     return {
-        # -- (a) round-12 additions (first driver rows) --
-        "funnel_latency": q_funnel_latency,
+        # -- (a) round-13 addition (leads the window) --
+        "knn_radius": q_knn_radius,
+        # -- (b) the 15 never-driver-graded queries (VERDICT r12 item #1:
+        #    the only registry entries with zero driver-green rows
+        #    across 12 rounds; all pass local oracle parity) --
+        "auc_eval": q_auc_eval,
+        "classifier_confusion": q_classifier_confusion,
+        "cohort_retention": q_cohort_retention,
+        "daily_trend": q_daily_trend,
+        "diverse_sample": q_diverse_sample,
+        "embedding_clusters": q_embedding_clusters,
+        "gap_fill_locf": q_gap_fill_locf,
+        "hll_production": q_hll_production,
+        "length_percentile": q_length_percentile,
+        "rate_ztest": q_rate_ztest,
+        "rolling_outliers": q_rolling_outliers,
+        "rolling_window_sum": q_rolling_window_sum,
+        "score_calibration": q_score_calibration,
+        "triangle_counts": q_triangle_counts,
+        "zorder_stats": q_zorder_stats,
+        # -- (c) round-13 changed-code regrades (radius_join explode-side/
+        #    int64-floor rewrite, event_pattern_spans marker guard,
+        #    rfm_segments oracle NULL contract, attribution +
+        #    funnel_latency finalize split for the streaming twins,
+        #    CC engine restructure behind the dup-cluster family) --
+        "radius_join": q_radius_join,
         "event_pattern_spans": q_event_pattern_spans,
         "rfm_segments": q_rfm_segments,
         "attribution": q_attribution,
-        "referential_integrity": q_referential_integrity,
-        "correlation_matrix": q_correlation_matrix,
-        "ewma_smooth": q_ewma_smooth,
-        "cusum_alarms": q_cusum_alarms,
-        "acf_daily": q_acf_daily,
-        "bfs_hops": q_bfs_hops,
-        "spearman": q_spearman,
-        "kcore": q_kcore,
-        "radius_join": q_radius_join,
-        "knn_radius": q_knn_radius,
-        # -- round-11 additions (re-cert band) --
-        "heavy_hitters_production": q_heavy_hitters_production,
-        "range_bucket_join": q_range_bucket_join,
-        "funnel_stages": q_funnel_stages,
-        "funnel_conversion": q_funnel_conversion,
-        "k_anonymity": q_k_anonymity,
-        "category_drift": q_category_drift,
-        "numeric_drift": q_numeric_drift,
-        "rrf_fusion": q_rrf_fusion,
-        "event_pattern": q_event_pattern,
-        "weighted_median": q_weighted_median,
-        "benford": q_benford,
-        # -- (b) snapshot_diff regrade (the r10 red row, now scalar-graded) --
-        "snapshot_diff": q_snapshot_diff,
-        # -- (b) round-12 CC safety re-certs: an iteration-engine
-        #    rewrite was attempted and reverted this round (METRICS.md
-        #    r12); these re-grade to prove the revert is clean --
+        "funnel_latency": q_funnel_latency,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_fixed": q_dup_clusters_fixed,
         "cluster_reps": q_cluster_reps,
-        # -- (c) SURVEY 2 core re-cert band (joins/ktable/rate_limiter/windowed) --
+        # -- (d) SURVEY 2 core re-cert band (joins/ktable/rate_limiter/
+        #    windowed family — kept every round) --
         "kstream_left_join": q_kstream_left_join,
         "kstream_inner_join": q_kstream_inner_join,
         "ktable_left_join": q_ktable_left_join,
@@ -4782,7 +4798,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_sum_by_type": q_windowed_sum_by_type,
         "session_windows": q_session_windows,
         "windowed_ktable": q_windowed_ktable,
-        # -- (d) round-11 changed-code regrades (family refactor, ppjoin rewrite, checksum serialization, gap parse) --
+        # -- (e) oldest-cert fill: the r7-graded TPC-H/relational tier
+        #    not regraded since --
+        "cust_order_distribution": q_cust_order_distribution,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "except_keys": q_except_keys,
+        "forecast_revenue": q_forecast_revenue,
+        "grouping_sets": q_grouping_sets,
+        "idle_customers": q_idle_customers,
+        "important_parts": q_important_parts,
+        "large_orders": q_large_orders,
+        "market_share": q_market_share,
+        "max_acctbal_supplier": q_max_acctbal_supplier,
+        "order_priority_check": q_order_priority_check,
+        "percentiles": q_percentiles,
+        "product_profit": q_product_profit,
+        "promo_revenue": q_promo_revenue,
+        # ---- below the grading window: previously graded, every oracle
+        # ---- re-verified locally by tests/test_oracle_parity.py on
+        # ---- every pytest run ----
+        "referential_integrity": q_referential_integrity,
+        "correlation_matrix": q_correlation_matrix,
+        "ewma_smooth": q_ewma_smooth,
+        "cusum_alarms": q_cusum_alarms,
+        "acf_daily": q_acf_daily,
+        "bfs_hops": q_bfs_hops,
+        "spearman": q_spearman,
+        "kcore": q_kcore,
+        "heavy_hitters_production": q_heavy_hitters_production,
+        "range_bucket_join": q_range_bucket_join,
+        "funnel_stages": q_funnel_stages,
+        "funnel_conversion": q_funnel_conversion,
+        "k_anonymity": q_k_anonymity,
+        "category_drift": q_category_drift,
+        "numeric_drift": q_numeric_drift,
+        "rrf_fusion": q_rrf_fusion,
+        "event_pattern": q_event_pattern,
+        "weighted_median": q_weighted_median,
+        "benford": q_benford,
+        "snapshot_diff": q_snapshot_diff,
         "heavy_hitters": q_heavy_hitters,
         "ppjoin_pairs": q_ppjoin_pairs,
         "table_checksum": q_table_checksum,
@@ -4792,7 +4846,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_estimate": q_join_size_estimate,
         "profile_columns": q_profile_columns,
         "item_associations": q_item_associations,
-        # -- (e) oldest-cert rotation: the r7-graded kspp core + TPC-H head + relational tail just below the r10 boundary --
         "top_terms_per_lang": q_top_terms_per_lang,
         "count_by_key": q_count_by_key,
         "count_by_value": q_count_by_value,
@@ -4810,14 +4863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "interval_join": q_interval_join,
         "pricing_summary": q_pricing_summary,
-        # ---- below the grading window: previously graded, every
-        # ---- oracle re-verified locally by tests/test_oracle_parity.py
-        # ---- on every pytest run
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "json_extract": q_json_extract,
-        "percentiles": q_percentiles,
-        "grouping_sets": q_grouping_sets,
         "window_rank": q_window_rank,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
@@ -4866,18 +4914,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann": q_srp_ann,
         "srp_pairs": q_srp_pairs,
         "token_pairs": q_token_pairs,
-        "cohort_retention": q_cohort_retention,
-        "triangle_counts": q_triangle_counts,
-        "zorder_stats": q_zorder_stats,
-        "gap_fill_locf": q_gap_fill_locf,
-        "rolling_window_sum": q_rolling_window_sum,
-        "daily_trend": q_daily_trend,
-        "rolling_outliers": q_rolling_outliers,
-        "length_percentile": q_length_percentile,
-        "rate_ztest": q_rate_ztest,
-        "auc_eval": q_auc_eval,
-        "score_calibration": q_score_calibration,
-        "classifier_confusion": q_classifier_confusion,
         "link_graph": q_link_graph,
         "domain_rollup": q_domain_rollup,
         "domain_rank": q_domain_rank,
@@ -4947,30 +4983,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_sum": q_running_sum,
         "shipping_priority": q_shipping_priority,
         "small_qty_revenue": q_small_qty_revenue,
-        "promo_revenue": q_promo_revenue,
-        "order_priority_check": q_order_priority_check,
-        "max_acctbal_supplier": q_max_acctbal_supplier,
-        "forecast_revenue": q_forecast_revenue,
         "volume_shipping": q_volume_shipping,
-        "product_profit": q_product_profit,
-        "market_share": q_market_share,
-        "important_parts": q_important_parts,
         "supplier_counts": q_supplier_counts,
         "promo_suppliers": q_promo_suppliers,
         "waiting_suppliers": q_waiting_suppliers,
         "returned_items": q_returned_items,
-        "cust_order_distribution": q_cust_order_distribution,
         "top_supplier": q_top_supplier,
-        "large_orders": q_large_orders,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "idle_customers": q_idle_customers,
-        "except_keys": q_except_keys,
-        "embedding_clusters": q_embedding_clusters,
-        "diverse_sample": q_diverse_sample,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ivf_ann": q_ivf_ann,
-        "hll_production": q_hll_production,
     }
 
 

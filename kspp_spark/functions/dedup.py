@@ -1495,7 +1495,10 @@ def connected_components(
     equality-tested on chains, cliques, random graphs, self-loops).
     No driver-side graph state; every step is a plain hash join.
 
-    LINEAGE NOTE: rounds run on localCheckpoint (cheap), with a HARD
+    LINEAGE NOTE (full treatment: SCALE.md "localCheckpoint
+    durability boundary" — plan growth vs fault tolerance are two
+    different problems with two mechanisms): rounds run on
+    localCheckpoint (cheap), with a HARD
     parquet round-trip reset every few rounds. Reset dir resolution:
     `checkpoint_dir` param > the session's setCheckpointDir() > a
     driver-local temp dir (LOCAL MASTER ONLY — on a cluster master with

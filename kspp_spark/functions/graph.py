@@ -64,7 +64,9 @@ def pagerank(
     round) + ONE aggregation on dst; the node frame and out-degree
     frame are computed once. iterations is a small constant (rank
     signals converge in a handful of rounds); for big graphs insert
-    localCheckpoint() between rounds to cut lineage."""
+    localCheckpoint() between rounds to cut lineage — and see
+    SCALE.md "localCheckpoint durability boundary" for the
+    reliable-checkpoint switch on real clusters."""
     if iterations < 0:
         raise ValueError("pagerank: iterations must be >= 0")
     num, den = damping
