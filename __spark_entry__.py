@@ -2549,6 +2549,27 @@ def q_attribution(spark, sf_dir):
     )
 
 
+def q_attribution_decay(spark, sf_dir):
+    """Time-decay attribution (functions/sessions.
+    attribution_time_decay — round 13): the fourth canonical model —
+    a touch `half_life` old at conversion weighs half a fresh one,
+    realized as 1e6 >> (age DIV half_life), INTEGER halving instead
+    of an engine exp()/pow() (the PSI/log() lesson), so the credits
+    hash-replay. Same window semantics and exact-1e6-per-conversion
+    conservation as q_attribution; half-life 2 days over the same
+    view/click/signup -> purchase funnel."""
+    from kspp_spark.functions.sessions import attribution_time_decay
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution_time_decay(
+        ev,
+        touch_types=["view", "click", "signup"],
+        conversion_type="purchase",
+        half_life="2 days",
+        tiebreak="event_id",
+    )
+
+
 def q_referential_integrity(spark, sf_dir):
     """Star-schema referential-integrity audit (functions/pipeline.
     referential_integrity — round 12, the Deequ-style FK constraint
@@ -2643,6 +2664,34 @@ def q_cusum_alarms(spark, sf_dir):
         threshold=50_000,
     )
     return out.withColumn("d", F.date_format("d", "yyyy-MM-dd"))
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier gate on daily spend (functions/
+    timeseries.mad_outliers — round 13, Hampel's rule): flag days
+    where |cents - med| * 10000 > 44478 * MAD (= 3 x 1.4826,
+    the 3-sigma-equivalent consistency scaling) — the robust
+    complement to rolling_outliers' mean/std band, which one big
+    spike can inflate past its own detection. Both med and MAD are
+    EXACT lower medians (weighted_quantiles' integer
+    cross-multiplication pick), so the flag hash-replays in SQL.
+    Two bounded quantile passes + keys-sized joins back."""
+    from kspp_spark.functions.timeseries import mad_outliers
+
+    out = mad_outliers(
+        _daily_cents(spark, sf_dir, sparse=False),
+        ("event_type",),
+        "cents",
+        threshold_e4=44478,
+    )
+    return out.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "cents",
+        "med",
+        "mad",
+        "outlier",
+    )
 
 
 def q_acf_daily(spark, sf_dir):
@@ -2748,12 +2797,29 @@ def q_radius_join(spark, sf_dir):
     range_bucket_join pattern."""
     from kspp_spark.operators.joins import radius_join
 
-    pts = _t(spark, sf_dir, "customer").select(
+    pts = _pts(spark, sf_dir)
+    return radius_join(pts, None, radius=50000)
+
+
+def _pts(spark, sf_dir):
+    """Shared synthetic point cloud for the spatial queries:
+    Knuth-hash x/y in a FIXED 1e6 x 1e6 grid (closed-form in SQL).
+    Fixed area means in-radius pair volume grows QUADRATICALLY with
+    corpus size (10x points = 10x density = ~100x pairs) — the
+    operator's documented contract, same class as the similarity
+    thresholds' quadratic tail (SCALE.md). The repartition models a
+    production points table's scan parallelism: the single-file
+    sandbox parquet otherwise yields 1-2 map partitions, serializing
+    the window's map-side partial top-k (knn) / the hash probe
+    (radius) through one task at sf1 — a data-layout artifact, not a
+    plan property; at 100 TB the scan itself provides the
+    parallelism."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         ((F.col("c_custkey") * 2654435761) % 1000000).cast("long").alias("x"),
         ((F.col("c_custkey") * 40503 + 7) % 1000000).cast("long").alias("y"),
-    )
-    return radius_join(pts, None, radius=50000)
+    ).repartition(n)
 
 
 def q_knn_radius(spark, sf_dir):
@@ -2769,12 +2835,7 @@ def q_knn_radius(spark, sf_dir):
     identity certification, the radius_join pattern."""
     from kspp_spark.operators.joins import knn_radius_join
 
-    pts = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"),
-        ((F.col("c_custkey") * 2654435761) % 1000000).cast("long").alias("x"),
-        ((F.col("c_custkey") * 40503 + 7) % 1000000).cast("long").alias("y"),
-    )
-    return knn_radius_join(pts, None, k=3, radius=50000)
+    return knn_radius_join(_pts(spark, sf_dir), None, k=3, radius=50000)
 
 
 def q_weighted_median(spark, sf_dir):
@@ -4728,8 +4789,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (d) the round-11 additions hold their certs for a second
     #       driver row; (e) oldest-cert fill to 50.
     # ROUND 13 window (this ordering), per VERDICT r12 item #1:
-    #   (a) knn_radius leads (the round's one new graded operator —
-    #       radius-capped spatial kNN);
+    #   (a) the round-13 additions lead: knn_radius (radius-capped
+    #       spatial kNN), mad_outliers (median/MAD robust outlier
+    #       gate), attribution_decay (integer-halving time-decay
+    #       credit);
     #   (b) the FIFTEEN never-driver-graded queries (the only
     #       registry entries with zero driver-green rows across 12
     #       rounds of rotation — closing them makes driver coverage
@@ -4753,6 +4816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a) round-13 addition (leads the window) --
         "knn_radius": q_knn_radius,
+        "mad_outliers": q_mad_outliers,
+        "attribution_decay": q_attribution_decay,
         # -- (b) the 15 never-driver-graded queries (VERDICT r12 item #1:
         #    the only registry entries with zero driver-green rows
         #    across 12 rounds; all pass local oracle parity) --
@@ -4812,11 +4877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_acctbal_supplier": q_max_acctbal_supplier,
         "order_priority_check": q_order_priority_check,
         "percentiles": q_percentiles,
-        "product_profit": q_product_profit,
-        "promo_revenue": q_promo_revenue,
         # ---- below the grading window: previously graded, every oracle
         # ---- re-verified locally by tests/test_oracle_parity.py on
         # ---- every pytest run ----
+        "product_profit": q_product_profit,
+        "promo_revenue": q_promo_revenue,
         "referential_integrity": q_referential_integrity,
         "correlation_matrix": q_correlation_matrix,
         "ewma_smooth": q_ewma_smooth,
@@ -8463,6 +8528,41 @@ def oracle_sql() -> dict[str, str]:
                        CAST(SUM(CAST(floor(value * 100) AS BIGINT))
                             AS BIGINT) AS cents
                 FROM events {where} GROUP BY 1, 2"""
+    oracles["mad_outliers"] = f"""
+            WITH daily AS ({_DAILY.format(where="")}),
+            mv AS (SELECT event_type, cents AS v, COUNT(*) AS w
+                   FROM daily GROUP BY 1, 2),
+            mc AS (SELECT event_type, v,
+                       SUM(w) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+                       SUM(w) OVER (PARTITION BY event_type) AS tot
+                   FROM mv),
+            md AS (SELECT event_type,
+                       MIN(CASE WHEN 1000 * cum >= 500 * tot THEN v END)
+                           AS med
+                   FROM mc GROUP BY 1),
+            d2 AS (SELECT daily.event_type, daily.d, daily.cents,
+                          md.med, ABS(daily.cents - md.med) AS adev
+                   FROM daily JOIN md USING (event_type)),
+            av AS (SELECT event_type, adev AS v, COUNT(*) AS w
+                   FROM d2 GROUP BY 1, 2),
+            ac AS (SELECT event_type, v,
+                       SUM(w) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+                       SUM(w) OVER (PARTITION BY event_type) AS tot
+                   FROM av),
+            ad AS (SELECT event_type,
+                       MIN(CASE WHEN 1000 * cum >= 500 * tot THEN v END)
+                           AS mad
+                   FROM ac GROUP BY 1)
+            SELECT d2.event_type, strftime(d2.d, '%Y-%m-%d') AS d,
+                   d2.cents, CAST(d2.med AS BIGINT) AS med,
+                   CAST(ad.mad AS BIGINT) AS mad,
+                   (d2.adev * 10000 > 44478 * ad.mad) AS outlier
+            FROM d2 JOIN ad USING (event_type)
+        """
     oracles["gap_fill_locf"] = f"""
             WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),
             bounds AS (
@@ -9370,6 +9470,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(credit) AS BIGINT) AS credit_ppm,
                    CAST(SUM(ncc) AS BIGINT) AS n_touches
             FROM m GROUP BY 1, 2
+        """
+    # half-life 2 days in micros = 172_800_000_000
+    oracles["attribution_decay"] = """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t, event_id AS tb,
+                       event_type AS ch,
+                       event_type = 'purchase' AS conv
+                FROM events
+                WHERE event_type IN ('view','click','signup','purchase')
+            ),
+            mk AS (
+                SELECT *, SUM(CASE WHEN conv THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY t, tb
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS cum FROM e
+            ),
+            tch AS (SELECT user_id, t, tb, ch, cum + 1 AS cw
+                    FROM mk WHERE NOT conv),
+            cnv AS (SELECT user_id, cum AS cw, t AS ct
+                    FROM mk WHERE conv),
+            att AS (
+                SELECT tch.user_id, tch.cw, tch.t, tch.tb, tch.ch,
+                       (1000000 >> CAST(LEAST(
+                           (cnv.ct - tch.t) // 172800000000, 62)
+                           AS INTEGER)) AS w
+                FROM tch JOIN cnv
+                ON tch.user_id = cnv.user_id AND tch.cw = cnv.cw
+            ),
+            pc AS (SELECT user_id, cw, ch, SUM(w) AS cww,
+                          COUNT(*) AS ncc
+                   FROM att GROUP BY 1, 2, 3),
+            pw AS (
+                SELECT user_id, cw, SUM(w) AS W,
+                       MAX(CASE WHEN rn = 1 THEN ch END) AS last_ch
+                FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY user_id, cw
+                        ORDER BY t DESC, tb DESC) AS rn
+                    FROM att
+                ) GROUP BY 1, 2
+            ),
+            cr AS (
+                SELECT pc.user_id, pc.cw, pc.ch, pc.ncc, pw.last_ch,
+                       CASE WHEN pw.W > 0
+                            THEN (1000000 * pc.cww) // pw.W
+                            ELSE 0 END AS base
+                FROM pc JOIN pw
+                ON pc.user_id = pw.user_id AND pc.cw = pw.cw
+            ),
+            rm AS (SELECT user_id, cw, 1000000 - SUM(base) AS rem
+                   FROM cr GROUP BY 1, 2)
+            SELECT cr.ch AS channel,
+                   CAST(SUM(cr.base + CASE WHEN cr.ch = cr.last_ch
+                            THEN rm.rem ELSE 0 END) AS BIGINT)
+                       AS credit_ppm,
+                   CAST(SUM(cr.ncc) AS BIGINT) AS n_touches
+            FROM cr JOIN rm
+            ON cr.user_id = rm.user_id AND cr.cw = rm.cw
+            GROUP BY 1
         """
     oracles["referential_integrity"] = """
             WITH checks(relation, n_child, n_null_fk, n_orphan_rows,

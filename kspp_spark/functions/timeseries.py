@@ -592,3 +592,66 @@ def cusum_emit(
     return cusum_changepoints(
         daily, key_cols, "d", value_col, slack=slack, threshold=threshold
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    threshold_e4: int = 44478,
+) -> DataFrame:
+    """Robust outlier gate per key via median / MAD (median absolute
+    deviation) — the monitoring screen that, unlike rolling_outliers'
+    mean/std window, does not let the outliers it is hunting inflate
+    their own acceptance band (one 100x spike moves a mean+3sigma
+    band enormously, a median/MAD band barely). Hampel's classic
+    rule: flag x where |x - med| > k * 1.4826 * MAD.
+
+    Decided in INTEGER cross-multiplication so the flag replays
+    bit-for-bit in SQL: outlier = |x - med| * 10000 > threshold_e4 *
+    MAD, with `threshold_e4` = k * 1.4826 * 1e4 rounded (default
+    44478 = the 3-sigma-equivalent 3 * 1.4826). Both med and MAD are
+    the EXACT lower medians (weighted_quantiles' 1000*cum >= 500*W
+    integer pick), so there is no engine float anywhere. Values must
+    be integer-scaled (cents — the repo-wide contract). MAD = 0
+    (more than half the key's values identical) flags EVERY
+    deviating row — the documented MAD degeneracy; callers with
+    constant-heavy series should pre-filter or use the histogram
+    band instead.
+
+    Returns input rows + (med, mad, outlier BOOLEAN).
+
+    Scale shape: two bounded quantile passes (each ONE map-side
+    (key, value) weight agg + a cumulative window over the distinct-
+    value table — weighted_quantiles' shape) + two keys-sized
+    broadcast-able joins back; no corpus window, no Python."""
+    if threshold_e4 < 0:
+        raise ValueError("mad_outliers: threshold_e4 must be >= 0")
+    g = list(key_cols)
+    x = F.col(value_col).cast("long")
+    med = weighted_quantiles(
+        df.select(*g, x.alias("_v")),
+        value_col="_v",
+        weight_col=None,
+        group_cols=tuple(g),
+        qs_permille=(500,),
+    ).select(*g, F.col("value").alias("med"))
+    with_med = df.join(F.broadcast(med), g)
+    adev = F.abs(x - F.col("med"))
+    mad = weighted_quantiles(
+        with_med.select(*g, adev.alias("_a")),
+        value_col="_a",
+        weight_col=None,
+        group_cols=tuple(g),
+        qs_permille=(500,),
+    ).select(*g, F.col("value").alias("mad"))
+    out = with_med.join(F.broadcast(mad), g)
+    return out.select(
+        *df.columns,
+        F.col("med").cast("long").alias("med"),
+        F.col("mad").cast("long").alias("mad"),
+        (
+            F.abs(x - F.col("med")) * F.lit(10000)
+            > F.lit(threshold_e4).cast("long") * F.col("mad")
+        ).alias("outlier"),
+    )

@@ -64,12 +64,22 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--queries", default="")
-    args = ap.parse_args()
-    names = (
-        [s for s in args.queries.split(",") if s]
-        if args.queries
-        else HEAVY
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="sweep EVERY registered query (VERDICT r12 item #4: the "
+        "full-registry decade close; rows-only timing, runs=1 "
+        "recommended)",
     )
+    args = ap.parse_args()
+    if args.all:
+        names = list(entry_mod.queries().keys())
+    else:
+        names = (
+            [s for s in args.queries.split(",") if s]
+            if args.queries
+            else HEAVY
+        )
     spark = get_spark("kspp_spark_scale")
     queries = entry_mod.queries()
     # warmup + yardstick (the calm-window adjudication input)
@@ -84,8 +94,13 @@ def main() -> None:
     }
     for name in names:
         fn = queries[name]
-        a = _time(fn, spark, SF01, args.runs)
-        b = _time(fn, spark, args.sf1, args.runs)
+        try:
+            a = _time(fn, spark, SF01, args.runs)
+            b = _time(fn, spark, args.sf1, args.runs)
+        except Exception as e:  # one bad query must not kill the sweep
+            out["queries"][name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"{name}: ERROR {type(e).__name__}", file=sys.stderr)
+            continue
         out["queries"][name] = {
             "sf0.1_sec": a,
             "sf1_sec": b,

@@ -5293,3 +5293,71 @@ def test_knn_radius_join_matches_brute_force(spark):
     assert two == [(1, 1), (2, 3), (4, 2)]
     with _pytest.raises(ValueError):
         knn_radius_join(df, None, k=0, radius=5)
+
+
+def test_mad_outliers_exact_medians_and_degeneracy(spark):
+    """Hampel median/MAD gate: exact lower medians, integer
+    cross-multiplied flag, and the documented MAD=0 degeneracy
+    (constant-heavy series flags every deviating row)."""
+    from kspp_spark.functions.timeseries import mad_outliers
+    import pytest as _pytest
+
+    rows = (
+        [("a", v) for v in (100, 102, 98, 104, 100, 1000)]
+        + [("b", v) for v in (5, 5, 5, 7)]
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = {
+        (r["k"], r["v"]): (r["med"], r["mad"], r["outlier"])
+        for r in mad_outliers(df, ("k",), "v").collect()
+    }
+    # a: sorted [98,100,100,102,104,1000] -> lower median 100;
+    #    adевs sorted [0,0,2,2,4,900] -> MAD 2; flag iff
+    #    adev*10000 > 44478*2 -> only the 1000 spike
+    assert out[("a", 1000)] == (100, 2, True)
+    assert out[("a", 104)] == (100, 2, False)
+    assert out[("a", 98)] == (100, 2, False)
+    # b: MAD = 0 -> every deviating row flags (the degeneracy)
+    assert out[("b", 7)] == (5, 0, True)
+    assert out[("b", 5)] == (5, 0, False)
+    with _pytest.raises(ValueError):
+        mad_outliers(df, ("k",), "v", threshold_e4=-1)
+
+
+def test_attribution_time_decay_integer_halving(spark):
+    """Time-decay credit: weight = 1e6 >> (age DIV half_life),
+    exact-1e6 conservation per conversion incl. the floor remainder
+    to the last touch, and the all-stale window degenerating to
+    last-touch through the same remainder path."""
+    import datetime as _dt
+    from kspp_spark.functions.sessions import attribution_time_decay
+
+    t0 = _dt.datetime(2024, 1, 10)
+    d = lambda days: t0 + _dt.timedelta(days=days)
+    rows = [
+        # u1: A @ -4d (2 half-lives, w=250000), B @ -1d (w=1e6),
+        # conversion at t0
+        ("u1", d(-4), "A", 1), ("u1", d(-1), "B", 2),
+        ("u1", d(0), "buy", 3),
+        # u2: single touch 100 days stale (w=0) -> last-touch path
+        ("u2", d(-100), "A", 4), ("u2", d(0), "buy", 5),
+        # u3: trailing touch, never converts
+        ("u3", d(-1), "B", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string, "
+        "event_id long"
+    )
+    got = {
+        r["channel"]: (r["credit_ppm"], r["n_touches"])
+        for r in attribution_time_decay(
+            df, ["A", "B"], "buy", half_life="2 days",
+            tiebreak="event_id",
+        ).collect()
+    }
+    # u1: W = 1_250_000; A = 1e6*250000 DIV W = 200000;
+    #     B = 800000 + rem 0.  u2: W=0 -> A gets the full 1e6.
+    assert got["A"] == (1_200_000, 2)
+    assert got["B"] == (800_000, 1)
+    # conservation: 2 attributed conversions -> exactly 2e6 total
+    assert sum(v[0] for v in got.values()) == 2_000_000

@@ -1380,3 +1380,21 @@ def test_knn_radius_window_group_limit(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_mad_outliers_bounded_quantile_passes(spark, queries):
+    """Median/MAD gate: two weighted_quantiles passes over
+    distinct-value tables + broadcast joins back — no Python, no
+    cartesian, no corpus-wide single-partition window."""
+    plan = formatted_plan(spark, queries["mad_outliers"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_decay_no_python_no_cartesian(spark, queries):
+    """Time-decay credit: per-user ordering window + window-sized
+    equi-joins, integer shift weights — no Python, no cartesian."""
+    plan = formatted_plan(spark, queries["attribution_decay"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
