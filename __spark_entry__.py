@@ -2694,6 +2694,45 @@ def q_mad_outliers(spark, sf_dir):
     )
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend on daily spend (functions/timeseries.
+    theil_sen_trend — round 13; Theil 1950 / Sen 1968): the median
+    of pairwise MICRO-slopes ((dv*1e6) DIV dd — exact int64, which
+    is what makes a median over 'rationals' SQL-sortable) + the
+    median intercept — the robust complement to linear_trend's
+    least-squares line, immune to ~29% arbitrary outliers. Pair
+    count is days-bounded (ONE per-key self-join over the daily
+    series), medians are weighted_quantiles' exact integer picks."""
+    from kspp_spark.functions.timeseries import theil_sen_trend
+
+    return theil_sen_trend(
+        _daily_cents(spark, sf_dir, sparse=False),
+        ("event_type",),
+        "d",
+        "cents",
+    )
+
+
+def q_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness (functions/sessions.dau_mau_stickiness —
+    round 13): trailing-30-day distinct-user ratio in exact ppm,
+    computed WITHOUT a windowed COUNT(DISTINCT) — the corpus
+    compresses to distinct (user, day) once, each user-day
+    contributes to the next 30 days' MAU via a calendar-bounded
+    sequence explode, deduped per user-window. One row per active
+    day."""
+    from kspp_spark.functions.sessions import dau_mau_stickiness
+
+    ev = _t(spark, sf_dir, "events")
+    out = dau_mau_stickiness(ev, window_days=30)
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "dau",
+        "mau",
+        "stickiness_ppm",
+    )
+
+
 def q_acf_daily(spark, sf_dir):
     """Sample autocorrelation at lags 1..7 of daily spend per event
     type (functions/timeseries.acf_lags — round 12): the seasonality
@@ -4792,7 +4831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (a) the round-13 additions lead: knn_radius (radius-capped
     #       spatial kNN), mad_outliers (median/MAD robust outlier
     #       gate), attribution_decay (integer-halving time-decay
-    #       credit);
+    #       credit), theil_sen (robust micro-slope trend),
+    #       stickiness (DAU/MAU without windowed COUNT DISTINCT);
     #   (b) the FIFTEEN never-driver-graded queries (the only
     #       registry entries with zero driver-green rows across 12
     #       rounds of rotation — closing them makes driver coverage
@@ -4818,6 +4858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_radius": q_knn_radius,
         "mad_outliers": q_mad_outliers,
         "attribution_decay": q_attribution_decay,
+        "theil_sen": q_theil_sen,
+        "stickiness": q_stickiness,
         # -- (b) the 15 never-driver-graded queries (VERDICT r12 item #1:
         #    the only registry entries with zero driver-green rows
         #    across 12 rounds; all pass local oracle parity) --
@@ -4875,11 +4917,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "market_share": q_market_share,
         "max_acctbal_supplier": q_max_acctbal_supplier,
-        "order_priority_check": q_order_priority_check,
-        "percentiles": q_percentiles,
         # ---- below the grading window: previously graded, every oracle
         # ---- re-verified locally by tests/test_oracle_parity.py on
         # ---- every pytest run ----
+        "order_priority_check": q_order_priority_check,
+        "percentiles": q_percentiles,
         "product_profit": q_product_profit,
         "promo_revenue": q_promo_revenue,
         "referential_integrity": q_referential_integrity,
@@ -8563,6 +8605,68 @@ def oracle_sql() -> dict[str, str]:
                    (d2.adev * 10000 > 44478 * ad.mad) AS outlier
             FROM d2 JOIN ad USING (event_type)
         """
+    oracles["theil_sen"] = f"""
+            WITH daily AS ({_DAILY.format(where="")}),
+            pts AS (SELECT event_type,
+                        date_diff('day', DATE '1970-01-01', d) AS dd,
+                        cents AS v
+                    FROM daily),
+            prs AS (SELECT a.event_type,
+                        ((b.v - a.v) * 1000000) // (b.dd - a.dd) AS s
+                    FROM pts a JOIN pts b
+                    ON a.event_type = b.event_type AND a.dd < b.dd),
+            sv AS (SELECT event_type, s AS v, COUNT(*) AS w
+                   FROM prs GROUP BY 1, 2),
+            sc AS (SELECT event_type, v,
+                       SUM(w) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+                       SUM(w) OVER (PARTITION BY event_type) AS tot
+                   FROM sv),
+            sl AS (SELECT event_type,
+                       MIN(CASE WHEN 1000 * cum >= 500 * tot THEN v END)
+                           AS slope,
+                       MAX(tot) AS n_pairs
+                   FROM sc GROUP BY 1),
+            rz AS (SELECT pts.event_type,
+                          pts.v * 1000000 - sl.slope * pts.dd AS r
+                   FROM pts JOIN sl USING (event_type)),
+            rv AS (SELECT event_type, r AS v, COUNT(*) AS w
+                   FROM rz GROUP BY 1, 2),
+            rc AS (SELECT event_type, v,
+                       SUM(w) OVER (PARTITION BY event_type ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+                       SUM(w) OVER (PARTITION BY event_type) AS tot
+                   FROM rv),
+            ic AS (SELECT event_type,
+                       MIN(CASE WHEN 1000 * cum >= 500 * tot THEN v END)
+                           AS intercept
+                   FROM rc GROUP BY 1)
+            SELECT sl.event_type,
+                   CAST(sl.slope AS BIGINT) AS slope_micro_per_day,
+                   CAST(ic.intercept AS BIGINT) AS intercept_micro,
+                   CAST(sl.n_pairs AS BIGINT) AS n_pairs
+            FROM sl JOIN ic USING (event_type)
+        """
+    oracles["stickiness"] = """
+            WITH ud AS (
+                SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                FROM events
+            ),
+            dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1),
+            contrib AS (
+                SELECT DISTINCT ud.u, ud.d + CAST(o.k AS INTEGER) AS d
+                FROM ud CROSS JOIN (SELECT unnest(range(30)) AS k) o
+            ),
+            mau AS (SELECT d, COUNT(*) AS mau FROM contrib GROUP BY 1)
+            SELECT strftime(dau.d, '%Y-%m-%d') AS d,
+                   CAST(dau.dau AS BIGINT) AS dau,
+                   CAST(mau.mau AS BIGINT) AS mau,
+                   CAST((1000000 * dau.dau) // mau.mau AS BIGINT)
+                       AS stickiness_ppm
+            FROM dau JOIN mau ON dau.d = mau.d
+        """
     oracles["gap_fill_locf"] = f"""
             WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),
             bounds AS (
@@ -9233,17 +9337,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             ),
             x AS (
+                -- HUGEINT (int128) cells: the Spark side computes the
+                -- identical algebra in DECIMAL(38,0) — representations
+                -- differ, both exact, results identical
                 SELECT g.source, g.n, g.k, tot.n_total, tot.k_total,
-                       g.k AS a, g.n - g.k AS b,
-                       tot.k_total - g.k AS c,
-                       (tot.n_total - g.n) - (tot.k_total - g.k) AS d
+                       CAST(g.k AS HUGEINT) AS a,
+                       CAST(g.n - g.k AS HUGEINT) AS b,
+                       CAST(tot.k_total - g.k AS HUGEINT) AS c,
+                       CAST((tot.n_total - g.n)
+                            - (tot.k_total - g.k) AS HUGEINT) AS d
                 FROM g CROSS JOIN tot
             )
             SELECT source, n, k, n_total, k_total,
-                   CAST(n_total * (a*d - b*c) * (a*d - b*c) AS BIGINT)
-                     AS chi2_num,
-                   CAST((a+b) * (c+d) * (a+c) * (b+d) AS BIGINT)
-                     AS chi2_den,
                    CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) > 0
                         THEN CAST(n_total * (a*d - b*c) * (a*d - b*c)
                                   AS DOUBLE)

@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "knn_radius",
     "mad_outliers",
     "attribution_decay",
+    "theil_sen",
+    "stickiness",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

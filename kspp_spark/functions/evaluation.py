@@ -170,20 +170,26 @@ def two_proportion_ztest(
 
         N * (ad - bc)^2 * z_den^2  >  z_num^2 * (row/col products)
 
-    so `significant` is a pure integer comparison — no sqrt, no
-    float, bit-identical in any engine. Default threshold z = 1.96
-    (95% two-sided). Output per group: n, k, the pooled totals as
-    n_total/k_total (Spark resolves column names case-insensitively,
-    so N beside n would be ambiguous), chi2_num, chi2_den (exact),
-    chi2 (the one IEEE division), and significant.
-    Degenerate margins (all-success / all-failure pools) yield
-    chi2_den = 0, NULL chi2, significant = 0 — the honest default.
+    so `significant` is a pure EXACT-ARITHMETIC comparison — no
+    sqrt, no float rounding anywhere in the decision, bit-identical
+    in any engine. Default threshold z = 1.96 (95% two-sided).
+    Output per group: n, k, the pooled totals as n_total/k_total
+    (Spark resolves column names case-insensitively, so N beside n
+    would be ambiguous), chi2 (ONE IEEE division over
+    exactly-rounded operands — both engines cast the same exact
+    integers to double, so even the float column hash-replays), and
+    significant. Degenerate margins (all-success / all-failure
+    pools) yield NULL chi2, significant = 0 — the honest default.
 
     Plan: ONE hash aggregation to per-group (n, k), a 1-row pooled
-    total broadcast back, map-side integer algebra. Int64 bound:
-    N * (ad-bc)^2 needs N^3 <~ 2^63 — fine to ~2M trials; beyond
-    that, pre-scale counts (divide all cells by a common factor) or
-    lift to DecimalType.
+    total broadcast back, map-side EXACT algebra in DECIMAL(38,0) —
+    num = N*det^2 has a DATA-DEPENDENT det (up to (N/2)^2 on a
+    maximally-skewed table), so int64 overflowed on strong effects
+    at modest N (caught by the r13 full-registry sf1 sweep);
+    decimal(38) holds the worst case to N ~ 2e7 and ANSI-loud-fails
+    beyond — pre-scale the table (divide all cells by a common
+    factor) for larger pools, where the test is saturated anyway.
+    The SQL oracle runs identical algebra in HUGEINT (int128).
     """
     g = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -194,16 +200,28 @@ def two_proportion_ztest(
         F.sum("k").cast("long").alias("k_total"),
     )
     j = g.crossJoin(F.broadcast(tot))
-    a = F.col("k")
-    b = F.col("n") - F.col("k")
-    c = F.col("k_total") - F.col("k")
-    d = (F.col("n_total") - F.col("n")) - c
+    # DECIMAL(38,0) arithmetic: num = N*det^2 is O(N * det^2) with a
+    # DATA-DEPENDENT det (up to (N/2)^2 for a maximally-skewed 2x2
+    # table), so int64 overflows as early as N ~ thousands on strong
+    # effects — caught live by the round-13 full-registry sf1 sweep.
+    # Decimal(38) holds the worst case to N ~ 2e7 and ANSI-loud-fails
+    # beyond (pre-scale the table above that); the SQL oracle runs
+    # the same algebra in HUGEINT (int128) — representations differ,
+    # both are exact, so results are identical.
+    dec = "decimal(38,0)"
+    a = F.col("k").cast(dec)
+    b = (F.col("n") - F.col("k")).cast(dec)
+    c = (F.col("k_total") - F.col("k")).cast(dec)
+    d = ((F.col("n_total") - F.col("n")).cast(dec)) - c
     det = a * d - b * c
-    num = F.col("n_total") * det * det
+    num = F.col("n_total").cast(dec) * det * det
     den = (a + b) * (c + d) * (a + c) * (b + d)
     sig = F.when(
         den > 0,
-        (num * (z_den * z_den) > den * (z_num * z_num)).cast("long"),
+        (
+            num * F.lit(z_den * z_den).cast(dec)
+            > den * F.lit(z_num * z_num).cast(dec)
+        ).cast("long"),
     ).otherwise(F.lit(0))
     return j.select(
         group_col,
@@ -211,8 +229,6 @@ def two_proportion_ztest(
         "k",
         "n_total",
         "k_total",
-        num.cast("long").alias("chi2_num"),
-        den.cast("long").alias("chi2_den"),
         F.when(den > 0, num.cast("double") / den.cast("double")).alias(
             "chi2"
         ),

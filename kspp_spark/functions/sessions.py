@@ -1669,3 +1669,62 @@ def attribution_emit(credits: DataFrame) -> DataFrame:
     return _attribution_finalize(credits.select(
         "_ch", "_nc", "_isf", "_isl", "_n"
     ))
+
+
+def dau_mau_stickiness(
+    df: DataFrame,
+    window_days: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU / MAU stickiness — the classic engagement ratio (what
+    share of the monthly-active base shows up on a given day). MAU
+    for day d counts distinct users active in the TRAILING
+    `window_days` window [d - window_days + 1, d]; stickiness is the
+    exact integer ppm ratio, so the metric hash-replays.
+
+    Spark-first shape WITHOUT a windowed COUNT(DISTINCT) (which has
+    no streaming/window form and would need a corpus window): the
+    corpus compresses to distinct (user, day) once; each user-day
+    then CONTRIBUTES to the MAU of the next `window_days` days via a
+    bounded sequence explode (x window_days, calendar-bounded,
+    never corpus-bounded), deduped per (user, day) so multiple
+    active days inside one window count once. Emitted days are the
+    days with any activity (DAU > 0) — stickiness on a dead day is
+    undefined, not zero.
+
+    Returns (d DATE, dau, mau, stickiness_ppm), one row per active
+    day.
+
+    Scale shape: one distinct over (user, day) — the only
+    corpus-sized step — then a window_days-x explode of the
+    user-day table, one distinct, two per-day counts and a per-day
+    join. All aggregations map-side combinable."""
+    if window_days < 1:
+        raise ValueError("dau_mau_stickiness: window_days must be >= 1")
+    ud = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("timestamp").cast("date").alias("_d"),
+    ).distinct()
+    dau = ud.groupBy(F.col("_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    contrib = ud.select(
+        "_u",
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.date_add(F.col("_d"), window_days - 1),
+            )
+        ).alias("d"),
+    ).distinct()
+    mau = contrib.groupBy("d").agg(F.count(F.lit(1)).alias("mau"))
+    return (
+        dau.join(mau, "d")
+        .select(
+            "d",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr("(1000000 * dau) DIV mau").alias("stickiness_ppm"),
+        )
+    )

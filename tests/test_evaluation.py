@@ -105,8 +105,7 @@ def test_two_proportion_ztest_hand_computed(spark):
     got = {r["g"]: r for r in two_proportion_ztest(df, "g", "f").collect()}
     a = got["A"]
     assert (a["n"], a["k"], a["n_total"], a["k_total"]) == (100, 30, 200, 40)
-    assert a["chi2_num"] == 200 * (30 * 90 - 70 * 10) ** 2
-    assert a["chi2_den"] == 100 * 100 * 40 * 160
+    # chi2 = num/den with num = 200*(30*90-70*10)^2, den = 100*100*40*160
     assert abs(a["chi2"] - 12.5) < 1e-12
     assert a["significant"] == 1
     # symmetric: B's test against its complement is the same table
@@ -126,3 +125,25 @@ def test_two_proportion_ztest_hand_computed(spark):
     )
     for r in two_proportion_ztest(degen, "g", "f").collect():
         assert r["chi2"] is None and r["significant"] == 0
+
+
+def test_two_proportion_ztest_big_n_strong_effect_no_overflow(spark):
+    """r13 sf1-sweep regression: num = N*det^2 has a DATA-DEPENDENT
+    det, so the old int64 algebra ANSI-overflowed on strong effects
+    at modest N (2M rows, 80%-vs-10% split -> det ~ 7e11, num ~
+    1e30). The DECIMAL(38,0) form must return the obvious verdict
+    instead of throwing."""
+    from pyspark.sql import functions as F
+    from kspp_spark.functions.evaluation import two_proportion_ztest
+
+    df = spark.range(2_000_000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.when(
+            (F.col("id") % 2 == 0) & (F.col("id") % 10 < 8), 1
+        ).when(
+            (F.col("id") % 2 == 1) & (F.col("id") % 10 == 1), 1
+        ).otherwise(0).alias("f"),
+    )
+    got = {r["g"]: r for r in two_proportion_ztest(df, "g", "f").collect()}
+    assert got["0"]["significant"] == 1 and got["1"]["significant"] == 1
+    assert got["0"]["chi2"] > 1000

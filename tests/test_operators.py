@@ -5361,3 +5361,57 @@ def test_attribution_time_decay_integer_halving(spark):
     assert got["B"] == (800_000, 1)
     # conservation: 2 attributed conversions -> exactly 2e6 total
     assert sum(v[0] for v in got.values()) == 2_000_000
+
+
+def test_theil_sen_median_slope_robust_and_truncation(spark):
+    """Theil-Sen micro-slope: exact lower median of pairwise
+    (dv*1e6) DIV dd — a spike that would drag least-squares leaves
+    the median slope untouched; negative inexact slopes pin the
+    truncation-toward-zero contract (Spark DIV == DuckDB //)."""
+    from kspp_spark.functions.timeseries import theil_sen_trend
+
+    rows = [
+        ("a", "1970-01-01", 100), ("a", "1970-01-02", 200),
+        ("a", "1970-01-03", 300), ("a", "1970-01-04", 1000),
+        ("b", "1970-01-01", 100), ("b", "1970-01-04", 0),
+    ]
+    df = spark.createDataFrame(rows, "k string, d string, v long")
+    got = {
+        r["k"]: (r["slope_micro_per_day"], r["intercept_micro"],
+                 r["n_pairs"])
+        for r in theil_sen_trend(df, ("k",), "d", "v").collect()
+    }
+    # a: slopes sorted [1,1,1,3,4,7]e8 -> median 1e8 (spike ignored);
+    #    residuals all 1e8 except the spike's 7e8 -> intercept 1e8
+    assert got["a"] == (100_000_000, 100_000_000, 6)
+    # b: single pair -100e6 DIV 3 truncates to -33333333 (not the
+    #    floor -33333334); intercept = lower median of
+    #    (1e8 - s*0, 0 - s*3) = (1e8, 99999999) -> 99999999
+    assert got["b"] == (-33_333_333, 99_999_999, 1)
+
+
+def test_dau_mau_stickiness_trailing_window(spark):
+    """DAU/MAU: trailing-window distinct users via the bounded
+    contribution explode — multiple active days inside one window
+    count once; dead days emit nothing."""
+    import pytest as _pytest
+    from kspp_spark.functions.sessions import dau_mau_stickiness
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 11:00:00"),
+        ("u1", "2024-01-02 09:00:00"), ("u2", "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string")
+    got = {
+        str(r["d"]): (r["dau"], r["mau"], r["stickiness_ppm"])
+        for r in dau_mau_stickiness(df, window_days=2).collect()
+    }
+    # d1: dau {u1,u2}=2, mau(2d)={u1,u2}=2 -> 1e6
+    # d2: dau {u1}=1, mau(2d)={u1,u2}=2 -> 5e5 (u1's two d1 events
+    #     and its d1+d2 overlap each count once)
+    assert got == {
+        "2024-01-01": (2, 2, 1_000_000),
+        "2024-01-02": (1, 2, 500_000),
+    }
+    with _pytest.raises(ValueError):
+        dau_mau_stickiness(df, window_days=0)

@@ -1398,3 +1398,21 @@ def test_attribution_decay_no_python_no_cartesian(spark, queries):
     plan = formatted_plan(spark, queries["attribution_decay"](spark, SF))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_days_bounded_pair_join(spark, queries):
+    """Pairwise slopes come from ONE per-key equi-join over the
+    days-bounded daily table — no Python, no cartesian."""
+    plan = formatted_plan(spark, queries["theil_sen"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stickiness_no_windowed_count_distinct(spark, queries):
+    """DAU/MAU rides distinct + bounded explode + plain counts — no
+    corpus window, no Python, no cartesian, and critically no
+    windowed COUNT(DISTINCT) Expand blow-up."""
+    plan = formatted_plan(spark, queries["stickiness"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
