@@ -2877,6 +2877,38 @@ def q_knn_radius(spark, sf_dir):
     return knn_radius_join(_pts(spark, sf_dir), None, k=3, radius=50000)
 
 
+def q_hotspots(spark, sf_dir):
+    """Grid hotspot screen (functions/geo.grid_hotspots — round 13,
+    Getis-Ord-lite): every occupied 50k-cell scored by local density
+    vs its 3x3 neighborhood as the exact integer ratio
+    (1e6*9*n) DIV nbr_n — the ranking without the z-score's global
+    variance + sqrt (the PSI/log() lesson applied to geo stats).
+    ONE cell count (the only corpus-sized step) + a 9x explode of
+    the CELL table + one equi-join aggregation."""
+    from kspp_spark.functions.geo import grid_hotspots
+
+    return grid_hotspots(_pts(spark, sf_dir), cell_size=50000)
+
+
+def q_knn_vote(spark, sf_dir):
+    """kNN majority label vote (functions/geo.knn_label_vote —
+    round 13): each point's 5 nearest in-radius neighbors vote with
+    their customer market segment; ONE min_by over the composite
+    (-votes, d2sum, label) key makes the winner fully deterministic,
+    so the classifier output hash-replays. Composes knn_radius_join
+    (grid candidates + WindowGroupLimit top-k) with a labels
+    equi-join — the spatial operator powering an actual task."""
+    from kspp_spark.functions.geo import knn_label_vote
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("label"),
+    )
+    return knn_label_vote(
+        _pts(spark, sf_dir), cust, k=5, radius=50000
+    )
+
+
 def q_weighted_median(spark, sf_dir):
     """Exact weighted quantiles (functions/timeseries.
     weighted_quantiles — round 11): p50/p90/p99 of lineitem price in
@@ -4832,7 +4864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       spatial kNN), mad_outliers (median/MAD robust outlier
     #       gate), attribution_decay (integer-halving time-decay
     #       credit), theil_sen (robust micro-slope trend),
-    #       stickiness (DAU/MAU without windowed COUNT DISTINCT);
+    #       stickiness (DAU/MAU without windowed COUNT DISTINCT),
+    #       hotspots (grid Getis-Ord-lite density screen), knn_vote
+    #       (kNN majority label vote composing knn_radius_join);
     #   (b) the FIFTEEN never-driver-graded queries (the only
     #       registry entries with zero driver-green rows across 12
     #       rounds of rotation — closing them makes driver coverage
@@ -4860,6 +4894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_decay": q_attribution_decay,
         "theil_sen": q_theil_sen,
         "stickiness": q_stickiness,
+        "hotspots": q_hotspots,
+        "knn_vote": q_knn_vote,
         # -- (b) the 15 never-driver-graded queries (VERDICT r12 item #1:
         #    the only registry entries with zero driver-green rows
         #    across 12 rounds; all pass local oracle parity) --
@@ -4915,11 +4951,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers": q_idle_customers,
         "important_parts": q_important_parts,
         "large_orders": q_large_orders,
-        "market_share": q_market_share,
-        "max_acctbal_supplier": q_max_acctbal_supplier,
         # ---- below the grading window: previously graded, every oracle
         # ---- re-verified locally by tests/test_oracle_parity.py on
         # ---- every pytest run ----
+        "market_share": q_market_share,
+        "max_acctbal_supplier": q_max_acctbal_supplier,
         "order_priority_check": q_order_priority_check,
         "percentiles": q_percentiles,
         "product_profit": q_product_profit,
@@ -9179,6 +9215,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(dist2 AS BIGINT) AS dist2,
                    CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3
+        """
+    oracles["hotspots"] = """
+            WITH p AS (
+                SELECT (c_custkey * 2654435761) % 1000000 AS x,
+                       (c_custkey * 40503 + 7) % 1000000 AS y
+                FROM customer
+            ),
+            cells AS (
+                SELECT x // 50000 AS cx, y // 50000 AS cy,
+                       COUNT(*) AS n
+                FROM p GROUP BY 1, 2
+            ),
+            contrib AS (
+                SELECT cells.cx + ox.o AS tx, cells.cy + oy.o AS ty,
+                       cells.n
+                FROM cells
+                CROSS JOIN (VALUES (-1), (0), (1)) ox(o)
+                CROSS JOIN (VALUES (-1), (0), (1)) oy(o)
+            ),
+            nbr AS (SELECT tx, ty, SUM(n) AS nbr_n
+                    FROM contrib GROUP BY 1, 2)
+            SELECT cells.cx, cells.cy,
+                   CAST(cells.n AS BIGINT) AS n,
+                   CAST(nbr.nbr_n AS BIGINT) AS nbr_n,
+                   CAST((1000000 * 9 * cells.n) // nbr.nbr_n AS BIGINT)
+                       AS score_ppm
+            FROM cells JOIN nbr
+            ON cells.cx = nbr.tx AND cells.cy = nbr.ty
+        """
+    oracles["knn_vote"] = """
+            WITH p AS (
+                SELECT c_custkey AS id,
+                       (c_custkey * 2654435761) % 1000000 AS x,
+                       (c_custkey * 40503 + 7) % 1000000 AS y,
+                       c_mktsegment AS label
+                FROM customer
+            ),
+            pairs AS (
+                SELECT a.id AS a, b.id AS b, b.label,
+                       (a.x - b.x) * (a.x - b.x)
+                       + (a.y - b.y) * (a.y - b.y) AS dist2
+                FROM p a JOIN p b ON a.id <> b.id
+                WHERE (a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y) <= 2500000000
+            ),
+            topk AS (
+                SELECT * FROM (
+                    SELECT a, b, label, dist2,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY a ORDER BY dist2, b) AS rk
+                    FROM pairs
+                ) WHERE rk <= 5
+            ),
+            votes AS (
+                SELECT a, label, COUNT(*) AS v, SUM(dist2) AS d2
+                FROM topk GROUP BY 1, 2
+            ),
+            win AS (
+                SELECT a, label, v,
+                       SUM(v) OVER (PARTITION BY a) AS nn,
+                       ROW_NUMBER() OVER (PARTITION BY a
+                           ORDER BY v DESC, d2 ASC, label ASC) AS rk
+                FROM votes
+            )
+            SELECT a AS id, label AS voted_label,
+                   CAST(v AS BIGINT) AS votes,
+                   CAST(nn AS BIGINT) AS n_neighbors
+            FROM win WHERE rk = 1
         """
     oracles["rolling_outliers"] = f"""
             WITH daily AS ({_DAILY.format(where="WHERE user_id % 7 = 0")}),

@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "attribution_decay",
     "theil_sen",
     "stickiness",
+    "hotspots",
+    "knn_vote",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -1706,6 +1706,42 @@ def dau_mau_stickiness(
         F.col(user_col).alias("_u"),
         F.col(ts_col).cast("timestamp").cast("date").alias("_d"),
     ).distinct()
+    return stickiness_emit(ud, window_days)
+
+
+def stickiness_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming DAU/MAU, live side: the distinct (user, day) set as
+    ONE streaming count aggregation — state is one fixed-width row
+    per observed user-day, maintained by a commutative count, so
+    trigger boundaries are invisible (the rfm_stream/daily_sums
+    contract; days grow with wall time, bound with a watermark +
+    retention policy in a long-running deployment). Run in
+    update/complete mode; finalize per trigger with
+    stickiness_emit(state, window_days) inside foreachBatch — the
+    bounded explode + per-day counts need the full user-day table,
+    which complete mode provides. Exactly equal to
+    dau_mau_stickiness over the concatenated batches — asserted by
+    tests/test_streaming.py — because stickiness_emit IS the batch
+    second half."""
+    return stream.groupBy(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).cast("timestamp").cast("date").alias("_d"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+
+
+def stickiness_emit(ud: DataFrame, window_days: int = 30) -> DataFrame:
+    """Ratio half of DAU/MAU over the distinct (user _u, day _d)
+    table: per-day counts, the bounded window_days-x contribution
+    explode, exact ppm ratio. Shared VERBATIM by dau_mau_stickiness
+    and the streaming twin's per-trigger finalize; the two cannot
+    diverge."""
+    if window_days < 1:
+        raise ValueError("stickiness_emit: window_days must be >= 1")
+    ud = ud.select("_u", "_d")
     dau = ud.groupBy(F.col("_d").alias("d")).agg(
         F.count(F.lit(1)).alias("dau")
     )

@@ -5415,3 +5415,63 @@ def test_dau_mau_stickiness_trailing_window(spark):
     }
     with _pytest.raises(ValueError):
         dau_mau_stickiness(df, window_days=0)
+
+
+def test_grid_hotspots_exact_neighborhood_ratio(spark):
+    """Hotspot score = exact (1e6*9*n) DIV nbr_n over the 3x3 cell
+    neighborhood: an isolated dense cell scores 9e6, a uniform block
+    scores ~1e6; negative coordinates floor into their own cells."""
+    import pytest as _pytest
+    from kspp_spark.functions.geo import grid_hotspots
+
+    pts = (
+        # isolated spike: 10 points in cell (10,10), empty ring
+        [(100 + i, 105, 105) for i in range(10)]
+        # uniform 2x2 block at (0..1, 0..1), one point per cell
+        + [(200, 5, 5), (201, 15, 5), (202, 5, 15), (203, 15, 15)]
+        # negative side: one point at (-1,-1) -> cell (-1,-1)
+        + [(300, -1, -1)]
+    )
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {
+        (r["cx"], r["cy"]): (r["n"], r["nbr_n"], r["score_ppm"])
+        for r in grid_hotspots(df, cell_size=10).collect()
+    }
+    assert got[(10, 10)] == (10, 10, 9_000_000)
+    # block cell (0,0): neighbors = all 4 block cells + (-1,-1) point
+    assert got[(0, 0)] == (1, 5, 1_800_000)
+    # block corner (1,1): neighborhood = the 4 block cells only
+    assert got[(1, 1)] == (1, 4, 2_250_000)
+    assert got[(-1, -1)][0] == 1
+    with _pytest.raises(ValueError):
+        grid_hotspots(df, cell_size=0)
+
+
+def test_knn_label_vote_majority_and_ties(spark):
+    """kNN vote: majority wins; vote ties break toward the nearer
+    summed distance, then the smaller label; zero-neighbor points
+    emit nothing."""
+    from kspp_spark.functions.geo import knn_label_vote
+
+    pts = [
+        (1, 0, 0),                     # the point being classified
+        (2, 1, 0), (3, 2, 0),          # two 'A' neighbors
+        (4, 0, 3),                     # one 'B' neighbor (farther)
+        (9, 1000, 1000),               # isolated
+    ]
+    labels = [(1, "Z"), (2, "A"), (3, "A"), (4, "B"), (9, "Z")]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    lab = spark.createDataFrame(labels, "id long, label string")
+    got = {
+        r["id"]: (r["voted_label"], r["votes"], r["n_neighbors"])
+        for r in knn_label_vote(df, lab, k=3, radius=5).collect()
+    }
+    assert got[1] == ("A", 2, 3)       # majority A over B
+    assert 9 not in got                # no in-radius evidence
+    # vote tie: point 4 sees Z@(d2=9... ) — neighbors of 4 within 5:
+    # 1@9 (Z), 2@10 (A), 3@13 (A) -> A wins 2-1
+    assert got[4] == ("A", 2, 3)
+    # tie on votes AND need deterministic label pick: point 2's
+    # neighbors: 1@1 (Z), 3@1 (A), 4@10 (B) -> all 1 vote; nearest
+    # d2sum tie between Z(1) and A(1) -> smaller label 'A'
+    assert got[2] == ("A", 1, 3)

@@ -1416,3 +1416,22 @@ def test_stickiness_no_windowed_count_distinct(spark, queries):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_hotspots_cell_table_explode_only(spark, queries):
+    """Hotspot screen: one corpus-sized cell count, then the 9x
+    explode runs over the CELL table — no point-level self-join, no
+    Python, no cartesian."""
+    plan = formatted_plan(spark, queries["hotspots"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_vote_rides_window_group_limit(spark, queries):
+    """The kNN classifier inherits knn_radius_join's scale plan:
+    WindowGroupLimit present, no cartesian, no Python."""
+    plan = formatted_plan(spark, queries["knn_vote"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -3970,3 +3970,71 @@ def test_attribution_stream_equals_batch(spark, tmp_path):
     assert want[("linear", "email")][0] == 1_333_333
     # exactly three attributed conversions (u4's has no touches)
     assert sum(v[0] for k, v in got.items() if k[0] == "linear") == 3_000_000
+
+
+def test_stickiness_stream_equals_batch(spark, tmp_path):
+    """Streaming DAU/MAU: the distinct-(user, day) count state +
+    per-trigger stickiness_emit equals batch dau_mau_stickiness over
+    the concatenated input — count is commutative, emit is the batch
+    second half verbatim; a user re-appearing across triggers on the
+    same day counts once."""
+    import time as _time
+
+    from kspp_spark.functions.sessions import (
+        dau_mau_stickiness,
+        stickiness_emit,
+        stickiness_stream,
+    )
+
+    schema = "user_id string, ts string"
+    b1 = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u2", "2024-01-01 12:00:00"),
+        ("u1", "2024-01-02 09:00:00"),
+    ]
+    b2 = [
+        ("u1", "2024-01-02 23:00:00"),  # same user-day, new trigger
+        ("u3", "2024-01-03 08:00:00"),
+    ]
+    in_dir = str(tmp_path / "stick_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def snap(df):
+        return {
+            str(r["d"]): (r["dau"], r["mau"], r["stickiness_ppm"])
+            for r in df.collect()
+        }
+
+    emissions = []
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stickiness_stream(src)
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda ud, _id: emissions.append(
+                snap(stickiness_emit(ud, window_days=2))
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(emissions) >= 2
+    batch = lambda rows: dau_mau_stickiness(
+        spark.createDataFrame(rows, schema), window_days=2
+    )
+    assert emissions[-1] == snap(batch(b1 + b2))
+    assert emissions[0] == snap(batch(b1))
+    # the cross-trigger duplicate user-day stayed one row:
+    # d2 dau = 1 (u1 only), mau(2d) = {u1,u2} = 2
+    assert emissions[-1]["2024-01-02"] == (1, 2, 500_000)
