@@ -2822,6 +2822,43 @@ def q_kcore(spark, sf_dir):
     return kcore_peel(edges, k=3, rounds=4)
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (functions/graph.degree_assortativity —
+    round 13, Newman 2002): the Pearson correlation of endpoint
+    degrees over the symmetrized data-stable arithmetic graph that
+    bfs_hops/kcore grade on — hubs-link-to-hubs in one number.
+    Rides the certified correlation_matrix machinery: DECIMAL(38,0)
+    moments, ONE order-fixed double r — bit-replayable."""
+    from kspp_spark.functions.graph import degree_assortativity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    a = (F.col("doc_id") % 600).cast("long")
+    edges = docs.select(
+        a.alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 600).cast("long").alias("dst"),
+    ).unionByName(
+        docs.select(
+            ((F.col("doc_id") * 17 + 5) % 600).cast("long").alias("src"),
+            a.alias("dst"),
+        )
+    )
+    return degree_assortativity(edges)
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading ease per document (functions/text.readability
+    — round 13; Flesch 1948): words / sentence-runs (floored at 1) /
+    vowel-group syllable estimate as pure integer regexp counts,
+    then ONE order-fixed double formula with Python-computed
+    literals — even the float column hash-replays (oracle literals
+    CAST to DOUBLE, the r12 DuckDB DECIMAL-literal lesson). Pure
+    map-side codegen; the text-quality prior next to
+    gopher_quality."""
+    from kspp_spark.functions.text import readability
+
+    return readability(_t(spark, sf_dir, "documents"))
+
+
 def q_radius_join(spark, sf_dir):
     """Planar radius join (operators/joins.radius_join — round 12,
     ST_DWithin on integer projected coordinates): all point pairs
@@ -4866,7 +4903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #       credit), theil_sen (robust micro-slope trend),
     #       stickiness (DAU/MAU without windowed COUNT DISTINCT),
     #       hotspots (grid Getis-Ord-lite density screen), knn_vote
-    #       (kNN majority label vote composing knn_radius_join);
+    #       (kNN majority label vote composing knn_radius_join),
+    #       assortativity (Newman degree-mixing r on the certified
+    #       DECIMAL correlation machinery), readability (Flesch
+    #       reading ease, map-only);
     #   (b) the FIFTEEN never-driver-graded queries (the only
     #       registry entries with zero driver-green rows across 12
     #       rounds of rotation — closing them makes driver coverage
@@ -4896,6 +4936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness": q_stickiness,
         "hotspots": q_hotspots,
         "knn_vote": q_knn_vote,
+        "assortativity": q_assortativity,
+        "readability": q_readability,
         # -- (b) the 15 never-driver-graded queries (VERDICT r12 item #1:
         #    the only registry entries with zero driver-green rows
         #    across 12 rounds; all pass local oracle parity) --
@@ -4949,11 +4991,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "grouping_sets": q_grouping_sets,
         "idle_customers": q_idle_customers,
-        "important_parts": q_important_parts,
-        "large_orders": q_large_orders,
         # ---- below the grading window: previously graded, every oracle
         # ---- re-verified locally by tests/test_oracle_parity.py on
         # ---- every pytest run ----
+        "important_parts": q_important_parts,
+        "large_orders": q_large_orders,
         "market_share": q_market_share,
         "max_acctbal_supplier": q_max_acctbal_supplier,
         "order_priority_check": q_order_priority_check,
@@ -9215,6 +9257,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(dist2 AS BIGINT) AS dist2,
                    CAST(rk AS BIGINT) AS rk
             FROM ranked WHERE rk <= 3
+        """
+    oracles["assortativity"] = """
+            WITH e AS (
+                SELECT CAST(doc_id % 600 AS BIGINT) AS s,
+                       CAST((doc_id * 31 + 7) % 600 AS BIGINT) AS d
+                FROM documents
+                UNION ALL
+                SELECT CAST((doc_id * 17 + 5) % 600 AS BIGINT) AS s,
+                       CAST(doc_id % 600 AS BIGINT) AS d
+                FROM documents
+            ),
+            sym AS (
+                SELECT s AS a, d AS b FROM e
+                UNION ALL
+                SELECT d AS a, s AS b FROM e
+            ),
+            deg AS (SELECT a AS node, COUNT(*) AS deg
+                    FROM sym GROUP BY 1),
+            pr AS (
+                SELECT da.deg AS dx, db.deg AS dy
+                FROM sym
+                JOIN deg da ON sym.a = da.node
+                JOIN deg db ON sym.b = db.node
+            ),
+            m AS (
+                SELECT COUNT(*) AS n,
+                    SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+                    SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+                    SUM(CAST(dx AS DECIMAL(38,0))
+                        * CAST(dy AS DECIMAL(38,0))) AS sxy,
+                    SUM(CAST(dx AS DECIMAL(38,0))
+                        * CAST(dx AS DECIMAL(38,0))) AS sxx,
+                    SUM(CAST(dy AS DECIMAL(38,0))
+                        * CAST(dy AS DECIMAL(38,0))) AS syy
+                FROM pr
+            )
+            SELECT CAST(n AS BIGINT) AS n_endpoints,
+                CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                      AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                END AS r
+            FROM m
+        """
+    oracles["readability"] = """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       COALESCE(text, ''), '\\S+')) AS BIGINT) AS words,
+                   CAST(GREATEST(len(regexp_extract_all(
+                       COALESCE(text, ''), '[.!?]+')), 1) AS BIGINT)
+                       AS sentences,
+                   CAST(len(regexp_extract_all(
+                       COALESCE(text, ''), '[aeiouyAEIOUY]+')) AS BIGINT)
+                       AS vowel_groups,
+                   CASE WHEN len(regexp_extract_all(
+                            COALESCE(text, ''), '\\S+')) > 0
+                   THEN CAST(206.835 AS DOUBLE)
+                        - CAST(1.015 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(
+                                 COALESCE(text, ''), '\\S+')) AS DOUBLE)
+                             / CAST(GREATEST(len(regexp_extract_all(
+                                 COALESCE(text, ''), '[.!?]+')), 1)
+                                 AS DOUBLE))
+                        - CAST(84.6 AS DOUBLE)
+                          * (CAST(len(regexp_extract_all(
+                                 COALESCE(text, ''), '[aeiouyAEIOUY]+'))
+                                 AS DOUBLE)
+                             / CAST(len(regexp_extract_all(
+                                 COALESCE(text, ''), '\\S+')) AS DOUBLE))
+                   END AS flesch
+            FROM documents
         """
     oracles["hotspots"] = """
             WITH p AS (

@@ -258,6 +258,8 @@ BENCH_QUERIES = [
     "stickiness",
     "hotspots",
     "knn_vote",
+    "assortativity",
+    "readability",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json

@@ -422,3 +422,42 @@ def kcore_peel(
     return sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation
+    of endpoint degrees over the SYMMETRIZED edge list — positive r
+    = hubs link to hubs (social nets), negative = hubs link to
+    leaves (the web, biological nets); the one-number mixing summary
+    next to pagerank/kcore. Each undirected edge contributes both
+    orientations, Newman's convention, so the statistic is
+    direction-free.
+
+    Exactness rides the certified correlation_matrix machinery
+    (pipeline.py): degree products sum in DECIMAL(38,0), r is ONE
+    order-fixed double over the exact moments — bit-replayable in
+    SQL. Returns one row: (n_endpoints, r) with n_endpoints = 2x
+    undirected edge count.
+
+    Scale shape: one degree aggregation + two equi-joins of the
+    edge list against the (node, degree) table + the 1-row moment
+    aggregation. No window, nothing bigger than the edge list."""
+    from kspp_spark.functions.pipeline import correlation_matrix
+
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    pairs = (
+        sym.join(deg.withColumnsRenamed({"node": "a", "deg": "dsrc"}), "a")
+        .join(deg.withColumnsRenamed({"node": "b", "deg": "ddst"}), "b")
+        .select("dsrc", "ddst")
+    )
+    out = correlation_matrix(pairs, ["dsrc", "ddst"])
+    return out.select(
+        F.col("n").cast("long").alias("n_endpoints"), F.col("r")
+    )

@@ -1993,3 +1993,53 @@ def normalize_unicode(text: Column | str, form: str = "NFC") -> Column:
 
     c = F.col(text) if isinstance(text, str) else text
     return _norm(c)
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease score per document (Flesch 1948; Kincaid
+    et al. 1975 popularized the family) — the classic text-quality
+    prior a curation pipeline runs next to gopher_quality: low-ease
+    (dense academic/legalese) and absurdly-high-ease (word-salad)
+    tails both flag for review.
+
+    Engine-portable decomposition: the three inputs are pure
+    INTEGER counts — words = non-space runs, sentences =
+    [.!?]+ runs (floored at 1: a fragment is one sentence, the
+    standard implementation convention), syllables approximated as
+    VOWEL GROUPS ([aeiouyAEIOUY]+ runs, the textbook cheap
+    estimator) — and the score
+
+        flesch = 206.835 - 1.015*(words/sentences)
+                 - 84.6*(vowel_groups/words)
+
+    evaluates as ONE order-fixed double expression over exact
+    integer operands (literals Python-computed; the casts are
+    exactly-rounded in both engines), so even the float column
+    hash-replays in SQL. NULL/empty text -> 0 words -> NULL flesch.
+
+    Returns (id_col, words, sentences, vowel_groups, flesch).
+
+    Scale shape: pure map-side regexp counting inside whole-stage
+    codegen — no shuffle, no Python, no explode."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.regexp_count(t, F.lit(r"\S+")).cast("long")
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")).cast("long"), F.lit(1).cast("long")
+    )
+    vg = F.regexp_count(t, F.lit(r"[aeiouyAEIOUY]+")).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (vg.cast("double") / words.cast("double"))
+    )
+    return df.select(
+        F.col(id_col),
+        words.alias("words"),
+        sents.alias("sentences"),
+        vg.alias("vowel_groups"),
+        F.when(words > 0, flesch).alias("flesch"),
+    )

@@ -5475,3 +5475,54 @@ def test_knn_label_vote_majority_and_ties(spark):
     # neighbors: 1@1 (Z), 3@1 (A), 4@10 (B) -> all 1 vote; nearest
     # d2sum tie between Z(1) and A(1) -> smaller label 'A'
     assert got[2] == ("A", 1, 3)
+
+
+def test_degree_assortativity_star_and_cycle(spark):
+    """Newman assortativity golden cases: a star is perfectly
+    disassortative (every edge pairs the hub's degree with a leaf's
+    -> r = -1); a cycle has zero degree variance -> NULL r (not an
+    ANSI divide-by-zero)."""
+    from kspp_spark.functions.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_endpoints"] == 6
+    assert abs(r["r"] + 1.0) < 1e-12
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    rc = degree_assortativity(cycle).collect()[0]
+    assert rc["n_endpoints"] == 6 and rc["r"] is None
+
+
+def test_readability_flesch_hand_computed(spark):
+    """Flesch decomposition: exact integer counts (words /
+    sentence-runs floored at 1 / vowel groups) and the order-fixed
+    double formula; empty text yields NULL flesch, a fragment is one
+    sentence."""
+    from kspp_spark.functions.text import readability
+
+    rows = [
+        (1, "Hello world."),
+        (2, "Go! Stop now?"),
+        (3, ""),
+        (4, None),
+        (5, "xyz"),  # fragment, no vowels outside y... y counts
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["words"], r["sentences"], r["vowel_groups"], r["flesch"]
+        )
+        for r in readability(df).collect()
+    }
+    w, s, v, f = got[1]
+    assert (w, s, v) == (2, 1, 3)
+    assert abs(f - (206.835 - 1.015 * 2.0 - 84.6 * 1.5)) < 1e-12
+    w, s, v, f = got[2]
+    assert (w, s, v) == (3, 2, 3)
+    assert abs(f - (206.835 - 1.015 * 1.5 - 84.6 * 1.0)) < 1e-12
+    assert got[3] == (0, 1, 0, None) and got[4] == (0, 1, 0, None)
+    assert got[5][:3] == (1, 1, 1)  # 'y' is a vowel-group

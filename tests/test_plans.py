@@ -1435,3 +1435,19 @@ def test_knn_vote_rides_window_group_limit(spark, queries):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_assortativity_edge_list_joins_only(spark, queries):
+    """Assortativity: degree agg + two equi-joins + the 1-row moment
+    frame — no Python, no cartesian beyond the 1-row broadcast."""
+    plan = formatted_plan(spark, queries["assortativity"](spark, SF))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_readability_map_only(spark, queries):
+    """Flesch counts are pure map-side regexp work: zero Exchange
+    nodes — a narrow pass over the scan at any corpus size."""
+    plan = formatted_plan(spark, queries["readability"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan

@@ -50,11 +50,12 @@ def test_registry_round13_window():
     rotted when a head insert wasn't mirrored here."""
     window = list(entry_mod.queries().keys())[:50]
     # new this round — lead the window
-    assert window[:7] == ["knn_radius", "mad_outliers",
+    assert window[:9] == ["knn_radius", "mad_outliers",
                           "attribution_decay", "theil_sen",
-                          "stickiness", "hotspots", "knn_vote"]
+                          "stickiness", "hotspots", "knn_vote",
+                          "assortativity", "readability"]
     # the 15 never-driver-graded queries (VERDICT r12 item #1)
-    assert set(window[7:22]) == {
+    assert set(window[9:24]) == {
         "auc_eval", "classifier_confusion", "cohort_retention",
         "daily_trend", "diverse_sample", "embedding_clusters",
         "gap_fill_locf", "hll_production", "length_percentile",
