@@ -740,3 +740,58 @@ def theil_sen_trend(
         .select(*g, "slope_micro_per_day", "intercept_micro",
                 F.col("n_pairs").cast("long").alias("n_pairs"))
     )
+
+
+def mad_outliers_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming median/MAD monitor, live side — the per-(key, day)
+    sum state (daily_sums_stream, shared with ewma/cusum). The
+    medians are population statistics over the whole series exactly
+    like cusum's self-calibrating target, so the finalize runs per
+    trigger in foreachBatch over complete-mode state:
+    mad_outliers_emit(daily, ...) — the batch function verbatim.
+    Exactly equal to mad_outliers() over the concatenated batches —
+    asserted by tests/test_streaming.py."""
+    return daily_sums_stream(stream, key_cols, ts_col, value_col)
+
+
+def mad_outliers_emit(
+    daily: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: str,
+    threshold_e4: int = 44478,
+) -> DataFrame:
+    """Per-trigger finalize for mad_outliers_stream: the batch
+    mad_outliers() over the live daily-sum table. Shared verbatim;
+    the twins cannot diverge."""
+    return mad_outliers(daily, key_cols, value_col, threshold_e4)
+
+
+def theil_sen_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Streaming Theil-Sen trend monitor, live side — the same
+    per-(key, day) sum state. The pairwise-slope median needs the
+    whole (days-bounded) series, so the estimator runs per trigger
+    in foreachBatch: theil_sen_emit(daily, ...) = the batch
+    theil_sen_trend verbatim. Exactly equal to the batch form over
+    concatenated batches — asserted by tests/test_streaming.py."""
+    return daily_sums_stream(stream, key_cols, ts_col, value_col)
+
+
+def theil_sen_emit(
+    daily: DataFrame,
+    key_cols: tuple[str, ...],
+    value_col: str,
+) -> DataFrame:
+    """Per-trigger finalize for theil_sen_stream: the batch
+    theil_sen_trend() over the live daily-sum table. Shared
+    verbatim; the twins cannot diverge."""
+    return theil_sen_trend(daily, key_cols, "d", value_col)

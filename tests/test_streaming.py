@@ -4038,3 +4038,144 @@ def test_stickiness_stream_equals_batch(spark, tmp_path):
     # the cross-trigger duplicate user-day stayed one row:
     # d2 dau = 1 (u1 only), mau(2d) = {u1,u2} = 2
     assert emissions[-1]["2024-01-02"] == (1, 2, 500_000)
+
+
+def test_mad_outliers_stream_equals_batch(spark, tmp_path):
+    """Streaming median/MAD monitor: the shared daily-sum state +
+    per-trigger mad_outliers_emit equals batch mad_outliers over the
+    concatenated input — the medians re-derive from the full live
+    series each trigger (the cusum population argument)."""
+    import time as _time
+
+    from kspp_spark.functions.timeseries import (
+        daily_sums_stream,
+        mad_outliers,
+        mad_outliers_emit,
+        mad_outliers_stream,
+    )
+
+    schema = "event_type string, ts string, cents long"
+    b1 = [("view", f"2024-01-0{d} 10:00:00", 100) for d in range(1, 6)]
+    b2 = [
+        ("view", "2024-01-06 10:00:00", 9000),   # spike day
+        ("view", "2024-01-05 22:00:00", 2),      # merges into day 5
+    ]
+    in_dir = str(tmp_path / "mad_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def snap(df):
+        return {
+            (r["event_type"], str(r["d"])): (
+                r["cents"], r["med"], r["mad"], r["outlier"]
+            )
+            for r in df.collect()
+        }
+
+    emissions = []
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        mad_outliers_stream(src, ("event_type",), "ts", "cents")
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda daily, _id: emissions.append(
+                snap(mad_outliers_emit(daily, ("event_type",), "cents"))
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(emissions) >= 2
+    batch = lambda rows: mad_outliers(
+        daily_sums_stream(
+            spark.createDataFrame(rows, schema), ("event_type",),
+            "ts", "cents",
+        ),
+        ("event_type",), "cents",
+    )
+    assert emissions[-1] == snap(batch(b1 + b2))
+    assert emissions[0] == snap(batch(b1))
+    # the spike flags in the final state, nothing in the prefix
+    assert any(v[3] for v in emissions[-1].values())
+    assert not any(v[3] for v in emissions[0].values())
+
+
+def test_theil_sen_stream_equals_batch(spark, tmp_path):
+    """Streaming Theil-Sen trend: the shared daily-sum state +
+    per-trigger theil_sen_emit equals batch theil_sen_trend over the
+    concatenated input."""
+    import time as _time
+
+    from kspp_spark.functions.timeseries import (
+        daily_sums_stream,
+        theil_sen_emit,
+        theil_sen_stream,
+        theil_sen_trend,
+    )
+
+    schema = "event_type string, ts string, cents long"
+    b1 = [
+        ("view", f"2024-01-0{d} 10:00:00", 100 * d) for d in range(1, 5)
+    ]
+    b2 = [
+        ("view", "2024-01-05 10:00:00", 500),
+        ("view", "2024-01-04 22:00:00", 50),  # merges into day 4
+    ]
+    in_dir = str(tmp_path / "ts_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def snap(df):
+        return {
+            r["event_type"]: (
+                r["slope_micro_per_day"], r["intercept_micro"],
+                r["n_pairs"],
+            )
+            for r in df.collect()
+        }
+
+    emissions = []
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        theil_sen_stream(src, ("event_type",), "ts", "cents")
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda daily, _id: emissions.append(
+                snap(theil_sen_emit(daily, ("event_type",), "cents"))
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(emissions) >= 2
+    batch = lambda rows: theil_sen_trend(
+        daily_sums_stream(
+            spark.createDataFrame(rows, schema), ("event_type",),
+            "ts", "cents",
+        ),
+        ("event_type",), "d", "cents",
+    )
+    assert emissions[-1] == snap(batch(b1 + b2))
+    assert emissions[0] == snap(batch(b1))
+    # prefix slope = exactly 100 cents/day in micro units
+    assert emissions[0]["view"][0] == 100_000_000
