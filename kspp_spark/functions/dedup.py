@@ -1231,7 +1231,20 @@ def srp_signatures(
 
 def _cc_halving_rounds(edges, labels, max_iter, reset_every, reset):
     """Min-label propagation with one fused pointer shortcut per
-    materialized round (connected_components engine='halving')."""
+    materialized round (connected_components engine='halving').
+
+    r13-opt round fusion (guide §1.2 "fewer passes"): between parquet
+    resets each round is ONE job, not two — the round settles through
+    a LAZY localCheckpoint (the plan truncates to a LogicalRDD
+    immediately, exactly as the eager form — load-bearing, because
+    the round plan references itself twice and an untruncated plan
+    doubles per round; a persist()-based variant measured 4.6 s ->
+    99 s on dup_clusters_fixed for exactly that reason) and the
+    materializing action IS the max(_chg) convergence probe (a full
+    scan, so every partition is computed and checkpointed by the same
+    job). The old shape paid localCheckpoint's internal count job
+    plus a second filter/limit/count probe job per round; on an
+    iterative operator the per-round job count is the wall clock."""
     for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -1264,11 +1277,13 @@ def _cc_halving_rounds(edges, labels, max_iter, reset_every, reset):
             # unique path per reset: never overwrite a parquet path a
             # still-live plan (the previous reset's read) could reference
             updated = reset(updated, f"labels_r{i + 1}")
+            converged = updated.filter(F.col("_chg")).limit(1).count() == 0
         else:
-            updated = updated.localCheckpoint()
-        changed = updated.filter(F.col("_chg")).limit(1).count()
+            updated = updated.localCheckpoint(eager=False)
+            row = updated.agg(F.max("_chg")).first()
+            converged = not row[0]  # None (empty) counts as converged
         labels = updated.drop("_chg")
-        if changed == 0:
+        if converged:
             break
     return labels
 
@@ -1295,11 +1310,20 @@ def _cc_compress_rounds(edges, labels, max_iter, reset_every, reset):
     step = 0
 
     def settle(df, name):
+        """Materialize one step and return (df, any_changed) in ONE
+        job (the halving-engine round fusion: LAZY localCheckpoint —
+        plan truncates immediately — with the max(_chg) aggregate as
+        the materializing action; parquet resets keep the two-job
+        shape — the probe is a cheap scan there)."""
         nonlocal step
         step += 1
         if step % reset_every == 0:
-            return reset(df, f"{name}_{step}")
-        return df.localCheckpoint()
+            out = reset(df, f"{name}_{step}")
+            any_chg = out.filter(F.col("_chg")).limit(1).count() > 0
+            return out, any_chg
+        out = df.localCheckpoint(eager=False)
+        row = out.agg(F.max("_chg")).first()
+        return out, bool(row[0])
 
     for i in range(max_iter):
         nm = (
@@ -1319,10 +1343,9 @@ def _cc_compress_rounds(edges, labels, max_iter, reset_every, reset):
             "component",
             (F.col("component") < F.col("_orig")).alias("_chg"),
         )
-        upd = settle(upd, "hook")
-        changed = upd.filter(F.col("_chg")).limit(1).count()
+        upd, any_chg = settle(upd, "hook")
         labels = upd.drop("_chg")
-        if changed == 0:
+        if not any_chg:
             break
         # compress to fixpoint: monotone (least) and bounded by
         # log2(longest pointer chain); the cap is a safety net only
@@ -1343,10 +1366,9 @@ def _cc_compress_rounds(edges, labels, max_iter, reset_every, reset):
                     < F.col("component")
                 ).alias("_chg"),
             )
-            nxt = settle(nxt, "short")
-            ch = nxt.filter(F.col("_chg")).limit(1).count()
+            nxt, any_chg = settle(nxt, "short")
             labels = nxt.drop("_chg")
-            if ch == 0:
+            if not any_chg:
                 break
     return labels
 
@@ -1414,7 +1436,10 @@ def _cc_star_rounds(edges, labels, max_iter, reset_every, reset):
         if (i + 1) % reset_every == 0:
             nxt = reset(nxt, f"star_r{i + 1}")
         else:
-            nxt = nxt.localCheckpoint()
+            # LAZY localCheckpoint + count in ONE job (the halving-
+            # engine round fusion): the count materializes every
+            # checkpointed partition in the same job
+            nxt = nxt.localCheckpoint(eager=False)
         nxt_n = nxt.count()
         # stability: nxt ⊆ cur (anti-join) + equal counts => equal sets
         grew = nxt.join(cur, ["x", "y"], "left_anti").limit(1).count()
@@ -1582,12 +1607,23 @@ def connected_components(
             shutil.rmtree(local_tmpdir, ignore_errors=True)
 
     try:
-        edges = reset(
+        sym = (
             pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
             .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-            .distinct(),
-            "edges",
+            .distinct()
         )
+        # r13-opt: on a local master the upfront parquet round-trip of
+        # the edge list (a write job + re-read listing) buys nothing —
+        # localCheckpoint truncates the (large) pair-generation lineage
+        # just as well and the blocks are as durable as the process.
+        # On a cluster master the parquet reset stays: edges feed every
+        # round, and a lost localCheckpoint block there would kill the
+        # run with no recompute path (the SCALE.md durability boundary).
+        master_ = spark.sparkContext.master or ""
+        if master_.startswith("local"):
+            edges = sym.localCheckpoint(eager=True)
+        else:
+            edges = reset(sym, "edges")
         labels = (
             edges.select(F.col("src").alias("node"))
             .distinct()
