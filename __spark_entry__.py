@@ -1248,7 +1248,11 @@ def q_jaccard_pairs(spark, sf_dir):
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     # no SQL oracle: LSH banding is probabilistic-by-construction
-    docs = _t(spark, sf_dir, "documents")
+    # the shingle + 64-hash signature map is the cost center; spread
+    # a single-split local scan first (no-op on cluster-sized inputs)
+    from kspp_spark.io import rebalance_small_scan
+
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, num_hashes=64)
     # persist: the candidate set feeds BOTH the verify join and its
     # semi-join doc pruning; without it the LSH lineage runs twice.
@@ -1338,7 +1342,11 @@ def q_srp_pairs(spark, sf_dir):
         srp_signatures,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    from kspp_spark.io import rebalance_small_scan
+
+    # the 32-plane sign projection map is the cost center; spread a
+    # single-split local scan first (no-op on cluster-sized inputs)
+    emb = rebalance_small_scan(_t(spark, sf_dir, "embeddings"))
     sigs = srp_signatures(emb, planes=32, dims=64)
     cands = simhash_candidates(sigs, id_col="vec_id", sim_col="srp", bands=4, bits=32)
     return embedding_dup_pairs(emb, threshold=0.4, candidates=cands)
@@ -1708,10 +1716,15 @@ def q_winnow_fingerprints(spark, sf_dir):
     (breaks if any hash or selection differs), and min fingerprint.
     One tokenize, map-only until the per-doc rollup; the oracle
     replays gram hashing + the rolling window min + rightmost-tie
-    selection in SQL."""
+    selection in SQL. The gram-hash + window-min map stage is the
+    cost center, so a single-split local scan spreads first (no-op
+    on cluster-sized inputs — see rebalance_small_scan)."""
     from kspp_spark.functions.dedup import winnow_fingerprints
+    from kspp_spark.io import rebalance_small_scan
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = rebalance_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     fps = docs.select(
         "doc_id",
         F.explode(winnow_fingerprints("text", k=5, w=4)).alias("s"),
@@ -1732,10 +1745,15 @@ def q_winnow_dup_pairs(spark, sf_dir):
     fingerprints both sides). Bucket agg + JVM i<j expansion — never
     a row-pair self-join; the bucket cap (256) does not bind at test
     scale (asserted in tests), so the capless SQL self-join oracle
-    replays it exactly."""
+    replays it exactly. The fingerprint map stage is the cost
+    center, so a single-split local scan spreads first (no-op on
+    cluster-sized inputs — see rebalance_small_scan)."""
     from kspp_spark.functions.dedup import winnow_dup_pairs
+    from kspp_spark.io import rebalance_small_scan
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = rebalance_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return winnow_dup_pairs(docs, min_shared=2, max_bucket_ids=256)
 
 
@@ -2257,8 +2275,13 @@ def q_heavy_hitters(spark, sf_dir):
     SQL). The agg key space is the candidate set, not the 200k-part
     vocabulary a 100-TB corpus would carry."""
     from kspp_spark.functions.sketch import heavy_hitters
+    from kspp_spark.io import rebalance_small_scan
 
-    li = _t(spark, sf_dir, "lineitem")
+    # both passes' md5 kernel is the cost center; spread a
+    # single-split local scan first (no-op on cluster-sized inputs)
+    li = rebalance_small_scan(
+        _t(spark, sf_dir, "lineitem").select("l_partkey")
+    )
     return heavy_hitters(
         li, col="l_partkey", min_count=40, width=256, depth=4
     )
@@ -2276,8 +2299,11 @@ def q_heavy_hitters_production(spark, sf_dir):
     itself, and the bench pair (this vs heavy_hitters) is the md5
     kernel-cost measurement."""
     from kspp_spark.functions.sketch import heavy_hitters
+    from kspp_spark.io import rebalance_small_scan
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = rebalance_small_scan(
+        _t(spark, sf_dir, "lineitem").select("l_partkey")
+    )
     return heavy_hitters(
         li,
         col="l_partkey",
@@ -3325,8 +3351,12 @@ def q_decontaminate_bloom(spark, sf_dir):
     difference between exploding every training document and
     exploding the contaminated sliver."""
     from kspp_spark.functions.dedup import contamination_bloom
+    from kspp_spark.io import rebalance_small_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # the shingle explode (eval build + surviving train docs) is the
+    # cost center; spread a single-split local scan first (no-op on
+    # cluster-sized inputs)
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
     train = docs.filter(F.col("source") != "src0")
     eval_df = docs.filter(F.col("source") == "src0")
     return contamination_bloom(train, eval_df, min_shared=3)
@@ -3993,7 +4023,11 @@ def q_quantized_ann(spark, sf_dir):
         quantized_cosine_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    from kspp_spark.io import rebalance_small_scan
+
+    # sign projection + int8 rescore maps are the cost center; spread
+    # a single-split local scan first (no-op on cluster-sized inputs)
+    emb = rebalance_small_scan(_t(spark, sf_dir, "embeddings"))
     sigs = srp_signatures(emb, planes=32, dims=64)
     b = signature_band_slices(
         sigs, id_col="vec_id", sim_col="srp", bands=4, bits=32, out_id="id"
@@ -4559,9 +4593,14 @@ def q_join_size_estimate(spark, sf_dir):
     you already built for monitoring; the estimate itself joins two
     <= 1024-row frames."""
     from kspp_spark.functions.sketch import cms_build, cms_join_size
+    from kspp_spark.io import rebalance_small_scan
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("k")
+    # the sketch build's md5 map is the cost center; spread a
+    # single-split local scan first (no-op on cluster-sized inputs)
+    li = rebalance_small_scan(
+        _t(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").alias("k")
+        )
     )
     sk = cms_build(li, "k", width=256, depth=4)
     est = cms_join_size(sk, sk, depth=4)
@@ -4589,8 +4628,11 @@ def q_table_checksum(spark, sf_dir):
     same rows hashes identically — which is exactly what the driver
     re-certifies by replaying it in DuckDB."""
     from kspp_spark.functions.pipeline import table_checksum
+    from kspp_spark.io import rebalance_small_scan
 
-    li = _t(spark, sf_dir, "lineitem")
+    # the per-row serialize+md5 map is the cost center; spread a
+    # single-split local scan first (no-op on cluster-sized inputs)
+    li = rebalance_small_scan(_t(spark, sf_dir, "lineitem"))
     return table_checksum(
         li,
         cols=[
@@ -4755,8 +4797,14 @@ def q_ppjoin_pairs(spark, sf_dir):
     length filter inside the condition, candidate-only verify —
     plan-pinned no-cartesian, no Python."""
     from kspp_spark.functions.dedup import prefix_filter_pairs
+    from kspp_spark.io import rebalance_small_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # the shingle explode feeds every downstream stage (and the
+    # verify joins re-derive it); spread a single-split local scan
+    # first (no-op on cluster-sized inputs)
+    docs = rebalance_small_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return prefix_filter_pairs(
         docs, threshold_num=1, threshold_den=2
     )

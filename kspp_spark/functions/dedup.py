@@ -347,29 +347,23 @@ def winnow_fingerprints(
         nwin = F.when(nh > 0, nh - wlen + 1).otherwise(F.lit(0))
 
         def _select(p: Column) -> Column:
+            # rightmost-tie window minimum via NATIVE collection
+            # expressions (r13-opt, guide §1.2 per-task work): the
+            # min is array_min; its RIGHTMOST position falls out of
+            # array_position over the reversed window (first match
+            # from the right at offset rp => index wlen - rp + 1).
+            # Replaces a per-window aggregate over zip_with structs —
+            # ~wlen struct allocations + when-chains per window,
+            # interpreted inside the HOF — with three compiled
+            # array loops; selections are identical (array_min over
+            # non-null hashes; rightmost occurrence IS the <=-keeps-
+            # later rule of the old fold).
             win = F.slice(hs, p, wlen)
-            # one left-to-right pass; <= keeps later equal hashes,
-            # which IS the rightmost-tie rule
-            acc = F.aggregate(
-                F.zip_with(
-                    win,
-                    F.sequence(F.lit(1), wlen),
-                    lambda h, i: F.struct(h.alias("h"), i.alias("i")),
-                ),
-                F.struct(
-                    F.lit(None).cast("long").alias("h"),
-                    F.lit(0).cast("int").alias("i"),
-                ),
-                lambda a, x: F.when(
-                    a["h"].isNull() | (x["h"] <= a["h"]),
-                    F.struct(
-                        x["h"].alias("h"), x["i"].cast("int").alias("i")
-                    ),
-                ).otherwise(a),
-            )
+            m = F.array_min(win)
+            rp = F.array_position(F.reverse(win), m)
             return F.struct(
-                (p + acc["i"] - 1).cast("int").alias("pos"),
-                acc["h"].alias("fp"),
+                (p + wlen - rp).cast("int").alias("pos"),
+                m.alias("fp"),
             )
 
         sels = F.when(
@@ -1813,6 +1807,18 @@ def edit_neighbor_pairs(
         .filter(F.length("t") >= min_len)
         .distinct()
     )
+    # r13-opt (guide §2.5 synthetic-parallelism trap, inverted): the
+    # variant explode + hash + bucket join downstream of the distinct
+    # is COMPUTE-dense, but AQE coalesces the distinct's (byte-tiny)
+    # shuffle to ~1 partition, serializing the whole chain on one
+    # core. Spread the distinct output when (and only when) the
+    # INPUT is smaller than the session's parallelism — on a
+    # cluster-sized vocabulary the scan has thousands of splits, the
+    # condition never fires, and no extra shuffle is added. Measured
+    # 5.0 s -> 1.2 s at sf0.1/local[32]; output is a set either way.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        terms = terms.repartition(sc.defaultParallelism)
     variants = F.array_distinct(
         F.concat(
             F.array(F.col("t")),

@@ -386,6 +386,14 @@ def stupid_backoff_scores(
     n_full, n_backoff1, n_backoff2) — score_sum is the BIGINT sum of
     scaled trigram scores (order-independent; the fluency signal),
     tier counts are the backoff diagnostics."""
+    from kspp_spark.io import rebalance_small_scan
+
+    # r13-opt: the checkpointed token frame seeds EVERY downstream
+    # stage (three gram-count aggregations + the scoring explode), so
+    # its partition count caps their parallelism for the whole query.
+    # Spread a single-split local scan first (structural no-op on
+    # cluster-sized inputs — see rebalance_small_scan).
+    df = rebalance_small_scan(df)
     toks_df = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -538,7 +546,12 @@ def train_linear_classifier(
     should divide by scale/1000).
     """
     from kspp_spark.functions.hashing import md5_long
+    from kspp_spark.io import rebalance_small_scan
 
+    # r13-opt: the token explode + md5 bucket map feeds the persisted
+    # sparse frame every iteration reads; spread a single-split local
+    # scan first (structural no-op on cluster-sized inputs).
+    df = rebalance_small_scan(df)
     base = (
         df.select(
             F.col(id_col).alias("_id"),
