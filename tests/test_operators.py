@@ -777,6 +777,52 @@ def test_connected_components_engines_bit_identical(spark):
         )
 
 
+def test_connected_components_local_contract_bit_identical(spark):
+    """The partition-local union-find contraction (r13-opt,
+    local_contract=True default) must emit BIT-IDENTICAL labels to
+    the uncontracted loop on every shape — including the ones where
+    contraction changes the round count most (long chains) and the
+    self-loop/singleton edge cases whose nodes must survive the
+    star-map rewrite. Also: many-partition inputs, where per-task
+    union-find only sees a slice of each component and the SQL
+    rounds must stitch the partial roots."""
+    import random
+    from kspp_spark.functions.dedup import connected_components
+
+    rng = random.Random(131)
+    shapes = {
+        "chain": [(i, i + 1) for i in range(1, 40)],
+        "cliques": [
+            (a, b)
+            for base in (100, 200)
+            for a in range(base, base + 6)
+            for b in range(a + 1, base + 6)
+        ],
+        "random": [
+            (rng.randrange(0, 70), rng.randrange(0, 70)) for _ in range(90)
+        ],
+        "selfloop_and_pair": [(7, 7), (8, 9)],
+    }
+    for name, edges in shapes.items():
+        for parts in (1, 7):
+            pairs = spark.createDataFrame(edges, ["a", "b"]).repartition(
+                parts
+            )
+            on = {
+                r.node: r.component
+                for r in connected_components(
+                    pairs, local_contract=True
+                ).collect()
+            }
+            off = {
+                r.node: r.component
+                for r in connected_components(
+                    pairs, local_contract=False
+                ).collect()
+            }
+            assert on == off, f"local_contract divergence on {name}/{parts}"
+
+
 def test_connected_components_checkpoint_dir_resolution(spark, tmp_path):
     """Reset-dir fallback order: param > session checkpoint dir >
     (local master only) owned temp dir that is cleaned up after. On a
