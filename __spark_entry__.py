@@ -1212,7 +1212,11 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_knn_cosine(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    from kspp_spark.io import rebalance_small_scan
+
+    # the corpus-side dot products are the whole query; spread a
+    # single-split local scan first (no-op on cluster-sized inputs)
+    emb = rebalance_small_scan(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -4068,8 +4072,9 @@ def q_srp_ann(spark, sf_dir):
     whatever candidates LSH yields, the oracle reproduces them
     bit-for-bit."""
     from kspp_spark.functions.similarity import srp_ann_topk
+    from kspp_spark.io import rebalance_small_scan
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = rebalance_small_scan(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -4381,8 +4386,11 @@ def q_gopher_quality(spark, sf_dir):
     the synthetic vocabulary) — the gate is lexicon-parameterized by
     design. Map-only: one codegen'd projection over the scan."""
     from kspp_spark.functions.text import gopher_counters, gopher_keep
+    from kspp_spark.io import rebalance_small_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # map-only regex counters are the whole query; spread a single-
+    # split local scan first (no-op on cluster-sized inputs)
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
     c = gopher_counters("text", stopwords=["the", "a", "of", "and", "to"])
     return docs.select(
         "doc_id",

@@ -150,17 +150,22 @@ def hits(
     if iterations < 1:
         raise ValueError("hits: iterations must be >= 1")
     # The edge and node frames are referenced 2x PER ITERATION (the
-    # authority and hub joins) plus the L1 totals: left lazy, Spark
-    # re-runs the upstream scan + distinct for every reference —
-    # measured 8-10s -> ~3s at sf0.1 with the eager cut (the
+    # authority and hub joins) plus the L1 totals: without a
+    # checkpoint Spark re-runs the upstream scan + distinct for every
+    # reference — measured 8-10s -> ~3s at sf0.1 with the cut (the
     # stupid_backoff localCheckpoint lesson; results are bit-identical
-    # integer math either way).
+    # integer math either way). r13-opt: the checkpoints are LAZY —
+    # the plan still truncates and the RDD still caches on first
+    # compute, but the per-round materialization JOBS collapse into
+    # the final action's one job DAG (fixed-iteration loops have no
+    # convergence probe to force a per-round action; measured
+    # 3.4s -> 2.3s at sf0.1).
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    nodes = graph_nodes(e, "_s", "_d").localCheckpoint(eager=True)
+    nodes = graph_nodes(e, "_s", "_d").localCheckpoint(eager=False)
     hub = nodes.select("node", F.lit(int(scale)).cast("long").alias("hub"))
 
     def _l1(df: DataFrame, col: str) -> DataFrame:
@@ -200,8 +205,8 @@ def hits(
         # cut the per-iteration lineage: auth feeds the hub join above
         # AND the next iteration / final result — unbounded, the plan
         # re-derives the whole previous round per reference
-        auth = auth.localCheckpoint(eager=True)
-        hub = hub.localCheckpoint(eager=True)
+        auth = auth.localCheckpoint(eager=False)
+        hub = hub.localCheckpoint(eager=False)
     return auth.join(hub, "node").select("node", "authority", "hub")
 
 
@@ -352,7 +357,7 @@ def bfs_hops(
         sources.select(F.col(node).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("int"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for h in range(1, max_hops + 1):
         frontier = dist.where(F.col("dist") == h - 1)
@@ -365,7 +370,7 @@ def bfs_hops(
             dist.unionByName(nxt)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist
 
@@ -406,7 +411,7 @@ def kcore_peel(
     )
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         keep = (
             sym.groupBy("u")
@@ -417,7 +422,7 @@ def kcore_peel(
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")

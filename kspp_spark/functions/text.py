@@ -379,8 +379,10 @@ def stupid_backoff_scores(
     in `scale` units (requires max_count * scale < 2^53 — holds to
     ~9e6-token corpora at the default; at production scale flip the
     divisions to plain doubles, the plan shape is identical). The
-    corpus tokenizes ONCE (eager localCheckpoint) and feeds the
-    three count aggregations + the scoring frame.
+    corpus tokenizes ONCE (a lazy localCheckpoint — plan-truncating
+    and cached on first compute; the unigram-total action
+    materializes it, so no separate checkpoint job runs) and feeds
+    the three count aggregations + the scoring frame.
 
     Output per doc (>= 3 tokens): (id, n_trigrams, score_sum,
     n_full, n_backoff1, n_backoff2) — score_sum is the BIGINT sum of
@@ -400,7 +402,7 @@ def stupid_backoff_scores(
             tokenize(F.col(text_col)).alias("_toks"),
         )
         .filter(F.size("_toks") >= 3)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def grams(n: int):
@@ -1277,7 +1279,7 @@ def bpe_train(
         merges.append((a, b, cnt))
         toks_df = toks_df.select(
             apply_bpe_merge(F.col("toks"), a, b, joiner).alias("toks")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return merges, toks_df
 
 
@@ -1376,7 +1378,7 @@ def bpe_encode(
             apply_bpe_merge(F.col("toks"), a, b, joiner).alias("toks"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < len(pairs):
-            out = out.localCheckpoint(eager=True)
+            out = out.localCheckpoint(eager=False)
     return out
 
 
