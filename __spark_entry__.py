@@ -4977,6 +4977,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (d) the SURVEY 2 core re-cert band stays in;
     #   (e) oldest-cert fill: the r7-graded TPC-H/relational tier
     #       not regraded since r7.
+    # ROUND 13 OPTIMIZATION-PASS amendment (this ordering): the
+    # optimization round changed 27 queries' code paths; the window
+    # cannot hold them all plus the never-graded 15 and the core
+    # band, so (c2) takes the NINE whose operator INTERNALS were
+    # restructured (winnow selection rewrite, SymSpell spread,
+    # ppjoin stream materialization, cooccurrence pack checkpoint,
+    # backoff/trainer spread, hits_rank as the lazy-checkpoint
+    # representative, heavy_hitters spread) while scan-spread-only
+    # changes sit below the window on local parity; the core band
+    # temporarily drops hopping_count / windowed_sum_by_type /
+    # windowed_ktable (r12 + r13-build green) to just below the
+    # window to make room.
     # NOTE: because the window rotates, per-round driver scores are
     # NOT comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite
@@ -5025,8 +5037,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "dup_clusters_fixed": q_dup_clusters_fixed,
         "cluster_reps": q_cluster_reps,
+        # -- (c2) OPTIMIZATION-round changed-code regrades (round-13
+        #    optimization pass): queries whose operator INTERNALS were
+        #    restructured this round — CC partition-local contraction
+        #    (the dup-cluster trio above), the winnowing native
+        #    rightmost-min selection, the SymSpell post-distinct
+        #    spread, ppjoin's materialized exploded stream, the
+        #    cooccurrence basket-pack checkpoint, the Stupid Backoff /
+        #    classifier-trainer input spread, the lazy fixed-iteration
+        #    checkpoints (hits_rank as the representative — kcore /
+        #    bfs_hops / domain_rank / bpe share the same one-line
+        #    mechanism and hold local parity below the window), and
+        #    the heavy_hitters scan spread. Scan-spread-only changes
+        #    (table_checksum, join_size_estimate, srp family,
+        #    decontaminate_bloom, gopher_quality, knn_cosine) sit
+        #    below the window on local parity — the window cannot
+        #    hold all 27 changed queries plus the never-graded 15. --
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_dup_pairs": q_winnow_dup_pairs,
+        "typo_pairs": q_typo_pairs,
+        "ppjoin_pairs": q_ppjoin_pairs,
+        "item_associations": q_item_associations,
+        "stupid_backoff": q_stupid_backoff,
+        "train_classifier": q_train_classifier,
+        "hits_rank": q_hits_rank,
+        "heavy_hitters": q_heavy_hitters,
         # -- (d) SURVEY 2 core re-cert band (joins/ktable/rate_limiter/
-        #    windowed family — kept every round) --
+        #    windowed family — kept every round; hopping_count /
+        #    windowed_sum_by_type / windowed_ktable rotate just below
+        #    the window this round to make room for the optimization
+        #    regrades, green in both r12 and the r13 build) --
         "kstream_left_join": q_kstream_left_join,
         "kstream_inner_join": q_kstream_inner_join,
         "ktable_left_join": q_ktable_left_join,
@@ -5035,21 +5075,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ktable_latest": q_ktable_latest,
         "rate_limiter": q_rate_limiter,
         "windowed_count": q_windowed_count,
+        "session_windows": q_session_windows,
+        # ---- below the grading window: previously graded, every oracle
+        # ---- re-verified locally by tests/test_oracle_parity.py on
+        # ---- every pytest run ----
         "hopping_count": q_hopping_count,
         "windowed_sum_by_type": q_windowed_sum_by_type,
-        "session_windows": q_session_windows,
         "windowed_ktable": q_windowed_ktable,
-        # -- (e) oldest-cert fill: the r7-graded TPC-H/relational tier
-        #    not regraded since --
         "cust_order_distribution": q_cust_order_distribution,
         "disjunctive_revenue": q_disjunctive_revenue,
         "except_keys": q_except_keys,
         "forecast_revenue": q_forecast_revenue,
         "grouping_sets": q_grouping_sets,
         "idle_customers": q_idle_customers,
-        # ---- below the grading window: previously graded, every oracle
-        # ---- re-verified locally by tests/test_oracle_parity.py on
-        # ---- every pytest run ----
         "important_parts": q_important_parts,
         "large_orders": q_large_orders,
         "market_share": q_market_share,
@@ -5078,15 +5116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": q_weighted_median,
         "benford": q_benford,
         "snapshot_diff": q_snapshot_diff,
-        "heavy_hitters": q_heavy_hitters,
-        "ppjoin_pairs": q_ppjoin_pairs,
         "table_checksum": q_table_checksum,
         "session_ids": q_session_ids,
         "cms_counts": q_cms_counts,
         "cms_estimates": q_cms_estimates,
         "join_size_estimate": q_join_size_estimate,
         "profile_columns": q_profile_columns,
-        "item_associations": q_item_associations,
         "top_terms_per_lang": q_top_terms_per_lang,
         "count_by_key": q_count_by_key,
         "count_by_value": q_count_by_value,
@@ -5113,7 +5148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "hll_merge_slices": q_hll_merge_slices,
         "contamination_scores": q_contamination_scores,
-        "typo_pairs": q_typo_pairs,
         "quantile_histogram": q_quantile_histogram,
         "outlier_gate": q_outlier_gate,
         "minmax_scaled": q_minmax_scaled,
@@ -5123,17 +5157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "nfc_normalize": q_nfc_normalize,
         "hard_negatives": q_hard_negatives,
-        "hits_rank": q_hits_rank,
         "anchor_terms": q_anchor_terms,
         "crawl_budget": q_crawl_budget,
         "sitemap_frontier": q_sitemap_frontier,
         "domain_rollup_full": q_domain_rollup_full,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_dup_pairs": q_winnow_dup_pairs,
         "surt_index": q_surt_index,
         "decontaminate_bloom": q_decontaminate_bloom,
-        "train_classifier": q_train_classifier,
-        "stupid_backoff": q_stupid_backoff,
         "curate_docs": q_curate_docs,
         "minhash_pairs_portable": q_minhash_pairs_portable,
         "simhash_portable": q_simhash_portable,
