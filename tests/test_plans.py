@@ -1307,13 +1307,18 @@ def test_attribution_user_window_only(spark, queries):
     assert "Window" in plan and "HashAggregate" in plan
 
 
-def test_referential_integrity_anti_joins(spark, queries):
-    """Each relation check is a left_anti join + bounded aggs — no
-    corpus window, no Python."""
+def test_referential_integrity_single_pass(spark, queries):
+    """Each relation check is ONE child pass: a left join against the
+    parent's distinct pk column + one conditional aggregation — no
+    anti-join/count-subtree triplication (the r12 form scanned each
+    child three times), no corpus window, no Python."""
     plan = formatted_plan(spark, queries["referential_integrity"](spark, SF))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
-    assert "LeftAnti" in plan
+    assert "LeftOuter" in plan and "LeftAnti" not in plan
     assert "Window" not in plan
+    # one scan per relation side: 5 child + 5 parent subtrees only
+    # (each scan prints twice in formatted mode: tree + detail)
+    assert plan.count("Scan parquet") <= 20
 
 
 def test_correlation_matrix_single_agg(spark, queries):
