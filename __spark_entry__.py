@@ -5065,23 +5065,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_classifier": q_train_classifier,
         "hits_rank": q_hits_rank,
         "heavy_hitters": q_heavy_hitters,
-        # -- (d) SURVEY 2 core re-cert band (joins/ktable/rate_limiter/
-        #    windowed family — kept every round; hopping_count /
-        #    windowed_sum_by_type / windowed_ktable rotate just below
-        #    the window this round to make room for the optimization
-        #    regrades, green in both r12 and the r13 build) --
+        # -- (c3) OPTIMIZATION-round changed-code regrades, second
+        #    batch: the value-table statistics family restructured
+        #    after the first close-out — spearman (rank join-backs
+        #    fused into one broadcast-join + (group, y) aggregation),
+        #    correlation_matrix (union-of-pair-selects collapsed to
+        #    one explode off the single moment aggregation),
+        #    weighted_median (per-quantile conditional mins replace
+        #    the explode×filter over the cumulative table; also the
+        #    engine under theil_sen / mad_outliers / rfm_segments /
+        #    funnel_latency, all already in-window above). Makes room
+        #    by rotating session_windows / rate_limiter /
+        #    ktable_latest just below the window (green r12 + r13
+        #    build, parity-covered; windowed_count keeps the
+        #    TIMESTAMP(NANOS) events-load path in-window). --
+        "spearman": q_spearman,
+        "correlation_matrix": q_correlation_matrix,
+        "weighted_median": q_weighted_median,
+        # -- (d) SURVEY 2 core re-cert band (joins/windowed_count —
+        #    kept every round; hopping_count / windowed_sum_by_type /
+        #    windowed_ktable and now session_windows / rate_limiter /
+        #    ktable_latest rotate just below the window this round to
+        #    make room for the optimization regrades, green in both
+        #    r12 and the r13 build) --
         "kstream_left_join": q_kstream_left_join,
         "kstream_inner_join": q_kstream_inner_join,
         "ktable_left_join": q_ktable_left_join,
         "ktable_inner_join": q_ktable_inner_join,
         "ktable_outer_join": q_ktable_outer_join,
-        "ktable_latest": q_ktable_latest,
-        "rate_limiter": q_rate_limiter,
         "windowed_count": q_windowed_count,
-        "session_windows": q_session_windows,
         # ---- below the grading window: previously graded, every oracle
         # ---- re-verified locally by tests/test_oracle_parity.py on
         # ---- every pytest run ----
+        "ktable_latest": q_ktable_latest,
+        "rate_limiter": q_rate_limiter,
+        "session_windows": q_session_windows,
         "hopping_count": q_hopping_count,
         "windowed_sum_by_type": q_windowed_sum_by_type,
         "windowed_ktable": q_windowed_ktable,
@@ -5100,12 +5118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_profit": q_product_profit,
         "promo_revenue": q_promo_revenue,
         "referential_integrity": q_referential_integrity,
-        "correlation_matrix": q_correlation_matrix,
         "ewma_smooth": q_ewma_smooth,
         "cusum_alarms": q_cusum_alarms,
         "acf_daily": q_acf_daily,
         "bfs_hops": q_bfs_hops,
-        "spearman": q_spearman,
         "kcore": q_kcore,
         "heavy_hitters_production": q_heavy_hitters_production,
         "range_bucket_join": q_range_bucket_join,
@@ -5116,7 +5132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_drift": q_numeric_drift,
         "rrf_fusion": q_rrf_fusion,
         "event_pattern": q_event_pattern,
-        "weighted_median": q_weighted_median,
         "benford": q_benford,
         "snapshot_diff": q_snapshot_diff,
         "table_checksum": q_table_checksum,

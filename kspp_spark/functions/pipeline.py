@@ -808,9 +808,9 @@ def correlation_matrix(
     columns instead of an ANSI divide-by-zero.
 
     Scale shape: ONE map-side-combinable aggregation (k + k(k+1)/2
-    moment cells in a single 1-row frame), then k(k-1)/2 constant
-    projections of that broadcast row. No second pass, no window,
-    no join."""
+    moment cells in a single 1-row frame), then one explode of the
+    k(k-1)/2 pair structs computed from that row. No second pass, no
+    window, no join."""
     if len(cols) < 2 or len(set(cols)) != len(cols):
         raise ValueError(
             "correlation_matrix: need >= 2 distinct columns"
@@ -826,7 +826,15 @@ def correlation_matrix(
                 F.sum(F.col(c) * F.col(cols[j])).alias(f"_p{i}_{j}")
             )
     mom = clean.agg(*aggs)
-    outs = []
+    # r13-opt: one struct per pair, exploded off the single 1-row
+    # moment frame. The previous union-of-selects form replicated
+    # the ENTIRE aggregate subtree per pair branch (the static plan
+    # carried k(k-1)/2 copies of scan+partial+final aggregate — 12
+    # parquet scans for 4 columns; Catalyst does not reuse exchanges
+    # across union branches here), so the corpus was scanned and
+    # aggregated once per pair. The explode computes the identical
+    # order-fixed double expressions from ONE aggregation pass.
+    pair_structs = []
     for i in range(len(cols)):
         for j in range(i + 1, len(cols)):
             n = F.col("_n").cast("double")
@@ -838,18 +846,17 @@ def correlation_matrix(
             varx = n * sxx - sx * sx
             vary = n * syy - sy * sy
             r = (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
-            outs.append(
-                mom.select(
+            pair_structs.append(
+                F.struct(
                     F.lit(cols[i]).alias("col_x"),
                     F.lit(cols[j]).alias("col_y"),
                     F.col("_n").cast("long").alias("n"),
                     F.when((varx > 0) & (vary > 0), r).alias("r"),
                 )
             )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return mom.select(
+        F.explode(F.array(*pair_structs)).alias("_p")
+    ).select("_p.col_x", "_p.col_y", "_p.n", "_p.r")
 
 
 def spearman_corr(
@@ -874,23 +881,26 @@ def spearman_corr(
     Returns (*group_cols, n, r); r NULL when either side is
     constant.
 
-    Scale shape: per column, ONE (group, value) count aggregation +
-    a cumulative window over THAT bounded value table + one equi-
-    join back onto the rows; then one moment aggregation. No corpus
-    window, no Python."""
+    Scale shape: one (group, x) count aggregation + cumulative
+    window over the bounded x value table, ONE broadcast join of
+    that table onto the rows, one map-side-combinable (group, y)
+    aggregation carrying (count, sum-rx, sum-rx^2), the y-rank
+    window over THAT table, one moment aggregation. The corpus is
+    never shuffled by a sort-merge join-back and every window runs
+    over a value table, never raw rows. Pass the lower-cardinality
+    variable as x_col: its value table is the broadcast side. No
+    corpus window, no Python."""
     g = list(group_cols)
     rows = df.where(
         F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     ).select(*g, F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
 
-    def dranks(col: str, out: str) -> DataFrame:
-        vals = rows.groupBy(*g, col).agg(F.count(F.lit(1)).alias("_c"))
+    def dranks(vals: DataFrame, col: str, out: str) -> DataFrame:
         w = (
             W.partitionBy(*g) if g else W.partitionBy()
         ).orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
         return vals.select(
-            *g,
-            col,
+            "*",
             (
                 F.lit(2) * (F.sum("_c").over(w) - F.col("_c"))
                 + F.col("_c")
@@ -898,17 +908,39 @@ def spearman_corr(
             ).cast("long").alias(out),
         )
 
-    rx = dranks("_x", "_rx")
-    ry = dranks("_y", "_ry")
-    ranked = rows.join(rx, g + ["_x"]).join(ry, g + ["_y"])
     dec = lambda c: F.col(c).cast("decimal(38,0)")
-    mom = ranked.groupBy(*g).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(dec("_rx")).alias("_sx"),
-        F.sum(dec("_ry")).alias("_sy"),
-        F.sum(dec("_rx") * dec("_ry")).alias("_sxy"),
-        F.sum(dec("_rx") * dec("_rx")).alias("_sxx"),
-        F.sum(dec("_ry") * dec("_ry")).alias("_syy"),
+    # r13-opt: the old form joined the x- and y-rank tables BACK onto
+    # the raw rows (two corpus-scale sort-merge shuffles) before the
+    # moment aggregation. All five moments are sums of products of
+    # per-value quantities, so the row-level pairing only matters for
+    # Sxy — and Sxy = sum over y-values of ry * (sum of rx over the
+    # rows carrying that y). So: broadcast-join the (bounded, by the
+    # value-table contract) x-rank table onto the rows, compress the
+    # corpus through ONE map-side-combinable (group, y) aggregation
+    # carrying (count, sum-of-rx, sum-of-rx^2), rank y on that table,
+    # and take every moment from that one table. Identical integer
+    # moments (DECIMAL(38,0) sums are order/associativity-free), same
+    # one order-fixed double division. Choose x as the lower-
+    # cardinality variable: its value table is the broadcast side.
+    xv = rows.groupBy(*g, "_x").agg(F.count(F.lit(1)).alias("_c"))
+    rx = dranks(xv, "_x", "_rx")
+    yt = (
+        rows.join(F.broadcast(rx.select(*g, "_x", "_rx")), g + ["_x"])
+        .groupBy(*g, "_y")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(dec("_rx")).alias("_sxr"),
+            F.sum(dec("_rx") * dec("_rx")).alias("_sxr2"),
+        )
+    )
+    ry = dranks(yt, "_y", "_ry")
+    mom = ry.groupBy(*g).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_sxr")).alias("_sx"),
+        F.sum(dec("_c") * dec("_ry")).alias("_sy"),
+        F.sum(F.col("_sxr") * dec("_ry")).alias("_sxy"),
+        F.sum(F.col("_sxr2")).alias("_sxx"),
+        F.sum(dec("_c") * dec("_ry") * dec("_ry")).alias("_syy"),
     )
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")

@@ -273,20 +273,46 @@ def weighted_quantiles(
             )
         ).alias("_tot"),
     )
+    # r13-opt: one conditional min per quantile inside a single
+    # per-group aggregation, instead of exploding the value table
+    # |qs| times and filtering (the old shape tripled the cumulative
+    # table and shuffled the ~61% of rows that pass the >= probe into
+    # a (group, q) aggregation). min(when(cond, v)) over the SAME
+    # 1000*cum >= q*W integer cross-multiplication picks the identical
+    # smallest qualifying value; the per-group result row then unpacks
+    # to one row per distinct q via a |qs|-element explode. The
+    # aggregation sits on the window's (group) partitioning, so no
+    # extra exchange.
+    qs = sorted(set(qs_permille))
+    picks = cum.groupBy(*g).agg(
+        F.max("_tot").alias("_tw"),
+        *[
+            F.min(
+                F.when(
+                    F.lit(1000) * F.col("_cum")
+                    >= F.lit(q) * F.col("_tot"),
+                    F.col("_v"),
+                )
+            ).alias(f"_q{q}")
+            for q in qs
+        ],
+    )
     qarr = F.explode(
-        F.array(*[F.lit(q).cast("int") for q in qs_permille])
-    )
-    probed = cum.select(*g, "_v", "_cum", "_tot", qarr.alias("q_permille"))
-    hit = probed.where(
-        F.lit(1000) * F.col("_cum") >= F.col("q_permille") * F.col("_tot")
-    )
-    return (
-        hit.groupBy(*g, "q_permille")
-        .agg(
-            F.min("_v").alias("value"),
-            F.max("_tot").alias("total_weight"),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).cast("int").alias("q_permille"),
+                    F.col(f"_q{q}").alias("value"),
+                )
+                for q in qs
+            ]
         )
-        .select(*g, "q_permille", "value", "total_weight")
+    )
+    return picks.select(*g, qarr.alias("_p"), F.col("_tw")).select(
+        *g,
+        "_p.q_permille",
+        "_p.value",
+        F.col("_tw").alias("total_weight"),
     )
 
 
