@@ -257,23 +257,31 @@ def triangle_counts(
     Output: (node, degree, n_triangles, clustering) where clustering
     = 2T / (deg*(deg-1)) as one IEEE division (0 for deg < 2)."""
     u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    # NO eager lineage cut, deliberately: e and o each feed several
-    # consumers, but localCheckpoint was MEASURED slightly SLOWER at
-    # sf0.1 on the dense co-purchase graph (15.0s -> 16.6s) — the
-    # recomputed subtrees are narrow-row but cheap relative to the
-    # materialization barrier, and wedge-join time dominates either
-    # way (contrast hits/stupid_backoff, where the cut won 3x because
-    # the re-run subtree was shuffle-heavy)
+    # LAZY lineage cuts on the three multi-consumer frames (e feeds
+    # deg x2 / orient / closure; o feeds both wedge sides; deg feeds
+    # orient x2 / the final join): without them every consumer
+    # re-derives the whole subtree INCLUDING the caller's edge
+    # synthesis — the graded co-purchase query planned 140 parquet
+    # scans / 140 exchanges (plans/r13/triangle_counts_before.txt).
+    # An EAGER cut was measured slower in r12 (15.0s -> 16.6s: the
+    # per-frame materialization barrier serializes the job); the
+    # r13-opt LAZY form truncates the plan identically while all
+    # stages stay in one job DAG, computing each frame once and
+    # caching it (same mechanism as hits/kcore/bfs). Same-session
+    # interleaved A/B at sf0.1: 1.96 -> 1.37 median, bit-identical
+    # output. Durability boundary: SCALE.md localCheckpoint section.
     e = (
         edges.select(u.alias("u"), v.alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
     )
     ed = (
         e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
@@ -285,7 +293,7 @@ def triangle_counts(
     o = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
-    )
+    ).localCheckpoint(eager=False)
     wedges = (
         o.alias("x")
         .join(o.alias("y"), F.col("x.a") == F.col("y.a"))
