@@ -2026,7 +2026,8 @@ def prefix_filter_pairs(
     # condition never fires there — same conditional as
     # rebalance_small_scan.
     sc_ = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() <= sc_.defaultParallelism:
+    small_local = df.rdd.getNumPartitions() <= sc_.defaultParallelism
+    if small_local:
         ex0 = ex0.localCheckpoint(eager=True)
     if df_mode == "window":
         ex = ex0.withColumn(
@@ -2049,6 +2050,22 @@ def prefix_filter_pairs(
         F.col("n") - F.expr(f"({num} * n + {den - 1}) DIV {den}") + F.lit(1)
     )
     ptok = ranked.where(F.col("rk") <= plen).select("id", "n", "g")
+    # r13-opt: the candidate self-join below aliases ptok twice, and
+    # Catalyst does not reuse exchanges across aliased branches — the
+    # WHOLE prefix subtree (df_ window over g + rank window over id,
+    # i.e. two shuffles + two sorts of the full exploded stream) was
+    # planned and executed once PER SIDE (plans/r13/ppjoin_pairs
+    # captures). A lazy lineage cut computes it once and caches the
+    # narrow (id, n, g) prefix stream. UNCONDITIONAL, unlike ex0's
+    # materialization above: re-deriving ex0 is a cheap map, but
+    # re-deriving ptok replays two full shuffle+sort passes of the
+    # exploded stream — strictly more expensive than storing the
+    # ~(1-t)-fraction prefix rows once at any scale. Stash A/B at
+    # sf0.1: 5.20 -> 4.43 median of 5 (and the final plan drops from
+    # four Window passes to two). Durability boundary as everywhere:
+    # SCALE.md localCheckpoint section (switch to checkpoint() on a
+    # cluster with executor churn).
+    ptok = ptok.localCheckpoint(eager=False)
     la = ptok.select("g", F.col("id").alias("a"), F.col("n").alias("na"))
     lb = ptok.select("g", F.col("id").alias("b"), F.col("n").alias("nb"))
     cand = (
