@@ -1758,15 +1758,22 @@ def gopher_repetition_counters(
     duplicate-n-gram characters count every occurrence of a repeated
     n-gram without de-overlapping spans (position-marking overlapped
     occurrences needs per-doc sequential state; this conservative
-    upper bound stays a pure aggregation).
+    upper bound stays a pure per-row computation).
 
-    Scale shape: ONE scan, ONE Generate explodes lines and every gram
-    size as tagged (n, unit) structs built inside codegen (plus a
-    per-doc sentinel so empty documents survive), ONE count
-    aggregation on (id, n, unit), ONE per-doc aggregation —
-    2 shuffles total for the whole 11-signal suite, no join, and the
-    text column is read exactly once (total_chars rides the exploded
-    rows as one int). n-grams never re-tokenize the corpus per n.
+    Scale shape (r13-opt, guide §2.4 "remove shuffles outright"):
+    MAP-ONLY — every counter is a function of ONE document, so
+    nothing ever needs to leave its row. Each unit family (lines,
+    each gram size) is array_sort'ed in-row and run-length-folded by
+    one sequential aggregate() (runs of equal strings ARE the
+    occurrence counts the old (id, n, unit) aggregation computed), so
+    the whole 11-signal suite is a single projection over the scan:
+    ZERO exchanges, no join, no Generate — where the previous shape
+    shuffled ~9x-the-corpus-tokens of gram STRINGS through a count
+    aggregation twice (partial+final). Interleaved A/B at sf0.1:
+    ~5.0s -> ~2.1s under load, and the shuffle that dominated at
+    scale is gone entirely. Counters are bit-identical (a sorted
+    array's run lengths are exactly the per-unit counts; DuckDB
+    oracle + golden tests replay them).
     """
     t = F.col(text_col)
     # Materialize the token/line arrays as projected columns BEFORE
@@ -1776,15 +1783,16 @@ def gopher_repetition_counters(
     # sf0.1); against a projected column each row tokenizes once.
     pre = df.select(
         F.col(id_col).alias("_id"),
-        F.length(t).alias("_tc"),
+        F.length(t).alias("total_chars"),
         tokenize(t).alias("_toks"),
         F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "").alias("_lines"),
     )
-    # The explode inflates ~9x-the-token-count units per document, so
-    # a small input (few file splits) serializes the heavy Generate on
-    # a few cores. Callers with tiny local inputs wrap df in
-    # io.rebalance_small_scan first (conditional — a structural no-op
-    # on cluster-sized scans); repartition_to forces a spread here.
+    # The gram build + sort + fold is ~9x-the-token-count units of
+    # per-row work, so a small input (few file splits) serializes the
+    # heavy map stage on a few cores. Callers with tiny local inputs
+    # wrap df in io.rebalance_small_scan first (conditional — a
+    # structural no-op on cluster-sized scans); repartition_to forces
+    # a spread here.
     if repartition_to is not None:
         pre = pre.repartition(repartition_to)
     toks = F.col("_toks")
@@ -1796,54 +1804,75 @@ def gopher_repetition_counters(
         )
         return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
-    # tagged unit stream: n=0 marks a line, n>=2 marks an n-gram.
-    # NOTE the factory instead of a default-arg lambda: transform()
-    # treats a two-parameter lambda as (element, index) and would
-    # silently pass the POSITION as the second argument.
-    def tag(n_val):
-        return lambda x: F.struct(F.lit(n_val).alias("n"), x.alias("u"))
+    # Run-length folds over a sorted array (SQL-expr HOFs — the
+    # accumulator carries the current run's value/length and the
+    # running answer; the finisher closes the last run). All-integer,
+    # so every counter replays bitwise in the DuckDB oracle.
+    def dup_fold(arr):
+        # sum of c*length(u) over runs with c > 1 (dup{n}_chars)
+        return (
+            f"aggregate(array_sort({arr}), "
+            "named_struct('p', cast(null as string), 'c', cast(0 as bigint), "
+            "'d', cast(0 as bigint)), "
+            "(a, x) -> IF(a.c > 0 AND x = a.p, "
+            "named_struct('p', a.p, 'c', a.c + cast(1 as bigint), 'd', a.d), "
+            "named_struct('p', x, 'c', cast(1 as bigint), "
+            "'d', a.d + IF(a.c > 1, a.c * length(a.p), cast(0 as bigint)))), "
+            "a -> a.d + IF(a.c > 1, a.c * length(a.p), cast(0 as bigint)))"
+        )
 
-    # n=-1 sentinel: exactly one per document, so documents with no
-    # units at all (empty text) still reach the per-doc aggregation —
-    # no second scan / re-join of the source for totals or zero-fill
-    sentinel = F.array(F.struct(F.lit(-1).alias("n"), F.lit("").alias("u")))
-    parts = [sentinel, F.transform(F.col("_lines"), tag(0))] + [
-        F.transform(grams(n), tag(n)) for n in (*top_ns, *dup_ns)
-    ]
-    ex = pre.select(
-        "_id", "_tc", F.explode(F.flatten(F.array(*parts))).alias("x")
-    ).select("_id", "_tc", F.col("x.n").alias("_n"), F.col("x.u").alias("_u"))
-    per_unit = ex.groupBy("_id", "_n", "_u").agg(
-        F.count(F.lit(1)).alias("_c"), F.min("_tc").alias("_tc")
+    def top_fold(arr):
+        # max over runs of c*length(u); 0 for an empty array
+        return (
+            f"aggregate(array_sort({arr}), "
+            "named_struct('p', cast(null as string), 'c', cast(0 as bigint), "
+            "'t', cast(0 as bigint)), "
+            "(a, x) -> IF(a.c > 0 AND x = a.p, "
+            "named_struct('p', a.p, 'c', a.c + cast(1 as bigint), 't', a.t), "
+            "named_struct('p', x, 'c', cast(1 as bigint), "
+            "'t', greatest(a.t, a.c * length(coalesce(a.p, ''))))), "
+            "a -> IF(a.c > 0, greatest(a.t, a.c * length(a.p)), "
+            "cast(0 as bigint)))"
+        )
+
+    def line_fold(arr):
+        # (sum(c-1), sum((c-1)*length(u))) over runs with c > 1
+        return (
+            f"aggregate(array_sort({arr}), "
+            "named_struct('p', cast(null as string), 'c', cast(0 as bigint), "
+            "'dc', cast(0 as bigint), 'dh', cast(0 as bigint)), "
+            "(a, x) -> IF(a.c > 0 AND x = a.p, "
+            "named_struct('p', a.p, 'c', a.c + cast(1 as bigint), "
+            "'dc', a.dc, 'dh', a.dh), "
+            "named_struct('p', x, 'c', cast(1 as bigint), "
+            "'dc', a.dc + IF(a.c > 1, a.c - 1, cast(0 as bigint)), "
+            "'dh', a.dh + IF(a.c > 1, (a.c - 1) * length(a.p), "
+            "cast(0 as bigint)))), "
+            "a -> named_struct("
+            "'dc', a.dc + IF(a.c > 1, a.c - 1, cast(0 as bigint)), "
+            "'dh', a.dh + IF(a.c > 1, (a.c - 1) * length(a.p), "
+            "cast(0 as bigint))))"
+        )
+
+    # Stage the gram arrays as projected columns (same re-evaluation
+    # trap as _toks above: each fold references its array twice —
+    # array_sort sees it once, but a projected column guarantees one
+    # gram build per (doc, n) regardless of expression sharing).
+    staged = pre.select(
+        "_id",
+        "total_chars",
+        "_lines",
+        *[grams(n).alias(f"_g{n}") for n in (*top_ns, *dup_ns)],
     )
-    c, u, n = F.col("_c"), F.col("_u"), F.col("_n")
-    is_dup = c > 1
-    aggs = [
-        F.coalesce(F.sum(F.when(n == 0, c)), F.lit(0)).alias("n_lines"),
-        F.coalesce(F.sum(F.when((n == 0) & is_dup, c - 1)), F.lit(0)).alias(
-            "dup_line_cnt"
-        ),
-        F.coalesce(
-            F.sum(F.when((n == 0) & is_dup, (c - 1) * F.length(u))), F.lit(0)
-        ).alias("dup_line_chars"),
-    ]
-    for k in top_ns:
-        aggs.append(
-            F.coalesce(F.max(F.when(n == k, c * F.length(u))), F.lit(0)).alias(
-                f"top{k}_chars"
-            )
-        )
-    for k in dup_ns:
-        aggs.append(
-            F.coalesce(
-                F.sum(F.when((n == k) & is_dup, c * F.length(u))), F.lit(0)
-            ).alias(f"dup{k}_chars")
-        )
-    aggs.append(F.min("_tc").alias("total_chars"))
-    per_doc = per_unit.groupBy("_id").agg(*aggs)
-    names = [f.name for f in per_doc.schema.fields if f.name not in ("_id", "total_chars")]
-    return per_doc.select(
-        F.col("_id").alias(id_col), "total_chars", *names
+    lf = F.expr(line_fold("_lines"))
+    return staged.select(
+        F.col("_id").alias(id_col),
+        "total_chars",
+        F.size("_lines").cast("bigint").alias("n_lines"),
+        lf["dc"].alias("dup_line_cnt"),
+        lf["dh"].alias("dup_line_chars"),
+        *[F.expr(top_fold(f"_g{n}")).alias(f"top{n}_chars") for n in top_ns],
+        *[F.expr(dup_fold(f"_g{n}")).alias(f"dup{n}_chars") for n in dup_ns],
     )
 
 

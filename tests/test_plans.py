@@ -677,20 +677,21 @@ def test_media_decode_is_map_only_arrow(spark, queries):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
 
 
-def test_gopher_repetition_two_shuffles(spark, queries):
-    """Repetition-suite scale contract: lines + all nine gram sizes
-    explode from ONE Generate over ONE scan (total_chars rides the
-    exploded rows, a per-doc sentinel keeps empty docs — no re-scan,
-    no join), and the (id, n, unit) count + per-doc rollup are the
-    only exchanges besides the conditional small-input round-robin.
-    No Python, no join of any kind."""
+def test_gopher_repetition_map_only(spark, queries):
+    """Repetition-suite scale contract (r13-opt): every counter is a
+    function of ONE document, so the whole 11-signal suite is in-row
+    run-length folds over sorted unit arrays — MAP-ONLY. One scan, no
+    Generate, no join, no Python, and the only exchange allowed is
+    the conditional small-input round-robin spread (which is NOT a
+    hashpartitioning). The previous shape shuffled ~9x-the-corpus-
+    tokens of gram strings through a two-phase count aggregation."""
     plan = formatted_plan(spark, queries["gopher_repetition"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
-    assert plan.count("Generate") <= 2  # one explode (+ its reuse row)
+    assert "Generate" not in plan, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
-    assert len(re.findall(r"Arguments: hashpartitioning", plan)) <= 2, plan
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert "hashpartitioning" not in plan, plan
+    assert len(re.findall(r"\(\d+\) (?:Hash|Sort|Object)Aggregate", plan)) == 0, plan
 
 
 def test_robots_gate_no_regex_broadcast_join(spark, queries):

@@ -66,11 +66,12 @@ def test_registry_round13_window():
         # SURVEY 2 core re-cert band (kept every round; hopping_count
         # / windowed_sum_by_type / windowed_ktable — and, for the
         # second optimization batch, session_windows / rate_limiter /
-        # ktable_latest — rotate just below the window for the
-        # optimization-round regrades — green in r12 and the r13
-        # build, parity-covered locally)
+        # ktable_latest, and for the third batch ktable_outer_join —
+        # rotate just below the window for the optimization-round
+        # regrades — green in r12 and the r13 build, parity-covered
+        # locally)
         "kstream_left_join", "kstream_inner_join", "ktable_left_join",
-        "ktable_inner_join", "ktable_outer_join", "windowed_count",
+        "ktable_inner_join", "windowed_count",
         # round-13 build changed-code regrades
         "radius_join",          # explode-side + int64-safe floor cell
         "event_pattern_spans",  # marker metacharacter guard
@@ -94,6 +95,10 @@ def test_registry_round13_window():
         # weighted_quantiles conditional-min picks — the engine under
         # theil_sen / mad_outliers / rfm_segments / funnel_latency)
         "spearman", "correlation_matrix", "weighted_median",
+        # optimization-pass third batch (resumed session):
+        # gopher_repetition restructured to map-only in-row
+        # run-length folds (zero shuffles)
+        "gopher_repetition",
     }
     missing = must_grade - set(window)
     assert not missing, f"round-13 must-grade queries not in window: {missing}"
