@@ -5094,20 +5094,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (green r12 + r13 build, parity-covered; the other four
         #    join flavors keep the core band in-window). --
         "gopher_repetition": q_gopher_repetition,
+        # -- (c5) OPTIMIZATION-round changed-code regrades, fourth
+        #    batch (second resumed session): curate_docs restructured
+        #    behind a lazy lineage cut so the gate filters read the
+        #    computed metric columns instead of re-running the full
+        #    regex suite below the pushed-down filters (guide §4.4's
+        #    duplication mechanism, built-in flavor). Makes room by
+        #    rotating ktable_inner_join just below the window (green
+        #    r12 + r13 build, parity-covered; the other three join
+        #    flavors keep the core band in-window). --
+        "curate_docs": q_curate_docs,
         # -- (d) SURVEY 2 core re-cert band (joins/windowed_count —
         #    kept every round; hopping_count / windowed_sum_by_type /
         #    windowed_ktable and now session_windows / rate_limiter /
-        #    ktable_latest rotate just below the window this round to
-        #    make room for the optimization regrades, green in both
-        #    r12 and the r13 build) --
+        #    ktable_latest / ktable_outer_join / ktable_inner_join
+        #    rotate just below the window this round to make room for
+        #    the optimization regrades, green in both r12 and the r13
+        #    build) --
         "kstream_left_join": q_kstream_left_join,
         "kstream_inner_join": q_kstream_inner_join,
         "ktable_left_join": q_ktable_left_join,
-        "ktable_inner_join": q_ktable_inner_join,
         "windowed_count": q_windowed_count,
         # ---- below the grading window: previously graded, every oracle
         # ---- re-verified locally by tests/test_oracle_parity.py on
         # ---- every pytest run ----
+        "ktable_inner_join": q_ktable_inner_join,
         "ktable_outer_join": q_ktable_outer_join,
         "ktable_latest": q_ktable_latest,
         "rate_limiter": q_rate_limiter,
@@ -5193,7 +5204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup_full": q_domain_rollup_full,
         "surt_index": q_surt_index,
         "decontaminate_bloom": q_decontaminate_bloom,
-        "curate_docs": q_curate_docs,
         "minhash_pairs_portable": q_minhash_pairs_portable,
         "simhash_portable": q_simhash_portable,
         "bm25_indexed": q_bm25_indexed,

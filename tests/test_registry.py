@@ -66,12 +66,12 @@ def test_registry_round13_window():
         # SURVEY 2 core re-cert band (kept every round; hopping_count
         # / windowed_sum_by_type / windowed_ktable — and, for the
         # second optimization batch, session_windows / rate_limiter /
-        # ktable_latest, and for the third batch ktable_outer_join —
-        # rotate just below the window for the optimization-round
-        # regrades — green in r12 and the r13 build, parity-covered
-        # locally)
+        # ktable_latest, for the third batch ktable_outer_join, and
+        # for the fourth batch ktable_inner_join — rotate just below
+        # the window for the optimization-round regrades — green in
+        # r12 and the r13 build, parity-covered locally)
         "kstream_left_join", "kstream_inner_join", "ktable_left_join",
-        "ktable_inner_join", "windowed_count",
+        "windowed_count",
         # round-13 build changed-code regrades
         "radius_join",          # explode-side + int64-safe floor cell
         "event_pattern_spans",  # marker metacharacter guard
@@ -99,6 +99,11 @@ def test_registry_round13_window():
         # gopher_repetition restructured to map-only in-row
         # run-length folds (zero shuffles)
         "gopher_repetition",
+        # optimization-pass fourth batch (second resumed session):
+        # curate_docs gate filters moved above a lazy lineage cut so
+        # the regex metric suite evaluates once per document instead
+        # of once per pushed-down filter
+        "curate_docs",
     }
     missing = must_grade - set(window)
     assert not missing, f"round-13 must-grade queries not in window: {missing}"
