@@ -4993,7 +4993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # changes sit below the window on local parity; the core band
     # temporarily drops hopping_count / windowed_sum_by_type /
     # windowed_ktable (r12 + r13-build green) to just below the
-    # window to make room.
+    # window to make room. Fifth batch: page_links' scheme gate
+    # rewrite regrades link_graph + anchor_terms (c6);
+    # kstream_inner_join / ktable_left_join rotate just below.
     # NOTE: because the window rotates, per-round driver scores are
     # NOT comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite
@@ -5104,20 +5106,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r12 + r13 build, parity-covered; the other three join
         #    flavors keep the core band in-window). --
         "curate_docs": q_curate_docs,
+        # -- (c6) optimization-pass fifth batch: page_links' scheme
+        #    gate moved before the RFC 3986 resolution (the pushed
+        #    Filter re-ran the whole resolve_url regex tree per
+        #    anchor) — both consumers regrade --
+        "link_graph": q_link_graph,
+        "anchor_terms": q_anchor_terms,
         # -- (d) SURVEY 2 core re-cert band (joins/windowed_count —
         #    kept every round; hopping_count / windowed_sum_by_type /
         #    windowed_ktable and now session_windows / rate_limiter /
-        #    ktable_latest / ktable_outer_join / ktable_inner_join
-        #    rotate just below the window this round to make room for
-        #    the optimization regrades, green in both r12 and the r13
-        #    build) --
+        #    ktable_latest / ktable_outer_join / ktable_inner_join,
+        #    and for the fifth batch kstream_inner_join /
+        #    ktable_left_join, rotate just below the window this
+        #    round to make room for the optimization regrades, green
+        #    in both r12 and the r13 build) --
         "kstream_left_join": q_kstream_left_join,
-        "kstream_inner_join": q_kstream_inner_join,
-        "ktable_left_join": q_ktable_left_join,
         "windowed_count": q_windowed_count,
         # ---- below the grading window: previously graded, every oracle
         # ---- re-verified locally by tests/test_oracle_parity.py on
         # ---- every pytest run ----
+        "kstream_inner_join": q_kstream_inner_join,
+        "ktable_left_join": q_ktable_left_join,
         "ktable_inner_join": q_ktable_inner_join,
         "ktable_outer_join": q_ktable_outer_join,
         "ktable_latest": q_ktable_latest,
@@ -5198,7 +5207,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "nfc_normalize": q_nfc_normalize,
         "hard_negatives": q_hard_negatives,
-        "anchor_terms": q_anchor_terms,
         "crawl_budget": q_crawl_budget,
         "sitemap_frontier": q_sitemap_frontier,
         "domain_rollup_full": q_domain_rollup_full,
@@ -5224,7 +5232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann": q_srp_ann,
         "srp_pairs": q_srp_pairs,
         "token_pairs": q_token_pairs,
-        "link_graph": q_link_graph,
         "domain_rollup": q_domain_rollup,
         "domain_rank": q_domain_rank,
         "pack_sequences": q_pack_sequences,

@@ -580,14 +580,31 @@ def page_links(
     downstream."""
     link = F.explode(extract_links(html_col)).alias("_l")
     out = df.select(id_col, F.col(base_col).alias("_base"), link)
+    # r13-opt (guide §4.4's duplication mechanism, built-in flavor):
+    # filtering on url_scheme(link_url) pushed the WHOLE resolve_url
+    # regex tree below the projection (alias substitution), so every
+    # anchor paid RFC 3986 resolution twice — once in the pushed
+    # Filter, once again in the Project (codegen CSE does not unify
+    # across the two operators). The scheme of the RESOLVED url is
+    # already determined by the raw href + base: an absolute
+    # reference keeps its own scheme (RFC 3986 §5.2.2), every other
+    # shape (//, /, relative, empty/fragment-only) inherits the
+    # base's. Filtering on that cheap equivalent BEFORE the
+    # projection drops non-http(s) links before they are ever
+    # resolved and leaves ONE resolve_url evaluation per surviving
+    # anchor. Equivalence bound (same one resolve_url documents):
+    # the base must be a hierarchical absolute URL (scheme://...) —
+    # a non-hierarchical base (mailto:) already has no origin to
+    # resolve against.
+    h = F.regexp_replace(F.col("_l.href"), r"#.*$", "")
+    scheme = F.when(
+        h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), url_scheme(h)
+    ).otherwise(url_scheme(F.col("_base")))
     resolved = resolve_url(F.col("_l.href"), F.col("_base"))
-    return (
-        out.select(
-            id_col,
-            resolved.alias("link_url"),
-            F.col("_l.anchor").alias("anchor"),
-        )
-        .filter(url_scheme("link_url").isin("http", "https"))
+    return out.filter(scheme.isin("http", "https")).select(
+        id_col,
+        resolved.alias("link_url"),
+        F.col("_l.anchor").alias("anchor"),
     )
 
 

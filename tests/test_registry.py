@@ -66,12 +66,12 @@ def test_registry_round13_window():
         # SURVEY 2 core re-cert band (kept every round; hopping_count
         # / windowed_sum_by_type / windowed_ktable — and, for the
         # second optimization batch, session_windows / rate_limiter /
-        # ktable_latest, for the third batch ktable_outer_join, and
-        # for the fourth batch ktable_inner_join — rotate just below
+        # ktable_latest, for the third batch ktable_outer_join, for
+        # the fourth batch ktable_inner_join, and for the fifth batch
+        # kstream_inner_join / ktable_left_join — rotate just below
         # the window for the optimization-round regrades — green in
         # r12 and the r13 build, parity-covered locally)
-        "kstream_left_join", "kstream_inner_join", "ktable_left_join",
-        "windowed_count",
+        "kstream_left_join", "windowed_count",
         # round-13 build changed-code regrades
         "radius_join",          # explode-side + int64-safe floor cell
         "event_pattern_spans",  # marker metacharacter guard
@@ -104,6 +104,11 @@ def test_registry_round13_window():
         # the regex metric suite evaluates once per document instead
         # of once per pushed-down filter
         "curate_docs",
+        # optimization-pass fifth batch: page_links' scheme gate now
+        # precedes the RFC 3986 resolution (the pushed Filter re-ran
+        # the whole resolve_url regex tree per anchor) — both
+        # consumers regrade
+        "link_graph", "anchor_terms",
     }
     missing = must_grade - set(window)
     assert not missing, f"round-13 must-grade queries not in window: {missing}"
