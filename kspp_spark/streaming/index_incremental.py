@@ -52,7 +52,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from kspp_spark.functions.text import tokenize
+from kspp_spark.functions.text import per_doc_term_stats, tokenize
 from kspp_spark.streaming.epochs import (
     epoch_dirs as _epoch_dirs,
     guard_epoch_monotonic as _guard_epoch_monotonic,
@@ -100,11 +100,15 @@ def index_partials_batch(
     batch = _lww_batch(batch_df, id_col, text_col, seq_col)
     seq_cols = [F.col("_seq")] if seq_col else []
     units = (unitize or tokenize)(F.col(text_col))
-    toks = batch.select(
-        F.col(id_col), F.explode(units).alias("term"), *seq_cols,
-    )
-    partial = toks.groupBy("term", id_col, *(["_seq"] if seq_col else [])).agg(
-        F.count(F.lit(1)).alias("tf")
+    # MAP-ONLY per-doc tf (r13-opt): the (term, doc) groups all come
+    # from one changelog row (a doc_id appears at most once per batch
+    # — the fold's documented contract, enforced by _lww_batch in seq
+    # mode), so the old explode + groupBy shuffled every token of
+    # every trigger to compute a per-row quantity. _seq passes
+    # through — it is per-doc constant after _lww_batch.
+    partial = per_doc_term_stats(
+        batch, units, id_col=id_col,
+        passthrough=("_seq",) if seq_col else (),
     )
     sentinels = batch.select(
         F.lit(None).cast("string").alias("term"),
@@ -253,14 +257,12 @@ def positional_partials_batch(
         )
     batch = _lww_batch(batch_df, id_col, text_col, seq_col)
     seq_cols = [F.col("_seq")] if seq_col else []
-    pos = batch.select(
-        F.col(id_col),
-        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
-        *seq_cols,
-    )
-    partial = pos.groupBy("term", id_col, *(["_seq"] if seq_col else [])).agg(
-        F.count(F.lit(1)).alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
+    # MAP-ONLY per-doc (tf, positions) — same r13-opt rationale as
+    # index_partials_batch: nothing in the first index aggregation
+    # ever needs to leave its changelog row.
+    partial = per_doc_term_stats(
+        batch, tokenize(F.col(text_col)), id_col=id_col, positional=True,
+        passthrough=("_seq",) if seq_col else (),
     )
     sentinels = batch.select(
         F.lit(None).cast("string").alias("term"),

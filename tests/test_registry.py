@@ -82,13 +82,17 @@ def test_registry_round13_window():
         "dup_clusters_fixed",   # r13-opt partition-local contraction
         "cluster_reps",
         # round-13 OPTIMIZATION-pass regrades (operator internals
-        # restructured: winnow native rightmost-min, SymSpell spread,
-        # ppjoin materialized stream, cooccurrence pack checkpoint,
-        # backoff/trainer input spread, lazy fixed-iteration
-        # checkpoints via hits_rank, heavy_hitters scan spread)
-        "winnow_fingerprints", "winnow_dup_pairs", "typo_pairs",
+        # restructured: winnow native rightmost-min, ppjoin
+        # materialized stream, cooccurrence pack checkpoint,
+        # stupid_backoff's token-frame spread+checkpoint, lazy
+        # fixed-iteration checkpoints via hits_rank; the spread-only
+        # entries typo_pairs / train_classifier / heavy_hitters
+        # rotated just below the window for the sixth batch — their
+        # conditional-input-spread mechanism is the one already
+        # parity-covered below the window)
+        "winnow_fingerprints", "winnow_dup_pairs",
         "ppjoin_pairs", "item_associations", "stupid_backoff",
-        "train_classifier", "hits_rank", "heavy_hitters",
+        "hits_rank",
         # optimization-pass second batch: the value-table statistics
         # family restructured after the first close-out (spearman
         # rank-join fusion, correlation_matrix single-pass explode,
@@ -109,6 +113,12 @@ def test_registry_round13_window():
         # the whole resolve_url regex tree per anchor) — both
         # consumers regrade
         "link_graph", "anchor_terms",
+        # optimization-pass sixth batch: the index-build family's
+        # first aggregation restructured to MAP-ONLY in-row sorted
+        # runs (per_doc_term_stats) — the three builds regrade;
+        # phrase/bm25_indexed keep the explode shape via terms=
+        # (physical plans verified identical) and sit below on parity
+        "inverted_index", "positional_index", "positional_index_folded",
     }
     missing = must_grade - set(window)
     assert not missing, f"round-13 must-grade queries not in window: {missing}"
