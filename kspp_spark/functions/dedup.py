@@ -1084,21 +1084,30 @@ def signature_band_slices(
     (e.g. NULL embeddings) are dropped — NULL is not a bucket."""
     width = bits // bands
     mask = (1 << width) - 1
-    sigs = sigs.filter(F.col(sim_col).isNotNull())
+    # NULL drop via the generator, NOT a separate .filter(isNotNull):
+    # when the signature is a COMPUTED column (srp_signatures' 32-
+    # plane projection, simhash's token votes) Catalyst pushes that
+    # filter below the projection with the alias substituted, so the
+    # whole signature expression evaluates TWICE per row — and below
+    # any scan spread, i.e. on the single pre-spread split (r13-opt;
+    # the curate_docs/page_links duplication mechanism, guide §4.4).
+    # explode() of a NULL array drops the row identically, and the
+    # generator's band slices read the materialized attribute.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col(sim_col), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("bhash"),
+            )
+            for b in range(bands)
+        ]
+    )
     return sigs.select(
         F.col(id_col).alias(out_id),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col(sim_col), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.when(F.col(sim_col).isNotNull(), band_structs)
         ).alias("bb"),
     ).select(out_id, "bb.band", "bb.bhash")
 

@@ -90,9 +90,7 @@ def test_registry_round13_window():
         # rotated just below the window for the sixth batch — their
         # conditional-input-spread mechanism is the one already
         # parity-covered below the window)
-        "winnow_fingerprints", "winnow_dup_pairs",
-        "ppjoin_pairs", "item_associations", "stupid_backoff",
-        "hits_rank",
+        "winnow_fingerprints", "winnow_dup_pairs", "ppjoin_pairs",
         # optimization-pass second batch: the value-table statistics
         # family restructured after the first close-out (spearman
         # rank-join fusion, correlation_matrix single-pass explode,
@@ -119,6 +117,14 @@ def test_registry_round13_window():
         # phrase/bm25_indexed keep the explode shape via terms=
         # (physical plans verified identical) and sit below on parity
         "inverted_index", "positional_index", "positional_index_folded",
+        # optimization-pass seventh batch: signature_band_slices'
+        # NULL drop moved into the generator (the pushable Filter
+        # re-ran the whole computed-signature expression below the
+        # scan spread); quantized_ann checkpoints the band-slices
+        # frame its two join branches re-derived. item_associations /
+        # stupid_backoff / hits_rank (materialization-only lineage
+        # cuts) rotate just below to make room.
+        "srp_pairs", "srp_ann", "quantized_ann",
     }
     missing = must_grade - set(window)
     assert not missing, f"round-13 must-grade queries not in window: {missing}"
