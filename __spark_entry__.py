@@ -5073,7 +5073,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_fixed": q_dup_clusters_fixed,
-        "cluster_reps": q_cluster_reps,
         # -- (c2) OPTIMIZATION-round changed-code regrades (round-13
         #    optimization pass): queries whose operator INTERNALS were
         #    restructured this round — CC partition-local contraction
@@ -5086,10 +5085,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    bfs_hops / domain_rank / bpe share the same one-line
         #    mechanism and hold local parity below the window), and
         #    the heavy_hitters scan spread. Scan-spread-only changes
-        #    (table_checksum, join_size_estimate, srp family,
-        #    decontaminate_bloom, gopher_quality, knn_cosine) sit
-        #    below the window on local parity — the window cannot
-        #    hold all 27 changed queries plus the never-graded 15. --
+        #    (table_checksum, join_size_estimate, gopher_quality,
+        #    knn_cosine) sit below the window on local parity — the
+        #    window cannot hold all 27 changed queries plus the
+        #    never-graded 15. (The srp family later regraded at (c8)
+        #    and decontaminate_bloom at (c10) when their internals
+        #    changed beyond the spread.) --
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "ppjoin_pairs": q_ppjoin_pairs,
@@ -5180,6 +5181,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rotating kstream_left_join just below (code UNCHANGED,
         #    driver-green every round r1-r12, parity-covered). --
         "heavy_hitters": q_heavy_hitters,
+        # -- (c10) optimization-pass ninth batch: contamination_bloom's
+        #    probe prune rides a generator instead of a pushable
+        #    .filter(exists(...)) — Catalyst pushed the whole
+        #    shingle+md5+bloom-probe kernel below the scan-spread
+        #    exchange onto the single pre-spread split (same
+        #    mechanism as c9's heavy_hitters find; this was the one
+        #    real flag of the full-registry Filter-condition plan
+        #    sweep). decontaminate_bloom regrades; makes room by
+        #    rotating cluster_reps just below — the shared CC-engine
+        #    change keeps TWO in-window representatives (dup_clusters,
+        #    dup_clusters_fixed) and cluster_reps' own layer (the
+        #    representative pick over the CC output) is unchanged
+        #    this round, parity-covered. --
+        "decontaminate_bloom": q_decontaminate_bloom,
         # -- (d) SURVEY 2 core re-cert band (joins/windowed_count —
         #    kept every round; hopping_count / windowed_sum_by_type /
         #    windowed_ktable and now session_windows / rate_limiter /
@@ -5292,7 +5307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": q_sitemap_frontier,
         "domain_rollup_full": q_domain_rollup_full,
         "surt_index": q_surt_index,
-        "decontaminate_bloom": q_decontaminate_bloom,
+        # (c10 rotation: cluster_reps sits here — the CC-engine change
+        # keeps two in-window representatives, its own layer is
+        # unchanged, parity-covered)
+        "cluster_reps": q_cluster_reps,
         "minhash_pairs_portable": q_minhash_pairs_portable,
         "simhash_portable": q_simhash_portable,
         "bm25_indexed": q_bm25_indexed,

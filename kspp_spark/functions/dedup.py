@@ -893,8 +893,28 @@ def contamination_bloom(
             1,
         )
 
-    survivors = train.filter(
-        F.exists(_shingles(F.col(text), shingle_n), _hit)
+    # The prune rides a GENERATOR, not .filter(exists(...)): Catalyst
+    # pushes deterministic predicates through Repartition, so the
+    # whole probe kernel (shingles + 2 md5 words per shingle + k byte
+    # probes) sat in a Filter directly on the scan, below any
+    # upstream rebalance exchange — serialized on the pre-spread
+    # splits of a local scan (r13-opt, same mechanism as the
+    # heavy_hitters sketch prune). explode() of a NULL array drops
+    # pruned rows identically (false and NULL exists() both yield a
+    # NULL array), and a generator cannot be pushed. At scale (no
+    # rebalance exchange) generator and filter are the same single
+    # map-side pass. Only (id, text) ride through — the exact phase
+    # needs nothing else (project early).
+    survivors = train.select(
+        F.explode(
+            F.when(
+                F.exists(_shingles(F.col(text), shingle_n), _hit),
+                F.array(F.struct(F.col(id_col), F.col(text))),
+            )
+        ).alias("_bloom_doc")
+    ).select(
+        F.col("_bloom_doc").getField(id_col).alias(id_col),
+        F.col("_bloom_doc").getField(text).alias(text),
     )
     return ngram_overlap_contamination(
         survivors,

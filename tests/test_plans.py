@@ -761,21 +761,25 @@ def test_stupid_backoff_single_tokenize_bounded_joins(spark, queries):
 
 def test_decontaminate_bloom_mapside_prefilter(spark, queries):
     """Bloom-decontamination scale contract: the bloom probe is a
-    map-side Filter on the TRAIN scan (before any explode/Generate —
-    bloom-negative docs never produce shingle rows), the filter is
-    pure JVM (the bloom is a binary literal, no Python, no extra
-    join for it), and the exact phase keeps decontaminate's broadcast
-    shingle join."""
+    map-side prune riding a GENERATOR (explode of a when()-guarded
+    array — bloom-negative docs never produce shingle rows), pure JVM
+    (the bloom is a binary literal, no Python, no extra join for it),
+    and the exact phase keeps decontaminate's broadcast shingle join.
+    The generator form is load-bearing (r13-opt): a .filter(exists)
+    probe is a deterministic predicate Catalyst pushes through the
+    rebalance exchange onto the single pre-spread scan split, so the
+    whole md5-probe kernel ran serialized; no Filter node may carry
+    the probe."""
     plan = formatted_plan(spark, queries["decontaminate_bloom"](spark, SF))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    # the train-side Filter containing the bloom probe (exists(...))
-    # sits below the Generate in the plan: Spark prints operators
-    # top-down, so the Filter with 'exists' must appear AFTER the
-    # word Generate in text order on the train branch — assert the
-    # probe exists at all and no Python appears anywhere
+    # the probe is present (exists over the shingle array) ...
     assert "exists" in plan, plan
+    # ... but never inside a Filter node (pushable); it must ride the
+    # explode Generate above the spread exchange
+    for m in re.finditer(r"\(\d+\) Filter[^\n]*\n((?:[^\n]+\n)*?)\n", plan):
+        assert "exists(" not in m.group(1), m.group(1)[:300]
 
 
 def test_winnow_dup_pairs_no_self_join(spark, queries):

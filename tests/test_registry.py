@@ -82,7 +82,11 @@ def test_registry_round13_window():
         "funnel_latency",
         "dup_clusters",         # CC three-engine restructure +
         "dup_clusters_fixed",   # r13-opt partition-local contraction
-        "cluster_reps",
+        # (cluster_reps rotated just below for the ninth batch: the
+        # shared CC-engine change keeps these two in-window
+        # representatives and cluster_reps' own layer — the
+        # representative pick over the CC output — is unchanged,
+        # parity-covered)
         # round-13 OPTIMIZATION-pass regrades (operator internals
         # restructured: winnow native rightmost-min, ppjoin
         # materialized stream, cooccurrence pack checkpoint,
@@ -134,6 +138,13 @@ def test_registry_round13_window():
         # of the shared kernel — heavy_hitters_production differs only
         # by hash family and holds local parity below the window
         "heavy_hitters",
+        # optimization-pass ninth batch: contamination_bloom's probe
+        # prune rides a generator instead of a pushable
+        # .filter(exists(...)) — the pushed predicate ran the whole
+        # shingle+md5+bloom-probe kernel below the scan-spread
+        # exchange on the single pre-spread split (the c9 mechanism;
+        # the one real flag of the full-registry Filter plan sweep)
+        "decontaminate_bloom",
     }
     missing = must_grade - set(window)
     assert not missing, f"round-13 must-grade queries not in window: {missing}"
