@@ -1258,15 +1258,24 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
     docs = rebalance_small_scan(_t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, num_hashes=64)
-    # persist: the candidate set feeds BOTH the verify join and its
-    # semi-join doc pruning; without it the LSH lineage runs twice.
+    # lazy localCheckpoint (r13-opt): the candidate set feeds BOTH the
+    # verify join and its semi-join doc pruning; without a
+    # materialization the LSH lineage runs twice. The earlier
+    # persist()+count() form paid one extra full-lineage job for the
+    # count AND left the whole LSH subtree in the verify plan twice
+    # (Catalyst re-plans the cached subtree per reference); the lazy
+    # cut truncates both references to one LogicalRDD and the
+    # broadcast-exchange job is the materializer — three-way A/B
+    # median of 5: persist+count 4.10/3.37 s, persist-only 3.64/3.44,
+    # lazy checkpoint 2.88/2.87, results bit-identical. Durability
+    # boundary: SCALE.md localCheckpoint section (switch to
+    # checkpoint() on clusters with executor churn).
     # max_bucket_ids caps boilerplate mega-buckets (scale path; see
     # the recall caveat in minhash_candidates — overflow-overflow
     # near-dups verify only through their hub links)
     cand = minhash_candidates(
         sigs, bands=16, rows_per_band=4, max_bucket_ids=256
-    ).persist()
-    cand.count()
+    ).localCheckpoint(eager=False)
     return ngram_jaccard_pairs(docs, cand, threshold=0.5)
 
 
@@ -5069,7 +5078,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_join": q_radius_join,
         "event_pattern_spans": q_event_pattern_spans,
         "rfm_segments": q_rfm_segments,
-        "attribution": q_attribution,
+        # (attribution rotated just below for the tenth batch:
+        # funnel_latency stays as the in-window representative of the
+        # same finalize-split mechanism AND holds the events/
+        # TIMESTAMP(NANOS) load-path pin; attribution is r12
+        # driver-green and parity-covered)
         "funnel_latency": q_funnel_latency,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_fixed": q_dup_clusters_fixed,
@@ -5195,6 +5208,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    representative pick over the CC output) is unchanged
         #    this round, parity-covered. --
         "decontaminate_bloom": q_decontaminate_bloom,
+        # -- (c11) optimization-pass tenth batch: minhash_lsh_pairs'
+        #    candidate materialization moved from persist()+count()
+        #    (one extra full-LSH-lineage job for the count, plus the
+        #    cached subtree re-planned per reference in the verify) to
+        #    a lazy localCheckpoint (the broadcast-exchange job is the
+        #    materializer; both references truncate to one LogicalRDD)
+        #    — three-way A/B medians 4.10/3.37 vs 3.64/3.44 vs
+        #    2.88/2.87 s, results bit-identical. Rows-only query (the
+        #    r10 twin-consistency certification is its semantic
+        #    contract); regrades for the changed code path. Makes room
+        #    by rotating attribution just below (funnel_latency stays
+        #    as the finalize-split representative and holds the events
+        #    load-path pin). --
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         # -- (d) SURVEY 2 core re-cert band (joins/windowed_count —
         #    kept every round; hopping_count / windowed_sum_by_type /
         #    windowed_ktable and now session_windows / rate_limiter /
@@ -5398,7 +5425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "returned_items": q_returned_items,
         "top_supplier": q_top_supplier,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # (c11 rotation: attribution sits here — finalize-split
+        # mechanism represented in-window by funnel_latency,
+        # r12 driver-green, parity-covered)
+        "attribution": q_attribution,
         "simhash": q_simhash,
         "ivf_ann": q_ivf_ann,
     }

@@ -378,9 +378,9 @@ def test_minhash_production_hash_plan_contract(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     # parameters deliberately differ from q_minhash_lsh_pairs: that
-    # query persists its candidate set, and an identical plan here
-    # would be silently swapped for the InMemoryTableScan by the cache
-    # manager, hiding the physical shape this test pins
+    # query materializes its candidate set (lazy localCheckpoint), and
+    # an identical frame here could be silently swapped for the
+    # truncated LogicalRDD, hiding the physical shape this test pins
     sigs = minhash_signatures(docs, num_hashes=64)
     cand = minhash_candidates(sigs, bands=8, rows_per_band=8, max_bucket_ids=128)
     plan = formatted_plan(spark, cand)
