@@ -1317,10 +1317,16 @@ def q_simhash_pairs_portable(spark, sf_dir):
     The xxhash64 production form is identical modulo the hash."""
     from kspp_spark.functions.dedup import simhash_candidates, simhash_hamming_pairs
 
+    # lazy localCheckpoint (r13-opt, the minhash_lsh_pairs c11
+    # mechanism): sigs feeds both banding and the verify join; the
+    # persist()+count() form paid one extra full-signature job and
+    # re-planned the cached subtree per reference. Interleaved A/B
+    # medians of 5: 3.83/3.59 -> 2.86/2.80 s, results bit-identical
+    # (512/512). Durability boundary: SCALE.md localCheckpoint
+    # section.
     sigs = simhash(
         _t(spark, sf_dir, "documents"), bits=60, hash_family="md5"
-    ).persist()
-    sigs.count()  # feeds both banding and the verify join
+    ).localCheckpoint(eager=False)
     cands = simhash_candidates(sigs, bands=4, bits=60)
     return simhash_hamming_pairs(sigs, cands, max_hamming=3)
 
@@ -5220,7 +5226,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    contract); regrades for the changed code path. Makes room
         #    by rotating attribution just below (funnel_latency stays
         #    as the finalize-split representative and holds the events
-        #    load-path pin). --
+        #    load-path pin). simhash_pairs_portable got the identical
+        #    one-line materialization swap and sits below the window
+        #    on its EXACT oracle parity, with this query as the
+        #    in-window mechanism representative (the c9 precedent). --
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         # -- (d) SURVEY 2 core re-cert band (joins/windowed_count —
         #    kept every round; hopping_count / windowed_sum_by_type /
