@@ -567,13 +567,19 @@ def train_linear_classifier(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     n_per = base.groupBy("_id").agg(F.sum("cnt").alias("n"))
-    base = base.join(n_per, "_id").persist()
+    # lazy localCheckpoint (r13-opt, the minhash_lsh_pairs c11
+    # mechanism): every iteration references base TWICE (the margin
+    # aggregation and the gradient join's left side); the persist()
+    # form re-planned the whole tokenize+hash+join subtree per
+    # reference per iteration. The lazy cut truncates it to one
+    # LogicalRDD materialized by the first iteration's job.
+    # Durability boundary: SCALE.md localCheckpoint section.
+    base = base.join(n_per, "_id").localCheckpoint(eager=False)
     n_docs = n_per.count()
     if n_docs == 0:
         # no document tokenized to anything: zero weights, no
         # iterations (the gradient fold divides by n_docs — same
         # empty-corpus guard as stupid_backoff_scores)
-        base.unpersist()
         iterations = 0
 
     def _trunc_div(a, b):  # noqa: ANN001 — Columns
@@ -625,7 +631,6 @@ def train_linear_classifier(
             step = abs(gv) // n_docs
             nw.append(w[b] + (step if gv >= 0 else -step))
         w = nw
-    base.unpersist()
     # weights frame as ONE packed literal (see with_registrable_domain's
     # ExistingRDD / per-element-lit notes)
     packed = ";".join(f"{b},{v}" for b, v in enumerate(w))
