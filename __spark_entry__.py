@@ -3821,6 +3821,9 @@ def q_positional_index_folded(spark, sf_dir):
         index_bootstrap(stale, state, positional=True)
         positional_partials_batch(updates.unionByName(tombstones), 0, state)
         snap = positional_index_snapshot(spark, state, min_df=2)
+        # eager is LOAD-BEARING here, never make it lazy: the finally
+        # block below deletes the parquet state directory this plan
+        # reads, so the materialization must complete before rmtree
         out = snap.select(
             "term",
             "doc_id",
