@@ -2939,11 +2939,16 @@ def _pts(spark, sf_dir):
     plan property; at 100 TB the scan itself provides the
     parallelism."""
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # r13-opt: every consumer (radius_join's aliased self-join sides,
+    # knn/vote, hotspots) re-derived the scan + the repartition
+    # exchange once per reference — Catalyst does not reuse
+    # exchanges across aliased branches. The point cloud is three
+    # longs per row; the lazy cut stores it once.
     return _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         ((F.col("c_custkey") * 2654435761) % 1000000).cast("long").alias("x"),
         ((F.col("c_custkey") * 40503 + 7) % 1000000).cast("long").alias("y"),
-    ).repartition(n)
+    ).repartition(n).localCheckpoint(eager=False)
 
 
 def q_knn_radius(spark, sf_dir):

