@@ -482,6 +482,14 @@ def _drift_from_counts(
             F.coalesce(cnt_n["n_new"], F.lit(0)).alias("n_new"),
         )
     )
+    # r13-opt: j feeds TWO consumers (the totals agg + the term
+    # projection); without a lineage cut both corpus-sized count
+    # aggregations AND the full-outer join re-derived once per
+    # branch. The joined count table is categories-sized — storing
+    # it lazily beats a second corpus pass at any scale. (Inside the
+    # streaming finalize this runs per trigger on the complete-mode
+    # state frame — a normal batch DataFrame there.)
+    j = j.localCheckpoint(eager=False)
     tot = j.select(
         F.sum("n_old").alias("_No"), F.sum("n_new").alias("_Nn")
     )

@@ -407,6 +407,12 @@ def cusum_changepoints(
         raise ValueError("cusum_changepoints: slack/threshold >= 0")
     g = list(key_cols)
     x = F.col(value_col).cast("long")
+    # r13-opt: df feeds TWO consumers (the target agg + the join);
+    # without a lineage cut the caller's per-(key, day) aggregation
+    # re-derived from the corpus once per branch. The series frame
+    # is the output row set — storing it lazily beats recomputing
+    # it at any scale. Durability boundary: SCALE.md.
+    df = df.localCheckpoint(eager=False)
     tgt = df.groupBy(*g).agg(
         F.expr(f"sum(cast({value_col} as bigint)) DIV count(1)").alias(
             "_tgt"
