@@ -2626,7 +2626,14 @@ def q_referential_integrity(spark, sf_dir):
     conditional aggregation for all four counters; orphan_ppm is the
     exact integer ratio. (A scan spread on the child frames was
     measured and rejected: 1.9 -> 2.2 s — the probe+count pass is
-    too light to pay for the extra exchange.)"""
+    too light to pay for the extra exchange. r13-opt also measured
+    and REJECTED fusing lineitem's three FK checks into one child
+    pass: the 4-counters-per-check aggregate needs one countDistinct
+    PER check, so the fused aggregate Expands the child 3x — same
+    aggregate volume as three passes, minus two scans but minus the
+    branch overlap too; interleaved A/B 1.58 -> 2.04 s. At a
+    cluster's I/O-bound scale the scan savings could flip this —
+    re-measure there before fusing.)"""
     from kspp_spark.functions.pipeline import referential_integrity
 
     li = _t(spark, sf_dir, "lineitem")

@@ -104,12 +104,16 @@ def test_graph_nodes_and_domain_edges(spark):
 
 def test_pagerank_plan_no_python(spark):
     """The iterative plan stays JVM-side (no Python crossing) and the
-    per-iteration rank join is an equi-join."""
+    per-iteration rank join is an equi-join. r13-opt: the final plan
+    must read the lazily-materialized round frame (ExistingRDD) — a
+    full re-derived lineage here (the pre-cut shape held 88 scans /
+    40 exchanges at 3 iterations) means the lineage cut regressed."""
     e = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
     plan = pagerank(e, 2)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan, "pagerank lineage cut regressed"
 
 
 def test_hits_hand_computed(spark):

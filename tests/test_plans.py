@@ -1183,14 +1183,17 @@ def test_category_drift_categories_sized(spark, queries):
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
-    # the ONLY joins are the full-outer on the two aggregated
-    # category frames (full outer cannot broadcast -> SMJ, but it
-    # joins |categories| rows, not the corpus: both inputs are
-    # HashAggregate+Exchange reductions; the totals branch recomputes
-    # that tiny join, hence 2 occurrences in the tree) and the 1-row
-    # broadcast totals frame (BroadcastNestedLoopJoin, zorder's
-    # bounds shape)
-    assert plan.count("SortMergeJoin FullOuter") == 2
+    # r13-opt: the full-outer category join (and both corpus count
+    # aggs behind it) is lazily materialized ONCE — the graded plan
+    # must read the ExistingRDD cut, with the 1-row broadcast totals
+    # frame (BroadcastNestedLoopJoin, zorder's bounds shape) the only
+    # join left. A FullOuter SMJ reappearing here means the lineage
+    # cut regressed to the recompute-per-branch shape (the pre-cut
+    # plan held it twice).
+    assert plan.count("SortMergeJoin FullOuter") == 0, (
+        "category_drift lineage cut regressed"
+    )
+    assert "Scan ExistingRDD" in plan
     assert plan.count("BroadcastNestedLoopJoin Cross") == 1
 
 
@@ -1211,7 +1214,12 @@ def test_numeric_drift_same_contract_as_categorical(spark, queries):
     plan = formatted_plan(spark, queries["numeric_drift"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
-    assert plan.count("SortMergeJoin FullOuter") == 2
+    # r13-opt: same materialized-once contract as category_drift's
+    # pin — the FullOuter count join lives behind the ExistingRDD cut
+    assert plan.count("SortMergeJoin FullOuter") == 0, (
+        "numeric_drift lineage cut regressed"
+    )
+    assert "Scan ExistingRDD" in plan
     assert plan.count("BroadcastNestedLoopJoin Cross") == 1
 
 
