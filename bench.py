@@ -524,17 +524,30 @@ def main() -> None:
             f.write("\n")
     except OSError:
         pass  # read-only checkout: stdout still carries the record
-    # stdout is EXACTLY one JSON line, and it must fit the driver's
-    # 2000-char tail window or the driver records parsed:null. The
-    # line is the LAST thing printed, so only its own length matters
-    # (earlier progress-bar noise falls off the front of the window):
-    # budget = 1995 chars. PHYSICS NOTE (VERDICT r10 item #6): the
-    # full 106-query dict needs ~2330 chars even at 1-decimal
-    # precision — full names can NEVER fit the window, so
-    # BENCH_LOCAL.json (written above, committed per round) is the
-    # authoritative complete record; stdout carries as many entries
-    # as fit, newest first. Shedding order: precision -> optional
-    # envelope keys -> oldest query entries.
+    print(format_stdout_line(out, timings, BENCH_QUERIES), flush=True)
+
+
+def format_stdout_line(
+    out: dict, timings: dict[str, float], bench_queries: list[str]
+) -> str:
+    """Build the ONE stdout JSON line within the driver's tail window.
+
+    stdout is EXACTLY one JSON line, and it must fit the driver's
+    2000-char tail window or the driver records parsed:null. The
+    line is the LAST thing printed, so only its own length matters
+    (earlier progress-bar noise falls off the front of the window):
+    budget = 1995 chars. PHYSICS NOTE (VERDICT r10 item #6): the
+    full 106-query dict needs ~2330 chars even at 1-decimal
+    precision — full names can NEVER fit the window, so
+    BENCH_LOCAL.json (written by main(), committed per round) is the
+    authoritative complete record; stdout carries as many entries
+    as fit, newest first. Shedding order (VERDICT r13 item #1):
+    precision -> oldest query entries. The measurement-context
+    envelope (machine_factor / degraded / load_avg_start / runs)
+    is NEVER shed — it costs ~70 chars and is the one thing the
+    driver needs to adjudicate a loaded window (the r13 bench ran
+    at load 1.51 and the old order dropped exactly those flags).
+    """
     BUDGET = 1995
     lean = {
         "metric": out["metric"],
@@ -542,9 +555,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": out["sf"],
-        "runs": RUNS,
+        "runs": out["runs"],
         "machine_factor": out.get("machine_factor"),
-        "degraded": degraded,
+        "degraded": out["degraded"],
+        "load_avg_start": out["load_avg_start"],
     }
     # compact separators: default json.dumps spends 2 chars per item
     # on ", "/": " padding — at 76 queries that alone overflowed the
@@ -557,18 +571,13 @@ def main() -> None:
         lean["queries"] = {q: round(t, ndigits) for q, t in timings.items()}
         line = json.dumps(lean, **compact)
     if len(line) >= BUDGET:
-        # optional envelope keys go before any query entry does
-        for k in ("machine_factor", "runs", "degraded"):
-            lean.pop(k, None)
-        line = json.dumps(lean, **compact)
-    if len(line) >= BUDGET:
-        # Last resort — keep as many per-query entries as fit, NEWEST
-        # bench additions first (the queries a fresh round is graded
-        # on; older ones have records in every prior BENCH_r*.json),
-        # and say how many were cut. BENCH_LOCAL.json always carries
-        # the complete table.
+        # Keep as many per-query entries as fit, NEWEST bench
+        # additions first (the queries a fresh round is graded on;
+        # older ones have records in every prior BENCH_r*.json), and
+        # say how many were cut. BENCH_LOCAL.json always carries the
+        # complete table. The envelope keys stay put.
         kept: dict[str, float] = {}
-        for q in reversed(BENCH_QUERIES):
+        for q in reversed(bench_queries):
             trial = dict(kept)
             trial[q] = round(timings[q], 1)
             lean["queries"] = trial
@@ -579,7 +588,7 @@ def main() -> None:
         lean["queries"] = kept
         lean["queries_truncated"] = len(timings) - len(kept)
         line = json.dumps(lean, **compact)
-    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":

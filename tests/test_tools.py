@@ -347,3 +347,50 @@ def test_warc2docs_cli(spark, tmp_path):
     raw = spark.read.parquet(dst2)
     assert raw.count() == 3
     assert raw.filter(F.col("text").contains("<p>")).count() == 3
+
+
+def test_bench_stdout_envelope_survives_truncation():
+    """VERDICT r13 item #1: the one-line bench JSON must carry the
+    measurement-context envelope (degraded / machine_factor /
+    load_avg_start / runs) even when the per-query dict overflows the
+    driver's 2000-char tail window — the r13 bench ran at load 1.51
+    and the old shedding order dropped exactly those flags first."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    names = [f"query_{i:03d}_with_a_long_descriptive_name" for i in range(139)]
+    timings = {q: 1.2345 for q in names}
+    out = {
+        "metric": "sum_median_query_sec",
+        "value": round(sum(timings.values()), 4),
+        "sf": 0.1,
+        "runs": 3,
+        "machine_factor": 1.1234,
+        "degraded": True,
+        "load_avg_start": 1.51,
+    }
+    line = bench.format_stdout_line(out, timings, names)
+    assert len(line) < 1995
+    parsed = json.loads(line)
+    # envelope keys are NEVER shed
+    assert parsed["degraded"] is True
+    assert parsed["machine_factor"] == 1.1234
+    assert parsed["load_avg_start"] == 1.51
+    assert parsed["runs"] == 3
+    # query entries were shed newest-first with an honest count
+    assert parsed["queries_truncated"] > 0
+    assert parsed["queries_truncated"] + len(parsed["queries"]) == 139
+    # the kept entries are the NEWEST bench additions
+    assert names[-1] in parsed["queries"]
+    assert names[0] not in parsed["queries"]
+
+    # small suites fit whole: no truncation key, full precision
+    small = {q: 1.2345 for q in names[:10]}
+    out2 = dict(out, value=round(sum(small.values()), 4))
+    parsed2 = json.loads(bench.format_stdout_line(out2, small, names[:10]))
+    assert "queries_truncated" not in parsed2
+    assert parsed2["queries"] == small
+    assert parsed2["degraded"] is True
