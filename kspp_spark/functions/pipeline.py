@@ -839,14 +839,27 @@ def correlation_matrix(
             "correlation_matrix: need >= 2 distinct columns"
         )
     clean = df.na.drop(subset=list(cols)).select(
-        *[F.col(c).cast("decimal(38,0)").alias(c) for c in cols]
+        *[F.col(c).cast("long").alias(c) for c in cols]
     )
+    # r14-opt: per-row PRODUCTS in int64, corpus-scale SUMS in
+    # DECIMAL(38,0). The decimal×decimal multiply was the measured
+    # cost center of the one-pass aggregation (isolated probe at
+    # sf0.1: 15 all-decimal cells 1.10 s vs long-product cells
+    # 0.59 s — BigDecimal multiplication per row per cell). A
+    # product of two ≤9-digit integer metrics (cents, permille —
+    # the documented input contract) is ≤10^18 and always fits
+    # int64 REGARDLESS of corpus size (the bound is per-row), while
+    # the sums grow with the corpus and stay exact in decimal.
+    # ANSI mode (Spark 4 default) makes a contract violation a loud
+    # error, never a silent wrap; the moments are bit-identical.
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
-        aggs.append(F.sum(F.col(c)).alias(f"_s{i}"))
+        aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"_s{i}"))
         for j in range(i, len(cols)):
             aggs.append(
-                F.sum(F.col(c) * F.col(cols[j])).alias(f"_p{i}_{j}")
+                F.sum(
+                    (F.col(c) * F.col(cols[j])).cast("decimal(38,0)")
+                ).alias(f"_p{i}_{j}")
             )
     mom = clean.agg(*aggs)
     # r13-opt: one struct per pair, exploded off the single 1-row

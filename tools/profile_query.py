@@ -1,7 +1,8 @@
 """Per-query profiling harness for the optimization rounds.
 
 Times named queries with the noop sink (guide §1.4), labels jobs
-(§1.5), and writes .explain("formatted") to plans/r13/<q>_<tag>.txt.
+(§1.5), and writes .explain("formatted") to
+plans/$SPARK_GRAFT_PLAN_ROUND/<q>_<tag>.txt (default r14).
 
 Usage:
     python tools/profile_query.py q1,q2,... [--tag before] [--runs 3]
@@ -28,7 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLAN_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r13",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"),
 )
 
 
