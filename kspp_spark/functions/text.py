@@ -1712,18 +1712,22 @@ def boilerplate_units(
     """Find boilerplate units: units occurring in >= min_docs DISTINCT
     documents. Returns (unit_digest, [unit,] n_docs).
 
-    Scale shape: explode -> ONE hash aggregation keyed on the 128-bit
-    md5 digest. With keep_unit=False only (digest, id) pairs shuffle —
-    never document text; keep_unit=True adds a min(unit) exemplar whose
-    partial aggregation collapses to one copy per unique unit per map
-    partition before the shuffle. count_distinct(id) does map-side
-    partial dedup the same way.
+    Scale shape: in-row array_distinct, explode -> ONE map-side-
+    combinable hash aggregation keyed on the 128-bit md5 digest.
+    Deduplicating units INSIDE each document's row makes every
+    (doc, unit) pair unique by construction, so n_docs is a plain
+    count — the previous count_distinct(id) form paid a second
+    shuffle (partial dedup on (digest, id), then re-exchange on
+    digest); r14 A/B at sf0.1: detector 0.75 -> 0.55 s, full
+    remove_boilerplate 1.14 -> 0.93 s. Only (digest[, unit]) rows
+    shuffle — never document text; keep_unit=True adds a min(unit)
+    exemplar that collapses map-side the same way.
     """
     units = text_units(text_col, split_pattern, n_tokens)
     exploded = df.select(
-        F.col(id_col).alias("_id"), F.explode(units).alias("unit")
-    ).select(F.md5("unit").alias("unit_digest"), "unit", "_id")
-    aggs = [F.count_distinct("_id").alias("n_docs")]
+        F.explode(F.array_distinct(units)).alias("unit")
+    ).select(F.md5("unit").alias("unit_digest"), "unit")
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
     if keep_unit:
         aggs.insert(0, F.min("unit").alias("unit"))
     return (
