@@ -15,6 +15,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
+from kspp_spark.io import materialize_once
+
 from kspp_spark.functions.dedup import (
     exact_dedup,
     minhash_candidates,
@@ -1273,9 +1275,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # max_bucket_ids caps boilerplate mega-buckets (scale path; see
     # the recall caveat in minhash_candidates — overflow-overflow
     # near-dups verify only through their hub links)
-    cand = minhash_candidates(
+    cand = materialize_once(minhash_candidates(
         sigs, bands=16, rows_per_band=4, max_bucket_ids=256
-    ).localCheckpoint(eager=False)
+    ))
     return ngram_jaccard_pairs(docs, cand, threshold=0.5)
 
 
@@ -1324,9 +1326,9 @@ def q_simhash_pairs_portable(spark, sf_dir):
     # medians of 5: 3.83/3.59 -> 2.86/2.80 s, results bit-identical
     # (512/512). Durability boundary: SCALE.md localCheckpoint
     # section.
-    sigs = simhash(
+    sigs = materialize_once(simhash(
         _t(spark, sf_dir, "documents"), bits=60, hash_family="md5"
-    ).localCheckpoint(eager=False)
+    ))
     cands = simhash_candidates(sigs, bands=4, bits=60)
     return simhash_hamming_pairs(sigs, cands, max_hamming=3)
 
@@ -2951,11 +2953,11 @@ def _pts(spark, sf_dir):
     # exchange once per reference — Catalyst does not reuse
     # exchanges across aliased branches. The point cloud is three
     # longs per row; the lazy cut stores it once.
-    return _t(spark, sf_dir, "customer").select(
+    return materialize_once(_t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         ((F.col("c_custkey") * 2654435761) % 1000000).cast("long").alias("x"),
         ((F.col("c_custkey") * 40503 + 7) % 1000000).cast("long").alias("y"),
-    ).repartition(n).localCheckpoint(eager=False)
+    ).repartition(n))
 
 
 def q_knn_radius(spark, sf_dir):
@@ -4086,9 +4088,9 @@ def q_quantized_ann(spark, sf_dir):
     # 32-plane projection runs once PER SIDE (r13-opt, ppjoin's ptok
     # precedent). The materialized frame is 4 integer rows per vector
     # — strictly cheaper to store than to re-project at any scale.
-    b = signature_band_slices(
+    b = materialize_once(signature_band_slices(
         sigs, id_col="vec_id", sim_col="srp", bands=4, bits=32, out_id="id"
-    ).localCheckpoint(eager=False)
+    ))
     bq = b.filter(F.col("id") < 20).select(
         F.col("id").alias("query_id"), "band", "bhash"
     )

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from kspp_spark.io import materialize_once
+
 SCALE = 1_000_000
 
 
@@ -118,8 +120,8 @@ def cooccurrence_scores(
     # rebalance_small_scan).
     sc_ = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() <= sc_.defaultParallelism:
-        items = items.repartition(sc_.defaultParallelism).localCheckpoint(
-            eager=True
+        items = materialize_once(
+            items.repartition(sc_.defaultParallelism), eager=True
         )
     pair_arr = F.flatten(
         F.transform(

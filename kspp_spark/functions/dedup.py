@@ -14,6 +14,7 @@ import tempfile
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from kspp_spark.io import materialize_once
 from kspp_spark.functions.hashing import md5_long
 from kspp_spark.functions.text import doc_fingerprint, tokenize
 
@@ -2057,7 +2058,7 @@ def prefix_filter_pairs(
     sc_ = df.sparkSession.sparkContext
     small_local = df.rdd.getNumPartitions() <= sc_.defaultParallelism
     if small_local:
-        ex0 = ex0.localCheckpoint(eager=True)
+        ex0 = materialize_once(ex0, eager=True)
     if df_mode == "window":
         ex = ex0.withColumn(
             "df_", F.count(F.lit(1)).over(W.partitionBy("g"))
@@ -2094,7 +2095,7 @@ def prefix_filter_pairs(
     # four Window passes to two). Durability boundary as everywhere:
     # SCALE.md localCheckpoint section (switch to checkpoint() on a
     # cluster with executor churn).
-    ptok = ptok.localCheckpoint(eager=False)
+    ptok = materialize_once(ptok)
     la = ptok.select("g", F.col("id").alias("a"), F.col("n").alias("na"))
     lb = ptok.select("g", F.col("id").alias("b"), F.col("n").alias("nb"))
     cand = (

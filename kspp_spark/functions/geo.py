@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from kspp_spark.io import materialize_once
+
 
 def _cell(col: str, d: int):
     """Floor-division cell id toward -infinity, overflow-safe over
@@ -64,8 +66,8 @@ def grid_hotspots(
         )
         .groupBy("cx", "cy")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
     )
+    cells = materialize_once(cells)
     off = F.array(*[F.lit(i) for i in (-1, 0, 1)])
     contrib = (
         cells.select("cx", "cy", "n", F.explode(off).alias("_ox"))

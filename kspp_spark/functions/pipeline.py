@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F, Window as W
 
+from kspp_spark.io import materialize_once
 from kspp_spark.functions.text import (
     doc_fingerprint,
     language_id,
@@ -61,7 +62,7 @@ def curate_documents(
     # regex-scanning the corpus twice. Durability boundary:
     # SCALE.md localCheckpoint section.
     gated = (
-        metrics.localCheckpoint(eager=False)
+        materialize_once(metrics)
         .filter(F.col("n_tokens") >= min_tokens)
         .filter(F.col("n_alpha") * 2 > F.col("n_chars"))  # >50% alphabetic
         .filter(F.col("lang_pred").isin(*langs))
@@ -489,7 +490,7 @@ def _drift_from_counts(
     # it lazily beats a second corpus pass at any scale. (Inside the
     # streaming finalize this runs per trigger on the complete-mode
     # state frame — a normal batch DataFrame there.)
-    j = j.localCheckpoint(eager=False)
+    j = materialize_once(j)
     tot = j.select(
         F.sum("n_old").alias("_No"), F.sum("n_new").alias("_Nn")
     )

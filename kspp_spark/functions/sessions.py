@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from kspp_spark.io import materialize_once
+
 
 def _gap_to_us(gap: str) -> int:
     """Parse a day-time interval string to exact integer microseconds,
@@ -213,10 +215,9 @@ def cohort_retention(
     # first-period agg, user join, distinct agg — ran once per
     # branch. The matrix is |cohorts| x |offsets| rows: storing it
     # lazily is strictly cheaper than re-deriving at any scale.
-    mat = (
+    mat = materialize_once(
         cells.groupBy("cohort", "period_offset")
         .agg(F.countDistinct("_u").alias("n_users"))
-        .localCheckpoint(eager=False)
     )
     size = mat.filter(F.col("period_offset") == 0).select(
         "cohort", F.col("n_users").alias("cohort_size")
@@ -1386,7 +1387,8 @@ def attribution(
         F.sum(F.when(F.col("_conv"), 1).otherwise(0))
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("_cum"),
-    ).localCheckpoint(eager=False)
+    )
+    marked = materialize_once(marked)
     # a touch's window = conversions strictly before it; a
     # conversion's own _cum includes itself
     touches = marked.where(~F.col("_conv")).select(
@@ -1396,10 +1398,9 @@ def attribution(
         F.max("_cum").alias("_nconv")
     )
     # keep only windows that end in a conversion
-    attributed = (
+    attributed = materialize_once(
         touches.join(n_conv, "_u")
         .where(F.col("_win") < F.col("_nconv"))
-        .localCheckpoint(eager=False)
     )
     per_chan = attributed.groupBy("_u", "_win", "_ch").agg(
         F.count(F.lit(1)).alias("_nc")
@@ -1527,7 +1528,8 @@ def attribution_time_decay(
         F.sum(F.when(F.col("_conv"), 1).otherwise(0))
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .alias("_cum"),
-    ).localCheckpoint(eager=False)
+    )
+    marked = materialize_once(marked)
     touches = marked.where(~F.col("_conv")).select(
         "_u", "_t", "_tb", "_ch",
         (F.col("_cum") + F.lit(1)).alias("_cw"),
@@ -1547,9 +1549,9 @@ def attribution_time_decay(
         f"shiftright(CAST(1000000 AS BIGINT), "
         f"CAST(LEAST((_ct - _t) DIV {hl_us}, 62) AS INT))"
     )
-    att = att.select(
+    att = materialize_once(att.select(
         "_u", "_cw", "_t", "_tb", "_ch", wt.alias("_w")
-    ).localCheckpoint(eager=False)
+    ))
     per_chan = att.groupBy("_u", "_cw", "_ch").agg(
         F.sum("_w").alias("_cww"), F.count(F.lit(1)).alias("_nc")
     )
@@ -1561,9 +1563,9 @@ def attribution_time_decay(
     base = F.when(
         F.col("_W") > 0, F.expr("(1000000 * _cww) DIV _W")
     ).otherwise(F.lit(0).cast("long"))
-    credits = jo.select(
+    credits = materialize_once(jo.select(
         "_u", "_cw", "_ch", "_nc", "_last", base.alias("_base")
-    ).localCheckpoint(eager=False)
+    ))
     rems = credits.groupBy("_u", "_cw").agg(
         (F.lit(1_000_000) - F.sum("_base")).alias("_rem")
     )
@@ -1740,8 +1742,8 @@ def dau_mau_stickiness(
             F.col(ts_col).cast("timestamp").cast("date").alias("_d"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    ud = materialize_once(ud)
     return stickiness_emit(ud, window_days)
 
 

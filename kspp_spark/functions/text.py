@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from kspp_spark.io import materialize_once
+
 WS = r"\s+"
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
@@ -402,8 +404,8 @@ def stupid_backoff_scores(
             tokenize(F.col(text_col)).alias("_toks"),
         )
         .filter(F.size("_toks") >= 3)
-        .localCheckpoint(eager=False)
     )
+    toks_df = materialize_once(toks_df)
 
     def grams(n: int):
         upper = F.size("_toks") - (n - 1)
@@ -574,7 +576,7 @@ def train_linear_classifier(
     # reference per iteration. The lazy cut truncates it to one
     # LogicalRDD materialized by the first iteration's job.
     # Durability boundary: SCALE.md localCheckpoint section.
-    base = base.join(n_per, "_id").localCheckpoint(eager=False)
+    base = materialize_once(base.join(n_per, "_id"))
     n_docs = n_per.count()
     if n_docs == 0:
         # no document tokenized to anything: zero weights, no

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from kspp_spark.io import materialize_once
+
 
 def fill_gaps_locf(
     df: DataFrame,
@@ -412,7 +414,7 @@ def cusum_changepoints(
     # re-derived from the corpus once per branch. The series frame
     # is the output row set — storing it lazily beats recomputing
     # it at any scale. Durability boundary: SCALE.md.
-    df = df.localCheckpoint(eager=False)
+    df = materialize_once(df)
     tgt = df.groupBy(*g).agg(
         F.expr(f"sum(cast({value_col} as bigint)) DIV count(1)").alias(
             "_tgt"
@@ -673,7 +675,7 @@ def mad_outliers(
     # median pass re-derived once per branch. with_med IS the output
     # row set (plus one long) — storing it lazily beats recomputing
     # it at any scale. Durability boundary: SCALE.md.
-    with_med = df.join(F.broadcast(med), g).localCheckpoint(eager=False)
+    with_med = materialize_once(df.join(F.broadcast(med), g))
     adev = F.abs(x - F.col("med"))
     mad = weighted_quantiles(
         with_med.select(*g, adev.alias("_a")),
@@ -738,9 +740,9 @@ def theil_sen_trend(
     # re-scans in the graded plan). Both frames are days-/key-
     # bounded by the operator's contract — storing them lazily is
     # strictly cheaper than re-deriving. Durability: SCALE.md.
-    pts = df.select(
+    pts = materialize_once(df.select(
         *g, d_days.alias("_d"), F.col(value_col).cast("long").alias("_v")
-    ).localCheckpoint(eager=False)
+    ))
     a = pts
     b = pts.select(
         *[F.col(c).alias(f"_b_{c}") for c in g],
@@ -766,9 +768,8 @@ def theil_sen_trend(
         group_cols=tuple(g),
         qs_permille=(500,),
     ).select(*g, F.col("value").alias("slope_micro_per_day"),
-             F.col("total_weight").alias("n_pairs")).localCheckpoint(
-        eager=False
-    )
+             F.col("total_weight").alias("n_pairs"))
+    slope = materialize_once(slope)
     with_slope = pts.join(F.broadcast(slope), g)
     resid = (
         F.col("_v") * F.lit(1_000_000)

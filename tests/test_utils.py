@@ -188,3 +188,40 @@ def test_cluster_config_kafka_options_translation(tmp_path):
     cfg2 = ClusterConfig(consumer_group="g2")
     assert not cfg2.set_private_key_path(str(cert), str(tmp_path / "nope"))
     assert cfg2.client_cert_path == ""
+
+
+def test_materialize_once_routing(spark, tmp_path):
+    """io.materialize_once (VERDICT r13 item #5): without a session
+    checkpoint dir it is a localCheckpoint (blocks on executors, loud
+    failure on loss); with one set it routes through the RELIABLE
+    checkpoint so the materialized frame survives executor loss."""
+    from kspp_spark.io import materialize_once
+
+    df = spark.range(100).selectExpr("id", "id * 2 as v")
+
+    # no checkpoint dir configured -> local checkpoint
+    assert spark.sparkContext.getCheckpointDir() is None
+    local = materialize_once(df, eager=True)
+    assert local.rdd.context is spark.sparkContext
+    assert local.count() == 100
+    # the lineage is cut: the plan reads a LogicalRDD, not range()
+    opt = local._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in opt and "Range" not in opt
+
+    # with a checkpoint dir -> reliable checkpoint files under it
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = materialize_once(df, eager=True)
+        assert reliable.count() == 100
+        # the eager reliable checkpoint wrote RDD blocks under the dir
+        ckpt_files = list((tmp_path / "ckpt").rglob("part-*"))
+        assert ckpt_files, "no reliable-checkpoint files written"
+    finally:
+        # unset so later tests in this shared session keep the
+        # localCheckpoint path (Scala field: Option[String] var —
+        # the setter's JVM name has a $ so it needs getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+        assert sc.getCheckpointDir() is None
