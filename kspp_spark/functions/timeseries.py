@@ -622,7 +622,17 @@ def cusum_emit(
 ) -> DataFrame:
     """Per-trigger finalize for cusum_stream: the batch
     cusum_changepoints() over the live daily-sum table. Shared
-    verbatim; the twins cannot diverge."""
+    verbatim; the twins cannot diverge.
+
+    Storage note (ADVICE r13): cusum_changepoints cuts the input's
+    lineage (materialize_once), so EACH TRIGGER pins one fresh copy
+    of the complete-mode daily table in executor storage until the
+    driver's ContextCleaner collects the RDD. The table is
+    (key x days)-bounded — small by the operator's contract — but a
+    long-running stream's foreachBatch wrapper can unpersist
+    explicitly after the trigger's write completes if storage creep
+    is observed. The same applies to _drift_from_counts' per-trigger
+    cut in the drift twins."""
     return cusum_changepoints(
         daily, key_cols, "d", value_col, slack=slack, threshold=threshold
     )

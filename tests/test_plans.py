@@ -1497,3 +1497,44 @@ def test_readability_map_only(spark, queries):
     plan = formatted_plan(spark, queries["readability"](spark, SF))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_pre_cut_plans_no_python_no_cartesian(spark, queries, monkeypatch):
+    """ADVICE r13: the retightened pins only see the post-checkpoint
+    plan — everything upstream of a lineage cut hides behind a
+    LogicalRDD, so 'no Python / no cartesian' assertions stopped
+    examining the computation they guard. Identity-patch the cut
+    (every site routes through localCheckpoint, directly or via
+    io.materialize_once) and assert the properties on the FULL
+    upstream plan of the queries whose pins were retightened."""
+    # patch the CONCRETE class (Spark 4: pyspark.sql.classic), not the
+    # abstract pyspark.sql.DataFrame — instances override the method
+    cls = type(spark.range(1))
+    monkeypatch.setattr(
+        cls, "localCheckpoint", lambda self, eager=True: self
+    )
+    assert spark.range(1).localCheckpoint() is not None
+    for name in (
+        "attribution",
+        "attribution_decay",
+        "category_drift",
+        "numeric_drift",
+        "curate_docs",
+        "domain_rank",
+        "cusum_alarms",
+        "theil_sen",
+        "stickiness",
+        "hotspots",
+    ):
+        plan = formatted_plan(spark, queries[name](spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name}: Python UDF upstream"
+        assert "ArrowEvalPython" not in plan, f"{name}: Python UDF upstream"
+        assert "MapInPandas" not in plan, f"{name}: Python upstream"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian upstream"
+    # attribution's only window is per-user (history-bounded): with
+    # the cut disabled the Window node is visible again and must
+    # partition by the user key, never corpus-wide
+    plan = formatted_plan(spark, queries["attribution"](spark, SF))
+    assert "Window" in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.strip().startswith("_u") for s in specs), specs

@@ -57,7 +57,12 @@ def main() -> None:
                 )
             )
         except Exception as e:  # noqa: BLE001
-            print(f"{name}\tERROR\t{type(e).__name__}: {e}")
+            # keep the TSV machine-readable: the error lands on stderr
+            # and the row is padded to the header's 11 columns
+            # (ADVICE r13)
+            msg = f"{type(e).__name__}: {e}".replace("\t", " ").replace("\n", " ")
+            print(f"plan_sweep: {name} ERROR {msg}", file=sys.stderr)
+            print(f"{name}\tERROR" + "\t" * 9, flush=True)
             continue
         ops = len(re.findall(r"^\(\d+\)", txt, re.M))
         scans = txt.count("Scan parquet")
