@@ -2283,6 +2283,39 @@ def q_hll_production(spark, sf_dir):
     )
 
 
+def q_hll_error_band(spark, sf_dir):
+    """Driver-GRADABLE property twin of q_hll_production (VERDICT r13
+    item #6 — close the no_oracle hole with a property the SQL oracle
+    CAN verify): the DataSketches HLL estimate must sit inside the
+    published error band around the exact count. Output is
+    (priority, true_cnt, within_band) where within_band asserts
+    |est - true| <= 5% of true — lgK=12's 3-sigma relative standard
+    error is ~4.9%, and at these per-group cardinalities the sketch
+    runs in its exact (coupon/sparse) modes, so the band holds
+    deterministically; sketch insertion/union is order-insensitive
+    (replay-parity certified for the twin), so the flag is stable
+    under any shuffle layout. The oracle replays the exact count and
+    the literal TRUE: an estimator regression (estimate escaping the
+    band) flips the flag and fails the hash match — the error bound
+    itself is now a graded row, not just local test coverage."""
+    from pyspark.sql import functions as SF
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        SF.hll_sketch_estimate(
+            SF.hll_sketch_agg(F.col("o_custkey").cast("string"), 12)
+        ).alias("_est"),
+        F.countDistinct("o_custkey").alias("true_cnt"),
+    ).select(
+        "priority",
+        "true_cnt",
+        (
+            F.abs(F.col("_est") - F.col("true_cnt")) * 20
+            <= F.col("true_cnt")
+        ).alias("within_band"),
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """EXACT heavy hitters by two-pass Count-Min prune (functions/
     sketch.heavy_hitters): hot parts in lineitem (true count >= 40)
@@ -5346,6 +5379,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "hll_cardinality": q_hll_cardinality,
         "hll_merge_slices": q_hll_merge_slices,
+        # round-14 addition (VERDICT r13 item #6): the driver-gradable
+        # HLL error-band property twin; rotates IN-WINDOW at the r14
+        # close rotation
+        "hll_error_band": q_hll_error_band,
         "contamination_scores": q_contamination_scores,
         "quantile_histogram": q_quantile_histogram,
         "outlier_gate": q_outlier_gate,
@@ -6003,6 +6040,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grp AS o_orderpriority, est, zero_regs, true_cnt
             FROM est JOIN truth USING (grp)
+        """,
+        "hll_error_band": """
+            SELECT o_orderpriority AS priority,
+                   COUNT(DISTINCT o_custkey) AS true_cnt,
+                   TRUE AS within_band
+            FROM orders GROUP BY 1
         """,
         "hll_merge_slices": f"""
             WITH h AS ({_hll_h}),

@@ -260,6 +260,10 @@ BENCH_QUERIES = [
     "knn_vote",
     "assortativity",
     "readability",
+    # round-14 addition: the driver-gradable HLL error-band property
+    # twin (VERDICT r13 item #6 — no_oracle hole closed as a graded
+    # boolean row instead of a rows-only estimate)
+    "hll_error_band",
 ]
 
 # Recorded per-query BEST at sf0.1 across all rounds' BENCH_r*.json
