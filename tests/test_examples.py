@@ -10,6 +10,10 @@ import sys
 
 import pytest
 
+# every example spawns its own subprocess + SparkSession (~15-60 s
+# each, ~12 min total): documentation-execution coverage, full tier
+pytestmark = pytest.mark.full
+
 EXAMPLES = sorted(
     glob.glob(os.path.join(os.path.dirname(__file__), "..", "examples", "*.py"))
 )

@@ -735,6 +735,7 @@ def test_connected_components_clusters(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+@pytest.mark.full
 def test_connected_components_engines_bit_identical(spark):
     """The star engine (Kiveris alternating large/small-star, the
     density-dispatched fast path for clustered graphs) must emit
@@ -777,6 +778,7 @@ def test_connected_components_engines_bit_identical(spark):
         )
 
 
+@pytest.mark.full
 def test_connected_components_local_contract_bit_identical(spark):
     """The partition-local union-find contraction (r13-opt,
     local_contract=True default) must emit BIT-IDENTICAL labels to

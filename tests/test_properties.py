@@ -8,6 +8,7 @@ vectors can't.
 
 import datetime
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import types as T
@@ -640,6 +641,7 @@ seq_changelog_strategy = st.lists(
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=seq_changelog_strategy, n_batches=st.integers(min_value=1, max_value=3))
+@pytest.mark.full
 def test_seq_dedup_fold_probe_equals_batch_over_lww_state(
     spark, tmp_path_factory, ops, n_batches
 ):
@@ -837,6 +839,7 @@ def test_winnow_fingerprints_matches_replay(spark, texts, k, w):
     st.lists(st.sampled_from("pq"), min_size=0, max_size=6).map(" ".join),
     st.lists(st.sampled_from("xy"), min_size=0, max_size=6).map(" ".join),
 )
+@pytest.mark.full
 def test_winnow_guarantee_shared_run(spark, shared, pre, post):
     """The winnowing GUARANTEE (k=3, w=4): two docs sharing a run of
     >= w+k-1 = 6 tokens share at least one fingerprint, whatever

@@ -2414,6 +2414,7 @@ def test_incremental_dedup_epoch_guard(spark, tmp_path):
     probe_and_update(spark.createDataFrame([(2, text_a)], schema), 1, state, pairs_dir)
 
 
+@pytest.mark.full
 def test_incremental_dedup_seq_event_ordered_lww(spark, tmp_path):
     """seq mode: a late-arriving STALE update or delete (lower seq in
     a newer epoch) is IGNORED — the doc keeps its fresher content, the
@@ -2464,6 +2465,7 @@ def test_incremental_dedup_seq_event_ordered_lww(spark, tmp_path):
         pairs() == [(3, 1), (4, 1), (4, 3), (5, 3), (5, 4), (6, 2)]
 
 
+@pytest.mark.full
 def test_incremental_dedup_seq_batch_equivalence(spark, tmp_path):
     """Under RANDOM update/delete interleavings with stale writes
     mixed in, a final-epoch probe doc pairs with exactly the docs a
@@ -2561,6 +2563,7 @@ def test_incremental_dedup_seq_batch_equivalence(spark, tmp_path):
         assert got2 == []  # resurrection attempt pairs with nothing
 
 
+@pytest.mark.full
 def test_incremental_dedup_verify_scores(spark, tmp_path):
     """verify=True: pairs come out scored with the MinHash Jaccard
     estimate (fraction of equal signature components) against each
