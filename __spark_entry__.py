@@ -5097,6 +5097,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_oracle_parity.py) on every pytest run.
     # tests/test_registry.py pins this dict against duplicate keys —
     # the registry is the driver's grading contract.
+    # ROUND 14 window (this ordering), second optimization round:
+    # the r13 heads (a) hold their certs for a second driver row;
+    # band (b) holds every round-14 changed-code regrade (see its
+    # inline comment) — ppjoin_pairs / correlation_matrix /
+    # curate_docs / quantized_ann / minhash_lsh_pairs and the knn/
+    # geo/theil_sen/stickiness/cohort materialize_once sites were
+    # already in-window from the r13 rotation and stay put.
     return {
         # -- (a) round-13 addition (leads the window) --
         "knn_radius": q_knn_radius,
@@ -5108,21 +5115,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_vote": q_knn_vote,
         "assortativity": q_assortativity,
         "readability": q_readability,
-        # -- (b) the 15 never-driver-graded queries (VERDICT r12 item #1:
-        #    the only registry entries with zero driver-green rows
-        #    across 12 rounds; all pass local oracle parity) --
-        "auc_eval": q_auc_eval,
-        "classifier_confusion": q_classifier_confusion,
+        # -- (b) ROUND-14 rotation (second optimization round): the
+        #    queries whose code changed THIS round regrade in-window.
+        #    boilerplate_clean (detector's in-row unit dedup removes
+        #    the count_distinct double shuffle), hll_error_band (NEW —
+        #    the driver-gradable HLL error-band property twin, VERDICT
+        #    r13 item #6; hll_production rotates just below, its
+        #    estimate now graded through the band property),
+        #    attribution + cusum_alarms + numeric_drift +
+        #    category_drift (materialize_once mechanism
+        #    representatives — the swap touched 19 sites; theil_sen /
+        #    stickiness / hotspots / cohort_retention / knn family /
+        #    curate_docs / ppjoin_pairs / correlation_matrix are
+        #    already in-window above/below, train_classifier /
+        #    simhash-portable sit below on local parity),
+        #    domain_rank (ChainReset periodic parquet reset),
+        #    item_associations + stupid_backoff (materialize_once on
+        #    their eager/lazy pack frames), srp_diverse_sample (the
+        #    exact-oracled diversity-sampling form regrades while the
+        #    KMeans-seeded diverse_sample / embedding_clusters rotate
+        #    just below — their correctness rows can only ever read
+        #    no_oracle; the exact twins are the gradable surface).
+        #    Rotated just below to make room (ALL r13 driver-green
+        #    with zero code delta this round: auc_eval,
+        #    classifier_confusion, daily_trend, gap_fill_locf,
+        #    rolling_outliers, rolling_window_sum, length_percentile,
+        #    plus the three rows-only forms). --
+        "boilerplate_clean": q_boilerplate_clean,
+        "hll_error_band": q_hll_error_band,
+        "attribution": q_attribution,
+        "domain_rank": q_domain_rank,
+        "cusum_alarms": q_cusum_alarms,
+        "numeric_drift": q_numeric_drift,
+        "category_drift": q_category_drift,
+        "srp_diverse_sample": q_srp_diverse_sample,
+        "item_associations": q_item_associations,
+        "stupid_backoff": q_stupid_backoff,
         "cohort_retention": q_cohort_retention,
-        "daily_trend": q_daily_trend,
-        "diverse_sample": q_diverse_sample,
-        "embedding_clusters": q_embedding_clusters,
-        "gap_fill_locf": q_gap_fill_locf,
-        "hll_production": q_hll_production,
-        "length_percentile": q_length_percentile,
         "rate_ztest": q_rate_ztest,
-        "rolling_outliers": q_rolling_outliers,
-        "rolling_window_sum": q_rolling_window_sum,
         "score_calibration": q_score_calibration,
         "triangle_counts": q_triangle_counts,
         "zorder_stats": q_zorder_stats,
@@ -5302,10 +5332,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kstream_left_join": q_kstream_left_join,
         "typo_pairs": q_typo_pairs,
         "train_classifier": q_train_classifier,
-        # (c8 rotation: the materialization-only c2 entries sit here —
-        # lineage cuts with no expression rewrites, parity-covered)
-        "item_associations": q_item_associations,
-        "stupid_backoff": q_stupid_backoff,
+        # (r14 rotation: the r13-driver-green, code-unchanged entries
+        # rotated out of the window to make room for the round-14
+        # changed-code regrades sit here)
+        "auc_eval": q_auc_eval,
+        "classifier_confusion": q_classifier_confusion,
+        "daily_trend": q_daily_trend,
+        "gap_fill_locf": q_gap_fill_locf,
+        "rolling_outliers": q_rolling_outliers,
+        "rolling_window_sum": q_rolling_window_sum,
+        "length_percentile": q_length_percentile,
+        # (rows-only forms: graded surfaces are their exact twins —
+        # hll_error_band / srp_diverse_sample, in-window)
+        "diverse_sample": q_diverse_sample,
+        "embedding_clusters": q_embedding_clusters,
+        "hll_production": q_hll_production,
         "hits_rank": q_hits_rank,
         "kstream_inner_join": q_kstream_inner_join,
         "ktable_left_join": q_ktable_left_join,
@@ -5333,7 +5374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "referential_integrity": q_referential_integrity,
         "ewma_smooth": q_ewma_smooth,
-        "cusum_alarms": q_cusum_alarms,
         "acf_daily": q_acf_daily,
         "bfs_hops": q_bfs_hops,
         "kcore": q_kcore,
@@ -5342,8 +5382,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_stages": q_funnel_stages,
         "funnel_conversion": q_funnel_conversion,
         "k_anonymity": q_k_anonymity,
-        "category_drift": q_category_drift,
-        "numeric_drift": q_numeric_drift,
         "rrf_fusion": q_rrf_fusion,
         "event_pattern": q_event_pattern,
         "benford": q_benford,
@@ -5379,10 +5417,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "hll_cardinality": q_hll_cardinality,
         "hll_merge_slices": q_hll_merge_slices,
-        # round-14 addition (VERDICT r13 item #6): the driver-gradable
-        # HLL error-band property twin; rotates IN-WINDOW at the r14
-        # close rotation
-        "hll_error_band": q_hll_error_band,
         "contamination_scores": q_contamination_scores,
         "quantile_histogram": q_quantile_histogram,
         "outlier_gate": q_outlier_gate,
@@ -5417,9 +5451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "token_pairs": q_token_pairs,
         "domain_rollup": q_domain_rollup,
-        "domain_rank": q_domain_rank,
         "pack_sequences": q_pack_sequences,
-        "srp_diverse_sample": q_srp_diverse_sample,
         "srp_bucket_profile": q_srp_bucket_profile,
         "funnel": q_funnel,
         "order_keys_agg": q_order_keys_agg,
@@ -5449,7 +5481,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_metadata": q_media_metadata,
         "gopher_quality": q_gopher_quality,
-        "boilerplate_clean": q_boilerplate_clean,
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
@@ -5488,10 +5519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "returned_items": q_returned_items,
         "top_supplier": q_top_supplier,
-        # (c11 rotation: attribution sits here — finalize-split
-        # mechanism represented in-window by funnel_latency,
-        # r12 driver-green, parity-covered)
-        "attribution": q_attribution,
         "simhash": q_simhash,
         "ivf_ann": q_ivf_ann,
     }

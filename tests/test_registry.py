@@ -39,27 +39,27 @@ def test_registry_no_duplicate_keys():
     assert keys == list(entry_mod.queries().keys())
 
 
-def test_registry_round13_window():
-    """The round-13 grading window (first 50), VERDICT r12 item #1
-    rotation: knn_radius (the round's new operator) leads, the
-    FIFTEEN never-driver-graded queries follow (zero driver-green
-    rows across 12 rounds — this window closes total driver
-    coverage), every query whose CODE changed this round regrades,
-    and the SURVEY 2 core re-cert band stays in. SET containment for
-    the rotation body — r8's lesson: the fully position-pinned form
+def test_registry_round14_window():
+    """The round-14 grading window (first 50): every query whose
+    code changed in the second optimization round regrades in-window
+    (the r13 heads keep their certs for a second row), the
+    materialize_once swap is represented by its heaviest users, and
+    the SURVEY 2 core re-cert band stays in. SET containment for the
+    rotation body — r8's lesson: the fully position-pinned form
     rotted when a head insert wasn't mirrored here."""
     window = list(entry_mod.queries().keys())[:50]
-    # new this round — lead the window
+    # the r13 heads hold their certs for a second driver row
     assert window[:9] == ["knn_radius", "mad_outliers",
                           "attribution_decay", "theil_sen",
                           "stickiness", "hotspots", "knn_vote",
                           "assortativity", "readability"]
-    # the 15 never-driver-graded queries (VERDICT r12 item #1)
+    # the round-14 rotation band: changed-code regrades + the
+    # exact-twin grading surfaces + the held-over r13 (b) tail
     assert set(window[9:24]) == {
-        "auc_eval", "classifier_confusion", "cohort_retention",
-        "daily_trend", "diverse_sample", "embedding_clusters",
-        "gap_fill_locf", "hll_production", "length_percentile",
-        "rate_ztest", "rolling_outliers", "rolling_window_sum",
+        "boilerplate_clean", "hll_error_band", "attribution",
+        "domain_rank", "cusum_alarms", "numeric_drift",
+        "category_drift", "srp_diverse_sample", "item_associations",
+        "stupid_backoff", "cohort_retention", "rate_ztest",
         "score_calibration", "triangle_counts", "zorder_stats",
     }
     must_grade = {
@@ -153,9 +153,18 @@ def test_registry_round13_window():
         # references truncate to one LogicalRDD) — rows-only regrade,
         # twin-consistency certified
         "minhash_lsh_pairs",
+        # ROUND-14 changed-code regrades: the ppjoin aggregated
+        # positional filter, the correlation_matrix int64-product
+        # moments, the boilerplate in-row unit dedup, the
+        # materialize_once representatives, the pagerank ChainReset,
+        # and the new HLL error-band property twin
+        "ppjoin_pairs", "correlation_matrix", "boilerplate_clean",
+        "hll_error_band", "attribution", "domain_rank",
+        "cusum_alarms", "numeric_drift", "category_drift",
+        "item_associations", "stupid_backoff", "srp_diverse_sample",
     }
     missing = must_grade - set(window)
-    assert not missing, f"round-13 must-grade queries not in window: {missing}"
+    assert not missing, f"round-14 must-grade queries not in window: {missing}"
     # events/TIMESTAMP(NANOS) load path stays in-window (verify-skill
     # contract): these read the events table
     assert {"windowed_count", "funnel_latency"} <= set(window)
