@@ -280,16 +280,16 @@ RECORD_BEST = {
     "asof_join": 0.3965,
     "bm25_search": 0.5498,
     "boilerplate_clean": 0.6991,
-    "gopher_quality": 0.5878,
-    "gopher_repetition": 1.9935,
+    "gopher_quality": 0.4082,
+    "gopher_repetition": 1.6697,
     "count_by_key": 0.2487,
     "count_by_value": 0.3523,
-    "curate_docs": 1.4392,
+    "curate_docs": 0.8808,
     "decontaminate": 0.9493,
     "dedup_embedding": 0.5995,
     "dedup_exact": 0.2267,
-    "dup_clusters": 4.5352,
-    "dup_clusters_fixed": 3.4437,
+    "dup_clusters": 2.4329,
+    "dup_clusters_fixed": 2.0925,
     "inverted_index": 0.4615,
     "knn_cosine": 0.687,
     "kstream_left_join": 0.3455,
@@ -315,13 +315,13 @@ RECORD_BEST = {
     "positional_index_folded": 1.5689,
     "pricing_summary": 0.6758,
     "quality_classifier": 0.5822,
-    "quantized_ann": 1.59,
+    "quantized_ann": 0.9793,
     "repetition_stats": 0.7897,
     "returned_items": 0.5758,
     "revenue_per_nation": 0.498,
     "scd2_lookup": 0.3235,
     "session_windows": 0.3225,
-    "srp_ann": 1.309,
+    "srp_ann": 1.1883,
     "srp_diverse_sample": 0.2254,
     "srp_pairs": 2.3054,
     "substring_spans": 0.6536,
@@ -334,17 +334,17 @@ RECORD_BEST = {
     "word_count": 0.2896,
     "domain_rollup": 0.7259,
     "link_graph": 1.1793,
-    "domain_rank": 1.0503,
-    "decontaminate_bloom": 2.1893,
+    "domain_rank": 1.0379,
+    "decontaminate_bloom": 1.9438,
     "domain_rollup_full": 0.6412,
     "sitemap_frontier": 0.7332,
     "surt_index": 0.5393,
-    "winnow_dup_pairs": 2.3,
-    "winnow_fingerprints": 1.8906,
-    "train_classifier": 2.1456,
+    "winnow_dup_pairs": 1.3666,
+    "winnow_fingerprints": 0.9565,
+    "train_classifier": 1.9857,
     "stupid_backoff": 1.9303,
     "anchor_terms": 1.0276,
-    "cluster_reps": 3.6163,
+    "cluster_reps": 2.0905,
     "cms_counts": 0.9353,
     "cms_estimates": 1.082,
     "crawl_budget": 0.1862,
@@ -360,8 +360,8 @@ RECORD_BEST = {
     "hll_merge_slices": 0.6866,
     "contamination_scores": 0.9259,
     "snapshot_diff": 0.3762,
-    "heavy_hitters": 3.8062,
-    "typo_pairs": 4.5598,
+    "heavy_hitters": 2.7286,
+    "typo_pairs": 1.6369,
     "quantile_histogram": 0.4254,
     "hll_production": 0.5849,
     "outlier_gate": 0.5028,
@@ -371,7 +371,7 @@ RECORD_BEST = {
     "cohort_retention": 0.3995,
     "daily_trend": 0.2503,
     "gap_fill_locf": 0.2547,
-    "ppjoin_pairs": 3.8156,
+    "ppjoin_pairs": 2.8522,
     "rolling_outliers": 0.2538,
     "rolling_window_sum": 0.1733,
     "score_calibration": 0.3686,
@@ -379,7 +379,7 @@ RECORD_BEST = {
     "triangle_counts": 1.2163,
     "zorder_stats": 0.3616,
     # round-10 close first records (run I, load 0.99, mf 1.282)
-    "join_size_estimate": 2.2255,
+    "join_size_estimate": 1.6927,
     "length_percentile": 0.5736,
     "profile_columns": 0.7195,
     # round-10 final first records (run J, load 0.14, mf 1.2155)
@@ -420,7 +420,7 @@ RECORD_BEST = {
     "bfs_hops": 0.7817,
     "spearman": 2.5876,
     "kcore": 0.6666,
-    "radius_join": 1.3004,  # r12 late addition (r=50000, 845k pairs)
+    "radius_join": 0.6322,  # r12 late addition (r=50000, 845k pairs)
 }
 
 # untouched-since-round-1 queries (pure TPC-H / map-only shapes, no
