@@ -859,9 +859,16 @@ def test_connected_components_checkpoint_dir_resolution(spark, tmp_path):
         assert out == {1: 1, 2: 1}
         assert made_tmp == []  # session dir used, no temp created
     finally:
-        # pyspark has no unsetCheckpointDir; point it at a throwaway so
-        # later tests see a existing-but-unused dir
-        spark.sparkContext.setCheckpointDir(str(tmp_path / "ck_rest"))
+        # ACTUALLY unset (pyspark exposes no unsetCheckpointDir, but
+        # the underlying Scala field is an Option var): a lingering
+        # session dir silently flips every later materialize_once
+        # call in the suite onto the reliable-checkpoint path — that
+        # is how the pre-cut plan guard first broke in-suite
+        sc = spark.sparkContext
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+        assert sc.getCheckpointDir() is None
 
     # 2. non-local master + no dir anywhere -> clear error
     class _FakeCtx:
